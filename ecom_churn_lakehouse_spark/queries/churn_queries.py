@@ -1,0 +1,139 @@
+"""Churn-workload registry entries (SURVEY.md §2.12).
+
+The flagship feature snapshot, the label builder, and the training
+snapshot, parameterized on the fixture orders table via
+``sources.normalized_orders``. Oracles are the exact ANSI-SQL
+equivalents with matched column names/types.
+"""
+
+from __future__ import annotations
+
+from ecom_churn_lakehouse_spark.plans.churn import (
+    churn_labels,
+    customer_features,
+    training_snapshot,
+)
+from ecom_churn_lakehouse_spark.registry import AS_OF, HORIZON_DAYS, register
+from ecom_churn_lakehouse_spark.sources import normalized_orders
+
+# Shared SQL CTE: the normalized orders frame (sources/tables.py).
+_BASE = f"""
+WITH base AS (
+    SELECT
+        o_custkey AS customer_id,
+        o_orderkey AS order_id,
+        CAST(o_orderdate AS DATE) AS order_date,
+        o_orderstatus AS order_status
+    FROM orders
+)
+"""
+
+_FEATURES_SQL = f"""
+{_BASE},
+pit AS (
+    SELECT * FROM base WHERE order_date <= DATE '{AS_OF}'
+),
+stats AS (
+    SELECT customer_id,
+           MAX(order_date) AS last_order_date,
+           MIN(order_date) AS first_order_date,
+           COUNT(DISTINCT order_id) AS lifetime_orders
+    FROM pit GROUP BY customer_id
+),
+o30 AS (
+    SELECT customer_id, COUNT(DISTINCT order_id) AS orders_30d
+    FROM pit WHERE order_date >= DATE '{AS_OF}' - INTERVAL 29 DAY
+    GROUP BY customer_id
+),
+o90 AS (
+    SELECT customer_id, COUNT(DISTINCT order_id) AS orders_90d
+    FROM pit WHERE order_date >= DATE '{AS_OF}' - INTERVAL 89 DAY
+    GROUP BY customer_id
+),
+gaps AS (
+    SELECT customer_id,
+           AVG(CAST(gap_days AS DOUBLE)) AS avg_days_between_orders
+    FROM (
+        SELECT customer_id,
+               date_diff('day',
+                         lag(order_date) OVER (
+                             PARTITION BY customer_id
+                             ORDER BY order_date, order_id),
+                         order_date) AS gap_days
+        FROM pit
+    )
+    WHERE gap_days IS NOT NULL
+    GROUP BY customer_id
+)
+SELECT
+    s.customer_id AS customer_id,
+    CAST(date_diff('day', s.last_order_date, DATE '{AS_OF}') AS INTEGER)
+        AS recency_days,
+    COALESCE(o30.orders_30d, 0) AS orders_30d,
+    COALESCE(o90.orders_90d, 0) AS orders_90d,
+    s.lifetime_orders AS lifetime_orders,
+    CAST(date_diff('day', s.first_order_date, DATE '{AS_OF}') AS INTEGER)
+        AS customer_tenure_days,
+    ROUND(COALESCE(g.avg_days_between_orders, 0.0), 6)
+        AS avg_days_between_orders
+FROM stats s
+LEFT JOIN o30 USING (customer_id)
+LEFT JOIN o90 USING (customer_id)
+LEFT JOIN gaps g USING (customer_id)
+"""
+
+
+@register(
+    "customer_features",
+    _FEATURES_SQL,
+    doc="Flagship point-in-time feature snapshot (SURVEY §2.12, §7.1).",
+)
+def q_customer_features(spark, sf_dir):
+    return customer_features(normalized_orders(spark, sf_dir), AS_OF)
+
+
+_LABELS_SQL = f"""
+{_BASE},
+bounds AS (SELECT MAX(order_date) AS dataset_end_date FROM base),
+spine AS (
+    SELECT DISTINCT customer_id FROM base, bounds
+    WHERE order_date <= DATE '{AS_OF}'
+      AND DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY <= bounds.dataset_end_date
+),
+future_active AS (
+    SELECT DISTINCT customer_id FROM base
+    WHERE order_date > DATE '{AS_OF}'
+      AND order_date <= DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY
+      AND order_status NOT IN ('P')
+)
+SELECT s.customer_id AS customer_id,
+       CAST(CASE WHEN f.customer_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+           AS churn_label
+FROM spine s LEFT JOIN future_active f ON s.customer_id = f.customer_id
+"""
+
+
+@register(
+    "churn_labels",
+    _LABELS_SQL,
+    doc="60-day churn labels, existence-test left join J3 (labels.py:145-199).",
+)
+def q_churn_labels(spark, sf_dir):
+    return churn_labels(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)
+
+
+_SNAPSHOT_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL})
+SELECT feats.*, labels.churn_label AS churn_label
+FROM feats INNER JOIN labels USING (customer_id)
+"""
+
+
+@register(
+    "training_snapshot",
+    _SNAPSHOT_SQL,
+    doc="Features ⋈ labels on the snapshot grain, J4 (build_training_snapshot.py:143-177).",
+)
+def q_training_snapshot(spark, sf_dir):
+    return training_snapshot(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)

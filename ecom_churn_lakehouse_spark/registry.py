@@ -1,0 +1,73 @@
+"""Query registry — the single source of truth behind ``__spark_entry__``.
+
+Each entry pairs a Spark plan (``fn(spark, sf_dir) -> DataFrame``) with
+the ANSI-SQL oracle DuckDB runs over the same parquet tables. Column
+names/types are aligned on both sides (the driver hashes values under
+name-sorted columns). Entries without an oracle (``oracle=None``) are
+the genuinely non-SQL-expressible ops; the driver records rows-only
+checks for those.
+
+Every entry cites the reference behavior it reproduces (SURVEY.md §2
+row ids) or the extension surface it adds (§7.7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Fixed snapshot date for the churn workload: inside the fixture's
+#: order-date range (1995-01-01..2001-08-01) with a fully observable
+#: 60-day label horizon.
+AS_OF = "1997-06-30"
+HORIZON_DAYS = 60
+
+
+@dataclass(frozen=True)
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _REGISTRY[name] = Entry(fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return {k: v.fn for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {k: v.oracle for k, v in _REGISTRY.items() if v.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from ecom_churn_lakehouse_spark.queries import (  # noqa: F401
+        churn_queries,
+        dedup_queries,
+        event_queries,
+        relational_queries,
+        similarity_queries,
+        text_queries,
+    )
+
+    _LOADED = True

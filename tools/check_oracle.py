@@ -1,0 +1,127 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at a given sf_dir and
+compares against ``oracle_sql()`` via DuckDB: row count, name-sorted
+column set, and an order-insensitive value comparison (exact on
+non-floats, tiny-epsilon on floats so we catch real mismatches while
+tolerating last-bit formatting noise — the real driver hashes, so we
+aim for bit-level agreement and report max float deltas).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(np.asarray(v).tolist()) if isinstance(v, (list, np.ndarray)) else v
+            )
+    sort_cols = [c for c in df.columns if df[c].map(lambda v: isinstance(v, (list, np.ndarray, dict))).sum() == 0]
+    df = df.sort_values(by=sort_cols, kind="mergesort", na_position="last").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            a = sv.astype(float).to_numpy()
+            b = dv.astype(float).to_numpy()
+            both_nan = np.isnan(a) & np.isnan(b)
+            diff = np.abs(a - b)
+            diff[both_nan] = 0.0
+            if np.isnan(diff).any() or (diff > 0).any():
+                mx = np.nanmax(diff)
+                n_exact = int((diff == 0).sum())
+                problems.append(
+                    f"col {c}: max |delta|={mx:.3e}, exact={n_exact}/{len(a)}"
+                    + ("  ** NOT bit-identical — driver hash may fail **" if mx > 0 else "")
+                )
+        else:
+            neq = ~(sv.eq(dv) | (sv.isna() & dv.isna()))
+            if neq.any():
+                i = int(neq.idxmax())
+                problems.append(
+                    f"col {c}: {int(neq.sum())}/{len(sv)} values differ, e.g. row {i}: "
+                    f"spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from ecom_churn_lakehouse_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spark_pdf = sdf.toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark side raised\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok?   {name}: no oracle (rows-only) rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.sql(oracles[name]).df()
+        except Exception:
+            print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL  {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            print(f"OK    {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
