@@ -1,1 +1,611 @@
-"""Populated incrementally."""
+"""Relational operator inventory entries (SURVEY.md §2.2–2.8).
+
+One registry entry per operator family: projections/filters/CASE
+(P1–P10), scalar functions (F1–F11), hash aggregations (A1–A7),
+window functions (W1–W2 + rank/frame extensions), joins
+(J1–J5 + explicit semi/anti), sort/limit/top-k (O1–O4), and set ops
+(§2.8 — absent in the reference, declared as engine built-ins).
+
+Float discipline: every money aggregate accumulates in DECIMAL (exact,
+order-independent) and casts the final value to DOUBLE, so Spark and
+DuckDB agree bit-for-bit regardless of partial-aggregation order — at
+100 TB the same trick makes results reproducible across cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+
+def _dsum(col, scale=4):
+    """Order-independent money sum: decimal accumulate → double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# --- A1-style grouped multi-agg over a pushed-down filter (TPC-H Q1 shape) ---
+
+_PRICING_CUTOFF = "1998-09-02"
+
+_PRICING_SQL = f"""
+SELECT
+    l_returnflag,
+    l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)
+        AS sum_charge,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+    CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+    COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '{_PRICING_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "pricing_summary",
+    _PRICING_SQL,
+    doc="Grouped multi-aggregate with filter pushdown (A1/A3/A6; TPC-H Q1 shape).",
+)
+def q_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") <= F.lit(_PRICING_CUTOFF).cast("date")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity")).alias("sum_qty"),
+        _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+        _dsum(disc_price, 6).alias("sum_disc_price"),
+        _dsum(charge, 6).alias("sum_charge"),
+        (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+        (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+        (_dsum(F.col("l_discount"), 6) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- J1 chain + group + top-k (TPC-H Q3 shape; O4 general top-k) ---
+
+_Q3_DATE = "1997-03-15"
+
+_TOP_REVENUE_SQL = f"""
+SELECT
+    l.l_orderkey AS order_id,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+    CAST(o.o_orderdate AS DATE) AS order_date,
+    o.o_orderpriority AS order_priority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{_Q3_DATE}'
+  AND CAST(l.l_shipdate AS DATE) > DATE '{_Q3_DATE}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, order_date, order_id
+LIMIT 10
+"""
+
+
+@register(
+    "top_revenue_orders",
+    _TOP_REVENUE_SQL,
+    doc="3-way join → agg → deterministic top-k (J1, A1, O4; TPC-H Q3 shape). "
+    "Small dim side broadcast; tie-broken by unique order key.",
+)
+def q_top_revenue_orders(spark, sf_dir):
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") < F.lit(_Q3_DATE).cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.to_date("l_shipdate") > F.lit(_Q3_DATE).cast("date")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), on=F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(revenue, 6).alias("revenue"))
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            "revenue",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .orderBy(F.col("revenue").desc(), "order_date", "order_id")
+        .limit(10)
+    )
+
+
+# --- multi-join star query with broadcast dims (TPC-H Q5 shape) ---
+
+_REVENUE_BY_NATION_SQL = """
+SELECT
+    n.n_name AS nation,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+    COUNT(*) AS n_lineitems
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "revenue_by_nation",
+    _REVENUE_BY_NATION_SQL,
+    doc="Star join fact→dims with explicit broadcast of the small sides "
+    "(J1 ×3; TPC-H Q5 shape). At 100 TB only lineitem⋈orders shuffles.",
+)
+def q_revenue_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(revenue, 6).alias("revenue"), F.count("*").alias("n_lineitems"))
+        .select(F.col("n_name").alias("nation"), "revenue", "n_lineitems")
+    )
+
+
+# --- W1: deterministic dedup top-1 per key (orders_bronze_to_silver.py:79-90) ---
+
+_DEDUP_SQL = """
+SELECT l_orderkey AS order_id,
+       l_partkey AS part_id,
+       l_linenumber AS line_number,
+       CAST(l_shipdate AS DATE) AS ship_date
+FROM (
+    SELECT l_orderkey, l_partkey, l_linenumber, l_shipdate,
+           ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey
+               ORDER BY l_shipdate DESC NULLS LAST,
+                        l_linenumber DESC,
+                        l_partkey DESC
+           ) AS _rn
+    FROM lineitem
+)
+WHERE _rn = 1
+"""
+
+
+@register(
+    "dedup_latest_per_key",
+    _DEDUP_SQL,
+    doc="W1 window dedup: keep the single newest row per key with a "
+    "deterministic multi-level DESC NULLS LAST tie-break "
+    "(orders_bronze_to_silver.py:79-90).",
+)
+def q_dedup_latest_per_key(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc_nulls_last(),
+        F.col("l_linenumber").desc(),
+        F.col("l_partkey").desc(),
+    )
+    return (
+        li.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("l_orderkey").alias("order_id"),
+            F.col("l_partkey").alias("part_id"),
+            F.col("l_linenumber").alias("line_number"),
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+    )
+
+
+# --- W2: latest snapshot per key (build_latest_features.py:112-122) ---
+
+_LATEST_ORDER_SQL = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_id,
+       CAST(o_orderdate AS DATE) AS order_date,
+       o_totalprice AS total_price
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS _rn
+    FROM orders
+)
+WHERE _rn = 1
+"""
+
+
+@register(
+    "latest_order_per_customer",
+    _LATEST_ORDER_SQL,
+    doc="W2 argmax-per-key: newest order per customer (serving export "
+    "pattern, build_latest_features.py:112-122).",
+)
+def q_latest_order_per_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+# --- P9/F1/F2: normalization + CASE canonicalization (silver normalize) ---
+
+_STATUS_SQL = """
+SELECT o_orderkey AS order_id,
+       CASE lower(trim(o_orderstatus))
+            WHEN 'o' THEN 'open'
+            WHEN 'f' THEN 'fulfilled'
+            WHEN 'p' THEN 'pending'
+            ELSE 'unknown'
+       END AS status_canonical
+FROM orders
+"""
+
+
+@register(
+    "order_status_normalized",
+    _STATUS_SQL,
+    doc="P1+P9+F1+F2: projection with lower/trim normalization and CASE "
+    "canonicalization (orders_bronze_to_silver.py:22-29,48-61).",
+)
+def q_order_status_normalized(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    s = F.lower(F.trim(F.col("o_orderstatus")))
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.when(s == "o", "open")
+        .when(s == "f", "fulfilled")
+        .when(s == "p", "pending")
+        .otherwise("unknown")
+        .alias("status_canonical"),
+    )
+
+
+# --- P5: disjunctive negated reject filter (preclean-invalid bucket) ---
+
+_REJECT_SQL = """
+SELECT l_orderkey AS order_id,
+       l_linenumber AS line_number,
+       CASE WHEN l_returnflag IS NULL THEN 'null_returnflag'
+            ELSE 'returnflag_not_allowed'
+       END AS reject_reason
+FROM lineitem
+WHERE l_returnflag IS NULL OR l_returnflag NOT IN ('A', 'N')
+"""
+
+
+@register(
+    "rejected_rows",
+    _REJECT_SQL,
+    doc="P5: isNull ∨ ¬isin reject filter with reason column "
+    "(orders_bronze_to_silver.py:63-69, dq.py:38-39).",
+)
+def q_rejected_rows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = F.col("l_returnflag").isNull() | ~F.col("l_returnflag").isin("A", "N")
+    return li.filter(bad).select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.when(F.col("l_returnflag").isNull(), "null_returnflag")
+        .otherwise("returnflag_not_allowed")
+        .alias("reject_reason"),
+    )
+
+
+# --- A4: duplicate-key audit (dq.py:31-35 'unique' check core) ---
+
+_DUPKEY_SQL = """
+SELECT l_orderkey AS key_value, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "duplicate_key_audit",
+    _DUPKEY_SQL,
+    doc="A4: groupBy(key).count().filter(>1) duplicate detection "
+    "(dq.py:31-35 and every stage gate).",
+)
+def q_duplicate_key_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_orderkey").alias("key_value"))
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+# --- A5/A6: global scalar aggregate (dataset bounds) ---
+
+_BOUNDS_SQL = """
+SELECT COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
+       CAST(MAX(o_orderdate) AS DATE) AS last_order_date
+FROM orders
+"""
+
+
+@register(
+    "dataset_bounds",
+    _BOUNDS_SQL,
+    doc="A5/A6: global scalar aggregate — dataset bounds used by the label "
+    "eligibility gate (labels.py:151-153).",
+)
+def q_dataset_bounds(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.to_date(F.min("o_orderdate")).alias("first_order_date"),
+        F.to_date(F.max("o_orderdate")).alias("last_order_date"),
+    )
+
+
+# --- A7: DISTINCT projection ---
+
+
+@register(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+    doc="A7: SELECT DISTINCT projection dedup (labels.py:168-182 pattern).",
+)
+def q_distinct_segments(spark, sf_dir):
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+# --- P9 in aggregate: conditional counting ---
+
+_COND_AGG_SQL = """
+SELECT o_orderpriority AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_high_value,
+       CAST(SUM(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS high_value_share
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "high_value_share",
+    _COND_AGG_SQL,
+    doc="P9 inside aggregation: CASE WHEN conditional counts and shares.",
+)
+def q_high_value_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.when(F.col("o_totalprice") > 200000, 1).otherwise(0)
+    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(is_high).cast("long").alias("n_high_value"),
+        (F.sum(is_high).cast("double") / F.count("*")).alias("high_value_share"),
+    )
+
+
+# --- frame-spec window extension: running total (SURVEY §2.5 note) ---
+
+_RUNNING_SQL = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_id,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS cumulative_spend
+FROM orders
+"""
+
+
+@register(
+    "cumulative_customer_spend",
+    _RUNNING_SQL,
+    doc="Window frame extension (rowsBetween running aggregate) — absent "
+    "in the reference, declared engine built-in (SURVEY §2.5).",
+)
+def q_cumulative_customer_spend(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cumulative_spend"),
+    )
+
+
+# --- rank extension: top-k per group ---
+
+_TOPK_SQL = """
+SELECT c_nationkey AS nation_id,
+       c_custkey AS customer_id,
+       c_acctbal AS account_balance,
+       CAST(rnk AS INTEGER) AS balance_rank
+FROM (
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY c_acctbal DESC, c_custkey
+           ) AS rnk
+    FROM customer
+)
+WHERE rnk <= 3
+"""
+
+
+@register(
+    "top_customers_per_nation",
+    _TOPK_SQL,
+    doc="O4 general per-group top-k via ranked window (SURVEY §2.7).",
+)
+def q_top_customers_per_nation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_nationkey").alias("nation_id"),
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_acctbal").alias("account_balance"),
+            F.col("rnk").cast("int").alias("balance_rank"),
+        )
+    )
+
+
+# --- set ops (§2.8, engine built-ins) ---
+
+_LAPSED_SQL = """
+SELECT o_custkey AS customer_id FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+EXCEPT
+SELECT o_custkey AS customer_id FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+"""
+
+
+@register(
+    "lapsed_customers",
+    _LAPSED_SQL,
+    doc="Set op EXCEPT: active in 1996 but not 1997 (SURVEY §2.8 — "
+    "engine built-in the reference lacks).",
+)
+def q_lapsed_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"), F.to_date("o_orderdate").alias("d")
+    )
+
+    def year(y):
+        return orders.filter(
+            (F.col("d") >= F.lit(f"{y}-01-01").cast("date"))
+            & (F.col("d") < F.lit(f"{y + 1}-01-01").cast("date"))
+        ).select("customer_id")
+
+    # SQL EXCEPT is set semantics: distinct both sides, then subtract
+    # (exceptAll would keep customers whose 1996 multiplicity exceeds 1997's).
+    return year(1996).distinct().subtract(year(1997).distinct())
+
+
+# --- anti join (J3's direct form) ---
+
+_NO_ORDERS_SQL = """
+SELECT c_custkey AS customer_id, c_name AS customer_name
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+)
+"""
+
+
+@register(
+    "customers_without_orders",
+    _NO_ORDERS_SQL,
+    doc="Left anti join — the direct form of the reference's "
+    "left-join-null existence test (J3, labels.py:184-193).",
+)
+def q_customers_without_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.to_date("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+            & (F.to_date("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_custkey")
+    )
+    return cust.join(
+        orders, cust["c_custkey"] == orders["o_custkey"], how="left_anti"
+    ).select(
+        F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
+    )
+
+
+# --- semi join (J5's direct form) ---
+
+_HEAVY_PARTS_SQL = """
+SELECT p_partkey AS part_id, p_name AS part_name
+FROM part p
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+)
+"""
+
+
+@register(
+    "parts_in_heavy_lineitems",
+    _HEAVY_PARTS_SQL,
+    doc="Left semi join — direct form of the duplicate-extraction "
+    "join-back (J5, dq.py:31-35).",
+)
+def q_parts_in_heavy_lineitems(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 48)
+        .select("l_partkey")
+    )
+    return part.join(
+        li, part["p_partkey"] == li["l_partkey"], how="left_semi"
+    ).select(F.col("p_partkey").alias("part_id"), F.col("p_name").alias("part_name"))
