@@ -1,1 +1,246 @@
-"""Populated incrementally."""
+"""Event-stream batch queries (SURVEY.md §2.9 extension surface + JSON).
+
+The reference has no streaming and no JSON expressions (JSON handled
+driver-side, SURVEY §2.3); these entries add the event-time surface a
+lakehouse engine needs: as-of joins, JSON extraction, tumbling/sliding
+event-time windows, and gap sessionization — each with an exact DuckDB
+oracle (DuckDB has native ASOF JOIN, which checks our union+window
+composition against an independent implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.operators import asof_join, sessionize
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+# --- as-of join: purchase → latest prior click per user ---
+
+_ASOF_SQL = """
+SELECT p.event_id AS purchase_id,
+       p.user_id AS user_id,
+       p.ts AS purchase_ts,
+       c.ts AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register(
+    "asof_purchase_click",
+    _ASOF_SQL,
+    doc="As-of join (backward-inclusive) via union+window composition — "
+    "one linear shuffle, no range-join explosion (operators/asof.py). "
+    "Oracle: DuckDB native ASOF JOIN.",
+)
+def q_asof_purchase_click(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload={"ts": "last_click_ts"},
+    ).select("purchase_id", "user_id", "purchase_ts", "last_click_ts")
+
+
+# --- JSON extraction + aggregation ---
+
+_JSON_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+           AS sum_k,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_json_kpi",
+    _JSON_SQL,
+    doc="JSON path extraction (get_json_object) + grouped KPIs — engine "
+    "extension over events.props (SURVEY §2.3 note: reference has no "
+    "JSON expressions).",
+)
+def q_event_json_kpi(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        (F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")).alias(
+            "avg_value"
+        ),
+    )
+
+
+# --- tumbling event-time window (batch form of the streaming agg) ---
+
+_TUMBLING_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "event_tumbling_daily",
+    _TUMBLING_SQL,
+    doc="Tumbling 1-day event-time window aggregate (F.window) — batch "
+    "twin of streaming/events_stream.py; watermarked streaming form "
+    "has no oracle (§2.9).",
+)
+def q_event_tumbling_daily(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --- sliding event-time window ---
+
+_SLIDING_SQL = """
+WITH assigned AS (
+    SELECT date_trunc('hour', ts) AS window_start, value FROM events
+    UNION ALL
+    SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS window_start, value
+    FROM events
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM assigned
+GROUP BY window_start
+"""
+
+
+@register(
+    "event_sliding_2h",
+    _SLIDING_SQL,
+    doc="Sliding window (2h width, 1h slide) via F.window — each event "
+    "lands in 2 buckets; oracle expands the assignment explicitly.",
+)
+def q_event_sliding_2h(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+# --- gap sessionization (batch) ---
+
+_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INTEGER) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "event_sessions",
+    _SESSION_SQL,
+    doc="Gap-based sessionization (30 min) — batch twin of streaming "
+    "session_window (operators/sessionize.py).",
+)
+def q_event_sessions(spark, sf_dir):
+    ev = sessionize(load_events(spark, sf_dir), gap_minutes=30)
+    return ev.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --- lag/lead analytics over event time (W3 generalization) ---
+
+_INTEREVENT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+           )) AS gap_us
+    FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register(
+    "interevent_gaps",
+    _INTEREVENT_SQL,
+    doc="W3 lag analytics generalized to event time: per-user inter-event "
+    "gaps aggregated by type (customer_features_daily.py:150-170 pattern).",
+)
+def q_interevent_gaps(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+        )
+    )

@@ -37,6 +37,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan with nanosecond-timestamp handling.
+
+    The fixture's ``ts`` is parquet INT64 TIMESTAMP(NANOS) which Spark 4
+    refuses to read natively; we read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microseconds with integer division (``div`` — float division would
+    lose precision above 2^53 ns). Matches DuckDB's ns→µs truncation
+    bit-for-bit (verified at sf0.01).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def normalized_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The churn domain's canonical orders frame.
 
