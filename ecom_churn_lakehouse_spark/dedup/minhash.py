@@ -1,0 +1,134 @@
+"""MinHash signatures + LSH banding for near-duplicate detection.
+
+Engine-portable construction (reproducible in any SQL engine, which is
+how the DuckDB oracle checks it):
+
+- shingle hash  h = (first 15 hex digits of md5(shingle) as int) mod P
+- signature     mh_i = min over shingles of (a_i * h + b_i) mod P
+- banding       K signatures split into B bands of R rows; docs
+                sharing any full band become candidate pairs
+- verification  exact Jaccard on the shingle sets of candidates only
+
+P = 2^31 - 1 keeps every product below 2^62 (no int64 overflow under
+ANSI mode). Constants a_i, b_i come from a fixed seeded generator so
+Spark and the oracle agree.
+
+Scale: signatures are one groupBy(doc) over the shingle relation;
+banding explodes each doc into B rows; candidate generation is a
+self-join on (band_idx, band_key) — bucket-local, never all-pairs.
+Hot buckets (boilerplate text) are the skew risk: AQE skew-join
+handles moderate cases; for pathological ones cap bucket size
+upstream with a count filter.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MINHASH_P",
+    "MINHASH_A",
+    "MINHASH_B",
+    "shingle_hash_col",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "jaccard_on_pairs",
+]
+
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+NUM_HASHES = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+
+def shingle_hash_col(shingle):
+    """Portable 31-bit shingle hash: md5-prefix integer mod P."""
+    return (
+        F.conv(F.substring(F.md5(shingle), 1, 15), 16, 10).cast("long") % MINHASH_P
+    )
+
+
+def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """K min-hash values per doc: columns mh0..mh{K-1}."""
+    h = shingle_hash_col(F.col("shingle"))
+    return shingled.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_HASHES)
+        ]
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 full band."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_idx"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{j * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for j in range(NUM_BANDS)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(bands).alias("b")
+    ).select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    a = banded.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame, shingled: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs only.
+
+    ``|A ∩ B|`` via a shingle equi-join restricted to the pairs;
+    ``|A ∪ B| = |A| + |B| − |A ∩ B|``. All joins are key-local.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    sh_a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    sh_b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        pairs.join(sh_a, on="doc_a")
+        .join(sh_b, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b")), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

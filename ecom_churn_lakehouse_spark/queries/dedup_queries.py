@@ -1,1 +1,268 @@
-"""Populated incrementally."""
+"""Deduplication queries over ``documents`` (training-data surface).
+
+The fixture corpus has no duplicates, so each query first derives a
+deterministic augmented corpus — exact copies of every 10th doc and
+near-copies (two appended tokens) of every 7th — identically on the
+Spark and oracle sides, then runs the dedup operator over it:
+
+- exact (sha256 hash-groupBy)            → exact_dedup_groups
+- n-gram Jaccard (3-gram shingle join)   → ngram_jaccard_pairs
+- MinHash + LSH banding + verification   → minhash_lsh_pairs
+- SimHash + byte blocking + Hamming      → simhash_pairs
+
+The oracle SQL is generated from the same constants the Spark
+operators use (dedup/minhash.py, dedup/simhash.py), so signatures
+match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.dedup.exact import exact_duplicate_groups
+from ecom_churn_lakehouse_spark.dedup.minhash import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_P,
+    NUM_BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    jaccard_on_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles, doc_tokens
+from ecom_churn_lakehouse_spark.dedup.simhash import (
+    SIMHASH_BITS,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# ---------------------------------------------------------------- corpus
+
+_CORPUS_SQL = """
+corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz qq' AS text
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+
+def derived_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz qq")).alias("text"),
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies)
+
+
+# Shared SQL: tokens and 3-gram shingles over the corpus.
+_SHINGLES_SQL = r"""
+toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM corpus
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - 2, 0))) AS i
+    FROM toks
+),
+shingled AS (
+    SELECT DISTINCT doc_id,
+           t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+    FROM idx
+)
+"""
+
+_JACCARD_TAIL_SQL = """
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM {pair_source_a} a JOIN {pair_source_b} b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+jac AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(c.n_common AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+)
+"""
+
+# ------------------------------------------------------------ exact dedup
+
+_EXACT_SQL = f"""
+WITH {_CORPUS_SQL}
+SELECT sha256(text) AS content_sha256,
+       MIN(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM corpus
+GROUP BY sha256(text)
+HAVING COUNT(*) > 1
+"""
+
+
+@register(
+    "exact_dedup_groups",
+    _EXACT_SQL,
+    doc="Exact dedup via sha256 hash-groupBy; deterministic min-id "
+    "survivor (dedup/exact.py).",
+)
+def q_exact_dedup_groups(spark, sf_dir):
+    return exact_duplicate_groups(derived_corpus(spark, sf_dir))
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+_NGRAM_SQL = (
+    f"WITH {_CORPUS_SQL}, {_SHINGLES_SQL},"
+    + _JACCARD_TAIL_SQL.format(pair_source_a="shingled", pair_source_b="shingled")
+    + "\nSELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.6"
+)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _NGRAM_SQL,
+    doc="Near-dup detection: 3-gram shingle equi-join + exact Jaccard "
+    "≥ 0.6 (dedup/shingles.py). Scale path is minhash_lsh_pairs.",
+)
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    sh = doc_shingles(derived_corpus(spark, sf_dir))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        sh_a.join(sh_b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
+
+
+# -------------------------------------------------------- MinHash + LSH
+
+
+def _minhash_sql() -> str:
+    h = (
+        "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % "
+        + str(MINHASH_P)
+    )
+    mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {j} AS band_idx, ".format(j=j)
+        + " || ',' || ".join(
+            f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sigs"
+        for j in range(NUM_BANDS)
+    )
+    return (
+        f"WITH {_CORPUS_SQL}, {_SHINGLES_SQL},\n"
+        f"hashed AS (SELECT doc_id, {h} AS h FROM shingled),\n"
+        f"sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),\n"
+        f"banded AS (\n    {band_selects}\n),\n"
+        "cand AS (\n"
+        "    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "    FROM banded a JOIN banded b\n"
+        "      ON a.band_idx = b.band_idx AND a.band_key = b.band_key\n"
+        "         AND a.doc_id < b.doc_id\n"
+        "),\n"
+        "sh_a AS (SELECT c.doc_a, c.doc_b, s.shingle FROM cand c JOIN shingled s ON c.doc_a = s.doc_id),\n"
+        "common AS (\n"
+        "    SELECT x.doc_a, x.doc_b, COUNT(*) AS n_common\n"
+        "    FROM sh_a x JOIN shingled s2\n"
+        "      ON x.doc_b = s2.doc_id AND x.shingle = s2.shingle\n"
+        "    GROUP BY 1, 2\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id)\n"
+        "SELECT c.doc_a, c.doc_b,\n"
+        "       ROUND(CAST(c.n_common AS DOUBLE)\n"
+        "             / (sa.n_sh + sb.n_sh - c.n_common), 6) AS jaccard\n"
+        "FROM common c\n"
+        "JOIN sizes sa ON c.doc_a = sa.doc_id\n"
+        "JOIN sizes sb ON c.doc_b = sb.doc_id\n"
+        "WHERE CAST(c.n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - c.n_common) >= 0.5"
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    _minhash_sql(),
+    doc="MinHash(16) + LSH(4 bands × 4 rows) candidate generation, "
+    "exact-Jaccard verification ≥ 0.5 (dedup/minhash.py). The 100 TB "
+    "scale path: pair generation is bucket-local, never all-pairs.",
+)
+def q_minhash_lsh_pairs(spark, sf_dir):
+    sh = doc_shingles(derived_corpus(spark, sf_dir))
+    sigs = minhash_signatures(sh)
+    cand = lsh_candidate_pairs(sigs)
+    return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def _simhash_sql() -> str:
+    th = "CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)"
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (th >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN s{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    byte_selects = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, simhash, {j} AS byte_idx, (simhash >> {8 * j}) & 255 AS byte_val FROM sigs"
+        for j in range(4)
+    )
+    return (
+        f"WITH {_CORPUS_SQL},\n"
+        "tokens AS (\n"
+        r"    SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token"
+        "\n    FROM corpus\n),\n"
+        f"hashed AS (SELECT doc_id, {th} AS th FROM tokens),\n"
+        f"bitsums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),\n"
+        f"sigs AS (SELECT doc_id, CAST({sig_terms} AS BIGINT) AS simhash FROM bitsums),\n"
+        f"blocked AS (\n    {byte_selects}\n),\n"
+        "cand AS (\n"
+        "    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,\n"
+        "           a.simhash AS sim_a, b.simhash AS sim_b\n"
+        "    FROM blocked a JOIN blocked b\n"
+        "      ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val\n"
+        "         AND a.doc_id < b.doc_id\n"
+        ")\n"
+        "SELECT doc_a, doc_b,\n"
+        "       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming\n"
+        "FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 6"
+    )
+
+
+@register(
+    "simhash_pairs",
+    _simhash_sql(),
+    doc="SimHash(32-bit) + byte blocking + Hamming ≤ 6 "
+    "(dedup/simhash.py).",
+)
+def q_simhash_pairs(spark, sf_dir):
+    toks = doc_tokens(derived_corpus(spark, sf_dir))
+    sigs = simhash_signatures(toks)
+    return simhash_candidate_pairs(sigs, max_hamming=6)

@@ -1,1 +1,147 @@
-"""Populated incrementally."""
+"""Similarity-search queries over ``embeddings`` (SURVEY §7.7).
+
+Brute-force cosine top-k (exactness baseline), hyperplane-LSH bucketed
+ANN (the scale path), and vector stats — all native array expressions.
+Oracle uses DuckDB list functions over ``embedding::DOUBLE[]``; both
+sides round similarities to 6 decimals (the underlying doubles agree
+to ~1e-14, far inside the rounding guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.functions.vectors import dot, to_double_array
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.similarity.ann import (
+    brute_force_topk,
+    bucketed_topk,
+    hyperplane_lsh_buckets,
+)
+from ecom_churn_lakehouse_spark.sources import load_table
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+# ------------------------------------------------------- vector stats
+
+_STATS_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       ROUND(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+           AS l2_norm,
+       label
+FROM embeddings
+"""
+
+
+@register(
+    "vector_stats",
+    _STATS_SQL,
+    doc="Vector column plumbing: dimension + L2 norm as native array "
+    "expressions (functions/vectors.py).",
+)
+def q_vector_stats(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+        "label",
+    )
+
+
+# -------------------------------------------------- brute-force top-k
+
+_TOPK_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id < 10
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           {_COS.format(a="qv", b="cv")} AS sim
+    FROM q, c WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "cosine_topk_bruteforce",
+    _TOPK_SQL,
+    doc="Exact cosine top-5 per query vector; broadcast query side, "
+    "corpus never replicated (similarity/ann.py::brute_force_topk).",
+)
+def q_cosine_topk_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+
+
+# ----------------------------------------------- LSH-bucketed ANN top-k
+
+_ANN_SQL = f"""
+WITH planes AS (
+    SELECT vec_id AS plane_id, embedding::DOUBLE[] AS hv
+    FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+buckets AS (
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, h.hv) >= 0
+                         THEN 1 << h.plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM vecs v, planes h
+    GROUP BY v.vec_id
+),
+q AS (
+    SELECT b.vec_id AS query_id, b.bucket, v.ev AS qv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+    WHERE b.vec_id % 50 = 0
+),
+c AS (
+    SELECT b.vec_id AS neighbor_id, b.bucket, v.ev AS cv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           {_COS.format(a="q.qv", b="c.cv")} AS sim
+    FROM q JOIN c ON q.bucket = c.bucket
+    WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    _ANN_SQL,
+    doc="Random-hyperplane LSH ANN: 8-bit sign buckets (data-derived "
+    "planes for determinism), bucket-local candidate join, exact "
+    "re-rank top-3 (similarity/ann.py — the 100 TB path).",
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    q = buckets.filter(F.col("vec_id") % 50 == 0)
+    return bucketed_topk(q, buckets, emb, k=3)

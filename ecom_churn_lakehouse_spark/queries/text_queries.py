@@ -1,1 +1,196 @@
-"""Populated incrementally."""
+"""Text-analysis queries over ``documents`` (training-data surface).
+
+Token counting, quality scoring, language-ID heuristic, and content
+fingerprinting — all native Column expressions (functions/text.py), no
+UDFs, so the hot path stays inside whole-stage codegen at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    doc_fingerprint_cols,
+    lang_guess_col,
+    quality_cols,
+    token_count_col,
+)
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+
+def _sql_count(pat: str, col: str = "text") -> str:
+    """DuckDB non-overlapping regexp match count (= Spark regexp_count)."""
+    return f"CAST(length(regexp_extract_all({col}, '{pat}')) AS BIGINT)"
+
+
+# --- token counting ---
+
+_C_TOK = _sql_count(r"\S+")
+_TOKENS_SQL = f"""
+SELECT doc_id,
+       {_C_TOK} AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+           AS n_unique_tokens
+FROM documents
+"""
+
+
+@register(
+    "doc_token_stats",
+    _TOKENS_SQL,
+    doc="Token counting via regexp_count — whitespace-run tokenizer, "
+    "JVM-side (SURVEY §7.7 text analysis).",
+)
+def q_doc_token_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
+    )
+
+
+# --- quality scoring ---
+
+_STOP_PAT = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+_C_STOP = _sql_count(_STOP_PAT)
+_C_PUNCT = _sql_count(r"[^\w\s]")
+_QUALITY_SQL = f"""
+WITH raw AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {_C_TOK} AS n_tokens,
+           {_C_STOP} AS n_stopwords,
+           {_C_PUNCT} AS n_punct
+    FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_stopwords, n_punct,
+       ROUND(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1), 6) AS stop_ratio,
+       ROUND(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1), 6) AS punct_ratio,
+       ROUND(
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+           + least(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.3
+           + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.2,
+           6) AS quality_score
+FROM raw
+"""
+
+
+@register(
+    "doc_quality",
+    _QUALITY_SQL,
+    doc="Quality scoring: length/punctuation/stopword signals + composite "
+    "score, all codegen-resident (SURVEY §7.7).",
+)
+def q_doc_quality(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cols = quality_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+# --- language-ID heuristic ---
+
+
+def _lang_sql() -> str:
+    counts = {
+        lang: _sql_count(r"\b(" + "|".join(ws) + r")\b")
+        for lang, ws in LANG_MARKERS.items()
+    }
+    cols = ",\n           ".join(f"{e} AS c_{lang}" for lang, e in counts.items())
+    best = "greatest(" + ", ".join(f"c_{lang}" for lang in LANG_MARKERS) + ")"
+    whens = "\n            ".join(
+        f"WHEN {best} > 0 AND c_{lang} = {best} THEN '{lang}'"
+        for lang in LANG_MARKERS
+    )
+    return f"""
+WITH scored AS (
+    SELECT doc_id, lang AS declared_lang,
+           {cols}
+    FROM documents
+)
+SELECT doc_id, declared_lang,
+       CASE {whens}
+            ELSE 'unknown' END AS lang_guess
+FROM scored
+"""
+
+
+@register(
+    "doc_lang_guess",
+    _lang_sql(),
+    doc="Language-ID marker-word heuristic: vectorized per-language "
+    "scoring + deterministic argmax (SURVEY §7.7).",
+)
+def q_doc_lang_guess(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        lang_guess_col(F.col("text")).alias("lang_guess"),
+    )
+
+
+# --- content fingerprinting ---
+
+_FP_SQL = """
+SELECT doc_id,
+       sha256(lower(trim(text))) AS sha256_hex,
+       md5(lower(trim(text))) AS md5_hex,
+       CAST(('0x' || substring(md5(lower(trim(text))), 1, 15)) AS BIGINT)
+           AS fingerprint64
+FROM documents
+"""
+
+
+@register(
+    "doc_fingerprints",
+    _FP_SQL,
+    doc="Document fingerprinting: sha256/md5 + 64-bit numeric fingerprint "
+    "(engine-portable hash, functions/text.py).",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    cols = doc_fingerprint_cols(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+# --- multimodal plumbing: opaque binary + typed metadata ---
+
+_BINARY_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256,
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS media_type
+FROM documents
+"""
+
+
+@register(
+    "binary_payload_meta",
+    _BINARY_SQL,
+    doc="Multimodal plumbing: opaque binary payload column + typed "
+    "metadata (byte length, content hash, media type). Decode stage is "
+    "the Pandas-UDF stub in multimodal/ (no oracle there).",
+)
+def q_binary_payload_meta(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+    )

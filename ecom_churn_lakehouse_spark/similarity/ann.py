@@ -1,0 +1,152 @@
+"""Similarity search over embedding columns (SURVEY §7.7 extension).
+
+Two tiers, as a 100 TB design demands:
+
+- ``brute_force_topk``: exact cosine top-k — the correctness baseline.
+  Query set × corpus via broadcast of the (small) query side; the
+  corpus is never replicated. Per-row arithmetic is native
+  ``zip_with``/``aggregate`` in whole-stage codegen. Cost is
+  O(|Q|·|corpus|) — fine for |Q| in the thousands, the wrong tool for
+  all-pairs.
+- ``hyperplane_lsh_buckets``: random-hyperplane (sign) LSH. Buckets are
+  sign-bit vectors against a fixed hyperplane set; candidate
+  generation is a bucket equi-join (linear, bucket-local), then exact
+  cosine re-ranking on candidates only. Hyperplanes here are
+  data-derived (first vectors of the corpus) to stay deterministic and
+  oracle-reproducible; production would draw Gaussian planes per seed.
+
+No UDFs anywhere: all vector math compiles to Catalyst expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+
+__all__ = ["brute_force_topk", "hyperplane_lsh_buckets", "bucketed_topk"]
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query vector.
+
+    Output: (query_id, neighbor_id, cosine_sim) — k rows per query,
+    self-matches excluded, deterministic tie-break on neighbor id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("__qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("__cv"),
+    )
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+def hyperplane_lsh_buckets(
+    vectors: DataFrame,
+    hyperplanes: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id_col: str = "plane_id",
+) -> DataFrame:
+    """Assign each vector an LSH bucket id from hyperplane sign bits.
+
+    ``hyperplanes``: (plane_id, embedding) — small, broadcast. Bucket =
+    Σ 2^plane_id over planes with dot(v, plane) >= 0. One narrow pass;
+    output (id, bucket).
+    """
+    v = vectors.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    h = hyperplanes.select(
+        F.col(plane_id_col).alias("__pid"),
+        to_double_array(F.col(vec_col)).alias("__h"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__h"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # shiftleft with a *column* shift amount needs the SQL form
+    # (the Python helper only takes a literal numBits).
+    bit = F.when(
+        dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pid AS INT))")
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        v.join(F.broadcast(h))
+        .select(F.col(id_col), bit.alias("__bit"))
+        .groupBy(id_col)
+        .agg(F.sum("__bit").cast("long").alias("bucket"))
+    )
+
+
+def bucketed_topk(
+    queries_with_bucket: DataFrame,
+    corpus_with_bucket: DataFrame,
+    vectors: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k restricted to same-bucket candidates.
+
+    The scale path: the candidate join is bucket-local; exact scoring
+    touches only the candidates. Recall depends on bucket bits (trade
+    via hyperplane count / multi-probe).
+    """
+    emb = vectors.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    q = queries_with_bucket.select(
+        F.col(id_col).alias("query_id"), "bucket"
+    ).join(emb.select(F.col(id_col).alias("query_id"), F.col("__v").alias("__qv")), on="query_id")
+    c = corpus_with_bucket.select(
+        F.col(id_col).alias("neighbor_id"), "bucket"
+    ).join(emb.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv")), on="neighbor_id")
+    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    scored = (
+        q.join(c, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
