@@ -1,0 +1,85 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <float>}
+
+Each query is forced end-to-end with the `noop` sink (full execution,
+no driver collect). Headliners cover every subsystem: churn plans,
+relational core, windows, as-of join, sessionization, dedup (LSH scale
+path), similarity, text. `simhash_pairs` is excluded — the fixture's
+tiny shared vocabulary makes its output degenerate-quadratic (see
+queries/dedup_queries.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "customer_features",
+    "churn_labels",
+    "training_snapshot",
+    "pricing_summary",
+    "top_revenue_orders",
+    "revenue_by_nation",
+    "dedup_latest_per_key",
+    "latest_order_per_customer",
+    "cumulative_customer_spend",
+    "asof_purchase_click",
+    "event_sessions",
+    "event_json_kpi",
+    "exact_dedup_groups",
+    "minhash_lsh_pairs",
+    "cosine_topk_bruteforce",
+    "ann_lsh_topk",
+    "doc_quality",
+    "doc_fingerprints",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from ecom_churn_lakehouse_spark import registry
+    from ecom_churn_lakehouse_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.queries()
+
+    # Warm the JVM/codegen paths once on the smallest fixture.
+    qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,387 @@
+"""Medallion pipeline drivers: bronze → silver → gold → labels → snapshot.
+
+Thin recompositions of the library operators, preserving the
+reference's stage semantics end-to-end (SURVEY.md §3):
+
+- bronze: fingerprint-idempotent append with lineage stamping + audit
+  (``orders_to_bronze.py:188-324``)
+- silver: normalize → preclean split → W1 dedup → quarantine → DQ gate
+  → MERGE on order_id (``orders_bronze_to_silver.py:93-221``)
+- gold: point-in-time feature snapshot + quality gates → MERGE on
+  (customer_id, as_of_date) (``customer_features_daily.py:215-310``)
+- labels / training snapshot / latest-features export
+  (``labels.py``, ``build_training_snapshot.py``, ``build_latest_features.py``)
+
+Fixes the reference's recompute defect (§3.2): multi-action lineages
+are persisted once instead of re-derived per action.
+
+Input shape is the reference's raw orders contract: string columns
+``order_id, customer_id, order_status, order_purchase_timestamp``
+(+ optional extras), FIXTURES.md §1.3.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from ecom_churn_lakehouse_spark.dq import run_checks
+from ecom_churn_lakehouse_spark.operators.windows import dedup_top1
+from ecom_churn_lakehouse_spark.plans.churn import (
+    churn_labels,
+    customer_features,
+)
+from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+from ecom_churn_lakehouse_spark.versioning import canonical_hash, file_fingerprint
+
+__all__ = [
+    "bronze_ingest",
+    "silver_publish",
+    "gold_features",
+    "label_snapshot",
+    "training_snapshot_publish",
+    "latest_features_export",
+    "DQGateFailure",
+]
+
+#: Status canonicalization map (orders_bronze_to_silver.py:22-29).
+STATUS_ALIASES = {
+    "cancelled": "canceled",
+    "shipment_pending": "processing",
+}
+ALLOWED_STATUSES = [
+    "approved",
+    "canceled",
+    "created",
+    "delivered",
+    "invoiced",
+    "processing",
+    "shipped",
+    "unavailable",
+]
+
+
+class DQGateFailure(RuntimeError):
+    """Critical DQ failure: publish blocked (dq.py:87-91 semantics)."""
+
+
+@dataclass
+class StageResult:
+    rows_published: int
+    rows_rejected: int = 0
+    skipped: bool = False
+    metadata: dict | None = None
+
+
+# ------------------------------------------------------------------ bronze
+
+
+def bronze_ingest(
+    spark: SparkSession,
+    raw_path: str,
+    bronze_path: str,
+    audit_path: str,
+    run_id: str,
+) -> StageResult:
+    """Append-only ingest with fingerprint idempotency + audit trail."""
+    raw = spark.read.parquet(raw_path)
+    files = []
+    for p in raw.inputFiles():
+        local = p.removeprefix("file:")
+        st = os.stat(local)
+        files.append((os.path.basename(local), st.st_size, st.st_mtime))
+    fingerprint = file_fingerprint(files)
+
+    audit = ManagedTable(spark, audit_path, keys=["dataset", "fingerprint"])
+    if audit.exists():
+        seen = (
+            audit.read()
+            .filter(
+                (F.col("dataset") == "orders")
+                & (F.col("fingerprint") == fingerprint)
+                & (F.col("status") == "success")
+            )
+            .limit(1)
+            .count()
+        )
+        if seen:
+            _audit_record(spark, audit, run_id, fingerprint, "skipped_already_ingested", 0)
+            return StageResult(rows_published=0, skipped=True)
+
+    row_count = raw.count()
+    stamped = (
+        raw.withColumn("_ingest_run_id", F.lit(run_id))
+        .withColumn("_ingest_ts", F.current_timestamp())
+        .withColumn("ingest_date", F.to_date(F.current_timestamp()))
+        .withColumn("_source_file", F.input_file_name())
+        .withColumn("_source_fingerprint", F.lit(fingerprint))
+    )
+    bronze = ManagedTable(spark, bronze_path, keys=["order_id"])
+    bronze.append(stamped, partition_by=["ingest_date"])
+    _audit_record(spark, audit, run_id, fingerprint, "success", row_count)
+    return StageResult(rows_published=row_count)
+
+
+def _audit_record(spark, audit: ManagedTable, run_id, fingerprint, status, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("dataset", T.StringType(), False),
+            T.StructField("fingerprint", T.StringType(), False),
+            T.StructField("run_id", T.StringType(), False),
+            T.StructField("status", T.StringType(), False),
+            T.StructField("row_count", T.LongType(), False),
+        ]
+    )
+    rec = spark.createDataFrame(
+        [("orders", fingerprint, run_id, status, rows)], schema=schema
+    )
+    audit.append(rec)
+
+
+# ------------------------------------------------------------------ silver
+
+_SILVER_DQ_CHECKS = [
+    {"name": "order_id_not_null", "type": "not_null", "columns": ["order_id"]},
+    {"name": "customer_id_not_null", "type": "not_null", "columns": ["customer_id"]},
+    {"name": "pk_unique", "type": "unique", "keys": ["order_id"]},
+    {
+        "name": "status_allowed",
+        "type": "in_set",
+        "column": "order_status",
+        "allowed": ALLOWED_STATUSES,
+    },
+]
+
+
+def silver_publish(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    quarantine_dir: str,
+    run_id: str,
+) -> StageResult:
+    """Normalize + dedup + DQ gate + MERGE publish."""
+    bronze = ManagedTable(spark, bronze_path, keys=["order_id"]).read()
+
+    status = F.lower(F.trim(F.col("order_status")))
+    for alias, canon in STATUS_ALIASES.items():
+        status = F.when(status == alias, canon).otherwise(status)
+    normalized = bronze.select(
+        F.lower(F.trim(F.col("order_id"))).alias("order_id"),
+        F.lower(F.trim(F.col("customer_id"))).alias("customer_id"),
+        status.alias("order_status"),
+        # try_to_timestamp: unparseable → NULL → quarantined (the
+        # reference's F3 semantics; plain to_timestamp throws under
+        # Spark 4 ANSI mode).
+        F.try_to_timestamp(
+            F.trim(F.col("order_purchase_timestamp")),
+            F.lit("yyyy-MM-dd HH:mm:ss"),
+        ).alias("order_purchase_ts"),
+        F.col("_ingest_ts").alias("_bronze_ingest_ts"),
+        F.col("_source_file").alias("_bronze_source_file"),
+        F.col("_ingest_run_id").alias("_bronze_run_id"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # multi-action lineage: cache once (§3.2 fix)
+
+    valid = (
+        F.col("order_id").isNotNull()
+        & (F.col("order_id") != "")
+        & F.col("customer_id").isNotNull()
+        & F.col("order_purchase_ts").isNotNull()
+        & F.col("order_status").isin(*ALLOWED_STATUSES)
+    )
+    clean = normalized.filter(valid)
+    invalid = normalized.filter(~valid)
+
+    # W1 deterministic dedup; losers quarantined
+    # (orders_bronze_to_silver.py:79-90).
+    order = [
+        F.col("order_purchase_ts").desc_nulls_last(),
+        F.col("_bronze_ingest_ts").desc_nulls_last(),
+        F.col("_bronze_source_file").desc_nulls_last(),
+        F.col("_bronze_run_id").desc_nulls_last(),
+    ]
+    deduped = dedup_top1(clean, ["order_id"], order)
+
+    n_invalid = invalid.count()
+    n_clean = clean.count()
+    n_dedup = deduped.count()
+    if n_invalid:
+        invalid.write.mode("overwrite").parquet(f"{quarantine_dir}/preclean_invalid")
+    n_rejected_dups = n_clean - n_dedup
+
+    silver_out = deduped.withColumn("_silver_run_id", F.lit(run_id)).withColumn(
+        "_silver_ts", F.current_timestamp()
+    )
+
+    report = run_checks(silver_out, _SILVER_DQ_CHECKS, quarantine_dir=quarantine_dir)
+    if not report.ok:
+        normalized.unpersist()
+        raise DQGateFailure(
+            f"critical DQ failures: {[r.name for r in report.blocking_failures]}"
+        )
+
+    ManagedTable(spark, silver_path, keys=["order_id"]).merge(silver_out)
+    normalized.unpersist()
+    return StageResult(
+        rows_published=n_dedup,
+        rows_rejected=n_invalid + n_rejected_dups,
+        metadata=report.to_dict(),
+    )
+
+
+# -------------------------------------------------------------------- gold
+
+_GOLD_GATES = [
+    {"name": "grain_unique", "type": "unique", "keys": ["customer_id", "as_of_date"]},
+    {"name": "recency_nonneg", "type": "range", "column": "recency_days", "min": 0},
+    {"name": "lifetime_min1", "type": "range", "column": "lifetime_orders", "min": 1},
+    {"name": "o30_le_o90", "type": "ordering", "less": "orders_30d", "greater": "orders_90d"},
+    {"name": "o90_le_lifetime", "type": "ordering", "less": "orders_90d", "greater": "lifetime_orders"},
+    {"name": "recency_le_tenure", "type": "ordering", "less": "recency_days", "greater": "customer_tenure_days"},
+]
+
+
+def gold_features(
+    spark: SparkSession,
+    silver_path: str,
+    gold_path: str,
+    as_of_date: str,
+    run_id: str,
+    feature_version: str | None = None,
+) -> StageResult:
+    """Point-in-time feature snapshot + gates + MERGE on the grain."""
+    silver = ManagedTable(spark, silver_path, keys=["order_id"]).read()
+    orders = silver.select(
+        "customer_id",
+        "order_id",
+        F.to_date("order_purchase_ts").alias("order_date"),
+        "order_status",
+    )
+    fv = feature_version or canonical_hash({"features": "v1"})
+    snapshot_id = canonical_hash({"as_of": as_of_date, "fv": fv})
+
+    feats = (
+        customer_features(orders, as_of_date)
+        .withColumn("as_of_date", F.to_date(F.lit(as_of_date)))
+        .withColumn("_snapshot_id", F.lit(snapshot_id))
+        .withColumn("_feature_version", F.lit(fv))
+        .withColumn("_gold_run_id", F.lit(run_id))
+        .withColumn("_gold_ts", F.current_timestamp())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    report = run_checks(feats, _GOLD_GATES)
+    if not report.ok:
+        feats.unpersist()
+        raise DQGateFailure(
+            f"gold gates failed: {[r.name for r in report.blocking_failures]}"
+        )
+    n = feats.count()
+    ManagedTable(spark, gold_path, keys=["customer_id", "as_of_date"]).merge(feats)
+    feats.unpersist()
+    return StageResult(rows_published=n, metadata=report.to_dict())
+
+
+# ------------------------------------------------------------------ labels
+
+
+def label_snapshot(
+    spark: SparkSession,
+    silver_path: str,
+    labels_path: str,
+    as_of_date: str,
+    run_id: str,
+    horizon_days: int = 60,
+) -> StageResult:
+    silver = ManagedTable(spark, silver_path, keys=["order_id"]).read()
+    orders = silver.select(
+        "customer_id",
+        F.to_date("order_purchase_ts").alias("order_date"),
+        "order_status",
+    )
+    labels = (
+        churn_labels(
+            orders,
+            as_of_date,
+            horizon_days,
+            inactive_statuses=("canceled", "unavailable"),
+        )
+        .withColumn("as_of_date", F.to_date(F.lit(as_of_date)))
+        .withColumn("_label_horizon_days", F.lit(horizon_days))
+        .withColumn("_labels_run_id", F.lit(run_id))
+        .withColumn("_labels_ts", F.current_timestamp())
+    )
+    gates = [
+        {"name": "grain_unique", "type": "unique", "keys": ["customer_id", "as_of_date"]},
+        {"name": "label_domain", "type": "domain", "column": "churn_label", "allowed": [0, 1]},
+    ]
+    labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    report = run_checks(labels, gates)
+    if not report.ok:
+        labels.unpersist()
+        raise DQGateFailure(
+            f"label gates failed: {[r.name for r in report.blocking_failures]}"
+        )
+    n = labels.count()
+    ManagedTable(spark, labels_path, keys=["customer_id", "as_of_date"]).merge(labels)
+    labels.unpersist()
+    return StageResult(rows_published=n, metadata=report.to_dict())
+
+
+# ------------------------------------------- training snapshot + serving
+
+
+def training_snapshot_publish(
+    spark: SparkSession,
+    gold_path: str,
+    labels_path: str,
+    snapshot_path: str,
+    as_of_date: str,
+    run_id: str,
+) -> StageResult:
+    gold = ManagedTable(spark, gold_path, keys=["customer_id", "as_of_date"]).read()
+    labels = ManagedTable(spark, labels_path, keys=["customer_id", "as_of_date"]).read()
+    as_of = F.to_date(F.lit(as_of_date))
+    snap = (
+        gold.filter(F.col("as_of_date") == as_of)
+        .join(
+            labels.filter(F.col("as_of_date") == as_of).select(
+                "customer_id", "as_of_date", "churn_label", "_label_horizon_days"
+            ),
+            on=["customer_id", "as_of_date"],
+            how="inner",
+        )
+        .withColumn("_training_run_id", F.lit(run_id))
+        .withColumn("_training_ts", F.current_timestamp())
+    )
+    n = snap.count()
+    ManagedTable(
+        spark, snapshot_path, keys=["customer_id", "as_of_date"]
+    ).merge(snap)
+    return StageResult(rows_published=n)
+
+
+def latest_features_export(
+    spark: SparkSession, gold_path: str, export_path: str
+) -> StageResult:
+    """W2 newest-snapshot-per-customer → parquet serving export
+    (build_latest_features.py:110-142)."""
+    gold = ManagedTable(spark, gold_path, keys=["customer_id", "as_of_date"]).read()
+    latest = dedup_top1(
+        gold,
+        ["customer_id"],
+        [
+            F.col("as_of_date").desc(),
+            F.col("_gold_ts").desc_nulls_last(),
+            F.col("_snapshot_id").desc_nulls_last(),
+        ],
+    )
+    latest.write.mode("overwrite").parquet(export_path)
+    n = spark.read.parquet(export_path).count()
+    return StageResult(rows_published=n)

@@ -1,0 +1,142 @@
+"""Mutable keyed tables: Delta when available, parquet emulation otherwise.
+
+Re-expresses the reference's table layer (SURVEY.md §2.1): append sinks
+(S4/S5), overwrite (S6), keyed MERGE upsert (S7,
+``orders_bronze_to_silver.py:184-195`` et al.), existence probe (S9).
+
+This environment has no delta-spark, so the default backend emulates
+the semantics over plain parquet:
+
+- ``merge`` = source-wins upsert: new table = source ∪ (current
+  ⟕anti source on keys). Equivalent to Delta's
+  ``whenMatchedUpdateAll().whenNotMatchedInsertAll()`` for sources
+  that are unique per key (enforced).
+- Writes go to a versioned subdirectory; a tiny ``_HEAD`` pointer file
+  is atomically replaced (os.replace) to commit. Readers resolve HEAD
+  then read one immutable snapshot dir — single-writer
+  read-committed, the same commit-pointer idea as Delta's log, minus
+  multi-writer coordination.
+
+On a production cluster with delta-spark installed, ``HAVE_DELTA``
+routes every operation to the real thing (ACID log, data skipping,
+OPTIMIZE); the emulation keeps semantics testable anywhere.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.session import HAVE_DELTA
+
+__all__ = ["ManagedTable"]
+
+_HEAD = "_HEAD"
+
+
+class ManagedTable:
+    """A keyed, mutable table at a filesystem path."""
+
+    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.keys = list(keys)
+
+    # ------------------------------------------------------------ probes
+
+    def exists(self) -> bool:
+        """S9 existence probe (DeltaTable.isDeltaTable analogue)."""
+        if HAVE_DELTA:
+            from delta.tables import DeltaTable  # type: ignore
+
+            return DeltaTable.isDeltaTable(self.spark, self.path)
+        return os.path.exists(os.path.join(self.path, _HEAD))
+
+    # ------------------------------------------------------------- reads
+
+    def _head_dir(self) -> str:
+        with open(os.path.join(self.path, _HEAD)) as f:
+            return os.path.join(self.path, f.read().strip())
+
+    def read(self) -> DataFrame:
+        if HAVE_DELTA:
+            return self.spark.read.format("delta").load(self.path)
+        return self.spark.read.parquet(self._head_dir())
+
+    # ------------------------------------------------------------ writes
+
+    def _commit(self, df: DataFrame, partition_by: list[str] | None) -> None:
+        version = f"v-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(self.path, version)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".head-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(version)
+        old = self._head_dir() if self.exists() else None
+        os.replace(tmp, os.path.join(self.path, _HEAD))  # atomic commit
+        if old and os.path.basename(old) != version:
+            shutil.rmtree(old, ignore_errors=True)  # vacuum previous snapshot
+
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """S6 initial/overwrite publish."""
+        if HAVE_DELTA:
+            w = df.write.format("delta").mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.save(self.path)
+            return
+        self._commit(df, partition_by)
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        """S4/S5 append-only sink (bronze, audit log)."""
+        if HAVE_DELTA:
+            w = df.write.format("delta").mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.save(self.path)
+            return
+        if not self.exists():
+            self._commit(df, partition_by)
+        else:
+            current = self.read()
+            self._commit(current.unionByName(df), partition_by)
+
+    def merge(self, source: DataFrame) -> None:
+        """S7 keyed upsert: update-all when matched, insert-all otherwise.
+
+        Requires ``source`` unique per key (the reference guarantees
+        this upstream via W1 dedup / snapshot grain; we enforce it —
+        a non-unique source makes MERGE nondeterministic).
+        """
+        dup = (
+            source.groupBy(*self.keys).count().filter(F.col("count") > 1).limit(1)
+        )
+        if dup.count() > 0:
+            raise ValueError(f"merge source not unique on keys {self.keys}")
+        if not self.exists():
+            self.overwrite(source)
+            return
+        if HAVE_DELTA:
+            from delta.tables import DeltaTable  # type: ignore
+
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
+            (
+                DeltaTable.forPath(self.spark, self.path)
+                .alias("t")
+                .merge(source.alias("s"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        current = self.read()
+        kept = current.join(source.select(*self.keys), on=self.keys, how="left_anti")
+        self._commit(kept.unionByName(source.select(*current.columns)), None)

@@ -1,0 +1,13 @@
+from .events_stream import (
+    run_stream_to_managed_table,
+    session_window_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_counts_stream",
+    "session_window_stream",
+    "run_stream_to_managed_table",
+]

@@ -1,0 +1,127 @@
+"""Structured Streaming over the events table (SURVEY.md §2.9 extension).
+
+The reference is batch-only; incrementality is simulated with
+fingerprint-skip + MERGE re-runs. This module re-expresses that
+semantic (idempotent keyed upsert publish) in streaming form:
+
+- ``tumbling_counts_stream``: watermarked event-time tumbling windows
+- ``session_window_stream``: native session windows (gap-based)
+- ``run_stream_to_managed_table``: ``foreachBatch`` → keyed MERGE into a
+  :class:`ManagedTable` — exactly-once-published windows under
+  replays, because the MERGE key is the window identity
+
+Tests drive everything with ``Trigger.AvailableNow`` over the
+deterministic fixture (SURVEY §7.4 guidance), which also makes the
+batch queries in queries/event_queries.py their oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+
+__all__ = [
+    "stream_events",
+    "tumbling_counts_stream",
+    "session_window_stream",
+    "run_stream_to_managed_table",
+]
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the events parquet (ns→µs conversion as in the
+    batch source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File streams need a DIRECTORY source; select just the events file
+    # with a glob filter.
+    reader = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.load(sf_dir)
+    return raw.select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling event-time aggregation (append-mode safe)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native session windows per user (streaming form of
+    operators/sessionize.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_managed_table(
+    stream_df: DataFrame,
+    table: ManagedTable,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+) -> None:
+    """Run a streaming aggregation to completion (AvailableNow) with a
+    foreachBatch keyed-MERGE sink — idempotent republish semantics,
+    the streaming twin of the reference's batch MERGE publish (S7)."""
+
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # Within one microbatch the window grain can repeat across
+        # update rows; keep the last state per key before merging.
+        deduped = batch_df.dropDuplicates(table.keys)
+        table.merge(deduped)
+
+    # session_window aggregations reject update mode (sessions can
+    # merge); callers pass output_mode="complete" for those.
+    (
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1,0 +1,79 @@
+"""DQ engine golden tests (reference dq.py D1-D8 semantics)."""
+
+import pytest
+from pyspark.sql import Row
+
+from ecom_churn_lakehouse_spark.dq import run_checks
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [
+            Row(id="a", status="ok", score=5),
+            Row(id="b", status="ok", score=-1),       # range violation
+            Row(id="b", status="weird", score=3),     # dup key + bad status
+            Row(id=None, status="ok", score=2),       # null key
+        ]
+    )
+
+
+def test_counts_and_severity_gating(spark):
+    checks = [
+        {"name": "id_not_null", "type": "not_null", "columns": ["id"]},
+        {"name": "status_ok", "type": "in_set", "column": "status",
+         "allowed": ["ok"], "severity": "warning"},
+        {"name": "score_range", "type": "range", "column": "score", "min": 0},
+        {"name": "pk", "type": "unique", "keys": ["id"]},
+    ]
+    report = run_checks(_df(spark), checks)
+    by_name = {r.name: r for r in report.results}
+    assert report.row_count == 4
+    assert by_name["id_not_null"].bad_rows == 1
+    assert by_name["status_ok"].bad_rows == 1
+    assert by_name["score_range"].bad_rows == 1
+    assert by_name["pk"].bad_rows == 1  # one duplicated key group
+    # warning severity does not block; criticals do
+    assert not by_name["status_ok"].passed
+    assert {r.name for r in report.blocking_failures} == {
+        "id_not_null", "score_range", "pk",
+    }
+    assert not report.ok
+
+
+def test_all_green(spark):
+    df = spark.createDataFrame([Row(id="a", score=1), Row(id="b", score=2)])
+    report = run_checks(
+        df,
+        [
+            {"type": "not_null", "columns": ["id"]},
+            {"type": "unique", "keys": ["id"]},
+            {"type": "range", "column": "score", "min": 0, "max": 10},
+        ],
+    )
+    assert report.ok and all(r.passed for r in report.results)
+
+
+def test_quarantine_samples(spark, tmp_path):
+    checks = [{"name": "id_not_null", "type": "not_null", "columns": ["id"]}]
+    run_checks(_df(spark), checks, quarantine_dir=str(tmp_path))
+    sample = spark.read.parquet(str(tmp_path / "id_not_null"))
+    assert sample.count() == 1 and sample.collect()[0]["id"] is None
+
+
+def test_ordering_and_expr_checks(spark):
+    df = spark.createDataFrame([Row(lo=1, hi=5), Row(lo=7, hi=2)])
+    report = run_checks(
+        df,
+        [
+            {"name": "lo_le_hi", "type": "ordering", "less": "lo", "greater": "hi"},
+            {"name": "custom", "type": "expr", "predicate": "hi - lo > 10"},
+        ],
+    )
+    by_name = {r.name: r for r in report.results}
+    assert by_name["lo_le_hi"].bad_rows == 1
+    assert by_name["custom"].bad_rows == 0
+
+
+def test_unknown_check_type_rejected(spark):
+    with pytest.raises(ValueError, match="unknown check type"):
+        run_checks(_df(spark), [{"type": "nope"}])

@@ -1,0 +1,47 @@
+"""Multimodal plumbing: binary payload columns through mapInPandas."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.multimodal import (
+    DECODED_IMAGE_SCHEMA,
+    decode_images,
+    extract_binary_metadata,
+    sample_frames,
+)
+
+
+def _payload_df(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    return docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+
+
+def test_metadata_is_native(spark):
+    out = extract_binary_metadata(_payload_df(spark))
+    rows = out.collect()
+    assert all(r["n_bytes"] > 0 and len(r["payload_sha256"]) == 64 for r in rows)
+
+
+def test_fake_decode_plumbing(spark):
+    out = decode_images(_payload_df(spark), decoder="fake")
+    assert out.schema == DECODED_IMAGE_SCHEMA
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(64 <= r["width"] < 256 and r["decode_ok"] for r in rows)
+    # deterministic: same payload → same fake dimensions
+    again = {r["doc_id"]: (r["width"], r["height"]) for r in decode_images(
+        _payload_df(spark), decoder="fake").collect()}
+    assert all((r["width"], r["height"]) == again[r["doc_id"]] for r in rows)
+
+
+def test_real_decoder_is_clearly_stubbed(spark):
+    with pytest.raises(Exception, match="decoder 'pil'"):
+        decode_images(_payload_df(spark), decoder="pil").collect()
+
+
+def test_frame_sampling(spark):
+    frames = spark.range(100).select(
+        F.lit(1).alias("doc_id"), F.col("id").alias("frame_idx")
+    )
+    kept = sample_frames(frames, every_nth=10)
+    assert kept.count() == 10

@@ -1,0 +1,87 @@
+"""Golden unit tests for the operator layer (asof, sessionize, windows)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from ecom_churn_lakehouse_spark.operators import (
+    asof_join,
+    dedup_top1,
+    sessionize,
+    topk_per_group,
+)
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="u1", lts=_ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="u1", lts=_ts("2024-01-01 12:00:00"), lid=2),
+            Row(k="u2", lts=_ts("2024-01-01 09:00:00"), lid=3),  # before any right
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", rts=_ts("2024-01-01 10:00:00"), payload="a"),  # equal ts → matches
+            Row(k="u1", rts=_ts("2024-01-01 11:30:00"), payload="b"),
+            Row(k="u2", rts=_ts("2024-01-01 23:00:00"), payload="c"),
+        ]
+    )
+    out = {
+        r["lid"]: r["matched"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            payload={"payload": "matched"},
+        ).collect()
+    }
+    assert out[1] == "a"  # equal timestamp included (backward-INCLUSIVE)
+    assert out[2] == "b"  # newest right at or before 12:00
+    assert out[3] is None  # no right row before 09:00 → null
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        Row(user_id=1, event_id=i, ts=_ts(t))
+        for i, t in enumerate(
+            [
+                "2024-01-01 10:00:00",
+                "2024-01-01 10:20:00",  # 20min gap → same session
+                "2024-01-01 11:00:00",  # 40min gap → new session
+                "2024-01-01 11:30:00",  # exactly 30min → NOT a new session (> gap)
+            ]
+        )
+    ]
+    out = sessionize(spark.createDataFrame(rows), gap_minutes=30)
+    sessions = [r["session_id"] for r in out.orderBy("ts").collect()]
+    assert sessions == [1, 1, 2, 2]
+
+
+def test_dedup_top1_deterministic_tiebreak(spark):
+    rows = [
+        Row(k="x", ts=_ts("2024-01-01 10:00:00"), src="a", v=1),
+        Row(k="x", ts=_ts("2024-01-01 10:00:00"), src="b", v=2),  # ts tie → src desc wins
+        Row(k="x", ts=None, src="z", v=3),  # null ts → loses (desc_nulls_last)
+    ]
+    out = dedup_top1(
+        spark.createDataFrame(rows),
+        ["k"],
+        [F.col("ts").desc_nulls_last(), F.col("src").desc()],
+    ).collect()
+    assert len(out) == 1 and out[0]["v"] == 2
+
+
+def test_topk_per_group(spark):
+    rows = [Row(g="a", v=i) for i in range(5)] + [Row(g="b", v=9)]
+    out = topk_per_group(
+        spark.createDataFrame(rows), ["g"], [F.col("v").desc()], k=2
+    ).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["v"])
+    assert sorted(by_g["a"], reverse=True) == [4, 3]
+    assert by_g["b"] == [9]

@@ -1,0 +1,65 @@
+"""Streaming surface: AvailableNow over the deterministic fixture; the
+batch queries are the oracles (SURVEY §7.4)."""
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+from ecom_churn_lakehouse_spark.streaming import (
+    run_stream_to_managed_table,
+    session_window_stream,
+    stream_events,
+    tumbling_counts_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_equals_batch(spark, tmp_path):
+    stream = tumbling_counts_stream(stream_events(spark, SF), window="1 day")
+    table = ManagedTable(
+        spark, str(tmp_path / "agg"), keys=["window_start", "event_type"]
+    )
+    run_stream_to_managed_table(stream, table, str(tmp_path / "ckpt"))
+
+    from ecom_churn_lakehouse_spark.registry import queries
+
+    batch = queries()["event_tumbling_daily"](spark, SF)
+    got = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in table.read().collect()
+    }
+    want = {
+        (str(r["window_start"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+
+
+def test_stream_republish_is_idempotent(spark, tmp_path):
+    stream = tumbling_counts_stream(stream_events(spark, SF), window="1 day")
+    table = ManagedTable(
+        spark, str(tmp_path / "agg"), keys=["window_start", "event_type"]
+    )
+    run_stream_to_managed_table(stream, table, str(tmp_path / "ckpt1"))
+    n1 = table.read().count()
+    # replay from scratch (fresh checkpoint) → MERGE keys make it idempotent
+    stream2 = tumbling_counts_stream(stream_events(spark, SF), window="1 day")
+    run_stream_to_managed_table(stream2, table, str(tmp_path / "ckpt2"))
+    assert table.read().count() == n1
+
+
+def test_session_window_stream_runs(spark, tmp_path):
+    stream = session_window_stream(stream_events(spark, SF), gap="30 minutes")
+    table = ManagedTable(
+        spark, str(tmp_path / "sess"), keys=["session_start", "user_id"]
+    )
+    run_stream_to_managed_table(
+        stream, table, str(tmp_path / "ckpt"), output_mode="complete"
+    )
+    out = table.read()
+    assert out.count() > 0
+    # session invariant: end >= start, n_events >= 1
+    bad = out.filter(
+        (F.col("session_end") < F.col("session_start")) | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0

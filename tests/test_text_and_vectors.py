@@ -1,0 +1,95 @@
+"""Golden tests for text/vector expression functions and dedup operators."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.dedup import (
+    exact_duplicate_groups,
+    doc_shingles,
+    doc_tokens,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from ecom_churn_lakehouse_spark.functions.text import (
+    lang_guess_col,
+    token_count_col,
+)
+from ecom_churn_lakehouse_spark.functions.vectors import (
+    cosine_similarity,
+    to_double_array,
+)
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([Row(text="  a b   c  "), Row(text="one")])
+    out = [r["n"] for r in df.select(token_count_col(F.col("text")).alias("n")).collect()]
+    assert out == [3, 1]
+
+
+def test_lang_guess(spark):
+    df = spark.createDataFrame(
+        [
+            Row(text="the cat and the hat of doom"),
+            Row(text="der hund und das haus"),
+            Row(text="xyzzy plugh"),
+        ]
+    )
+    out = [r["g"] for r in df.select(lang_guess_col(F.col("text")).alias("g")).collect()]
+    assert out == ["en", "de", "unknown"]
+
+
+def test_cosine_similarity_exact(spark):
+    df = spark.createDataFrame(
+        [Row(a=[1.0, 0.0], b=[1.0, 0.0]), Row(a=[1.0, 0.0], b=[0.0, 2.0])]
+    )
+    sims = [
+        round(r["s"], 9)
+        for r in df.select(
+            cosine_similarity(
+                to_double_array(F.col("a")), to_double_array(F.col("b"))
+            ).alias("s")
+        ).collect()
+    ]
+    assert sims == [1.0, 0.0]
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                      # exact dup of 1
+            Row(doc_id=3, text=base + " extra token"),     # near dup
+            Row(doc_id=4, text="completely different words here entirely"),
+        ]
+    )
+
+
+def test_exact_dedup(spark):
+    groups = exact_duplicate_groups(_corpus(spark)).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_doc_id"] == 1 and groups[0]["n_copies"] == 2
+
+
+def test_shingles_and_minhash_lsh(spark):
+    sh = doc_shingles(_corpus(spark))
+    # doc 1: 12 tokens → 10 distinct-ish 3-gram shingles
+    n1 = sh.filter("doc_id = 1").count()
+    assert n1 > 0
+    pairs = {(r["doc_a"], r["doc_b"]) for r in
+             lsh_candidate_pairs(minhash_signatures(sh)).collect()}
+    assert (1, 2) in pairs            # exact dups always collide
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup shares bands
+    assert (1, 4) not in pairs        # unrelated docs don't
+
+
+def test_simhash_near_dup(spark):
+    toks = doc_tokens(_corpus(spark))
+    sigs = simhash_signatures(toks)
+    by_id = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert by_id[1] == by_id[2]  # identical token sets → identical signature
+    pairs = simhash_candidate_pairs(sigs, max_hamming=6).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
+    assert got.get((1, 2)) == 0
