@@ -61,25 +61,25 @@ def customer_features(orders: DataFrame, as_of_date: str | dt.date) -> DataFrame
         F.col("order_date") <= as_of
     )
 
-    # A1 — lifetime stats per customer (one hash-agg, map-side partial).
+    # A1 + A2 fused: lifetime stats AND the trailing-window distinct
+    # counts in ONE aggregation over ONE scan. The reference runs three
+    # separate scan→groupBy→join passes (customer_features_daily.py:
+    # 132-148,177-187); conditional count_distinct gives identical
+    # values ([as_of-29, as_of] inclusive both ends is the "30d"
+    # policy, ARCHITECTURE.md:143-149) while cutting 2 scans and 2
+    # joins — at 100 TB that is the difference between reading the
+    # fact table once and three times.
     stats = base.groupBy("customer_id").agg(
         F.max("order_date").alias("last_order_date"),
         F.min("order_date").alias("first_order_date"),
         F.count_distinct("order_id").alias("lifetime_orders"),
+        F.count_distinct(
+            F.when(F.col("order_date") >= F.date_sub(as_of, 29), F.col("order_id"))
+        ).alias("orders_30d"),
+        F.count_distinct(
+            F.when(F.col("order_date") >= F.date_sub(as_of, 89), F.col("order_id"))
+        ).alias("orders_90d"),
     )
-
-    # A2 — trailing-window distinct order counts (inclusive both ends:
-    # [as_of-29, as_of] is the reference's "30d" policy,
-    # customer_features_daily.py:138-148, ARCHITECTURE.md:143-149).
-    def _trailing(days: int, alias: str) -> DataFrame:
-        return (
-            base.filter(F.col("order_date") >= F.date_sub(as_of, days - 1))
-            .groupBy("customer_id")
-            .agg(F.count_distinct("order_id").alias(alias))
-        )
-
-    orders_30d = _trailing(30, "orders_30d")
-    orders_90d = _trailing(90, "orders_90d")
 
     # W3 + A3 — inter-order gaps via lag ordered by (order_date,
     # order_id) per customer, then mean gap (customer_features_daily.py:150-174).
@@ -98,15 +98,12 @@ def customer_features(orders: DataFrame, as_of_date: str | dt.date) -> DataFrame
         .agg(F.avg(F.col("gap_days").cast("double")).alias("avg_days_between_orders"))
     )
 
-    # J1 + J2 — spine ⋈ stats, left-join the windowed/gap frames; missing
-    # → 0 / 0.0 (customer_features_daily.py:177-187). All four frames are
-    # hash-partitioned on customer_id already, so these joins reuse the
-    # aggregation exchange instead of adding new shuffles.
-    feats = (
-        stats.join(orders_30d, on="customer_id", how="left")
-        .join(orders_90d, on="customer_id", how="left")
-        .join(gaps, on="customer_id", how="left")
-        .fillna({"orders_30d": 0, "orders_90d": 0, "avg_days_between_orders": 0.0})
+    # J2 — left-join the gap frame (the only remaining join); missing →
+    # 0.0 (single-order customers, customer_features_daily.py:181-187).
+    # Both sides are hash-partitioned on customer_id, so the join
+    # reuses the aggregation exchange instead of adding a shuffle.
+    feats = stats.join(gaps, on="customer_id", how="left").fillna(
+        {"avg_days_between_orders": 0.0}
     )
 
     return feats.select(

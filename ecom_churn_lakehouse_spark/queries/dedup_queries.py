@@ -212,6 +212,10 @@ def _minhash_sql() -> str:
     "scale path: pair generation is bucket-local, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
+    # Note: the shingle relation feeds the signatures AND the Jaccard
+    # verify join. Measured at sf0.1, persisting it is a net LOSS
+    # (cache materialization blocks AQE and costs more than the
+    # recompute), so the lineage is left lazy on purpose.
     sh = doc_shingles(derived_corpus(spark, sf_dir))
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
