@@ -1,0 +1,161 @@
+"""Extended analytics surface: rollup, pivot-style, exact percentiles,
+sketches, and the streaming twin — engine capabilities beyond the
+reference's inventory (SURVEY §2.4 notes them absent; a reusable
+engine wants them first-class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# ------------------------------------------------------------- rollup
+
+_ROLLUP_SQL = """
+SELECT o_orderpriority AS order_priority,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, year(o_orderdate))
+"""
+
+
+@register(
+    "orders_rollup",
+    _ROLLUP_SQL,
+    doc="ROLLUP hierarchy totals (priority → year → grand total) — "
+    "grouping-sets surface absent in the reference (SURVEY §2.4).",
+)
+def q_orders_rollup(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    )
+    return orders.rollup("order_priority", "order_year").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias(
+            "total_value"
+        ),
+    )
+
+
+# ------------------------------------------- pivot (conditional form)
+
+_PIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY 1
+"""
+
+
+@register(
+    "status_pivot_by_year",
+    _PIVOT_SQL,
+    doc="Pivot (long→wide) via groupBy().pivot() — reference has none; "
+    "oracle expresses the same with conditional sums.",
+)
+def q_status_pivot_by_year(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return wide.select(
+        "order_year",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_fulfilled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_pending"),
+    )
+
+
+# ------------------------------------------------- exact percentiles
+
+_PCT_SQL = """
+SELECT o_orderpriority AS order_priority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50_value,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_value
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "order_value_percentiles",
+    _PCT_SQL,
+    doc="Exact interpolated percentiles per group (F.percentile ≡ "
+    "quantile_cont). The approximate sketch path is "
+    "approx_distinct_profile (no oracle — sketch internals differ "
+    "across engines).",
+)
+def q_order_value_percentiles(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_value"),
+    )
+
+
+# --------------------------------------- sketches (rows-only check)
+
+
+@register(
+    "approx_distinct_profile",
+    None,  # HLL/KLL internals are engine-specific — no cross-engine oracle
+    doc="Approximate sketches: HLL distinct + approx quantiles. "
+    "Deterministic per engine but not across engines → driver records "
+    "rows-only (SURVEY §5 note on non-oracle-able ops).",
+)
+def q_approx_distinct_profile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 6).alias(
+            "approx_p50"
+        ),
+    )
+
+
+# ------------------------------------------------- streaming twin
+
+_STREAM_TUMBLING_SQL = """
+SELECT date_trunc('day', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_tumbling_daily",
+    _STREAM_TUMBLING_SQL,
+    doc="Structured Streaming tumbling window run to completion with "
+    "Trigger.AvailableNow + foreachBatch MERGE sink, then read back — "
+    "the streaming plan must reproduce the batch oracle exactly "
+    "(streaming/events_stream.py; SURVEY §2.9).",
+)
+def q_stream_tumbling_daily(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.streaming import (
+        run_stream_to_managed_table,
+        stream_events,
+        tumbling_counts_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_q_")
+    table = ManagedTable(spark, f"{base}/agg", keys=["window_start", "event_type"])
+    stream = tumbling_counts_stream(stream_events(spark, sf_dir), window="1 day")
+    run_stream_to_managed_table(stream, table, f"{base}/ckpt")
+    return table.read()

@@ -65,6 +65,7 @@ def _load_all() -> None:
         churn_queries,
         dedup_queries,
         event_queries,
+        extended_queries,
         relational_queries,
         similarity_queries,
         text_queries,
