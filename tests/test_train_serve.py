@@ -1,0 +1,74 @@
+"""Train + serve chain over the fixture orders (reference train_stub +
+API round-trip parity, in-process)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.plans.churn import training_snapshot
+from ecom_churn_lakehouse_spark.serving import LatestFeaturesClient, PredictionService
+from ecom_churn_lakehouse_spark.serving.feature_store import VersionMismatch
+from ecom_churn_lakehouse_spark.sources import normalized_orders
+from ecom_churn_lakehouse_spark.training import TrainedModel, train_churn_model
+
+AS_OF = "1997-06-30"
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def snapshot(spark):
+    return training_snapshot(normalized_orders(spark, SF), AS_OF)
+
+
+def test_train_is_deterministic_and_learns(spark, snapshot):
+    m1 = train_churn_model(snapshot)
+    m2 = train_churn_model(snapshot)
+    assert m1.coef == m2.coef and m1.intercept == m2.intercept
+    # better than the majority-class baseline would be ideal, but at
+    # minimum the fit must beat coin-flip and produce finite params
+    assert m1.train_accuracy >= 0.5
+    assert all(abs(c) < 100 for c in m1.coef)
+
+
+def test_model_roundtrip_and_predict(spark, snapshot, tmp_path):
+    model = train_churn_model(snapshot)
+    path = str(tmp_path / "model.json")
+    model.save(path)
+    loaded = TrainedModel.load(path)
+    feats = {c: 1.0 for c in model.feature_cols}
+    assert loaded.predict_proba(feats) == pytest.approx(model.predict_proba(feats))
+    assert 0.0 <= loaded.predict_proba(feats) <= 1.0
+
+
+def test_serving_round_trip(spark, snapshot, tmp_path):
+    model = train_churn_model(snapshot)
+    # build a latest-features export with version stamps
+    export = str(tmp_path / "latest")
+    snapshot.withColumn("_feature_version", F.lit("fv1")).withColumn(
+        "as_of_date", F.to_date(F.lit(AS_OF))
+    ).write.mode("overwrite").parquet(export)
+
+    client = LatestFeaturesClient(export)
+    assert len(client) > 0
+    svc = PredictionService(client, model, expected_feature_version="fv1")
+    some_id = next(iter(client._by_key))
+    out = svc.predict(some_id)
+    assert out is not None
+    assert 0.0 <= out["churn_probability"] <= 1.0
+    assert out["churn_prediction"] in (0, 1)
+    assert out["feature_version"] == "fv1"
+    # unknown customer → None (404 path)
+    assert svc.predict(-999999) is None
+
+
+def test_version_gate_blocks(spark, snapshot, tmp_path):
+    model = train_churn_model(snapshot)
+    export = str(tmp_path / "latest")
+    snapshot.withColumn("_feature_version", F.lit("fv-OLD")).withColumn(
+        "as_of_date", F.to_date(F.lit(AS_OF))
+    ).write.mode("overwrite").parquet(export)
+    svc = PredictionService(
+        LatestFeaturesClient(export), model, expected_feature_version="fv-NEW"
+    )
+    some_id = next(iter(svc.client._by_key))
+    with pytest.raises(VersionMismatch):
+        svc.predict(some_id)
