@@ -103,6 +103,20 @@ class DQReport:
             json.dump(self.to_dict(), f, indent=2)
 
 
+def assert_single_value(df: DataFrame, column: str) -> Any:
+    """A8 single-distinct-value assertion (version homogeneity gate,
+    build_training_snapshot.py:32-38 / train_stub.py:44-50): the column
+    must hold exactly one distinct value across the frame; returns it.
+    Bounded driver work: collects at most 2 rows."""
+    vals = [r[0] for r in df.select(column).distinct().limit(2).collect()]
+    if len(vals) != 1:
+        raise ValueError(
+            f"column {column!r} must be homogeneous; found "
+            + ("no rows" if not vals else f"multiple values (e.g. {vals})")
+        )
+    return vals[0]
+
+
 def run_checks(
     df: DataFrame,
     checks: list[dict[str, Any]],

@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
-from ecom_churn_lakehouse_spark.dq import run_checks
+from ecom_churn_lakehouse_spark.contracts import Contract
+from ecom_churn_lakehouse_spark.dq import assert_single_value, run_checks
 from ecom_churn_lakehouse_spark.operators.windows import dedup_top1
 from ecom_churn_lakehouse_spark.plans.churn import (
     churn_labels,
@@ -54,16 +55,33 @@ STATUS_ALIASES = {
     "cancelled": "canceled",
     "shipment_pending": "processing",
 }
-ALLOWED_STATUSES = [
-    "approved",
-    "canceled",
-    "created",
-    "delivered",
-    "invoiced",
-    "processing",
-    "shipped",
-    "unavailable",
-]
+
+_CONTRACTS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "contracts",
+)
+
+
+def _contract(name: str) -> Contract:
+    """Load a stage contract from the repo's contracts/ directory —
+    the JSON-contract enforcement pattern of SURVEY §1.3."""
+    return Contract.load(os.path.join(_CONTRACTS_DIR, f"{name}.v1.json"))
+
+
+#: Allowed statuses come from the silver contract (allowed_values),
+#: as in the reference (orders_bronze_to_silver.py:127).
+ALLOWED_STATUSES = _contract("silver_orders").allowed_values["order_status"]
+
+
+def _write_stage_metadata(path: str, run_id: str, payload: dict) -> None:
+    """Per-run JSON sidecar (snapshot/label/DQ metadata pattern,
+    customer_features_daily.py:83-107, labels.py:82-112)."""
+    import json
+
+    meta_dir = os.path.join(path, "_metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    with open(os.path.join(meta_dir, f"run-{run_id}.json"), "w") as f:
+        json.dump(payload, f, indent=2, default=str)
 
 
 class DQGateFailure(RuntimeError):
@@ -90,6 +108,11 @@ def bronze_ingest(
 ) -> StageResult:
     """Append-only ingest with fingerprint idempotency + audit trail."""
     raw = spark.read.parquet(raw_path)
+    # Contract validation on read: mismatch aborts the job (bronze
+    # behavior, orders_to_bronze.py:45-60). Extras tolerated — raw
+    # feeds may carry unused delivery columns (FIXTURES §1.3).
+    contract = _contract("bronze_orders")
+    contract.validate(raw, allow_extra=True)
     files = []
     for p in raw.inputFiles():
         local = p.removeprefix("file:")
@@ -120,6 +143,7 @@ def bronze_ingest(
         .withColumn("ingest_date", F.to_date(F.current_timestamp()))
         .withColumn("_source_file", F.input_file_name())
         .withColumn("_source_fingerprint", F.lit(fingerprint))
+        .withColumn("_schema_version", F.lit(contract.contract_hash))
     )
     bronze = ManagedTable(spark, bronze_path, keys=["order_id"])
     bronze.append(stamped, partition_by=["ingest_date"])
@@ -147,17 +171,9 @@ def _audit_record(spark, audit: ManagedTable, run_id, fingerprint, status, rows)
 
 # ------------------------------------------------------------------ silver
 
-_SILVER_DQ_CHECKS = [
-    {"name": "order_id_not_null", "type": "not_null", "columns": ["order_id"]},
-    {"name": "customer_id_not_null", "type": "not_null", "columns": ["customer_id"]},
-    {"name": "pk_unique", "type": "unique", "keys": ["order_id"]},
-    {
-        "name": "status_allowed",
-        "type": "in_set",
-        "column": "order_status",
-        "allowed": ALLOWED_STATUSES,
-    },
-]
+# Blocking DQ checks come from the silver contract's quality_rules
+# (YAML-expectations pattern of the reference, dq.py + orders.yml).
+_SILVER_DQ_CHECKS = _contract("silver_orders").quality_rules
 
 
 def silver_publish(
@@ -216,8 +232,10 @@ def silver_publish(
         invalid.write.mode("overwrite").parquet(f"{quarantine_dir}/preclean_invalid")
     n_rejected_dups = n_clean - n_dedup
 
-    silver_out = deduped.withColumn("_silver_run_id", F.lit(run_id)).withColumn(
-        "_silver_ts", F.current_timestamp()
+    silver_out = (
+        deduped.withColumn("_silver_run_id", F.lit(run_id))
+        .withColumn("_silver_ts", F.current_timestamp())
+        .withColumn("_schema_version", F.lit(_contract("silver_orders").contract_hash))
     )
 
     report = run_checks(silver_out, _SILVER_DQ_CHECKS, quarantine_dir=quarantine_dir)
@@ -228,6 +246,11 @@ def silver_publish(
         )
 
     ManagedTable(spark, silver_path, keys=["order_id"]).merge(silver_out)
+    _write_stage_metadata(
+        silver_path,
+        run_id,
+        {"stage": "silver", "rows_published": n_dedup, "dq": report.to_dict()},
+    )
     normalized.unpersist()
     return StageResult(
         rows_published=n_dedup,
@@ -238,14 +261,9 @@ def silver_publish(
 
 # -------------------------------------------------------------------- gold
 
-_GOLD_GATES = [
-    {"name": "grain_unique", "type": "unique", "keys": ["customer_id", "as_of_date"]},
-    {"name": "recency_nonneg", "type": "range", "column": "recency_days", "min": 0},
-    {"name": "lifetime_min1", "type": "range", "column": "lifetime_orders", "min": 1},
-    {"name": "o30_le_o90", "type": "ordering", "less": "orders_30d", "greater": "orders_90d"},
-    {"name": "o90_le_lifetime", "type": "ordering", "less": "orders_90d", "greater": "lifetime_orders"},
-    {"name": "recency_le_tenure", "type": "ordering", "less": "recency_days", "greater": "customer_tenure_days"},
-]
+# Feature gates come from the gold contract (range/ordering rules,
+# customer_features_daily.v1.json pattern).
+_GOLD_GATES = _contract("gold_customer_features").quality_rules
 
 
 def gold_features(
@@ -264,7 +282,10 @@ def gold_features(
         F.to_date("order_purchase_ts").alias("order_date"),
         "order_status",
     )
-    fv = feature_version or canonical_hash({"features": "v1"})
+    # feature_version defaults to the gold contract's hash — schema
+    # changes automatically version the features
+    # (customer_features_daily.py:243).
+    fv = feature_version or _contract("gold_customer_features").contract_hash
     snapshot_id = canonical_hash({"as_of": as_of_date, "fv": fv})
 
     feats = (
@@ -284,6 +305,18 @@ def gold_features(
         )
     n = feats.count()
     ManagedTable(spark, gold_path, keys=["customer_id", "as_of_date"]).merge(feats)
+    _write_stage_metadata(
+        gold_path,
+        run_id,
+        {
+            "stage": "gold",
+            "as_of_date": as_of_date,
+            "snapshot_id": snapshot_id,
+            "feature_version": fv,
+            "rows_published": n,
+            "gates": report.to_dict(),
+        },
+    )
     feats.unpersist()
     return StageResult(rows_published=n, metadata=report.to_dict())
 
@@ -360,10 +393,24 @@ def training_snapshot_publish(
         .withColumn("_training_run_id", F.lit(run_id))
         .withColumn("_training_ts", F.current_timestamp())
     )
+    # A8 version-homogeneity gates (build_training_snapshot.py:32-38):
+    # exactly one feature version and one label horizon in the snapshot.
+    fv = assert_single_value(snap, "_feature_version")
+    assert_single_value(snap, "_label_horizon_days")
     n = snap.count()
     ManagedTable(
         spark, snapshot_path, keys=["customer_id", "as_of_date"]
     ).merge(snap)
+    _write_stage_metadata(
+        snapshot_path,
+        run_id,
+        {
+            "stage": "training_snapshot",
+            "as_of_date": as_of_date,
+            "feature_version": fv,
+            "rows_published": n,
+        },
+    )
     return StageResult(rows_published=n)
 
 
