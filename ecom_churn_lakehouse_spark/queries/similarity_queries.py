@@ -17,6 +17,7 @@ from ecom_churn_lakehouse_spark.similarity.ann import (
     brute_force_topk,
     bucketed_topk,
     hyperplane_lsh_buckets,
+    ivf_assign_cells,
 )
 from ecom_churn_lakehouse_spark.sources import load_table
 
@@ -128,6 +129,64 @@ FROM (
 )
 WHERE rn <= 3
 """
+
+
+_IVF_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id % 37 = 1
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+assigned AS (
+    SELECT vec_id, bucket FROM (
+        SELECT v.vec_id, c.cid AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_COS.format(a="v.ev", b="c.cv")} DESC, c.cid
+               ) AS rn
+        FROM vecs v, cents c
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT a.vec_id AS query_id, a.bucket, v.ev AS qv
+    FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
+    WHERE a.vec_id % 50 = 0
+),
+c AS (
+    SELECT a.vec_id AS neighbor_id, a.bucket, v.ev AS cv
+    FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
+),
+scored AS (
+    SELECT q.query_id, c.neighbor_id,
+           {_COS.format(a="q.qv", b="c.cv")} AS sim
+    FROM q JOIN c ON q.bucket = c.bucket
+    WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "ann_ivf_topk",
+    _IVF_SQL,
+    doc="IVF-flat ANN (nprobe=1): coarse quantization to the nearest of "
+    "~14 deterministic centroids, inverted-list bucket join, exact "
+    "re-rank top-3 (similarity/ann.py::ivf_assign_cells).",
+)
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    cells = ivf_assign_cells(emb, centroids)
+    q = cells.filter(F.col("vec_id") % 50 == 0)
+    return bucketed_topk(q, cells, emb, k=3)
 
 
 @register(

@@ -29,7 +29,12 @@ from ecom_churn_lakehouse_spark.functions.vectors import (
     to_double_array,
 )
 
-__all__ = ["brute_force_topk", "hyperplane_lsh_buckets", "bucketed_topk"]
+__all__ = [
+    "brute_force_topk",
+    "hyperplane_lsh_buckets",
+    "bucketed_topk",
+    "ivf_assign_cells",
+]
 
 
 def brute_force_topk(
@@ -106,6 +111,43 @@ def hyperplane_lsh_buckets(
         .select(F.col(id_col), bit.alias("__bit"))
         .groupBy(id_col)
         .agg(F.sum("__bit").cast("long").alias("bucket"))
+    )
+
+
+def ivf_assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest
+    centroid by cosine (ties break on centroid id).
+
+    ``centroids``: (centroid_id, embedding) — small, broadcast. One
+    narrow pass over the corpus; output ``(id, bucket)`` compatible
+    with :func:`bucketed_topk`, so IVF-flat search (nprobe=1) is
+    ``bucketed_topk(assign(queries), assign(corpus), vectors, k)``.
+
+    At 100 TB: assignment is a broadcast map (no shuffle); the
+    inverted lists are the bucket join. Production centroids come from
+    k-means; any deterministic centroid set (here: sampled corpus
+    vectors) exercises the identical plan.
+    """
+    v = vectors.select(F.col(id_col), to_double_array(F.col(vec_col)).alias("__v"))
+    c = centroids.select(
+        F.col(centroid_id_col).alias("__cid"),
+        to_double_array(F.col(vec_col)).alias("__c"),
+    )
+    sim = cosine_similarity(F.col("__v"), F.col("__c"))
+    scored = v.join(F.broadcast(c)).select(
+        F.col(id_col), F.col("__cid"), sim.alias("__sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__cid").cast("long").alias("bucket"))
     )
 
 
