@@ -4,10 +4,12 @@ from .events_stream import (
     stream_events,
     tumbling_counts_stream,
 )
+from .stateful import running_user_profiles
 
 __all__ = [
     "stream_events",
     "tumbling_counts_stream",
     "session_window_stream",
     "run_stream_to_managed_table",
+    "running_user_profiles",
 ]
