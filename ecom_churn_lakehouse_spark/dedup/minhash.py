@@ -56,9 +56,18 @@ def shingle_hash_col(shingle):
 
 
 def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """K min-hash values per doc: columns mh0..mh{K-1}."""
-    h = shingle_hash_col(F.col("shingle"))
-    return shingled.groupBy(id_col).agg(
+    """K min-hash values per doc: columns mh0..mh{K-1}.
+
+    The md5-based shingle hash is projected ONCE before the aggregate —
+    inside the K min() expressions it would be at the mercy of
+    subexpression elimination; here each row pays exactly one md5
+    regardless of K.
+    """
+    hashed = shingled.select(
+        id_col, shingle_hash_col(F.col("shingle")).alias("__h")
+    )
+    h = F.col("__h")
+    return hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
                 f"mh{i}"

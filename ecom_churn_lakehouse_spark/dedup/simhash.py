@@ -29,9 +29,14 @@ def _token_hash(token):
 
 
 def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — 32-bit signature per doc."""
-    th = _token_hash(F.col("token"))
-    bit_sums = tokens.groupBy(id_col).agg(
+    """(doc_id, simhash) — 32-bit signature per doc.
+
+    Token hash projected once before the aggregate (one md5 per row,
+    not one per bit expression).
+    """
+    hashed = tokens.select(id_col, _token_hash(F.col("token")).alias("__th"))
+    th = F.col("__th")
+    bit_sums = hashed.groupBy(id_col).agg(
         *[
             F.sum(
                 F.when(F.shiftright(th, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
