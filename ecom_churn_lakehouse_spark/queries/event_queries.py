@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ecom_churn_lakehouse_spark.operators import asof_join, sessionize
+from ecom_churn_lakehouse_spark.operators import asof_join, interval_join, sessionize
 from ecom_churn_lakehouse_spark.registry import register
 from ecom_churn_lakehouse_spark.sources.tables import load_events
 
@@ -53,6 +53,66 @@ def q_asof_purchase_click(spark, sf_dir):
         right_ts="ts",
         payload={"ts": "last_click_ts"},
     ).select("purchase_id", "user_id", "purchase_ts", "last_click_ts")
+
+
+# --- range (interval) join: clicks in the hour before each purchase ---
+
+_RANGE_SQL = """
+WITH p AS (
+    SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+    FROM events WHERE event_type = 'purchase'
+),
+c AS (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+SELECT p.purchase_id, p.user_id, p.purchase_ts,
+       CAST(COUNT(c.click_ts) AS BIGINT) AS n_clicks_prev_hour
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.click_ts > p.purchase_ts - INTERVAL 1 HOUR
+ AND c.click_ts <= p.purchase_ts
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "clicks_before_purchase",
+    _RANGE_SQL,
+    doc="Range/interval join via time binning — bucket-local equi-join "
+    "instead of a per-key cross product (operators/range_join.py; "
+    "SURVEY §2.6 absent-list extension).",
+)
+def q_clicks_before_purchase(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    matched = interval_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="purchase_ts",
+        right_ts="click_ts",
+        lower_s=-3600,
+        upper_s=0,
+    )
+    counts = matched.groupBy("purchase_id").agg(
+        F.count("*").alias("__n")
+    )
+    return (
+        purchases.join(counts, on="purchase_id", how="left")
+        .select(
+            "purchase_id",
+            "user_id",
+            "purchase_ts",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias(
+                "n_clicks_prev_hour"
+            ),
+        )
+    )
 
 
 # --- JSON extraction + aggregation ---

@@ -9,7 +9,7 @@ import pyspark.sql.functions as F
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import Row
 
-from ecom_churn_lakehouse_spark.operators import asof_join, sessionize
+from ecom_churn_lakehouse_spark.operators import asof_join, interval_join, sessionize
 from ecom_churn_lakehouse_spark.operators.skew import (
     salted_count_distinct,
     salted_join,
@@ -79,6 +79,42 @@ def test_asof_join_matches_naive(spark, lefts, rights):
     for i, s in enumerate(lefts):
         expect = max((x for x in rset if x <= s), default=None)
         assert out[i] == expect, f"left ts {s}: got {out[i]}, want {expect}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(_ts_strategy, min_size=1, max_size=6),
+    rights=st.lists(_ts_strategy, min_size=0, max_size=8),
+)
+def test_interval_join_matches_naive(spark, lefts, rights):
+    """Binned interval join == naive O(n·m) range predicate, including
+    bin-boundary timestamps (the hypothesis inputs hit multiples of the
+    bin width regularly)."""
+    base = dt.datetime(2024, 1, 1)
+    LO, HI = -120.0, 60.0  # window (L-120s, L+60s]
+    left = spark.createDataFrame(
+        [Row(k="u", lts=base + dt.timedelta(seconds=s), lid=i) for i, s in enumerate(lefts)]
+    )
+    right_rows = [Row(k="u", rts=base + dt.timedelta(seconds=s)) for s in rights]
+    right = (
+        spark.createDataFrame(right_rows)
+        if right_rows
+        else spark.createDataFrame([], "k string, rts timestamp")
+    )
+    got = {
+        (r["lid"], r["rts"])
+        for r in interval_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            lower_s=LO, upper_s=HI,
+        ).collect()
+    }
+    want = {
+        (i, base + dt.timedelta(seconds=rs))
+        for i, ls in enumerate(lefts)
+        for rs in rights
+        if ls + LO < rs <= ls + HI
+    }
+    assert got == want
 
 
 @settings(max_examples=15, deadline=None)
