@@ -32,6 +32,7 @@ from pyspark import StorageLevel
 
 from ecom_churn_lakehouse_spark.contracts import Contract
 from ecom_churn_lakehouse_spark.dq import assert_single_value, run_checks
+from ecom_churn_lakehouse_spark.logging_util import log_event
 from ecom_churn_lakehouse_spark.operators.windows import dedup_top1
 from ecom_churn_lakehouse_spark.plans.churn import (
     churn_labels,
@@ -134,6 +135,7 @@ def bronze_ingest(
         )
         if seen:
             _audit_record(spark, audit, run_id, fingerprint, "skipped_already_ingested", 0)
+            log_event("bronze_skipped_already_ingested", run_id, fingerprint=fingerprint)
             return StageResult(rows_published=0, skipped=True)
 
     row_count = raw.count()
@@ -148,6 +150,7 @@ def bronze_ingest(
     bronze = ManagedTable(spark, bronze_path, keys=["order_id"])
     bronze.append(stamped, partition_by=["ingest_date"])
     _audit_record(spark, audit, run_id, fingerprint, "success", row_count)
+    log_event("bronze_ingested", run_id, rows=row_count, fingerprint=fingerprint)
     return StageResult(rows_published=row_count)
 
 
@@ -246,6 +249,10 @@ def silver_publish(
         )
 
     ManagedTable(spark, silver_path, keys=["order_id"]).merge(silver_out)
+    log_event(
+        "silver_published", run_id,
+        rows=n_dedup, invalid=n_invalid, duplicate_rejects=n_rejected_dups,
+    )
     _write_stage_metadata(
         silver_path,
         run_id,
@@ -305,6 +312,7 @@ def gold_features(
         )
     n = feats.count()
     ManagedTable(spark, gold_path, keys=["customer_id", "as_of_date"]).merge(feats)
+    log_event("gold_published", run_id, rows=n, as_of_date=as_of_date, snapshot_id=snapshot_id)
     _write_stage_metadata(
         gold_path,
         run_id,
