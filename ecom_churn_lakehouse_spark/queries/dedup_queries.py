@@ -219,7 +219,10 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     sh = doc_shingles(derived_corpus(spark, sf_dir))
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
-    return jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
+    # sizes come from the signature aggregation (one shared pass) —
+    # the shingle lineage is only re-derived for candidate docs.
+    sizes = sigs.select("doc_id", "n_sh")
+    return jaccard_on_pairs(cand, sh, sizes=sizes).filter(F.col("jaccard") >= 0.5)
 
 
 # ------------------------------------------------------------- SimHash
