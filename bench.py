@@ -37,6 +37,7 @@ HEADLINE = [
     "event_json_kpi",
     "exact_dedup_groups",
     "minhash_lsh_pairs",
+    "embedding_neardup_pairs",
     "cosine_topk_bruteforce",
     "ann_lsh_topk",
     "doc_quality",

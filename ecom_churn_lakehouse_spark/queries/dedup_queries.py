@@ -273,3 +273,107 @@ def q_simhash_pairs(spark, sf_dir):
     toks = doc_tokens(derived_corpus(spark, sf_dir))
     sigs = simhash_signatures(toks)
     return simhash_candidate_pairs(sigs, max_hamming=6)
+
+
+# ----------------------------------------- embedding-cosine near-dup
+
+# The embeddings fixture has no near-duplicate pairs (uniform random
+# vectors top out at cosine ~0.51), so — exactly like the text corpus
+# above — we derive an augmented vector corpus deterministically on
+# both sides: exact copies of every 10th vector (cosine 1.0) and
+# perturbed copies v + 0.15·reverse(v) of every 7th (cosine ~0.989).
+# 24 data-derived hyperplanes, banded 3 × 8 bits: 256 buckets per
+# band keeps the candidate self-join sparse while the OR-over-bands
+# keeps recall high at the 0.9 threshold.
+
+_NEARDUP_BANDS = 3
+_NEARDUP_ROWS_PER_BAND = 8
+_NEARDUP_PLANES = _NEARDUP_BANDS * _NEARDUP_ROWS_PER_BAND
+_NEARDUP_THRESHOLD = 0.9
+
+_NEARDUP_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_NEARDUP_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+vcorpus AS (
+    SELECT vec_id, ev FROM base
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, ev FROM base WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 200000 AS vec_id,
+           [x[1] + x[2] * 0.15 for x in list_zip(ev, list_reverse(ev))] AS ev
+    FROM base WHERE vec_id % 7 = 0
+),
+planes AS (
+    SELECT vec_id AS plane_id, ev AS hv FROM base
+    WHERE vec_id < {_NEARDUP_PLANES}
+),
+banded AS (
+    SELECT v.vec_id, p.plane_id // {_NEARDUP_ROWS_PER_BAND} AS band,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, p.hv) >= 0
+                         THEN 1 << (p.plane_id % {_NEARDUP_ROWS_PER_BAND})
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM vcorpus v, planes p
+    GROUP BY v.vec_id, p.plane_id // {_NEARDUP_ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+    SELECT c.doc_a, c.doc_b,
+           ROUND({_NEARDUP_COS.format(a="va.ev", b="vb.ev")}, 6) AS cosine_sim
+    FROM cand c
+    JOIN vcorpus va ON c.doc_a = va.vec_id
+    JOIN vcorpus vb ON c.doc_b = vb.vec_id
+)
+SELECT doc_a, doc_b, cosine_sim FROM scored
+WHERE cosine_sim >= {_NEARDUP_THRESHOLD}
+"""
+
+
+def derived_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus with planted exact and near duplicates."""
+    from ecom_churn_lakehouse_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("embedding")
+    )
+    exact_copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    near_copies = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.zip_with(
+            F.col("embedding"),
+            F.reverse(F.col("embedding")),
+            lambda x, y: x + y * F.lit(0.15),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(exact_copies).unionByName(near_copies)
+
+
+@register(
+    "embedding_neardup_pairs",
+    _NEARDUP_SQL,
+    doc="Embedding-cosine near-dup dedup: banded sign-LSH candidates "
+    "(3 bands x 8 bits, deterministic data-derived planes), exact "
+    "cosine verify >= 0.9 on candidates only "
+    "(similarity/ann.py::banded_sign_buckets / neardup_pairs).",
+)
+def q_embedding_neardup_pairs(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        banded_sign_buckets,
+        neardup_pairs,
+    )
+
+    corpus = derived_vectors(spark, sf_dir)
+    planes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_PLANES
+    ).select(F.col("vec_id").alias("plane_id"), "embedding")
+    banded = banded_sign_buckets(corpus, planes, _NEARDUP_ROWS_PER_BAND)
+    return neardup_pairs(banded, corpus, _NEARDUP_THRESHOLD)

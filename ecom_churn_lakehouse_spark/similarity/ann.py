@@ -32,6 +32,8 @@ from ecom_churn_lakehouse_spark.functions.vectors import (
 __all__ = [
     "brute_force_topk",
     "hyperplane_lsh_buckets",
+    "banded_sign_buckets",
+    "neardup_pairs",
     "bucketed_topk",
     "ivf_assign_cells",
 ]
@@ -111,6 +113,103 @@ def hyperplane_lsh_buckets(
         .select(F.col(id_col), bit.alias("__bit"))
         .groupBy(id_col)
         .agg(F.sum("__bit").cast("long").alias("bucket"))
+    )
+
+
+def banded_sign_buckets(
+    vectors: DataFrame,
+    hyperplanes: DataFrame,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_id_col: str = "plane_id",
+) -> DataFrame:
+    """Banded sign-LSH: one bucket id per (vector, band).
+
+    Like :func:`hyperplane_lsh_buckets` but the plane set is split into
+    bands of ``rows_per_band`` bits — band ``plane_id // r``, bit
+    ``plane_id % r``. Two vectors are candidates iff they agree on ALL
+    bits of SOME band (the classic LSH OR-of-ANDs), which is what the
+    near-dup join needs: recall is tuned by band count × width instead
+    of a single all-bits bucket whose recall decays exponentially.
+
+    Output ``(id, band, bucket)``; the hyperplane side is broadcast, so
+    this is one narrow pass + a key-local aggregation.
+    """
+    v = vectors.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    h = hyperplanes.select(
+        F.col(plane_id_col).alias("__pid"),
+        to_double_array(F.col(vec_col)).alias("__h"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__h"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    bit = F.when(
+        dot >= 0,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(__pid % {rows_per_band} AS INT))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        v.join(F.broadcast(h))
+        .select(
+            F.col(id_col),
+            (F.floor(F.col("__pid") / rows_per_band)).cast("int").alias("band"),
+            bit.alias("__bit"),
+        )
+        .groupBy(id_col, "band")
+        .agg(F.sum("__bit").cast("long").alias("bucket"))
+    )
+
+
+def neardup_pairs(
+    banded: DataFrame,
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup scale path).
+
+    Candidates come from a band-bucket equi-self-join on the output of
+    :func:`banded_sign_buckets` (a pair qualifies once per agreeing
+    band; ``distinct`` collapses multi-band hits). Exact cosine is then
+    computed on candidates only and thresholded — so the expensive
+    vector math never touches the O(n²) pair space.
+
+    At 100 TB the band join is shuffle-partitioned by (band, bucket);
+    skewed buckets (mass duplication of one vector) are the risk — cap
+    bucket width by adding bits per band, or salt the verify join.
+    Output: ``(doc_a, doc_b, cosine_sim)`` with ``doc_a < doc_b``.
+    """
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    emb = vectors.select(
+        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
+    )
+    scored = cand.join(
+        emb.select(F.col(id_col).alias("doc_a"), F.col("__v").alias("__va")),
+        on="doc_a",
+    ).join(
+        emb.select(F.col(id_col).alias("doc_b"), F.col("__v").alias("__vb")),
+        on="doc_b",
+    )
+    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        scored.select(
+            "doc_a", "doc_b", F.round(sim, 6).alias("cosine_sim")
+        )
+        .filter(F.col("cosine_sim") >= threshold)
     )
 
 

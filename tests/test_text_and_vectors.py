@@ -93,3 +93,31 @@ def test_simhash_near_dup(spark):
     pairs = simhash_candidate_pairs(sigs, max_hamming=6).collect()
     got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in pairs}
     assert got.get((1, 2)) == 0
+
+def test_embedding_neardup_pairs(spark):
+    # 4 vectors: 0 and 1 identical, 2 a small perturbation of 0,
+    # 3 orthogonal-ish. Planes = the vectors themselves (deterministic).
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        banded_sign_buckets,
+        neardup_pairs,
+    )
+
+    vecs = spark.createDataFrame(
+        [
+            Row(vec_id=0, embedding=[1.0, 0.2, -0.3, 0.5]),
+            Row(vec_id=1, embedding=[1.0, 0.2, -0.3, 0.5]),
+            Row(vec_id=2, embedding=[1.0, 0.21, -0.29, 0.5]),
+            Row(vec_id=3, embedding=[-0.2, 1.0, 0.5, -0.9]),
+        ]
+    )
+    planes = vecs.select(F.col("vec_id").alias("plane_id"), "embedding")
+    banded = banded_sign_buckets(vecs, planes, rows_per_band=2)
+    # 4 planes / 2 per band → 2 bands per vector
+    assert banded.groupBy("vec_id").count().filter("count <> 2").count() == 0
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine_sim"]
+        for r in neardup_pairs(banded, vecs, threshold=0.95).collect()
+    }
+    assert got.get((0, 1)) == 1.0          # exact dup
+    assert (0, 2) in got and got[(0, 2)] > 0.99   # near dup
+    assert all(3 not in p for p in got)    # unrelated vector never pairs
