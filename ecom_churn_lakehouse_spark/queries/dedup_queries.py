@@ -139,19 +139,16 @@ _NGRAM_SQL = (
 @register(
     "ngram_jaccard_pairs",
     _NGRAM_SQL,
-    doc="Near-dup detection: 3-gram shingle equi-join + exact Jaccard "
-    "≥ 0.6 (dedup/shingles.py). Scale path is minhash_lsh_pairs.",
+    doc="Near-dup detection: PPJoin-style prefix+length-filtered "
+    "candidate join (dedup/ppjoin.py) + exact Jaccard ≥ 0.6. The "
+    "filters are lossless, so the exhaustive-join oracle verifies "
+    "both the threshold semantics AND the pruning.",
 )
 def q_ngram_jaccard_pairs(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.ppjoin import prefix_filter_candidates
+
     sh = doc_shingles(derived_corpus(spark, sf_dir))
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    pairs = (
-        sh_a.join(sh_b, on="shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    pairs = prefix_filter_candidates(sh, threshold=0.6)
     return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
 
 
