@@ -32,8 +32,13 @@ from pyspark.sql import types as T
 
 __all__ = [
     "DECODED_IMAGE_SCHEMA",
+    "RESIZED_IMAGE_SCHEMA",
+    "IMAGE_FEATURE_DIM",
+    "IMAGE_FEATURE_SCHEMA",
     "extract_binary_metadata",
     "decode_images",
+    "resize_images",
+    "image_features",
     "sample_frames",
 ]
 
@@ -111,6 +116,116 @@ def decode_images(
 
     return df.select(id_col, payload_col).mapInPandas(
         _decode_batches, schema=DECODED_IMAGE_SCHEMA
+    )
+
+
+#: Output schema of the resize stage.
+RESIZED_IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("resize_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    resizer: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize via ``mapInPandas``.
+
+    Payload in, payload out — the shape a 100 TB preprocessing stage
+    needs (bytes never leave the executors; output is written straight
+    to the sink). The ``fake`` resizer emits a deterministic payload of
+    ``target_width * target_height`` bytes derived from the input (a
+    repeated sha256 keystream), so batch sizing, memory behavior and
+    schema are all exercised for real; a real codec (PIL/opencv)
+    plugs into the marked block.
+    """
+
+    def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = target_width * target_height
+        for pdf in batches:
+            rows = {"doc_id": pdf[id_col].astype("int64"), "payload": [], "resize_ok": []}
+            for payload in pdf[payload_col]:
+                if resizer == "fake":
+                    seed = hashlib.sha256(bytes(payload)).digest()
+                    reps = n_out // len(seed) + 1
+                    rows["payload"].append((seed * reps)[:n_out])
+                    rows["resize_ok"].append(True)
+                else:
+                    # Real resize goes here, e.g.:
+                    #   img = PIL.Image.open(io.BytesIO(payload))
+                    #   img.resize((target_width, target_height))
+                    raise NotImplementedError(
+                        f"resizer {resizer!r} requires image libraries not "
+                        "present in this container; use resizer='fake'"
+                    )
+            out = pd.DataFrame(rows)
+            out["width"] = target_width
+            out["height"] = target_height
+            yield out[["doc_id", "width", "height", "payload", "resize_ok"]]
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _resize_batches, schema=RESIZED_IMAGE_SCHEMA
+    )
+
+
+#: Fixed dimensionality of the stub feature extractor.
+IMAGE_FEATURE_DIM = 16
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    extractor: str = "histogram",
+) -> DataFrame:
+    """Feature extraction over opaque payloads: fixed-dim vector per doc.
+
+    ``histogram``: a 16-bin byte histogram, L1-normalized — a real
+    (codec-free) feature, fully deterministic, computed vectorized with
+    numpy inside Arrow batches. The output feeds directly into the
+    similarity/ANN surface (``similarity/ann.py``), closing the
+    payload → embedding → near-dup loop. An ``embedding_model``
+    extractor would plug in the same way (batched model inference).
+    """
+    import numpy as np
+
+    def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                if extractor == "histogram":
+                    arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                    hist = np.bincount(arr >> 4, minlength=IMAGE_FEATURE_DIM)
+                    total = max(int(hist.sum()), 1)
+                    feats.append((hist / total).tolist())
+                else:
+                    raise NotImplementedError(
+                        f"extractor {extractor!r} not available in this "
+                        "container; use extractor='histogram'"
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf[id_col].astype("int64"), "features": feats}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _feature_batches, schema=IMAGE_FEATURE_SCHEMA
     )
 
 
