@@ -32,8 +32,21 @@ STOPWORDS = ["the", "a", "and", "of", "to", "in"]
 
 
 def token_count_col(text: Column) -> Column:
-    """Whitespace token count (BPE-ish: runs of non-whitespace)."""
+    """Whitespace token count (runs of non-whitespace)."""
     return F.regexp_count(text, F.lit(r"\S+")).cast("long")
+
+
+#: GPT-2-style pre-tokenizer classes — contraction suffixes, letter
+#: runs, digit runs, symbol runs — without the lookaheads of the real
+#: BPE pattern so the SAME regex runs under Java (Spark) and RE2
+#: (DuckDB oracle). Counts approximate LLM token budgets ~1:1 on
+#: prose, which is what a pipeline's cost accounting needs.
+BPE_TOKEN_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish subword-class token count (see BPE_TOKEN_PATTERN)."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).cast("long")
 
 
 def _marker_count(text: Column, words: list[str]) -> Column:

@@ -10,8 +10,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ecom_churn_lakehouse_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
     LANG_MARKERS,
     STOPWORDS,
+    bpe_token_count_col,
     doc_fingerprint_cols,
     lang_guess_col,
     quality_cols,
@@ -29,9 +31,11 @@ def _sql_count(pat: str, col: str = "text") -> str:
 # --- token counting ---
 
 _C_TOK = _sql_count(r"\S+")
+_C_BPE = _sql_count(BPE_TOKEN_PATTERN.replace("'", "''"))
 _TOKENS_SQL = f"""
 SELECT doc_id,
        {_C_TOK} AS n_tokens,
+       {_C_BPE} AS n_bpe_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(length(list_distinct(regexp_extract_all(text, '\\S+'))) AS BIGINT)
            AS n_unique_tokens
@@ -42,7 +46,8 @@ FROM documents
 @register(
     "doc_token_stats",
     _TOKENS_SQL,
-    doc="Token counting via regexp_count — whitespace-run tokenizer, "
+    doc="Token counting via regexp_count — whitespace-run AND BPE-ish "
+    "(GPT-2 pre-tokenizer classes, lookahead-free) tokenizers, "
     "JVM-side (SURVEY §7.7 text analysis).",
 )
 def q_doc_token_stats(spark, sf_dir):
@@ -51,6 +56,7 @@ def q_doc_token_stats(spark, sf_dir):
     return docs.select(
         "doc_id",
         token_count_col(F.col("text")).alias("n_tokens"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.array_distinct(tokens)).cast("long").alias("n_unique_tokens"),
     )

@@ -121,3 +121,15 @@ def test_embedding_neardup_pairs(spark):
     assert got.get((0, 1)) == 1.0          # exact dup
     assert (0, 2) in got and got[(0, 2)] > 0.99   # near dup
     assert all(3 not in p for p in got)    # unrelated vector never pairs
+
+def test_bpe_token_count(spark):
+    from ecom_churn_lakehouse_spark.functions.text import bpe_token_count_col
+
+    df = spark.createDataFrame(
+        [Row(text="don't stop 123 foo-bar!"), Row(text="a")]
+    )
+    out = [
+        r["n"] for r in df.select(bpe_token_count_col(F.col("text")).alias("n")).collect()
+    ]
+    # don / 't / stop / 123 / foo / - / bar / !  → 8
+    assert out == [8, 1]
