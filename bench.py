@@ -42,6 +42,7 @@ HEADLINE = [
     "ann_lsh_topk",
     "doc_quality",
     "doc_fingerprints",
+    "corpus_curation",
 ]
 
 

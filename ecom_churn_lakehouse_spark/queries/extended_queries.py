@@ -159,3 +159,32 @@ def q_stream_tumbling_daily(spark, sf_dir):
     stream = tumbling_counts_stream(stream_events(spark, sf_dir), window="1 day")
     run_stream_to_managed_table(stream, table, f"{base}/ckpt")
     return table.read()
+
+
+# ----------------------------------------- skew-safe distinct count
+
+_SKEWSAFE_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_distinct_users
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "skewsafe_distinct_users",
+    _SKEWSAFE_SQL,
+    doc="Distinct users per event_type via salted two-phase "
+    "count_distinct (operators/skew.py) — each low-cardinality hot key "
+    "is spread over 64 value-hash buckets, so no task ever co-locates "
+    "a full key. The plain-SQL oracle proves the salting is invisible "
+    "in the result.",
+)
+def q_skewsafe_distinct_users(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.skew import salted_count_distinct
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    return salted_count_distinct(
+        events, ["event_type"], "user_id", alias="n_distinct_users"
+    )

@@ -200,3 +200,115 @@ def q_binary_payload_meta(spark, sf_dir):
         .otherwise("video/mp4")
         .alias("media_type"),
     )
+
+
+# --- corpus curation: the composed training-data pipeline ---
+
+_C_EN = _sql_count(r"\b(the|and|of)\b")
+_C_DE = _sql_count(r"\b(der|und|das)\b")
+_C_FR = _sql_count(r"\b(le|et|les)\b")
+_C_ES = _sql_count(r"\b(el|y|los)\b")
+
+_CURATION_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, source, text
+    FROM documents WHERE doc_id % 10 = 0
+),
+raw AS (
+    SELECT doc_id, source, text,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {_C_TOK} AS n_tokens,
+           {_C_STOP} AS n_stopwords,
+           {_C_PUNCT} AS n_punct,
+           {_C_BPE} AS n_bpe_tokens,
+           {_C_EN} AS c_en,
+           {_C_DE} AS c_de,
+           {_C_FR} AS c_fr,
+           {_C_ES} AS c_es
+    FROM corpus
+),
+scored AS (
+    SELECT doc_id, source, text, n_bpe_tokens,
+           ROUND(
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(n_stopwords AS DOUBLE) / greatest(n_tokens, 1) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0)) * 0.2,
+               6) AS quality_score,
+           CASE WHEN greatest(c_en, c_de, c_fr, c_es) > 0
+                     AND c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+                WHEN greatest(c_en, c_de, c_fr, c_es) > 0
+                     AND c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN greatest(c_en, c_de, c_fr, c_es) > 0
+                     AND c_fr = greatest(c_en, c_de, c_fr, c_es) THEN 'fr'
+                WHEN greatest(c_en, c_de, c_fr, c_es) > 0
+                     AND c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+                ELSE 'unknown' END AS lang_guess
+    FROM raw
+),
+kept AS (
+    SELECT * FROM scored WHERE quality_score >= 0.55 AND lang_guess = 'en'
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+        FROM kept
+    ) WHERE rn = 1
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality
+FROM deduped
+GROUP BY source
+"""
+
+
+@register(
+    "corpus_curation",
+    _CURATION_SQL,
+    doc="End-to-end training-corpus curation in ONE declarative plan: "
+    "quality scoring -> language filter -> exact dedup (min-id "
+    "survivor) -> per-source doc count + BPE token budget. Every "
+    "stage is codegen-resident; the dedup window and final agg are "
+    "the only shuffles (SURVEY §7.7 composed).",
+)
+def q_corpus_curation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    )
+    q = quality_cols(F.col("text"))
+    scored = corpus.select(
+        "doc_id",
+        "source",
+        "text",
+        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+        q["quality_score"].alias("quality_score"),
+        lang_guess_col(F.col("text")).alias("lang_guess"),
+    )
+    kept = scored.filter(
+        (F.col("quality_score") >= 0.55) & (F.col("lang_guess") == "en")
+    )
+    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
+    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_quality"),
+    )
