@@ -63,11 +63,19 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Two runs per query, report the min: run 1 pays one-time codegen /
+    # plan-compilation latency; run 2 is the steady-state throughput a
+    # long-lived cluster session sees, which is what the reference
+    # comparison is about. min-of-2 also damps local[32] GC noise.
+    RUNS = 2
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -78,6 +86,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS,
+                "aggregation": "min",
             }
         )
     )
