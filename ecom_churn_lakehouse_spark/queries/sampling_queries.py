@@ -1,0 +1,163 @@
+"""Deterministic sampling / split / rebalancing registry entries.
+
+Extension surface (SURVEY §7.7): the reference has no sampling
+operators, but a training-data pipeline is not usable without
+reproducible splits. All three entries are hash-assignment based
+(operators/sampling.py) and oracle-verified bit-for-bit — the point of
+hash splitting is exactly that an independent engine computes the same
+assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.operators.sampling import (
+    assign_split,
+    balance_classes,
+    stratified_sample,
+)
+from ecom_churn_lakehouse_spark.plans.churn import churn_labels
+from ecom_churn_lakehouse_spark.registry import AS_OF, HORIZON_DAYS, register
+from ecom_churn_lakehouse_spark.sources import (
+    load_events,
+    load_table,
+    normalized_orders,
+)
+
+# Portable bucket: first 15 hex digits of md5(salt || key) mod 10^4 —
+# same idiom (and same DuckDB spelling) as the MinHash oracle.
+def _hb_sql(salt: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % 10000"
+    )
+
+
+# ------------------------------------------------- train/val/test split
+
+_SPLIT_SQL = f"""
+WITH hb AS (
+    SELECT c_custkey AS customer_id,
+           c_mktsegment AS segment,
+           {_hb_sql("split:", "c_custkey")} AS hb
+    FROM customer
+)
+SELECT customer_id,
+       segment,
+       CASE WHEN hb < 8000 THEN 'train'
+            WHEN hb < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM hb
+"""
+
+
+@register(
+    "customer_split",
+    _SPLIT_SQL,
+    doc="Deterministic 80/10/10 train/val/test split keyed on customer "
+    "(operators/sampling.py). Pure projection — zero-shuffle at any "
+    "scale, and a customer's split never changes as data grows.",
+)
+def q_customer_split(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return assign_split(
+        cust, "customer_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    )
+
+
+# --------------------------------------------- stratified event sample
+
+_EVENT_FRACTIONS = {"purchase": 1.0, "signup": 0.2, "click": 0.1, "view": 0.05}
+
+_STRAT_SQL = f"""
+WITH hb AS (
+    SELECT event_id, event_type, user_id,
+           {_hb_sql("sample:", "event_id")} AS hb
+    FROM events
+)
+SELECT event_id, event_type, user_id
+FROM hb
+WHERE hb < CASE event_type
+               WHEN 'purchase' THEN 10000
+               WHEN 'signup' THEN 2000
+               WHEN 'click' THEN 1000
+               WHEN 'view' THEN 500
+               ELSE 0 END
+"""
+
+
+@register(
+    "stratified_event_sample",
+    _STRAT_SQL,
+    doc="Per-stratum deterministic sampling of the event log (keep all "
+    "purchases, thin clicks/views, drop errors) — the curation shape "
+    "for training-event extraction. Scan-local filter, no shuffle.",
+)
+def q_stratified_event_sample(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    return stratified_sample(
+        ev, "event_id", "event_type", _EVENT_FRACTIONS, default_fraction=0.0
+    )
+
+
+# ------------------------------------------------ class rebalancing
+
+_BALANCE_SQL = f"""
+WITH base AS (
+    SELECT o_custkey AS customer_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderstatus AS order_status
+    FROM orders
+),
+bounds AS (SELECT MAX(order_date) AS dataset_end_date FROM base),
+spine AS (
+    SELECT DISTINCT customer_id FROM base, bounds
+    WHERE order_date <= DATE '{AS_OF}'
+      AND DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY <= bounds.dataset_end_date
+),
+future_active AS (
+    SELECT DISTINCT customer_id FROM base
+    WHERE order_date > DATE '{AS_OF}'
+      AND order_date <= DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY
+      AND order_status NOT IN ('P')
+),
+labeled AS (
+    SELECT s.customer_id AS customer_id,
+           CAST(CASE WHEN f.customer_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS churn_label
+    FROM spine s LEFT JOIN future_active f ON s.customer_id = f.customer_id
+),
+hb AS (
+    SELECT customer_id, churn_label,
+           {_hb_sql("balance:", "customer_id")} AS hb
+    FROM labeled
+),
+ranked AS (
+    SELECT customer_id, churn_label,
+           ROW_NUMBER() OVER (PARTITION BY churn_label
+                              ORDER BY hb, customer_id) AS rn
+    FROM hb
+),
+mc AS (
+    SELECT MIN(cnt) AS min_cnt
+    FROM (SELECT COUNT(*) AS cnt FROM labeled GROUP BY churn_label)
+)
+SELECT customer_id, churn_label FROM ranked, mc WHERE rn <= min_cnt
+"""
+
+
+@register(
+    "balanced_churn_classes",
+    _BALANCE_SQL,
+    doc="Exact class rebalancing of the churn label set: every class "
+    "downsampled to the minority size by deterministic hash rank; "
+    "min-count travels as a broadcast 1-row frame (no driver collect). "
+    "Scale caveat + threshold-based scale path in operators/sampling.py.",
+)
+def q_balanced_churn_classes(spark, sf_dir):
+    labels = churn_labels(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)
+    return balance_classes(labels, "customer_id", "churn_label", exact=True)

@@ -67,6 +67,7 @@ def _load_all() -> None:
         event_queries,
         extended_queries,
         relational_queries,
+        sampling_queries,
         similarity_queries,
         text_queries,
     )
