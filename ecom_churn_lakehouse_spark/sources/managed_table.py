@@ -24,6 +24,7 @@ OPTIMIZE); the emulation keeps semantics testable anywhere.
 
 from __future__ import annotations
 
+import math
 import os
 import shutil
 import uuid
@@ -140,3 +141,65 @@ class ManagedTable:
         current = self.read()
         kept = current.join(source.select(*self.keys), on=self.keys, how="left_anti")
         self._commit(kept.unionByName(source.select(*current.columns)), None)
+
+    # ------------------------------------------------------- maintenance
+
+    def compact(
+        self,
+        target_files: int | None = None,
+        sort_by: list[str] | None = None,
+        target_file_bytes: int = 128 << 20,
+    ) -> None:
+        """Small-file compaction (Delta OPTIMIZE analogue).
+
+        Streaming/incremental sinks accrete many small files; at scale
+        the scan cost becomes file-open-bound, not byte-bound. With
+        delta-spark this routes to the real ``OPTIMIZE`` (Z-order when
+        ``sort_by`` given). The emulation rewrites the snapshot:
+
+        - ``target_files`` defaults to snapshot-bytes / 128 MiB — the
+          file size object stores and parquet readers want;
+        - without ``sort_by``: ``coalesce`` (narrow — no shuffle, tasks
+          just concatenate input splits);
+        - with ``sort_by``: range-partition + sort-within-partitions,
+          which clusters the sort keys so parquet row-group min/max
+          stats give non-overlapping ranges per file — the flat-file
+          form of data skipping.
+        """
+        if HAVE_DELTA:
+            from delta.tables import DeltaTable  # type: ignore
+
+            opt = DeltaTable.forPath(self.spark, self.path).optimize()
+            if sort_by:
+                opt.executeZOrderBy(*sort_by)
+            else:
+                opt.executeCompaction()
+            return
+        head = self._head_dir()
+        if target_files is None:
+            total = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(head)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            target_files = max(1, math.ceil(total / target_file_bytes))
+        df = self.read()
+        if sort_by:
+            df = df.repartitionByRange(
+                target_files, *[F.col(c) for c in sort_by]
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_files)
+        # Partition-dir layout is not preserved: a sorted compaction IS
+        # the layout. Callers that need dir partitioning re-publish via
+        # overwrite(partition_by=...).
+        self._commit(df, None)
+
+    def file_count(self) -> int:
+        """Data files in the current snapshot (compaction observability)."""
+        if HAVE_DELTA:
+            return len(
+                self.spark.read.format("delta").load(self.path).inputFiles()
+            )
+        return len(self.read().inputFiles())

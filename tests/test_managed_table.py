@@ -2,6 +2,7 @@
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
 
@@ -49,3 +50,46 @@ def test_composite_key_merge(spark, tmp_path):
     t.merge(spark.createDataFrame([Row(k1="a", k2=1, v="y"), Row(k1="a", k2=2, v="z")]))
     out = {(r["k1"], r["k2"]): r["v"] for r in t.read().collect()}
     assert out == {("a", 1): "y", ("a", 2): "z"}
+
+
+# ----------------------------------------------------------- compaction
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "c"), keys=["k"])
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t.overwrite(df.repartition(16))
+    assert t.file_count() >= 16
+    before = t.read().orderBy("k").collect()
+    t.compact(target_files=2)
+    assert t.file_count() <= 2
+    assert t.read().orderBy("k").collect() == before
+
+
+def test_compact_sorted_clusters_key_ranges(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "s"), keys=["k"])
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    t.overwrite(df.repartition(8))
+    t.compact(target_files=4, sort_by=["k"])
+    # per-file key ranges must not overlap — that's what makes row-group
+    # min/max stats skip files for point/range predicates
+    ranges = (
+        t.read()
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for a, b in zip(ranges, ranges[1:]):
+        assert a["hi"] < b["lo"]
+    assert t.read().count() == 1000
+
+
+def test_compact_default_sizing(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "d"), keys=["k"])
+    t.overwrite(spark.range(100).select(F.col("id").alias("k")).repartition(10))
+    t.compact()  # tiny table → single 128 MiB-target file
+    assert t.file_count() == 1
