@@ -33,6 +33,9 @@ from ecom_churn_lakehouse_spark.dedup.minhash import (
     minhash_signatures,
 )
 from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles, doc_tokens
+from ecom_churn_lakehouse_spark.operators.connected_components import (
+    connected_components,
+)
 from ecom_churn_lakehouse_spark.dedup.simhash import (
     SIMHASH_BITS,
     simhash_candidate_pairs,
@@ -382,3 +385,54 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     ).select(F.col("vec_id").alias("plane_id"), "embedding")
     banded = banded_sign_buckets(corpus, planes, _NEARDUP_ROWS_PER_BAND)
     return neardup_pairs(banded, corpus, _NEARDUP_THRESHOLD)
+
+
+# ----------------------------------------- near-dup cluster resolution
+
+
+def _clusters_sql() -> str:
+    # The pair query embeds as a parenthesized WITH-subquery; the
+    # recursive walk is the oracle's transitive closure (fine at oracle
+    # scale — the engine-side algorithm is the scalable one).
+    return (
+        "WITH RECURSIVE pairs AS (\n"
+        + _minhash_sql()
+        + "\n),\n"
+        "edges AS (\n"
+        "    SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "    UNION\n"
+        "    SELECT doc_b, doc_a FROM pairs\n"
+        "),\n"
+        "walk(node, reach) AS (\n"
+        "    SELECT u, u FROM edges\n"
+        "    UNION\n"
+        "    SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach\n"
+        "),\n"
+        "comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node)\n"
+        "SELECT node AS doc_id, cluster_id,\n"
+        "       CAST(CASE WHEN node = cluster_id THEN 1 ELSE 0 END AS INTEGER)\n"
+        "           AS is_survivor\n"
+        "FROM comp"
+    )
+
+
+@register(
+    "neardup_clusters",
+    _clusters_sql(),
+    doc="Near-dup PAIRS resolved into CLUSTERS (connected components, "
+    "operators/connected_components.py) with a deterministic min-id "
+    "survivor per cluster — the keep/drop decision a curation pipeline "
+    "actually executes. Oracle: recursive-CTE transitive closure.",
+)
+def q_neardup_clusters(spark, sf_dir):
+    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    sigs = minhash_signatures(sh)
+    pairs = jaccard_on_pairs(
+        lsh_candidate_pairs(sigs), sh, sizes=sigs.select("doc_id", "n_sh")
+    ).filter(F.col("jaccard") >= 0.5)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_survivor"),
+    )

@@ -85,3 +85,24 @@ def test_topk_per_group(spark):
         by_g.setdefault(r["g"], []).append(r["v"])
     assert sorted(by_g["a"], reverse=True) == [4, 3]
     assert by_g["b"] == [9]
+
+
+# ---------------------------------------------------- connected components
+
+
+def test_connected_components_chain_and_islands(spark):
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["src", "dst"],
+    )
+    out = {
+        r["node"]: r["label"] for r in connected_components(edges).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
