@@ -43,6 +43,8 @@ HEADLINE = [
     "doc_quality",
     "doc_fingerprints",
     "corpus_curation",
+    "customer_split",
+    "stratified_event_sample",
 ]
 
 
