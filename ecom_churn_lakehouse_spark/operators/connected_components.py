@@ -57,23 +57,28 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
+        # The previous label rides through the union/aggregate (is_own
+        # marks the node's own row), so convergence is read off the
+        # aggregate itself — no extra compare-join per round.
+        own = labels.select("node", "label", F.lit(True).alias("is_own"))
         nbr = sym.join(labels, sym["v"] == labels["node"]).select(
-            F.col("u").alias("node"), "label"
+            F.col("u").alias("node"), "label", F.lit(False).alias("is_own")
         )
         new = (
-            labels.unionByName(nbr)
+            own.unionByName(nbr)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("is_own"), F.col("label"))).alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), on="node")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        labels = new.select("node", "label")
+        # Round 1 always changes something when any edge exists — probe
+        # from round 2 on.
+        if i > 0 and (
+            new.filter(F.col("label") != F.col("__old")).limit(1).count() == 0
+        ):
             break
     return labels
