@@ -63,7 +63,11 @@ def compile_check(spec: dict[str, Any]) -> Column:
             bad = bad | (c > F.lit(spec["max"]))
         return bad
     if t == "ordering":
-        return ~(F.col(spec["less"]) <= F.col(spec["greater"]))
+        # NULL on either side fails explicitly (consistent with `range`):
+        # ~(less <= greater) alone is NULL-for-NULL inputs, which the
+        # conditional counter in run_checks would treat as a pass.
+        less, greater = F.col(spec["less"]), F.col(spec["greater"])
+        return less.isNull() | greater.isNull() | ~(less <= greater)
     if t == "expr":
         return F.expr(spec["predicate"])
     raise ValueError(f"unknown check type {t!r}")

@@ -59,7 +59,15 @@ def interval_join(
     # {floor(L/span), floor(L/span)+1} — so replicating each right row
     # into its own bin and the previous one guarantees every true
     # match co-locates with its left bin.
-    l_binned = left.withColumn(
+    # Surrogate row id so the left-join reattachment below can anti-join
+    # null-safely: anti-joining on the full left schema would re-emit any
+    # matched row containing a NULL (NULL never equals itself).
+    left_tagged = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        if how == "left"
+        else left
+    )
+    l_binned = left_tagged.withColumn(
         "__bin", F.floor(l_us / F.lit(span_us)).cast("long")
     )
     r_bin0 = F.floor((r_us - F.lit(lower_us)) / F.lit(span_us)).cast("long")
@@ -71,14 +79,14 @@ def interval_join(
     )
     if how == "inner":
         return joined.drop("__bin")
-    # left join: reattach unmatched left rows
+    # left join: reattach unmatched left rows by surrogate id
     matched = joined.drop("__bin")
     right_cols = [c for c in right.columns if c not in on]
     unmatched = l_binned.drop("__bin").join(
-        matched.select(*left.columns).distinct(), on=list(left.columns), how="left_anti"
+        matched.select("__lid").distinct(), on="__lid", how="left_anti"
     )
     for c in right_cols:
         unmatched = unmatched.withColumn(
             c, F.lit(None).cast(dict(right.dtypes)[c])
         )
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop("__lid")

@@ -370,6 +370,19 @@ def label_snapshot(
             f"label gates failed: {[r.name for r in report.blocking_failures]}"
         )
     n = labels.count()
+    if n == 0 and orders.limit(1).count() > 0:
+        # Eligibility gate (labels.py:154-163): churn_labels' broadcast
+        # bound frame yields an EMPTY spine when as_of + horizon exceeds
+        # max(order_date). Publishing that would silently produce an
+        # empty training set, so fail loudly like the reference does.
+        labels.unpersist()
+        end = orders.agg(F.max("order_date")).collect()[0][0]
+        raise DQGateFailure(
+            "Requested as_of_date is not training-eligible because the full "
+            "future label window is not observable. "
+            f"as_of_date={as_of_date}, label_horizon_days={horizon_days}, "
+            f"dataset_end_date={end}"
+        )
     ManagedTable(spark, labels_path, keys=["customer_id", "as_of_date"]).merge(labels)
     labels.unpersist()
     return StageResult(rows_published=n, metadata=report.to_dict())

@@ -83,8 +83,16 @@ class ManagedTable:
             f.write(version)
         old = self._head_dir() if self.exists() else None
         os.replace(tmp, os.path.join(self.path, _HEAD))  # atomic commit
-        if old and os.path.basename(old) != version:
-            shutil.rmtree(old, ignore_errors=True)  # vacuum previous snapshot
+        # Deferred vacuum (keep-last-2): retain the immediately-previous
+        # snapshot so still-lazy DataFrames from an earlier read() (Spark
+        # re-resolves files at action time) and readers that grabbed HEAD
+        # just before the swap survive this commit; drop older ones.
+        keep = {version}
+        if old:
+            keep.add(os.path.basename(old))
+        for d in os.listdir(self.path):
+            if d.startswith("v-") and d not in keep:
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """S6 initial/overwrite publish."""

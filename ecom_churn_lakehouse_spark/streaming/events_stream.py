@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ecom_churn_lakehouse_spark.operators.windows import dedup_top1
 from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
 
 __all__ = [
@@ -111,8 +112,16 @@ def run_stream_to_managed_table(
         if batch_df.isEmpty():
             return
         # Within one microbatch the window grain can repeat across
-        # update rows; keep the last state per key before merging.
-        deduped = batch_df.dropDuplicates(table.keys)
+        # update rows. Update-mode aggregate batches emit one row per
+        # key today, but if a source ever yields several, pick the
+        # winner DETERMINISTICALLY: total-order over the state columns
+        # (dropDuplicates would keep an arbitrary row).
+        state_cols = [c for c in batch_df.columns if c not in table.keys]
+        deduped = dedup_top1(
+            batch_df,
+            table.keys,
+            [F.col(c).desc_nulls_last() for c in state_cols],
+        )
         table.merge(deduped)
 
     # session_window aggregations reject update mode (sessions can

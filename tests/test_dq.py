@@ -77,3 +77,13 @@ def test_ordering_and_expr_checks(spark):
 def test_unknown_check_type_rejected(spark):
     with pytest.raises(ValueError, match="unknown check type"):
         run_checks(_df(spark), [{"type": "nope"}])
+
+
+def test_ordering_check_nulls_fail(spark):
+    # ADVICE r1: NULL on either side of an ordering rule must FAIL
+    # (consistent with `range`), not vanish as a three-valued NULL pass.
+    df = spark.createDataFrame([(None, 5), (3, None), (1, 2)], "a int, b int")
+    report = run_checks(
+        df, [{"name": "ord", "type": "ordering", "less": "a", "greater": "b"}]
+    )
+    assert report.results[0].bad_rows == 2

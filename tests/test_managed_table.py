@@ -1,5 +1,7 @@
 """Managed-table layer: merge/append/overwrite/existence (S4-S9)."""
 
+import os
+
 import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -93,3 +95,17 @@ def test_compact_default_sizing(spark, tmp_path):
     t.overwrite(spark.range(100).select(F.col("id").alias("k")).repartition(10))
     t.compact()  # tiny table → single 128 MiB-target file
     assert t.file_count() == 1
+
+
+def test_commit_keeps_previous_snapshot(spark, tmp_path):
+    # ADVICE r1: deferred vacuum — a lazily-held read() of version N
+    # must survive the commit of N+1 (deleted only at N+2).
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    held = t.read()  # resolves the v1 snapshot dir
+    t.merge(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert held.count() == 1  # v1 still on disk after one commit
+    t.merge(spark.createDataFrame([(3, "c")], "k int, v string"))
+    vdirs = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("v-")]
+    assert len(vdirs) == 2  # keep-last-2: v1 vacuumed at the v3 commit
+    assert t.read().count() == 3

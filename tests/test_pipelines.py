@@ -135,3 +135,24 @@ def test_dq_gate_blocks_publish(spark, tmp_path):
         str(tmp_path / "q"), "r2",
     )
     assert s.rows_published == 0 and s.rows_rejected == 1
+
+
+def test_label_horizon_not_observable_raises(spark, tmp_path):
+    # ADVICE r1: an as_of whose label window extends past max(order_date)
+    # must fail loudly (reference labels.py:157-163), not publish an
+    # empty label table.
+    import datetime as dt
+
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(
+        spark.createDataFrame(
+            [("o1", "c1", dt.datetime(2025, 1, 10, 8), "delivered")],
+            "order_id string, customer_id string, "
+            "order_purchase_ts timestamp, order_status string",
+        )
+    )
+    with pytest.raises(DQGateFailure, match="not observable"):
+        label_snapshot(
+            spark, str(tmp_path / "silver"), str(tmp_path / "labels"),
+            "2025-03-31", "r1",
+        )

@@ -138,3 +138,28 @@ def test_sessionize_matches_naive(spark, gaps):
             sid += 1
         want.append(sid)
     assert out == want
+
+
+def test_interval_join_left_nullable_rows_not_duplicated(spark):
+    # ADVICE r1: a matched left row containing a NULL must not ALSO be
+    # re-emitted as unmatched (the old all-columns anti-join was
+    # null-unsafe; reattachment now keys on a surrogate id).
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1, 0, 0), None),
+         ("k", dt.datetime(2025, 1, 2, 0, 0), "p2")],
+        "key string, lts timestamp, payload string",
+    )
+    right = spark.createDataFrame(
+        [("k", dt.datetime(2025, 1, 1, 0, 30), "r1")],
+        "key string, rts timestamp, rval string",
+    )
+    out = interval_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        lower_s=0, upper_s=3600, how="left",
+    ).collect()
+    assert len(out) == 2
+    by_lts = {str(r["lts"]): r["rval"] for r in out}
+    assert by_lts["2025-01-01 00:00:00"] == "r1"  # matched, exactly once
+    assert by_lts["2025-01-02 00:00:00"] is None  # unmatched survives

@@ -63,3 +63,26 @@ def test_session_window_stream_runs(spark, tmp_path):
         (F.col("session_end") < F.col("session_start")) | (F.col("n_events") < 1)
     ).count()
     assert bad == 0
+
+
+def test_stream_merge_dedups_deterministically(spark, tmp_path):
+    # ADVICE r1: if a microbatch carries several rows per merge key, the
+    # sink must pick the winner by a total order over the state columns,
+    # not dropDuplicates' arbitrary row.
+    events = stream_events(spark, SF).select(
+        "user_id", F.col("value").cast("double").alias("value")
+    )
+    table = ManagedTable(spark, str(tmp_path / "t"), keys=["user_id"])
+    run_stream_to_managed_table(
+        events, table, str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = {r["user_id"]: r["value"] for r in table.read().collect()}
+    # deterministic winner = max value per user (desc_nulls_last order)
+    want = {
+        r["user_id"]: r["m"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.max(F.col("value").cast("double")).alias("m"))
+        .collect()
+    }
+    assert got == want
