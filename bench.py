@@ -45,6 +45,8 @@ HEADLINE = [
     "corpus_curation",
     "customer_split",
     "stratified_event_sample",
+    "orders_trailing_30d",
+    "status_priority_cube",
 ]
 
 

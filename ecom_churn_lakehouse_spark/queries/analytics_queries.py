@@ -1,0 +1,308 @@
+"""Analytic operator extensions round 2 (SURVEY.md §2.5/§2.6/§2.8).
+
+Fills the operator families SURVEY lists as absent-in-reference but
+engine-built-in, each verified against the DuckDB oracle:
+
+- set ops: INTERSECT (``repeat_customers``) to pair the existing
+  EXCEPT (``lapsed_customers``); UNION ALL conform-then-aggregate
+  (``activity_timeline``)
+- joins: FULL OUTER (``orders_vs_events_monthly``) — the one join
+  type previously missing from the inventory
+- windows: ``lead`` (``next_order_gap``), ``ntile``
+  (``customer_value_deciles``), and a RANGE frame
+  (``orders_trailing_30d``) to pair the existing ROWS frame
+- grouping: CUBE (``status_priority_cube``) to pair ROLLUP/pivot
+
+Scale notes are per-query; the common rule: every window here is
+keyed by customer (parallel across the key space) except the ntile
+ranking, whose global-order note explains the 100 TB substitute.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_events, load_table
+
+
+def _dsum(col, scale=2):
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ------------------------------------------------------- set: INTERSECT
+
+_REPEAT_SQL = """
+SELECT o_custkey AS customer_id FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+INTERSECT
+SELECT o_custkey AS customer_id FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+"""
+
+
+@register(
+    "repeat_customers",
+    _REPEAT_SQL,
+    doc="Set op INTERSECT: customers active in both 1996 and 1997 "
+    "(SURVEY §2.8 built-in; pairs with lapsed_customers' EXCEPT). "
+    "Set semantics = distinct-then-intersect, one shuffle per side.",
+)
+def q_repeat_customers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+
+    def year(y):
+        return orders.filter(
+            (F.col("d") >= F.lit(f"{y}-01-01").cast("date"))
+            & (F.col("d") < F.lit(f"{y + 1}-01-01").cast("date"))
+        ).select("customer_id")
+
+    return year(1996).distinct().intersect(year(1997).distinct())
+
+
+# ------------------------------------------------- set: UNION ALL conform
+
+_TIMELINE_SQL = """
+WITH ulog AS (
+    SELECT 'order' AS kind, CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+    FROM orders
+    UNION ALL
+    SELECT 'event' AS kind, CAST(date_trunc('month', ts) AS DATE) AS month
+    FROM events
+)
+SELECT kind, month, COUNT(*) AS n
+FROM ulog GROUP BY kind, month
+"""
+
+
+@register(
+    "activity_timeline",
+    _TIMELINE_SQL,
+    doc="UNION ALL conform-then-aggregate: orders and events mapped onto "
+    "one (kind, month) log (SURVEY §2.8). unionByName keeps the "
+    "conform explicit; the aggregate is a single hash-agg over the "
+    "concatenated scan — no extra shuffle for the union itself.",
+)
+def q_activity_timeline(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("order").alias("kind"),
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+    )
+    events = load_events(spark, sf_dir).select(
+        F.lit("event").alias("kind"),
+        F.trunc(F.to_date("ts"), "month").alias("month"),
+    )
+    return (
+        orders.unionByName(events)
+        .groupBy("kind", "month")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------- join: FULL OUTER
+
+_FULL_OUTER_SQL = """
+WITH om AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY 1
+),
+em AS (
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+)
+SELECT COALESCE(om.month, em.month) AS month,
+       COALESCE(om.n_orders, 0) AS n_orders,
+       COALESCE(em.n_events, 0) AS n_events
+FROM om FULL OUTER JOIN em ON om.month = em.month
+"""
+
+
+@register(
+    "orders_vs_events_monthly",
+    _FULL_OUTER_SQL,
+    doc="FULL OUTER join of two monthly aggregates with COALESCE'd key "
+    "and defaults — the join type missing from SURVEY §2.6's "
+    "inventory. Both sides pre-aggregate before the join, so the "
+    "outer join runs over months (tiny), not raw rows.",
+)
+def q_orders_vs_events_monthly(spark, sf_dir):
+    om = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    em = (
+        load_events(spark, sf_dir)
+        .groupBy(F.trunc(F.to_date("ts"), "month").alias("month"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return om.join(em, on="month", how="full_outer").select(
+        F.col("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
+# ------------------------------------------------------- window: lead
+
+_LEAD_SQL = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_id,
+       CAST(o_orderdate AS DATE) AS order_date,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(next_d AS DATE))
+            AS INTEGER) AS days_to_next
+FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS next_d
+    FROM orders
+)
+"""
+
+
+@register(
+    "next_order_gap",
+    _LEAD_SQL,
+    doc="lead() analytic — forward twin of the reference's lag (W3, "
+    "customer_features_daily.py:150-170); last order per customer "
+    "keeps a NULL gap. Keyed window, parallel across customers.",
+)
+def q_next_order_gap(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.datediff(F.to_date(F.lead("o_orderdate").over(w)), F.to_date("o_orderdate"))
+        .cast("int")
+        .alias("days_to_next"),
+    )
+
+
+# ------------------------------------------------------ window: ntile
+
+_DECILE_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY 1
+)
+SELECT customer_id, total_spend,
+       CAST(NTILE(10) OVER (ORDER BY total_spend DESC, customer_id) AS INTEGER)
+           AS spend_decile
+FROM spend
+"""
+
+
+@register(
+    "customer_value_deciles",
+    _DECILE_SQL,
+    doc="ntile(10) ranking over per-customer spend (window extension, "
+    "SURVEY §2.5 absent-list). The unpartitioned ORDER BY serializes "
+    "through one task — fine for the per-customer aggregate (rows = "
+    "customers, not orders); at 100 TB swap to approx_percentile "
+    "cutoffs + a broadcast bucket lookup, which this engine's "
+    "order_value_percentiles query demonstrates.",
+)
+def q_customer_value_deciles(spark, sf_dir):
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "customer_id")
+    return spend.select(
+        "customer_id",
+        "total_spend",
+        F.ntile(10).over(w).cast("int").alias("spend_decile"),
+    )
+
+
+# ------------------------------------------------- window: RANGE frame
+
+_RANGE_FRAME_SQL = """
+SELECT customer_id, order_id, order_date, orders_trailing_30d
+FROM (
+    SELECT o_custkey AS customer_id,
+           o_orderkey AS order_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           COUNT(*) OVER (
+               PARTITION BY o_custkey
+               ORDER BY date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW
+           ) AS orders_trailing_30d
+    FROM orders
+)
+"""
+
+
+@register(
+    "orders_trailing_30d",
+    _RANGE_FRAME_SQL,
+    doc="RANGE frame (value-based window, vs cumulative_customer_spend's "
+    "ROWS frame): per order, how many orders the same customer placed "
+    "in the trailing 30 days — the windowed-count feature (A2) as a "
+    "sliding per-row analytic. Ties (same-day orders) are frame peers "
+    "on both engines, so the result is deterministic.",
+)
+def q_orders_trailing_30d(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-29, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.count("*").over(w).alias("orders_trailing_30d"),
+    )
+
+
+# -------------------------------------------------------- grouping: CUBE
+
+_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS order_status,
+       COALESCE(o_orderpriority, 'ALL') AS order_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@register(
+    "status_priority_cube",
+    _CUBE_SQL,
+    doc="CUBE grouping sets (pairs the existing ROLLUP/pivot entries, "
+    "SURVEY §2.4 absent-list). Spark expands the 4 grouping sets in "
+    "one pass with partial aggregation — no per-set rescan. Fixture "
+    "columns are non-null, so COALESCE('ALL') is unambiguous.",
+)
+def q_status_priority_cube(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+            "total_price",
+        )
+    )

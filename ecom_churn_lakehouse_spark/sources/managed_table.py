@@ -63,15 +63,55 @@ class ManagedTable:
         with open(os.path.join(self.path, _HEAD)) as f:
             return os.path.join(self.path, f.read().strip())
 
-    def read(self) -> DataFrame:
+    def versions(self) -> list[str]:
+        """Snapshot ids on disk, oldest→newest (≤2 under keep-last-2).
+
+        Version names embed a monotone sequence number, so
+        lexicographic order IS commit order — the flat-file analogue of
+        Delta's version counter.
+        """
+        if not os.path.isdir(self.path):
+            return []
+        return sorted(d for d in os.listdir(self.path) if d.startswith("v-"))
+
+    def read(self, version: str | None = None) -> DataFrame:
+        """Read HEAD, or a retained snapshot by id (time travel).
+
+        With delta-spark, ``version`` maps to ``versionAsOf``; the
+        emulation resolves the retained snapshot dir (only the previous
+        commit survives vacuum — a bounded, Delta-retention-like window).
+        """
         if HAVE_DELTA:
-            return self.spark.read.format("delta").load(self.path)
-        return self.spark.read.parquet(self._head_dir())
+            reader = self.spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            return reader.load(self.path)
+        if version is None:
+            return self.spark.read.parquet(self._head_dir())
+        target = os.path.join(self.path, version)
+        if not os.path.isdir(target):
+            raise ValueError(
+                f"version {version!r} not retained; available: {self.versions()}"
+            )
+        return self.spark.read.parquet(target)
 
     # ------------------------------------------------------------ writes
 
+    def _next_version(self) -> str:
+        """Monotone version id: ``v-{seq:08d}-{nonce}``. The sequence
+        number comes from the current HEAD, so commit order is readable
+        from the name alone (and `versions()` can just sort)."""
+        seq = 0
+        if self.exists():
+            head = os.path.basename(self._head_dir())
+            try:
+                seq = int(head.split("-")[1]) + 1
+            except (IndexError, ValueError):
+                seq = 0
+        return f"v-{seq:08d}-{uuid.uuid4().hex[:8]}"
+
     def _commit(self, df: DataFrame, partition_by: list[str] | None) -> None:
-        version = f"v-{uuid.uuid4().hex[:12]}"
+        version = self._next_version()
         target = os.path.join(self.path, version)
         writer = df.write.mode("overwrite")
         if partition_by:

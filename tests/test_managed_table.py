@@ -109,3 +109,15 @@ def test_commit_keeps_previous_snapshot(spark, tmp_path):
     vdirs = [d for d in os.listdir(str(tmp_path / "t")) if d.startswith("v-")]
     assert len(vdirs) == 2  # keep-last-2: v1 vacuumed at the v3 commit
     assert t.read().count() == 3
+
+
+def test_time_travel_reads_previous_snapshot(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.merge(spark.createDataFrame([(1, "A"), (2, "b")], "k int, v string"))
+    vs = t.versions()
+    assert len(vs) == 2 and vs == sorted(vs)  # monotone ids, oldest first
+    assert {r["v"] for r in t.read(version=vs[0]).collect()} == {"a"}
+    assert {r["v"] for r in t.read().collect()} == {"A", "b"}
+    with pytest.raises(ValueError, match="not retained"):
+        t.read(version="v-99999999-nope")
