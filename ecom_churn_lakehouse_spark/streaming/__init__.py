@@ -1,4 +1,6 @@
 from .events_stream import (
+    dedup_events_stream,
+    enrich_stream_with_dim,
     run_stream_to_managed_table,
     session_window_stream,
     stream_events,
@@ -11,5 +13,7 @@ __all__ = [
     "tumbling_counts_stream",
     "session_window_stream",
     "run_stream_to_managed_table",
+    "dedup_events_stream",
+    "enrich_stream_with_dim",
     "running_user_profiles",
 ]

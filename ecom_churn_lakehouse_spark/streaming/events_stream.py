@@ -98,6 +98,35 @@ def session_window_stream(
     )
 
 
+def dedup_events_stream(
+    events: DataFrame, id_col: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop replayed events by id.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state to the
+    watermark horizon — the scale-correct choice (plain
+    ``dropDuplicates`` would hold every id ever seen in state). A
+    replay (at-least-once source, e.g. re-delivered files) inside the
+    watermark window is suppressed; replays older than the watermark
+    are already outside any correct source's redelivery window.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        [id_col]
+    )
+
+
+def enrich_stream_with_dim(
+    stream_df: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "left"
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a broadcast dimension.
+
+    The static side is broadcast (re-resolved per microbatch, so a
+    slowly-changing dim table picks up updates between batches) — no
+    shuffle of the stream, no streaming state.
+    """
+    return stream_df.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_to_managed_table(
     stream_df: DataFrame,
     table: ManagedTable,

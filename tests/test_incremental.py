@@ -1,0 +1,92 @@
+"""Incremental gold maintenance: delta-scoped recompute ≡ full recompute.
+
+The guarantee under test: because every feature is a function of one
+customer's orders only, recomputing just the touched key set and
+MERGE-ing yields a gold table bit-identical to a full re-run.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.pipelines import gold_features
+from ecom_churn_lakehouse_spark.pipelines.incremental import incremental_gold_update
+from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+
+AS_OF = "2025-03-31"
+
+_SILVER_SCHEMA = (
+    "order_id string, customer_id string, "
+    "order_purchase_ts timestamp, order_status string"
+)
+
+
+def _silver_rows():
+    return [
+        ("o1", "c1", dt.datetime(2025, 1, 10, 8), "delivered"),
+        ("o2", "c1", dt.datetime(2025, 3, 10, 12), "delivered"),
+        ("o3", "c2", dt.datetime(2025, 2, 15, 10), "delivered"),
+        ("o4", "c3", dt.datetime(2025, 3, 1, 9), "delivered"),
+    ]
+
+
+_FEATURE_COLS = [
+    "customer_id", "as_of_date", "recency_days", "orders_30d", "orders_90d",
+    "lifetime_orders", "customer_tenure_days", "avg_days_between_orders",
+]
+
+
+def _features(table):
+    return {
+        r["customer_id"]: tuple(r[c] for c in _FEATURE_COLS[1:])
+        for r in table.read().select(*_FEATURE_COLS).collect()
+    }
+
+
+def test_incremental_update_equals_full_recompute(spark, tmp_path):
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(spark.createDataFrame(_silver_rows(), _SILVER_SCHEMA))
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "gold"), AS_OF, "r1")
+
+    # CDC delta: c1 places a new order, c3's o4 status changes
+    delta = spark.createDataFrame(
+        [
+            ("o5", "c1", dt.datetime(2025, 3, 20, 9), "delivered"),
+            ("o4", "c3", dt.datetime(2025, 3, 1, 9), "canceled"),
+        ],
+        _SILVER_SCHEMA,
+    )
+    silver.merge(delta)
+
+    # incremental: recompute ONLY the delta's customers
+    r = incremental_gold_update(
+        spark,
+        str(tmp_path / "silver"),
+        str(tmp_path / "gold"),
+        delta.select("customer_id"),
+        AS_OF,
+        "r2",
+    )
+    assert r.rows_published == 2  # c1 and c3 only
+
+    # ground truth: full recompute into a fresh gold table
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "gold_full"), AS_OF, "r3")
+    inc = _features(ManagedTable(spark, str(tmp_path / "gold"), keys=["customer_id", "as_of_date"]))
+    full = _features(ManagedTable(spark, str(tmp_path / "gold_full"), keys=["customer_id", "as_of_date"]))
+    assert inc == full
+    assert set(inc) == {"c1", "c2", "c3"}  # untouched c2 row survived the merge
+
+
+def test_incremental_requires_existing_gold(spark, tmp_path):
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(spark.createDataFrame(_silver_rows(), _SILVER_SCHEMA))
+    with pytest.raises(ValueError, match="existing gold table"):
+        incremental_gold_update(
+            spark,
+            str(tmp_path / "silver"),
+            str(tmp_path / "gold"),
+            spark.createDataFrame([("c1",)], "customer_id string"),
+            AS_OF,
+            "r1",
+        )

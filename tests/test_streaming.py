@@ -86,3 +86,64 @@ def test_stream_merge_dedups_deterministically(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_dedup_suppresses_replays(spark, tmp_path):
+    # At-least-once source: the same events delivered twice (2 files,
+    # 2 microbatches) → watermark-bounded dedup keeps each id once.
+    from ecom_churn_lakehouse_spark.streaming import dedup_events_stream
+
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+    src = str(tmp_path / "src")
+
+    ev = load_events(spark, SF).orderBy("event_id").limit(300)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)  # replay file
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        dedup_events_stream(stream, watermark="365 days")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deduped")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT event_id FROM deduped").collect()
+    assert len(out) == 300  # 600 delivered rows → 300 unique survive
+    assert len({r["event_id"] for r in out}) == 300
+
+
+def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.streaming import enrich_stream_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "revenue")],
+        "event_type string, category string",
+    )
+    enriched = enrich_stream_with_dim(stream_events(spark, SF), dim, on="event_type")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT count(*) AS n, count(category) AS matched FROM enriched"
+    ).collect()[0]
+    assert rows["n"] > 0
+    # left join: every stream row survives; only dim-known types match
+    want = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert rows["n"] == want
+    assert 0 < rows["matched"] < rows["n"]
