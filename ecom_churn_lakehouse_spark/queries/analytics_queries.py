@@ -306,3 +306,139 @@ def q_status_priority_cube(spark, sf_dir):
             "total_price",
         )
     )
+
+
+# --------------------------------------------- generator: posexplode
+
+_TOKEN_POS_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+)
+SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[i] AS token
+FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks)
+"""
+
+
+@register(
+    "doc_token_positions",
+    _TOKEN_POS_SQL,
+    doc="posexplode generator (UDTF family, SURVEY §2.10 absent-list): "
+    "position-indexed token stream per document. regexp_extract_all "
+    "on both engines keeps tokenization bit-identical; the explode is "
+    "scan-local (no shuffle).",
+)
+def q_doc_token_positions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+# ------------------------------------- scalar subquery / decorrelation
+
+_ABOVE_AVG_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(CAST(total_spend AS DECIMAL(18,2))) AS DOUBLE) AS s,
+           COUNT(*) AS n
+    FROM spend
+)
+SELECT customer_id, total_spend
+FROM spend, tot
+WHERE total_spend * n > s
+"""
+
+
+@register(
+    "customers_above_avg_spend",
+    _ABOVE_AVG_SQL,
+    doc="Scalar-aggregate subquery (SQL shape) decorrelated into a "
+    "broadcast 1-row cross join (the plan Catalyst produces for "
+    "scalar subqueries). The avg comparison is expressed "
+    "multiplicatively (spend*n > sum) over exact decimal sums, so no "
+    "float-division jitter can flip boundary rows between engines.",
+)
+def q_customers_above_avg_spend(spark, sf_dir):
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    tot = spend.agg(
+        _dsum(F.col("total_spend")).alias("s"), F.count("*").alias("n")
+    )
+    return (
+        spend.join(F.broadcast(tot))
+        .filter(F.col("total_spend") * F.col("n") > F.col("s"))
+        .select("customer_id", "total_spend")
+    )
+
+
+# ------------------------------------------------------- cross join
+
+_GRID_SQL = """
+WITH segs AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+pris AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+grid AS (SELECT segment, priority FROM segs CROSS JOIN pris),
+counts AS (
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+)
+SELECT g.segment, g.priority, COALESCE(n.n_orders, 0) AS n_orders
+FROM grid g LEFT JOIN counts n
+  ON g.segment = n.segment AND g.priority = n.priority
+"""
+
+
+@register(
+    "segment_priority_grid",
+    _GRID_SQL,
+    doc="CROSS JOIN dimension grid + left join with zero-fill: the "
+    "dense segment×priority matrix including empty cells (SURVEY "
+    "§2.6 absent-list). Both grid sides are tiny distinct sets, so "
+    "the cross product is broadcast-cheap; the fact-side count "
+    "aggregates before joining.",
+)
+def q_segment_priority_grid(spark, sf_dir):
+    segs = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+    pris = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("priority"))
+        .distinct()
+    )
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_mktsegment"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        segs.crossJoin(pris)
+        .join(counts, on=["segment", "priority"], how="left")
+        .select(
+            "segment",
+            "priority",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        )
+    )
