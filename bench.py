@@ -47,6 +47,7 @@ HEADLINE = [
     "stratified_event_sample",
     "orders_trailing_30d",
     "status_priority_cube",
+    "benchmark_contamination",
 ]
 
 

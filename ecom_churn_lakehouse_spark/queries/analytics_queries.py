@@ -435,7 +435,7 @@ def q_segment_priority_grid(spark, sf_dir):
     )
     return (
         segs.crossJoin(pris)
-        .join(counts, on=["segment", "priority"], how="left")
+        .join(F.broadcast(counts), on=["segment", "priority"], how="left")
         .select(
             "segment",
             "priority",

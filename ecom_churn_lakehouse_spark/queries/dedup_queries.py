@@ -436,3 +436,79 @@ def q_neardup_clusters(spark, sf_dir):
         F.col("label").alias("cluster_id"),
         (F.col("node") == F.col("label")).cast("int").alias("is_survivor"),
     )
+
+
+# ------------------------------------- benchmark decontamination
+
+# A training-data pipeline must detect eval-set contamination before
+# training: any training doc sharing a long n-gram (8 here) with a
+# benchmark document is suspect. The derived corpus plants the
+# contamination deterministically: originals with doc_id % 10 == 0
+# act as the "benchmark" set, and their exact copies (+100000) — plus
+# near-copies of % 70 == 0 docs — sit in the training side.
+
+
+def _ngram_sql_8(src: str) -> str:
+    cat = " || ' ' || ".join(f"t[i+{j}]" for j in range(8))
+    return (
+        f"SELECT DISTINCT doc_id, {cat} AS shingle FROM ("
+        r"SELECT doc_id, regexp_extract_all(text, '\S+') AS t, "
+        "unnest(generate_series(1, greatest(len(regexp_extract_all(text, "
+        r"'\S+')) - 7, 0))) AS i "
+        f"FROM {src})"
+    )
+
+
+_CONTAM_SQL = f"""
+WITH {_CORPUS_SQL},
+sh8 AS ({_ngram_sql_8("corpus")}),
+bench AS (
+    SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 10 = 0 AND doc_id < 100000
+),
+train AS (
+    SELECT * FROM sh8 WHERE NOT (doc_id % 10 = 0 AND doc_id < 100000)
+),
+hits AS (
+    SELECT t.doc_id, COUNT(*) AS n_overlapping_ngrams
+    FROM train t JOIN bench b ON t.shingle = b.shingle
+    GROUP BY t.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id)
+SELECT h.doc_id,
+       h.n_overlapping_ngrams,
+       ROUND(CAST(h.n_overlapping_ngrams AS DOUBLE) / s.n_sh, 6)
+           AS contamination_ratio
+FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@register(
+    "benchmark_contamination",
+    _CONTAM_SQL,
+    doc="Eval-set decontamination: training docs sharing >= 1 8-gram "
+    "with the benchmark partition, with overlap counts and the "
+    "contaminated fraction of each doc's 8-grams. The benchmark "
+    "shingle set is deduped before the join; at 100 TB it is orders "
+    "of magnitude smaller than the corpus, so the probe join "
+    "broadcasts and the scan side never shuffles.",
+)
+def q_benchmark_contamination(spark, sf_dir):
+    sh8 = doc_shingles(derived_corpus(spark, sf_dir), n=8).localCheckpoint(
+        eager=False
+    )
+    is_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    bench = sh8.filter(is_bench).select("shingle").distinct()
+    train = sh8.filter(~is_bench)
+    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    hits = (
+        train.join(F.broadcast(bench), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlapping_ngrams"))
+    )
+    return hits.join(sizes, on="doc_id").select(
+        "doc_id",
+        "n_overlapping_ngrams",
+        F.round(
+            F.col("n_overlapping_ngrams").cast("double") / F.col("n_sh"), 6
+        ).alias("contamination_ratio"),
+    )

@@ -312,3 +312,53 @@ def q_corpus_curation(spark, sf_dir):
             6,
         ).alias("avg_quality"),
     )
+
+
+# --- document frequency / IDF stats ---
+
+_DOCFREQ_SQL = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+n_docs AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+SELECT token,
+       COUNT(*) AS doc_freq,
+       ROUND(ln(CAST(n AS DOUBLE) / COUNT(*)), 6) AS idf
+FROM toks, n_docs
+GROUP BY token, n
+HAVING COUNT(*) >= 25
+"""
+
+
+@register(
+    "token_doc_freq",
+    _DOCFREQ_SQL,
+    doc="Per-token document frequency + IDF over the corpus — the "
+    "vocabulary statistics a curation pipeline uses for stopword "
+    "discovery and tf-idf weighting. Distinct (doc, token) explode is "
+    "one shuffle; the DF aggregate is a second. The broadcast 1-row "
+    "corpus count keeps the IDF computation shuffle-free.",
+)
+def q_token_doc_freq(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "token"
+        ),
+    ).distinct()
+    n_docs = docs.agg(F.count_distinct("doc_id").alias("n"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= 25)
+        .join(F.broadcast(n_docs))
+        .select(
+            "token",
+            "doc_freq",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("doc_freq")), 6
+            ).alias("idf"),
+        )
+    )
