@@ -1,4 +1,5 @@
 from .events_stream import (
+    click_purchase_stream_join,
     dedup_events_stream,
     enrich_stream_with_dim,
     run_stream_to_managed_table,
@@ -15,5 +16,6 @@ __all__ = [
     "run_stream_to_managed_table",
     "dedup_events_stream",
     "enrich_stream_with_dim",
+    "click_purchase_stream_join",
     "running_user_profiles",
 ]

@@ -127,6 +127,45 @@ def enrich_stream_with_dim(
     return stream_df.join(F.broadcast(dim), on=on, how=how)
 
 
+def click_purchase_stream_join(
+    events: DataFrame, window_s: int = 3600, watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream interval join: clicks within the hour before each
+    purchase — the streaming twin of the batch ``clicks_before_purchase``
+    query (operators/range_join.py semantics: ``click_ts ∈
+    (purchase_ts − window, purchase_ts]``).
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can size the join state to the
+    watermark horizon and evict — the state never grows with stream
+    length. At 100 TB/day the state is (watermark window × rate),
+    independent of history.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"p_user = c_user AND "
+            f"click_ts > purchase_ts - INTERVAL {window_s} SECONDS AND "
+            f"click_ts <= purchase_ts"
+        ),
+        "inner",
+    ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
+
+
 def run_stream_to_managed_table(
     stream_df: DataFrame,
     table: ManagedTable,

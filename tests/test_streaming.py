@@ -147,3 +147,43 @@ def test_stream_static_enrichment_broadcasts_dim(spark, tmp_path):
     want = spark.read.parquet(f"{SF}/events.parquet").count()
     assert rows["n"] == want
     assert 0 < rows["matched"] < rows["n"]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
+    # Stream-stream joined pairs must equal the batch interval join's.
+    from ecom_churn_lakehouse_spark.operators import interval_join
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+    from ecom_churn_lakehouse_spark.streaming import click_purchase_stream_join
+
+    q = (
+        click_purchase_stream_join(stream_events(spark, SF))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["purchase_id"], str(r["click_ts"]))
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    }
+
+    ev = load_events(spark, SF)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    want = {
+        (r["purchase_id"], str(r["click_ts"]))
+        for r in interval_join(
+            purchases, clicks, on=["user_id"],
+            left_ts="purchase_ts", right_ts="click_ts",
+            lower_s=-3600, upper_s=0,
+        ).collect()
+    }
+    assert got == want and len(got) > 0
