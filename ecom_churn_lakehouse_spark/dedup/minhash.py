@@ -34,6 +34,9 @@ __all__ = [
     "MINHASH_B",
     "shingle_hash_col",
     "minhash_signatures",
+    "with_shingle_hashes",
+    "minhash_signatures_from_arrays",
+    "jaccard_on_pairs_arrays",
     "lsh_candidate_pairs",
     "jaccard_on_pairs",
 ]
@@ -78,6 +81,81 @@ def minhash_signatures(shingled: DataFrame, id_col: str = "doc_id") -> DataFrame
         # verification needs it, and computing it here saves a full
         # recompute of the explode+distinct shingle lineage.
         F.count("*").alias("n_sh"),
+    )
+
+
+def with_shingle_hashes(
+    arrays: DataFrame, shingles_col: str = "shingles"
+) -> DataFrame:
+    """Append an array of 31-bit shingle hashes (``__hs``) — scan-local."""
+    hs = F.transform(
+        F.col(shingles_col),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+    return arrays.withColumn("__hs", hs)
+
+
+def minhash_signatures_from_arrays(
+    hashed_arrays: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """K min-hash values per doc from the array representation.
+
+    ZERO shuffle: each signature is an ``array_min`` over a scan-local
+    transform of the per-doc hash array (``with_shingle_hashes``),
+    where the exploded form (:func:`minhash_signatures`) pays an
+    explode + groupBy exchange first. At 100 TB this turns signature
+    computation into a map-only stage; the first exchange in the whole
+    LSH pipeline becomes the (already small) band self-join.
+    """
+    h = F.col("__hs")
+    return hashed_arrays.select(
+        id_col,
+        *[
+            F.array_min(
+                F.transform(
+                    h, lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % MINHASH_P
+                )
+            ).alias(f"mh{i}")
+            for i in range(NUM_HASHES)
+        ],
+        F.size("__hs").alias("n_sh"),
+    )
+
+
+def jaccard_on_pairs_arrays(
+    pairs: DataFrame, arrays: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via ``array_intersect``.
+
+    Joins the (small) pair set against the compact doc→shingle-array
+    relation twice; the set intersection itself is row-local. With
+    sparse candidates this replaces two shuffles of the exploded
+    shingle relation with two joins of |pairs| rows.
+    """
+    a = arrays.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("__sh_a"),
+        F.size("shingles").alias("__n_a"),
+    )
+    b = arrays.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("__sh_b"),
+        F.size("shingles").alias("__n_b"),
+    )
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        pairs.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                n_common.cast("double")
+                / (F.col("__n_a") + F.col("__n_b") - n_common),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

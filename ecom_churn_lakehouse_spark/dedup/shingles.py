@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["doc_tokens", "doc_shingles"]
+__all__ = ["doc_tokens", "doc_shingles", "doc_shingle_arrays"]
 
 
 def doc_tokens(
@@ -53,3 +53,31 @@ def doc_shingles(
         with_toks.select(id_col, F.explode(shingle).alias("shingle"))
         .distinct()
     )
+
+
+def doc_shingle_arrays(
+    corpus: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct shingles per doc as ONE array column — zero shuffle.
+
+    The exploded relation (:func:`doc_shingles`) pays an explode +
+    distinct shuffle before anything else can run; this variant keeps
+    each doc's shingle set scan-local (``array_distinct`` dedups within
+    the row), which lets MinHash signatures be computed with no
+    exchange at all. Same sets, different physical shape.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_toks = corpus.select(id_col, toks.alias("__toks")).filter(
+        F.size("__toks") >= n
+    )
+    idx = F.sequence(F.lit(1), F.size("__toks") - (n - 1))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("__toks", (i + j).cast("int")) for j in range(n)]
+        ),
+    )
+    return with_toks.select(id_col, F.array_distinct(shingle).alias("shingles"))

@@ -29,10 +29,16 @@ from ecom_churn_lakehouse_spark.dedup.minhash import (
     NUM_HASHES,
     ROWS_PER_BAND,
     jaccard_on_pairs,
+    jaccard_on_pairs_arrays,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_signatures_from_arrays,
+    with_shingle_hashes,
 )
-from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles, doc_tokens
+from ecom_churn_lakehouse_spark.dedup.shingles import (
+    doc_shingle_arrays,
+    doc_shingles,
+    doc_tokens,
+)
 from ecom_churn_lakehouse_spark.operators.connected_components import (
     connected_components,
 )
@@ -150,12 +156,18 @@ _NGRAM_SQL = (
 def q_ngram_jaccard_pairs(spark, sf_dir):
     from ecom_churn_lakehouse_spark.dedup.ppjoin import prefix_filter_candidates
 
-    # Shingles feed frequency ranking, the prefix join, and the verify
-    # join — localCheckpoint materializes the parse lineage once (same
-    # measured win as in q_minhash_lsh_pairs below).
-    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
+    # Compact array representation: per-doc shingle sets are built
+    # scan-locally (no explode+distinct exchange); the PPJoin stages
+    # that genuinely need per-shingle rows (frequency ranking, prefix
+    # join) explode from the checkpointed arrays — already distinct, so
+    # the explode is exchange-free — and verification intersects the
+    # candidate pairs' arrays instead of re-joining exploded shingles.
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
     pairs = prefix_filter_candidates(sh, threshold=0.6)
-    return jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= 0.6)
+    return jaccard_on_pairs_arrays(pairs, arr).filter(F.col("jaccard") >= 0.6)
 
 
 # -------------------------------------------------------- MinHash + LSH
@@ -215,20 +227,20 @@ def _minhash_sql() -> str:
     "scale path: pair generation is bucket-local, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
-    # The shingle relation feeds the signatures AND the Jaccard verify
-    # join (2×). Measured at sf0.1: persist() is a net LOSS (cache
-    # materialization blocks AQE), but a lazy localCheckpoint wins
-    # ~35% — partitions are stored once at first materialization and
-    # the text-parsing lineage is never replayed. On a real cluster
-    # localCheckpoint blocks are lost with an executor; the recompute
-    # fallback there is a reliable checkpoint dir or plain lineage.
-    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
-    sigs = minhash_signatures(sh)
-    cand = lsh_candidate_pairs(sigs)
-    # sizes come from the signature aggregation (one shared pass) —
-    # the shingle lineage is only re-derived for candidate docs.
-    sizes = sigs.select("doc_id", "n_sh")
-    return jaccard_on_pairs(cand, sh, sizes=sizes).filter(F.col("jaccard") >= 0.5)
+    # Array representation end-to-end (doc_shingle_arrays →
+    # minhash_signatures_from_arrays → array_intersect verify):
+    # signatures become a map-only stage — no explode/groupBy exchange
+    # — and the verify joins touch |pairs| rows instead of the exploded
+    # shingle relation. Measured 3.5s → 2.4s at sf0.1 vs the exploded
+    # path (which jaccard_on_pairs keeps for callers that already have
+    # an exploded relation, e.g. the PPJoin prefix filter). The compact
+    # (doc, shingles, hashes) relation feeds signatures AND verify, so
+    # one lazy localCheckpoint materializes the parse exactly once.
+    arr = with_shingle_hashes(
+        doc_shingle_arrays(derived_corpus(spark, sf_dir))
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    return jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
 
 
 # ------------------------------------------------------------- SimHash
@@ -425,11 +437,11 @@ def _clusters_sql() -> str:
     "actually executes. Oracle: recursive-CTE transitive closure.",
 )
 def q_neardup_clusters(spark, sf_dir):
-    sh = doc_shingles(derived_corpus(spark, sf_dir)).localCheckpoint(eager=False)
-    sigs = minhash_signatures(sh)
-    pairs = jaccard_on_pairs(
-        lsh_candidate_pairs(sigs), sh, sizes=sigs.select("doc_id", "n_sh")
-    ).filter(F.col("jaccard") >= 0.5)
+    arr = with_shingle_hashes(
+        doc_shingle_arrays(derived_corpus(spark, sf_dir))
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    pairs = jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(
         F.col("node").alias("doc_id"),
@@ -493,13 +505,22 @@ FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
     "broadcasts and the scan side never shuffles.",
 )
 def q_benchmark_contamination(spark, sf_dir):
-    sh8 = doc_shingles(derived_corpus(spark, sf_dir), n=8).localCheckpoint(
+    # Array representation: the per-doc 8-gram sets never pay an
+    # explode+distinct exchange; sizes are F.size() on the array; only
+    # the probe join sees exploded rows (and the bench side dedups
+    # before broadcasting).
+    arr8 = doc_shingle_arrays(derived_corpus(spark, sf_dir), n=8).localCheckpoint(
         eager=False
     )
     is_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
-    bench = sh8.filter(is_bench).select("shingle").distinct()
-    train = sh8.filter(~is_bench)
-    sizes = train.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    bench = (
+        arr8.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    train_arr = arr8.filter(~is_bench)
+    train = train_arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    sizes = train_arr.select("doc_id", F.size("shingles").alias("n_sh"))
     hits = (
         train.join(F.broadcast(bench), on="shingle")
         .groupBy("doc_id")
