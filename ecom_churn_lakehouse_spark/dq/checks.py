@@ -25,7 +25,14 @@ from typing import Any
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["compile_check", "run_checks", "CheckResult", "DQReport"]
+__all__ = [
+    "compile_check",
+    "run_checks",
+    "observe_checks",
+    "report_from_observation",
+    "CheckResult",
+    "DQReport",
+]
 
 
 def compile_check(spec: dict[str, Any]) -> Column:
@@ -119,6 +126,54 @@ def assert_single_value(df: DataFrame, column: str) -> Any:
             + ("no rows" if not vals else f"multiple values (e.g. {vals})")
         )
     return vals[0]
+
+
+def observe_checks(df: DataFrame, checks: list[dict[str, Any]]):
+    """Attach row-predicate checks as an ``Observation`` — ZERO extra scans.
+
+    :func:`run_checks` costs one dedicated aggregation job per table;
+    at 100 TB that is a full extra scan before every publish. This
+    variant rides the metrics on whatever action consumes the returned
+    DataFrame (e.g. the publish write itself): Spark's observe API
+    accumulates the conditional counts on the executors as rows stream
+    through, for free.
+
+    Returns ``(observed_df, observation)``; feed the observation to
+    :func:`report_from_observation` AFTER the action has run. Only
+    row-predicate checks are supported (``unique`` is group-based and
+    still needs its own pass — or an approx_count_distinct screen).
+    """
+    from pyspark.sql import Observation
+
+    row_checks = [c for c in checks if c["type"] != "unique"]
+    if len(row_checks) != len(checks):
+        raise ValueError("observe_checks supports row-predicate checks only")
+    obs = Observation()
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, spec in enumerate(row_checks):
+        bad = compile_check(spec)
+        aggs.append(
+            F.coalesce(F.sum(F.when(bad, 1).otherwise(0)), F.lit(0)).alias(f"__c{i}")
+        )
+    return df.observe(obs, *aggs), obs
+
+
+def report_from_observation(obs, checks: list[dict[str, Any]]) -> DQReport:
+    """Build a :class:`DQReport` from a completed observation."""
+    got = obs.get
+    report = DQReport(row_count=int(got["__n"]))
+    for i, spec in enumerate(checks):
+        bad_rows = int(got[f"__c{i}"])
+        report.results.append(
+            CheckResult(
+                name=spec.get("name", f"{spec['type']}_{i}"),
+                check_type=spec["type"],
+                severity=spec.get("severity", "critical"),
+                bad_rows=bad_rows,
+                passed=bad_rows == 0,
+            )
+        )
+    return report
 
 
 def run_checks(

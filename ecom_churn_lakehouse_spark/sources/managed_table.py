@@ -110,13 +110,25 @@ class ManagedTable:
                 seq = 0
         return f"v-{seq:08d}-{uuid.uuid4().hex[:8]}"
 
-    def _commit(self, df: DataFrame, partition_by: list[str] | None) -> None:
+    def _write_version(self, df: DataFrame, partition_by: list[str] | None) -> str:
+        """Stage a new snapshot dir (the WRITE half of a commit).
+
+        Runs the Spark action but does NOT move HEAD — readers still see
+        the previous snapshot. Callers either :meth:`_activate` the
+        returned version or :meth:`_abandon` it (staged two-phase
+        publish; what lets DQ gates observed during the write abort
+        before anything becomes visible).
+        """
         version = self._next_version()
         target = os.path.join(self.path, version)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
+        return version
+
+    def _activate(self, version: str) -> None:
+        """Atomically swap HEAD to ``version`` (the COMMIT half)."""
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f".head-{uuid.uuid4().hex[:8]}")
         with open(tmp, "w") as f:
@@ -133,6 +145,13 @@ class ManagedTable:
         for d in os.listdir(self.path):
             if d.startswith("v-") and d not in keep:
                 shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _abandon(self, version: str) -> None:
+        """Discard a staged, never-activated snapshot."""
+        shutil.rmtree(os.path.join(self.path, version), ignore_errors=True)
+
+    def _commit(self, df: DataFrame, partition_by: list[str] | None) -> None:
+        self._activate(self._write_version(df, partition_by))
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
         """S6 initial/overwrite publish."""
@@ -189,6 +208,60 @@ class ManagedTable:
         current = self.read()
         kept = current.join(source.select(*self.keys), on=self.keys, how="left_anti")
         self._commit(kept.unionByName(source.select(*current.columns)), None)
+
+    def merge_gated(self, source: DataFrame, checks: list[dict]) -> "DQReport":
+        """Keyed MERGE with DQ gates observed DURING the publish write.
+
+        The classic gate-then-publish (``run_checks`` + ``merge``) scans
+        the source twice; here the row-predicate counts ride the staged
+        snapshot write itself (``df.observe`` — executor-side
+        accumulation, zero extra jobs) and the HEAD swap happens only if
+        every critical check passes. On failure the staged snapshot is
+        abandoned: readers never see it, exactly like a failed Delta
+        transaction. Raises :class:`ValueError` listing the failures.
+
+        Returns the :class:`DQReport` either way the gates pass.
+        """
+        from ecom_churn_lakehouse_spark.dq.checks import (
+            observe_checks,
+            report_from_observation,
+            run_checks,
+        )
+
+        if HAVE_DELTA:
+            # Delta MERGE is its own transaction; observation semantics
+            # across the MERGE command aren't guaranteed, so gate first.
+            report = run_checks(source, checks)
+            if not report.ok:
+                raise ValueError(
+                    "merge_gated blocked: "
+                    f"{[r.name for r in report.blocking_failures]}"
+                )
+            self.merge(source)
+            return report
+
+        dup = source.groupBy(*self.keys).count().filter(F.col("count") > 1).limit(1)
+        if dup.count() > 0:
+            raise ValueError(f"merge source not unique on keys {self.keys}")
+        observed, obs = observe_checks(source, checks)
+        if self.exists():
+            current = self.read()
+            kept = current.join(
+                source.select(*self.keys), on=self.keys, how="left_anti"
+            )
+            frame = kept.unionByName(observed.select(*current.columns))
+        else:
+            frame = observed
+        version = self._write_version(frame, None)
+        report = report_from_observation(obs, checks)
+        if not report.ok:
+            self._abandon(version)
+            raise ValueError(
+                "merge_gated blocked: "
+                f"{[r.name for r in report.blocking_failures]}"
+            )
+        self._activate(version)
+        return report
 
     # ------------------------------------------------------- maintenance
 

@@ -121,3 +121,45 @@ def test_time_travel_reads_previous_snapshot(spark, tmp_path):
     assert {r["v"] for r in t.read().collect()} == {"A", "b"}
     with pytest.raises(ValueError, match="not retained"):
         t.read(version="v-99999999-nope")
+
+
+# ------------------------------------------------- observed-gate publish
+
+
+def test_merge_gated_publishes_and_reports(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "g"), keys=["k"])
+    checks = [{"name": "v_not_null", "type": "not_null", "columns": ["v"]}]
+    rep = t.merge_gated(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), checks
+    )
+    assert rep.ok and rep.row_count == 2 and rep.results[0].bad_rows == 0
+    assert t.read().count() == 2
+    # second gated merge: update + insert, gates still observed
+    rep2 = t.merge_gated(
+        spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string"), checks
+    )
+    assert rep2.ok and rep2.row_count == 2
+    assert {r["k"]: r["v"] for r in t.read().collect()} == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_gated_aborts_before_head_swap(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "g"), keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    before = t.versions()
+    with pytest.raises(ValueError, match="merge_gated blocked"):
+        t.merge_gated(
+            spark.createDataFrame([(2, None)], "k int, v string"),
+            [{"name": "v_not_null", "type": "not_null", "columns": ["v"]}],
+        )
+    # table unchanged, staged snapshot cleaned up
+    assert {r["k"] for r in t.read().collect()} == {1}
+    assert t.versions() == before
+
+
+def test_merge_gated_rejects_unique_check_spec(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "g"), keys=["k"])
+    with pytest.raises(ValueError, match="row-predicate"):
+        t.merge_gated(
+            spark.createDataFrame([(1, "a")], "k int, v string"),
+            [{"type": "unique", "keys": ["k"]}],
+        )
