@@ -209,6 +209,11 @@ _C_DE = _sql_count(r"\b(der|und|das)\b")
 _C_FR = _sql_count(r"\b(le|et|les)\b")
 _C_ES = _sql_count(r"\b(el|y|los)\b")
 
+from ecom_churn_lakehouse_spark.queries.dedup_queries import _ngram_sql_8  # noqa: E402
+
+_ngram8_bench = _ngram_sql_8("bench_docs")
+_ngram8_train = _ngram_sql_8("train_docs")
+
 _CURATION_SQL = f"""
 WITH corpus AS (
     SELECT doc_id, source, text FROM documents
@@ -250,11 +255,28 @@ scored AS (
 kept AS (
     SELECT * FROM scored WHERE quality_score >= 0.55 AND lang_guess = 'en'
 ),
+bench_docs AS (
+    SELECT doc_id, text FROM corpus WHERE doc_id % 50 = 0 AND doc_id < 100000
+),
+train_docs AS (
+    SELECT doc_id, text FROM kept
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < 100000)
+),
+bench8 AS (SELECT DISTINCT shingle FROM ({_ngram8_bench})),
+cand8 AS ({_ngram8_train}),
+contaminated AS (
+    SELECT DISTINCT c.doc_id FROM cand8 c JOIN bench8 b ON c.shingle = b.shingle
+),
+clean AS (
+    SELECT * FROM kept
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < 100000)
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
 deduped AS (
     SELECT * FROM (
         SELECT *, ROW_NUMBER() OVER (
             PARTITION BY sha256(text) ORDER BY doc_id) AS rn
-        FROM kept
+        FROM clean
     ) WHERE rn = 1
 )
 SELECT source,
@@ -271,24 +293,62 @@ GROUP BY source
     "corpus_curation",
     _CURATION_SQL,
     doc="End-to-end training-corpus curation in ONE declarative plan: "
-    "quality scoring -> language filter -> exact dedup (min-id "
+    "quality scoring -> language filter -> benchmark decontamination "
+    "(8-gram overlap, broadcast probe) -> exact dedup (min-id "
     "survivor) -> per-source doc count + BPE token budget. Every "
-    "stage is codegen-resident; the dedup window and final agg are "
-    "the only shuffles (SURVEY §7.7 composed).",
+    "stage is codegen-resident; the dedup window, the decontam probe, "
+    "and the final agg are the only shuffles (SURVEY §7.7 composed).",
 )
 def q_corpus_curation(spark, sf_dir):
     from pyspark.sql.window import Window
 
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingle_arrays
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    corpus = docs.unionByName(
-        docs.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    # Two measured plan fixes for the CPU-bound text stages:
+    # (1) repartition to full parallelism — a small-file corpus scan
+    #     yields 1-2 input splits, serializing the regex/shingle work;
+    # (2) checkpoint boundaries around the decontam subgraph — the
+    #     corpus feeds three consumers, and keeping the regex-heavy
+    #     scoring in its own small plan keeps it codegen-friendly.
+    # Together: 9s → 2.2s at sf0.1. At 100 TB (1) is a no-op (many
+    # files = natural parallelism) and (2) becomes a persisted or
+    # checkpointed staging table between pipeline phases.
+    par = spark.sparkContext.defaultParallelism
+    corpus = (
+        docs.unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+            )
         )
+        .repartition(par)
+        .localCheckpoint(eager=False)
+    )
+    # Decontamination FIRST, on the raw corpus — never spend quality
+    # scoring on docs that are about to be dropped. (Final set is
+    # identical to filtering kept: the stages commute.)
+    is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
+    bench8 = (
+        doc_shingle_arrays(corpus.filter(is_bench), n=8)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    contaminated = (
+        doc_shingle_arrays(corpus.filter(~is_bench), n=8)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .join(F.broadcast(bench8), on="shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean_raw = (
+        corpus.filter(~is_bench)
+        .join(contaminated, on="doc_id", how="left_anti")
+        .localCheckpoint(eager=False)
     )
     q = quality_cols(F.col("text"))
-    scored = corpus.select(
+    scored = clean_raw.select(
         "doc_id",
         "source",
         "text",
