@@ -442,3 +442,39 @@ def q_segment_priority_grid(spark, sf_dir):
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         )
     )
+
+
+# ------------------------------------------------ window: rank family
+
+_RANK_FAMILY_SQL = """
+SELECT o_custkey AS customer_id,
+       o_orderkey AS order_id,
+       CAST(RANK() OVER w AS INTEGER) AS price_rank,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS price_dense_rank,
+       ROUND(PERCENT_RANK() OVER w, 6) AS price_percent_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS price_cume_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "order_rank_stats",
+    _RANK_FAMILY_SQL,
+    doc="The remaining ranking functions in one keyed window: rank, "
+    "dense_rank, percent_rank, cume_dist (SURVEY §2.5 absent-list). "
+    "percent_rank/cume_dist are exact integer ratios, so both engines "
+    "produce identical doubles. Keyed window — parallel across "
+    "customers, one shuffle.",
+)
+def q_order_rank_stats(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.rank().over(w).cast("int").alias("price_rank"),
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    )

@@ -390,8 +390,14 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     )
 
     # The vector corpus feeds bucketing AND the two-sided verify join;
-    # localCheckpoint materializes it once (measured 1.3-3× at sf0.1).
-    corpus = derived_vectors(spark, sf_dir).localCheckpoint(eager=False)
+    # localCheckpoint materializes it once (measured 1.3-3× at sf0.1),
+    # repartitioned first so the CPU-bound dot products use every core
+    # even when the source is a single small file (no-op at 100 TB).
+    corpus = (
+        derived_vectors(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
     planes = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < _NEARDUP_PLANES
     ).select(F.col("vec_id").alias("plane_id"), "embedding")
