@@ -133,3 +133,56 @@ def test_bpe_token_count(spark):
     ]
     # don / 't / stop / 123 / foo / - / bar / !  → 8
     assert out == [8, 1]
+
+
+def test_shingle_arrays_equal_exploded_relation(spark):
+    # The array representation (perf path) and the exploded relation
+    # (PPJoin path) must describe the SAME shingle sets.
+    from ecom_churn_lakehouse_spark.dedup.shingles import (
+        doc_shingle_arrays,
+        doc_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for n in (3, 8):
+        exploded = {
+            (r["doc_id"], r["shingle"]) for r in doc_shingles(docs, n=n).collect()
+        }
+        from_arrays = {
+            (r["doc_id"], r["s"])
+            for r in doc_shingle_arrays(docs, n=n)
+            .select("doc_id", F.explode("shingles").alias("s"))
+            .collect()
+        }
+        assert exploded == from_arrays and len(exploded) > 0
+
+
+def test_minhash_array_signatures_equal_exploded(spark):
+    # Zero-shuffle array signatures must equal the exploded groupBy form.
+    from ecom_churn_lakehouse_spark.dedup.minhash import (
+        minhash_signatures,
+        minhash_signatures_from_arrays,
+        with_shingle_hashes,
+    )
+    from ecom_churn_lakehouse_spark.dedup.shingles import (
+        doc_shingle_arrays,
+        doc_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cols = [f"mh{i}" for i in range(16)] + ["n_sh"]
+    a = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in minhash_signatures_from_arrays(
+            with_shingle_hashes(doc_shingle_arrays(docs))
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: tuple(r[c] for c in cols)
+        for r in minhash_signatures(doc_shingles(docs)).collect()
+    }
+    assert a == b and len(a) > 0
