@@ -48,6 +48,17 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--as-of", required=True)
     g.add_argument("--run-id", required=True)
 
+    gi = sub.add_parser("gold-incremental")
+    gi.add_argument("--silver", required=True)
+    gi.add_argument("--gold", required=True)
+    gi.add_argument(
+        "--keys",
+        required=True,
+        help="parquet with a customer_id column: the CDC delta's key set",
+    )
+    gi.add_argument("--as-of", required=True)
+    gi.add_argument("--run-id", required=True)
+
     l = sub.add_parser("labels")
     l.add_argument("--silver", required=True)
     l.add_argument("--labels", required=True)
@@ -87,6 +98,19 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.cmd == "gold":
         r = pipelines.gold_features(spark, args.silver, args.gold, args.as_of, args.run_id)
+    elif args.cmd == "gold-incremental":
+        from ecom_churn_lakehouse_spark.pipelines.incremental import (
+            incremental_gold_update,
+        )
+
+        r = incremental_gold_update(
+            spark,
+            args.silver,
+            args.gold,
+            spark.read.parquet(args.keys),
+            args.as_of,
+            args.run_id,
+        )
     elif args.cmd == "labels":
         r = pipelines.label_snapshot(
             spark, args.silver, args.labels, args.as_of, args.run_id, args.horizon_days

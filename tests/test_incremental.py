@@ -90,3 +90,30 @@ def test_incremental_requires_existing_gold(spark, tmp_path):
             AS_OF,
             "r1",
         )
+
+
+def test_gold_incremental_cli(spark, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(spark.createDataFrame(_silver_rows(), _SILVER_SCHEMA))
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "gold"), AS_OF, "r1")
+    delta = spark.createDataFrame(
+        [("o9", "c1", dt.datetime(2025, 3, 25, 9), "delivered")], _SILVER_SCHEMA
+    )
+    silver.merge(delta)
+    keys = str(tmp_path / "keys")
+    delta.select("customer_id").write.parquet(keys)
+
+    out = subprocess.run(
+        [sys.executable, "-m", "ecom_churn_lakehouse_spark.pipelines.cli",
+         "gold-incremental", "--silver", str(tmp_path / "silver"),
+         "--gold", str(tmp_path / "gold"), "--keys", keys,
+         "--as-of", AS_OF, "--run-id", "r2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert payload["cmd"] == "gold-incremental" and payload["rows_published"] == 1
