@@ -478,3 +478,109 @@ def q_order_rank_stats(spark, sf_dir):
         F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
         F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
     )
+
+
+# ----------------------------- entity resolution: blocked fuzzy join
+
+_NAME_MATCH_SQL = """
+WITH blocked AS (
+    SELECT c_custkey, c_name, substring(c_name, 1, 16) AS blk
+    FROM customer
+)
+SELECT a.c_custkey AS customer_a,
+       b.c_custkey AS customer_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register(
+    "customer_name_matches",
+    _NAME_MATCH_SQL,
+    doc="Entity-resolution blocking join: near-identical customer names "
+    "(levenshtein <= 1) found via a 16-char blocking key, so the "
+    "quadratic comparison runs inside bounded blocks (<= 100 rows "
+    "here) instead of all-pairs — the standard record-linkage shape, "
+    "same candidate-pruning idea as the dedup LSH surface but for "
+    "string keys. Block count scales with data, block size doesn't.",
+)
+def q_customer_name_matches(spark, sf_dir):
+    blocked = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("blk")
+    )
+    a = blocked.select(
+        F.col("c_custkey").alias("customer_a"),
+        F.col("c_name").alias("__na"),
+        "blk",
+    )
+    b = blocked.select(
+        F.col("c_custkey").alias("customer_b"),
+        F.col("c_name").alias("__nb"),
+        "blk",
+    )
+    dist = F.levenshtein("__na", "__nb")
+    return (
+        a.join(b, on="blk")
+        .filter((F.col("customer_a") < F.col("customer_b")) & (dist <= 1))
+        .select(
+            "customer_a", "customer_b", dist.cast("int").alias("edit_distance")
+        )
+    )
+
+
+# ------------------------------------ time series: hourly gap fill
+
+_GAPFILL_SQL = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS tmin, date_trunc('hour', MAX(ts)) AS tmax
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, s.hour FROM types t CROSS JOIN spine s),
+counts AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+)
+SELECT g.event_type, g.hour, COALESCE(c.n, 0) AS n_events
+FROM grid g LEFT JOIN counts c
+  ON g.event_type = c.event_type AND g.hour = c.hour
+"""
+
+
+@register(
+    "hourly_events_gapfilled",
+    _GAPFILL_SQL,
+    doc="Time-series resample + gap fill: a dense (event_type, hour) "
+    "spine generated natively (sequence over the broadcast global "
+    "bounds — no driver collect) left-joined with hourly counts, "
+    "empty hours zero-filled. The spine is tiny regardless of data "
+    "volume (types x hours), so the only data-sized work is the "
+    "hourly aggregate.",
+)
+def q_hourly_events_gapfilled(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("tmin"),
+        F.date_trunc("hour", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    return grid.join(
+        F.broadcast(counts), on=["event_type", "hour"], how="left"
+    ).select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
