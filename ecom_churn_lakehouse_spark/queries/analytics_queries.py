@@ -584,3 +584,60 @@ def q_hourly_events_gapfilled(spark, sf_dir):
     ).select(
         "event_type", "hour", F.coalesce("n", F.lit(0)).alias("n_events")
     )
+
+
+# --------------------------------------------------- funnel analysis
+
+_FUNNEL_SQL = """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT COUNT(*) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_viewed,
+       CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased_after_click
+FROM firsts
+"""
+
+
+@register(
+    "conversion_funnel",
+    _FUNNEL_SQL,
+    doc="Ordered-stage funnel (view -> click -> purchase) via "
+    "conditional-MIN first-occurrence times per user, then ordered "
+    "comparisons — one grouped pass over events plus a scalar "
+    "aggregate; no joins, no windows. NULL stage times drop out of "
+    "the > comparisons naturally on both engines.",
+)
+def q_conversion_funnel(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+
+    def first(t):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"),
+    )
+    clicked = F.col("t_click") > F.col("t_view")
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0))
+        .cast("long")
+        .alias("n_clicked_after_view"),
+        F.sum(F.when(purchased, 1).otherwise(0))
+        .cast("long")
+        .alias("n_purchased_after_click"),
+    )

@@ -539,3 +539,49 @@ def q_benchmark_contamination(spark, sf_dir):
             F.col("n_overlapping_ngrams").cast("double") / F.col("n_sh"), 6
         ).alias("contamination_ratio"),
     )
+
+
+# ------------------------------------- near-dup graph degree profile
+
+
+def _degree_hist_sql() -> str:
+    return (
+        "WITH pairs AS (\n"
+        + _minhash_sql()
+        + "\n),\n"
+        "deg AS (\n"
+        "    SELECT node, COUNT(*) AS degree FROM (\n"
+        "        SELECT doc_a AS node FROM pairs\n"
+        "        UNION ALL\n"
+        "        SELECT doc_b FROM pairs\n"
+        "    ) GROUP BY node\n"
+        ")\n"
+        "SELECT CAST(degree AS BIGINT) AS degree, COUNT(*) AS n_docs\n"
+        "FROM deg GROUP BY degree"
+    )
+
+
+@register(
+    "neardup_degree_hist",
+    _degree_hist_sql(),
+    doc="Degree distribution of the near-dup pair graph — the skew "
+    "diagnostic a dedup pipeline checks before clustering (a heavy "
+    "tail means boilerplate supernodes that make connected components "
+    "expensive; cap or pre-cluster those keys first). Exact integer "
+    "histogram over the LSH pair output.",
+)
+def q_neardup_degree_hist(spark, sf_dir):
+    arr = with_shingle_hashes(
+        doc_shingle_arrays(derived_corpus(spark, sf_dir))
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    pairs = jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
+    deg = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .unionByName(pairs.select(F.col("doc_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
+        F.count("*").alias("n_docs")
+    )
