@@ -609,3 +609,182 @@ def q_parts_in_heavy_lineitems(spark, sf_dir):
     return part.join(
         li, part["p_partkey"] == li["l_partkey"], how="left_semi"
     ).select(F.col("p_partkey").alias("part_id"), F.col("p_name").alias("part_name"))
+
+
+# --- dual-dim star with two roles of one dimension (TPC-H Q7 shape) ---
+
+_TRADE_FLOWS_SQL = """
+SELECT
+    sn.n_name AS supp_nation,
+    cn.n_name AS cust_nation,
+    CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INTEGER) AS ship_year,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+  AND CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) <= DATE '1997-12-31'
+GROUP BY sn.n_name, cn.n_name, ship_year
+"""
+
+
+@register(
+    "nation_trade_flows",
+    _TRADE_FLOWS_SQL,
+    doc="Cross-nation shipping volume by year (TPC-H Q7 shape): the "
+    "nation dim joins twice under two roles (supplier side and "
+    "customer side) with an inequality between the roles. Plan: "
+    "supplier/customer/nation broadcast into the fact scan, so the "
+    "only shuffle is lineitem<->orders on orderkey; the year bucket "
+    "and the <> filter are post-join map work. At 100 TB customer "
+    "outgrows the broadcast threshold and AQE falls back to a "
+    "shuffle join on custkey - the declared plan stays valid.",
+)
+def q_nation_trade_flows(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") <= F.lit("1997-12-31").cast("date"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.to_date("l_shipdate")).alias("ship_year"),
+        )
+        .agg(_dsum(revenue, 6).alias("revenue"))
+    )
+
+
+# --- conditional-aggregate ratio over a broadcast join (TPC-H Q14 shape) ---
+
+_PROMO_SHARE_SQL = """
+SELECT
+    CAST(date_trunc('month', CAST(l.l_shipdate AS DATE)) AS DATE) AS ship_month,
+    CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS total_revenue,
+    100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                       THEN l.l_extendedprice * (1 - l.l_discount)
+                       ELSE 0 END AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS promo_share_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE CAST(l.l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+GROUP BY ship_month
+"""
+
+
+@register(
+    "promo_revenue_share",
+    _PROMO_SHARE_SQL,
+    doc="Monthly promo revenue share (TPC-H Q14 shape): conditional "
+    "aggregate ratio where both numerator and denominator come from "
+    "one grouped pass over a part<->lineitem broadcast join - no "
+    "second scan, no self-join. Ratio is (100 * promo)/total in "
+    "DOUBLE on both engines with decimal accumulation underneath.",
+)
+def q_promo_revenue_share(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.to_date("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.to_date("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    out = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.date_trunc("month", F.to_date("l_shipdate"))
+            .cast("date")
+            .alias("ship_month")
+        )
+        .agg(
+            _dsum(promo, 6).alias("promo_revenue"),
+            _dsum(revenue, 6).alias("total_revenue"),
+        )
+    )
+    return out.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_share_pct"
+        ),
+    )
+
+
+# --- disjunctive multi-attribute join predicate (TPC-H Q19 shape) ---
+
+_BRAND_BANDS_SQL = """
+SELECT
+    CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE)
+        AS revenue,
+    COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register(
+    "brand_band_revenue",
+    _BRAND_BANDS_SQL,
+    doc="Disjunctive multi-attribute join predicate (TPC-H Q19 shape): "
+    "an OR of three brand/size/quantity conjunctions that mixes "
+    "columns from both sides. Expressed as a clean equi-join on "
+    "partkey plus a residual disjunctive filter, so the engine still "
+    "gets a hash join (broadcast here) instead of a nested-loop over "
+    "the OR; the brand/size half of each conjunct is pushed to the "
+    "part scan as a derived OR filter by Catalyst.",
+)
+def q_brand_band_revenue(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 5)
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 10)
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15)
+           & qty.between(20, 30))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(_dsum(revenue, 6).alias("revenue"), F.count("*").alias("n_lines"))
+    )
