@@ -133,36 +133,46 @@ def banded_sign_buckets(
     near-dup join needs: recall is tuned by band count × width instead
     of a single all-bits bucket whose recall decays exponentially.
 
-    Output ``(id, band, bucket)``; the hyperplane side is broadcast, so
-    this is one narrow pass + a key-local aggregation.
+    Output ``(id, band, bucket)``. The planes are first packed into ONE
+    broadcast row per band (bit value precomputed per plane), so each
+    (vector, band) bucket is a single nested higher-order expression —
+    dot products and the bit-sum both run inside the scan. Versus the
+    naive explode-per-plane + groupBy(id, band) form this removes the
+    only shuffle of the bucketing stage (planes × |corpus| rows) and
+    the per-plane row overhead: the stage is map-only at any scale.
     """
     v = vectors.select(
         F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
     )
-    h = hyperplanes.select(
-        F.col(plane_id_col).alias("__pid"),
-        to_double_array(F.col(vec_col)).alias("__h"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__h"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    bit = F.when(
-        dot >= 0,
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(__pid % {rows_per_band} AS INT))"
-        ),
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        v.join(F.broadcast(h))
-        .select(
-            F.col(id_col),
-            (F.floor(F.col("__pid") / rows_per_band)).cast("int").alias("band"),
-            bit.alias("__bit"),
+    h_band = (
+        hyperplanes.select(
+            (F.floor(F.col(plane_id_col) / rows_per_band)).cast("int").alias("band"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST({plane_id_col} % {rows_per_band} AS INT))"
+            ).alias("__bitval"),
+            to_double_array(F.col(vec_col)).alias("__h"),
         )
-        .groupBy(id_col, "band")
-        .agg(F.sum("__bit").cast("long").alias("bucket"))
+        .groupBy("band")
+        .agg(F.collect_list(F.struct("__bitval", "__h")).alias("__planes"))
+    )
+    zero = F.lit(0).cast("long")
+    bucket = F.aggregate(
+        F.col("__planes"),
+        zero,
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(F.col("__v"), p["__h"], lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            >= 0,
+            p["__bitval"],
+        ).otherwise(zero),
+    )
+    return v.join(F.broadcast(h_band)).select(
+        F.col(id_col), "band", bucket.alias("bucket")
     )
 
 
