@@ -88,32 +88,19 @@ def hyperplane_lsh_buckets(
     """Assign each vector an LSH bucket id from hyperplane sign bits.
 
     ``hyperplanes``: (plane_id, embedding) — small, broadcast. Bucket =
-    Σ 2^plane_id over planes with dot(v, plane) >= 0. One narrow pass;
-    output (id, bucket).
+    Σ 2^plane_id over planes with dot(v, plane) >= 0. Delegates to the
+    map-only banded form with a single 63-bit band (2^plane_id must
+    fit a signed long regardless, so plane_id ≤ 62 is already the
+    contract); output (id, bucket).
     """
-    v = vectors.select(
-        F.col(id_col), to_double_array(F.col(vec_col)).alias("__v")
-    )
-    h = hyperplanes.select(
-        F.col(plane_id_col).alias("__pid"),
-        to_double_array(F.col(vec_col)).alias("__h"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("__h"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    # shiftleft with a *column* shift amount needs the SQL form
-    # (the Python helper only takes a literal numBits).
-    bit = F.when(
-        dot >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pid AS INT))")
-    ).otherwise(F.lit(0).cast("long"))
-    return (
-        v.join(F.broadcast(h))
-        .select(F.col(id_col), bit.alias("__bit"))
-        .groupBy(id_col)
-        .agg(F.sum("__bit").cast("long").alias("bucket"))
-    )
+    return banded_sign_buckets(
+        vectors,
+        hyperplanes,
+        rows_per_band=63,
+        id_col=id_col,
+        vec_col=vec_col,
+        plane_id_col=plane_id_col,
+    ).select(id_col, "bucket")
 
 
 def banded_sign_buckets(
