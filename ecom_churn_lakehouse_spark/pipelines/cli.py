@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--gold", required=True)
     g.add_argument("--as-of", required=True)
     g.add_argument("--run-id", required=True)
+    g.add_argument(
+        "--observed-gates",
+        action="store_true",
+        help="ride DQ gate metrics on the publish write (merge_gated) "
+        "instead of a separate pre-publish check pass",
+    )
 
     gi = sub.add_parser("gold-incremental")
     gi.add_argument("--silver", required=True)
@@ -97,7 +103,14 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.bronze, args.silver, args.quarantine, args.run_id
         )
     elif args.cmd == "gold":
-        r = pipelines.gold_features(spark, args.silver, args.gold, args.as_of, args.run_id)
+        r = pipelines.gold_features(
+            spark,
+            args.silver,
+            args.gold,
+            args.as_of,
+            args.run_id,
+            observed_gates=args.observed_gates,
+        )
     elif args.cmd == "gold-incremental":
         from ecom_churn_lakehouse_spark.pipelines.incremental import (
             incremental_gold_update,

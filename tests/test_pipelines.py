@@ -156,3 +156,40 @@ def test_label_horizon_not_observable_raises(spark, tmp_path):
             spark, str(tmp_path / "silver"), str(tmp_path / "labels"),
             "2025-03-31", "r1",
         )
+
+
+def test_gold_observed_gates(spark, paths, tmp_path, monkeypatch):
+    # observed_gates=True (merge_gated: metrics ride the publish write)
+    # must produce the same gold table as the classic gate-then-publish.
+    import ecom_churn_lakehouse_spark.pipelines.medallion as med
+
+    gold_obs = str(tmp_path / "gold_obs")
+    g = gold_features(
+        spark, paths["silver"], gold_obs, AS_OF, "run-obs", observed_gates=True
+    )
+    assert g.rows_published == 2
+    keys = ["customer_id", "as_of_date"]
+    classic = ManagedTable(spark, paths["gold"], keys=keys).read().filter(
+        "as_of_date = date'2025-03-31'"
+    )
+    observed = ManagedTable(spark, gold_obs, keys=keys).read()
+    feature_cols = [c for c in observed.columns if not c.startswith("_")]
+    assert sorted(observed.select(*feature_cols).collect()) == sorted(
+        classic.select(*feature_cols).collect()
+    )
+
+    # a failing row-predicate gate aborts before the HEAD swap: the
+    # staged snapshot is abandoned and the table keeps its old contents.
+    monkeypatch.setattr(
+        med,
+        "_GOLD_GATES",
+        [{"name": "impossible", "type": "range", "column": "lifetime_orders",
+          "min": 1000}],
+    )
+    with pytest.raises(DQGateFailure, match="impossible"):
+        med.gold_features(
+            spark, paths["silver"], gold_obs, "2025-04-15", "run-obs2",
+            observed_gates=True,
+        )
+    after = ManagedTable(spark, gold_obs, keys=keys).read()
+    assert after.count() == 2  # 2025-04-15 rows never landed
