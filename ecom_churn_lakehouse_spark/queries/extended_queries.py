@@ -92,8 +92,7 @@ GROUP BY o_orderpriority
     _PCT_SQL,
     doc="Exact interpolated percentiles per group (F.percentile ≡ "
     "quantile_cont). The approximate sketch path is "
-    "approx_distinct_profile (no oracle — sketch internals differ "
-    "across engines).",
+    "approx_distinct_profile (tolerance-gated oracle).",
 )
 def q_order_value_percentiles(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
@@ -106,20 +105,47 @@ def q_order_value_percentiles(spark, sf_dir):
 # --------------------------------------- sketches (rows-only check)
 
 
+_APPROX_PROFILE_SQL = """
+SELECT o_orderpriority AS order_priority,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS exact_p50,
+       TRUE AS hll_within_10pct,
+       TRUE AS p50_within_5pct
+FROM orders GROUP BY 1
+"""
+
+
 @register(
     "approx_distinct_profile",
-    None,  # HLL/KLL internals are engine-specific — no cross-engine oracle
-    doc="Approximate sketches: HLL distinct + approx quantiles. "
-    "Deterministic per engine but not across engines → driver records "
-    "rows-only (SURVEY §5 note on non-oracle-able ops).",
+    _APPROX_PROFILE_SQL,
+    doc="Approximate sketches: HLL distinct + approx quantile. Sketch "
+    "internals are engine-specific, so raw approx values can't be "
+    "oracle-compared; instead the query emits the exact statistics "
+    "plus booleans asserting the sketch landed within tolerance "
+    "(HLL default rsd 0.05 → 10%% gate; KLL accuracy 1000 → 5%% "
+    "gate), and the oracle expects TRUE. A drifting sketch now fails "
+    "the hash gate instead of hiding behind a rows-only check.",
 )
 def q_approx_distinct_profile(spark, sf_dir):
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    agg = orders.groupBy(F.col("o_orderpriority").alias("order_priority")).agg(
         F.count_distinct("o_custkey").alias("exact_customers"),
-        F.round(F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 6).alias(
-            "approx_p50"
+        F.approx_count_distinct("o_custkey").alias("__hll"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(
+            F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(1000)), 6
+        ).alias("__ap50"),
+    )
+    rel = lambda approx, exact: F.abs(approx - exact) / exact  # noqa: E731
+    return agg.select(
+        "order_priority",
+        "exact_customers",
+        "exact_p50",
+        (rel(F.col("__hll"), F.col("exact_customers")) <= 0.10).alias(
+            "hll_within_10pct"
+        ),
+        (rel(F.col("__ap50"), F.col("exact_p50")) <= 0.05).alias(
+            "p50_within_5pct"
         ),
     )
 
