@@ -641,3 +641,81 @@ def q_conversion_funnel(spark, sf_dir):
         .cast("long")
         .alias("n_purchased_after_click"),
     )
+
+
+# ------------------------------------- ordered list aggregation
+
+_ORDER_HISTORY_SQL = """
+SELECT o_custkey AS customer_id,
+       COUNT(*) AS n_orders,
+       string_agg(strftime(o_orderdate, '%Y-%m-%d'), ','
+                  ORDER BY strftime(o_orderdate, '%Y-%m-%d')) AS order_dates
+FROM orders
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "customer_order_history",
+    _ORDER_HISTORY_SQL,
+    doc="Ordered list aggregation: each customer's full order-date "
+    "sequence as one deterministic comma-joined value "
+    "(sort_array(collect_list(...)) = string_agg ORDER BY). The "
+    "sequence-feature shape a training pipeline uses for "
+    "event-history columns; one grouped pass, order imposed "
+    "explicitly because collect_list is otherwise "
+    "partition-order-dependent.",
+)
+def q_customer_order_history(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.count("*").alias("n_orders"),
+        F.array_join(F.sort_array(F.collect_list(d)), ",").alias("order_dates"),
+    )
+
+
+# ------------------------------------- percent-of-total (ratio to report)
+
+_NATION_SHARE_SQL = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       ROUND(revenue / SUM(revenue) OVER (), 6) AS revenue_share
+FROM rev
+"""
+
+
+@register(
+    "nation_revenue_share",
+    _NATION_SHARE_SQL,
+    doc="Percent-of-total (ratio-to-report): each nation's share of "
+    "global revenue via an unpartitioned window over the AGGREGATED "
+    "frame. The global window is safe at any scale because it runs "
+    "over |nations| rows, not the fact table — aggregate first, "
+    "window the small result.",
+)
+def q_nation_revenue_share(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+    total = Window.partitionBy()
+    return rev.select(
+        "nation",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(total), 6).alias(
+            "revenue_share"
+        ),
+    )
