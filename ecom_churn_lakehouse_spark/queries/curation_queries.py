@@ -1,0 +1,236 @@
+"""Training-corpus curation operators beyond dedup: sequence packing,
+intra-document repetition detection, and PII scrubbing.
+
+These are the pre-training data-prep steps a 100 TB pipeline runs after
+filtering/dedup (corpus_curation) and before tokenization:
+
+- **Sequence packing** assigns documents to fixed token-budget bins so
+  downstream training reads dense, equal-work shards. The packing is
+  per-source and order-deterministic, so it parallelizes by source
+  partition and reproduces bit-identically at any cluster size.
+- **Repetition detection** flags boilerplate/degenerate documents by
+  the fraction of repeated word trigrams — entirely scan-local (array
+  ops inside the row, no explode, no shuffle).
+- **PII scrubbing** counts and redacts email/phone patterns. The
+  fixture corpus contains no PII, so the query synthesizes a contact
+  string from customer records and then proves the scrubber removes
+  exactly what the counters saw — counters and redaction are the same
+  regex, so the oracle catches a drifting pattern on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# Sequence packing: contiguous token-budget bins per source shard.
+# ---------------------------------------------------------------------------
+
+#: Power of two → prior_tokens / 512 is an exact double division, so
+#: FLOOR can never disagree between engines.
+_PACK_BUDGET = 512
+
+_PACKING_SQL = f"""
+WITH toks AS (
+    SELECT source, doc_id,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+packed AS (
+    SELECT source, n_tokens,
+           CAST(FLOOR(
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {_PACK_BUDGET}.0) AS BIGINT) AS bin_id
+    FROM toks
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY source, bin_id
+"""
+
+
+@register(
+    "doc_sequence_packing",
+    _PACKING_SQL,
+    doc="Sequence packing for training shards: docs fill contiguous "
+    f"{_PACK_BUDGET}-token bins in (source, doc_id) order — bin id is "
+    "the exclusive running token count divided by the budget, so a doc "
+    "that straddles a boundary starts the next bin's overflow (standard "
+    "contiguous-fill packing). The window partitions by source, so at "
+    "100 TB each source shard packs independently — no global sort, no "
+    "single-task bottleneck. Emits per-bin occupancy for shard sizing.",
+)
+def q_doc_sequence_packing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(prior / F.lit(float(_PACK_BUDGET))).cast("long").alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("bin_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition / boilerplate detection: repeated-trigram ratio per doc.
+# ---------------------------------------------------------------------------
+
+_REPETITION_SQL = """
+WITH tri AS (
+    SELECT doc_id, t,
+           list_transform(
+               range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+           ) AS tris
+    FROM (
+        SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t
+        FROM documents
+    )
+    WHERE len(t) >= 3
+)
+SELECT doc_id,
+       CAST(len(tris) AS BIGINT) AS n_trigrams,
+       CAST(len(list_distinct(tris)) AS BIGINT) AS n_distinct_trigrams,
+       ROUND(1.0 - len(list_distinct(tris)) / CAST(len(tris) AS DOUBLE), 6)
+           AS repetition_ratio
+FROM tri
+"""
+
+
+@register(
+    "doc_repetition",
+    _REPETITION_SQL,
+    doc="Boilerplate/repetition scoring: fraction of word trigrams that "
+    "are repeats within the document (1 - distinct/total). Pure "
+    "array expressions inside the row — zero shuffle, stays in "
+    "whole-stage codegen, scales linearly with corpus bytes. The "
+    "standard filter for looped/templated text before pre-training.",
+)
+def q_doc_repetition(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_toks = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") >= 3
+    )
+    idx = F.sequence(F.lit(1), F.size("__toks") - 2)
+    tris = F.transform(idx, lambda i: F.array_join(F.slice("__toks", i, 3), " "))
+    scored = with_toks.select(
+        "doc_id",
+        F.size(tris).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(tris)).cast("long").alias("n_distinct_trigrams"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct_trigrams",
+        F.round(
+            1.0
+            - F.col("n_distinct_trigrams") / F.col("n_trigrams").cast("double"),
+            6,
+        ).alias("repetition_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing: detect + redact, with counters proving the redaction.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+# The synthesized contact line: "Customer#000000042 <customer#000000042@example.com> call 555-0042"
+_CONTACT_SQL = (
+    "c_name || ' <' || lower(replace(c_name, ' ', '')) || '@example.com>"
+    " call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+)
+
+_PII_SQL = f"""
+WITH contact AS (
+    SELECT c_custkey AS customer_id, {_CONTACT_SQL} AS contact_text
+    FROM customer
+),
+scrubbed AS (
+    SELECT customer_id, contact_text,
+           CAST(length(regexp_extract_all(contact_text, '{_EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(length(regexp_extract_all(contact_text, '{_PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           regexp_replace(
+               regexp_replace(contact_text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+    FROM contact
+)
+SELECT customer_id, n_emails, n_phones, redacted_text,
+       CAST(length(regexp_extract_all(redacted_text, '{_EMAIL_RE}')) AS BIGINT)
+           AS residual_pii
+FROM scrubbed
+"""
+
+
+@register(
+    "pii_scrub_audit",
+    _PII_SQL,
+    doc="PII scrub: count email/phone patterns, redact them, and emit "
+    "the residual count (must be 0) — detection and redaction share "
+    "one regex, so the oracle catches drift in either. The fixture "
+    "corpus is PII-free, so the contact string is synthesized from "
+    "customer records; on real data the same plan runs over the raw "
+    "text column. Row-local regex work — scales with bytes, no "
+    "shuffle, no UDF.",
+)
+def q_pii_scrub_audit(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    contact = cust.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <"),
+            F.lower(F.replace(F.col("c_name"), F.lit(" "), F.lit(""))),
+            F.lit("@example.com> call 555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        ).alias("contact_text"),
+    )
+    scrubbed = contact.select(
+        "customer_id",
+        F.regexp_count("contact_text", F.lit(_EMAIL_RE)).cast("long").alias(
+            "n_emails"
+        ),
+        F.regexp_count("contact_text", F.lit(_PHONE_RE)).cast("long").alias(
+            "n_phones"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("contact_text", _EMAIL_RE, "[EMAIL]"),
+            _PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted_text"),
+    )
+    return scrubbed.select(
+        "customer_id",
+        "n_emails",
+        "n_phones",
+        "redacted_text",
+        F.regexp_count("redacted_text", F.lit(_EMAIL_RE)).cast("long").alias(
+            "residual_pii"
+        ),
+    )

@@ -64,11 +64,13 @@ def _load_all() -> None:
     from ecom_churn_lakehouse_spark.queries import (  # noqa: F401
         analytics_queries,
         churn_queries,
+        curation_queries,
         dedup_queries,
         event_queries,
         extended_queries,
         relational_queries,
         sampling_queries,
+        shape_queries,
         similarity_queries,
         text_queries,
     )
