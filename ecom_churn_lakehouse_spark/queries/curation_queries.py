@@ -234,3 +234,70 @@ def q_pii_scrub_audit(spark, sf_dir):
             "residual_pii"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: overlapping fixed-token windows per document.
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24
+
+_CHUNKS_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t
+    FROM documents
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           list_slice(t, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS chunk
+    FROM toks,
+         unnest(range(0, CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT)
+                         + 1)) AS u(i)
+    WHERE len(t) > 0
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM chunks
+"""
+
+
+@register(
+    "doc_chunks",
+    _CHUNKS_SQL,
+    doc=f"Context-window chunking: every doc splits into overlapping "
+    f"{_CHUNK_TOKENS}-token windows on a {_CHUNK_STRIDE}-token stride "
+    f"({_CHUNK_TOKENS - _CHUNK_STRIDE} tokens of overlap), the standard "
+    "prep for fixed-context pre-training and embedding indexing. "
+    "posexplode over a computed start sequence — chunk count derives "
+    "from integer arithmetic on the token count, so the fan-out is "
+    "row-local and deterministic; no shuffle until the consumer.",
+)
+def q_doc_chunks(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_toks = docs.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_chunks = F.floor((F.size("__toks") - 1) / F.lit(_CHUNK_STRIDE)) + 1
+    exploded = with_toks.select(
+        "doc_id",
+        "__toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+            "__i"
+        ),
+    )
+    chunk = F.slice(
+        "__toks",
+        (F.col("__i") * _CHUNK_STRIDE + 1).cast("int"),
+        _CHUNK_TOKENS,
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("__i").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

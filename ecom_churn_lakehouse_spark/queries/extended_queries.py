@@ -214,3 +214,51 @@ def q_skewsafe_distinct_users(spark, sf_dir):
     return salted_count_distinct(
         events, ["event_type"], "user_id", alias="n_distinct_users"
     )
+
+
+# ------------------------------------- explicit GROUPING SETS + flags
+
+_GROUPING_SETS_SQL = """
+WITH base AS (
+    SELECT o_orderpriority AS order_priority,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_totalprice
+    FROM orders
+)
+SELECT order_priority, order_year,
+       CAST(GROUPING(order_priority) AS INTEGER) AS is_priority_total,
+       CAST(GROUPING(order_year) AS INTEGER) AS is_year_total,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM base
+GROUP BY GROUPING SETS ((order_priority), (order_year), ())
+"""
+
+
+@register(
+    "orders_grouping_sets",
+    _GROUPING_SETS_SQL,
+    doc="Explicit GROUPING SETS (two independent margins + grand total — "
+    "NOT a rollup hierarchy) with GROUPING() flags, which disambiguate "
+    "a NULL group key from a subtotal row. Complements orders_rollup / "
+    "status_priority_cube: one shuffle computes all three groupings.",
+)
+def q_orders_grouping_sets(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    )
+    orders.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT order_priority, order_year,
+               CAST(GROUPING(order_priority) AS INT) AS is_priority_total,
+               CAST(GROUPING(order_year) AS INT) AS is_year_total,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_value
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((order_priority), (order_year), ())
+        """
+    )
