@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["read_source", "write_sink", "SUPPORTED_FORMATS"]
+__all__ = [
+    "read_source",
+    "write_sink",
+    "read_binary_files",
+    "SUPPORTED_FORMATS",
+]
 
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 
@@ -40,6 +45,31 @@ def read_source(
     if fmt == "csv":
         options.setdefault("header", "true")
     return reader.options(**options).load(path)
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file scan via Spark's ``binaryFile`` source — the ingestion
+    half of the multimodal surface (multimodal/decode.py consumes the
+    ``content`` column).
+
+    Yields ``(path, modificationTime, length, content)`` per file with
+    one file per row; Spark parallelizes by file, so a 100 TB image
+    corpus scans with full cluster width as long as the object store
+    layout avoids giant single files. Pair with ``glob`` (e.g.
+    ``*.jpg``) so pruning happens at file listing, before any bytes
+    move.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
 
 
 def write_sink(

@@ -58,3 +58,33 @@ def test_text_formats_require_schema(spark, tmp_path):
         read_source(spark, str(tmp_path), fmt="csv")
     with pytest.raises(ValueError, match="unsupported format"):
         read_source(spark, str(tmp_path), fmt="avro")
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile scan → decode plumbing: the raw-file ingestion path."""
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        decode_images,
+        extract_binary_metadata,
+    )
+    from ecom_churn_lakehouse_spark.sources.formats import read_binary_files
+
+    payloads = {f"img_{i}.bin": bytes([i]) * (100 + i) for i in range(5)}
+    (tmp_path / "skip.txt").write_text("not a payload")
+    for name, blob in payloads.items():
+        (tmp_path / name).write_bytes(blob)
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    assert set(df.columns) == {"path", "modificationTime", "length", "content"}
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == set(payloads)  # glob pruned the .txt at listing
+    assert all(bytes(rows[n].content) == payloads[n] for n in payloads)
+
+    # The scan's content column is the decode stage's payload input.
+    staged = df.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    meta = extract_binary_metadata(staged)
+    assert meta.filter(F.col("n_bytes") <= 0).count() == 0
+    decoded = decode_images(staged)
+    assert decoded.filter(~F.col("decode_ok")).count() == 0
