@@ -163,10 +163,24 @@ class ManagedTable:
             return
         self._commit(df, partition_by)
 
-    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> None:
-        """S4/S5 append-only sink (bronze, audit log)."""
+    def append(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        evolve_schema: bool = False,
+    ) -> None:
+        """S4/S5 append-only sink (bronze, audit log).
+
+        ``evolve_schema=True`` widens the table to the union of the
+        current and incoming columns (new columns backfill NULL for
+        existing rows — Delta ``mergeSchema`` semantics); without it a
+        column mismatch fails loudly, which is the contract-enforcing
+        default for pipeline sinks.
+        """
         if HAVE_DELTA:
             w = df.write.format("delta").mode("append")
+            if evolve_schema:
+                w = w.option("mergeSchema", "true")
             if partition_by:
                 w = w.partitionBy(*partition_by)
             w.save(self.path)
@@ -175,39 +189,88 @@ class ManagedTable:
             self._commit(df, partition_by)
         else:
             current = self.read()
-            self._commit(current.unionByName(df), partition_by)
+            self._commit(
+                current.unionByName(df, allowMissingColumns=evolve_schema),
+                partition_by,
+            )
 
-    def merge(self, source: DataFrame) -> None:
+    def merge(
+        self,
+        source: DataFrame,
+        delete_col: str | None = None,
+        evolve_schema: bool = False,
+    ) -> None:
         """S7 keyed upsert: update-all when matched, insert-all otherwise.
 
         Requires ``source`` unique per key (the reference guarantees
         this upstream via W1 dedup / snapshot grain; we enforce it —
         a non-unique source makes MERGE nondeterministic).
+
+        ``delete_col`` names a boolean column in ``source`` marking CDC
+        tombstones: matched target rows are DELETED instead of updated,
+        and unmatched tombstones are ignored. The flag column itself
+        never lands in the table.
+
+        ``evolve_schema=True`` lets the source carry columns the table
+        doesn't have yet; the table widens and existing rows backfill
+        NULL (Delta ``autoMerge`` semantics).
         """
         dup = (
             source.groupBy(*self.keys).count().filter(F.col("count") > 1).limit(1)
         )
         if dup.count() > 0:
             raise ValueError(f"merge source not unique on keys {self.keys}")
+        if delete_col is not None:
+            upserts = source.filter(~F.col(delete_col)).drop(delete_col)
+        else:
+            upserts = source
         if not self.exists():
-            self.overwrite(source)
+            self.overwrite(upserts)
             return
         if HAVE_DELTA:
             from delta.tables import DeltaTable  # type: ignore
 
+            if evolve_schema:
+                self.spark.conf.set(
+                    "spark.databricks.delta.schema.autoMerge.enabled", "true"
+                )
             cond = " AND ".join(f"t.{k} = s.{k}" for k in self.keys)
-            (
-                DeltaTable.forPath(self.spark, self.path)
-                .alias("t")
-                .merge(source.alias("s"), cond)
-                .whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
+            tgt = DeltaTable.forPath(self.spark, self.path).alias("t")
+            if delete_col is None:
+                (
+                    tgt.merge(source.alias("s"), cond)
+                    .whenMatchedUpdateAll()
+                    .whenNotMatchedInsertAll()
+                    .execute()
+                )
+            else:
+                data_cols = [c for c in source.columns if c != delete_col]
+                sets = {c: f"s.{c}" for c in data_cols}
+                (
+                    tgt.merge(source.alias("s"), cond)
+                    .whenMatchedDelete(condition=f"s.{delete_col} = true")
+                    .whenMatchedUpdate(set=sets)
+                    .whenNotMatchedInsert(
+                        condition=f"s.{delete_col} = false", values=sets
+                    )
+                    .execute()
+                )
             return
         current = self.read()
+        # Deletes and upserts alike displace the current row for their
+        # key; only upserts come back in.
         kept = current.join(source.select(*self.keys), on=self.keys, how="left_anti")
-        self._commit(kept.unionByName(source.select(*current.columns)), None)
+        if evolve_schema:
+            merged = kept.unionByName(upserts, allowMissingColumns=True)
+        else:
+            extra = set(upserts.columns) - set(current.columns)
+            if extra:
+                raise ValueError(
+                    f"merge source has columns not in table: {sorted(extra)}; "
+                    "pass evolve_schema=True to widen the table"
+                )
+            merged = kept.unionByName(upserts.select(*current.columns))
+        self._commit(merged, None)
 
     def merge_gated(self, source: DataFrame, checks: list[dict]) -> "DQReport":
         """Keyed MERGE with DQ gates observed DURING the publish write.

@@ -163,3 +163,44 @@ def test_merge_gated_rejects_unique_check_spec(spark, tmp_path):
             spark.createDataFrame([(1, "a")], "k int, v string"),
             [{"type": "unique", "keys": ["k"]}],
         )
+
+
+def test_merge_with_cdc_deletes(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "cdc"), keys=["k"])
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )
+    # one delete, one update, one insert, one unmatched tombstone (no-op)
+    t.merge(
+        spark.createDataFrame(
+            [(2, None, True), (3, "C", False), (4, "d", False), (9, None, True)],
+            "k int, v string, _deleted boolean",
+        ),
+        delete_col="_deleted",
+    )
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {1: "a", 3: "C", 4: "d"}
+    assert "_deleted" not in t.read().columns
+
+
+def test_merge_schema_evolution_backfills_null(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "evo"), keys=["k"])
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    # evolving source carries a new column; un-evolved merge must fail loudly
+    src = spark.createDataFrame([(2, "B", 7)], "k int, v string, score int")
+    with pytest.raises(ValueError, match="evolve_schema"):
+        t.merge(src)
+    t.merge(src, evolve_schema=True)
+    rows = {r["k"]: (r["v"], r["score"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("B", 7)}
+
+
+def test_append_schema_evolution(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "evo2"), keys=["k"])
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.append(
+        spark.createDataFrame([(2, "b", "src1")], "k int, v string, origin string"),
+        evolve_schema=True,
+    )
+    rows = {r["k"]: (r["v"], r["origin"]) for r in t.read().collect()}
+    assert rows == {1: ("a", None), 2: ("b", "src1")}
