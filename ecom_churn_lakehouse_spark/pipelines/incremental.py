@@ -96,11 +96,28 @@ def incremental_gold_update(
             "incremental update requires an existing gold table; run the "
             "full gold_features publish first"
         )
-    gold.merge(feats)
+    # Changed keys with NO surviving orders (full CDC erasure) produce
+    # no feature row — without a tombstone their stale gold row would
+    # outlive the data that justified it. merge(delete_col=...) removes
+    # them in the same pass that upserts the recomputed rows.
+    vanished = keys.join(
+        feats.select("customer_id"), on="customer_id", how="left_anti"
+    ).withColumn("as_of_date", F.to_date(F.lit(as_of_date)))
+    for field in feats.schema.fields:
+        if field.name not in vanished.columns:
+            vanished = vanished.withColumn(
+                field.name, F.lit(None).cast(field.dataType)
+            )
+    n_deleted = vanished.count()
+    source = feats.withColumn("_deleted", F.lit(False)).unionByName(
+        vanished.select(*feats.columns).withColumn("_deleted", F.lit(True))
+    )
+    gold.merge(source, delete_col="_deleted")
     log_event(
         "gold_incremental_published",
         run_id,
         rows=n,
+        rows_deleted=n_deleted,
         as_of_date=as_of_date,
         snapshot_id=snapshot_id,
     )
@@ -113,6 +130,7 @@ def incremental_gold_update(
             "snapshot_id": snapshot_id,
             "feature_version": fv,
             "rows_published": n,
+            "rows_deleted": n_deleted,
             "gates": report.to_dict(),
         },
     )

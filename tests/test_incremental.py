@@ -117,3 +117,44 @@ def test_gold_incremental_cli(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     payload = json.loads(out.stdout.strip().splitlines()[-1])
     assert payload["cmd"] == "gold-incremental" and payload["rows_published"] == 1
+
+
+def test_incremental_update_tombstones_erased_customers(spark, tmp_path):
+    """Full CDC erasure of a customer's orders must delete their gold row,
+    keeping incremental ≡ full recompute."""
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(spark.createDataFrame(_silver_rows(), _SILVER_SCHEMA))
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "gold"), AS_OF, "r1")
+
+    # erase ALL of c3's orders from silver (GDPR-style CDC delete)
+    silver.merge(
+        spark.createDataFrame(
+            [("o4", "c3", dt.datetime(2025, 3, 1, 9), "delivered", True)],
+            _SILVER_SCHEMA + ", _deleted boolean",
+        ),
+        delete_col="_deleted",
+    )
+    r = incremental_gold_update(
+        spark,
+        str(tmp_path / "silver"),
+        str(tmp_path / "gold"),
+        spark.createDataFrame([("c3",)], "customer_id string"),
+        AS_OF,
+        "r2",
+    )
+    assert r.rows_published == 0
+    assert r.metadata is not None
+
+    gold_features(
+        spark, str(tmp_path / "silver"), str(tmp_path / "gold_full"), AS_OF, "r3"
+    )
+    inc = _features(
+        ManagedTable(spark, str(tmp_path / "gold"), keys=["customer_id", "as_of_date"])
+    )
+    full = _features(
+        ManagedTable(
+            spark, str(tmp_path / "gold_full"), keys=["customer_id", "as_of_date"]
+        )
+    )
+    assert inc == full
+    assert set(inc) == {"c1", "c2"}  # c3's stale row is gone
