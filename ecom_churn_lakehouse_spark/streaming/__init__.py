@@ -2,6 +2,7 @@ from .events_stream import (
     click_purchase_stream_join,
     dedup_events_stream,
     enrich_stream_with_dim,
+    run_cdc_stream_to_managed_table,
     run_stream_to_managed_table,
     session_window_stream,
     stream_events,
@@ -14,6 +15,7 @@ __all__ = [
     "tumbling_counts_stream",
     "session_window_stream",
     "run_stream_to_managed_table",
+    "run_cdc_stream_to_managed_table",
     "dedup_events_stream",
     "enrich_stream_with_dim",
     "click_purchase_stream_join",

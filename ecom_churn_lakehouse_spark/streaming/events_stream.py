@@ -202,3 +202,45 @@ def run_stream_to_managed_table(
         .start()
         .awaitTermination()
     )
+
+
+def run_cdc_stream_to_managed_table(
+    change_stream: DataFrame,
+    table: ManagedTable,
+    checkpoint_dir: str,
+    seq_col: str = "ts",
+    delete_col: str = "_deleted",
+) -> None:
+    """Apply a CDC change stream (upserts + tombstones) to a managed
+    table — the streaming half of ``ManagedTable.merge(delete_col=)``.
+
+    Each microbatch may carry several changes for one key; the LATEST
+    by ``seq_col`` wins (tombstones win seq ties — a delete and a
+    re-insert with the same sequence number must not resurrect the
+    row nondeterministically). The reduced batch then MERGEs in one
+    pass: updates, inserts, and deletes together.
+
+    State posture at scale: foreachBatch holds NO streaming state —
+    the per-batch reduction is a bounded window over the microbatch
+    only, and replays are idempotent because the same (key, seq)
+    reduction lands the same MERGE.
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        latest = dedup_top1(
+            batch_df,
+            table.keys,
+            [F.col(seq_col).desc_nulls_last(), F.col(delete_col).desc()],
+        )
+        table.merge(latest, delete_col=delete_col)
+
+    (
+        change_stream.writeStream.outputMode("append")
+        .foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

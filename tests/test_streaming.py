@@ -187,3 +187,43 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.streaming import run_cdc_stream_to_managed_table
+
+    table = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    table.overwrite(
+        spark.createDataFrame(
+            [("a", 1, 0), ("b", 1, 0)], "k string, v int, ts long"
+        )
+    )
+    src = str(tmp_path / "changes")
+    schema = "k string, v int, ts long, _deleted boolean"
+    # batch carries: update for a (two changes — later ts wins), delete
+    # for b, insert for c, and a same-seq delete+upsert tie for d
+    # (tombstone must win).
+    spark.createDataFrame(
+        [
+            ("a", 2, 10, False),
+            ("a", 3, 20, False),
+            ("b", None, 15, True),
+            ("c", 7, 5, False),
+            ("d", 9, 30, False),
+            ("d", None, 30, True),
+        ],
+        schema,
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    run_cdc_stream_to_managed_table(stream, table, str(tmp_path / "ckpt"))
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got == {"a": 3, "c": 7}
+
+    # replay with a fresh checkpoint: same reduction, same MERGE — idempotent
+    run_cdc_stream_to_managed_table(
+        spark.readStream.schema(schema).parquet(src),
+        table,
+        str(tmp_path / "ckpt2"),
+    )
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {"a": 3, "c": 7}
