@@ -1,3 +1,13 @@
-from .train import TrainedModel, train_churn_model
+from .train import (
+    FEATURE_COLS,
+    TrainedModel,
+    train_churn_model,
+    train_churn_model_distributed,
+)
 
-__all__ = ["train_churn_model", "TrainedModel"]
+__all__ = [
+    "FEATURE_COLS",
+    "train_churn_model",
+    "train_churn_model_distributed",
+    "TrainedModel",
+]

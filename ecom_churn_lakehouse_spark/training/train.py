@@ -26,7 +26,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["FEATURE_COLS", "TrainedModel", "train_churn_model"]
+__all__ = [
+    "FEATURE_COLS",
+    "TrainedModel",
+    "train_churn_model",
+    "train_churn_model_distributed",
+]
 
 FEATURE_COLS = [
     "recency_days",
@@ -120,4 +125,86 @@ def train_churn_model(
         n_rows=int(n),
         train_accuracy=acc,
         metadata={"sampled": n_total > MAX_DRIVER_ROWS, "total_rows": int(n_total)},
+    )
+
+
+def train_churn_model_distributed(
+    snapshot: DataFrame,
+    label_col: str = "churn_label",
+    iters: int = 300,
+    lr: float = 0.5,
+    l2: float = 1e-3,
+) -> TrainedModel:
+    """Fit the SAME model with zero data-plane collects: every gradient
+    step is one Spark aggregation and only ``len(FEATURE_COLS)+1``
+    scalars ever reach the driver.
+
+    This is the 100 TB path ``train_churn_model``'s bounded collect
+    approximates by sampling: full-batch gradient descent where each
+    iteration is a map-side-combinable aggregation over the snapshot
+    (shuffle = one row per partition), so the full table trains without
+    ever materializing off-executor. The standardized feature frame is
+    cached — each of the ``iters`` jobs rescans memory/disk blocks, not
+    the source parquet. Deterministic like the collect path (fixed
+    iterations, no randomness); coefficients agree with it to float
+    tolerance on identical inputs (asserted in tests/test_train_serve).
+    """
+    df = snapshot.select(
+        *[F.col(c).cast("double") for c in FEATURE_COLS],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+
+    stats = df.agg(
+        F.count("*").alias("n"),
+        *[F.avg(c).alias(f"m_{c}") for c in FEATURE_COLS],
+        *[F.stddev_pop(c).alias(f"s_{c}") for c in FEATURE_COLS],
+    ).first()
+    n = stats["n"]
+    mean = [float(stats[f"m_{c}"]) for c in FEATURE_COLS]
+    std = [float(stats[f"s_{c}"]) or 1.0 for c in FEATURE_COLS]
+
+    z = df.select(
+        *[
+            ((F.col(c) - F.lit(mean[i])) / F.lit(std[i])).alias(f"z{i}")
+            for i, c in enumerate(FEATURE_COLS)
+        ],
+        "__y",
+    ).persist()
+    try:
+        k = len(FEATURE_COLS)
+        w = [0.0] * k
+        b = 0.0
+        for _ in range(iters):
+            logit = F.lit(b)
+            for i in range(k):
+                logit = logit + F.lit(w[i]) * F.col(f"z{i}")
+            resid = (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))) - F.col("__y")
+            g = z.agg(
+                *[F.avg(resid * F.col(f"z{i}")).alias(f"g{i}") for i in range(k)],
+                F.avg(resid).alias("gb"),
+            ).first()
+            w = [w[i] - lr * (float(g[f"g{i}"]) + l2 * w[i]) for i in range(k)]
+            b -= lr * float(g["gb"])
+
+        logit = F.lit(b)
+        for i in range(k):
+            logit = logit + F.lit(w[i]) * F.col(f"z{i}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+        acc_row = z.agg(
+            F.avg(
+                ((p >= 0.5) == (F.col("__y") >= 0.5)).cast("double")
+            ).alias("acc")
+        ).first()
+    finally:
+        z.unpersist()
+
+    return TrainedModel(
+        feature_cols=list(FEATURE_COLS),
+        mean=mean,
+        std=std,
+        coef=w,
+        intercept=b,
+        n_rows=int(n),
+        train_accuracy=float(acc_row["acc"]),
+        metadata={"distributed": True, "total_rows": int(n)},
     )

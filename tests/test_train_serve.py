@@ -72,3 +72,22 @@ def test_version_gate_blocks(spark, snapshot, tmp_path):
     some_id = next(iter(svc.client._by_key))
     with pytest.raises(VersionMismatch):
         svc.predict(some_id)
+
+
+def test_distributed_trainer_matches_collect_trainer(spark, snapshot):
+    from ecom_churn_lakehouse_spark.training import train_churn_model_distributed
+
+    iters = 60
+    m_collect = train_churn_model(snapshot, iters=iters)
+    m_dist = train_churn_model_distributed(snapshot, iters=iters)
+    # Same full-batch GD, different accumulation order: agreement to
+    # float tolerance, not bit equality.
+    assert m_dist.coef == pytest.approx(m_collect.coef, rel=1e-5, abs=1e-6)
+    assert m_dist.intercept == pytest.approx(
+        m_collect.intercept, rel=1e-5, abs=1e-6
+    )
+    assert m_dist.n_rows == m_collect.n_rows
+    assert m_dist.train_accuracy == pytest.approx(
+        m_collect.train_accuracy, abs=1e-9
+    )
+    assert m_dist.metadata["distributed"] is True
