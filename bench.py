@@ -48,6 +48,11 @@ HEADLINE = [
     "orders_trailing_30d",
     "status_priority_cube",
     "benchmark_contamination",
+    "priority_line_counts",
+    "customer_order_count_dist",
+    "doc_sequence_packing",
+    "doc_chunks",
+    "label_centroid_confusion",
 ]
 
 
