@@ -719,3 +719,74 @@ def q_nation_revenue_share(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+# ------------------------------------------------- set: UNION (distinct)
+
+_ACTIVE_IDS_SQL = """
+SELECT o_custkey AS entity_id FROM orders
+UNION
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+@register(
+    "active_entity_ids",
+    _ACTIVE_IDS_SQL,
+    doc="UNION distinct (completes the §2.8 set-op family beside "
+    "INTERSECT/EXCEPT/UNION ALL): the deduplicated union of ordering "
+    "customers and purchasing event users. df.union is bag semantics; "
+    "the trailing distinct is what makes it SQL UNION — one hash "
+    "aggregate, map-side combinable.",
+)
+def q_active_entity_ids(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("entity_id")
+    )
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+    purchasers = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("entity_id"))
+    )
+    return orders.union(purchasers).distinct()
+
+
+# ------------------------------------------------- set: EXCEPT ALL
+
+_DEMAND_OVERHANG_SQL = """
+SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n_excess
+FROM (
+    SELECT l_partkey AS part_id FROM lineitem
+    WHERE year(CAST(l_shipdate AS DATE)) = 1996
+    EXCEPT ALL
+    SELECT l_partkey AS part_id FROM lineitem
+    WHERE year(CAST(l_shipdate AS DATE)) = 1997
+)
+GROUP BY part_id
+"""
+
+
+@register(
+    "part_demand_overhang",
+    _DEMAND_OVERHANG_SQL,
+    doc="EXCEPT ALL (multiset difference — each 1997 shipment cancels "
+    "ONE 1996 occurrence, unlike distinct EXCEPT): per part, how many "
+    "more line items shipped in 1996 than 1997. df.exceptAll keeps "
+    "multiplicities; the oracle-parity trap is that SQL EXCEPT is "
+    "distinct-set semantics, so the two must never be swapped.",
+)
+def q_part_demand_overhang(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    y96 = li.filter(F.year(F.to_date("l_shipdate")) == 1996).select(
+        F.col("l_partkey").alias("part_id")
+    )
+    y97 = li.filter(F.year(F.to_date("l_shipdate")) == 1997).select(
+        F.col("l_partkey").alias("part_id")
+    )
+    return (
+        y96.exceptAll(y97)
+        .groupBy("part_id")
+        .agg(F.count("*").cast("long").alias("n_excess"))
+    )
