@@ -790,3 +790,60 @@ def q_part_demand_overhang(spark, sf_dir):
         .groupBy("part_id")
         .agg(F.count("*").cast("long").alias("n_excess"))
     )
+
+
+# ------------------------------------- referential-integrity audit
+
+_RI_AUDIT_SQL = """
+SELECT 'orphan_lineitems' AS check_name,
+       CAST((SELECT COUNT(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+           AS n_violations
+UNION ALL
+SELECT 'childless_orders',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                               WHERE l.l_orderkey = o.o_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'customerless_orders',
+       CAST((SELECT COUNT(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+"""
+
+
+@register(
+    "referential_integrity_audit",
+    _RI_AUDIT_SQL,
+    doc="Cross-table referential-integrity audit (the relational cousin "
+    "of the DQ row checks): orphaned lineitems, childless orders, and "
+    "orders pointing at missing customers — three anti-join counts "
+    "conformed into one report frame. Each anti join shuffles only "
+    "keys (projected before the join); at 100 TB the dimension side "
+    "broadcasts and the fact side never re-partitions.",
+)
+def q_referential_integrity_audit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def _count(df, name):
+        return df.agg(F.count("*").cast("long").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    orphan = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    )
+    childless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    )
+    customerless = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    return (
+        _count(orphan, "orphan_lineitems")
+        .unionAll(_count(childless, "childless_orders"))
+        .unionAll(_count(customerless, "customerless_orders"))
+    )
