@@ -53,6 +53,10 @@ HEADLINE = [
     "doc_sequence_packing",
     "doc_chunks",
     "label_centroid_confusion",
+    "cohort_retention",
+    "copurchase_part_pairs",
+    "session_first_touch",
+    "tfidf_top_terms",
 ]
 
 

@@ -62,6 +62,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from ecom_churn_lakehouse_spark.queries import (  # noqa: F401
+        advanced_queries,
         analytics_queries,
         churn_queries,
         curation_queries,
