@@ -1,0 +1,288 @@
+"""Feature-engineering queries for the churn training pipeline.
+
+Widens the reference's six-feature workload (SURVEY §2.12) with the
+derived signals a production churn model adds next — each one a shape
+the engine must execute well at 100 TB:
+
+- time-decay weighted spend    (recency-weighted monetary value)
+- event-type Markov transitions (sequence features from the event log)
+- feature correlation matrix    (training-set audit, exact moments)
+- smoothed target encoding      (per-segment churn rate, Laplace-α)
+
+Float discipline: decay weights use only +, /, × on doubles (IEEE
+round-to-nearest — bit-identical across engines; no libm transcendental
+whose last ulp could differ), sums accumulate in exact DECIMAL, and
+correlations derive from exact integer moment sums with a final
+sqrt (correctly rounded per IEEE) — so every value hashes identically
+against DuckDB regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.plans.churn import churn_labels, customer_features
+from ecom_churn_lakehouse_spark.queries.churn_queries import _LABELS_SQL
+from ecom_churn_lakehouse_spark.registry import AS_OF, register
+from ecom_churn_lakehouse_spark.sources import (
+    load_events,
+    load_table,
+    normalized_orders,
+)
+
+# ---------------------------------------------------------------------------
+# Time-decay weighted spend: weight = 1 / (1 + age_days/30) — a rational
+# decay kernel (no exp(), so the weight is bit-identical across engines).
+# ---------------------------------------------------------------------------
+
+_DECAYED_SPEND_SQL = f"""
+SELECT o_custkey AS customer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(
+           o_totalprice
+           / (1.0 + date_diff('day', CAST(o_orderdate AS DATE),
+                              DATE '{AS_OF}') / 30.0)
+           AS DECIMAL(18,6))) AS DOUBLE) AS decayed_spend
+FROM orders
+WHERE CAST(o_orderdate AS DATE) <= DATE '{AS_OF}'
+GROUP BY o_custkey
+"""
+
+
+@register(
+    "decayed_customer_spend",
+    _DECAYED_SPEND_SQL,
+    doc="Recency-weighted monetary value: per-customer spend with a "
+    "1/(1+age/30d) decay kernel as of the snapshot date. One scan, one "
+    "hash aggregation with map-side combine; the point-in-time filter "
+    "is pushed into the scan. The rational kernel (not exp) keeps the "
+    "per-row weight bit-identical across engines.",
+)
+def q_decayed_customer_spend(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    as_of = F.lit(AS_OF).cast("date")
+    age = F.datediff(as_of, F.to_date("o_orderdate"))
+    weight = F.lit(1.0) + age / F.lit(30.0)
+    return (
+        orders.filter(F.to_date("o_orderdate") <= as_of)
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice") / weight).cast("decimal(18,6)")
+            ).cast("double").alias("decayed_spend"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-type Markov transitions: lag over the per-user event sequence,
+# transition counts + row-normalized probabilities.
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_SQL = """
+WITH seq AS (
+    SELECT lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS from_type,
+           event_type AS to_type
+    FROM events
+),
+counts AS (
+    SELECT from_type, to_type, COUNT(*) AS n
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY from_type, to_type
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS transition_prob
+FROM counts
+"""
+
+
+@register(
+    "event_type_transitions",
+    _TRANSITIONS_SQL,
+    doc="First-order Markov transition matrix over each user's event "
+    "sequence (lag by event time, event_id tie-break) — the sequence "
+    "feature a session-aware churn model consumes. The heavy work is "
+    "one window pass partitioned by user_id; the normalization window "
+    "runs on the |event_types|² aggregate, which is tiny at any scale.",
+)
+def q_event_type_transitions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    norm = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(norm), 6).alias(
+            "transition_prob"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature correlation matrix from exact integer moments: one aggregation
+# produces every sum; the 10 pairwise Pearson correlations unpivot from
+# that single row — a training-set audit with zero extra scans.
+# ---------------------------------------------------------------------------
+
+_CORR_FEATURES = (
+    "recency_days",
+    "orders_30d",
+    "orders_90d",
+    "lifetime_orders",
+    "customer_tenure_days",
+)
+
+
+def _corr_sql() -> str:
+    from ecom_churn_lakehouse_spark.queries.churn_queries import _FEATURES_SQL
+
+    sums = ["CAST(COUNT(*) AS DECIMAL(38,0)) AS n"]
+    for f_ in _CORR_FEATURES:
+        sums.append(f"CAST(SUM(CAST({f_} AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s_{f_}")
+        sums.append(
+            f"CAST(SUM(CAST({f_} AS DECIMAL(38,0)) * CAST({f_} AS DECIMAL(38,0))) "
+            f"AS DECIMAL(38,0)) AS ss_{f_}"
+        )
+    pair_sums = []
+    for i, a in enumerate(_CORR_FEATURES):
+        for b in _CORR_FEATURES[i + 1:]:
+            pair_sums.append(
+                f"CAST(SUM(CAST({a} AS DECIMAL(38,0)) * CAST({b} AS DECIMAL(38,0))) "
+                f"AS DECIMAL(38,0)) AS sp_{a}__{b}"
+            )
+    selects = []
+    for i, a in enumerate(_CORR_FEATURES):
+        for b in _CORR_FEATURES[i + 1:]:
+            num = f"CAST(n * sp_{a}__{b} - s_{a} * s_{b} AS DOUBLE)"
+            da = f"sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))"
+            db = f"sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))"
+            selects.append(
+                f"SELECT '{a}' AS feature_a, '{b}' AS feature_b, "
+                f"ROUND({num} / ({da} * {db}), 6) AS pearson_corr FROM m"
+            )
+    return (
+        f"WITH feats AS ({_FEATURES_SQL}),\n"
+        f"m AS (SELECT {', '.join(sums + pair_sums)} FROM feats)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register(
+    "churn_feature_correlation",
+    _corr_sql(),
+    doc="Pairwise Pearson correlation of the integer churn features — "
+    "the multicollinearity audit run before training. All 21 moment "
+    "sums come from ONE aggregation over the feature frame (exact "
+    "DECIMAL, order-insensitive); the 10 correlations unpivot from "
+    "that single row via explode, so the matrix costs one scan of the "
+    "features regardless of scale.",
+)
+def q_churn_feature_correlation(spark, sf_dir):
+    feats = customer_features(normalized_orders(spark, sf_dir), AS_OF)
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    aggs = [F.count("*").cast("decimal(38,0)").alias("n")]
+    for f_ in _CORR_FEATURES:
+        aggs.append(F.sum(dec(f_)).cast("decimal(38,0)").alias(f"s_{f_}"))
+        aggs.append(
+            F.sum(dec(f_) * dec(f_)).cast("decimal(38,0)").alias(f"ss_{f_}")
+        )
+    for i, a in enumerate(_CORR_FEATURES):
+        for b in _CORR_FEATURES[i + 1:]:
+            aggs.append(
+                F.sum(dec(a) * dec(b)).cast("decimal(38,0)").alias(f"sp_{a}__{b}")
+            )
+    m = feats.agg(*aggs)
+    pair_structs = []
+    for i, a in enumerate(_CORR_FEATURES):
+        for b in _CORR_FEATURES[i + 1:]:
+            num = (F.col("n") * F.col(f"sp_{a}__{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+            da = F.sqrt((F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double"))
+            db = F.sqrt((F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double"))
+            pair_structs.append(
+                F.struct(
+                    F.lit(a).alias("feature_a"),
+                    F.lit(b).alias("feature_b"),
+                    F.round(num / (da * db), 6).alias("pearson_corr"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.feature_a", "p.feature_b", "p.pearson_corr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Smoothed target encoding: per-segment churn rate shrunk toward the
+# global rate (Laplace α=20) — the leakage-safe categorical encoding.
+# ---------------------------------------------------------------------------
+
+_TARGET_ALPHA = 20.0
+
+_TARGET_ENCODING_SQL = f"""
+WITH labels AS ({_LABELS_SQL}),
+joined AS (
+    SELECT c_mktsegment AS segment, churn_label
+    FROM labels JOIN customer ON customer_id = c_custkey
+),
+g AS (
+    SELECT CAST(SUM(churn_label) AS DOUBLE) / COUNT(*) AS global_rate
+    FROM joined
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(churn_label) AS BIGINT) AS n_churned,
+       ROUND((SUM(churn_label) + {_TARGET_ALPHA} * global_rate)
+             / (COUNT(*) + {_TARGET_ALPHA}), 6) AS smoothed_churn_rate
+FROM joined, g
+GROUP BY segment, global_rate
+"""
+
+
+@register(
+    "segment_churn_encoding",
+    _TARGET_ENCODING_SQL,
+    doc="Smoothed target encoding of market segment against the churn "
+    "label: per-segment rate shrunk toward the global rate with "
+    "Laplace α=20 — the standard leakage-controlled categorical "
+    "feature. The global rate is a broadcast 1-row frame (uncorrelated "
+    "scalar subquery); segment counts are one hash aggregation.",
+)
+def q_segment_churn_encoding(spark, sf_dir):
+    labels = churn_labels(normalized_orders(spark, sf_dir), AS_OF)
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    joined = labels.join(seg, on="customer_id").select("segment", "churn_label")
+    g = joined.agg(
+        (F.sum("churn_label").cast("double") / F.count("*")).alias("global_rate")
+    )
+    return (
+        joined.crossJoin(F.broadcast(g))
+        .groupBy("segment", "global_rate")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("churn_label").cast("long").alias("n_churned"),
+            F.round(
+                (F.sum("churn_label") + F.lit(_TARGET_ALPHA) * F.first("global_rate"))
+                / (F.count("*") + F.lit(_TARGET_ALPHA)),
+                6,
+            ).alias("smoothed_churn_rate"),
+        )
+        .drop("global_rate")
+    )

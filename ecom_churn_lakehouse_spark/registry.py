@@ -69,10 +69,12 @@ def _load_all() -> None:
         dedup_queries,
         event_queries,
         extended_queries,
+        feature_queries,
         relational_queries,
         sampling_queries,
         shape_queries,
         similarity_queries,
+        subquery_queries,
         text_queries,
     )
 

@@ -37,21 +37,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Events scan with nanosecond-timestamp handling.
+def event_ts_column(ts_dtype: str) -> F.Column:
+    """Normalize the fixture's ``ts`` to a session-tz TIMESTAMP.
 
-    The fixture's ``ts`` is parquet INT64 TIMESTAMP(NANOS) which Spark 4
-    refuses to read natively; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    The fixture has shipped two physical encodings: parquet INT64
+    TIMESTAMP(NANOS), which Spark 4 only reads as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and we truncate to
     microseconds with integer division (``div`` — float division would
-    lose precision above 2^53 ns). Matches DuckDB's ns→µs truncation
-    bit-for-bit (verified at sf0.01).
+    lose precision above 2^53 ns); and native TIMESTAMP(MICROS)
+    (NTZ under parquet ``isAdjustedToUTC=false``), which we cast to
+    TIMESTAMP — value-preserving because the session tz is pinned UTC
+    (session.py). Both match DuckDB's reading bit-for-bit at sf0.01.
     """
+    if ts_dtype == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events scan, schema-adaptive over the fixture's ts encodings."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        event_ts_column(dict(raw.dtypes)["ts"]).alias("ts"),
         "user_id",
         "event_type",
         "value",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ecom_churn_lakehouse_spark.operators.windows import dedup_top1
 from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+from ecom_churn_lakehouse_spark.sources.tables import event_ts_column
 
 __all__ = [
     "stream_events",
@@ -34,10 +35,12 @@ __all__ = [
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """readStream over the events parquet (ns→µs conversion as in the
+    """readStream over the events parquet (ts normalized as in the
     batch source)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = batch.schema
+    ts_dtype = dict(batch.dtypes)["ts"]
     # File streams need a DIRECTORY source; select just the events file
     # with a glob filter.
     reader = (
@@ -50,7 +53,7 @@ def stream_events(
     raw = reader.load(sf_dir)
     return raw.select(
         "event_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+        event_ts_column(ts_dtype).alias("ts"),
         "user_id",
         "event_type",
         "value",
