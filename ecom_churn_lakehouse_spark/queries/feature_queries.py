@@ -38,10 +38,10 @@ from ecom_churn_lakehouse_spark.sources import (
 _DECAYED_SPEND_SQL = f"""
 SELECT o_custkey AS customer_id,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(SUM(CAST(
+       CAST(SUM(CAST(ROUND(
            o_totalprice
            / (1.0 + date_diff('day', CAST(o_orderdate AS DATE),
-                              DATE '{AS_OF}') / 30.0)
+                              DATE '{AS_OF}') / 30.0), 6)
            AS DECIMAL(18,6))) AS DOUBLE) AS decayed_spend
 FROM orders
 WHERE CAST(o_orderdate AS DATE) <= DATE '{AS_OF}'
@@ -70,8 +70,13 @@ def q_decayed_customer_spend(spark, sf_dir):
         .groupBy(F.col("o_custkey").alias("customer_id"))
         .agg(
             F.count("*").cast("long").alias("n_orders"),
+            # Round to 6 decimals BEFORE the decimal cast: the rounded
+            # double sits ~1e-10 from its decimal target, so both
+            # engines' double→decimal conversions land on the same
+            # value (a raw cast of an arbitrary double occasionally
+            # splits on the half-ulp tie and desyncs the hash).
             F.sum(
-                (F.col("o_totalprice") / weight).cast("decimal(18,6)")
+                F.round(F.col("o_totalprice") / weight, 6).cast("decimal(18,6)")
             ).cast("double").alias("decayed_spend"),
         )
     )
