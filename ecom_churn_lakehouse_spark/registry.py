@@ -72,6 +72,7 @@ def _load_all() -> None:
         feature_queries,
         relational_queries,
         sampling_queries,
+        search_queries,
         shape_queries,
         similarity_queries,
         subquery_queries,
