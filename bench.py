@@ -57,6 +57,11 @@ HEADLINE = [
     "copurchase_part_pairs",
     "session_first_touch",
     "tfidf_top_terms",
+    "decayed_customer_spend",
+    "event_type_transitions",
+    "small_lot_part_revenue",
+    "doc_bm25_scores",
+    "token_pmi_bigrams",
 ]
 
 

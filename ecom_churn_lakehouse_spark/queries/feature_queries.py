@@ -273,7 +273,13 @@ def q_segment_churn_encoding(spark, sf_dir):
         F.col("c_custkey").alias("customer_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    joined = labels.join(seg, on="customer_id").select("segment", "churn_label")
+    # The labeled frame feeds the global rate AND the per-segment agg;
+    # checkpoint it so the label plan (3 orders scans) runs once.
+    joined = (
+        labels.join(seg, on="customer_id")
+        .select("segment", "churn_label")
+        .localCheckpoint(eager=False)
+    )
     g = joined.agg(
         (F.sum("churn_label").cast("double") / F.count("*")).alias("global_rate")
     )
