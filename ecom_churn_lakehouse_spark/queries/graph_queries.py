@@ -1,0 +1,136 @@
+"""Iterative graph analytics over the co-purchase graph.
+
+PageRank as a pure DataFrame loop — the iterative-algorithm pattern
+(driver-side loop, per-iteration ``localCheckpoint`` to truncate
+lineage) that complements ``operators/connected_components.py``.
+
+Determinism design: all PageRank arithmetic runs in FIXED-POINT
+INTEGERS (scale 1e12) with explicit floor division (``div`` / ``//``)
+— no doubles anywhere in the iteration, so partial-aggregation order
+and cross-engine libm differences cannot perturb a single bit, even
+compounded over iterations. The oracle unrolls the same fixed number
+of iterations as chained CTEs (portable — no recursive-aggregate
+support needed).
+
+Scale posture: the edge list and degree frame are checkpointed once
+and reused by every iteration; each iteration is one join + one
+shuffle on dst (the classic Pregel-on-DataFrames layout). Co-purchase
+edges are thresholded (pairs co-occurring in ≥2 orders) so boilerplate
+mega-orders don't densify the graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+_PR_SCALE = 1_000_000_000_000  # fixed-point 1e12
+_PR_BASE_NUM = 150_000_000_000  # 0.15 * scale
+_PR_ITER = 5
+_MIN_COOCCUR = 2
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_COOCCUR}
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT CAST({_PR_BASE_NUM} // COUNT(*) AS BIGINT) AS base FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+p0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    for k in range(1, _PR_ITER + 1):
+        steps.append(f"""
+p{k} AS (
+    SELECT e.dst AS node,
+           CAST((SELECT base FROM nn)
+                + (85 * SUM(p.v // deg.d)) // 100 AS BIGINT) AS v
+    FROM p{k - 1} p
+    JOIN deg ON p.node = deg.src
+    JOIN edges e ON e.src = p.node
+    GROUP BY e.dst
+)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"\nSELECT node AS part_id, v AS pagerank_fp FROM p{_PR_ITER}"
+    )
+
+
+@register(
+    "copurchase_pagerank",
+    _pagerank_sql(),
+    doc=f"PageRank ({_PR_ITER} iterations, damping 0.85) over the "
+    "co-purchase part graph — iterative graph centrality as a "
+    "DataFrame loop with per-iteration lineage checkpoints. "
+    "Fixed-point integer arithmetic (scale 1e12, floor division) "
+    "makes every iteration bit-exact across engines and aggregation "
+    "orders; the oracle unrolls the identical iterations as chained "
+    "CTEs.",
+)
+def q_copurchase_pagerank(spark, sf_dir):
+    # Pair generation is ORDER-LOCAL: one shuffle groups each order's
+    # parts into a set, the double explode fans out k·(k−1) directed
+    # pairs inside the row — no sort-merge self-join of the fact table
+    # (the oracle keeps the equivalent self-join formulation).
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    pairs = baskets.select(
+        F.explode("parts").alias("src"), F.col("parts")
+    ).select(
+        "src",
+        F.explode(F.filter("parts", lambda x: x != F.col("src"))).alias("dst"),
+    )
+    # The thresholded edge list is tiny relative to the fact table
+    # (|edges| ≪ |lineitem|); coalesce before checkpointing so the 5
+    # iteration stages schedule a handful of tasks instead of 32 —
+    # at 100 TB the same call would target a partition count sized to
+    # |edges|, not to the scan parallelism that produced it.
+    edges = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+        .select("src", "dst")
+        .coalesce(4)
+        .localCheckpoint(eager=False)  # reused by every iteration
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).localCheckpoint(
+        eager=False
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    base = nodes.agg(
+        F.expr(f"CAST({_PR_BASE_NUM} div COUNT(*) AS BIGINT)").alias("base")
+    )
+    pr = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("v"))
+    for _ in range(_PR_ITER):
+        shares = pr.join(deg, pr.node == deg.src).select(
+            "src", F.expr("v div d").alias("share")
+        )
+        pr = (
+            edges.join(shares, on="src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("s"))
+            .crossJoin(F.broadcast(base))
+            .select(
+                "node",
+                F.expr("CAST(base + (85 * s) div 100 AS BIGINT)").alias("v"),
+            )
+            .localCheckpoint(eager=False)  # truncate the iteration lineage
+        )
+    return pr.select(
+        F.col("node").alias("part_id"), F.col("v").alias("pagerank_fp")
+    )

@@ -70,6 +70,7 @@ def _load_all() -> None:
         event_queries,
         extended_queries,
         feature_queries,
+        graph_queries,
         relational_queries,
         sampling_queries,
         search_queries,
