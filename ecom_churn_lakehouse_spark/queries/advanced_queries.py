@@ -116,30 +116,28 @@ HAVING COUNT(*) >= 2
     "copurchase_part_pairs",
     _COPURCHASE_SQL,
     doc="Market-basket pair mining: parts co-occurring in >= 2 orders "
-    "via an order-keyed self-join (extension; the A-priori candidate "
-    "step). Scale: the self-join is co-partitioned on l_orderkey — "
-    "one shuffle, then pair generation is ORDER-LOCAL with fan-out "
-    "bounded by lines-per-order squared (~13^2 max here; real "
-    "pipelines cap basket size first). Never an all-pairs join across "
-    "orders; the pair aggregate is the only second shuffle.",
+    "(extension; the A-priori candidate step). Scale: ONE shuffle "
+    "groups each order's parts into a sorted set; a<b pairs fan out "
+    "ROW-LOCALLY via posexplode + slice (bounded by lines-per-order "
+    "squared — real pipelines cap basket size first), so there is no "
+    "sort-merge self-join of the fact table; the pair aggregate is "
+    "the only second shuffle. The oracle keeps the equivalent "
+    "self-join formulation.",
 )
 def q_copurchase_part_pairs(spark, sf_dir):
-    op = (
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
-    a, b = op.alias("a"), op.alias("b")
+    pairs = baskets.select(
+        F.posexplode("parts").alias("i", "part_a"), "parts"
+    ).select(
+        "part_a",
+        F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count("*").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
