@@ -304,3 +304,52 @@ def q_interevent_gaps(spark, sf_dir):
             F.max("gap_us").cast("long").alias("max_gap_us"),
         )
     )
+
+
+# ------------------------------------- sliding-window distinct count
+
+_ROLLING_DISTINCT_SQL = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users_7d
+FROM days d
+JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+GROUP BY d.day
+"""
+
+
+@register(
+    "rolling_7d_active_users",
+    _ROLLING_DISTINCT_SQL,
+    doc="Rolling 7-day distinct active users per day — the sliding "
+    "COUNT(DISTINCT) no window frame can express (distinct is not "
+    "decomposable over frames). Scale path: dedup to (user, day) "
+    "pairs FIRST (one shuffle, map-side partial), then each pair "
+    "fans out row-locally to the <=7 window-end days it serves, and "
+    "one distinct-count per day finishes the job — work is "
+    "O(active-pairs x 7), never O(days x events) like the oracle's "
+    "range join.",
+)
+def q_rolling_7d_active_users(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    pairs = ev.distinct()
+    # Each (user, day) pair contributes to window-ends day..day+6;
+    # keep only window-ends that are real event days (the oracle's
+    # `days` spine) by semi-joining the fan-out against observed days.
+    days = pairs.select("day").distinct()
+    fanned = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("window_end"),
+    )
+    return (
+        fanned.join(
+            days.select(F.col("day").alias("window_end")), on="window_end", how="left_semi"
+        )
+        .groupBy(F.col("window_end").alias("day"))
+        .agg(F.count_distinct("user_id").cast("long").alias("active_users_7d"))
+    )
