@@ -59,34 +59,29 @@ def interval_join(
     # {floor(L/span), floor(L/span)+1} — so replicating each right row
     # into its own bin and the previous one guarantees every true
     # match co-locates with its left bin.
-    # Surrogate row id so the left-join reattachment below can anti-join
-    # null-safely: anti-joining on the full left schema would re-emit any
-    # matched row containing a NULL (NULL never equals itself).
-    left_tagged = (
-        left.withColumn("__lid", F.monotonically_increasing_id())
-        if how == "left"
-        else left
-    )
-    l_binned = left_tagged.withColumn(
-        "__bin", F.floor(l_us / F.lit(span_us)).cast("long")
-    )
+    l_binned = left.withColumn("__bin", F.floor(l_us / F.lit(span_us)).cast("long"))
     r_bin0 = F.floor((r_us - F.lit(lower_us)) / F.lit(span_us)).cast("long")
     r_binned = right.withColumn("__bin", F.explode(F.array(r_bin0 - 1, r_bin0)))
 
-    joined = l_binned.join(r_binned, on=[*on, "__bin"], how="inner").filter(
-        (F.unix_micros(F.col(right_ts)) > F.unix_micros(F.col(left_ts)) + lower_us)
-        & (F.unix_micros(F.col(right_ts)) <= F.unix_micros(F.col(left_ts)) + upper_us)
+    # One expression-form join serves BOTH modes. Correctness of the
+    # left join hinges on each left row landing in exactly ONE bin (a
+    # right row is replicated, but only the replica in the left row's
+    # bin can satisfy the condition, so no duplicate matches) — which
+    # means unmatched left rows emit exactly once with null right
+    # payload, with no anti-join reattachment pass, no surrogate ids,
+    # and no dependence on nondeterministic id assignment across stage
+    # recomputation.
+    la, ra = l_binned.alias("__l"), r_binned.alias("__r")
+    cond = F.col("__l.__bin") == F.col("__r.__bin")
+    for k in on:
+        cond = cond & (F.col(f"__l.{k}") == F.col(f"__r.{k}"))
+    lu, ru = (
+        F.unix_micros(F.col(f"__l.{left_ts}")),
+        F.unix_micros(F.col(f"__r.{right_ts}")),
     )
-    if how == "inner":
-        return joined.drop("__bin")
-    # left join: reattach unmatched left rows by surrogate id
-    matched = joined.drop("__bin")
+    cond = cond & (ru > lu + F.lit(lower_us)) & (ru <= lu + F.lit(upper_us))
     right_cols = [c for c in right.columns if c not in on]
-    unmatched = l_binned.drop("__bin").join(
-        matched.select("__lid").distinct(), on="__lid", how="left_anti"
+    return la.join(ra, cond, how).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right_cols],
     )
-    for c in right_cols:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(dict(right.dtypes)[c])
-        )
-    return matched.unionByName(unmatched).drop("__lid")
