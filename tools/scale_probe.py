@@ -1,0 +1,145 @@
+"""Empirical scaling probe: time headline queries at sf0.1 and at a
+synthetic K× replication of it, and report the time ratio per query.
+
+A correct-at-scale plan should show time ratio ≈ K (linear) for
+scan/agg/join shapes — a ratio trending toward K² exposes an
+accidental quadratic (all-pairs join, unblocked similarity, driver
+loop). This is the measurement behind the repo's 100 TB claims, run
+at whatever scale the local box affords.
+
+The K× dataset derives from sf0.1 with key offsets so entity counts
+actually grow (new customers/orders/docs, not hotter keys):
+- orders/lineitem/customer/events/embeddings ids shift by i·10⁹
+- document text gets a per-copy suffix token so the near-dup surface
+  scales linearly instead of planting K-cliques across copies
+  (tripling identical docs would legitimately explode pair counts —
+  that's a semantics change, not a scaling measurement).
+
+Usage: python tools/scale_probe.py [K] [query ...]
+Writes the replicated parquet under .scale_probe/ (gitignored,
+removed on exit unless KEEP_SCALE_DATA=1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe")
+
+DEFAULT_QUERIES = [
+    "customer_features",
+    "churn_labels",
+    "training_snapshot",
+    "pricing_summary",
+    "revenue_by_nation",
+    "dedup_latest_per_key",
+    "event_sessions",
+    "rolling_7d_active_users",
+    "copurchase_part_pairs",
+    "copurchase_pagerank",
+    "minhash_lsh_pairs",
+    "exact_dedup_groups",
+    "doc_bm25_scores",
+    "cosine_topk_bruteforce",
+    "decayed_customer_spend",
+]
+
+_ID_OFFSETS = {
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # dims stay fixed: nation/region/supplier/part are genuinely small
+    "nation": [],
+    "region": [],
+    "supplier": [],
+    "part": [],
+}
+
+
+def build_kx(spark, k: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = os.path.join(OUT, f"x{k}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for table, keys in _ID_OFFSETS.items():
+        src = spark.read.parquet(f"{BASE}/{table}.parquet")
+        if not keys:
+            src.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+            continue
+        copies = []
+        for i in range(k):
+            c = src
+            for key in keys:
+                c = c.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            if table == "documents" and i > 0:
+                c = c.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" copy{i}"))
+                )
+            copies.append(c)
+        df = copies[0]
+        for c in copies[1:]:
+            df = df.unionByName(c)
+        df.write.mode("overwrite").parquet(f"{out}/{table}.parquet")
+    return out
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    names = sys.argv[2:] or DEFAULT_QUERIES
+
+    from pyspark.sql import SparkSession
+
+    from ecom_churn_lakehouse_spark import registry
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "16g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    kx_dir = build_kx(spark, k)
+    qs = registry.queries()
+
+    def run(fn, sf_dir) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
+    print(f"{'query':35s} {'t(1x)':>7s} t({k}x) {'ratio':>6s}  verdict", flush=True)
+    worst = 0.0
+    for name in names:
+        fn = qs[name]
+        t1 = run(fn, BASE)
+        tk = run(fn, kx_dir)
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        worst = max(worst, ratio)
+        verdict = "linear-ish" if ratio <= k * 1.5 else "SUPERLINEAR"
+        print(f"{name:35s} {t1:7.2f} {tk:7.2f} {ratio:6.2f}  {verdict}", flush=True)
+    print(f"# K={k}; ratio ≈ K is ideal; worst={worst:.2f}", flush=True)
+
+    if not os.environ.get("KEEP_SCALE_DATA"):
+        shutil.rmtree(OUT, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
