@@ -41,6 +41,15 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "128m",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime row-level filtering for large shuffle joins: build a bloom
+    # filter from the small side's join keys and push it into the big
+    # side's scan — at 100 TB this prunes fact-table rows that would be
+    # dropped by the join anyway, before they ever shuffle. (The
+    # companion semiJoinReduction flag is deliberately NOT set: enabling
+    # it stalls session startup for minutes on this Spark build — a
+    # py4j classloading storm during getOrCreate, reproduced in
+    # isolation with that single key.)
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
