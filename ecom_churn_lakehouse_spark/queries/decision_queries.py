@@ -1,0 +1,366 @@
+"""Deep decision-support shapes: TPC-H Q18/Q10/Q21 analogues plus a
+graph-triangle and quantile-binning query (SURVEY §2.4/§2.6 widening).
+
+The reference's workload stops at single-level joins and grouped
+aggregates (SURVEY §2.4-2.6); these add the remaining classic
+decision-support patterns a drop-in engine must run:
+
+- HAVING-gated aggregate as a join input      (large_basket_customers)
+- multi-way join + top-k by aggregated value  (returned_revenue_by_customer)
+- double-correlated EXISTS/NOT EXISTS         (sole_blame_suppliers)
+- higher-order self-join (triangle counting)  (copurchase_triangles)
+- exact quantile binning via ranking          (order_value_quartile_stats)
+
+Scale posture:
+- Q18/Q10 aggregate lineitem FIRST (map-side combinable) and join the
+  much smaller aggregate/dimension frames after; date filters reach the
+  parquet scans as PushedFilters.
+- Q21's textbook form is two correlated subqueries per lineitem; here
+  both collapse into ONE per-order aggregation (distinct-supplier
+  counts + a conditional max that names the single blamed supplier) —
+  no self-joins against the fact table at all, which is the difference
+  between one shuffle and three at 100 TB.
+- Triangle counting orients every edge low-key -> high-key so each
+  triangle is built exactly once; the join graph is equi-key-partitioned
+  (edges reused across all three legs). At cluster scale you would
+  additionally orient by degree (low-degree vertex first) to bound the
+  per-key fan-out under power-law skew — noted, not needed at this SF.
+- NTILE quantile binning is a global sort by construction (exactness
+  requires it); the scale path for approximate binning is
+  approx_percentile cut-points broadcast to a scan-local bucketer, as
+  done in `price_outlier_orders`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+
+def _dsum(col, scale=4):
+    """Order-independent money sum: decimal accumulate -> double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING-gated aggregate joined back to the fact's parent.
+# ---------------------------------------------------------------------------
+
+_BASKET_QTY = 250
+
+_LARGE_BASKET_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {_BASKET_QTY}
+)
+SELECT o.o_custkey AS custkey,
+       o.o_orderkey AS orderkey,
+       CAST(o.o_orderdate AS DATE) AS order_date,
+       o.o_totalprice AS total_price,
+       b.total_qty AS total_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+"""
+
+
+@register(
+    "large_basket_customers",
+    _LARGE_BASKET_SQL,
+    doc="TPC-H Q18 shape: orders whose total lineitem quantity exceeds "
+    "a threshold. The HAVING aggregate runs first (map-side combinable "
+    "partial sums), shrinking lineitem to a per-order frame before the "
+    "orders join — never the reverse order.",
+)
+def q_large_basket_customers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("_q"))
+        .filter(F.col("_q") > _BASKET_QTY)
+        .select("l_orderkey", F.col("_q").cast("double").alias("total_qty"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.join(big, orders.o_orderkey == big.l_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+        "total_qty",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: 4-way join, aggregate, top-k by the aggregated value.
+# ---------------------------------------------------------------------------
+
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-04-01"
+
+_RETURNED_REVENUE_SQL = f"""
+SELECT c.c_custkey AS custkey,
+       n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS lost_revenue,
+       CAST(COUNT(*) AS BIGINT) AS returned_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '{_Q10_START}'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{_Q10_END}'
+GROUP BY c.c_custkey, n.n_name
+ORDER BY lost_revenue DESC, custkey
+LIMIT 20
+"""
+
+
+@register(
+    "returned_revenue_by_customer",
+    _RETURNED_REVENUE_SQL,
+    doc="TPC-H Q10 shape: revenue lost to returns per customer over one "
+    "quarter, top 20. Returnflag + date filters push into the scans; "
+    "the quarter of orders joins lineitem on the shuffle key, then the "
+    "small aggregated frame broadcasts against customer/nation dims. "
+    "Exact-decimal revenue makes the top-20 cut deterministic.",
+)
+def q_returned_revenue_by_customer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit(_Q10_START).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(_Q10_END).cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(revenue, 6).alias("lost_revenue"),
+            F.count("*").cast("long").alias("returned_lines"),
+        )
+    )
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation"),
+            "lost_revenue",
+            "returned_lines",
+        )
+        .orderBy(F.col("lost_revenue").desc(), "custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: double-correlated EXISTS / NOT EXISTS, decorrelated into a
+# single per-order aggregation.
+# ---------------------------------------------------------------------------
+
+_SOLE_BLAME_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')
+               AS n_ret_supp,
+           MAX(l_suppkey) FILTER (WHERE l_returnflag = 'R') AS blamed_supp
+    FROM lineitem
+    GROUP BY l_orderkey
+)
+SELECT s.s_suppkey AS suppkey,
+       s.s_name AS supplier_name,
+       CAST(COUNT(*) AS BIGINT) AS blamed_orders
+FROM per_order p
+JOIN supplier s ON s.s_suppkey = p.blamed_supp
+WHERE p.n_supp > 1 AND p.n_ret_supp = 1
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY blamed_orders DESC, suppkey
+LIMIT 25
+"""
+
+
+@register(
+    "sole_blame_suppliers",
+    _SOLE_BLAME_SQL,
+    doc="TPC-H Q21 shape: suppliers that were the ONLY supplier with a "
+    "returned line in a multi-supplier order (EXISTS another supplier's "
+    "line AND NOT EXISTS another supplier's returned line). Both "
+    "correlated subqueries collapse into one per-order aggregation: "
+    "n_supp>1 encodes the EXISTS, n_ret_supp=1 the NOT EXISTS, and "
+    "MAX(suppkey) FILTER(returned) names the unique culprit — one "
+    "shuffle over lineitem instead of three self-joins.",
+)
+def q_sole_blame_suppliers(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = F.col("l_returnflag") == "R"
+    ret_supp = F.when(returned, F.col("l_suppkey"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(ret_supp).alias("n_ret_supp"),
+        F.max(ret_supp).alias("blamed_supp"),
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_ret_supp") == 1))
+        .groupBy("blamed_supp")
+        .agg(F.count("*").cast("long").alias("blamed_orders"))
+        .join(F.broadcast(supp), F.col("blamed_supp") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier_name"),
+            "blamed_orders",
+        )
+        .orderBy(F.col("blamed_orders").desc(), "suppkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over the co-purchase graph (§7.7 graph family,
+# alongside copurchase_pagerank / neardup clustering).
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_SQL = """
+WITH bask AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM bask a
+    JOIN bask b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+),
+tri AS (
+    SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+    FROM edges e1
+    JOIN edges e2 ON e2.pa = e1.pb
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+),
+nodes AS (
+    SELECT a AS part FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT part AS partkey,
+       CAST(COUNT(*) AS BIGINT) AS triangle_count
+FROM nodes
+GROUP BY part
+ORDER BY triangle_count DESC, partkey
+LIMIT 25
+"""
+
+
+@register(
+    "copurchase_triangles",
+    _TRIANGLE_SQL,
+    doc="Per-part triangle participation in the co-purchase graph, top "
+    "25. Edges are oriented l_partkey-ascending so each triangle "
+    "(a<b<c) materializes exactly once from e1=(a,b), e2=(b,c), "
+    "e3=(a,c); the per-node count then fans each triangle to its three "
+    "corners with a UNION ALL (no distinct needed). Clustering "
+    "coefficient / community density primitive for recommender audits.",
+)
+def q_copurchase_triangles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    bask = li.select("l_orderkey", "l_partkey").distinct()
+    a = bask.alias("a")
+    b = bask.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa"))
+            & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("a"),
+            F.col("e1.pb").alias("b"),
+            F.col("e2.pb").alias("c"),
+        )
+    )
+    nodes = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        nodes.groupBy("part")
+        .agg(F.count("*").cast("long").alias("triangle_count"))
+        .select(F.col("part").alias("partkey"), "triangle_count")
+        .orderBy(F.col("triangle_count").desc(), "partkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantile binning via NTILE (feature-engineering primitive).
+# ---------------------------------------------------------------------------
+
+_QUARTILE_SQL = """
+WITH q AS (
+    SELECT o_totalprice,
+           CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey)
+                AS INTEGER) AS quartile
+    FROM orders
+)
+SELECT quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       MIN(o_totalprice) AS min_value,
+       MAX(o_totalprice) AS max_value,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM q
+GROUP BY quartile
+ORDER BY quartile
+"""
+
+
+@register(
+    "order_value_quartile_stats",
+    _QUARTILE_SQL,
+    doc="Exact quartile binning of order values (NTILE with a full "
+    "tie-break, so bin membership is deterministic) plus per-bin stats. "
+    "Exactness forces a global sort; the approximate scale path is "
+    "broadcast approx_percentile cut-points as in price_outlier_orders.",
+)
+def q_order_value_quartile_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    q = orders.select(
+        "o_totalprice", F.ntile(4).over(w).cast("int").alias("quartile")
+    )
+    return (
+        q.groupBy("quartile")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("min_value"),
+            F.max("o_totalprice").alias("max_value"),
+            _dsum(F.col("o_totalprice")).alias("total_value"),
+        )
+        .orderBy("quartile")
+    )

@@ -66,6 +66,7 @@ def _load_all() -> None:
         analytics_queries,
         churn_queries,
         curation_queries,
+        decision_queries,
         dedup_queries,
         event_queries,
         extended_queries,
