@@ -353,3 +353,50 @@ def q_rolling_7d_active_users(spark, sf_dir):
         .groupBy(F.col("window_end").alias("day"))
         .agg(F.count_distinct("user_id").cast("long").alias("active_users_7d"))
     )
+
+
+# --- forward as-of join with tolerance: next purchase after each click ---
+
+_FWD_ASOF_SQL = """
+SELECT c.event_id AS click_id,
+       c.user_id AS user_id,
+       c.ts AS click_ts,
+       (SELECT MIN(p.ts) FROM events p
+        WHERE p.event_type = 'purchase'
+          AND p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL 7 DAY) AS next_purchase_ts
+FROM events c
+WHERE c.event_type = 'click'
+"""
+
+
+@register(
+    "next_purchase_after_click",
+    _FWD_ASOF_SQL,
+    doc="FORWARD as-of join with a 7-day tolerance: for each click, the "
+    "earliest same-user purchase at-or-after it, discarded when farther "
+    "than 7 days (click-to-conversion latency surface). Same union+"
+    "window plan as the backward as-of — time traversed descending, "
+    "tolerance enforced as a post-filter on the carried match "
+    "timestamp, still ONE linear shuffle (operators/asof.py). Oracle: "
+    "correlated MIN subquery, which DuckDB decorrelates itself.",
+)
+def q_next_purchase_after_click(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        payload={"ts": "next_purchase_ts"},
+        direction="forward",
+        tolerance_seconds=7 * 24 * 3600,
+    ).select("click_id", "user_id", "click_ts", "next_purchase_ts")

@@ -44,6 +44,52 @@ def test_asof_join_backward_inclusive(spark):
     assert out[3] is None  # no right row before 09:00 → null
 
 
+def test_asof_join_forward_inclusive_with_tolerance(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k="u1", lts=_ts("2024-01-01 10:00:00"), lid=1),
+            Row(k="u1", lts=_ts("2024-01-01 12:00:00"), lid=2),
+            Row(k="u1", lts=_ts("2024-01-02 00:00:00"), lid=3),  # next right >2h away
+            Row(k="u2", lts=_ts("2024-01-01 09:00:00"), lid=4),  # no right at/after
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k="u1", rts=_ts("2024-01-01 10:00:00"), payload="a"),  # equal ts
+            Row(k="u1", rts=_ts("2024-01-01 13:30:00"), payload="b"),
+            Row(k="u2", rts=_ts("2024-01-01 08:00:00"), payload="c"),  # only BEFORE
+        ]
+    )
+    out = {
+        r["lid"]: r["matched"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            payload={"payload": "matched"}, direction="forward",
+            tolerance_seconds=2 * 3600,
+        ).collect()
+    }
+    assert out[1] == "a"  # equal timestamp included (forward-INCLUSIVE)
+    assert out[2] == "b"  # earliest right at or after 12:00, within 2h
+    assert out[3] is None  # nearest forward match exceeds tolerance → nulled
+    assert out[4] is None  # no forward match at all
+
+
+def test_asof_forward_tie_break_is_minimal(spark):
+    left = spark.createDataFrame([Row(k="u", lts=_ts("2024-01-01 10:00:00"), lid=1)])
+    right = spark.createDataFrame(
+        [
+            Row(k="u", rts=_ts("2024-01-01 11:00:00"), payload="z", ord=9),
+            Row(k="u", rts=_ts("2024-01-01 11:00:00"), payload="m", ord=1),
+        ]
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        payload={"payload": "matched"}, right_order=["ord"],
+        direction="forward",
+    ).collect()[0]["matched"]
+    assert got == "m"  # forward keeps the tie-break MIN (arg_min-like)
+
+
 def test_sessionize_gap_semantics(spark):
     rows = [
         Row(user_id=1, event_id=i, ts=_ts(t))
