@@ -422,3 +422,59 @@ def q_token_doc_freq(spark, sf_dir):
             ).alias("idf"),
         )
     )
+
+
+# --- token-distribution entropy / lexical diversity ---
+
+_ENTROPY_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS c
+    FROM toks GROUP BY doc_id, term
+),
+tot AS (
+    SELECT doc_id, SUM(c) AS n, COUNT(*) AS v FROM tf GROUP BY doc_id
+)
+SELECT t.doc_id AS doc_id,
+       CAST(tot.n AS BIGINT) AS n_tokens,
+       CAST(tot.v AS BIGINT) AS n_distinct,
+       ROUND(-SUM((t.c / tot.n) * ln(t.c / tot.n)), 6) AS token_entropy,
+       ROUND(CAST(tot.v AS DOUBLE) / tot.n, 6) AS ttr
+FROM tf t JOIN tot ON t.doc_id = tot.doc_id
+GROUP BY t.doc_id, tot.n, tot.v
+"""
+
+
+@register(
+    "doc_token_entropy",
+    _ENTROPY_SQL,
+    doc="Shannon entropy of each document's token distribution plus "
+    "type-token ratio — repetitiveness / lexical-diversity signals for "
+    "corpus filtering (low entropy = boilerplate or degenerate "
+    "repetition; complements doc_repetition's trigram ratio). Scale: "
+    "explode -> two map-side-combinable hash aggs; the entropy uses "
+    "the single-pass identity H = ln(n) - (sum c*ln c)/n so the "
+    "per-doc totals never join back against the token frame. ln() "
+    "only under ROUND(...,6) per the module float policy.",
+)
+def q_doc_token_entropy(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    n = F.sum("c")
+    return tf.groupBy("doc_id").agg(
+        n.cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 6
+        ).alias("token_entropy"),
+        F.round(F.count("*").cast("double") / n, 6).alias("ttr"),
+    )
