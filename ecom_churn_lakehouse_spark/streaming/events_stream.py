@@ -131,7 +131,10 @@ def enrich_stream_with_dim(
 
 
 def click_purchase_stream_join(
-    events: DataFrame, window_s: int = 3600, watermark: str = "2 hours"
+    events: DataFrame,
+    window_s: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: clicks within the hour before each
     purchase — the streaming twin of the batch ``clicks_before_purchase``
@@ -143,7 +146,15 @@ def click_purchase_stream_join(
     watermark horizon and evict — the state never grows with stream
     length. At 100 TB/day the state is (watermark window × rate),
     independent of history.
+
+    ``how="left_outer"`` additionally emits each unmatched purchase
+    (null click_ts) exactly once — but only after the watermark passes
+    its join window, when no future click can still match it. Matched
+    rows stream out immediately either way; only the null verdicts
+    wait on the watermark.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner|left_outer, got {how!r}")
     purchases = (
         events.filter(F.col("event_type") == "purchase")
         .select(
@@ -165,7 +176,7 @@ def click_purchase_stream_join(
             f"click_ts > purchase_ts - INTERVAL {window_s} SECONDS AND "
             f"click_ts <= purchase_ts"
         ),
-        "inner",
+        how,
     ).select("purchase_id", F.col("p_user").alias("user_id"), "purchase_ts", "click_ts")
 
 

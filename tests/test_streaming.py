@@ -227,3 +227,55 @@ def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
         str(tmp_path / "ckpt2"),
     )
     assert {r["k"]: r["v"] for r in table.read().collect()} == {"a": 3, "c": 7}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark, tmp_path):
+    # left_outer: matched pairs identical to inner; unmatched purchases
+    # surface with null click_ts once the watermark passes their window.
+    from ecom_churn_lakehouse_spark.operators import interval_join
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+    from ecom_churn_lakehouse_spark.streaming import click_purchase_stream_join
+
+    q = (
+        click_purchase_stream_join(stream_events(spark, SF), how="left_outer")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM attrib_outer").collect()
+    got_matched = {
+        (r["purchase_id"], str(r["click_ts"]))
+        for r in rows if r["click_ts"] is not None
+    }
+    got_null = {r["purchase_id"] for r in rows if r["click_ts"] is None}
+
+    ev = load_events(spark, SF)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    inner = interval_join(
+        purchases, clicks, on=["user_id"],
+        left_ts="purchase_ts", right_ts="click_ts",
+        lower_s=-3600, upper_s=0,
+    )
+    want_matched = {
+        (r["purchase_id"], str(r["click_ts"])) for r in inner.collect()
+    }
+    assert got_matched == want_matched and len(got_matched) > 0
+    # every null verdict is a genuinely unmatched purchase...
+    matched_ids = {pid for pid, _ in want_matched}
+    assert got_null and not (got_null & matched_ids)
+    # ...and exactly one row per unmatched purchase (no duplicates)
+    assert len([r for r in rows if r["click_ts"] is None]) == len(got_null)
+    # null verdicts cover the unmatched purchases whose window the final
+    # watermark has passed (all but, at most, the stream's tail horizon)
+    n_purchases = purchases.count()
+    assert len(got_null) > (n_purchases - len(matched_ids)) * 0.5
