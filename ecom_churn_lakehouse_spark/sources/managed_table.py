@@ -333,6 +333,7 @@ class ManagedTable:
         target_files: int | None = None,
         sort_by: list[str] | None = None,
         target_file_bytes: int = 128 << 20,
+        zorder_by: list[str] | None = None,
     ) -> None:
         """Small-file compaction (Delta OPTIMIZE analogue).
 
@@ -348,13 +349,18 @@ class ManagedTable:
         - with ``sort_by``: range-partition + sort-within-partitions,
           which clusters the sort keys so parquet row-group min/max
           stats give non-overlapping ranges per file — the flat-file
-          form of data skipping.
+          form of data skipping (leading column only);
+        - with ``zorder_by``: the same, but ordered by a Morton code
+          over the given columns (sources/zorder.py), so file stats
+          prune on EVERY listed dimension, not just the first.
         """
         if HAVE_DELTA:
             from delta.tables import DeltaTable  # type: ignore
 
             opt = DeltaTable.forPath(self.spark, self.path).optimize()
-            if sort_by:
+            if zorder_by:
+                opt.executeZOrderBy(*zorder_by)
+            elif sort_by:
                 opt.executeZOrderBy(*sort_by)
             else:
                 opt.executeCompaction()
@@ -369,7 +375,23 @@ class ManagedTable:
             )
             target_files = max(1, math.ceil(total / target_file_bytes))
         df = self.read()
-        if sort_by:
+        if zorder_by:
+            # True multi-dimensional clustering: range-partition + sort
+            # by the Morton code so every file's bounding box is small
+            # in EVERY z-ordered dimension (sources/zorder.py) — the
+            # flat-parquet analogue of Delta's OPTIMIZE ZORDER BY.
+            from ecom_churn_lakehouse_spark.sources.zorder import (
+                with_zorder_value,
+            )
+
+            zcol = "__zvalue"
+            df = (
+                with_zorder_value(df, zorder_by, out=zcol)
+                .repartitionByRange(target_files, F.col(zcol))
+                .sortWithinPartitions(zcol)
+                .drop(zcol)
+            )
+        elif sort_by:
             df = df.repartitionByRange(
                 target_files, *[F.col(c) for c in sort_by]
             ).sortWithinPartitions(*sort_by)

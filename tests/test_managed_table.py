@@ -204,3 +204,58 @@ def test_append_schema_evolution(spark, tmp_path):
     )
     rows = {r["k"]: (r["v"], r["origin"]) for r in t.read().collect()}
     assert rows == {1: ("a", None), 2: ("b", "src1")}
+
+
+def test_morton_interleave_known_bits(spark):
+    from ecom_churn_lakehouse_spark.sources.zorder import morton_interleave
+
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    # bits of x land at even positions, y at odd:
+    # x=0b11 -> pos0,pos2 ; y=0b01 -> pos1 ; z = 0b0111 = 7
+    got = df.select(
+        morton_interleave([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()[0]["z"]
+    assert got == 7
+
+
+def test_compact_zorder_clusters_every_dimension(spark, tmp_path):
+    # 64x64 uniform grid: lexicographic sort clusters x only (every file
+    # spans ~the full y range); z-order bounds the span in BOTH dims.
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / F.lit(64)).cast("long").alias("y"),
+    )
+
+    def spans(t):
+        rows = (
+            t.read()
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("sx"),
+                (F.max("y") - F.min("y")).alias("sy"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return (
+            sum(r["sx"] for r in rows) / n,
+            sum(r["sy"] for r in rows) / n,
+            n,
+        )
+
+    lex = ManagedTable(spark, str(tmp_path / "lex"), keys=["x", "y"])
+    lex.overwrite(grid.repartition(8))
+    lex.compact(target_files=16, sort_by=["y", "x"])
+    lex_sx, _, n1 = spans(lex)  # x = the NON-leading dim under lex sort
+
+    zt = ManagedTable(spark, str(tmp_path / "z"), keys=["x", "y"])
+    zt.overwrite(grid.repartition(8))
+    zt.compact(target_files=16, zorder_by=["x", "y"])
+    z_sx, z_sy, n2 = spans(zt)
+
+    assert n1 > 4 and n2 > 4
+    # lexicographic: non-leading dimension spans ~everything
+    assert lex_sx > 55
+    # z-order: BOTH dimensions bounded well below the full range
+    assert z_sx < 40 and z_sy < 40
+    assert zt.read().count() == 64 * 64
