@@ -483,3 +483,115 @@ def q_hashed_feature_cross(spark, sf_dir):
             _dsum(F.col("o_totalprice")).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------------- association rules
+
+_ASSOC_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets FROM op),
+item AS (SELECT l_partkey, COUNT(*) AS n_item FROM op GROUP BY 1),
+pair AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+directed AS (
+    SELECT part_a AS antecedent, part_b AS consequent, n_pair FROM pair
+    UNION ALL
+    SELECT part_b, part_a, n_pair FROM pair
+)
+SELECT d.antecedent,
+       d.consequent,
+       CAST(d.n_pair AS BIGINT) AS n_pair,
+       ROUND(CAST(d.n_pair AS DOUBLE) / ia.n_item, 6) AS confidence,
+       ROUND(CAST(d.n_pair AS DOUBLE) * (SELECT n_baskets FROM nb)
+             / (ia.n_item * ic.n_item), 6) AS lift
+FROM directed d
+JOIN item ia ON ia.l_partkey = d.antecedent
+JOIN item ic ON ic.l_partkey = d.consequent
+ORDER BY lift DESC, antecedent, consequent
+LIMIT 50
+"""
+
+
+@register(
+    "basket_association_rules",
+    _ASSOC_SQL,
+    doc="Association rules over the co-purchase baskets: for each "
+    "directed pair a->b with pair support >= 2, confidence = "
+    "P(b|a) and lift = P(ab)/(P(a)P(b)); top 50 by lift. Completes "
+    "the A-priori chain started by copurchase_part_pairs (candidate "
+    "pairs -> scored rules). Scale: pair supports come from the "
+    "row-local basket fan-out (one shuffle), item supports from one "
+    "map-side-combinable agg; the rule join keys on part ids (dim-"
+    "sized frames, broadcastable); the basket total is a 1-row "
+    "broadcast. Ratios are integer-over-integer under ROUND(...,6), "
+    "so the top-50 cut is deterministic with the (lift, a, b) "
+    "tie-break.",
+)
+def q_basket_association_rules(spark, sf_dir):
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    nb = op.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    baskets = op.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.posexplode("parts").alias("i", "part_a"), "parts")
+        .select(
+            "part_a",
+            F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias(
+                "part_b"
+            ),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        "n_pair",
+    ).unionAll(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            "n_pair",
+        )
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        directed.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .join(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "antecedent", "consequent")
+        .limit(50)
+    )

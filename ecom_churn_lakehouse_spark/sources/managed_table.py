@@ -402,6 +402,54 @@ class ManagedTable:
         # overwrite(partition_by=...).
         self._commit(df, None)
 
+    def diff_versions(
+        self, old: str, new: str | None = None
+    ) -> DataFrame:
+        """Row-level changes between two snapshots — the change-data-
+        feed analogue over time travel: one row per key whose presence
+        or payload differs, ``change_type`` ∈ {insert, update, delete}.
+
+        The output is exactly the "delta keys" feed that
+        ``pipelines.incremental.incremental_gold_update`` scopes its
+        recompute to — derive it from retained snapshots instead of
+        having the writer thread it through.
+
+        Scale: both snapshots project to (keys, payload-struct) before
+        ONE full-outer join co-partitioned on the table keys; payloads
+        compare with a single null-safe struct equality (no per-column
+        fan-out). With Delta's CDF enabled this would read the change
+        log instead of two snapshots; the plan here is the general
+        form. Payload comparison covers the non-key columns the two
+        snapshots share — a column added by schema evolution flags
+        rows only through the columns both sides have.
+        """
+        o = self.read(old)
+        n = self.read(new)
+        common = sorted(
+            (set(o.columns) & set(n.columns)) - set(self.keys)
+        )
+        o_side = o.select(
+            *self.keys,
+            F.struct(*[F.col(c) for c in common]).alias("__old"),
+            F.lit(True).alias("__in_old"),
+        )
+        n_side = n.select(
+            *self.keys,
+            F.struct(*[F.col(c) for c in common]).alias("__new"),
+            F.lit(True).alias("__in_new"),
+        )
+        j = o_side.join(n_side, on=self.keys, how="full_outer")
+        change = (
+            F.when(F.col("__in_old").isNull(), F.lit("insert"))
+            .when(F.col("__in_new").isNull(), F.lit("delete"))
+            .when(
+                ~F.col("__old").eqNullSafe(F.col("__new")), F.lit("update")
+            )
+        )
+        return j.select(*self.keys, change.alias("change_type")).filter(
+            F.col("change_type").isNotNull()
+        )
+
     def file_count(self) -> int:
         """Data files in the current snapshot (compaction observability)."""
         if HAVE_DELTA:

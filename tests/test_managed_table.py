@@ -259,3 +259,20 @@ def test_compact_zorder_clusters_every_dimension(spark, tmp_path):
     # z-order: BOTH dimensions bounded well below the full range
     assert z_sx < 40 and z_sy < 40
     assert zt.read().count() == 64 * 64
+
+
+def test_diff_versions_reports_exact_change_set(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "dv"), keys=["k"])
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, s string, v long"
+    ))
+    v_old = t.versions()[-1]
+    t.merge(spark.createDataFrame(
+        # update k=2's payload, insert k=4, delete k=3, leave k=1 alone
+        [(2, "B", 21, False), (4, "d", 40, False), (3, "c", 30, True),
+         (1, "a", 10, False)],
+        "k long, s string, v long, deleted boolean",
+    ), delete_col="deleted")
+    got = {(r["k"], r["change_type"])
+           for r in t.diff_versions(v_old).collect()}
+    assert got == {(2, "update"), (4, "insert"), (3, "delete")}
