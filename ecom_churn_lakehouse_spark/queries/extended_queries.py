@@ -262,3 +262,117 @@ def q_orders_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((order_priority), (order_year), ())
         """
     )
+
+
+# ------------------------------------------- unpivot (wide -> long)
+
+_UNPIVOT_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "status_unpivot_by_year",
+    _UNPIVOT_SQL,
+    doc="Unpivot (wide -> long, melt): the pivot round trip. Spark "
+    "builds the wide per-year status counts with groupBy().pivot(), "
+    "then DataFrame.unpivot melts them back to (year, status, count); "
+    "null cells (combinations absent from the data) are excluded, so "
+    "the round trip equals the direct long-form aggregate the oracle "
+    "runs. Scale: unpivot is a row-local expand (no shuffle on top of "
+    "the pivot's aggregation).",
+)
+def q_status_unpivot_by_year(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+    )
+    return (
+        wide.unpivot(
+            ["order_year"], ["O", "F", "P"], "status", "n_orders"
+        )
+        .filter(F.col("n_orders").isNotNull())
+        .select("order_year", "status", F.col("n_orders").cast("long"))
+    )
+
+
+# ---------------------- window frame navigation (first/nth/last value)
+
+_NAV_SQL = """
+WITH spend AS (
+    SELECT c.c_mktsegment AS segment,
+           c.c_custkey AS custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+ranked AS (
+    SELECT segment,
+           FIRST_VALUE(custkey) OVER w AS top_cust,
+           NTH_VALUE(custkey, 2) OVER w AS runnerup_cust,
+           LAST_VALUE(custkey) OVER w AS bottom_cust,
+           ROW_NUMBER() OVER w AS rn
+    FROM spend
+    WINDOW w AS (
+        PARTITION BY segment ORDER BY total_spend DESC, custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+)
+SELECT segment, top_cust, runnerup_cust, bottom_cust
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "segment_spend_extremes",
+    _NAV_SQL,
+    doc="Window frame navigation: FIRST_VALUE / NTH_VALUE(2) / "
+    "LAST_VALUE over an unbounded frame per market segment — the "
+    "navigation-function family W1/W2 doesn't cover. The frame must "
+    "be UNBOUNDED FOLLOWING for last_value to see the true bottom "
+    "(the default frame stops at CURRENT ROW). Deterministic via the "
+    "(spend DESC, custkey) tie-break; spend is exact-decimal.",
+)
+def q_segment_spend_extremes(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_custkey").alias("custkey"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.col("total_spend").desc(), "custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_rn = Window.partitionBy("segment").orderBy(
+        F.col("total_spend").desc(), "custkey"
+    )
+    return (
+        spend.select(
+            "segment",
+            F.first("custkey").over(w).alias("top_cust"),
+            F.nth_value("custkey", 2).over(w).alias("runnerup_cust"),
+            F.last("custkey").over(w).alias("bottom_cust"),
+            F.row_number().over(w_rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

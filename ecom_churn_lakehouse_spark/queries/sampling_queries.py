@@ -161,3 +161,65 @@ SELECT customer_id, churn_label FROM ranked, mc WHERE rn <= min_cnt
 def q_balanced_churn_classes(spark, sf_dir):
     labels = churn_labels(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)
     return balance_classes(labels, "customer_id", "churn_label", exact=True)
+
+
+# ---------------------- weighted sampling WITHOUT replacement (A-Res)
+
+_WOR_K = 200
+_WOR_MOD = 1_000_000
+
+_WOR_SQL = f"""
+WITH pri AS (
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(
+             -ln((1.0 + CAST(('0x' || substring(md5('wor:' ||
+                  CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {_WOR_MOD}) / {_WOR_MOD}.0)
+             / o_totalprice, 12) AS priority
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, o_totalprice, priority
+FROM pri
+ORDER BY priority, o_orderkey
+LIMIT {_WOR_K}
+"""
+
+
+@register(
+    "weighted_order_sample_wor",
+    _WOR_SQL,
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "A-Res): each row gets priority -ln(u)/w from a deterministic "
+    "hash-uniform u and weight w = o_totalprice; the global k smallest "
+    "priorities are the sample. Complements weighted_order_sample "
+    "(Bernoulli, with-replacement-style independence) with the fixed-"
+    "size form. Scale: priority is a scan-local expression (no RNG "
+    "state, replayable); the top-k is a TakeOrdered (per-partition "
+    "heap + k-row merge), never a full sort. Priorities are rounded "
+    "to 12dp with an o_orderkey tie-break, so the cut is stable "
+    "cross-engine while keeping ~8 significant digits of the "
+    "exponential key.",
+)
+def q_weighted_order_sample_wor(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wor:"), F.col("o_orderkey").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _WOR_MOD
+    )
+    u = (1.0 + bucket) / float(_WOR_MOD)  # (0, 1], never ln(0)
+    pri = F.round(-F.log(u) / F.col("o_totalprice"), 12)
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", "o_totalprice", pri.alias("priority")
+        )
+        .orderBy("priority", "o_orderkey")
+        .limit(_WOR_K)
+    )
