@@ -87,3 +87,57 @@ def test_ordering_check_nulls_fail(spark):
         df, [{"name": "ord", "type": "ordering", "less": "a", "greater": "b"}]
     )
     assert report.results[0].bad_rows == 2
+
+
+# ------------------------------------------------- history + drift
+
+
+def _mk_report(bad: int, total: int = 1000):
+    from ecom_churn_lakehouse_spark.dq.checks import CheckResult, DQReport
+
+    return DQReport(
+        row_count=total,
+        results=[
+            CheckResult(
+                name="v_not_null", check_type="not_null", severity="critical",
+                bad_rows=bad, passed=bad == 0,
+            )
+        ],
+    )
+
+
+def test_dq_history_drift_flags_spike_only(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.dq.history import detect_drift, record_report
+
+    path = str(tmp_path / "dqh")
+    # 6 stable runs around 1% bad, then a 10% spike
+    for i, bad in enumerate([10, 12, 9, 11, 10, 8]):
+        record_report(spark, path, f"run-{i:03d}", _mk_report(bad))
+    stable = {r["name"]: r for r in detect_drift(spark, path).collect()}
+    assert stable["v_not_null"]["drifted"] is False
+
+    record_report(spark, path, "run-906", _mk_report(100))
+    out = {r["name"]: r for r in detect_drift(spark, path).collect()}
+    r = out["v_not_null"]
+    assert r["drifted"] is True and r["latest_ratio"] == 0.1
+    assert r["n_history"] == 6
+
+
+def test_dq_history_short_baseline_never_guesses(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.dq.history import detect_drift, record_report
+
+    path = str(tmp_path / "dqh2")
+    record_report(spark, path, "run-000", _mk_report(10))
+    record_report(spark, path, "run-001", _mk_report(500))  # wild, but 1-run history
+    out = detect_drift(spark, path).collect()[0]
+    assert out["drifted"] is False and out["n_history"] == 1
+
+
+def test_dq_history_record_is_idempotent(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.dq.history import record_report
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+
+    path = str(tmp_path / "dqh3")
+    record_report(spark, path, "run-000", _mk_report(5))
+    record_report(spark, path, "run-000", _mk_report(5))  # replay
+    assert ManagedTable(spark, path, keys=["run_id", "name"]).read().count() == 1

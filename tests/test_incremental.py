@@ -158,3 +158,43 @@ def test_incremental_update_tombstones_erased_customers(spark, tmp_path):
     )
     assert inc == full
     assert set(inc) == {"c1", "c2"}  # c3's stale row is gone
+
+
+def test_diff_versions_feeds_incremental_update(spark, tmp_path):
+    # The changed-keys feed can come FROM the table itself: diff the
+    # silver snapshots after a CDC merge, scope gold recompute to those
+    # customers, and land bit-identical to a full re-run.
+    silver = ManagedTable(spark, str(tmp_path / "silver"), keys=["order_id"])
+    silver.overwrite(spark.createDataFrame(_silver_rows(), _SILVER_SCHEMA))
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "gold"), AS_OF, "r1")
+    v_before = silver.versions()[-1]
+
+    silver.merge(spark.createDataFrame(
+        [
+            ("o5", "c1", dt.datetime(2025, 3, 20, 9), "delivered"),
+            ("o4", "c3", dt.datetime(2025, 3, 1, 9), "canceled"),
+        ],
+        _SILVER_SCHEMA,
+    ))
+
+    changes = silver.diff_versions(v_before)
+    changed_customers = (
+        silver.read()
+        .join(changes.select("order_id"), on="order_id", how="left_semi")
+        .select("customer_id")
+        .distinct()
+    )
+    assert {r["customer_id"] for r in changed_customers.collect()} == {"c1", "c3"}
+
+    incremental_gold_update(
+        spark, str(tmp_path / "silver"), str(tmp_path / "gold"),
+        changed_customers, AS_OF, "r2",
+    )
+    got = _features(ManagedTable(spark, str(tmp_path / "gold"),
+                                 keys=["customer_id", "as_of_date"]))
+
+    gold_features(spark, str(tmp_path / "silver"), str(tmp_path / "full"),
+                  AS_OF, "rf")
+    want = _features(ManagedTable(spark, str(tmp_path / "full"),
+                                  keys=["customer_id", "as_of_date"]))
+    assert got == want
