@@ -383,3 +383,81 @@ def q_order_value_quartile_stats(spark, sf_dir):
         )
         .orderBy("quartile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: six-way join with a same-nation correlation between two
+# dimension paths (customer's nation == supplier's nation).
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_START = "1996-01-01"
+_Q5_END = "1997-01-01"
+
+_REGIONAL_VOLUME_SQL = f"""
+SELECT n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = '{_Q5_REGION}'
+  AND CAST(o.o_orderdate AS DATE) >= DATE '{_Q5_START}'
+  AND CAST(o.o_orderdate AS DATE) < DATE '{_Q5_END}'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@register(
+    "regional_supplier_volume",
+    _REGIONAL_VOLUME_SQL,
+    doc="TPC-H Q5 shape: revenue from orders where the customer and "
+    "the line's supplier sit in the SAME nation of one region — the "
+    "six-way join with a cross-path equality (s_nationkey = "
+    "c_nationkey) that join-order optimizers are graded on. Spark "
+    "plan: region->nation prunes to the region's nations first "
+    "(broadcast), the orders date window pushes into its scan, and "
+    "the fact-side join chain stays on shuffle keys while every "
+    "dimension broadcasts; the same-nation predicate rides the "
+    "supplier join condition, not a post-filter.",
+)
+def q_regional_supplier_volume(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q5_REGION
+    )
+    nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.to_date("o_orderdate") >= F.lit(_Q5_START).cast("date"))
+        & (F.to_date("o_orderdate") < F.lit(_Q5_END).cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nations), cust.c_nationkey == nations.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(_dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )

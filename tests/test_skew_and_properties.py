@@ -163,3 +163,39 @@ def test_interval_join_left_nullable_rows_not_duplicated(spark):
     by_lts = {str(r["lts"]): r["rval"] for r in out}
     assert by_lts["2025-01-01 00:00:00"] == "r1"  # matched, exactly once
     assert by_lts["2025-01-02 00:00:00"] is None  # unmatched survives
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(_ts_strategy, min_size=1, max_size=8),
+    rights=st.lists(_ts_strategy, min_size=0, max_size=8),
+    tol=st.one_of(st.none(), st.integers(min_value=0, max_value=1800)),
+)
+def test_asof_forward_with_tolerance_matches_naive(spark, lefts, rights, tol):
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(k="u", lts=base + dt.timedelta(seconds=s), lid=i) for i, s in enumerate(lefts)]
+    )
+    right_rows = [
+        Row(k="u", rts=base + dt.timedelta(seconds=s), pay=s) for s in sorted(set(rights))
+    ]
+    right = (
+        spark.createDataFrame(right_rows)
+        if right_rows
+        else spark.createDataFrame([], "k string, rts timestamp, pay bigint")
+    )
+    out = {
+        r["lid"]: r["m"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            payload={"pay": "m"}, direction="forward", tolerance_seconds=tol,
+        ).collect()
+    }
+    rset = sorted(set(rights))
+    for i, s in enumerate(lefts):
+        expect = min((x for x in rset if x >= s), default=None)
+        if expect is not None and tol is not None and expect - s > tol:
+            expect = None
+        assert out[i] == expect, (
+            f"left ts {s} tol {tol}: got {out[i]}, want {expect}"
+        )
