@@ -68,6 +68,9 @@ HEADLINE = [
     "sole_blame_suppliers",
     "order_value_quartile_stats",
     "doc_token_entropy",
+    "regional_supplier_volume",
+    "basket_association_rules",
+    "weighted_order_sample_wor",
 ]
 
 

@@ -290,6 +290,11 @@ def q_copurchase_triangles(spark, sf_dir):
             F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
         )
         .distinct()
+        # edges feeds three consumers (adj build + both join legs). No
+        # checkpoint barrier here: the static plan shows the subtree
+        # thrice, but AQE dedups it at runtime (ReusedExchange) — a
+        # localCheckpoint was MEASURED slower (4.7s vs 3.5s at sf0.1;
+        # materialization cost exceeds the already-shared recompute).
     )
     # Adjacency-intersection formulation: per node, the sorted array of
     # HIGHER-keyed neighbors; a triangle a<b<c is a common member c of
