@@ -286,3 +286,95 @@ def q_label_centroid_confusion(spark, sf_dir):
         F.col("label").cast("long").alias("true_label"),
         F.col("assigned_label").cast("long").alias("assigned_label"),
     ).agg(F.count("*").cast("long").alias("n_vectors"))
+
+
+# -------------------------------------- ANN recall vs exact ground truth
+
+_RECALL_SQL = f"""
+WITH planes AS (
+    SELECT vec_id AS plane_id, embedding::DOUBLE[] AS hv
+    FROM embeddings WHERE vec_id < 8
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+buckets AS (
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, h.hv) >= 0
+                         THEN 1 << h.plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM vecs v, planes h
+    GROUP BY v.vec_id
+),
+q AS (
+    SELECT b.vec_id AS query_id, b.bucket, v.ev AS qv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+    WHERE b.vec_id % 50 = 0
+),
+c AS (
+    SELECT b.vec_id AS neighbor_id, b.bucket, v.ev AS cv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+),
+lsh_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC, c.neighbor_id
+               ) AS rn
+        FROM q JOIN c ON q.bucket = c.bucket
+        WHERE q.query_id <> c.neighbor_id
+    ) WHERE rn <= 3
+),
+exact_top AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="q.qv", b="v.ev")} DESC, v.vec_id
+               ) AS rn
+        FROM q, vecs v
+        WHERE q.query_id <> v.vec_id
+    ) WHERE rn <= 3
+)
+SELECT e.query_id AS query_id,
+       CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(l.neighbor_id) / 3.0, 6) AS recall_at_3
+FROM exact_top e
+LEFT JOIN lsh_top l
+  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "ann_recall_eval",
+    _RECALL_SQL,
+    doc="ANN quality evaluation: recall@3 of the hyperplane-LSH index "
+    "against the exact brute-force top-3, per query vector — the "
+    "metric that decides whether an approximate index is good enough "
+    "to replace the exact scan. Scale: the LSH side is the bucket-"
+    "local candidate join; the ground-truth side is brute force over "
+    "the SAME small query set (broadcast queries, corpus never "
+    "replicated) — exactly the periodic-sample shape used to monitor "
+    "a production index. Counts are integers; recall is n/3 under "
+    "ROUND, so the oracle hash is exact.",
+)
+def q_ann_recall_eval(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    q = buckets.filter(F.col("vec_id") % 50 == 0)
+    lsh = bucketed_topk(q, buckets, emb, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    exact = brute_force_topk(
+        emb.join(q.select("vec_id"), on="vec_id", how="left_semi"), emb, k=3
+    ).select("query_id", "neighbor_id")
+    return (
+        exact.join(lsh, on=["query_id", "neighbor_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
