@@ -428,14 +428,17 @@ class ManagedTable:
         common = sorted(
             (set(o.columns) & set(n.columns)) - set(self.keys)
         )
+        # keys-only table: presence is the whole payload — a constant
+        # stand-in makes every matched pair compare equal (no updates).
+        payload = [F.col(c) for c in common] or [F.lit(0).alias("__none")]
         o_side = o.select(
             *self.keys,
-            F.struct(*[F.col(c) for c in common]).alias("__old"),
+            F.struct(*payload).alias("__old"),
             F.lit(True).alias("__in_old"),
         )
         n_side = n.select(
             *self.keys,
-            F.struct(*[F.col(c) for c in common]).alias("__new"),
+            F.struct(*payload).alias("__new"),
             F.lit(True).alias("__in_new"),
         )
         j = o_side.join(n_side, on=self.keys, how="full_outer")

@@ -276,3 +276,12 @@ def test_diff_versions_reports_exact_change_set(spark, tmp_path):
     got = {(r["k"], r["change_type"])
            for r in t.diff_versions(v_old).collect()}
     assert got == {(2, "update"), (4, "insert"), (3, "delete")}
+
+
+def test_diff_versions_keys_only_table(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "ko"), keys=["k"])
+    t.overwrite(spark.createDataFrame([(1,), (2,)], "k long"))
+    v = t.versions()[-1]
+    t.merge(spark.createDataFrame([(2,), (3,)], "k long"))
+    got = {(r["k"], r["change_type"]) for r in t.diff_versions(v).collect()}
+    assert got == {(3, "insert")}  # presence-only: no spurious updates
