@@ -186,3 +186,23 @@ def test_minhash_array_signatures_equal_exploded(spark):
         for r in minhash_signatures(doc_shingles(docs)).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_choose_bands_tracks_threshold():
+    from ecom_churn_lakehouse_spark.dedup.minhash import (
+        NUM_BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+        choose_bands,
+    )
+
+    b, r, mid = choose_bands(0.7, 16)
+    assert b * r == 16
+    assert abs(mid - 0.7) <= min(
+        abs((1.0 / bb) ** (1.0 / (16 // bb)) - 0.7)
+        for bb in (1, 2, 4, 8, 16)
+    )
+    # lower thresholds need more bands (catch lower-sim pairs)
+    assert choose_bands(0.2, 16)[0] > choose_bands(0.9, 16)[0]
+    # the module's default split is the right choice for ~0.7 Jaccard
+    assert choose_bands(0.7, NUM_HASHES)[:2] == (NUM_BANDS, ROWS_PER_BAND)
