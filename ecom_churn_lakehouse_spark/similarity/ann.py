@@ -32,6 +32,7 @@ from ecom_churn_lakehouse_spark.functions.vectors import (
 __all__ = [
     "brute_force_topk",
     "hyperplane_lsh_buckets",
+    "multiprobe_buckets",
     "banded_sign_buckets",
     "neardup_pairs",
     "bucketed_topk",
@@ -101,6 +102,34 @@ def hyperplane_lsh_buckets(
         vec_col=vec_col,
         plane_id_col=plane_id_col,
     ).select(id_col, "bucket")
+
+
+def multiprobe_buckets(
+    with_bucket: DataFrame, n_bits: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Expand each row's LSH bucket to its multi-probe set: the bucket
+    itself plus every bucket at Hamming distance 1 (one sign bit
+    flipped) — ``n_bits + 1`` probe rows per input row.
+
+    Multi-probe is how sign-LSH recall rises WITHOUT more hash tables:
+    a near neighbor that lands one flipped bit away (the most likely
+    miss, since each bit flips independently with probability
+    θ/π) is found by probing the adjacent bucket. Cost: the QUERY side
+    fans out ×(n_bits+1) — fine because queries are the small side —
+    while the corpus index is untouched. Row-local explode, no
+    shuffle.
+    """
+    probes = F.explode(F.sequence(F.lit(-1), F.lit(n_bits - 1))).alias("__probe")
+    return (
+        with_bucket.select(F.col(id_col), "bucket", probes)
+        .select(
+            id_col,
+            F.expr(
+                "CASE WHEN __probe < 0 THEN bucket "
+                "ELSE bucket ^ shiftleft(1L, __probe) END"
+            ).alias("bucket"),
+        )
+    )
 
 
 def banded_sign_buckets(

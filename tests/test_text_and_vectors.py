@@ -206,3 +206,38 @@ def test_choose_bands_tracks_threshold():
     assert choose_bands(0.2, 16)[0] > choose_bands(0.9, 16)[0]
     # the module's default split is the right choice for ~0.7 Jaccard
     assert choose_bands(0.7, NUM_HASHES)[:2] == (NUM_BANDS, ROWS_PER_BAND)
+
+
+def test_multiprobe_expands_and_improves_recall(spark):
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        brute_force_topk,
+        bucketed_topk,
+        hyperplane_lsh_buckets,
+        multiprobe_buckets,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    qb = buckets.filter(F.col("vec_id") % 10 == 0)
+
+    probes = multiprobe_buckets(qb, n_bits=8)
+    assert probes.count() == qb.count() * 9  # self + 8 flips
+    # the probe set always contains the original bucket
+    own = qb.select("vec_id", "bucket")
+    assert probes.join(own, on=["vec_id", "bucket"]).distinct().count() == qb.count()
+
+    exact = brute_force_topk(
+        emb.join(qb.select("vec_id"), on="vec_id", how="left_semi"), emb, k=3
+    )
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    single = {(r["query_id"], r["neighbor_id"])
+              for r in bucketed_topk(qb, buckets, emb, k=3).collect()}
+    multi = {(r["query_id"], r["neighbor_id"])
+             for r in bucketed_topk(probes, buckets, emb, k=3).collect()}
+    assert len(multi & ex) >= len(single & ex)  # recall never drops
+    assert len(multi) >= len(single)  # candidate coverage never shrinks
