@@ -137,3 +137,97 @@ FROM feats INNER JOIN labels USING (customer_id)
 )
 def q_training_snapshot(spark, sf_dir):
     return training_snapshot(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)
+
+
+# ------------------------- univariate feature screening (rank AUC)
+
+_AUC_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+d AS (
+    SELECT f.lifetime_orders AS s_orders,
+           f.recency_days AS s_recency,
+           l.churn_label AS y
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+),
+r AS (
+    SELECT y,
+           RANK() OVER (ORDER BY s_orders) AS mr_o,
+           COUNT(*) OVER (PARTITION BY s_orders) AS t_o,
+           RANK() OVER (ORDER BY s_recency) AS mr_r,
+           COUNT(*) OVER (PARTITION BY s_recency) AS t_r
+    FROM d
+),
+agg AS (
+    SELECT CAST(SUM(CASE WHEN y = 1 THEN mr_o + (t_o - 1) / 2.0
+                         ELSE 0 END) AS DOUBLE) AS rpos_o,
+           CAST(SUM(CASE WHEN y = 1 THEN mr_r + (t_r - 1) / 2.0
+                         ELSE 0 END) AS DOUBLE) AS rpos_r,
+           CAST(SUM(y) AS DOUBLE) AS n1,
+           CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0
+    FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_churned,
+       CAST(n0 AS BIGINT) AS n_retained,
+       ROUND((rpos_o - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+           AS auc_lifetime_orders,
+       ROUND((rpos_r - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+           AS auc_recency_days
+FROM agg
+"""
+
+
+@register(
+    "feature_auc_screen",
+    _AUC_SQL,
+    doc="Univariate feature screening: rank-based (Mann-Whitney) AUC "
+    "of each candidate feature against the churn label — P(churned "
+    "customer scores higher than retained), ties at average rank. "
+    "The screening step before any model training: recency should "
+    "screen ABOVE 0.5 (stale customers churn), order counts BELOW "
+    "(loyal customers stay). Composes the feature and label plans "
+    "as-is. Scale: two global rank windows over the customer-grain "
+    "frame (already aggregated, tiny relative to the fact tables) and "
+    "one scalar aggregate; all-rational arithmetic under ROUND(...,6) "
+    "so the oracle hash is exact.",
+)
+def q_feature_auc_screen(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "lifetime_orders", "recency_days"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    d = feats.join(labels, on="customer_id").select(
+        F.col("lifetime_orders").alias("s_orders"),
+        F.col("recency_days").alias("s_recency"),
+        F.col("churn_label").alias("y"),
+    )
+    r = d.select(
+        "y",
+        F.rank().over(Window.orderBy("s_orders")).alias("mr_o"),
+        F.count("*").over(Window.partitionBy("s_orders")).alias("t_o"),
+        F.rank().over(Window.orderBy("s_recency")).alias("mr_r"),
+        F.count("*").over(Window.partitionBy("s_recency")).alias("t_r"),
+    )
+    pos = F.col("y") == 1
+    avg_o = F.col("mr_o") + (F.col("t_o") - 1) / 2.0
+    avg_r = F.col("mr_r") + (F.col("t_r") - 1) / 2.0
+    agg = r.agg(
+        F.sum(F.when(pos, avg_o).otherwise(0.0)).cast("double").alias("rpos_o"),
+        F.sum(F.when(pos, avg_r).otherwise(0.0)).cast("double").alias("rpos_r"),
+        F.sum("y").cast("double").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("double").alias("n0"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    return agg.select(
+        n1.cast("long").alias("n_churned"),
+        n0.cast("long").alias("n_retained"),
+        F.round((F.col("rpos_o") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
+            "auc_lifetime_orders"
+        ),
+        F.round((F.col("rpos_r") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
+            "auc_recency_days"
+        ),
+    )
