@@ -451,3 +451,81 @@ def q_ann_multiprobe_topk(spark, sf_dir):
         buckets.filter(F.col("vec_id") % 50 == 0), n_bits=8
     )
     return bucketed_topk(q, buckets, emb, k=3)
+
+
+# --------------------------------------------- IVF nprobe=2 ANN top-k
+
+_IVF_NPROBE_SQL = f"""
+WITH cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id % 37 = 1
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+ranked AS (
+    SELECT v.vec_id, c.cid AS bucket,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY {_COS.format(a="v.ev", b="c.cv")} DESC, c.cid
+           ) AS rn
+    FROM vecs v, cents c
+),
+corpus_cells AS (SELECT vec_id, bucket FROM ranked WHERE rn <= 1),
+query_cells AS (
+    SELECT vec_id, bucket FROM ranked
+    WHERE rn <= 2 AND vec_id % 50 = 0
+),
+q AS (
+    SELECT a.vec_id AS query_id, a.bucket, v.ev AS qv
+    FROM query_cells a JOIN vecs v ON a.vec_id = v.vec_id
+),
+c AS (
+    SELECT a.vec_id AS neighbor_id, a.bucket, v.ev AS cv
+    FROM corpus_cells a JOIN vecs v ON a.vec_id = v.vec_id
+),
+scored AS (
+    -- no DISTINCT needed: the corpus is single-assigned, so a pair
+    -- can match through at most one probed cell
+    SELECT q.query_id, c.neighbor_id,
+           {_COS.format(a="q.qv", b="c.cv")} AS sim
+    FROM q JOIN c ON q.bucket = c.bucket
+    WHERE q.query_id <> c.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "ann_ivf_nprobe_topk",
+    _IVF_NPROBE_SQL,
+    doc="IVF-flat ANN with nprobe=2: each query searches its TWO "
+    "nearest cells (the dominant IVF miss — a true neighbor just "
+    "across the cell boundary — is recovered), while the corpus "
+    "stays single-assigned so the index does not grow. The query-"
+    "side fan-out is x2 on the small side only; candidates dedup "
+    "before re-rank (a neighbor can reach the query via both probed "
+    "cells). Pairs with ann_multiprobe_topk as the two standard "
+    "recall knobs: probe more cells (IVF) / probe adjacent buckets "
+    "(LSH).",
+)
+def q_ann_ivf_nprobe_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus_cells = ivf_assign_cells(emb, centroids)
+    query_cells = ivf_assign_cells(
+        emb.join(
+            emb.filter(F.col("vec_id") % 50 == 0).select("vec_id"),
+            on="vec_id",
+            how="left_semi",
+        ),
+        centroids,
+        nprobe=2,
+    )
+    return bucketed_topk(query_cells, corpus_cells, emb, k=3)

@@ -245,14 +245,20 @@ def ivf_assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
-    centroid by cosine (ties break on centroid id).
+    ``nprobe`` centroids by cosine (ties break on centroid id).
 
     ``centroids``: (centroid_id, embedding) — small, broadcast. One
     narrow pass over the corpus; output ``(id, bucket)`` compatible
     with :func:`bucketed_topk`, so IVF-flat search (nprobe=1) is
     ``bucketed_topk(assign(queries), assign(corpus), vectors, k)``.
+
+    ``nprobe > 1`` is for the QUERY side: a query whose true neighbor
+    sits just across a cell boundary (the dominant IVF failure mode)
+    finds it by also searching its 2nd..nth nearest cells. The corpus
+    stays single-assigned — the index does not grow.
 
     At 100 TB: assignment is a broadcast map (no shuffle); the
     inverted lists are the bucket join. Production centroids come from
@@ -271,7 +277,7 @@ def ivf_assign_cells(
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cid"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select(F.col(id_col), F.col("__cid").cast("long").alias("bucket"))
     )
 
