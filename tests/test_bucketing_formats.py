@@ -88,3 +88,63 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
     assert meta.filter(F.col("n_bytes") <= 0).count() == 0
     decoded = decode_images(staged)
     assert decoded.filter(~F.col("decode_ok")).count() == 0
+
+
+# ------------------------------------------------- sharded export
+
+
+def test_training_shards_deterministic_and_bounded(spark, tmp_path):
+    from ecom_churn_lakehouse_spark.sources.export import (
+        shard_column,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, ["doc_id"], n_shards=8)
+    # re-export from a differently-partitioned frame: identical shards
+    write_training_shards(docs.repartition(13), out2, ["doc_id"], n_shards=8)
+
+    a = spark.read.parquet(out1).select("doc_id", "shard")
+    b = spark.read.parquet(out2).select("doc_id", "shard")
+    assert a.count() == docs.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    shards = {r["shard"] for r in a.select("shard").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # one data file per shard directory
+    import glob
+    import os
+
+    for d in glob.glob(os.path.join(out1, "shard=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, d
+    # membership is the portable hash, not Spark partitioning
+    want = {
+        r["doc_id"]: r["s"]
+        for r in docs.select(
+            "doc_id", shard_column(["doc_id"], 8).alias("s")
+        ).collect()
+    }
+    got = {r["doc_id"]: r["shard"] for r in a.collect()}
+    assert got == want
+
+
+def test_training_shards_json_layout(spark, tmp_path):
+    import glob
+    import json as _json
+    import os
+
+    from ecom_churn_lakehouse_spark.sources.export import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = str(tmp_path / "jl")
+    write_training_shards(docs, out, ["doc_id"], n_shards=4, fmt="json")
+    files = glob.glob(os.path.join(out, "shard=*", "*.json"))
+    assert files
+    with open(files[0]) as f:
+        row = _json.loads(f.readline())
+    assert "doc_id" in row and "text" in row  # JSONL rows, shard in the path
