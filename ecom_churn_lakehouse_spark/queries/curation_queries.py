@@ -301,3 +301,91 @@ def q_doc_chunks(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# --------------------- mixture resampling to a target source blend
+
+_MIX_SQL = r"""
+WITH w AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_s,
+           CASE WHEN CAST(regexp_extract(source, 'src(\d+)', 1) AS BIGINT)
+                     % 2 = 0 THEN 3 ELSE 1 END AS w_s
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(w_s) AS BIGINT) AS big_w FROM w),
+cap AS (SELECT MIN(n_s * (SELECT big_w FROM tot) // w_s) AS t FROM w),
+quota AS (
+    SELECT source, n_s, w_s,
+           w_s * (SELECT t FROM cap) // (SELECT big_w FROM tot) AS keep_s
+    FROM w
+),
+ranked AS (
+    SELECT d.doc_id, d.source,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ) AS rn
+    FROM documents d
+)
+SELECT r.source AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(ANY_VALUE(q.n_s) AS BIGINT) AS n_available,
+       CAST(ANY_VALUE(q.w_s) AS BIGINT) AS target_weight
+FROM ranked r JOIN quota q ON q.source = r.source
+WHERE r.rn <= q.keep_s
+GROUP BY r.source
+"""
+
+
+@register(
+    "source_mixture_resample",
+    _MIX_SQL,
+    doc="Mixture resampling: downsample the corpus so source "
+    "proportions match a target blend (here 3:1 for even/odd source "
+    "ids) at the maximum total the blend admits. All quota math is "
+    "INTEGER (weights, integer division) so the cut is bit-exact "
+    "cross-engine; per-source membership is a deterministic md5 rank "
+    "(replayable, partitioning-independent). The data-mixing step of "
+    "an LLM corpus pipeline. Scale: quotas are a per-source aggregate "
+    "(broadcast); the rank window partitions by source.",
+)
+def q_source_mixture_resample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w_s = F.when(
+        F.regexp_extract("source", r"src(\d+)", 1).cast("long") % 2 == 0, 3
+    ).otherwise(1)
+    w = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_s")
+    ).withColumn("w_s", w_s.cast("long"))
+    tot = w.agg(F.sum("w_s").cast("long").alias("big_w"))
+    cap = (
+        w.join(F.broadcast(tot))
+        .select(F.expr("n_s * big_w div w_s").alias("__c"))
+        .agg(F.min("__c").alias("t"))
+    )
+    quota = (
+        w.join(F.broadcast(tot))
+        .join(F.broadcast(cap))
+        .select(
+            "source",
+            "n_s",
+            "w_s",
+            F.expr("w_s * t div big_w").alias("keep_s"),
+        )
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(rk))
+    return (
+        ranked.join(F.broadcast(quota), on="source")
+        .filter(F.col("rn") <= F.col("keep_s"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.first("n_s").alias("n_available"),
+            F.first("w_s").alias("target_weight"),
+        )
+    )

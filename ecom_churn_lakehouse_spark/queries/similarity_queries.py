@@ -529,3 +529,86 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
         nprobe=2,
     )
     return bucketed_topk(query_cells, corpus_cells, emb, k=3)
+
+
+# ------------------------------- contrastive hard-negative mining
+
+_HARDNEG_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+q AS (
+    SELECT vec_id AS query_id, label AS q_label, ev AS qv
+    FROM vecs WHERE vec_id % 25 = 0
+),
+scored AS (
+    SELECT q.query_id, q.q_label,
+           v.vec_id AS neg_id, v.label AS neg_label,
+           {_COS.format(a="q.qv", b="v.ev")} AS sim
+    FROM q JOIN vecs v
+      ON v.vec_id <> q.query_id AND v.label <> q.q_label
+)
+SELECT query_id,
+       CAST(q_label AS BIGINT) AS query_label,
+       neg_id AS hard_negative_id,
+       CAST(neg_label AS BIGINT) AS negative_label,
+       ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neg_id) AS rn
+    FROM scored
+)
+WHERE rn <= 2
+"""
+
+
+@register(
+    "hard_negative_pairs",
+    _HARDNEG_SQL,
+    doc="Contrastive hard-negative mining: for each anchor vector, the "
+    "2 most-similar vectors with a DIFFERENT label — the pairs that "
+    "teach a contrastive model the most (easy negatives are already "
+    "far; these sit just across the decision boundary). Scale: same "
+    "broadcast-anchor shape as brute-force top-k with the label "
+    "inequality fused into the join condition (candidates with the "
+    "anchor's label never materialize); at corpus scale the anchor "
+    "set is the per-batch sample, and the ANN index replaces the "
+    "exact scan.",
+)
+def q_hard_negative_pairs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        to_double_array(F.col("embedding")).alias("__qv"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        to_double_array(F.col("embedding")).alias("__cv"),
+    )
+    sim_expr = dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("neg_id") != F.col("query_id"))
+        & (F.col("neg_label") != F.col("q_label")),
+    ).select("query_id", "q_label", "neg_id", "neg_label", sim_expr.alias("__sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            "query_id",
+            F.col("q_label").cast("long").alias("query_label"),
+            F.col("neg_id").alias("hard_negative_id"),
+            F.col("neg_label").cast("long").alias("negative_label"),
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )

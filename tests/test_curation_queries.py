@@ -91,3 +91,24 @@ def test_pii_scrub_leaves_no_residual(spark):
         assert r.residual_pii == 0
         assert "[EMAIL]" in r.redacted_text and "[PHONE]" in r.redacted_text
         assert "@" not in r.redacted_text
+
+
+def test_mixture_resample_hits_target_blend(spark):
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_source_mixture_resample,
+    )
+
+    rows = q_source_mixture_resample(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r["n_kept"] <= r["n_available"]
+    # kept counts are proportional to weights within floor rounding:
+    # n_kept = w_s * T // W for a single global T
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["target_weight"], set()).add(r["n_kept"])
+    for kept_set in by_w.values():
+        assert len(kept_set) == 1  # same weight -> same quota
+    if len(by_w) == 2:
+        k3, k1 = min(by_w[3]), min(by_w[1])
+        assert k1 * 3 - 3 <= k3 <= k1 * 3  # 3:1 within floor slack
