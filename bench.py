@@ -71,6 +71,9 @@ HEADLINE = [
     "regional_supplier_volume",
     "basket_association_rules",
     "weighted_order_sample_wor",
+    "hard_negative_pairs",
+    "source_mixture_resample",
+    "doc_novelty",
 ]
 
 

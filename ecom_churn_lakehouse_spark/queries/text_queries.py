@@ -478,3 +478,57 @@ def q_doc_token_entropy(spark, sf_dir):
         ).alias("token_entropy"),
         F.round(F.count("*").cast("double") / n, 6).alias("ttr"),
     )
+
+
+# --- per-document n-gram novelty (share of corpus-unique 8-grams) ---
+
+_NOVELTY_SQL = f"""
+WITH sh8 AS ({_ngram_sql_8("documents")}),
+df8 AS (
+    SELECT shingle, COUNT(*) AS df FROM sh8 GROUP BY shingle
+)
+SELECT s.doc_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unique,
+       ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM sh8 s JOIN df8 d ON d.shingle = s.shingle
+GROUP BY s.doc_id
+"""
+
+
+@register(
+    "doc_novelty",
+    _NOVELTY_SQL,
+    doc="Per-document 8-gram novelty: the share of a doc's distinct "
+    "8-grams that occur NOWHERE else in the corpus. Low novelty = "
+    "templated/boilerplate/near-duplicate material (complements the "
+    "pairwise near-dup detectors with a corpus-global, per-doc "
+    "signal; high-df shingles are exactly what PPJoin's prefix "
+    "filter deprioritizes). Scale: shingle sets build row-locally "
+    "(array ops, no explode shuffle until the df aggregate); the df "
+    "count and the join back are both keyed on the shingle — two "
+    "map-side-combinable aggs and one co-partitioned join. Ratios "
+    "are integer-over-integer under ROUND(...,6).",
+)
+def q_doc_novelty(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingle_arrays
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = doc_shingle_arrays(docs, n=8).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    df8 = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (
+        sh.join(df8, on="shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(uniq).cast("long").alias("n_unique"),
+            F.round(
+                F.sum(uniq).cast("double") / F.count("*"), 6
+            ).alias("novelty"),
+        )
+    )
