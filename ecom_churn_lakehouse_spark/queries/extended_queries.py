@@ -376,3 +376,123 @@ def q_segment_spend_extremes(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ------------------------------------------- per-group mode (argmax)
+
+_MODE_SQL = """
+WITH counts AS (
+    SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+           COUNT(*) AS n
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+)
+SELECT segment,
+       (MAX({'n': n, 'p': priority})).p AS modal_priority,
+       CAST(MAX({'n': n, 'p': priority}).n AS BIGINT) AS n_orders
+FROM counts
+GROUP BY segment
+"""
+
+
+@register(
+    "segment_modal_priority",
+    _MODE_SQL,
+    doc="Per-group mode: the most frequent order priority per market "
+    "segment via max(struct(count, value)) — map-side combinable, no "
+    "window sort, deterministic tie-break toward the "
+    "lexicographically larger value (encoded in the struct order). "
+    "The categorical-imputation / dominant-category primitive.",
+)
+def q_segment_modal_priority(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    counts = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    best = F.max(F.struct(F.col("n").alias("n"), F.col("priority").alias("p")))
+    return counts.groupBy("segment").agg(
+        best.getField("p").alias("modal_priority"),
+        best.getField("n").cast("long").alias("n_orders"),
+    )
+
+
+# --------------------------------------- table profiling (deequ-style)
+
+_PROFILE_SQL = """
+WITH s AS (
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(o_orderkey) AS BIGINT) AS nn_orderkey,
+        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_orderkey,
+        CAST(MIN(o_orderkey) AS VARCHAR) AS mn_orderkey,
+        CAST(MAX(o_orderkey) AS VARCHAR) AS mx_orderkey,
+        CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_status,
+        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+        CAST(MIN(o_orderstatus) AS VARCHAR) AS mn_status,
+        CAST(MAX(o_orderstatus) AS VARCHAR) AS mx_status,
+        CAST(COUNT(o_totalprice) AS BIGINT) AS nn_price,
+        CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+        CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_price,
+        CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_price
+    FROM orders
+)
+SELECT col_name, n_rows, n_non_null, n_distinct, min_value, max_value
+FROM (
+    SELECT 'o_orderkey' AS col_name, n_rows, nn_orderkey AS n_non_null,
+           nd_orderkey AS n_distinct, mn_orderkey AS min_value,
+           mx_orderkey AS max_value FROM s
+    UNION ALL
+    SELECT 'o_orderstatus', n_rows, nn_status, nd_status, mn_status,
+           mx_status FROM s
+    UNION ALL
+    SELECT 'o_totalprice', n_rows, nn_price, nd_price, mn_price,
+           mx_price FROM s
+)
+"""
+
+
+@register(
+    "orders_table_profile",
+    _PROFILE_SQL,
+    doc="Deequ-style column profiling: per-column row/non-null/distinct "
+    "counts and min/max (stringified for a uniform schema) in ONE "
+    "aggregation pass over the table — the wide-aggregate-then-"
+    "unpivot shape, never one scan per column. Feeds the DQ layer's "
+    "check thresholds and the drift history (dq/history.py).",
+)
+def q_orders_table_profile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    aggs = [F.count("*").cast("long").alias("n_rows")]
+    for c in cols:
+        # doubles stringify via DECIMAL(18,2) — double->string formatting
+        # is engine-specific, decimal's is not
+        v = F.col(c).cast("decimal(18,2)") if c == "o_totalprice" else F.col(c)
+        aggs += [
+            F.count(c).cast("long").alias(f"nn_{c}"),
+            F.count_distinct(c).cast("long").alias(f"nd_{c}"),
+            F.min(v).cast("string").alias(f"mn_{c}"),
+            F.max(v).cast("string").alias(f"mx_{c}"),
+        ]
+    s = orders.agg(*aggs)
+    parts = [
+        s.select(
+            F.lit(c).alias("col_name"),
+            "n_rows",
+            F.col(f"nn_{c}").alias("n_non_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_value"),
+            F.col(f"mx_{c}").alias("max_value"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
