@@ -496,3 +496,78 @@ def q_orders_table_profile(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------- gap-reset cumulative sum (episode segmentation)
+
+_EPISODE_GAP_DAYS = 180
+
+_EPISODE_SQL = f"""
+WITH o AS (
+    SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice AS price
+    FROM orders
+),
+flagged AS (
+    SELECT *, CASE WHEN lag(order_date) OVER w IS NULL
+                     OR date_diff('day', lag(order_date) OVER w, order_date)
+                        > {_EPISODE_GAP_DAYS}
+                   THEN 1 ELSE 0 END AS new_episode
+    FROM o WINDOW w AS (PARTITION BY customer_id ORDER BY order_date, order_id)
+),
+ep AS (
+    SELECT *, CAST(SUM(new_episode) OVER (
+        PARTITION BY customer_id ORDER BY order_date, order_id
+    ) AS BIGINT) AS episode FROM flagged
+)
+SELECT customer_id, order_id, order_date, episode,
+       CAST(SUM(CAST(price AS DECIMAL(18,2))) OVER (
+           PARTITION BY customer_id, episode ORDER BY order_date, order_id
+       ) AS DOUBLE) AS episode_spend
+FROM ep
+"""
+
+
+@register(
+    "episode_cumulative_spend",
+    _EPISODE_SQL,
+    doc="Gap-reset cumulative sum: running spend per customer that "
+    "restarts whenever the purchase gap exceeds 180 days — the "
+    "sessionize-then-accumulate composition (lag flag → running flag "
+    "sum = episode id → windowed cumsum within episode). All three "
+    "windows share one (customer, date, order) sort, so Spark plans "
+    "ONE shuffle + one sort for the whole chain. The balance-with-"
+    "resets shape (inventory restocks, streak counters, burn-down).",
+)
+def q_episode_cumulative_spend(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("price"),
+    )
+    w = Window.partitionBy("customer_id").orderBy("order_date", "order_id")
+    gap = F.datediff(F.col("order_date"), F.lag("order_date").over(w))
+    flagged = o.withColumn(
+        "new_episode",
+        F.when(gap.isNull() | (gap > _EPISODE_GAP_DAYS), 1).otherwise(0),
+    )
+    ep = flagged.withColumn(
+        "episode", F.sum("new_episode").over(w).cast("long")
+    )
+    we = Window.partitionBy("customer_id", "episode").orderBy(
+        "order_date", "order_id"
+    )
+    return ep.select(
+        "customer_id",
+        "order_id",
+        "order_date",
+        "episode",
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .over(we)
+        .cast("double")
+        .alias("episode_spend"),
+    )
