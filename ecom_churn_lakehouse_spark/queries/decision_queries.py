@@ -466,3 +466,61 @@ def q_regional_supplier_volume(spark, sf_dir):
         .agg(_dsum(revenue, 6).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: groups whose share of a GLOBAL total exceeds a fraction
+# threshold (scalar-subquery HAVING).
+# ---------------------------------------------------------------------------
+
+_Q11_FRACTION = 0.002
+
+_SIGNIFICANT_PARTS_SQL = f"""
+WITH part_rev AS (
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_partkey
+),
+total AS (
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS t
+    FROM lineitem
+)
+SELECT p.l_partkey AS partkey,
+       p.revenue AS revenue,
+       ROUND(p.revenue / (SELECT t FROM total), 6) AS revenue_share
+FROM part_rev p
+WHERE p.revenue > (SELECT t FROM total) * {_Q11_FRACTION}
+ORDER BY revenue DESC, partkey
+"""
+
+
+@register(
+    "significant_parts",
+    _SIGNIFICANT_PARTS_SQL,
+    doc="TPC-H Q11 shape: parts whose revenue exceeds a FRACTION of "
+    "the global total — the scalar-subquery HAVING that requires two "
+    "aggregations over the same fact scan. The global total is a "
+    "1-row broadcast against the per-part aggregate (AQE reuses the "
+    "scan exchange); both sums are exact-decimal so the threshold "
+    "cut and the share values are deterministic.",
+)
+def q_significant_parts(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    part_rev = li.groupBy("l_partkey").agg(
+        _dsum(revenue, 6).alias("revenue")
+    )
+    total = li.agg(_dsum(revenue, 6).alias("t"))
+    return (
+        part_rev.join(F.broadcast(total))
+        .filter(F.col("revenue") > F.col("t") * _Q11_FRACTION)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "revenue",
+            F.round(F.col("revenue") / F.col("t"), 6).alias("revenue_share"),
+        )
+        .orderBy(F.col("revenue").desc(), "partkey")
+    )

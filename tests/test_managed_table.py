@@ -285,3 +285,31 @@ def test_diff_versions_keys_only_table(spark, tmp_path):
     t.merge(spark.createDataFrame([(2,), (3,)], "k long"))
     got = {(r["k"], r["change_type"]) for r in t.diff_versions(v).collect()}
     assert got == {(3, "insert")}  # presence-only: no spurious updates
+
+
+def test_zorder_value_handles_nulls_negatives_and_constants(spark):
+    from ecom_churn_lakehouse_spark.sources.zorder import with_zorder_value
+
+    df = spark.createDataFrame(
+        [(-100, 5.0), (0, None), (100, -5.0), (None, 0.0)],
+        "x long, y double",
+    )
+    rows = with_zorder_value(df, ["x", "y"], bits=8).collect()
+    assert len(rows) == 4
+    zmax = (1 << 16) - 1
+    for r in rows:
+        assert r["__zvalue"] is not None and 0 <= r["__zvalue"] <= zmax
+    # nulls scale to 0 in that dimension; the all-extreme row tops out
+    by_x = {r["x"]: r["__zvalue"] for r in rows}
+    assert by_x[100] != by_x[-100]
+
+    # constant column (span 0): z-order degrades to the other dim only,
+    # never divides by zero
+    const = spark.createDataFrame([(1, 7.0), (2, 7.0)], "x long, y double")
+    zs = {r["x"]: r["__zvalue"] for r in
+          with_zorder_value(const, ["x", "y"], bits=8).collect()}
+    assert zs[1] != zs[2]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="signed long"):
+        with_zorder_value(df, ["x", "y"], bits=32)
