@@ -74,6 +74,10 @@ HEADLINE = [
     "hard_negative_pairs",
     "source_mixture_resample",
     "doc_novelty",
+    "significant_parts",
+    "segment_modal_priority",
+    "orders_table_profile",
+    "episode_cumulative_spend",
 ]
 
 
