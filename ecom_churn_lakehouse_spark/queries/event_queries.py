@@ -400,3 +400,45 @@ def q_next_purchase_after_click(spark, sf_dir):
         direction="forward",
         tolerance_seconds=7 * 24 * 3600,
     ).select("click_id", "user_id", "click_ts", "next_purchase_ts")
+
+
+# --- typed JSON parsing: from_json to a struct column ---
+
+_JSON_STRUCT_SQL = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+           AS min_k,
+       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+           AS max_k,
+       CAST(COUNT(*) - COUNT(CAST(json_extract(props, '$.k') AS INTEGER))
+            AS BIGINT) AS n_missing_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_props_struct",
+    _JSON_STRUCT_SQL,
+    doc="Typed JSON parsing: from_json compiles the props column to a "
+    "STRUCT against a declared schema (vs event_json_kpi's per-path "
+    "get_json_object) — the parse happens ONCE per row regardless of "
+    "how many fields downstream expressions touch, and malformed "
+    "documents surface as nulls that the n_missing_k audit counts. "
+    "At 100 TB the single-parse struct form beats per-path "
+    "re-parsing linearly in the number of extracted fields.",
+)
+def q_event_props_struct(spark, sf_dir):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ev = load_events(spark, sf_dir)
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = ev.withColumn("__p", F.from_json("props", schema))
+    k = F.col("__p").getField("k")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+        (F.count("*") - F.count(k)).cast("long").alias("n_missing_k"),
+    )
