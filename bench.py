@@ -71,7 +71,7 @@ HEADLINE = [
     "regional_supplier_volume",
     "basket_association_rules",
     "weighted_order_sample_wor",
-    "hard_negative_pairs",
+    "hard_negative_pairs_ann",
     "source_mixture_resample",
     "doc_novelty",
     "significant_parts",
@@ -102,16 +102,22 @@ def main() -> None:
     # the measurement below is steady-state engine throughput, not
     # cold-disk I/O (one full-scan count per table, outside the timed
     # region — the same state a long-lived cluster session is in).
-    from ecom_churn_lakehouse_spark.sources import load_table
+    from ecom_churn_lakehouse_spark.sources import load_events, load_table
 
     for _t in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ):
         try:
-            load_table(spark, sf_dir, _t).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # events needs its reader (nanosAsLong conf + ts
+            # normalization) — plain load_table raises on a
+            # nanos-encoded fixture and would silently skip priming.
+            df = (
+                load_events(spark, sf_dir)
+                if _t == "events"
+                else load_table(spark, sf_dir, _t)
+            )
+            df.write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # a missing optional table must not break the bench
 

@@ -67,9 +67,9 @@ def choose_bands(
     ``n_hashes``.
 
     >>> choose_bands(0.5, 16)
-    (4, 4, 0.7071067811865476)
+    (8, 2, 0.3535533905932738)
     >>> choose_bands(0.2, 16)[0:2]
-    (8, 2)
+    (16, 1)
     """
     if not 0 < threshold < 1:
         raise ValueError(f"threshold must be in (0,1), got {threshold}")

@@ -565,15 +565,14 @@ WHERE rn <= 2
 @register(
     "hard_negative_pairs",
     _HARDNEG_SQL,
-    doc="Contrastive hard-negative mining: for each anchor vector, the "
-    "2 most-similar vectors with a DIFFERENT label — the pairs that "
-    "teach a contrastive model the most (easy negatives are already "
-    "far; these sit just across the decision boundary). Scale: same "
-    "broadcast-anchor shape as brute-force top-k with the label "
-    "inequality fused into the join condition (candidates with the "
-    "anchor's label never materialize); at corpus scale the anchor "
-    "set is the per-batch sample, and the ANN index replaces the "
-    "exact scan.",
+    doc="Contrastive hard-negative mining, EXACT form — the evaluation "
+    "twin of hard_negative_pairs_ann (same role cosine_topk_bruteforce "
+    "plays for the ann_* family): for each anchor vector, the 2 most-"
+    "similar vectors with a DIFFERENT label, via broadcast theta-join "
+    "over the full corpus. O(|anchors|*N) — ground truth for recall "
+    "measurement on samples, NOT the production path; at corpus scale "
+    "run hard_negative_pairs_ann (banded-LSH multiprobe candidates) "
+    "and monitor it with hard_negative_recall_eval.",
 )
 def q_hard_negative_pairs(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -610,5 +609,222 @@ def q_hard_negative_pairs(spark, sf_dir):
             F.col("neg_id").alias("hard_negative_id"),
             F.col("neg_label").cast("long").alias("negative_label"),
             F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ------------------------ ANN-backed hard-negative mining (scale path)
+
+_HARDNEG_ANN_SQL = f"""
+WITH planes AS (
+    SELECT vec_id AS plane_id, embedding::DOUBLE[] AS hv
+    FROM embeddings WHERE vec_id < 8
+),
+vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+buckets AS (
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, h.hv) >= 0
+                         THEN 1 << h.plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM vecs v, planes h
+    GROUP BY v.vec_id
+),
+q0 AS (
+    SELECT b.vec_id AS query_id, v.label AS q_label, b.bucket, v.ev AS qv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+    WHERE b.vec_id % 25 = 0
+),
+q AS (
+    SELECT query_id, q_label, qv,
+           CASE WHEN i < 0 THEN bucket ELSE xor(bucket, 1 << i) END AS bucket
+    FROM q0, unnest(range(-1, 8)) AS t(i)
+),
+c AS (
+    SELECT b.vec_id AS neg_id, v.label AS neg_label, b.bucket, v.ev AS cv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+),
+scored AS (
+    SELECT q.query_id, q.q_label, c.neg_id, c.neg_label,
+           {_COS.format(a="q.qv", b="c.cv")} AS sim
+    FROM q JOIN c ON q.bucket = c.bucket
+    WHERE q.query_id <> c.neg_id AND q.q_label <> c.neg_label
+)
+SELECT query_id,
+       CAST(q_label AS BIGINT) AS query_label,
+       neg_id AS hard_negative_id,
+       CAST(neg_label AS BIGINT) AS negative_label,
+       ROUND(sim, 6) AS cosine_sim
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neg_id) AS rn
+    FROM scored
+)
+WHERE rn <= 2
+"""
+
+
+@register(
+    "hard_negative_pairs_ann",
+    _HARDNEG_ANN_SQL,
+    doc="Contrastive hard-negative mining, ANN form — the 100 TB path. "
+    "Candidates come from the banded-LSH multiprobe index (the "
+    "ann_multiprobe_topk machinery: 8 sign bits, each anchor probes "
+    "its own bucket plus all 8 Hamming-distance-1 buckets), the "
+    "label-inequality filter is applied ON CANDIDATES, and exact "
+    "cosine re-ranks only bucket-local survivors — the full-corpus "
+    "theta-join of the exact twin never happens. The anchor fan-out "
+    "(x9) touches only the small query side; the corpus index is one "
+    "map-only pass. A pair can match through at most one probe "
+    "bucket (corpus single-assigned), so no dedup stage is needed. "
+    "Recall vs the exact twin is measured by hard_negative_recall_eval.",
+)
+def q_hard_negative_pairs_ann(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.similarity.ann import multiprobe_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    labeled = emb.select(
+        "vec_id", "label", to_double_array(F.col("embedding")).alias("__v")
+    )
+    q = (
+        multiprobe_buckets(buckets.filter(F.col("vec_id") % 25 == 0), n_bits=8)
+        .join(labeled, on="vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            "bucket",
+            F.col("__v").alias("__qv"),
+        )
+    )
+    c = buckets.join(labeled, on="vec_id").select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("neg_label"),
+        "bucket",
+        F.col("__v").alias("__cv"),
+    )
+    sim = dot(F.col("__qv"), F.col("__cv")) / (
+        F.sqrt(dot(F.col("__qv"), F.col("__qv")))
+        * F.sqrt(dot(F.col("__cv"), F.col("__cv")))
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .filter(
+            (F.col("query_id") != F.col("neg_id"))
+            & (F.col("q_label") != F.col("neg_label"))
+        )
+        .select("query_id", "q_label", "neg_id", "neg_label", sim.alias("__sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            "query_id",
+            F.col("q_label").cast("long").alias("query_label"),
+            F.col("neg_id").alias("hard_negative_id"),
+            F.col("neg_label").cast("long").alias("negative_label"),
+            F.round(F.col("__sim"), 6).alias("cosine_sim"),
+        )
+    )
+
+
+# ------------------- hard-negative ANN recall vs exact ground truth
+
+_HARDNEG_RECALL_SQL = f"""
+WITH planes AS (
+    SELECT vec_id AS plane_id, embedding::DOUBLE[] AS hv
+    FROM embeddings WHERE vec_id < 8
+),
+vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+buckets AS (
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, h.hv) >= 0
+                         THEN 1 << h.plane_id ELSE 0 END) AS BIGINT) AS bucket
+    FROM vecs v, planes h
+    GROUP BY v.vec_id
+),
+q0 AS (
+    SELECT b.vec_id AS query_id, v.label AS q_label, b.bucket, v.ev AS qv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+    WHERE b.vec_id % 25 = 0
+),
+qp AS (
+    SELECT query_id, q_label, qv,
+           CASE WHEN i < 0 THEN bucket ELSE xor(bucket, 1 << i) END AS bucket
+    FROM q0, unnest(range(-1, 8)) AS t(i)
+),
+c AS (
+    SELECT b.vec_id AS neg_id, v.label AS neg_label, b.bucket, v.ev AS cv
+    FROM buckets b JOIN vecs v ON b.vec_id = v.vec_id
+),
+ann_top AS (
+    SELECT query_id, neg_id FROM (
+        SELECT q.query_id, c.neg_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="q.qv", b="c.cv")} DESC, c.neg_id
+               ) AS rn
+        FROM qp q JOIN c ON q.bucket = c.bucket
+        WHERE q.query_id <> c.neg_id AND q.q_label <> c.neg_label
+    ) WHERE rn <= 2
+),
+exact_top AS (
+    SELECT query_id, neg_id FROM (
+        SELECT q.query_id, v.vec_id AS neg_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="q.qv", b="v.ev")} DESC, v.vec_id
+               ) AS rn
+        FROM q0 q, vecs v
+        WHERE q.query_id <> v.vec_id AND q.q_label <> v.label
+    ) WHERE rn <= 2
+)
+SELECT e.query_id AS query_id,
+       CAST(COUNT(a.neg_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(a.neg_id) / 2.0, 6) AS recall_at_2
+FROM exact_top e
+LEFT JOIN ann_top a
+  ON a.query_id = e.query_id AND a.neg_id = e.neg_id
+GROUP BY e.query_id
+"""
+
+
+@register(
+    "hard_negative_recall_eval",
+    _HARDNEG_RECALL_SQL,
+    doc="Hard-negative mining quality gate: recall@2 of the ANN-backed "
+    "miner (hard_negative_pairs_ann) against the exact broadcast "
+    "theta-join ground truth (hard_negative_pairs), per anchor — the "
+    "number that says whether the LSH index may replace the exact "
+    "scan in production. Scale: the ANN side is bucket-local; the "
+    "exact side runs over the SAME small anchor sample only (the "
+    "periodic-monitoring shape of ann_recall_eval). Counts are "
+    "integers, recall is n/2 under ROUND — oracle hash exact.",
+)
+def q_hard_negative_recall_eval(spark, sf_dir):
+    ann = q_hard_negative_pairs_ann(spark, sf_dir).select(
+        "query_id",
+        F.col("hard_negative_id").alias("neg_id"),
+        F.lit(1).alias("hit"),
+    )
+    exact = q_hard_negative_pairs(spark, sf_dir).select(
+        "query_id", F.col("hard_negative_id").alias("neg_id")
+    )
+    return (
+        exact.join(ann, on=["query_id", "neg_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").cast("long").alias("n_hit"),
+            F.round(F.count("hit") / 2.0, 6).alias("recall_at_2"),
         )
     )

@@ -300,52 +300,50 @@ GROUP BY source
     "and the final agg are the only shuffles (SURVEY §7.7 composed).",
 )
 def q_corpus_curation(spark, sf_dir):
-    from pyspark.sql.window import Window
-
-    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingle_arrays
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # Two measured plan fixes for the CPU-bound text stages:
+    # Plan shape, measured at sf0.1:
     # (1) repartition to full parallelism — a small-file corpus scan
     #     yields 1-2 input splits, serializing the regex/shingle work;
-    # (2) checkpoint boundaries around the decontam subgraph — the
-    #     corpus feeds three consumers, and keeping the regex-heavy
-    #     scoring in its own small plan keeps it codegen-friendly.
-    # Together: 9s → 2.2s at sf0.1. At 100 TB (1) is a no-op (many
-    # files = natural parallelism) and (2) becomes a persisted or
-    # checkpointed staging table between pipeline phases.
+    #     at 100 TB this is a no-op (many files = natural parallelism).
+    # (2) NO checkpoint/cache boundaries: the corpus subgraph is read
+    #     by two consumers (the shingle/decontam pass and the scoring
+    #     pass), and re-scanning the parquet twice is far cheaper than
+    #     caching 32 RDD blocks of text between stages — the r2
+    #     localCheckpoint version oscillated 2-16 s under block-manager
+    #     memory churn; this shape is a stable ~1.3 s.
+    # (3) the two expensive CPU stages each run exactly ONCE: shingle
+    #     construction covers bench+train disjointly (one full pass),
+    #     and regex quality scoring runs only on decontam SURVIVORS
+    #     (never on docs about to be dropped — the stages commute).
     par = spark.sparkContext.defaultParallelism
-    corpus = (
-        docs.unionByName(
-            docs.filter(F.col("doc_id") % 10 == 0).select(
-                (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
-            )
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
         )
-        .repartition(par)
-        .localCheckpoint(eager=False)
-    )
-    # Decontamination FIRST, on the raw corpus — never spend quality
-    # scoring on docs that are about to be dropped. (Final set is
-    # identical to filtering kept: the stages commute.)
+    ).repartition(par)
     is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
-    bench8 = (
-        doc_shingle_arrays(corpus.filter(is_bench), n=8)
-        .select(F.explode("shingles").alias("shingle"))
-        .distinct()
-    )
+    # No .distinct() anywhere in the decontam subgraph: duplicate bench
+    # shingles only duplicate probe hits, and LEFT ANTI is insensitive
+    # to duplicate keys on its right side — so both dedup exchanges
+    # (4 stages) are pure overhead. After the one repartition exchange
+    # the whole decontam path is map-side: shingle probe against the
+    # broadcast bench set, then a broadcast anti-join. (At 100 TB the
+    # bench set still dedups before broadcast if it outgrows the
+    # broadcast threshold — here it is thousands of rows.)
+    bench8 = doc_shingles(
+        corpus.filter(is_bench), n=8, distinct=False
+    ).select("shingle")
     contaminated = (
-        doc_shingle_arrays(corpus.filter(~is_bench), n=8)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        doc_shingles(corpus.filter(~is_bench), n=8, distinct=False)
         .join(F.broadcast(bench8), on="shingle")
         .select("doc_id")
-        .distinct()
     )
-    clean_raw = (
-        corpus.filter(~is_bench)
-        .join(contaminated, on="doc_id", how="left_anti")
-        .localCheckpoint(eager=False)
+    clean_raw = corpus.filter(~is_bench).join(
+        F.broadcast(contaminated), on="doc_id", how="left_anti"
     )
     q = quality_cols(F.col("text"))
     scored = clean_raw.select(
@@ -359,6 +357,13 @@ def q_corpus_curation(spark, sf_dir):
     kept = scored.filter(
         (F.col("quality_score") >= 0.55) & (F.col("lang_guess") == "en")
     )
+    # Dedup as a window over the text hash (min-doc_id survivor). An
+    # agg-based dedup (groupBy sha, min_by) was tried and measured
+    # SLOWER — carrying text through hash-aggregate buffers costs more
+    # than the window's sort, and with few duplicates partial
+    # aggregation buys nothing.
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
     deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(
         F.col("__rn") == 1
@@ -513,21 +518,21 @@ GROUP BY s.doc_id
     "are integer-over-integer under ROUND(...,6).",
 )
 def q_doc_novelty(spark, sf_dir):
-    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingle_arrays
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    arrays = doc_shingle_arrays(docs, n=8)
-    base = arrays.select(
-        "doc_id", F.size("shingles").cast("long").alias("n_shingles")
+    # Exploded distinct (doc, shingle) relation — the index-explode
+    # shape (shingles.py::doc_shingles): the shingle string is built
+    # AFTER the Generate, never re-evaluated per element. Both the
+    # per-doc totals and the df aggregation read the SAME relation, so
+    # Catalyst's ReuseExchange serves the distinct once.
+    sh = doc_shingles(docs, n=8)
+    base = sh.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles")
     )
-    sh = arrays.select("doc_id", F.explode("shingles").alias("shingle"))
     # Join-free novelty: a df=1 shingle has exactly ONE owning doc, so
     # max(doc_id) inside the df aggregation already names it — no
-    # join-back of the exploded relation (the oracle's formulation;
-    # measured ~20% faster at sf0.1, where shingle construction
-    # dominates — at corpus scale the avoided shuffle of the full
-    # (doc, shingle) relation is the bigger win). Per-doc totals are
-    # the row-local array size.
+    # join-back of the exploded relation (the oracle's formulation).
     singles = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"), F.max("doc_id").alias("doc_id"))

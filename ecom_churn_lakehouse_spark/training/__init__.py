@@ -1,3 +1,4 @@
+from .lineage import TrainingRun, load_model_meta, log_training_run
 from .train import (
     FEATURE_COLS,
     TrainedModel,
@@ -7,7 +8,10 @@ from .train import (
 
 __all__ = [
     "FEATURE_COLS",
+    "TrainedModel",
+    "TrainingRun",
+    "load_model_meta",
+    "log_training_run",
     "train_churn_model",
     "train_churn_model_distributed",
-    "TrainedModel",
 ]

@@ -91,3 +91,55 @@ def test_distributed_trainer_matches_collect_trainer(spark, snapshot):
         m_collect.train_accuracy, abs=1e-9
     )
     assert m_dist.metadata["distributed"] is True
+
+
+def test_training_lineage_roundtrips_into_serving(spark, snapshot, tmp_path):
+    """Lineage artifact (MLflow-compatible layout, train_stub.py:108-122
+    conventions) round-trips into PredictionService."""
+    from ecom_churn_lakehouse_spark.training import (
+        TrainedModel,
+        load_model_meta,
+        log_training_run,
+        train_churn_model,
+    )
+
+    model = train_churn_model(snapshot)
+    run = log_training_run(
+        model,
+        str(tmp_path),
+        model_name="ecomm-churn",
+        data_snapshot_id="snap-001",
+        feature_version="fv1",
+        label_version="lv1",
+        extra_metrics={"roc_auc": 0.5},
+    )
+    # MLflow file-store layout present
+    assert (run.run_dir / "meta.yaml").exists()
+    assert (run.run_dir / "params" / "model_name").read_text() == "ecomm-churn"
+    assert (run.run_dir / "metrics" / "train_accuracy").read_text().split()[1]
+    assert (run.run_dir / "tags" / "mlflow.runName").exists()
+    # content-hashed model version is deterministic (idempotent re-run)
+    run2 = log_training_run(
+        model, str(tmp_path / "again"), model_name="ecomm-churn",
+        data_snapshot_id="snap-001", feature_version="fv1", label_version="lv1",
+    )
+    assert run.model_version == run2.model_version
+    # sidecars carry the reference's key set
+    meta = load_model_meta(str(tmp_path))
+    assert meta["approved_model_version"] == run.model_version
+    assert meta["feature_columns"] == model.feature_cols
+    assert meta["metrics"]["roc_auc"] == 0.5
+    # model artifact loads and serves
+    loaded = TrainedModel.load(meta["model_artifact"])
+    export = str(tmp_path / "latest")
+    snapshot.withColumn("_feature_version", F.lit(meta["feature_version"])).withColumn(
+        "as_of_date", F.to_date(F.lit(AS_OF))
+    ).write.mode("overwrite").parquet(export)
+    svc = PredictionService(
+        LatestFeaturesClient(export),
+        loaded,
+        expected_feature_version=meta["feature_version"],
+    )
+    some_id = next(iter(svc.client._by_key))
+    out = svc.predict(some_id)
+    assert out is not None and 0.0 <= out["churn_probability"] <= 1.0
