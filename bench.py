@@ -75,6 +75,7 @@ HEADLINE = [
     "source_mixture_resample",
     "doc_novelty",
     "significant_parts",
+    "image_decode_stats",
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",

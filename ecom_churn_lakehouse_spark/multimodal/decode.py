@@ -1,16 +1,19 @@
 """Multimodal column plumbing: opaque binary + typed metadata (SURVEY §7.7).
 
-Images/audio/video are opaque ``binary`` columns with typed metadata.
-The Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning — is real and tested; the actual codec step
-is STUBBED (this container ships no image/audio libraries):
+Images/audio/video are opaque ``binary`` columns with typed metadata,
+processed by Arrow-batched ``mapInPandas`` stages. Two decoder tiers:
 
+- ``decoder="image"`` (REAL): pure-Python codecs in ``codecs.py`` —
+  PPM/PGM, 24-bit BMP, and 8-bit PNG via stdlib zlib — sniffed from
+  magic bytes. Decode, nearest-neighbor resize, and pixel-domain
+  feature extraction all operate on actual pixel data, asserted
+  pixel-exact in tests/test_multimodal.py.
 - ``decoder="fake"``: deterministic synthetic decode (dimensions and
-  pixel stats derived from the payload bytes) so the full pipeline is
-  exercisable end-to-end in tests.
-- ``decoder="pil"`` (or any real codec): raises ``NotImplementedError``
-  at call time with a clear message — swap in ``PIL.Image.open`` in
-  the marked block on a cluster that has it.
+  pixel stats derived from payload hashes) for plumbing tests on
+  non-image payloads.
+- any other name (e.g. ``"pil"``): raises ``NotImplementedError`` —
+  the hook where a cluster with real media libraries plugs in JPEG/
+  video codecs.
 
 Scale notes: ``mapInPandas`` streams Arrow record batches — payload
 bytes never materialize as one big list; set
@@ -104,13 +107,34 @@ def decode_images(
                     out["n_channels"].append(c)
                     out["mean_pixel"].append(m)
                     out["decode_ok"].append(True)
+                elif decoder == "image":
+                    # REAL decode: PPM/BMP/PNG (multimodal/codecs.py),
+                    # format sniffed from magic bytes.
+                    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+                        decode_image,
+                    )
+
+                    try:
+                        arr = decode_image(bytes(payload))
+                        out["width"].append(int(arr.shape[1]))
+                        out["height"].append(int(arr.shape[0]))
+                        out["n_channels"].append(int(arr.shape[2]))
+                        out["mean_pixel"].append(
+                            round(float(arr.mean()) / 255.0, 6)
+                        )
+                        out["decode_ok"].append(True)
+                    except (ValueError, IndexError):
+                        out["width"].append(None)
+                        out["height"].append(None)
+                        out["n_channels"].append(None)
+                        out["mean_pixel"].append(None)
+                        out["decode_ok"].append(False)
                 else:
-                    # Real codec goes here, e.g.:
-                    #   img = PIL.Image.open(io.BytesIO(payload))
+                    # JPEG/video etc. need media libraries this
+                    # container lacks — plug PIL/opencv in here.
                     raise NotImplementedError(
-                        f"decoder {decoder!r} requires image libraries not "
-                        "present in this container; use decoder='fake' or "
-                        "install a codec and extend this block"
+                        f"decoder {decoder!r} not available; use "
+                        "decoder='image' (PPM/BMP/PNG) or decoder='fake'"
                     )
             yield pd.DataFrame(out)
 
@@ -160,13 +184,29 @@ def resize_images(
                     reps = n_out // len(seed) + 1
                     rows["payload"].append((seed * reps)[:n_out])
                     rows["resize_ok"].append(True)
+                elif resizer == "nearest":
+                    # REAL resize: decode (PPM/BMP/PNG), deterministic
+                    # nearest-neighbor sample, re-encode as PPM/PGM.
+                    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+                        decode_image,
+                        encode_ppm,
+                        resize_nearest,
+                    )
+
+                    try:
+                        arr = decode_image(bytes(payload))
+                        if arr.shape[2] not in (1, 3):  # drop alpha
+                            arr = arr[:, :, :3]
+                        small = resize_nearest(arr, target_width, target_height)
+                        rows["payload"].append(encode_ppm(small))
+                        rows["resize_ok"].append(True)
+                    except (ValueError, IndexError):
+                        rows["payload"].append(None)
+                        rows["resize_ok"].append(False)
                 else:
-                    # Real resize goes here, e.g.:
-                    #   img = PIL.Image.open(io.BytesIO(payload))
-                    #   img.resize((target_width, target_height))
                     raise NotImplementedError(
-                        f"resizer {resizer!r} requires image libraries not "
-                        "present in this container; use resizer='fake'"
+                        f"resizer {resizer!r} not available; use "
+                        "resizer='nearest' (PPM/BMP/PNG) or resizer='fake'"
                     )
             out = pd.DataFrame(rows)
             out["width"] = target_width
@@ -215,10 +255,23 @@ def image_features(
                     hist = np.bincount(arr >> 4, minlength=IMAGE_FEATURE_DIM)
                     total = max(int(hist.sum()), 1)
                     feats.append((hist / total).tolist())
+                elif extractor == "pixel":
+                    # REAL pixel-domain features: decode then per-channel
+                    # mean/std + luminance histogram (codecs.py), padded
+                    # to IMAGE_FEATURE_DIM for schema stability.
+                    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+                        decode_image,
+                        pixel_features,
+                    )
+
+                    v = pixel_features(decode_image(bytes(payload)))
+                    feats.append(
+                        (v + [0.0] * IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
+                    )
                 else:
                     raise NotImplementedError(
                         f"extractor {extractor!r} not available in this "
-                        "container; use extractor='histogram'"
+                        "container; use extractor='histogram' or 'pixel'"
                     )
             yield pd.DataFrame(
                 {"doc_id": pdf[id_col].astype("int64"), "features": feats}

@@ -1,0 +1,120 @@
+"""Multimodal queries: REAL image decode inside Spark (SURVEY §7.7).
+
+The payload column is a genuine binary PPM (P6) image synthesized
+deterministically per document — netpbm header + a 192-byte raster of
+chained sha256 blocks over the text — entirely with native Column
+expressions, then decoded by the pure-Python codec
+(``multimodal/codecs.py``) inside Arrow-batched ``mapInPandas``
+stages (``multimodal/decode.py``).
+
+``image_decode_stats`` is FULLY oracle-verified: DuckDB re-derives the
+raster bytes from the sha256 hex strings (two hex chars per byte) and
+recomputes the pixel mean — so the oracle checks that the Spark side
+actually parsed the PPM header and raster correctly, byte for byte.
+The resize/feature pipeline entries are rows-only (mapInPandas is not
+SQL-expressible end-to-end), with pixel-exactness pinned by
+tests/test_multimodal.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+#: 8x8 RGB → 192 raster bytes = 6 sha256 blocks of 32 bytes.
+_W = _H = 8
+_N_BLOCKS = 6
+_PPM_HEADER = f"P6\n{_W} {_H}\n255\n".encode()
+
+
+def _payload_col():
+    """A real binary PPM payload: header + chained-sha raster."""
+    blocks = [
+        F.unhex(F.sha2(F.concat(F.col("text"), F.lit(str(i))), 256))
+        for i in range(_N_BLOCKS)
+    ]
+    return F.concat(F.lit(_PPM_HEADER), *blocks)
+
+
+def _payloads(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _payload_col().alias("payload"))
+
+
+_DECODE_SQL = f"""
+WITH payload AS (
+    SELECT doc_id,
+           {" || ".join(f"sha256(text || '{i}')" for i in range(_N_BLOCKS))}
+               AS hexr
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(hexr, i * 2 - 1, 2)) AS INTEGER) AS b
+    FROM payload, unnest(range(1, {_W * _H * 3 + 1})) AS t(i)
+)
+SELECT doc_id,
+       CAST({_W} AS INTEGER) AS width,
+       CAST({_H} AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       ROUND(AVG(b) / 255.0, 6) AS mean_pixel
+FROM bytes
+GROUP BY doc_id
+"""
+
+
+@register(
+    "image_decode_stats",
+    _DECODE_SQL,
+    doc="REAL image decode, oracle-verified: each doc carries a genuine "
+    "binary PPM payload (header + 192-byte sha-derived raster built "
+    "with native expressions); the pure-Python codec "
+    "(multimodal/codecs.py::decode_ppm) parses header and raster "
+    "inside Arrow-batched mapInPandas and emits dimensions + pixel "
+    "mean. The DuckDB oracle re-derives the same bytes from sha256 "
+    "hex pairs — a wrong header parse, offset, or channel count "
+    "hash-mismatches. Scale: decode is map-only, embarrassingly "
+    "parallel, payload bytes never leave the executors.",
+)
+def q_image_decode_stats(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import decode_images
+
+    decoded = decode_images(_payloads(spark, sf_dir), decoder="image")
+    return decoded.select(
+        "doc_id", "width", "height", "n_channels", "mean_pixel"
+    )
+
+
+@register(
+    "image_resize_feature_pipeline",
+    None,  # mapInPandas chain — rows-only; pixel exactness in pytest
+    doc="Full multimodal pipeline on real bytes: PPM decode -> "
+    "nearest-neighbor resize to 4x4 -> re-encode -> pixel-domain "
+    "feature vector (per-channel mean/std + luminance histogram, "
+    "multimodal/codecs.py::pixel_features). Output is one fixed-dim "
+    "feature row per doc — the embedding column that feeds the ANN "
+    "surface (similarity/ann.py). Rows-only check: the chain is not "
+    "SQL-expressible; tests/test_multimodal.py pins pixel-exact "
+    "decode/resize/feature values instead.",
+)
+def q_image_resize_feature_pipeline(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        image_features,
+        resize_images,
+    )
+
+    resized = resize_images(
+        _payloads(spark, sf_dir), target_width=4, target_height=4,
+        resizer="nearest",
+    )
+    feats = image_features(resized, extractor="pixel")
+    norm = F.aggregate(
+        F.col("features"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return feats.select(
+        "doc_id",
+        F.size("features").alias("feature_dim"),
+        F.round(F.sqrt(norm), 6).alias("feature_l2_norm"),
+    )

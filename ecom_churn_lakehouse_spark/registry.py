@@ -72,6 +72,7 @@ def _load_all() -> None:
         extended_queries,
         feature_queries,
         graph_queries,
+        multimodal_queries,
         relational_queries,
         sampling_queries,
         search_queries,

@@ -141,3 +141,72 @@ def test_dq_history_record_is_idempotent(spark, tmp_path):
     record_report(spark, path, "run-000", _mk_report(5))
     record_report(spark, path, "run-000", _mk_report(5))  # replay
     assert ManagedTable(spark, path, keys=["run_id", "name"]).read().count() == 1
+
+
+def test_yaml_expectations_compile_reference_file(spark, tmp_path):
+    """The reference's exact expectations file format
+    (data/expectations/silver/orders.yml) compiles into the engine and
+    gates on its critical checks."""
+    from ecom_churn_lakehouse_spark.dq import load_expectations_yaml, run_checks
+
+    yml = tmp_path / "orders.yml"
+    # verbatim structure of the reference file (4 checks, all critical)
+    yml.write_text(
+        """\
+dataset: orders
+layer: silver
+version: v1
+
+checks:
+  - name: order_id_not_null
+    type: not_null
+    columns: [order_id]
+    severity: critical
+
+  - name: customer_id_not_null
+    type: not_null
+    columns: [customer_id]
+    severity: critical
+
+  - name: unique_order_id
+    type: unique
+    columns: [order_id]
+    severity: critical
+
+  - name: allowed_order_status
+    type: in_set
+    column: order_status
+    allowed:
+      - approved
+      - canceled
+      - created
+      - delivered
+      - invoiced
+      - processing
+      - shipped
+      - unavailable
+    severity: critical
+"""
+    )
+    suite = load_expectations_yaml(str(yml))
+    assert (suite.dataset, suite.layer, suite.version) == ("orders", "silver", "v1")
+    assert len(suite.checks) == 4 == len(suite.critical_checks)
+    # unique's columns mapped onto the engine's keys field
+    uniq = next(c for c in suite.checks if c["type"] == "unique")
+    assert uniq["keys"] == ["order_id"]
+
+    good = spark.createDataFrame(
+        [Row(order_id="o1", customer_id="c1", order_status="delivered"),
+         Row(order_id="o2", customer_id="c2", order_status="shipped")]
+    )
+    assert run_checks(good, suite.checks).ok
+
+    bad = spark.createDataFrame(
+        [Row(order_id="o1", customer_id="c1", order_status="delivered"),
+         Row(order_id="o1", customer_id=None, order_status="bogus")]
+    )
+    report = run_checks(bad, suite.checks)
+    assert not report.ok
+    assert {r.name for r in report.blocking_failures} == {
+        "customer_id_not_null", "unique_order_id", "allowed_order_status",
+    }

@@ -79,3 +79,149 @@ def test_image_features_feed_similarity(spark):
         feats.limit(2), feats, k=3, id_col="doc_id", vec_col="features"
     )
     assert topk.count() == 6
+
+
+# ---------------- REAL codec paths (multimodal/codecs.py) ----------------
+
+
+def test_codec_roundtrips_pixel_exact():
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_image,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(arr)) == arr).all()
+    assert (decode_bmp(encode_bmp(arr)) == arr).all()
+    assert (decode_png(encode_png(arr)) == arr).all()
+    gray = rng.randint(0, 256, (5, 17, 1), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(gray)) == gray).all()
+    assert (decode_png(encode_png(gray)) == gray).all()
+    rgba = rng.randint(0, 256, (6, 6, 4), dtype=np.uint8)
+    assert (decode_png(encode_png(rgba)) == rgba).all()
+    # magic-byte sniffing routes to the right decoder
+    assert decode_image(encode_bmp(arr)).shape == (13, 9, 3)
+    assert decode_image(encode_png(rgba)).shape == (6, 6, 4)
+
+
+def test_png_filters_1_to_4_decode():
+    """Decoder undoes Sub/Up/Average/Paeth scanline filters exactly
+    (our encoder emits filter 0 only, so construct the stream by hand)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.multimodal.codecs import decode_png
+
+    rng = np.random.RandomState(11)
+    h, w, c = 4, 5, 3
+    src = rng.randint(0, 256, (h, w, c), dtype=np.uint8)
+    rows = src.reshape(h, w * c).astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int64)
+    for r, ftype in zip(range(h), [1, 2, 3, 4]):
+        cur = rows[r]
+        enc = cur.copy()
+        for i in range(w * c):
+            a = cur[i - c] if i >= c else 0
+            b = prev[i]
+            cc = prev[i - c] if i >= c else 0
+            if ftype == 1:
+                enc[i] = (cur[i] - a) % 256
+            elif ftype == 2:
+                enc[i] = (cur[i] - b) % 256
+            elif ftype == 3:
+                enc[i] = (cur[i] - (a + b) // 2) % 256
+            else:
+                pa, pb, pc = abs(b - cc), abs(a - cc), abs(a + b - 2 * cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                enc[i] = (cur[i] - pred) % 256
+        raw += bytes([ftype]) + bytes(enc.astype(np.uint8))
+        prev = cur
+
+    def chunk(t, p):
+        return len(p).to_bytes(4, "big") + t + p + zlib.crc32(t + p).to_bytes(4, "big")
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (decode_png(png) == src).all()
+
+
+def test_real_decode_resize_features_in_spark(spark):
+    """decode -> resize -> features on REAL image bytes inside
+    mapInPandas, asserted pixel-exact against local numpy."""
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.multimodal import (
+        decode_images,
+        image_features,
+        resize_images,
+    )
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        pixel_features,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(3)
+    imgs = {i: rng.randint(0, 256, (10 + i, 8, 3), dtype=np.uint8) for i in range(3)}
+    payloads = [
+        (0, bytearray(encode_ppm(imgs[0]))),
+        (1, bytearray(encode_bmp(imgs[1]))),
+        (2, bytearray(encode_png(imgs[2]))),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+
+    decoded = {r["doc_id"]: r for r in decode_images(df, decoder="image").collect()}
+    for i, arr in imgs.items():
+        r = decoded[i]
+        assert (r["width"], r["height"], r["n_channels"]) == (8, 10 + i, 3)
+        assert r["mean_pixel"] == round(float(arr.mean()) / 255.0, 6)
+        assert r["decode_ok"]
+
+    resized = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, target_width=4, target_height=4, resizer="nearest"
+        ).collect()
+    }
+    for i, arr in imgs.items():
+        got = decode_ppm(bytes(resized[i]["payload"]))
+        assert (got == resize_nearest(arr, 4, 4)).all()
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in image_features(df, extractor="pixel").collect()
+    }
+    for i, arr in imgs.items():
+        expect = pixel_features(arr) + [0.0, 0.0]  # padded to dim 16
+        assert feats[i] == pytest.approx(expect, abs=0)
+
+
+def test_corrupt_payload_flags_not_raises(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"NOT AN IMAGE AT ALL"))], "doc_id long, payload binary"
+    )
+    from ecom_churn_lakehouse_spark.multimodal import decode_images, resize_images
+
+    r = decode_images(df, decoder="image").collect()[0]
+    assert r["decode_ok"] is False and r["width"] is None
+    r2 = resize_images(df, 4, 4, resizer="nearest").collect()[0]
+    assert r2["resize_ok"] is False and r2["payload"] is None
