@@ -76,6 +76,7 @@ HEADLINE = [
     "doc_novelty",
     "significant_parts",
     "image_decode_stats",
+    "audio_decode_stats",
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",

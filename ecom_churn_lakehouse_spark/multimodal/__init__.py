@@ -1,8 +1,10 @@
 from .decode import (
+    DECODED_AUDIO_SCHEMA,
     DECODED_IMAGE_SCHEMA,
     IMAGE_FEATURE_DIM,
     IMAGE_FEATURE_SCHEMA,
     RESIZED_IMAGE_SCHEMA,
+    decode_audio,
     decode_images,
     extract_binary_metadata,
     image_features,
@@ -11,10 +13,12 @@ from .decode import (
 )
 
 __all__ = [
+    "DECODED_AUDIO_SCHEMA",
     "DECODED_IMAGE_SCHEMA",
     "IMAGE_FEATURE_DIM",
     "IMAGE_FEATURE_SCHEMA",
     "RESIZED_IMAGE_SCHEMA",
+    "decode_audio",
     "decode_images",
     "extract_binary_metadata",
     "image_features",

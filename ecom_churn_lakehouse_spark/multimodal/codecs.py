@@ -281,3 +281,74 @@ def pixel_features(arr: np.ndarray) -> list[float]:
     total = max(int(hist.sum()), 1)
     feats.extend(round(float(v) / total, 6) for v in hist)
     return feats
+
+
+# ----------------------------------------------------------------- WAV
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV (RIFF/WAVE, 8- or 16-bit integer) → ``(samples, rate)``.
+
+    ``samples`` is ``(n_frames, n_channels)`` int16 (8-bit audio is
+    centered: byte - 128 << 8 is NOT applied — values upcast verbatim
+    so tests stay bit-exact). Chunk walk tolerates extra chunks
+    (LIST/fact) like real files have.
+    """
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    raw = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks pad to even length
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+    if fmt is None or raw is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise ValueError(f"only 8/16-bit PCM supported (fmt={audio_format}, bits={bits})")
+    if bits == 16:
+        samples = np.frombuffer(raw, dtype="<i2")
+    else:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+    n_frames = len(samples) // n_channels
+    return samples[: n_frames * n_channels].reshape(n_frames, n_channels).copy(), sample_rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode ``(n_frames, n_channels)`` int16 as 16-bit PCM WAV."""
+    n_frames, n_channels = samples.shape
+    raw = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(raw)) + raw
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+#: mean, rms, zero-crossing rate, peak — per clip (mono-folded).
+AUDIO_FEATURE_DIM = 4
+
+
+def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
+    """Deterministic clip-level audio features over the mono fold
+    (mean across channels): DC mean, RMS, zero-crossing rate, peak —
+    all normalized to [-1, 1] full scale and rounded to 6 decimals."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    fs = 32768.0
+    mean = float(mono.mean()) / fs
+    rms = float(np.sqrt(np.mean(mono * mono))) / fs
+    signs = np.sign(mono)
+    nz = signs != 0
+    crossings = int(np.sum(np.abs(np.diff(signs[nz])) > 1)) if nz.any() else 0
+    zcr = crossings / max(len(mono) - 1, 1)
+    peak = float(np.abs(mono).max()) / fs if len(mono) else 0.0
+    return [round(mean, 6), round(rms, 6), round(zcr, 6), round(peak, 6)]

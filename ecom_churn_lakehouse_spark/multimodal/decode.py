@@ -34,11 +34,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "DECODED_AUDIO_SCHEMA",
     "DECODED_IMAGE_SCHEMA",
     "RESIZED_IMAGE_SCHEMA",
     "IMAGE_FEATURE_DIM",
     "IMAGE_FEATURE_SCHEMA",
     "extract_binary_metadata",
+    "decode_audio",
     "decode_images",
     "resize_images",
     "image_features",
@@ -292,3 +294,66 @@ def sample_frames(
     Pure relational (no codec): a modulo filter that Catalyst pushes
     into the scan when ``frame_col`` is a stored column."""
     return df.filter((F.col(frame_col) % every_nth) == 0)
+
+
+#: Output schema of the audio decode stage.
+DECODED_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("mean_sample", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("zcr", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_audio(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched REAL audio decode: PCM WAV (RIFF chunk walk,
+    multimodal/codecs.py::decode_wav) → clip-level stats + features.
+    Same scale shape as the image stages: map-only, payload bytes stay
+    on the executors."""
+
+    def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecom_churn_lakehouse_spark.multimodal.codecs import (
+            audio_features,
+            decode_wav,
+        )
+
+        for pdf in batches:
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_frames": [], "n_channels": [], "sample_rate": [],
+                "mean_sample": [], "rms": [], "zcr": [], "peak": [],
+                "decode_ok": [],
+            }
+            for payload in pdf[payload_col]:
+                try:
+                    samples, rate = decode_wav(bytes(payload))
+                    mean, rms, zcr, peak = audio_features(samples, rate)
+                    out["n_frames"].append(int(samples.shape[0]))
+                    out["n_channels"].append(int(samples.shape[1]))
+                    out["sample_rate"].append(int(rate))
+                    out["mean_sample"].append(mean)
+                    out["rms"].append(rms)
+                    out["zcr"].append(zcr)
+                    out["peak"].append(peak)
+                    out["decode_ok"].append(True)
+                except (ValueError, IndexError):
+                    for k in ("n_frames", "n_channels", "sample_rate",
+                              "mean_sample", "rms", "zcr", "peak"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _audio_batches, schema=DECODED_AUDIO_SCHEMA
+    )

@@ -118,3 +118,89 @@ def q_image_resize_feature_pipeline(spark, sf_dir):
         F.size("features").alias("feature_dim"),
         F.round(F.sqrt(norm), 6).alias("feature_l2_norm"),
     )
+
+
+# ------------------------------------------------------------- audio
+
+#: 64 mono 16-bit frames = 128 PCM bytes = 4 sha256 blocks.
+_N_FRAMES = 64
+_SAMPLE_RATE = 16000
+_WAV_BLOCKS = 4
+
+
+def _wav_header() -> bytes:
+    import struct
+
+    n_bytes = _N_FRAMES * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, _SAMPLE_RATE, _SAMPLE_RATE * 2, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + n_bytes)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n_bytes)
+    )
+
+
+def _wav_payloads(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    blocks = [
+        F.unhex(F.sha2(F.concat(F.col("text"), F.lit(f"wav{i}")), 256))
+        for i in range(_WAV_BLOCKS)
+    ]
+    return docs.select(
+        "doc_id", F.concat(F.lit(_wav_header()), *blocks).alias("payload")
+    )
+
+
+_AUDIO_SQL = f"""
+WITH payload AS (
+    SELECT doc_id,
+           {" || ".join(f"sha256(text || 'wav{i}')" for i in range(_WAV_BLOCKS))}
+               AS hexr
+    FROM documents
+),
+samples AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(hexr, i * 4 - 3, 2)) AS INTEGER)
+           + 256 * CAST(('0x' || substr(hexr, i * 4 - 1, 2)) AS INTEGER) AS u
+    FROM payload, unnest(range(1, {_N_FRAMES + 1})) AS t(i)
+),
+signed AS (
+    SELECT doc_id, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+    FROM samples
+)
+SELECT doc_id,
+       CAST({_N_FRAMES} AS INTEGER) AS n_frames,
+       CAST({_SAMPLE_RATE} AS INTEGER) AS sample_rate,
+       ROUND(AVG(s) / 32768.0, 6) AS mean_sample,
+       ROUND(sqrt(AVG(CAST(s AS DOUBLE) * s)) / 32768.0, 6) AS rms
+FROM signed
+GROUP BY doc_id
+"""
+
+
+@register(
+    "audio_decode_stats",
+    _AUDIO_SQL,
+    doc="REAL audio decode, oracle-verified: each doc carries a genuine "
+    "16-bit PCM WAV payload (RIFF header + 128 sha-derived bytes, "
+    "native expressions); the pure-Python codec "
+    "(multimodal/codecs.py::decode_wav) walks the RIFF chunks and "
+    "parses little-endian int16 samples inside mapInPandas, emitting "
+    "frame count, rate, DC mean, and RMS. The DuckDB oracle re-derives "
+    "the SAME samples from sha256 hex pairs (lo + 256*hi, two's "
+    "complement), so a wrong chunk offset, endianness, or sign "
+    "handling hash-mismatches. All sums are exact in float64 (64 "
+    "samples, power-of-two divides), so ROUND(...,6) is bit-stable.",
+)
+def q_audio_decode_stats(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import decode_audio
+
+    decoded = decode_audio(_wav_payloads(spark, sf_dir))
+    return decoded.select(
+        "doc_id", "n_frames", "sample_rate", "mean_sample", "rms"
+    )

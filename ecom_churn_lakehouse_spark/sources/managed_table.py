@@ -42,6 +42,12 @@ _HEAD = "_HEAD"
 class ManagedTable:
     """A keyed, mutable table at a filesystem path."""
 
+    #: which commit-protocol implementation this process runs:
+    #: "delta" (real Delta protocol via delta-spark) or
+    #: "head-pointer-parquet" (the emulation) — recorded so CI output
+    #: states which backend the managed-table suite exercised.
+    BACKEND = "delta" if HAVE_DELTA else "head-pointer-parquet"
+
     def __init__(self, spark: SparkSession, path: str, keys: list[str]):
         self.spark = spark
         self.path = path.rstrip("/")

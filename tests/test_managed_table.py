@@ -313,3 +313,18 @@ def test_zorder_value_handles_nulls_negatives_and_constants(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="signed long"):
         with_zorder_value(df, ["x", "y"], bits=32)
+
+
+def test_backend_is_recorded(capsys):
+    """CI output records which commit protocol the suite exercised:
+    real Delta when delta-spark is installed (pyproject extra
+    ``delta``), the head-pointer-parquet emulation otherwise. Every
+    ManagedTable code path branches on session.HAVE_DELTA, so the
+    SAME suite covers both backends — this pins which one ran."""
+    from ecom_churn_lakehouse_spark.session import HAVE_DELTA
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+
+    assert ManagedTable.BACKEND == (
+        "delta" if HAVE_DELTA else "head-pointer-parquet"
+    )
+    print(f"\nmanaged-table backend under test: {ManagedTable.BACKEND}")

@@ -225,3 +225,45 @@ def test_corrupt_payload_flags_not_raises(spark):
     assert r["decode_ok"] is False and r["width"] is None
     r2 = resize_images(df, 4, 4, resizer="nearest").collect()[0]
     assert r2["resize_ok"] is False and r2["payload"] is None
+
+
+def test_wav_roundtrip_and_decode_in_spark(spark):
+    """Real PCM WAV parse inside mapInPandas, bit-exact vs numpy."""
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.multimodal import decode_audio
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        audio_features,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(5)
+    clips = {
+        0: rng.randint(-32768, 32768, (100, 2), dtype=np.int16),
+        1: rng.randint(-32768, 32768, (64, 1), dtype=np.int16),
+    }
+    for arr in clips.values():
+        dec, rate = decode_wav(encode_wav(arr, 44100))
+        assert (dec == arr).all() and rate == 44100
+
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_wav(a, 44100))) for i, a in clips.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df).collect()}
+    for i, arr in clips.items():
+        r = rows[i]
+        assert (r["n_frames"], r["n_channels"], r["sample_rate"]) == (
+            arr.shape[0], arr.shape[1], 44100,
+        )
+        mean, rms, zcr, peak = audio_features(arr, 44100)
+        assert (r["mean_sample"], r["rms"], r["zcr"], r["peak"]) == (
+            mean, rms, zcr, peak,
+        )
+    # corrupt payload flags, not raises
+    bad = spark.createDataFrame(
+        [(9, bytearray(b"not audio"))], "doc_id long, payload binary"
+    )
+    r = decode_audio(bad).collect()[0]
+    assert r["decode_ok"] is False and r["n_frames"] is None
