@@ -352,3 +352,83 @@ def audio_features(samples: np.ndarray, sample_rate: int) -> list[float]:
     zcr = crossings / max(len(mono) - 1, 1)
     peak = float(np.abs(mono).max()) / fs if len(mono) else 0.0
     return [round(mean, 6), round(rms, 6), round(zcr, 6), round(peak, 6)]
+
+
+# ----------------------------------------------------------------- Y4M
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, dict]:
+    """YUV4MPEG2 (.y4m) raw video → ``(frames, params)``.
+
+    The standard uncompressed video interchange format: an ASCII
+    stream header (``YUV4MPEG2 W.. H.. F.. ... [C..]``) then per-frame
+    ``FRAME...\\n`` markers followed by raw planar YUV bytes. C444
+    (full-res planes) and C420/C420jpeg/C420paldv (2x2-subsampled
+    U/V) are supported; ``frames`` is ``(n, h, w, 3)`` uint8 in YUV
+    order with subsampled planes upsampled by pixel replication.
+    """
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = data.index(b"\n")
+    w = h = None
+    colorspace = "C420jpeg"  # the spec default
+    for tok in data[9:nl].split():
+        tag, val = tok[:1], tok[1:].decode("ascii", "replace")
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"C":
+            colorspace = "C" + val
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith("C444"):
+        subsampled = False
+    elif colorspace.startswith("C420"):
+        subsampled = True
+        if w % 2 or h % 2:
+            raise ValueError("C420 needs even dimensions")
+    else:
+        raise ValueError(f"unsupported colorspace {colorspace}")
+    y_size = w * h
+    c_size = y_size if not subsampled else (w // 2) * (h // 2)
+    frame_bytes = y_size + 2 * c_size
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated frame")
+        yp = np.frombuffer(data, np.uint8, y_size, pos).reshape(h, w)
+        up = np.frombuffer(data, np.uint8, c_size, pos + y_size)
+        vp = np.frombuffer(data, np.uint8, c_size, pos + y_size + c_size)
+        if subsampled:
+            up = up.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+            vp = vp.reshape(h // 2, w // 2).repeat(2, 0).repeat(2, 1)
+        else:
+            up, vp = up.reshape(h, w), vp.reshape(h, w)
+        frames.append(np.stack([yp, up, vp], axis=-1))
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8), {
+        "width": w,
+        "height": h,
+        "colorspace": colorspace,
+    }
+
+
+def encode_y4m(frames: np.ndarray, colorspace: str = "C444") -> bytes:
+    """Encode ``(n, h, w, 3)`` uint8 YUV frames as YUV4MPEG2."""
+    n, h, w, _ = frames.shape
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 {colorspace}\n".encode())
+    for i in range(n):
+        out += b"FRAME\n"
+        f = frames[i]
+        if colorspace.startswith("C420"):
+            out += f[:, :, 0].tobytes()
+            out += f[::2, ::2, 1].tobytes()
+            out += f[::2, ::2, 2].tobytes()
+        else:
+            out += f[:, :, 0].tobytes() + f[:, :, 1].tobytes() + f[:, :, 2].tobytes()
+    return bytes(out)

@@ -37,11 +37,13 @@ __all__ = [
     "DECODED_AUDIO_SCHEMA",
     "DECODED_IMAGE_SCHEMA",
     "RESIZED_IMAGE_SCHEMA",
+    "VIDEO_FRAME_SCHEMA",
     "IMAGE_FEATURE_DIM",
     "IMAGE_FEATURE_SCHEMA",
     "extract_binary_metadata",
     "decode_audio",
     "decode_images",
+    "decode_video_frames",
     "resize_images",
     "image_features",
     "sample_frames",
@@ -356,4 +358,86 @@ def decode_audio(
 
     return df.select(id_col, payload_col).mapInPandas(
         _audio_batches, schema=DECODED_AUDIO_SCHEMA
+    )
+
+
+#: Output schema of the video frame-sampling decode stage.
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_y", T.DoubleType(), True),
+        T.StructField("mean_u", T.DoubleType(), True),
+        T.StructField("mean_v", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def decode_video_frames(
+    df: DataFrame,
+    every_nth: int = 1,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched REAL video decode + frame sampling: YUV4MPEG2
+    container (multimodal/codecs.py::decode_y4m), emitting one row per
+    KEPT frame (every ``every_nth``-th) with per-plane means — the
+    decode-side frame sampler, complementing the relational
+    ``sample_frames`` which filters on a stored frame column. Corrupt
+    payloads yield a single decode_ok=false row."""
+
+    def _video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecom_churn_lakehouse_spark.multimodal.codecs import decode_y4m
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    frames, params = decode_y4m(bytes(payload))
+                    n = int(frames.shape[0])
+                    for k in range(0, n, every_nth):
+                        f = frames[k].astype("float64")
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "frame_idx": k,
+                                "n_frames": n,
+                                "width": params["width"],
+                                "height": params["height"],
+                                "mean_y": round(float(f[:, :, 0].mean()) / 255.0, 6),
+                                "mean_u": round(float(f[:, :, 1].mean()) / 255.0, 6),
+                                "mean_v": round(float(f[:, :, 2].mean()) / 255.0, 6),
+                                "decode_ok": True,
+                            }
+                        )
+                except (ValueError, IndexError):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": None,
+                            "n_frames": None,
+                            "width": None,
+                            "height": None,
+                            "mean_y": None,
+                            "mean_u": None,
+                            "mean_v": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "n_frames", "width", "height",
+                    "mean_y", "mean_u", "mean_v", "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _video_batches, schema=VIDEO_FRAME_SCHEMA
     )
