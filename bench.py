@@ -77,6 +77,9 @@ HEADLINE = [
     "significant_parts",
     "image_decode_stats",
     "audio_decode_stats",
+    "video_frame_stats",
+    "embedding_int8_quantization",
+    "bpe_merge_candidates",
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",

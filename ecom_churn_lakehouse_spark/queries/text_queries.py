@@ -549,3 +549,73 @@ def q_doc_novelty(spark, sf_dir):
             "novelty"
         ),
     )
+
+
+# --------------- BPE merge candidates (tokenizer-training step) ---------------
+
+_BPE_MERGE_SQL = r"""
+WITH words AS (
+    SELECT lower(w) AS word, COUNT(*) AS freq
+    FROM (
+        SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w
+        FROM documents
+    )
+    GROUP BY 1
+),
+pairs AS (
+    SELECT substr(word, i, 1) AS left_sym,
+           substr(word, i + 1, 1) AS right_sym,
+           freq
+    FROM words, unnest(range(1, length(word))) AS t(i)
+    WHERE length(word) >= 2
+)
+SELECT left_sym, right_sym,
+       CAST(SUM(freq) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY 1, 2
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 20
+"""
+
+
+@register(
+    "bpe_merge_candidates",
+    _BPE_MERGE_SQL,
+    doc="The first BPE merge iteration of tokenizer training: corpus "
+    "word frequencies, then adjacent character-pair counts weighted "
+    "by word frequency — the argmax pair is the first merge rule a "
+    "BPE vocabulary learns. Scale shape: the pair space is computed "
+    "over DISTINCT words (vocabulary-sized, orders of magnitude "
+    "smaller than the corpus) carrying their frequencies, so the "
+    "expensive character fan-out never touches raw text twice; the "
+    "index explode builds each symbol AFTER the Generate "
+    "(shingles.py lesson). Integer counts — oracle hash exact. "
+    "Subsequent merge iterations re-run the same plan over the "
+    "re-segmented vocabulary (driver loop, vocab-sized state).",
+)
+def q_bpe_merge_candidates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)")).alias(
+                "w"
+            )
+        )
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    idx = F.sequence(F.lit(1), F.length("word") - 1)
+    exploded = words.select("word", "freq", F.explode(idx).alias("__i"))
+    pairs = exploded.select(
+        F.substring(F.col("word"), F.col("__i"), F.lit(1)).alias("left_sym"),
+        F.substring(F.col("word"), F.col("__i") + 1, F.lit(1)).alias("right_sym"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )

@@ -267,3 +267,39 @@ def test_wav_roundtrip_and_decode_in_spark(spark):
     )
     r = decode_audio(bad).collect()[0]
     assert r["decode_ok"] is False and r["n_frames"] is None
+
+
+def test_y4m_roundtrip_and_frame_sampling_in_spark(spark):
+    """Real YUV4MPEG2 parse + every-nth frame sampling in mapInPandas."""
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.multimodal import decode_video_frames
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.RandomState(13)
+    clip = rng.randint(0, 256, (5, 6, 8, 3), dtype=np.uint8)
+    dec, params = decode_y4m(encode_y4m(clip, "C444"))
+    assert (dec == clip).all()
+    assert (params["width"], params["height"]) == (8, 6)
+    # C420 keeps luma exact, chroma at the 2x2-subsampled positions
+    dec420, _ = decode_y4m(encode_y4m(clip[:, :6, :8], "C420jpeg"))
+    assert (dec420[:, :, :, 0] == clip[:, :6, :8, 0]).all()
+
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_y4m(clip, "C444")))], "doc_id long, payload binary"
+    )
+    rows = decode_video_frames(df, every_nth=2).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 2, 4]
+    for r in rows:
+        k = r["frame_idx"]
+        assert (r["n_frames"], r["width"], r["height"]) == (5, 8, 6)
+        assert r["mean_y"] == round(float(clip[k, :, :, 0].mean()) / 255.0, 6)
+        assert r["mean_u"] == round(float(clip[k, :, :, 1].mean()) / 255.0, 6)
+    bad = spark.createDataFrame(
+        [(8, bytearray(b"garbage"))], "doc_id long, payload binary"
+    )
+    r = decode_video_frames(bad).collect()[0]
+    assert r["decode_ok"] is False and r["frame_idx"] is None
