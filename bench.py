@@ -80,6 +80,8 @@ HEADLINE = [
     "video_frame_stats",
     "embedding_int8_quantization",
     "bpe_merge_candidates",
+    "temporal_train_val_split",
+    "model_eval_metrics",
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",

@@ -231,3 +231,152 @@ def q_feature_auc_screen(spark, sf_dir):
             "auc_recency_days"
         ),
     )
+
+
+# -------------------- model evaluation metrics (reference parity)
+
+#: fixed "approved model" weights — scoring-parity stand-in for a
+#: trained model (any coefficients exercise the same plan). DYADIC
+#: rationals (1/32, -1/4, -3/8): every product with the integer
+#: features and every partial sum is exactly representable, so even
+#: FMA contraction (which DuckDB's codegen applies and Spark's JIT
+#: does not — measured 1-ulp drift on 265/1464 rows with 0.03) cannot
+#: change the value.
+_W_RECENCY, _W_ORDERS, _B = 0.03125, -0.25, -0.375
+
+#: rational sigmoid substitute: 0.5 + z / (2 * (1 + |z|)) — monotone,
+#: bounded to (0, 1), and built from IEEE +,*,/,abs over EXACT inputs
+#: (one rounded division, one rounded add — both deterministic), so
+#: the score is BIT-IDENTICAL across engines (exp() differs in the
+#: last ulp between libm implementations, which would flip rank ties
+#: and break the oracle hash of the ranking metrics).
+_SCORE_SQL = (
+    f"(0.5 + ({_W_RECENCY} * recency_days + {_W_ORDERS} * lifetime_orders "
+    f"+ {_B}) / (2.0 * (1.0 + abs({_W_RECENCY} * recency_days "
+    f"+ {_W_ORDERS} * lifetime_orders + {_B}))))"
+)
+
+_EVAL_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+scored AS (
+    SELECT f.customer_id, l.churn_label AS y,
+           {_SCORE_SQL} AS p
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+),
+ranked AS (
+    SELECT y, p,
+           RANK() OVER (ORDER BY p) AS mr,
+           COUNT(*) OVER (PARTITION BY p) AS t,
+           ROW_NUMBER() OVER (ORDER BY p DESC, customer_id) AS rn
+    FROM scored
+),
+cum AS (
+    SELECT y, p, mr, t, rn,
+           SUM(y) OVER (ORDER BY rn) AS cum_pos
+    FROM ranked
+),
+agg AS (
+    SELECT CAST(SUM(y) AS DOUBLE) AS n1,
+           CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0,
+           SUM(CASE WHEN y = 1 THEN mr + (t - 1) / 2.0 ELSE 0 END) AS rpos,
+           CAST(SUM(CASE WHEN y = 1 THEN
+                    CAST(CAST(cum_pos AS DOUBLE) / rn AS DECIMAL(28,12))
+                END) AS DOUBLE) AS ap_sum,
+           CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS brier
+    FROM cum
+)
+SELECT CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       ROUND((rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS roc_auc,
+       ROUND(ap_sum / n1, 6) AS pr_auc,
+       ROUND(brier, 6) AS brier_score
+FROM agg
+"""
+
+
+@register(
+    "model_eval_metrics",
+    _EVAL_SQL,
+    doc="Classifier evaluation metrics — the reference's sklearn metric "
+    "set (train_stub.py:237-240: roc_auc_score, "
+    "average_precision_score, brier_score_loss) computed IN SPARK "
+    "over the scored churn population: rank-statistic ROC-AUC (ties "
+    "at average rank), PR-AUC as average precision (precision summed "
+    "at each positive's deterministic rank), and the Brier score. "
+    "The model is a fixed-coefficient scorer over recency/lifetime "
+    "features through a RATIONAL squash (no exp(): libm last-ulp "
+    "differences would flip rank ties cross-engine). Scale: windows "
+    "run over the customer-grain frame (already aggregated); one "
+    "scalar aggregate emits the report a training run logs.",
+)
+def q_model_eval_metrics(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "recency_days", "lifetime_orders"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    z = (
+        _W_RECENCY * F.col("recency_days")
+        + _W_ORDERS * F.col("lifetime_orders")
+        + F.lit(_B)
+    )
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = feats.join(labels, on="customer_id").select(
+        "customer_id", F.col("churn_label").alias("y"), p.alias("p")
+    )
+    ranked = scored.select(
+        "y",
+        "p",
+        F.rank().over(Window.orderBy("p")).alias("mr"),
+        F.count("*").over(Window.partitionBy("p")).alias("t"),
+        F.row_number()
+        .over(Window.orderBy(F.col("p").desc(), "customer_id"))
+        .alias("rn"),
+    )
+    cum = ranked.withColumn(
+        "cum_pos", F.sum("y").over(Window.orderBy("rn"))
+    )
+    pos = F.col("y") == 1
+    agg = cum.agg(
+        F.sum("y").cast("double").alias("n1"),
+        (F.count("*") - F.sum("y")).cast("double").alias("n0"),
+        F.sum(
+            F.when(pos, F.col("mr") + (F.col("t") - 1) / 2.0).otherwise(0.0)
+        ).alias("rpos"),
+        # per-term DECIMAL accumulation: each term is bit-identical
+        # cross-engine, but float SUM order is not — decimal sums are
+        # order-independent, so the oracle hash survives partial
+        # aggregation (same policy as the money aggregates).
+        F.sum(
+            F.when(
+                pos,
+                (F.col("cum_pos").cast("double") / F.col("rn")).cast(
+                    "decimal(28,12)"
+                ),
+            )
+        )
+        .cast("double")
+        .alias("ap_sum"),
+        (
+            F.sum(
+                ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
+                    "decimal(28,12)"
+                )
+            ).cast("double")
+            / F.count("*")
+        ).alias("brier"),
+    )
+    n1, n0 = F.col("n1"), F.col("n0")
+    return agg.select(
+        n1.cast("long").alias("n_pos"),
+        n0.cast("long").alias("n_neg"),
+        F.round((F.col("rpos") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
+            "roc_auc"
+        ),
+        F.round(F.col("ap_sum") / n1, 6).alias("pr_auc"),
+        F.round(F.col("brier"), 6).alias("brier_score"),
+    )

@@ -223,3 +223,78 @@ def q_weighted_order_sample_wor(spark, sf_dir):
         .orderBy("priority", "o_orderkey")
         .limit(_WOR_K)
     )
+
+
+# --------------- time-based train/validation split (reference parity)
+
+_TEMPORAL_SPLIT_SQL = """
+WITH months AS (
+    SELECT DISTINCT date_trunc('month', o_orderdate) AS m FROM orders
+),
+ranked AS (
+    SELECT m,
+           ROW_NUMBER() OVER (ORDER BY m DESC) AS rn_desc,
+           COUNT(*) OVER () AS n_m
+    FROM months
+),
+assigned AS (
+    SELECT m,
+           CASE WHEN rn_desc <= greatest(CAST(ceil(n_m * 0.2) AS BIGINT),
+                                         1) THEN 'validation'
+                ELSE 'train' END AS split
+    FROM ranked
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers,
+       CAST(MIN(o.o_orderdate) AS DATE) AS min_date,
+       CAST(MAX(o.o_orderdate) AS DATE) AS max_date
+FROM orders o
+JOIN assigned a ON date_trunc('month', o.o_orderdate) = a.m
+GROUP BY a.split
+"""
+
+
+@register(
+    "temporal_train_val_split",
+    _TEMPORAL_SPLIT_SQL,
+    doc="Time-based train/validation split — the reference's split "
+    "discipline (train_stub.py:181-199: the LAST ceil(20%) of "
+    "distinct as_of_dates become validation, so the model never "
+    "trains on the future it is evaluated on), re-expressed over the "
+    "orders fixture at month grain. The period assignment is a "
+    "window over the DISTINCT period set (tiny at any scale — "
+    "dim-sized), then a broadcast join tags the fact rows; emits the "
+    "per-split profile (rows, customers, date range) a training run "
+    "logs. Contrast with customer_split: entity-hash splits protect "
+    "against entity leakage, temporal splits against future leakage "
+    "— a pipeline needs both.",
+)
+def q_temporal_train_val_split(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    months = orders.select(month.alias("m")).distinct()
+    w = Window.orderBy(F.col("m").desc())
+    n_valid = F.greatest(
+        F.ceil(F.count("*").over(Window.partitionBy()) * 0.2), F.lit(1)
+    )
+    assigned = months.select(
+        "m",
+        F.when(F.row_number().over(w) <= n_valid, "validation")
+        .otherwise("train")
+        .alias("split"),
+    )
+    return (
+        orders.join(
+            F.broadcast(assigned), month.cast("timestamp") == F.col("m")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.min("o_orderdate").cast("date").alias("min_date"),
+            F.max("o_orderdate").cast("date").alias("max_date"),
+        )
+    )
