@@ -82,6 +82,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "temporal_train_val_split",
     "model_eval_metrics",
+    "stream_sliding_6h",
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",

@@ -571,3 +571,121 @@ def q_episode_cumulative_spend(spark, sf_dir):
         .cast("double")
         .alias("episode_spend"),
     )
+
+
+# --------------------------------------- sliding-window streaming twin
+
+_STREAM_SLIDING_SQL = """
+WITH fan AS (
+    SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 10800) AS BIGINT) * 10800
+                - k * 10800) * 1000000) AS window_start,
+           event_type, value
+    FROM events, unnest([0, 1]) AS t(k)
+)
+SELECT window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM fan
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_sliding_6h",
+    _STREAM_SLIDING_SQL,
+    doc="Structured Streaming SLIDING window (6h size / 3h slide) run "
+    "to completion with Trigger.AvailableNow + foreachBatch MERGE, "
+    "then read back — every event belongs to exactly TWO overlapping "
+    "windows (starts floor(t/3h)*3h and that minus 3h), and the "
+    "streaming overlap fan-out must reproduce the batch oracle's "
+    "explicit 2-window expansion exactly, including the epoch-aligned "
+    "window starts (streaming/events_stream.py::sliding_counts_stream; "
+    "SURVEY §2.9 — pairs with stream_tumbling_daily as the second "
+    "windowed-streaming oracle).",
+)
+def q_stream_sliding_6h(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.streaming import (
+        run_stream_to_managed_table,
+        sliding_counts_stream,
+        stream_events,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_sl_")
+    table = ManagedTable(
+        spark, f"{base}/agg", keys=["window_start", "event_type"]
+    )
+    stream = sliding_counts_stream(
+        stream_events(spark, sf_dir), window="6 hours", slide="3 hours"
+    )
+    run_stream_to_managed_table(stream, table, f"{base}/ckpt")
+    return table.read()
+
+
+# --------------------------------------- session-window streaming twin
+
+_STREAM_SESSION_SQL = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+grouped AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM marked
+)
+SELECT MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       COUNT(*) AS n_events
+FROM grouped
+GROUP BY user_id, session_id
+"""
+
+
+@register(
+    "stream_session_windows",
+    _STREAM_SESSION_SQL,
+    doc="Structured Streaming native SESSION windows (30-minute gap) "
+    "run to completion and read back — Spark's session_window merges "
+    "events closer than the gap into one window whose end is "
+    "last_event + gap, and the result must match the batch islands "
+    "formulation exactly (gaps-and-islands: new session when the "
+    "lag exceeds the gap, running-sum session ids, min/max bounds). "
+    "The third windowed-streaming oracle: tumbling (fixed), sliding "
+    "(overlapping), session (data-dependent extent) — together the "
+    "full stateful-window surface of SURVEY §2.9 is hash-verified, "
+    "not just test-asserted (streaming/events_stream.py::"
+    "session_window_stream).",
+)
+def q_stream_session_windows(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.streaming import (
+        run_stream_to_managed_table,
+        session_window_stream,
+        stream_events,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_se_")
+    table = ManagedTable(
+        spark, f"{base}/agg", keys=["session_start", "user_id"]
+    )
+    stream = session_window_stream(stream_events(spark, sf_dir), gap="30 minutes")
+    run_stream_to_managed_table(
+        stream, table, f"{base}/ckpt", output_mode="complete"
+    )
+    return table.read()

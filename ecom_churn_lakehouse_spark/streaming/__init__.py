@@ -5,6 +5,7 @@ from .events_stream import (
     run_cdc_stream_to_managed_table,
     run_stream_to_managed_table,
     session_window_stream,
+    sliding_counts_stream,
     stream_events,
     tumbling_counts_stream,
 )
@@ -12,6 +13,7 @@ from .stateful import running_user_profiles
 
 __all__ = [
     "stream_events",
+    "sliding_counts_stream",
     "tumbling_counts_stream",
     "session_window_stream",
     "run_stream_to_managed_table",

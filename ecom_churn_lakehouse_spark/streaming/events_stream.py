@@ -83,6 +83,35 @@ def tumbling_counts_stream(
     )
 
 
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str = "3 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked SLIDING event-time aggregation: each event lands in
+    ``window/slide`` overlapping windows (2 at the defaults). The
+    overlap fan-out happens inside the stateful aggregation operator —
+    state is keyed by (window, event_type), bounded by the watermark
+    horizon × overlap factor, independent of stream history."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
@@ -204,7 +233,15 @@ def run_stream_to_managed_table(
             table.keys,
             [F.col(c).desc_nulls_last() for c in state_cols],
         )
-        table.merge(deduped)
+        if output_mode == "complete":
+            # A complete-mode batch IS the whole result. MERGE would
+            # strand stale keys when state keys move (a session window
+            # whose start shifts earlier as events merge leaves its
+            # old (start, user) row behind); snapshot-overwrite is the
+            # correct — and equally idempotent — publish.
+            table.overwrite(deduped)
+        else:
+            table.merge(deduped)
 
     # session_window aggregations reject update mode (sessions can
     # merge); callers pass output_mode="complete" for those.
