@@ -689,3 +689,49 @@ def q_stream_session_windows(spark, sf_dir):
         stream, table, f"{base}/ckpt", output_mode="complete"
     )
     return table.read()
+
+
+# ------------------------- custom stateful operator, oracle-verified
+
+_STATEFUL_PROFILE_SQL = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1000000 AS total_value,
+       epoch_us(MAX(ts)) AS last_seen_us
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "stateful_user_profiles",
+    _STATEFUL_PROFILE_SQL,
+    doc="Custom stateful streaming operator (applyInPandasWithState), "
+    "oracle-verified: the running per-user profile evolves across "
+    "microbatches in the state store (Arrow-batched pandas per key), "
+    "and the FINAL state per user must equal an independent engine's "
+    "plain GROUP BY over the whole stream. Value totals accumulate "
+    "in integer micro-units inside the state (floor(v*1e6+0.5)) — "
+    "exact and batch-boundary-independent, so the comparison is a "
+    "hash match, not a tolerance check. The last emitted row per "
+    "user wins via the MERGE sink's deterministic dedup (n_events "
+    "is monotone). This upgrades the one remaining test-only "
+    "streaming surface (SURVEY §2.9 custom stateful) to the same "
+    "verification tier as the windowed aggregations.",
+)
+def q_stateful_user_profiles(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.streaming import (
+        run_stream_to_managed_table,
+        running_user_profiles,
+        stream_events,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_st_")
+    table = ManagedTable(spark, f"{base}/agg", keys=["user_id"])
+    stream = running_user_profiles(stream_events(spark, sf_dir))
+    run_stream_to_managed_table(stream, table, f"{base}/ckpt")
+    return table.read()

@@ -38,7 +38,7 @@ USER_PROFILE_SCHEMA = T.StructType(
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("total_value", T.DoubleType(), False),
+        T.StructField("total_micro", T.LongType(), False),
         T.StructField("last_seen_us", T.LongType(), False),
     ]
 )
@@ -49,17 +49,26 @@ def _update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
+    import numpy as np
+
+    n, micro, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # accumulate in integer MICRO-units (floor(v*1e6 + 0.5)): the
+        # running float sum would drift with batch boundaries and
+        # accumulation order, making the final state irreproducible;
+        # integer accumulation is exact and order-free, so the final
+        # profile hash-matches an independent engine's GROUP BY.
+        micro += int(
+            np.floor(pdf["value"].to_numpy() * 1e6 + 0.5).astype("int64").sum()
+        )
         last = max(last, int(pdf["ts"].astype("int64").max() // 1000))
-    state.update((n, total, last))
+    state.update((n, micro, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 6)],
+            "total_value": [micro / 1e6],
             "last_seen_us": [last],
         }
     )
