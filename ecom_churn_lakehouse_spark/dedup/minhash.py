@@ -37,6 +37,7 @@ __all__ = [
     "minhash_signatures",
     "with_shingle_hashes",
     "minhash_signatures_from_arrays",
+    "minhash_signatures_exploded",
     "jaccard_on_pairs_arrays",
     "lsh_candidate_pairs",
     "jaccard_on_pairs",
@@ -153,6 +154,40 @@ def minhash_signatures_from_arrays(
             for i in range(NUM_HASHES)
         ],
         F.size("__hs").alias("n_sh"),
+    )
+
+
+def minhash_signatures_exploded(
+    arrays: DataFrame, id_col: str = "doc_id", shingles_col: str = "shingles"
+) -> DataFrame:
+    """K min-hash values per doc via explode + hash-aggregate — the
+    FAST path on this Spark build, despite the shuffle.
+
+    The array form (:func:`minhash_signatures_from_arrays`) is map-only
+    but evaluates 16 higher-order ``transform``/``array_min`` passes in
+    INTERPRETED mode (lambda expressions don't enter whole-stage
+    codegen); this form keeps everything codegen-resident — md5 per
+    exploded row, 16 ``min`` aggregates in one vectorized hash
+    aggregate — measured 2.5 s → 1.7 s at sf0.1 for the full LSH
+    pipeline. Scale: partial aggregation collapses each partition to
+    one row per doc BEFORE the exchange (a doc's shingles are
+    co-located coming out of the explode), so the shuffle carries
+    |docs|·K values, not the exploded relation.
+
+    ``arrays``: the (id, shingles) relation — pass the SAME
+    (checkpointed) frame the verify stage reads so the shingle parse
+    runs once.
+    """
+    sh = arrays.select(id_col, F.explode(shingles_col).alias("__s"))
+    hashed = sh.select(id_col, shingle_hash_col(F.col("__s")).alias("__h"))
+    h = F.col("__h")
+    return hashed.groupBy(id_col).agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
+                f"mh{i}"
+            )
+            for i in range(NUM_HASHES)
+        ]
     )
 
 

@@ -31,8 +31,7 @@ from ecom_churn_lakehouse_spark.dedup.minhash import (
     jaccard_on_pairs,
     jaccard_on_pairs_arrays,
     lsh_candidate_pairs,
-    minhash_signatures_from_arrays,
-    with_shingle_hashes,
+    minhash_signatures_exploded,
 )
 from ecom_churn_lakehouse_spark.dedup.shingles import (
     doc_shingle_arrays,
@@ -227,19 +226,18 @@ def _minhash_sql() -> str:
     "scale path: pair generation is bucket-local, never all-pairs.",
 )
 def q_minhash_lsh_pairs(spark, sf_dir):
-    # Array representation end-to-end (doc_shingle_arrays →
-    # minhash_signatures_from_arrays → array_intersect verify):
-    # signatures become a map-only stage — no explode/groupBy exchange
-    # — and the verify joins touch |pairs| rows instead of the exploded
-    # shingle relation. Measured 3.5s → 2.4s at sf0.1 vs the exploded
-    # path (which jaccard_on_pairs keeps for callers that already have
-    # an exploded relation, e.g. the PPJoin prefix filter). The compact
-    # (doc, shingles, hashes) relation feeds signatures AND verify, so
-    # one lazy localCheckpoint materializes the parse exactly once.
-    arr = with_shingle_hashes(
-        doc_shingle_arrays(derived_corpus(spark, sf_dir))
-    ).localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    # One checkpointed (doc, shingles) relation feeds BOTH signature
+    # and verify stages, so the parse runs once. Signatures use the
+    # exploded codegen path (minhash.py::minhash_signatures_exploded —
+    # the map-only array form evaluates its 16 higher-order lambdas
+    # interpreted and measured 2.5s vs 1.7s at sf0.1; the exchange is
+    # |docs|·K after partial aggregation, safe at any scale); the
+    # verify stage intersects the compact arrays, touching only
+    # |pairs| rows.
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(minhash_signatures_exploded(arr))
     return jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
 
 
@@ -443,10 +441,10 @@ def _clusters_sql() -> str:
     "actually executes. Oracle: recursive-CTE transitive closure.",
 )
 def q_neardup_clusters(spark, sf_dir):
-    arr = with_shingle_hashes(
-        doc_shingle_arrays(derived_corpus(spark, sf_dir))
-    ).localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(minhash_signatures_exploded(arr))
     pairs = jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
     cc = connected_components(pairs, src="doc_a", dst="doc_b")
     return cc.select(
@@ -571,10 +569,10 @@ def _degree_hist_sql() -> str:
     "histogram over the LSH pair output.",
 )
 def q_neardup_degree_hist(spark, sf_dir):
-    arr = with_shingle_hashes(
-        doc_shingle_arrays(derived_corpus(spark, sf_dir))
-    ).localCheckpoint(eager=False)
-    cand = lsh_candidate_pairs(minhash_signatures_from_arrays(arr))
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(minhash_signatures_exploded(arr))
     pairs = jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
     deg = (
         pairs.select(F.col("doc_a").alias("node"))
