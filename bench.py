@@ -129,11 +129,13 @@ def main() -> None:
         except Exception:
             pass  # a missing optional table must not break the bench
 
-    # Two runs per query, report the min: run 1 pays one-time codegen /
-    # plan-compilation latency; run 2 is the steady-state throughput a
-    # long-lived cluster session sees, which is what the reference
-    # comparison is about. min-of-2 also damps local[32] GC noise.
-    RUNS = 2
+    # Three runs per query, report the min: run 1 pays one-time codegen
+    # / plan-compilation latency; later runs are the steady-state
+    # throughput a long-lived cluster session sees, which is what the
+    # reference comparison is about. min-of-3 damps local[32] GC and
+    # machine-load noise (round-over-round comparisons showed ~1.4x
+    # whole-suite swings from host state alone).
+    RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
