@@ -25,7 +25,13 @@ import pyarrow.parquet as pq
 
 from ecom_churn_lakehouse_spark.training.train import TrainedModel
 
-__all__ = ["LatestFeaturesClient", "PredictionService", "build_fastapi_app"]
+__all__ = [
+    "ApprovalMismatch",
+    "LatestFeaturesClient",
+    "ModelStore",
+    "PredictionService",
+    "build_fastapi_app",
+]
 
 
 class LatestFeaturesClient:
@@ -96,3 +102,91 @@ def build_fastapi_app(service: PredictionService):
         return out
 
     return app  # pragma: no cover
+
+
+class ApprovalMismatch(RuntimeError):
+    """Loaded model version is not the approved one."""
+
+
+class ModelStore:
+    """Model + metadata + approval gate — reference
+    ``services/api/app/inference/model_loader.py:11-88`` parity over
+    the lineage layout ``training/lineage.py`` writes.
+
+    Loads lazily; refuses to serve a model whose content-hashed
+    ``model_version`` differs from ``approved_model_version.json``
+    (the promotion gate: training writes candidates, a separate
+    approval step pins the one serving may load).
+    """
+
+    def __init__(self, lineage_root: str):
+        import os
+
+        self.root = lineage_root
+        self._meta_path = os.path.join(lineage_root, "model_meta.json")
+        self._approved_path = os.path.join(
+            lineage_root, "approved_model_version.json"
+        )
+        self._model: TrainedModel | None = None
+        self._meta: dict[str, Any] | None = None
+
+    def _load_if_needed(self) -> None:
+        import json
+
+        if self._model is not None:
+            return
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        required = {
+            "model_name",
+            "model_version",
+            "feature_columns",
+            "feature_version",
+            "model_artifact",
+        }
+        missing = required - set(meta)
+        if missing:
+            raise RuntimeError(
+                f"model meta missing required keys: {sorted(missing)}"
+            )
+        try:
+            with open(self._approved_path) as f:
+                approved = json.load(f).get("approved_model_version")
+        except FileNotFoundError:
+            approved = None
+        if approved and approved != meta["model_version"]:
+            raise ApprovalMismatch(
+                "Loaded model_version does not match approved_model_version. "
+                f"loaded={meta['model_version']}, approved={approved}"
+            )
+        self._model = TrainedModel.load(meta["model_artifact"])
+        self._meta = meta
+
+    def is_ready(self) -> bool:
+        try:
+            self._load_if_needed()
+            return True
+        except Exception:
+            return False
+
+    def model(self) -> TrainedModel:
+        self._load_if_needed()
+        assert self._model is not None
+        return self._model
+
+    def model_version(self) -> str:
+        self._load_if_needed()
+        assert self._meta is not None
+        return str(self._meta["model_version"])
+
+    def feature_version(self) -> str | None:
+        self._load_if_needed()
+        assert self._meta is not None
+        return self._meta.get("feature_version")
+
+    def build_service(self, client: LatestFeaturesClient) -> PredictionService:
+        """Wire the approved model to a feature client, gating predict
+        on the model's feature version (routers/predict.py:97-106)."""
+        return PredictionService(
+            client, self.model(), expected_feature_version=self.feature_version()
+        )

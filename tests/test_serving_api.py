@@ -119,3 +119,49 @@ def test_hash_identifier_is_stable_and_short():
     assert hash_identifier("cust-1") == hash_identifier("cust-1")
     assert hash_identifier("cust-1") != hash_identifier("cust-2")
     assert len(hash_identifier("cust-1")) == 12
+
+
+def test_model_store_approval_gate(spark, snapshot, tmp_path):
+    """ModelStore loads the lineage layout and refuses an unapproved
+    model (reference model_loader.py:55-64 semantics), then wires the
+    approved model into the full API."""
+    import json
+
+    from ecom_churn_lakehouse_spark.serving import (
+        ApprovalMismatch,
+        ModelStore,
+    )
+    from ecom_churn_lakehouse_spark.training import (
+        log_training_run,
+        train_churn_model,
+    )
+
+    model = train_churn_model(snapshot)
+    run = log_training_run(
+        model, str(tmp_path), feature_version="fv1", label_version="lv1",
+        data_snapshot_id="snap-1",
+    )
+    store = ModelStore(str(tmp_path))
+    assert store.is_ready()
+    assert store.model_version() == run.model_version
+    assert store.feature_version() == "fv1"
+
+    # wire into the serving API end-to-end
+    export = str(tmp_path / "latest")
+    snapshot.withColumn("_feature_version", F.lit("fv1")).withColumn(
+        "as_of_date", F.to_date(F.lit(AS_OF))
+    ).write.mode("overwrite").parquet(export)
+    client = LatestFeaturesClient(export)
+    api = ChurnApi(store.build_service(client), api_key=KEY)
+    some_id = next(iter(client._by_key))
+    status, body = api.predict({"customer_id": some_id}, {API_KEY_HEADER: KEY})
+    assert status == 200 and body["feature_version"] == "fv1"
+
+    # un-approve: gate must refuse the load
+    approved = json.loads(run.approved_path.read_text())
+    approved["approved_model_version"] = "somebody-else"
+    run.approved_path.write_text(json.dumps(approved))
+    store2 = ModelStore(str(tmp_path))
+    assert not store2.is_ready()
+    with pytest.raises(ApprovalMismatch):
+        store2.model()
