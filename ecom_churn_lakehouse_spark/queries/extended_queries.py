@@ -735,3 +735,74 @@ def q_stateful_user_profiles(spark, sf_dir):
     stream = running_user_profiles(stream_events(spark, sf_dir))
     run_stream_to_managed_table(stream, table, f"{base}/ckpt")
     return table.read()
+
+
+# ------------------------------------------- SQL front-end entries
+
+#: One SQL text, two engines: dialect-portable (works verbatim as the
+#: DuckDB oracle), so the entry proves the SQL FRONT DOOR — catalog +
+#: spark.sql — yields the same results as the DataFrame front.
+_SQL_FRONTEND_SUMMARY = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus AS order_status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_value
+FROM orders
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "sql_orders_summary",
+    _SQL_FRONTEND_SUMMARY,
+    doc="SQL front door: the engine catalogs the tables as views and "
+    "evaluates a SQL STRING (sources/catalog.py::run_sql) — the "
+    "reference exposes only the DataFrame API (zero SQL strings, "
+    "SURVEY §1); a reusable engine exposes both fronts over one "
+    "Catalyst plan space. The text is dialect-portable and runs "
+    "VERBATIM as its own DuckDB oracle, so the check proves the SQL "
+    "path end-to-end (parser -> analyzer -> same optimized plan).",
+)
+def q_sql_orders_summary(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_FRONTEND_SUMMARY)
+
+
+_SQL_FRONTEND_TOPK = """
+SELECT part_brand, partkey, part_revenue
+FROM (
+    SELECT p.p_brand AS part_brand,
+           l.l_partkey AS partkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS part_revenue,
+           ROW_NUMBER() OVER (
+               PARTITION BY p.p_brand
+               ORDER BY SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(18,6))) DESC, l.l_partkey
+           ) AS rn
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, l.l_partkey
+) ranked
+WHERE rn <= 3
+"""
+
+
+@register(
+    "sql_top_parts_per_brand",
+    _SQL_FRONTEND_TOPK,
+    doc="SQL front door, window edition: per-brand top-3 parts by "
+    "revenue as one dialect-portable SQL string evaluated by "
+    "spark.sql over the cataloged views AND verbatim by the oracle — "
+    "join + decimal-exact aggregation + ranked window through the "
+    "SQL parser path. The DECIMAL ordering key keeps the rank "
+    "deterministic cross-engine (see the FMA note in "
+    "queries/churn_queries.py — float ordering keys are not "
+    "portable).",
+)
+def q_sql_top_parts_per_brand(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_FRONTEND_TOPK)

@@ -1,0 +1,42 @@
+"""SQL front-end: register the fixture tables as temp views and run
+SQL strings against them.
+
+The reference is pure DataFrame API (zero SQL strings — SURVEY §1
+verified by grep), but a reusable engine should expose BOTH fronts:
+everything the registry does with the DataFrame API is equally
+reachable through ``spark.sql`` once the tables are cataloged. The
+views carry the same normalization as the programmatic loaders
+(``load_events`` for the ns-timestamp handling), so the two fronts
+see identical data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ecom_churn_lakehouse_spark.sources.tables import TABLES, load_events, load_table
+
+__all__ = ["register_tables", "run_sql"]
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every fixture table as a temp view; returns the names."""
+    names = []
+    for name in TABLES:
+        df = (
+            load_events(spark, sf_dir)
+            if name == "events"
+            else load_table(spark, sf_dir, name)
+        )
+        df.createOrReplaceTempView(name)
+        names.append(name)
+    return names
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Catalog the fixture tables, then evaluate one SQL string —
+    the engine's SQL front door. Catalyst sees the same logical plan
+    space as the DataFrame front, so pushdown/pruning/AQE behave
+    identically."""
+    register_tables(spark, sf_dir)
+    return spark.sql(query)
