@@ -148,3 +148,43 @@ def test_training_shards_json_layout(spark, tmp_path):
     with open(files[0]) as f:
         row = _json.loads(f.readline())
     assert "doc_id" in row and "text" in row  # JSONL rows, shard in the path
+
+
+def test_persistent_lsh_index_matches_inline_ann(spark):
+    """Build-once ANN index (similarity/index.py): the bucket-stored
+    probe returns exactly the inline ann_lsh_topk result, and the
+    stored corpus side joins without repartitioning the index."""
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        bucketed_topk,
+        hyperplane_lsh_buckets,
+    )
+    from ecom_churn_lakehouse_spark.similarity.index import (
+        build_lsh_index,
+        topk_from_index,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    build_lsh_index(emb, planes, "t_lsh_index", n_buckets=8)
+
+    buckets = hyperplane_lsh_buckets(emb, planes)
+    q = buckets.filter(F.col("vec_id") % 50 == 0)
+    inline = bucketed_topk(q, buckets, emb, k=3).collect()
+    stored = topk_from_index(spark, "t_lsh_index", q, k=3).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"])  # noqa: E731
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in inline
+    ) == sorted(
+        (r["query_id"], r["neighbor_id"], r["cosine_sim"]) for r in stored
+    )
+    # physical check: the stored index side must not be re-shuffled on
+    # bucket — its table layout already provides the clustering
+    plan = topk_from_index(spark, "t_lsh_index", q, k=3)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
