@@ -901,3 +901,138 @@ def q_embedding_int8_quantization(spark, sf_dir):
         ).alias("mse"),
         F.round(cos, 6).alias("cos_recon"),
     )
+
+
+# ----------------------- k-means: two full Lloyd rounds, oracle-exact
+
+_KM_DIST = (
+    "list_sum(list_transform(range(1, len(e.ev) + 1),"
+    " i -> (e.ev[i] - c.centroid[i]) * (e.ev[i] - c.centroid[i])))"
+)
+
+
+def _km_assign_sql(cent_cte: str, out_cte: str) -> str:
+    """One Lloyd assignment step: argmin squared distance, (d, cid)
+    struct-min tie-break."""
+    return f"""{out_cte} AS (
+    SELECT vec_id, (min({{'d': d, 'cid': cid}})).cid AS cid
+    FROM (
+        SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+        FROM vecs e, {cent_cte} c
+    )
+    GROUP BY vec_id
+)"""
+
+
+def _km_update_sql(assign_cte: str, out_cte: str) -> str:
+    """One Lloyd update step: decimal-exact element-wise centroid means."""
+    return f"""{out_cte} AS (
+    SELECT cid, list(c ORDER BY pos) AS centroid
+    FROM (
+        SELECT a.cid, u.i AS pos,
+               CAST(SUM(CAST(e.ev[u.i] AS DECIMAL(20,9))) AS DOUBLE)
+                   / COUNT(*) AS c
+        FROM {assign_cte} a
+        JOIN vecs e ON e.vec_id = a.vec_id,
+        unnest(range(1, len(e.ev) + 1)) AS u(i)
+        GROUP BY a.cid, u.i
+    )
+    GROUP BY cid
+)"""
+
+
+_KMEANS_SQL = f"""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+),
+cent0 AS (
+    SELECT vec_id AS cid, ev AS centroid FROM vecs WHERE vec_id % 37 = 1
+),
+{_km_assign_sql("cent0", "assign1")},
+{_km_update_sql("assign1", "cent1")},
+{_km_assign_sql("cent1", "assign2")},
+scored AS (
+    SELECT e.vec_id, c.cid, {_KM_DIST} AS d
+    FROM vecs e, cent1 c
+),
+best AS (
+    SELECT vec_id,
+           (min({{'d': d, 'cid': cid}})).cid AS cid,
+           (min({{'d': d, 'cid': cid}})).d AS d
+    FROM scored GROUP BY vec_id
+)
+SELECT cid AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(CAST(SUM(CAST(d AS DECIMAL(28,12))) AS DOUBLE), 6)
+           AS inertia
+FROM best
+GROUP BY cid
+"""
+
+
+@register(
+    "kmeans_two_rounds",
+    _KMEANS_SQL,
+    doc="Two full Lloyd's k-means rounds over the embedding corpus "
+    "(assignment -> decimal-exact centroid update -> re-assignment), "
+    "emitting per-centroid membership and inertia — the iterative-ML "
+    "pattern done Spark-right: each round is two aggregations "
+    "(broadcast centroids for assignment, label x dim cells for the "
+    "update; both map-side combinable), NO driver-side loops over "
+    "data, centroids are k x dim scalars. Cross-engine exactness "
+    "machinery: centroid means accumulate in DECIMAL (order-free), "
+    "argmin ties break on (d, cid) struct-min, inertia sums per-term "
+    "DECIMAL — the compounded two-round drift stays identically zero, "
+    "which is how PageRank/CC earned their oracles too. At 100 TB "
+    "additional rounds rescan the (cached) vector table; the oracle "
+    "pins two rounds so the chained-CTE SQL stays tractable.",
+)
+def q_kmeans_two_rounds(spark, sf_dir):
+    from pyspark.sql.window import Window  # noqa: F401
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", to_double_array(F.col("embedding")).alias("ev"))
+    cent0 = vecs.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("cid"), F.col("ev").alias("centroid")
+    )
+
+    def assign(cent):
+        diff_sq = F.zip_with(
+            F.col("ev"), F.col("centroid"), lambda a, b: (a - b) * (a - b)
+        )
+        scored = vecs.crossJoin(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("d").alias("d"), F.col("cid").alias("cid")))
+            .alias("__m")
+        ).select("vec_id", F.col("__m.cid").alias("cid"), F.col("__m.d").alias("d"))
+
+    def update(assigned):
+        ex = assigned.join(vecs, on="vec_id").select(
+            "cid", F.posexplode("ev").alias("pos0", "v")
+        )
+        cells = ex.groupBy("cid", "pos0").agg(
+            (
+                F.sum(F.col("v").cast("decimal(20,9)")).cast("double")
+                / F.count("*")
+            ).alias("c")
+        )
+        return cells.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos0", "c"))),
+                lambda x: x.getField("c"),
+            ).alias("centroid")
+        )
+
+    assign1 = assign(cent0).select("vec_id", "cid")
+    cent1 = update(assign1)
+    best = assign(cent1)
+    return best.groupBy(F.col("cid").alias("centroid_id")).agg(
+        F.count("*").cast("long").alias("n_assigned"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
+        ).alias("inertia"),
+    )
