@@ -806,3 +806,52 @@ def q_sql_top_parts_per_brand(spark, sf_dir):
     from ecom_churn_lakehouse_spark.sources.catalog import run_sql
 
     return run_sql(spark, sf_dir, _SQL_FRONTEND_TOPK)
+
+
+# -------------------------------------------- salted hot-key join
+
+_SALTED_JOIN_SQL = """
+WITH user_dim AS (
+    SELECT user_id,
+           COUNT(*) AS user_events,
+           MIN(event_type) AS first_type
+    FROM events GROUP BY user_id
+)
+SELECT e.event_type,
+       d.first_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(d.user_events) AS BIGINT) AS sum_user_events
+FROM events e
+JOIN user_dim d ON d.user_id = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "skewsafe_user_enrichment",
+    _SALTED_JOIN_SQL,
+    doc="Hot-key join via explicit salting (operators/skew.py::"
+    "salted_join): the events fact joins a per-user dim with the "
+    "fact side salted across 16 composite keys and the dim "
+    "replicated per salt — no single task ever co-locates one hot "
+    "user's full event history (the 150-user fixture makes every "
+    "key hot by construction). The plain-join oracle proves salting "
+    "is invisible in the result; pairs with skewsafe_distinct_users "
+    "as the two explicit skew tools beyond AQE's automatic split.",
+)
+def q_skewsafe_user_enrichment(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.skew import salted_join
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    user_dim = events.groupBy("user_id").agg(
+        F.count("*").alias("user_events"),
+        F.min("event_type").alias("first_type"),
+    )
+    joined = salted_join(
+        events.select("user_id", "event_type"), user_dim, on=["user_id"], salt_n=16
+    )
+    return joined.groupBy("event_type", "first_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("user_events").cast("long").alias("sum_user_events"),
+    )
