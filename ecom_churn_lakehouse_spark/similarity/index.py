@@ -41,6 +41,18 @@ def build_lsh_index(
     bucketed+sorted table on ``bucket`` (saveAsTable — bucket layout
     lives in the catalog, so later sessions get the co-location for
     free)."""
+    spark = vectors.sparkSession
+    # idempotent rebuild: drop any prior catalog entry AND its
+    # warehouse directory — a stale location from a dead session
+    # otherwise fails saveAsTable with LOCATION_ALREADY_EXISTS.
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    import shutil
+    from urllib.parse import urlparse
+
+    loc = urlparse(warehouse).path or warehouse
+    shutil.rmtree(f"{loc.rstrip('/')}/{table_name.lower()}", ignore_errors=True)
+
     indexed = hyperplane_lsh_buckets(
         vectors, hyperplanes, id_col=id_col, vec_col=vec_col
     ).join(vectors.select(id_col, vec_col), on=id_col)
