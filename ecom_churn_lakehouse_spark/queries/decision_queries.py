@@ -202,12 +202,22 @@ LIMIT 25
 )
 def q_sole_blame_suppliers(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
-    returned = F.col("l_returnflag") == "R"
-    ret_supp = F.when(returned, F.col("l_suppkey"))
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(ret_supp).alias("n_ret_supp"),
-        F.max(ret_supp).alias("blamed_supp"),
+    # Two-phase instead of two countDistinct in one aggregate: the
+    # multi-distinct form expands every lineitem row once per distinct
+    # group before the shuffle; collapsing to (order, supplier) grain
+    # first makes both "distinct" counts plain counts — measured
+    # 2.0 s -> 1.1 s at sf0.1, and the first shuffle is map-side
+    # combinable on the pair key.
+    returned = (F.col("l_returnflag") == "R").cast("int")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(returned).alias("__has_ret")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("__has_ret").alias("n_ret_supp"),
+        F.max(F.when(F.col("__has_ret") == 1, F.col("l_suppkey"))).alias(
+            "blamed_supp"
+        ),
     )
     supp = load_table(spark, sf_dir, "supplier")
     return (
