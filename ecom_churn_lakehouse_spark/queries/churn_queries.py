@@ -264,35 +264,38 @@ scored AS (
            {_SCORE_SQL} AS p
     FROM feats f JOIN labels l ON f.customer_id = l.customer_id
 ),
-ranked AS (
-    SELECT y, p,
-           RANK() OVER (ORDER BY p) AS mr,
-           COUNT(*) OVER (PARTITION BY p) AS t,
-           ROW_NUMBER() OVER (ORDER BY p DESC, customer_id) AS rn
-    FROM scored
+grp AS (
+    SELECT p, COUNT(*) AS n, SUM(y) AS npos
+    FROM scored GROUP BY p
 ),
 cum AS (
-    SELECT y, p, mr, t, rn,
-           SUM(y) OVER (ORDER BY rn) AS cum_pos
-    FROM ranked
+    SELECT p, n, npos,
+           SUM(n) OVER (ORDER BY p DESC) AS cum_n,
+           SUM(npos) OVER (ORDER BY p DESC) AS cum_pos,
+           COALESCE(SUM(n) OVER (
+               ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS below
+    FROM grp
 ),
-agg AS (
-    SELECT CAST(SUM(y) AS DOUBLE) AS n1,
-           CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0,
-           SUM(CASE WHEN y = 1 THEN mr + (t - 1) / 2.0 ELSE 0 END) AS rpos,
-           CAST(SUM(CASE WHEN y = 1 THEN
-                    CAST(CAST(cum_pos AS DOUBLE) / rn AS DECIMAL(28,12))
-                END) AS DOUBLE) AS ap_sum,
-           CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE)
-               / COUNT(*) AS brier
+rankagg AS (
+    SELECT CAST(SUM(npos) AS DOUBLE) AS n1,
+           CAST(SUM(n) - SUM(npos) AS DOUBLE) AS n0,
+           SUM(npos * (below + (n + 1) / 2.0)) AS rpos,
+           CAST(SUM(CAST(npos * (CAST(cum_pos AS DOUBLE) / cum_n)
+                         AS DECIMAL(28,12))) AS DOUBLE) AS ap_sum
     FROM cum
+),
+brieragg AS (
+    SELECT CAST(SUM(CAST((p - y) * (p - y) AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(*) AS brier
+    FROM scored
 )
 SELECT CAST(n1 AS BIGINT) AS n_pos,
        CAST(n0 AS BIGINT) AS n_neg,
        ROUND((rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS roc_auc,
        ROUND(ap_sum / n1, 6) AS pr_auc,
        ROUND(brier, 6) AS brier_score
-FROM agg
+FROM rankagg, brieragg
 """
 
 
@@ -302,14 +305,18 @@ FROM agg
     doc="Classifier evaluation metrics — the reference's sklearn metric "
     "set (train_stub.py:237-240: roc_auc_score, "
     "average_precision_score, brier_score_loss) computed IN SPARK "
-    "over the scored churn population: rank-statistic ROC-AUC (ties "
-    "at average rank), PR-AUC as average precision (precision summed "
-    "at each positive's deterministic rank), and the Brier score. "
-    "The model is a fixed-coefficient scorer over recency/lifetime "
-    "features through a RATIONAL squash (no exp(): libm last-ulp "
-    "differences would flip rank ties cross-engine). Scale: windows "
-    "run over the customer-grain frame (already aggregated); one "
-    "scalar aggregate emits the report a training run logs.",
+    "at SCORE grain: the population aggregates to (score, n, n_pos) "
+    "first, then ROC-AUC (average-rank Mann-Whitney over tied "
+    "groups) and PR-AUC (sklearn's threshold-stepwise average "
+    "precision: sum over thresholds of delta-recall x precision) "
+    "come from cumulative windows over the DISTINCT-score frame — "
+    "cardinality bounded by the score function's range, not the "
+    "population, so the single-partition rank window a per-row "
+    "formulation needs never exists and no per-row tie-break enters "
+    "the value (exact sklearn semantics). The model is a fixed-"
+    "coefficient scorer through a RATIONAL squash over DYADIC "
+    "weights (no exp(), FMA-immune — see _SCORE_SQL notes); the AP "
+    "terms accumulate per-term DECIMAL so the sum is order-free.",
 )
 def q_model_eval_metrics(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -328,39 +335,35 @@ def q_model_eval_metrics(spark, sf_dir):
     scored = feats.join(labels, on="customer_id").select(
         "customer_id", F.col("churn_label").alias("y"), p.alias("p")
     )
-    ranked = scored.select(
-        "y",
+    grp = scored.groupBy("p").agg(
+        F.count("*").alias("n"), F.sum("y").alias("npos")
+    )
+    w_desc = Window.orderBy(F.col("p").desc())
+    w_below = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grp.select(
         "p",
-        F.rank().over(Window.orderBy("p")).alias("mr"),
-        F.count("*").over(Window.partitionBy("p")).alias("t"),
-        F.row_number()
-        .over(Window.orderBy(F.col("p").desc(), "customer_id"))
-        .alias("rn"),
+        "n",
+        "npos",
+        F.sum("n").over(w_desc).alias("cum_n"),
+        F.sum("npos").over(w_desc).alias("cum_pos"),
+        F.coalesce(F.sum("n").over(w_below), F.lit(0)).alias("below"),
     )
-    cum = ranked.withColumn(
-        "cum_pos", F.sum("y").over(Window.orderBy("rn"))
-    )
-    pos = F.col("y") == 1
-    agg = cum.agg(
-        F.sum("y").cast("double").alias("n1"),
-        (F.count("*") - F.sum("y")).cast("double").alias("n0"),
+    rankagg = cum.agg(
+        F.sum("npos").cast("double").alias("n1"),
+        (F.sum("n") - F.sum("npos")).cast("double").alias("n0"),
         F.sum(
-            F.when(pos, F.col("mr") + (F.col("t") - 1) / 2.0).otherwise(0.0)
+            F.col("npos") * (F.col("below") + (F.col("n") + 1) / 2.0)
         ).alias("rpos"),
-        # per-term DECIMAL accumulation: each term is bit-identical
-        # cross-engine, but float SUM order is not — decimal sums are
-        # order-independent, so the oracle hash survives partial
-        # aggregation (same policy as the money aggregates).
         F.sum(
-            F.when(
-                pos,
-                (F.col("cum_pos").cast("double") / F.col("rn")).cast(
-                    "decimal(28,12)"
-                ),
-            )
+            (
+                F.col("npos")
+                * (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            ).cast("decimal(28,12)")
         )
         .cast("double")
         .alias("ap_sum"),
+    )
+    brieragg = scored.agg(
         (
             F.sum(
                 ((F.col("p") - F.col("y")) * (F.col("p") - F.col("y"))).cast(
@@ -368,10 +371,10 @@ def q_model_eval_metrics(spark, sf_dir):
                 )
             ).cast("double")
             / F.count("*")
-        ).alias("brier"),
+        ).alias("brier")
     )
     n1, n0 = F.col("n1"), F.col("n0")
-    return agg.select(
+    return rankagg.crossJoin(F.broadcast(brieragg)).select(
         n1.cast("long").alias("n_pos"),
         n0.cast("long").alias("n_neg"),
         F.round((F.col("rpos") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
