@@ -141,6 +141,23 @@ def q_training_snapshot(spark, sf_dir):
 
 # ------------------------- univariate feature screening (rank AUC)
 
+_AUC_FEATURE_CTE = """
+{g} AS (
+    SELECT {col} AS s, COUNT(*) AS n, SUM(y) AS npos
+    FROM d GROUP BY 1
+),
+{c} AS (
+    SELECT npos, n,
+           COALESCE(SUM(n) OVER (
+               ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS below
+    FROM {g}
+),
+{a} AS (
+    SELECT CAST(SUM(npos * (below + (n + 1) / 2.0)) AS DOUBLE) AS rpos
+    FROM {c}
+)"""
+
 _AUC_SQL = f"""
 WITH feats AS ({_FEATURES_SQL}),
 labels AS ({_LABELS_SQL}),
@@ -150,30 +167,20 @@ d AS (
            l.churn_label AS y
     FROM feats f JOIN labels l ON f.customer_id = l.customer_id
 ),
-r AS (
-    SELECT y,
-           RANK() OVER (ORDER BY s_orders) AS mr_o,
-           COUNT(*) OVER (PARTITION BY s_orders) AS t_o,
-           RANK() OVER (ORDER BY s_recency) AS mr_r,
-           COUNT(*) OVER (PARTITION BY s_recency) AS t_r
+tot AS (
+    SELECT CAST(SUM(y) AS DOUBLE) AS n1,
+           CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0
     FROM d
 ),
-agg AS (
-    SELECT CAST(SUM(CASE WHEN y = 1 THEN mr_o + (t_o - 1) / 2.0
-                         ELSE 0 END) AS DOUBLE) AS rpos_o,
-           CAST(SUM(CASE WHEN y = 1 THEN mr_r + (t_r - 1) / 2.0
-                         ELSE 0 END) AS DOUBLE) AS rpos_r,
-           CAST(SUM(y) AS DOUBLE) AS n1,
-           CAST(COUNT(*) - SUM(y) AS DOUBLE) AS n0
-    FROM r
-)
+{_AUC_FEATURE_CTE.format(g="g_o", c="c_o", a="a_o", col="s_orders")},
+{_AUC_FEATURE_CTE.format(g="g_r", c="c_r", a="a_r", col="s_recency")}
 SELECT CAST(n1 AS BIGINT) AS n_churned,
        CAST(n0 AS BIGINT) AS n_retained,
-       ROUND((rpos_o - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+       ROUND((a_o.rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
            AS auc_lifetime_orders,
-       ROUND((rpos_r - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
+       ROUND((a_r.rpos - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6)
            AS auc_recency_days
-FROM agg
+FROM tot, a_o, a_r
 """
 
 
@@ -185,11 +192,11 @@ FROM agg
     "customer scores higher than retained), ties at average rank. "
     "The screening step before any model training: recency should "
     "screen ABOVE 0.5 (stale customers churn), order counts BELOW "
-    "(loyal customers stay). Composes the feature and label plans "
-    "as-is. Scale: two global rank windows over the customer-grain "
-    "frame (already aggregated, tiny relative to the fact tables) and "
-    "one scalar aggregate; all-rational arithmetic under ROUND(...,6) "
-    "so the oracle hash is exact.",
+    "(loyal customers stay). Scale: each feature aggregates to "
+    "(value, n, n_pos) first, so the rank cumulative runs over the "
+    "DISTINCT-value frame (feature-cardinality-sized, not population-"
+    "sized — no single-partition per-row rank window); all-rational "
+    "arithmetic under ROUND(...,6) so the oracle hash is exact.",
 )
 def q_feature_auc_screen(spark, sf_dir):
     from pyspark.sql import functions as F
@@ -204,32 +211,46 @@ def q_feature_auc_screen(spark, sf_dir):
         F.col("recency_days").alias("s_recency"),
         F.col("churn_label").alias("y"),
     )
-    r = d.select(
-        "y",
-        F.rank().over(Window.orderBy("s_orders")).alias("mr_o"),
-        F.count("*").over(Window.partitionBy("s_orders")).alias("t_o"),
-        F.rank().over(Window.orderBy("s_recency")).alias("mr_r"),
-        F.count("*").over(Window.partitionBy("s_recency")).alias("t_r"),
-    )
-    pos = F.col("y") == 1
-    avg_o = F.col("mr_o") + (F.col("t_o") - 1) / 2.0
-    avg_r = F.col("mr_r") + (F.col("t_r") - 1) / 2.0
-    agg = r.agg(
-        F.sum(F.when(pos, avg_o).otherwise(0.0)).cast("double").alias("rpos_o"),
-        F.sum(F.when(pos, avg_r).otherwise(0.0)).cast("double").alias("rpos_r"),
+
+    def rpos(col: str):
+        grp = d.groupBy(F.col(col).alias("s")).agg(
+            F.count("*").alias("n"), F.sum("y").alias("npos")
+        )
+        below = F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return (
+            grp.select("n", "npos", below.alias("below"))
+            .agg(
+                F.sum(
+                    F.col("npos") * (F.col("below") + (F.col("n") + 1) / 2.0)
+                )
+                .cast("double")
+                .alias("rpos")
+            )
+        )
+
+    tot = d.agg(
         F.sum("y").cast("double").alias("n1"),
         (F.count("*") - F.sum("y")).cast("double").alias("n0"),
     )
     n1, n0 = F.col("n1"), F.col("n0")
-    return agg.select(
-        n1.cast("long").alias("n_churned"),
-        n0.cast("long").alias("n_retained"),
-        F.round((F.col("rpos_o") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
-            "auc_lifetime_orders"
-        ),
-        F.round((F.col("rpos_r") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6).alias(
-            "auc_recency_days"
-        ),
+    return (
+        tot.crossJoin(F.broadcast(rpos("s_orders").withColumnRenamed("rpos", "rpos_o")))
+        .crossJoin(F.broadcast(rpos("s_recency").withColumnRenamed("rpos", "rpos_r")))
+        .select(
+            n1.cast("long").alias("n_churned"),
+            n0.cast("long").alias("n_retained"),
+            F.round(
+                (F.col("rpos_o") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6
+            ).alias("auc_lifetime_orders"),
+            F.round(
+                (F.col("rpos_r") - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6
+            ).alias("auc_recency_days"),
+        )
     )
 
 
