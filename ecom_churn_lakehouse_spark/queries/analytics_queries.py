@@ -847,3 +847,71 @@ def q_referential_integrity_audit(spark, sf_dir):
         .unionAll(_count(childless, "childless_orders"))
         .unionAll(_count(customerless, "customerless_orders"))
     )
+
+
+# ------------------- deciles, the scale path: threshold assignment
+
+_DECILE_SCALABLE_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY 1
+),
+cuts AS (
+    SELECT quantile_cont(total_spend,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+    FROM spend
+)
+SELECT s.customer_id, s.total_spend,
+       CAST(1
+            + CASE WHEN s.total_spend > c.qs[1] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[2] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[3] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[4] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[5] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[6] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[7] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[8] THEN 1 ELSE 0 END
+            + CASE WHEN s.total_spend > c.qs[9] THEN 1 ELSE 0 END
+        AS INTEGER) AS spend_decile
+FROM spend s, cuts c
+"""
+
+
+@register(
+    "customer_value_deciles_scalable",
+    _DECILE_SCALABLE_SQL,
+    doc="Decile assignment WITHOUT the global sort: nine exact "
+    "interpolated percentile cutoffs from one aggregation (broadcast "
+    "1-row frame), then each row counts how many cutoffs it exceeds "
+    "— a map-side comparison, no single-task NTILE window, no "
+    "shuffle after the spend aggregate. The scale twin of "
+    "customer_value_deciles (NTILE assigns exact equal-count "
+    "buckets; thresholds put equal VALUES in the same bucket — the "
+    "usual analytics semantics — and parallelize at any population). "
+    "decile 1 = bottom spenders here (ascending cutoffs); exact "
+    "percentiles keep the oracle hash-identical, at scale swap in "
+    "approx_percentile with the same plan shape.",
+)
+def q_customer_value_deciles_scalable(spark, sf_dir):
+    spend = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(_dsum(F.col("o_totalprice")).alias("total_spend"))
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = spend.agg(
+        *[
+            F.percentile("total_spend", F.lit(q)).alias(f"q{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("total_spend") > F.col(f"q{i}")).cast("int")
+    return spend.crossJoin(F.broadcast(cuts)).select(
+        "customer_id",
+        "total_spend",
+        decile.cast("int").alias("spend_decile"),
+    )
