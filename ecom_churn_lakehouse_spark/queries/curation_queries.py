@@ -389,3 +389,61 @@ def q_source_mixture_resample(spark, sf_dir):
             F.first("w_s").alias("target_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier cell sizes before a data release.
+# ---------------------------------------------------------------------------
+
+_K_ANON = 10
+
+_KANON_SQL = f"""
+WITH cells AS (
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           COUNT(*) AS cell_size
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+)
+SELECT nation, segment,
+       CAST(cell_size AS BIGINT) AS cell_size,
+       cell_size >= {_K_ANON} AS meets_k,
+       CAST(CASE WHEN cell_size < {_K_ANON} THEN cell_size ELSE 0 END
+            AS BIGINT) AS suppressed_rows
+FROM cells
+"""
+
+
+@register(
+    "kanonymity_audit",
+    _KANON_SQL,
+    doc=f"k-anonymity audit (k={_K_ANON}) over the (nation, segment) "
+    "quasi-identifier: every cell's population, whether it meets k, "
+    "and how many rows suppression would remove — the privacy gate a "
+    "pipeline runs before releasing joined training data (small "
+    "cells re-identify; the release either suppresses or "
+    "generalizes them). Complements pii_scrub_audit: scrubbing "
+    "removes direct identifiers, this audits the indirect ones. One "
+    "map-side-combinable aggregate; the quasi-identifier set is a "
+    "config choice, the plan shape is invariant.",
+)
+def q_kanonymity_audit(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cells = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").alias("cell_size"))
+    )
+    return cells.select(
+        "nation",
+        "segment",
+        F.col("cell_size").cast("long").alias("cell_size"),
+        (F.col("cell_size") >= _K_ANON).alias("meets_k"),
+        F.when(F.col("cell_size") < _K_ANON, F.col("cell_size"))
+        .otherwise(0)
+        .cast("long")
+        .alias("suppressed_rows"),
+    )
