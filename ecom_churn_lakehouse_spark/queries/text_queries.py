@@ -314,7 +314,7 @@ def q_corpus_curation(spark, sf_dir):
     #     pass), and re-scanning the parquet twice is far cheaper than
     #     caching 32 RDD blocks of text between stages — the r2
     #     localCheckpoint version oscillated 2-16 s under block-manager
-    #     memory churn; this shape is a stable ~1.3 s.
+    #     memory churn; this shape holds a stable ~1.4 s at sf0.1.
     # (3) the two expensive CPU stages each run exactly ONCE: shingle
     #     construction covers bench+train disjointly (one full pass),
     #     and regex quality scoring runs only on decontam SURVIVORS
