@@ -619,3 +619,150 @@ def q_bpe_merge_candidates(spark, sf_dir):
         .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+# --- curation funnel: per-disposition accounting of the same pipeline ---
+
+_FUNNEL_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, source, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, source, text
+    FROM documents WHERE doc_id % 10 = 0
+),
+bench_docs AS (
+    SELECT doc_id, text FROM corpus
+    WHERE doc_id % 50 = 0 AND doc_id < 100000
+),
+train_docs AS (
+    SELECT doc_id, text FROM corpus
+    WHERE NOT (doc_id % 50 = 0 AND doc_id < 100000)
+),
+bench8 AS (SELECT DISTINCT shingle FROM ({_ngram8_bench})),
+contaminated AS (
+    SELECT DISTINCT c.doc_id FROM ({_ngram8_train}) c
+    JOIN bench8 b ON c.shingle = b.shingle
+),
+scored AS (
+    SELECT doc_id, source, text,
+           {_C_BPE} AS n_bpe_tokens,
+           ROUND(
+               least(CAST({_C_TOK} AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST({_C_STOP} AS DOUBLE) / greatest({_C_TOK}, 1) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST({_C_PUNCT} AS DOUBLE) / greatest(length(text), 1) * 10.0, 1.0)) * 0.2,
+               6) AS quality_score,
+           CASE WHEN greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) > 0
+                     AND {_C_EN} = greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) THEN 'en'
+                WHEN greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) > 0
+                     AND {_C_DE} = greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) THEN 'de'
+                WHEN greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) > 0
+                     AND {_C_FR} = greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) THEN 'fr'
+                WHEN greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) > 0
+                     AND {_C_ES} = greatest({_C_EN}, {_C_DE}, {_C_FR}, {_C_ES}) THEN 'es'
+                ELSE 'unknown' END AS lang_guess
+    FROM corpus
+),
+disposed AS (
+    SELECT s.doc_id, s.n_bpe_tokens,
+           CASE
+             WHEN s.doc_id % 50 = 0 AND s.doc_id < 100000
+                 THEN 'benchmark_heldout'
+             WHEN s.doc_id IN (SELECT doc_id FROM contaminated)
+                 THEN 'contaminated'
+             WHEN s.quality_score < 0.55 THEN 'low_quality'
+             WHEN s.lang_guess <> 'en' THEN 'wrong_language'
+             WHEN ROW_NUMBER() OVER (
+                     PARTITION BY
+                         CASE WHEN NOT (s.doc_id % 50 = 0 AND s.doc_id < 100000)
+                                   AND s.doc_id NOT IN (SELECT doc_id FROM contaminated)
+                                   AND s.quality_score >= 0.55
+                                   AND s.lang_guess = 'en'
+                              THEN sha256(s.text) END
+                     ORDER BY s.doc_id) > 1
+                 THEN 'exact_duplicate'
+             ELSE 'kept'
+           END AS disposition
+    FROM scored s
+)
+SELECT disposition,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM disposed
+GROUP BY disposition
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    _FUNNEL_SQL,
+    doc="Curation pipeline OBSERVABILITY: the same staged decisions as "
+    "corpus_curation, but accounting every document's disposition — "
+    "benchmark_heldout / contaminated / low_quality / wrong_language "
+    "/ exact_duplicate / kept — with doc and token counts per stage. "
+    "The funnel report a data team reads to see where the corpus "
+    "went (and the first place a threshold regression shows up). "
+    "Stages apply in pipeline order, so each doc lands in exactly "
+    "one bucket and the counts sum to the corpus; the dedup stage's "
+    "window partitions by text hash over survivors only.",
+)
+def q_corpus_curation_funnel(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    par = spark.sparkContext.defaultParallelism
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+        )
+    ).repartition(par)
+    is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
+    bench8 = doc_shingles(
+        corpus.filter(is_bench), n=8, distinct=False
+    ).select("shingle")
+    contaminated = (
+        doc_shingles(corpus.filter(~is_bench), n=8, distinct=False)
+        .join(F.broadcast(bench8), on="shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__contam", F.lit(True))
+    )
+    q = quality_cols(F.col("text"))
+    scored = (
+        corpus.join(F.broadcast(contaminated), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "text",
+            F.coalesce(F.col("__contam"), F.lit(False)).alias("__contam"),
+            bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+            q["quality_score"].alias("quality_score"),
+            lang_guess_col(F.col("text")).alias("lang_guess"),
+            is_bench.alias("__bench"),
+        )
+    )
+    survivor = (
+        ~F.col("__bench")
+        & ~F.col("__contam")
+        & (F.col("quality_score") >= 0.55)
+        & (F.col("lang_guess") == "en")
+    )
+    w = Window.partitionBy(
+        F.when(survivor, F.sha2(F.col("text"), 256))
+    ).orderBy("doc_id")
+    disposed = scored.withColumn("__rn", F.row_number().over(w)).select(
+        "n_bpe_tokens",
+        F.when(F.col("__bench"), "benchmark_heldout")
+        .when(F.col("__contam"), "contaminated")
+        .when(F.col("quality_score") < 0.55, "low_quality")
+        .when(F.col("lang_guess") != "en", "wrong_language")
+        .when(F.col("__rn") > 1, "exact_duplicate")
+        .otherwise("kept")
+        .alias("disposition"),
+    )
+    return disposed.groupBy("disposition").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+    )

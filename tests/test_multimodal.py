@@ -303,3 +303,80 @@ def test_y4m_roundtrip_and_frame_sampling_in_spark(spark):
     )
     r = decode_video_frames(bad).collect()[0]
     assert r["decode_ok"] is False and r["frame_idx"] is None
+
+
+# ---------------- property-based codec round-trips (hypothesis) ----------------
+
+
+def test_codec_roundtrips_property_based():
+    """Random dimensions and contents round-trip pixel/sample-exact
+    through every codec — beyond the fixed-seed cases above."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        decode_y4m,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        encode_y4m,
+        resize_nearest,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 23),
+        h=st.integers(1, 17),
+        c=st.sampled_from([1, 3]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def image_roundtrip(w, h, c, seed):
+        arr = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+        assert (decode_ppm(encode_ppm(arr)) == arr).all()
+        assert (decode_png(encode_png(arr)) == arr).all()
+        if c == 3:
+            assert (decode_bmp(encode_bmp(arr)) == arr).all()
+        # nearest resize: every output pixel is a source pixel at the
+        # floor-mapped coordinate
+        tw, th = max(1, w // 2), max(1, h // 2)
+        small = resize_nearest(arr, tw, th)
+        assert small.shape == (th, tw, c)
+        assert (small[0, 0] == arr[0, 0]).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        frames=st.integers(1, 64),
+        channels=st.sampled_from([1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def wav_roundtrip(frames, channels, seed):
+        s = np.random.RandomState(seed).randint(
+            -32768, 32768, (frames, channels), dtype=np.int16
+        )
+        dec, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000 and (dec == s).all()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(1, 5),
+        w=st.integers(1, 8),
+        h=st.integers(1, 8),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def y4m_roundtrip(n, w, h, seed):
+        fr = np.random.RandomState(seed).randint(
+            0, 256, (n, h, w, 3), dtype=np.uint8
+        )
+        dec, params = decode_y4m(encode_y4m(fr, "C444"))
+        assert (dec == fr).all()
+        assert (params["width"], params["height"]) == (w, h)
+
+    image_roundtrip()
+    wav_roundtrip()
+    y4m_roundtrip()
