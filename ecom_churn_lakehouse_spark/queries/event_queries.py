@@ -442,3 +442,75 @@ def q_event_props_struct(spark, sf_dir):
         F.max(k).cast("int").alias("max_k"),
         (F.count("*") - F.count(k)).cast("long").alias("n_missing_k"),
     )
+
+
+# --- forward + tolerance as-of: next purchase within 72h of each click ---
+
+_ASOF_FWD_SQL = """
+WITH c AS (
+    SELECT event_id AS click_id, user_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT event_id, user_id, ts AS purchase_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+best AS (
+    SELECT c.click_id, c.user_id, c.click_ts,
+           min({'ts': p.purchase_ts, 'eid': p.event_id, 'v': p.value})
+               AS m
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 72 HOUR
+    GROUP BY 1, 2, 3
+)
+SELECT click_id, user_id, click_ts,
+       m.ts AS next_purchase_ts,
+       ROUND(m.v, 6) AS next_purchase_value
+FROM best
+"""
+
+
+@register(
+    "asof_forward_tolerance",
+    _ASOF_FWD_SQL,
+    doc="FORWARD as-of join with a 72-hour tolerance: for each click, "
+    "the EARLIEST subsequent purchase by the same user, but only if "
+    "it lands within the window (beyond-tolerance matches null out) "
+    "— the attribution-with-expiry shape, and the other half of the "
+    "as-of operator's parameter space next to the backward default "
+    "(operators/asof.py: same single union+window shuffle, direction "
+    "flips the frame, tolerance is a post-filter on the carried "
+    "match timestamp — never a second join). Ties on the purchase "
+    "timestamp break on event_id (right_order). Oracle: bounded "
+    "theta-join + struct-min argmin.",
+)
+def q_asof_forward_tolerance(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        payload={"ts": "next_purchase_ts", "value": "__v"},
+        right_order=["event_id"],
+        direction="forward",
+        tolerance_seconds=72 * 3600,
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        "click_ts",
+        "next_purchase_ts",
+        F.round(F.col("__v"), 6).alias("next_purchase_value"),
+    )
