@@ -514,3 +514,228 @@ def q_asof_forward_tolerance(spark, sf_dir):
         "next_purchase_ts",
         F.round(F.col("__v"), 6).alias("next_purchase_value"),
     )
+
+
+# --- peak session concurrency per day: sweep-line, no interval self-join ---
+
+_PEAK_CONCURRENCY_SQL = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     > INTERVAL 30 MINUTE
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end
+    FROM (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM marked
+    )
+    GROUP BY user_id, session_id
+),
+markers AS (
+    SELECT CAST(session_start AS DATE) AS day, session_start AS t,
+           1 AS delta
+    FROM sessions
+    UNION ALL
+    SELECT CAST(session_start AS DATE) AS day, session_end AS t,
+           -1 AS delta
+    FROM sessions
+),
+swept AS (
+    SELECT day,
+           SUM(delta) OVER (
+               PARTITION BY day ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS open_now
+    FROM markers
+)
+SELECT day,
+       CAST(MAX(open_now) AS BIGINT) AS peak_concurrent_sessions
+FROM swept
+GROUP BY day
+"""
+
+
+@register(
+    "session_peak_concurrency",
+    _PEAK_CONCURRENCY_SQL,
+    doc="Peak concurrent sessions per day via SWEEP-LINE: sessionize "
+    "(gaps-and-islands, 30-minute gap, end = last event + gap), emit "
+    "+1/-1 markers at each session's start/end attributed to its "
+    "start day, running-sum within the day, take the max. The scale "
+    "story is the operator CHOICE: concurrency via interval "
+    "self-join is O(sessions x overlapping sessions); the sweep-line "
+    "is linear with one per-day-partitioned ordered window — no "
+    "single global sort, no pair blowup. Ends sort before starts at "
+    "the same instant (ORDER BY t, delta), so back-to-back sessions "
+    "never count as concurrent.",
+)
+def q_session_peak_concurrency(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_user).isNull()
+            | (
+                F.col("ts").cast("long") - F.lag("ts").over(w_user).cast("long")
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = w_user.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+        )
+    )
+    markers = sessions.select(
+        F.col("session_start").cast("date").alias("day"),
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sessions.select(
+            F.col("session_start").cast("date").alias("day"),
+            F.col("session_end").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w_sweep = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    swept = markers.withColumn("open_now", F.sum("delta").over(w_sweep))
+    return swept.groupBy("day").agg(
+        F.max("open_now").cast("long").alias("peak_concurrent_sessions")
+    )
+
+
+# --- time-constrained funnel: view -> click -> purchase, 24h per step ---
+
+_TIMED_FUNNEL_SQL = """
+WITH v AS (
+    SELECT event_id AS view_id, user_id, ts AS view_ts
+    FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+    SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+),
+step1 AS (
+    SELECT v.view_id, v.user_id, v.view_ts,
+           (min({'ts': c.ts, 'eid': c.event_id})).ts AS click_ts
+    FROM v LEFT JOIN c
+      ON c.user_id = v.user_id
+     AND c.ts >= v.view_ts
+     AND c.ts <= v.view_ts + INTERVAL 24 HOUR
+    GROUP BY 1, 2, 3
+),
+step2 AS (
+    SELECT s.view_id, s.click_ts,
+           (min({'ts': p.ts, 'eid': p.event_id})).ts AS purchase_ts
+    FROM step1 s LEFT JOIN p
+      ON s.click_ts IS NOT NULL
+     AND p.user_id = s.user_id
+     AND p.ts >= s.click_ts
+     AND p.ts <= s.click_ts + INTERVAL 24 HOUR
+    GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_views,
+       CAST(COUNT(click_ts) AS BIGINT) AS n_clicked_24h,
+       CAST(COUNT(purchase_ts) AS BIGINT) AS n_purchased_24h,
+       ROUND(COUNT(click_ts) / CAST(COUNT(*) AS DOUBLE), 6)
+           AS view_to_click_rate,
+       ROUND(COUNT(purchase_ts)
+             / CAST(greatest(COUNT(click_ts), 1) AS DOUBLE), 6)
+           AS click_to_purchase_rate
+FROM step2
+"""
+
+
+@register(
+    "timed_conversion_funnel",
+    _TIMED_FUNNEL_SQL,
+    doc="Time-CONSTRAINED funnel (view -> click -> purchase, each step "
+    "within 24 hours of the previous) — sequential pattern matching "
+    "composed from two chained forward as-of joins with tolerance "
+    "(operators/asof.py): per view, the earliest qualifying click; "
+    "per reached click, the earliest qualifying purchase; then one "
+    "scalar report of step counts and conversion rates. Unlike the "
+    "unconstrained conversion_funnel, a click three days later does "
+    "NOT convert — the attribution-window semantics real funnel "
+    "analysis uses. Each as-of stage is the one-shuffle union+window "
+    "plan; nothing here is a per-row subquery. Counts are integers, "
+    "rates integer ratios under ROUND — oracle hash exact.",
+)
+def q_timed_conversion_funnel(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    step1 = asof_join(
+        views,
+        clicks,
+        on=["user_id"],
+        left_ts="view_ts",
+        right_ts="ts",
+        payload={"ts": "click_ts"},
+        right_order=["event_id"],
+        direction="forward",
+        tolerance_seconds=24 * 3600,
+    )
+    step2 = asof_join(
+        step1.filter(F.col("click_ts").isNotNull()),
+        purchases,
+        on=["user_id"],
+        left_ts="click_ts",
+        right_ts="ts",
+        payload={"ts": "purchase_ts"},
+        right_order=["event_id"],
+        direction="forward",
+        tolerance_seconds=24 * 3600,
+    ).select("view_id", "click_ts", "purchase_ts")
+    rejoined = step1.select("view_id", "click_ts").join(
+        step2.select("view_id", "purchase_ts"), on="view_id", how="left"
+    )
+    return rejoined.agg(
+        F.count("*").cast("long").alias("n_views"),
+        F.count("click_ts").cast("long").alias("n_clicked_24h"),
+        F.count("purchase_ts").cast("long").alias("n_purchased_24h"),
+        F.round(
+            F.count("click_ts") / F.count("*").cast("double"), 6
+        ).alias("view_to_click_rate"),
+        F.round(
+            F.count("purchase_ts")
+            / F.greatest(F.count("click_ts"), F.lit(1)).cast("double"),
+            6,
+        ).alias("click_to_purchase_rate"),
+    )
