@@ -148,19 +148,26 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs_per_query": RUNS,
-                "aggregation": "min",
-            }
-        )
+    result = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": RUNS,
+        "aggregation": "min",
+    }
+    # Write the result to disk as well: the driver's stdout tail capture
+    # can clip the JSON line when Spark stage-progress output floods the
+    # buffer (BENCH_r03.json came back "parsed": null that way).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
     )
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

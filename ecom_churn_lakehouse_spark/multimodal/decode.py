@@ -199,7 +199,12 @@ def resize_images(
 
                     try:
                         arr = decode_image(bytes(payload))
-                        if arr.shape[2] not in (1, 3):  # drop alpha
+                        # Drop alpha by channel count: 2-channel (gray+alpha)
+                        # must collapse to 1 channel so the re-encoded
+                        # PPM/PGM header matches the raster; 4 -> 3 (RGB).
+                        if arr.shape[2] == 2:
+                            arr = arr[:, :, :1]
+                        elif arr.shape[2] == 4:
                             arr = arr[:, :, :3]
                         small = resize_nearest(arr, target_width, target_height)
                         rows["payload"].append(encode_ppm(small))
@@ -268,10 +273,15 @@ def image_features(
                         pixel_features,
                     )
 
-                    v = pixel_features(decode_image(bytes(payload)))
-                    feats.append(
-                        (v + [0.0] * IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
-                    )
+                    try:
+                        v = pixel_features(decode_image(bytes(payload)))
+                        feats.append(
+                            (v + [0.0] * IMAGE_FEATURE_DIM)[:IMAGE_FEATURE_DIM]
+                        )
+                    except (ValueError, IndexError):
+                        # Corrupt payload: null feature row (mirrors the
+                        # decode_ok pattern) instead of failing the job.
+                        feats.append(None)
                 else:
                     raise NotImplementedError(
                         f"extractor {extractor!r} not available in this "

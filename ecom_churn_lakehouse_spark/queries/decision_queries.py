@@ -483,7 +483,12 @@ def q_regional_supplier_volume(spark, sf_dir):
 # threshold (scalar-subquery HAVING).
 # ---------------------------------------------------------------------------
 
-_Q11_FRACTION = 0.002
+# Scale-aware Q11 threshold: a part is "significant" when its revenue
+# exceeds _Q11_MEAN_MULTIPLE x the MEAN per-part revenue (t / n_parts).
+# A fixed global-share fraction goes vacuous as the part count grows
+# with SF (0.002 returned 0 rows at sf0.01 AND sf0.1); the mean-relative
+# cut returns a non-empty, SF-stable head at every scale.
+_Q11_MEAN_MULTIPLE = 1.5
 
 _SIGNIFICANT_PARTS_SQL = f"""
 WITH part_rev AS (
@@ -495,14 +500,15 @@ WITH part_rev AS (
 ),
 total AS (
     SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS t
+                         AS DECIMAL(18,6))) AS DOUBLE) AS t,
+           COUNT(DISTINCT l_partkey) AS np
     FROM lineitem
 )
 SELECT p.l_partkey AS partkey,
        p.revenue AS revenue,
        ROUND(p.revenue / (SELECT t FROM total), 6) AS revenue_share
 FROM part_rev p
-WHERE p.revenue > (SELECT t FROM total) * {_Q11_FRACTION}
+WHERE p.revenue > (SELECT t / np FROM total) * {_Q11_MEAN_MULTIPLE}
 ORDER BY revenue DESC, partkey
 """
 
@@ -510,12 +516,13 @@ ORDER BY revenue DESC, partkey
 @register(
     "significant_parts",
     _SIGNIFICANT_PARTS_SQL,
-    doc="TPC-H Q11 shape: parts whose revenue exceeds a FRACTION of "
-    "the global total — the scalar-subquery HAVING that requires two "
-    "aggregations over the same fact scan. The global total is a "
+    doc="TPC-H Q11 shape: parts whose revenue exceeds a multiple of the "
+    "MEAN per-part revenue — the scalar-subquery HAVING that requires "
+    "two aggregations over the same fact scan. The global total is a "
     "1-row broadcast against the per-part aggregate (AQE reuses the "
     "scan exchange); both sums are exact-decimal so the threshold "
-    "cut and the share values are deterministic.",
+    "cut and the share values are deterministic, and the mean-relative "
+    "cut stays non-vacuous at every scale factor.",
 )
 def q_significant_parts(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -523,10 +530,16 @@ def q_significant_parts(spark, sf_dir):
     part_rev = li.groupBy("l_partkey").agg(
         _dsum(revenue, 6).alias("revenue")
     )
-    total = li.agg(_dsum(revenue, 6).alias("t"))
+    total = li.agg(
+        _dsum(revenue, 6).alias("t"),
+        F.countDistinct("l_partkey").alias("np"),
+    )
     return (
         part_rev.join(F.broadcast(total))
-        .filter(F.col("revenue") > F.col("t") * _Q11_FRACTION)
+        .filter(
+            F.col("revenue")
+            > (F.col("t") / F.col("np")) * _Q11_MEAN_MULTIPLE
+        )
         .select(
             F.col("l_partkey").alias("partkey"),
             "revenue",

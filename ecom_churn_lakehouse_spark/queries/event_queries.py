@@ -590,8 +590,11 @@ def q_session_peak_concurrency(spark, sf_dir):
         F.when(
             F.lag("ts").over(w_user).isNull()
             | (
-                F.col("ts").cast("long") - F.lag("ts").over(w_user).cast("long")
-                > 1800
+                # µs precision to match the exact-INTERVAL oracle comparison
+                # and operators/sessionize.py (a seconds-cast truncates
+                # sub-second gaps near the 1800 s boundary).
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w_user))
+                > 1800 * 1_000_000
             ),
             1,
         )

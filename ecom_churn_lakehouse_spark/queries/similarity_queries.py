@@ -941,12 +941,20 @@ def _km_update_sql(assign_cte: str, out_cte: str) -> str:
 )"""
 
 
+# Seed bound keeps k FIXED as the corpus grows: k-means has a fixed
+# cluster count by definition — seeding from an unbounded id predicate
+# would grow k (and the broadcast + assignment work) linearly with the
+# data, turning the two-round cost quadratic under scale-up (this was
+# exactly the 10x-probe artifact the round-3 review flagged).
+_KM_SEED_BOUND = 1500
+
 _KMEANS_SQL = f"""
 WITH vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
 ),
 cent0 AS (
-    SELECT vec_id AS cid, ev AS centroid FROM vecs WHERE vec_id % 37 = 1
+    SELECT vec_id AS cid, ev AS centroid FROM vecs
+    WHERE vec_id % 37 = 1 AND vec_id < {_KM_SEED_BOUND}
 ),
 {_km_assign_sql("cent0", "assign1")},
 {_km_update_sql("assign1", "cent1")},
@@ -992,9 +1000,9 @@ def q_kmeans_two_rounds(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", to_double_array(F.col("embedding")).alias("ev"))
-    cent0 = vecs.filter(F.col("vec_id") % 37 == 1).select(
-        F.col("vec_id").alias("cid"), F.col("ev").alias("centroid")
-    )
+    cent0 = vecs.filter(
+        (F.col("vec_id") % 37 == 1) & (F.col("vec_id") < _KM_SEED_BOUND)
+    ).select(F.col("vec_id").alias("cid"), F.col("ev").alias("centroid"))
 
     def assign(cent):
         diff_sq = F.zip_with(

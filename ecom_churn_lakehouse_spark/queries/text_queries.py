@@ -749,8 +749,13 @@ def q_corpus_curation_funnel(spark, sf_dir):
         & (F.col("quality_score") >= 0.55)
         & (F.col("lang_guess") == "en")
     )
+    # Non-survivors get a doc_id-salted partition key: __rn is only
+    # consulted for survivors, and a single NULL partition would funnel
+    # every rejected doc through one sort task (skew hotspot at scale).
     w = Window.partitionBy(
-        F.when(survivor, F.sha2(F.col("text"), 256))
+        F.when(survivor, F.sha2(F.col("text"), 256)).otherwise(
+            F.sha2(F.concat_ws("\x1f", F.col("text"), F.col("doc_id")), 256)
+        )
     ).orderBy("doc_id")
     disposed = scored.withColumn("__rn", F.row_number().over(w)).select(
         "n_bpe_tokens",

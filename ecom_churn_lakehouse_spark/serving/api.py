@@ -155,7 +155,7 @@ class ChurnApi:
         try:
             status, body = self._handle(payload, headers, logger)
         except ApiError as e:
-            increment_counter(f"http_status_{e.status_code}_total")
+            # status counter incremented once, post-try, for all outcomes
             status, body = e.status_code, e.envelope()
         except Exception:
             increment_counter("http_exceptions_total")
