@@ -1,0 +1,81 @@
+"""SQL front door, widened: run existing dialect-portable oracle texts
+VERBATIM through ``spark.sql`` over the cataloged views.
+
+``sql_orders_summary`` / ``sql_top_parts_per_brand`` (extended_queries)
+proved the mechanism on two shapes; this module routes the whole
+dialect-portable TPC-H family through the same front: for each twin,
+the Spark side is ``sources/catalog.py::run_sql(<text>)`` and the
+DuckDB oracle is the SAME text, so a green row proves the engine's SQL
+parser -> analyzer -> Catalyst path end-to-end on multi-join /
+correlated-subquery / set-op / scalar-subquery / CASE-aggregation SQL —
+not just that two hand-written plans happen to agree.
+
+The reference exposes only the DataFrame API (SURVEY §1: zero SQL
+strings); a reusable engine exposes both fronts over one plan space.
+Catalyst sees the identical logical plan space either way, so
+pushdown / pruning / AQE behave the same — the twins also pin that the
+DataFrame entries and the SQL front agree with each other (both match
+the same oracle rows).
+
+Twin selection rule: an entry qualifies when its oracle text uses only
+portable constructs (ANSI joins, CASE, EXISTS/NOT EXISTS, EXCEPT,
+EXTRACT, date_trunc, FILTER(WHERE), scalar subqueries, DECIMAL casts).
+DuckDB-specific texts (list_*, unnest-lambda, recursive CTEs) stay
+DataFrame-only.
+"""
+
+from __future__ import annotations
+
+from ecom_churn_lakehouse_spark.registry import _REGISTRY, register
+
+#: DataFrame-registry entries whose oracle SQL is dialect-portable and
+#: is re-run verbatim through the Spark SQL front.
+_TWINS = [
+    "pricing_summary",           # TPC-H Q1: CASE-free multi-agg scan
+    "revenue_by_nation",         # Q5: 4-way join + date range
+    "top_revenue_orders",        # Q3: join + group + order/limit
+    "returned_revenue_by_customer",  # Q10: 4-way join, top-20
+    "large_basket_customers",    # Q18: HAVING subquery join-back
+    "sole_blame_suppliers",      # Q21 shape: FILTER(WHERE) aggregates
+    "priority_line_counts",      # Q12: CASE-sum pivot
+    "promo_revenue_share",       # Q14: conditional revenue share
+    "small_lot_part_revenue",    # Q17: per-part threshold CTE
+    "customers_without_orders",  # Q22 shape: NOT EXISTS anti-join
+    "parts_in_heavy_lineitems",  # semi-join via EXISTS
+    "returned_order_priorities", # Q4: EXISTS + group
+    "nation_trade_flows",        # Q7: 6-way join + EXTRACT(YEAR)
+    "lapsed_customers",          # EXCEPT set-op
+    "peak_revenue_months",       # scalar-subquery max filter
+    "high_value_share",          # CASE-share aggregation
+    "significant_parts",         # Q11: scalar-subquery HAVING
+]
+
+
+def _make_twin(base_name: str, text: str) -> None:
+    @register(
+        f"sql_{base_name}",
+        text,
+        doc=f"SQL front door twin of `{base_name}`: the SAME "
+        "dialect-portable SQL text evaluated by spark.sql over the "
+        "cataloged views (sources/catalog.py::run_sql) and verbatim "
+        "by the DuckDB oracle — proves the parser/analyzer path on "
+        "this shape and that the SQL front agrees with the DataFrame "
+        "entry (both match the same oracle).",
+    )
+    def _twin(spark, sf_dir, _text=text):
+        from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+        return run_sql(spark, sf_dir, _text)
+
+
+def _register_twins() -> None:
+    # Runs at import time, after the DataFrame modules (this module is
+    # imported last by registry._load_all), so every base entry exists.
+    for name in _TWINS:
+        entry = _REGISTRY.get(name)
+        if entry is None or entry.oracle is None:  # pragma: no cover
+            raise RuntimeError(f"SQL twin base missing oracle: {name}")
+        _make_twin(name, entry.oracle)
+
+
+_register_twins()

@@ -346,10 +346,16 @@ def q_corpus_curation(spark, sf_dir):
         F.broadcast(contaminated), on="doc_id", how="left_anti"
     )
     q = quality_cols(F.col("text"))
+    # text is consumed HERE (hash + all regex features in one
+    # projection) and dropped before any shuffle: the dedup exchange
+    # moves only (sha, doc_id, source, 2 numerics) instead of the full
+    # document payload — at 100 TB the text column IS the table, so
+    # keeping it out of the shuffle is the difference between moving
+    # kilobytes and moving the corpus.
     scored = clean_raw.select(
         "doc_id",
         "source",
-        "text",
+        F.sha2(F.col("text"), 256).alias("__sha"),
         bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
         q["quality_score"].alias("quality_score"),
         lang_guess_col(F.col("text")).alias("lang_guess"),
@@ -357,16 +363,19 @@ def q_corpus_curation(spark, sf_dir):
     kept = scored.filter(
         (F.col("quality_score") >= 0.55) & (F.col("lang_guess") == "en")
     )
-    # Dedup as a window over the text hash (min-doc_id survivor). An
-    # agg-based dedup (groupBy sha, min_by) was tried and measured
-    # SLOWER — carrying text through hash-aggregate buffers costs more
-    # than the window's sort, and with few duplicates partial
-    # aggregation buys nothing.
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    deduped = kept.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    # Dedup as a hash aggregate (min-doc_id survivor via min_by): with
+    # text already projected away the aggregation buffer is a tiny
+    # struct, so this beats the earlier window-sort dedup (which was
+    # only faster when the buffer would have carried the text payload)
+    # and is map-side combinable on top.
+    deduped = kept.groupBy("__sha").agg(
+        F.min_by(
+            F.struct("source", "n_bpe_tokens", "quality_score"), "doc_id"
+        ).alias("__row")
+    ).select(
+        F.col("__row.source").alias("source"),
+        F.col("__row.n_bpe_tokens").alias("n_bpe_tokens"),
+        F.col("__row.quality_score").alias("quality_score"),
     )
     return deduped.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -82,4 +82,11 @@ def _load_all() -> None:
         text_queries,
     )
 
+    # Imported LAST: the SQL-front-door twins re-register existing
+    # entries' oracle texts through spark.sql, so every base entry
+    # must already be in the registry.
+    from ecom_churn_lakehouse_spark.queries import (  # noqa: F401
+        sql_frontend_queries,
+    )
+
     _LOADED = True

@@ -193,3 +193,54 @@ def test_gold_observed_gates(spark, paths, tmp_path, monkeypatch):
         )
     after = ManagedTable(spark, gold_obs, keys=keys).read()
     assert after.count() == 2  # 2025-04-15 rows never landed
+
+
+def test_bronze_partition_pruning(spark, tmp_path):
+    """The ingest_date-partitioned bronze layout is actually EXPLOITED
+    (SURVEY §4: the reference writes the partitioning but never filters
+    on it): an ingest_date filter reaches the scan as a PartitionFilter,
+    and non-matching partition directories are never opened — proven
+    behaviorally by poisoning the sibling partitions with corrupt
+    parquet files and showing the pruned read still succeeds while an
+    unpruned full scan fails."""
+    import contextlib
+    import io
+    import os
+
+    import pyspark.sql.functions as F
+
+    data = spark.range(0, 99).select(
+        F.concat(F.lit("ord-"), F.col("id")).alias("order_id"),
+        F.to_date(
+            F.concat(F.lit("2025-01-0"), (F.col("id") % 3 + 1).cast("string"))
+        ).alias("ingest_date"),
+    )
+    table = ManagedTable(spark, str(tmp_path / "bronze"), keys=["order_id"])
+    table.append(data, partition_by=["ingest_date"])
+
+    filtered = table.read().filter(F.col("ingest_date") == "2025-01-01")
+
+    # 1. Plan proof: the date predicate lands in PartitionFilters (it
+    #    prunes directories at planning time, not rows at runtime).
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    scan = plan[plan.index("PartitionFilters") :].split("\n")[0]
+    assert "ingest_date" in scan, plan
+
+    # 2. Behavioral proof: corrupt every OTHER partition's directory.
+    head = table._head_dir()
+    poisoned = 0
+    for d in sorted(os.listdir(head)):
+        if d.startswith("ingest_date=") and not d.endswith("2025-01-01"):
+            with open(os.path.join(head, d, "part-poison.parquet"), "wb") as f:
+                f.write(b"not a parquet file")
+            poisoned += 1
+    assert poisoned == 2
+
+    # Pruned read never opens the poisoned directories...
+    assert filtered.count() == 33  # ids 0,3,...,96
+    # ...while a full scan (no partition filter) must touch them and die.
+    with pytest.raises(Exception, match="(?i)parquet|magic|footer|corrupt"):
+        table.read().count()
