@@ -583,3 +583,58 @@ def q_neardup_degree_hist(spark, sf_dir):
     return deg.groupBy(F.col("degree").cast("long").alias("degree")).agg(
         F.count("*").alias("n_docs")
     )
+
+
+# ------------------------- cross-source near-duplication matrix
+
+_XSOURCE_SQL = f"""
+SELECT least(sa.source, sb.source) AS source_lo,
+       greatest(sa.source, sb.source) AS source_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(CAST(p.jaccard AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_jaccard
+FROM ({_minhash_sql()}) p
+JOIN documents sa ON sa.doc_id = p.doc_a % 100000
+JOIN documents sb ON sb.doc_id = p.doc_b % 100000
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "cross_source_neardup_matrix",
+    _XSOURCE_SQL,
+    doc="Which SOURCES near-duplicate each other: the MinHash+LSH pair "
+    "stream (minhash_lsh_pairs, verified Jaccard >= 0.5) aggregated "
+    "into a symmetric source-pair matrix (unordered pair key via "
+    "least/greatest) with pair counts and exact-decimal mean Jaccard. "
+    "The curation view that decides which sources to drop or "
+    "down-weight when corpora plagiarize each other — computed on the "
+    "verified pair stream (|pairs| rows), so the matrix costs one "
+    "broadcast source-map join + one agg on top of the LSH pipeline, "
+    "nothing quadratic.",
+)
+def q_cross_source_neardup_matrix(spark, sf_dir):
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    src_a = src.select(
+        F.col("doc_id").alias("__ka"), F.col("source").alias("__sa")
+    )
+    src_b = src.select(
+        F.col("doc_id").alias("__kb"), F.col("source").alias("__sb")
+    )
+    return (
+        pairs.join(F.broadcast(src_a), F.col("doc_a") % 100000 == F.col("__ka"))
+        .join(F.broadcast(src_b), F.col("doc_b") % 100000 == F.col("__kb"))
+        .groupBy(
+            F.least("__sa", "__sb").alias("source_lo"),
+            F.greatest("__sa", "__sb").alias("source_hi"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_jaccard"),
+        )
+    )

@@ -742,3 +742,72 @@ def q_timed_conversion_funnel(spark, sf_dir):
             6,
         ).alias("click_to_purchase_rate"),
     )
+
+
+# --- duration-capped sessionization: gap + max-session-length split ---
+
+_CAPPED_SESSION_SQL = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30*60*1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts,
+           CAST(SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS INTEGER) AS session_id
+    FROM flagged
+),
+anchored AS (
+    SELECT user_id, ts, session_id,
+           MIN(ts) OVER (PARTITION BY user_id, session_id) AS s0
+    FROM sessions
+)
+SELECT user_id, session_id,
+       CAST(FLOOR((epoch_us(ts) - epoch_us(s0)) / 1800000000.0)
+            AS INTEGER) AS sub_session,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM anchored
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "event_sessions_capped",
+    _CAPPED_SESSION_SQL,
+    doc="Duration-capped sessionization: gap-based sessions (30 min, "
+    "operators/sessionize.py) additionally SPLIT at a 30-minute maximum "
+    "length measured from each session's first event — the standard "
+    "guard against never-idle actors (bots, kiosk devices, replayed "
+    "logs) whose gap-only sessions grow unbounded, which at 100 TB "
+    "also bounds per-session state for any downstream per-session "
+    "aggregation. One extra windowed MIN over the already-partitioned "
+    "(user, session) run — no new shuffle: the anchor window and the "
+    "final aggregate reuse the sessionize exchange.",
+)
+def q_event_sessions_capped(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = sessionize(load_events(spark, sf_dir), gap_minutes=30)
+    w_anchor = Window.partitionBy("user_id", "session_id")
+    anchored = ev.withColumn("__s0", F.min("ts").over(w_anchor))
+    sub = F.floor(
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("__s0")))
+        / 1_800_000_000.0
+    ).cast("int")
+    return (
+        anchored.withColumn("sub_session", sub)
+        .groupBy("user_id", "session_id", "sub_session")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

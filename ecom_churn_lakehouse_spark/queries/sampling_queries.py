@@ -298,3 +298,120 @@ def q_temporal_train_val_split(spark, sf_dir):
             F.max("o_orderdate").cast("date").alias("max_date"),
         )
     )
+
+
+# -------------------- negative sampling for recommender training
+
+_NEG_HASH = (
+    "CAST(('0x' || substring(md5('neg:' || CAST(o_custkey AS VARCHAR) || ':' "
+    "|| CAST(j AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_NEGSAMPLE_SQL = f"""
+WITH pos AS (
+    SELECT DISTINCT o.o_custkey, l.l_partkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+np AS (SELECT COUNT(*) AS n_parts FROM part),
+cand AS (
+    SELECT u.o_custkey, u.j,
+           {_NEG_HASH} % (SELECT n_parts FROM np) AS cand_part
+    FROM (
+        SELECT DISTINCT o_custkey, g.j
+        FROM orders, (SELECT unnest(range(12)) AS j) g
+    ) u
+),
+negs AS (
+    SELECT c.o_custkey, c.cand_part, MIN(c.j) AS pick_order
+    FROM cand c
+    LEFT JOIN pos p
+      ON p.o_custkey = c.o_custkey AND p.l_partkey = c.cand_part
+    WHERE p.l_partkey IS NULL
+    GROUP BY c.o_custkey, c.cand_part
+)
+SELECT o_custkey AS customer_id,
+       CAST(cand_part AS BIGINT) AS negative_partkey,
+       CAST(pick_order AS INTEGER) AS pick_order
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY pick_order, cand_part) AS rn
+    FROM negs
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "user_item_negative_samples",
+    _NEGSAMPLE_SQL,
+    doc="Deterministic negative sampling for recommender / contrastive "
+    "training: per customer, hash 12 pseudo-random candidate part ids "
+    "(md5 keyed on customer x draw index — the same portable idiom as "
+    "the split/stratified entries), anti-join the customer's actual "
+    "purchase set, dedup hash collisions (min draw index survives), "
+    "keep the first 5 by draw order. Work is |users| x 12 candidate "
+    "rows — never |users| x |items| — and the anti-join shuffles on "
+    "(user, item) exactly like the positives relation, so the plan "
+    "scales to billions of interactions. Reproducible on any engine, "
+    "any cluster size, forever (pure hash arithmetic, no RNG state).",
+)
+def q_user_item_negative_samples(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pos = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    np_ = part.agg(F.count("*").alias("n_parts"))
+    users = orders.select("o_custkey").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(spark.range(12).select(F.col("id").alias("j"))))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "o_custkey",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("neg:"),
+                                F.col("o_custkey").cast("string"),
+                                F.lit(":"),
+                                F.col("j").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n_parts")
+            ).alias("cand_part"),
+        )
+    )
+    negs = (
+        cand.join(
+            pos,
+            (cand["o_custkey"] == pos["o_custkey"])
+            & (cand["cand_part"] == pos["l_partkey"]),
+            "left_anti",
+        )
+        .groupBy("o_custkey", "cand_part")
+        .agg(F.min("j").alias("pick_order"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("pick_order", "cand_part")
+    return (
+        negs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 5)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("cand_part").cast("long").alias("negative_partkey"),
+            F.col("pick_order").cast("int").alias("pick_order"),
+        )
+    )

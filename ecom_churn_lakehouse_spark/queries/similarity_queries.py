@@ -1044,3 +1044,86 @@ def q_kmeans_two_rounds(spark, sf_dir):
             F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
         ).alias("inertia"),
     )
+
+
+# ---------------- matryoshka / truncated-dimension retrieval eval
+
+_MATRYOSHKA_DIM = 16
+
+_MATRYOSHKA_SQL = f"""
+WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+tvecs AS (SELECT vec_id, ev[1:{_MATRYOSHKA_DIM}] AS tv FROM vecs),
+q AS (SELECT vec_id AS query_id, ev AS qv FROM vecs WHERE vec_id % 50 = 0),
+tq AS (SELECT vec_id AS query_id, tv AS qv FROM tvecs WHERE vec_id % 50 = 0),
+fullk AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY {_COS.format(a="q.qv", b="c.ev")} DESC, c.vec_id
+               ) AS rn
+        FROM q, vecs c WHERE q.query_id <> c.vec_id
+    ) WHERE rn <= 3
+),
+trunck AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT tq.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tq.query_id
+                   ORDER BY {_COS.format(a="tq.qv", b="c.tv")} DESC, c.vec_id
+               ) AS rn
+        FROM tq, tvecs c WHERE tq.query_id <> c.vec_id
+    ) WHERE rn <= 3
+)
+SELECT f.query_id,
+       CAST(COUNT(t.neighbor_id) AS INTEGER) AS n_overlap,
+       ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / 3, 6) AS recall_at_3
+FROM fullk f
+LEFT JOIN trunck t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+@register(
+    "matryoshka_recall_eval",
+    _MATRYOSHKA_SQL,
+    doc=f"Truncated-dimension retrieval eval (the matryoshka-embedding "
+    f"question): exact cosine top-3 with the full 64-dim vectors vs "
+    f"top-3 with only the first {_MATRYOSHKA_DIM} dims, per-query "
+    "overlap count and recall@3 — the measurement that decides whether "
+    "a prefix-truncated index (4x smaller, 4x faster dot products) is "
+    "good enough to serve. Both passes are broadcast-query brute force "
+    "over the same corpus scan (similarity/ann.py::brute_force_topk); "
+    "the overlap join touches 3 rows per query. At 100 TB the "
+    "truncated pass IS the cheap filter stage of a two-stage retrieval "
+    "cascade, re-ranked by the full-dim pass on candidates only.",
+)
+def q_matryoshka_recall_eval(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    trunc = emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIM).alias("embedding")
+    )
+    tqueries = trunc.filter(F.col("vec_id") % 50 == 0)
+    fullk = brute_force_topk(queries, emb, k=3).select("query_id", "neighbor_id")
+    trunck = brute_force_topk(tqueries, trunc, k=3).select(
+        F.col("query_id").alias("__tq"), F.col("neighbor_id").alias("__tn")
+    )
+    return (
+        fullk.join(
+            trunck,
+            (F.col("query_id") == F.col("__tq"))
+            & (F.col("neighbor_id") == F.col("__tn")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("__tn").cast("int").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap").cast("double") / 3, 6).alias(
+                "recall_at_3"
+            ),
+        )
+    )

@@ -780,3 +780,76 @@ def q_corpus_curation_funnel(spark, sf_dir):
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
     )
+
+
+# --- tokenizer vocabulary coverage: per-doc OOV rate ---
+
+_OOV_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS c
+        FROM toks GROUP BY token
+        ORDER BY c DESC, token
+        LIMIT 20
+    )
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.token = v.token
+GROUP BY t.doc_id
+"""
+
+
+@register(
+    "vocab_oov_rate",
+    _OOV_SQL,
+    doc="Tokenizer vocabulary coverage: build a top-20-by-frequency "
+    "vocabulary from the corpus itself (deterministic count-then-token "
+    "tie-break), broadcast it, and report each document's token count, "
+    "out-of-vocabulary count, and OOV rate. The standard pre-training "
+    "check that a tokenizer/vocab fits a new corpus before committing "
+    "a full tokenization run. Two shuffles total (vocab agg + per-doc "
+    "agg); the vocab probe itself is a broadcast join against a "
+    "20-row relation, so per-token work stays map-side at any scale.",
+)
+def q_vocab_oov_rate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+            "token"
+        ),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "token")
+        .limit(20)
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), on="token", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.col("n_oov").cast("double") / F.col("n_tokens"), 6
+            ).alias("oov_rate"),
+        )
+    )
