@@ -88,6 +88,14 @@ HEADLINE = [
     "segment_modal_priority",
     "orders_table_profile",
     "episode_cumulative_spend",
+    # round-4 additions
+    "vocab_oov_rate",
+    "event_sessions_capped",
+    "cross_source_neardup_matrix",
+    "matryoshka_recall_eval",
+    "user_item_negative_samples",
+    "last_purchase_ffill",
+    "sql_pricing_summary",
 ]
 
 

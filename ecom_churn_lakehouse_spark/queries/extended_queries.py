@@ -855,3 +855,99 @@ def q_skewsafe_user_enrichment(spark, sf_dir):
         F.count("*").cast("long").alias("n_events"),
         F.sum("user_events").cast("long").alias("sum_user_events"),
     )
+
+
+# ------------------- stream-static enrichment + windowed rollup
+
+_STREAM_ENRICHED_SQL = """
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+       c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "stream_enriched_daily",
+    _STREAM_ENRICHED_SQL,
+    doc="Stream-STATIC join then windowed aggregation, run to "
+    "completion: the event stream joins a broadcast customer dimension "
+    "(streaming/events_stream.py::enriched_tumbling_counts_stream — no "
+    "streaming state for the join, dim re-resolved each microbatch) "
+    "and the watermarked tumbling aggregate groups by the DIM's "
+    "segment attribute, foreachBatch-MERGEd into a managed table. The "
+    "canonical enrich-then-rollup streaming pipeline; the batch SQL "
+    "oracle proves streaming execution is result-identical (SURVEY "
+    "§2.9 — completes the join matrix: stream-stream inner/outer + "
+    "stream-static).",
+)
+def q_stream_enriched_daily(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.streaming import (
+        enriched_tumbling_counts_stream,
+        run_stream_to_managed_table,
+        stream_events,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    base = tempfile.mkdtemp(prefix="stream_enr_")
+    table = ManagedTable(spark, f"{base}/agg", keys=["window_start", "segment"])
+    stream = enriched_tumbling_counts_stream(
+        stream_events(spark, sf_dir), dim, on="user_id", group_col="segment"
+    )
+    run_stream_to_managed_table(stream, table, f"{base}/ckpt")
+    return table.read()
+
+
+# ------------------------- forward fill (carry last observation)
+
+_FFILL_SQL = """
+SELECT event_id, user_id, ts,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END
+                  IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_purchase_value
+FROM events
+"""
+
+
+@register(
+    "last_purchase_ffill",
+    _FFILL_SQL,
+    doc="Forward fill / carry-last-observation: every event carries the "
+    "user's most recent purchase value via last_value(..., ignoreNulls) "
+    "over a running frame — the sparse-to-dense state reconstruction "
+    "window (sensor readings, account balances, feature staleness) "
+    "that zero-fill gap filling (hourly_events_gapfilled) cannot "
+    "express. One window over the per-user exchange; no join, no "
+    "spine. Completes the navigation-function family "
+    "(segment_spend_extremes covers first/nth/last on bounded frames; "
+    "this is the IGNORE NULLS running variant).",
+)
+def q_last_purchase_ffill(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(
+            F.when(F.col("event_type") == "purchase", F.col("value")),
+            ignorenulls=True,
+        ).over(w).alias("last_purchase_value"),
+    )

@@ -2,6 +2,7 @@ from .events_stream import (
     click_purchase_stream_join,
     dedup_events_stream,
     enrich_stream_with_dim,
+    enriched_tumbling_counts_stream,
     run_cdc_stream_to_managed_table,
     run_stream_to_managed_table,
     session_window_stream,
@@ -20,6 +21,7 @@ __all__ = [
     "run_cdc_stream_to_managed_table",
     "dedup_events_stream",
     "enrich_stream_with_dim",
+    "enriched_tumbling_counts_stream",
     "click_purchase_stream_join",
     "running_user_profiles",
 ]

@@ -112,6 +112,38 @@ def sliding_counts_stream(
     )
 
 
+def enriched_tumbling_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    group_col: str,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-static enrichment THEN windowed aggregation: the stream
+    joins a broadcast static dimension (no streaming state, dim
+    re-resolved per microbatch) and the watermarked tumbling aggregate
+    groups by a DIM attribute — the canonical enrich-then-rollup
+    pipeline (events x user dim -> per-segment KPIs)."""
+    return (
+        enrich_stream_with_dim(events, dim, on=on, how="inner")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), group_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            group_col,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
 ) -> DataFrame:
