@@ -39,7 +39,9 @@ __all__ = [
     "minhash_signatures_from_arrays",
     "minhash_signatures_exploded",
     "jaccard_on_pairs_arrays",
+    "banded_signatures",
     "lsh_candidate_pairs",
+    "lsh_probe_candidates",
     "jaccard_on_pairs",
 ]
 
@@ -227,8 +229,8 @@ def jaccard_on_pairs_arrays(
     )
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 full band."""
+def banded_signatures(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Explode a signature row into its (band_idx, band_key) LSH bands."""
     bands = F.array(
         *[
             F.struct(
@@ -244,9 +246,16 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
             for j in range(NUM_BANDS)
         ]
     )
-    banded = signatures.select(
-        F.col(id_col), F.explode(bands).alias("b")
-    ).select(id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key"))
+    return signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col,
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band_key").alias("band_key"),
+    )
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing ≥1 full band."""
+    banded = banded_signatures(signatures, id_col)
     a = banded.select(
         F.col(id_col).alias("doc_a"), "band_idx", "band_key"
     )
@@ -256,6 +265,33 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     return (
         a.join(b, on=["band_idx", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_probe_candidates(
+    index_sigs: DataFrame, probe_sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """ASYMMETRIC LSH candidate generation: probe a NEW batch against
+    an EXISTING index — the incremental-dedup shape.
+
+    Emits (doc_a = index doc, doc_b = probe doc) pairs sharing ≥1 full
+    band. Unlike :func:`lsh_candidate_pairs`, no probe-vs-probe or
+    index-vs-index candidates are ever generated: at 100 TB the index
+    side's bands are precomputed once (persistable as a bucketed table,
+    see similarity/index.py for the ANN analogue) and each day's batch
+    only pays |batch| x band-collision work — never a re-dedup of the
+    whole corpus.
+    """
+    a = banded_signatures(index_sigs, id_col).select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key"
+    )
+    b = banded_signatures(probe_sigs, id_col).select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key"])
         .select("doc_a", "doc_b")
         .distinct()
     )

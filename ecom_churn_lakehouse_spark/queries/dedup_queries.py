@@ -638,3 +638,51 @@ def q_cross_source_neardup_matrix(spark, sf_dir):
             ).alias("avg_jaccard"),
         )
     )
+
+
+# ------------- incremental dedup: probe a NEW batch against the corpus
+
+_INC_DEDUP_SQL = f"""
+SELECT doc_a AS corpus_doc_id,
+       doc_b AS new_doc_id,
+       jaccard
+FROM ({_minhash_sql()})
+WHERE doc_a < 100000 AND doc_b >= 100000
+"""
+
+
+@register(
+    "incremental_dedup_new_docs",
+    _INC_DEDUP_SQL,
+    doc="Incremental dedup: today's batch (the derived exact/near "
+    "copies, ids >= 100000) is probed against the EXISTING corpus "
+    "(the originals) with an ASYMMETRIC LSH band join "
+    "(dedup/minhash.py::lsh_probe_candidates) — no batch-vs-batch or "
+    "corpus-vs-corpus candidates are ever generated, and exact-Jaccard "
+    "verification (>= 0.5) touches only the asymmetric candidates. "
+    "THE dedup shape at 100 TB: the corpus side's signatures/bands are "
+    "computed once and persistable (similarity/index.py is the ANN "
+    "analogue), so each increment pays |batch| x collision work, never "
+    "a full re-dedup. The oracle is the full symmetric pair set "
+    "filtered to corpus-x-batch pairs — identical by construction "
+    "(band collision is symmetric, verification exact).",
+)
+def q_incremental_dedup_new_docs(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.minhash import lsh_probe_candidates
+
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures_exploded(arr)
+    corpus_sigs = sigs.filter(F.col("doc_id") < 100000)
+    batch_sigs = sigs.filter(F.col("doc_id") >= 100000)
+    cand = lsh_probe_candidates(corpus_sigs, batch_sigs)
+    return (
+        jaccard_on_pairs_arrays(cand, arr)
+        .filter(F.col("jaccard") >= 0.5)
+        .select(
+            F.col("doc_a").alias("corpus_doc_id"),
+            F.col("doc_b").alias("new_doc_id"),
+            "jaccard",
+        )
+    )

@@ -117,3 +117,40 @@ def test_bucket_range(people):
         F.max(hash_bucket(F.col("key"), "t:")).alias("hi"),
     ).collect()[0]
     assert 0 <= mm["lo"] and mm["hi"] < HASH_MOD
+
+
+def test_negative_samples_properties(spark):
+    """Negative sampling invariants: no sampled item is a positive, at
+    most 5 per user, every user with orders is covered, and the draw is
+    deterministic (pure hash arithmetic — two runs, identical rows)."""
+    from ecom_churn_lakehouse_spark.queries.sampling_queries import (
+        q_user_item_negative_samples,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_user_item_negative_samples(spark, sf)
+    rows = out.collect()
+
+    import pyspark.sql.functions as F2
+
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    pos = {
+        (r["o_custkey"], r["l_partkey"])
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_partkey")
+        .distinct()
+        .collect()
+    }
+    assert rows, "sampler returned nothing"
+    per_user: dict[int, int] = {}
+    for r in rows:
+        assert (r["customer_id"], r["negative_partkey"]) not in pos
+        per_user[r["customer_id"]] = per_user.get(r["customer_id"], 0) + 1
+    assert max(per_user.values()) <= 5
+    n_users = orders.select("o_custkey").distinct().count()
+    # hash collisions can only REDUCE a user's negatives below 5, never
+    # erase a user entirely (12 draws, <=5 needed)
+    assert len(per_user) == n_users
+    again = sorted(map(tuple, q_user_item_negative_samples(spark, sf).collect()))
+    assert again == sorted(map(tuple, rows))

@@ -76,7 +76,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[2:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    only = set(args)
 
     import __spark_entry__ as entrymod
     from ecom_churn_lakehouse_spark.session import get_spark
@@ -91,6 +96,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,15 +107,18 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark side raised\n{traceback.format_exc()}")
             failures += 1
+            results[name] = {"status": "FAIL", "err": "spark side raised"}
             continue
         if name not in oracles:
             print(f"ok?   {name}: no oracle (rows-only) rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "spark_rows": len(spark_pdf)}
             continue
         try:
             duck_pdf = con.sql(oracles[name]).df()
         except Exception:
             print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
             failures += 1
+            results[name] = {"status": "FAIL", "err": "oracle SQL raised"}
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
@@ -117,9 +126,36 @@ def main() -> int:
             print(f"FAIL  {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            results[name] = {
+                "status": "FAIL",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(duck_pdf),
+                "problems": problems,
+            }
         else:
             print(f"OK    {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "OK",
+                "spark_rows": len(spark_pdf),
+                "oracle_rows": len(duck_pdf),
+            }
     print(f"\n{failures} failures")
+    if json_out:
+        import json
+
+        summary = {
+            "sf_dir": sf_dir,
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "OK"),
+            "n_rows_only": sum(
+                1 for r in results.values() if r["status"] == "rows_only"
+            ),
+            "n_fail": failures,
+            "results": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1)
+            fh.write("\n")
     return 1 if failures else 0
 
 
