@@ -80,6 +80,7 @@ def _load_all() -> None:
         similarity_queries,
         subquery_queries,
         text_queries,
+        tpch_tail_queries,
     )
 
     # Imported LAST: the SQL-front-door twins re-register existing
