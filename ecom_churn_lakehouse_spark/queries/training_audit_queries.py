@@ -1,0 +1,408 @@
+"""Training-set integrity audits and feature-encoding operators
+(SURVEY §7.7 widening — the checks a training-data pipeline runs
+between curation and the trainer):
+
+- split leakage:   duplicate documents straddling train/val/test
+- fold balance:    per-fold label rates for a grouped k-fold
+- target encoding: smoothed category->label-mean features
+- LM scoring:      corpus unigram language model -> per-doc likelihood
+- semantic dedup:  centroid-partitioned embedding near-dup pairs
+                   (the SemDeDup shape: cluster first, compare within)
+
+All five are oracle-verified; hash/split assignments use the portable
+md5 bucket idiom (operators/sampling.py) so an independent engine
+reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.operators.sampling import assign_split
+from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+    _CORPUS_SQL,
+    derived_corpus,
+    derived_vectors,
+)
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+
+def _hb_sql(salt: str, key: str) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % 10000"
+    )
+
+
+# ------------------------------------------------- split leakage audit
+
+_LEAKAGE_SQL = f"""
+WITH {_CORPUS_SQL},
+split_docs AS (
+    SELECT doc_id, md5(text) AS text_md5,
+           CASE WHEN {_hb_sql("split:", "doc_id")} < 8000 THEN 'train'
+                WHEN {_hb_sql("split:", "doc_id")} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+)
+SELECT text_md5,
+       MIN(doc_id) AS first_doc_id,
+       COUNT(*) AS n_copies,
+       COUNT(*) FILTER (split = 'train') AS n_train,
+       COUNT(*) FILTER (split = 'val') AS n_val,
+       COUNT(*) FILTER (split = 'test') AS n_test
+FROM split_docs
+GROUP BY text_md5
+HAVING COUNT(*) > 1 AND COUNT(DISTINCT split) > 1
+ORDER BY first_doc_id
+"""
+
+
+@register(
+    "split_leakage_audit",
+    _LEAKAGE_SQL,
+    doc="Duplicate-text groups that STRADDLE the train/val/test "
+    "boundary — eval contamination that survives doc-level dedup "
+    "done after splitting (the #1 silent-leak path in training "
+    "pipelines). One hash-group shuffle on md5(text): the text "
+    "column is hashed away in the scan projection, so the exchange "
+    "moves ~50 bytes/doc no matter how wide the corpus is; the split "
+    "label is a scan-local md5 bucket (operators/sampling.py). A "
+    "clean pipeline returns 0 rows; the planted-duplicate corpus "
+    "(dedup_queries.derived_corpus) returns every cross-split clone.",
+)
+def q_split_leakage_audit(spark, sf_dir):
+    docs = assign_split(
+        derived_corpus(spark, sf_dir),
+        "doc_id",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    ).select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5"), "split"
+    )
+    return (
+        docs.groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("first_doc_id"),
+            F.count("*").alias("n_copies"),
+            F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+            F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+            F.count_distinct("split").alias("__n_splits"),
+        )
+        .filter((F.col("n_copies") > 1) & (F.col("__n_splits") > 1))
+        .drop("__n_splits")
+        .orderBy("first_doc_id")
+    )
+
+
+# ------------------------------------------------- grouped k-fold balance
+
+_KFOLD_K = 5
+
+_KFOLD_SQL = f"""
+WITH labels AS (
+    SELECT c.c_custkey,
+           {_hb_sql("fold:", "c.c_custkey")} % {_KFOLD_K} AS fold,
+           CASE WHEN COUNT(o.o_orderkey) >= 2 THEN 1 ELSE 0 END AS is_repeat
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+)
+SELECT fold,
+       COUNT(*) AS n_customers,
+       CAST(SUM(is_repeat) AS BIGINT) AS n_repeat,
+       ROUND(CAST(SUM(is_repeat) AS DOUBLE) / COUNT(*), 6) AS repeat_rate
+FROM labels
+GROUP BY fold
+ORDER BY fold
+"""
+
+
+@register(
+    "group_kfold_balance",
+    _KFOLD_SQL,
+    doc="Grouped 5-fold cross-validation assignment (all of a "
+    "customer's data lands in ONE fold — the grouping that stops "
+    "same-entity leakage across folds) plus the per-fold label-balance "
+    "report that validates the assignment is usable. Fold id is a "
+    "scan-local hash bucket; the label aggregate is two "
+    "map-side-combinable shuffles (per-customer, then per-fold — the "
+    f"second moves {_KFOLD_K} rows per partition).",
+)
+def q_group_kfold_balance(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    labels = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.when(F.count("o_orderkey") >= 2, 1).otherwise(0).alias(
+                "is_repeat"
+            )
+        )
+        .withColumn(
+            "fold", hash_bucket(F.col("c_custkey"), "fold:") % _KFOLD_K
+        )
+    )
+    return (
+        labels.groupBy("fold")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("is_repeat").cast("long").alias("n_repeat"),
+            F.round(
+                F.sum("is_repeat").cast("double") / F.count("*"), 6
+            ).alias("repeat_rate"),
+        )
+        .orderBy("fold")
+    )
+
+
+# ------------------------------------------------- smoothed target encoding
+
+_TE_SMOOTHING = 200
+
+_TARGET_ENCODING_SQL = f"""
+WITH labeled AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+prior AS (SELECT CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p FROM labeled)
+SELECT brand,
+       COUNT(*) AS n_lines,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS raw_rate,
+       ROUND((CAST(SUM(y) AS DOUBLE) + {_TE_SMOOTHING} * (SELECT p FROM prior))
+             / (COUNT(*) + {_TE_SMOOTHING}), 6) AS encoded_rate
+FROM labeled
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@register(
+    "target_encoding_brand",
+    _TARGET_ENCODING_SQL,
+    doc="Smoothed target encoding: each part brand's return rate "
+    "shrunk toward the global prior with pseudo-count m="
+    f"{_TE_SMOOTHING} — the leakage-resistant categorical feature for "
+    "tree/linear models (rare brands collapse to the prior instead of "
+    "memorizing noise). One fact-scan aggregate (brand keyed, "
+    "map-side-combinable) + a 1-row broadcast prior; the part "
+    "dimension broadcasts into the scan. The encoding table this "
+    "emits is itself broadcast-joinable back onto any training scan.",
+)
+def q_target_encoding_brand(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    labeled = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    prior = labeled.agg(
+        (F.sum("y").cast("double") / F.count("*")).alias("p")
+    )
+    return (
+        labeled.groupBy("brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum("y").cast("double").alias("__sum_y"),
+        )
+        .join(F.broadcast(prior))
+        .select(
+            "brand",
+            "n_lines",
+            F.round(F.col("__sum_y") / F.col("n_lines"), 6).alias("raw_rate"),
+            F.round(
+                (F.col("__sum_y") + _TE_SMOOTHING * F.col("p"))
+                / (F.col("n_lines") + _TE_SMOOTHING),
+                6,
+            ).alias("encoded_rate"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ------------------------------------------------- unigram LM doc scoring
+
+_LM_ADD_K = 0.5
+
+_LM_SCORE_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+corpus_stats AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS v
+    FROM counts
+),
+scored AS (
+    SELECT t.doc_id,
+           ln((c.c + {_LM_ADD_K}) / (s.n + {_LM_ADD_K} * s.v)) AS lp
+    FROM toks t
+    JOIN counts c ON t.token = c.token
+    CROSS JOIN corpus_stats s
+)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(lp), 6) AS avg_logprob
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "unigram_lm_doc_scores",
+    _LM_SCORE_SQL,
+    doc="Per-document likelihood under an add-k-smoothed unigram "
+    "language model fit on the corpus itself — the cheap LM-based "
+    "quality filter (gibberish and boilerplate both score as "
+    "outliers; the heavy-tailed middle is 'normal' text). Two passes "
+    "over the token explode: vocabulary counts (one shuffle), then a "
+    "token->logprob join back (broadcast here — at 100 TB the "
+    "vocabulary still fits in MBs after a min-count floor, so the "
+    "probe side stays map-side) and a per-doc average.",
+)
+def q_unigram_lm_doc_scores(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count("*").cast("double").alias("v"),
+    )
+    lp = F.log(
+        (F.col("c") + _LM_ADD_K) / (F.col("n") + _LM_ADD_K * F.col("v"))
+    )
+    return (
+        toks.join(F.broadcast(counts), on="token")
+        .join(F.broadcast(stats))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- semantic dedup pairs
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_THRESHOLD = 0.9
+
+_SEMDEDUP_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_SEMDEDUP_SQL = f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+vcorpus AS (
+    SELECT vec_id, ev FROM base
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, ev FROM base WHERE vec_id % 10 = 0
+    UNION ALL
+    SELECT vec_id + 200000 AS vec_id,
+           [x[1] + x[2] * 0.15 for x in list_zip(ev, list_reverse(ev))] AS ev
+    FROM base WHERE vec_id % 7 = 0
+),
+centroids AS (
+    SELECT vec_id AS cid, ev AS cv FROM base WHERE vec_id < {_SEMDEDUP_K}
+),
+assigned AS (
+    SELECT vec_id, ev, cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY {_SEMDEDUP_COS.format(a="ev", b="cv")} DESC, cid
+           ) AS rn
+    FROM vcorpus, centroids
+),
+clustered AS (SELECT vec_id, ev, cid FROM assigned WHERE rn = 1)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cluster_id,
+       ROUND({_SEMDEDUP_COS.format(a="a.ev", b="b.ev")}, 6) AS cosine_sim
+FROM clustered a JOIN clustered b
+  ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE {_SEMDEDUP_COS.format(a="a.ev", b="b.ev")} >= {_SEMDEDUP_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "semantic_dedup_pairs",
+    _SEMDEDUP_SQL,
+    doc="SemDeDup-shaped embedding dedup: assign every vector to its "
+    "nearest of K seed centroids (broadcast, scan-side argmax via "
+    "max(struct)), then compare pairs ONLY within a cluster — the "
+    "centroid partition replaces LSH banding as the candidate "
+    "generator (contrast: embedding_neardup_pairs). The per-vector "
+    "argmax is one map-side-combinable aggregate; the pair join is "
+    "cluster-keyed, so work is sum of squared CLUSTER sizes, not "
+    "corpus size squared. At 100 TB, K grows with the corpus "
+    "(k-means-seeded, cf. kmeans_two_rounds) to hold cluster sizes "
+    f"bounded; here K={_SEMDEDUP_K} over the planted-duplicate corpus.",
+)
+def q_semantic_dedup_pairs(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    corpus = (
+        derived_vectors(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    centroids = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_K
+    ).select(
+        F.col("vec_id").alias("cid"),
+        to_double_array(F.col("embedding")).alias("cv"),
+    )
+    cos = cosine_similarity(F.col("embedding"), F.col("cv"))
+    # argmax centroid with min-cid tie-break: lexicographic max over
+    # (cos, -cid) — one aggregate, no window sort.
+    assigned = (
+        corpus.join(F.broadcast(centroids))
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.struct(cos.alias("c"), (-F.col("cid")).alias("ncid")))
+            .alias("m"),
+            F.first("embedding").alias("ev"),
+        )
+        .select("vec_id", (-F.col("m.ncid")).alias("cluster_id"), "ev")
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pair_cos = cosine_similarity(F.col("a.ev"), F.col("b.ev"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.cluster_id").alias("cluster_id"),
+            F.round(pair_cos, 6).alias("cosine_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

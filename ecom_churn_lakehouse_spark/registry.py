@@ -81,6 +81,7 @@ def _load_all() -> None:
         subquery_queries,
         text_queries,
         tpch_tail_queries,
+        training_audit_queries,
     )
 
     # Imported LAST: the SQL-front-door twins re-register existing
