@@ -96,6 +96,16 @@ HEADLINE = [
     "user_item_negative_samples",
     "last_purchase_ffill",
     "sql_pricing_summary",
+    # round-4b: TPC-H tail + training-set audits
+    "forecast_revenue_change",
+    "national_market_share",
+    "product_profit_by_nation",
+    "part_supplier_count",
+    "concentrated_suppliers",
+    "split_leakage_audit",
+    "target_encoding_brand",
+    "unigram_lm_doc_scores",
+    "semantic_dedup_pairs",
 ]
 
 

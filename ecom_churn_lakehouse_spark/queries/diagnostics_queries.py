@@ -1,0 +1,270 @@
+"""Pipeline-health diagnostics: distribution drift, key-skew
+profiling, and boilerplate detection (SURVEY §7.7 widening — the
+monitoring queries a production lakehouse runs BESIDE the workload):
+
+- PSI drift:    population stability index between two time windows
+- skew profile: per-key load statistics + the salt factor a skew-safe
+                rewrite would need (the diagnostic behind
+                skewsafe_user_enrichment)
+- boilerplate:  sentences repeated across distinct documents (the
+                CCNet-style paragraph-frequency filter)
+
+All oracle-verified with fixed, scale-stable constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_events, load_table
+
+
+# ------------------------------------------------- PSI distribution drift
+
+# Fixed literal bin edges (o_totalprice spans ~1e3..5e5 uniformly at
+# every SF): fixed edges make the bin a scan-local expression and the
+# report comparable across runs — data-driven quantile edges would
+# re-bin every period and hide real drift.
+_PSI_EDGES = [50_000 * i for i in range(1, 10)]  # 9 cuts -> 10 bins
+_PSI_A = ("1996-01-01", "1997-01-01")
+_PSI_B = ("1999-01-01", "2000-01-01")
+_PSI_EPS = 1e-6
+
+
+def _bin_case_sql(col: str) -> str:
+    clauses = " ".join(
+        f"WHEN {col} < {e} THEN {i}" for i, e in enumerate(_PSI_EDGES)
+    )
+    return f"CASE {clauses} ELSE {len(_PSI_EDGES)} END"
+
+
+_PSI_SQL = f"""
+WITH binned AS (
+    SELECT {_bin_case_sql("o_totalprice")} AS bin,
+           CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_PSI_A[0]}'
+                 AND CAST(o_orderdate AS DATE) < DATE '{_PSI_A[1]}'
+                THEN 1 ELSE 0 END AS in_a,
+           CASE WHEN CAST(o_orderdate AS DATE) >= DATE '{_PSI_B[0]}'
+                 AND CAST(o_orderdate AS DATE) < DATE '{_PSI_B[1]}'
+                THEN 1 ELSE 0 END AS in_b
+    FROM orders
+    WHERE (CAST(o_orderdate AS DATE) >= DATE '{_PSI_A[0]}'
+           AND CAST(o_orderdate AS DATE) < DATE '{_PSI_A[1]}')
+       OR (CAST(o_orderdate AS DATE) >= DATE '{_PSI_B[0]}'
+           AND CAST(o_orderdate AS DATE) < DATE '{_PSI_B[1]}')
+),
+tot AS (
+    SELECT CAST(SUM(in_a) AS DOUBLE) AS na,
+           CAST(SUM(in_b) AS DOUBLE) AS nb
+    FROM binned
+),
+shares AS (
+    SELECT bin,
+           CAST(SUM(in_a) AS DOUBLE) / (SELECT na FROM tot) AS sa_raw,
+           CAST(SUM(in_b) AS DOUBLE) / (SELECT nb FROM tot) AS sb_raw
+    FROM binned
+    GROUP BY bin
+)
+SELECT bin,
+       ROUND(sa_raw, 6) AS share_a,
+       ROUND(sb_raw, 6) AS share_b,
+       ROUND((sa_raw - sb_raw)
+             * ln((sa_raw + {_PSI_EPS}) / (sb_raw + {_PSI_EPS})),
+             6) AS psi_term
+FROM shares
+ORDER BY bin
+"""
+
+
+@register(
+    "order_value_psi_drift",
+    _PSI_SQL,
+    doc="Population stability index between two one-year windows of "
+    "the order-value distribution — the drift gate a feature pipeline "
+    "runs before retraining (PSI > 0.2 on any feature blocks the "
+    "snapshot; cf. dq/history.py drift ledger). Both windows bin in "
+    "ONE scan (conditional sums per fixed literal bin edge — no "
+    "second pass, no quantile sort); the per-window totals broadcast "
+    "back as 1-row frames. The per-bin psi_term rows sum to the "
+    "headline PSI while keeping the blame-assignable grain.",
+)
+def q_order_value_psi_drift(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    in_a = (
+        F.to_date("o_orderdate") >= F.lit(_PSI_A[0]).cast("date")
+    ) & (F.to_date("o_orderdate") < F.lit(_PSI_A[1]).cast("date"))
+    in_b = (
+        F.to_date("o_orderdate") >= F.lit(_PSI_B[0]).cast("date")
+    ) & (F.to_date("o_orderdate") < F.lit(_PSI_B[1]).cast("date"))
+    bin_expr = F.lit(len(_PSI_EDGES))
+    for i, e in reversed(list(enumerate(_PSI_EDGES))):
+        bin_expr = F.when(F.col("o_totalprice") < e, i).otherwise(bin_expr)
+    binned = orders.filter(in_a | in_b).select(
+        bin_expr.alias("bin"),
+        in_a.cast("int").alias("in_a"),
+        in_b.cast("int").alias("in_b"),
+    )
+    tot = binned.agg(
+        F.sum("in_a").cast("double").alias("na"),
+        F.sum("in_b").cast("double").alias("nb"),
+    )
+    shares = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("in_a").cast("double").alias("sa"),
+            F.sum("in_b").cast("double").alias("sb"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "bin",
+            (F.col("sa") / F.col("na")).alias("share_a"),
+            (F.col("sb") / F.col("nb")).alias("share_b"),
+        )
+    )
+    return shares.select(
+        "bin",
+        F.round("share_a", 6).alias("share_a"),
+        F.round("share_b", 6).alias("share_b"),
+        F.round(
+            (F.col("share_a") - F.col("share_b"))
+            * F.log(
+                (F.col("share_a") + _PSI_EPS) / (F.col("share_b") + _PSI_EPS)
+            ),
+            6,
+        ).alias("psi_term"),
+    ).orderBy("bin")
+
+
+# ------------------------------------------------- per-key skew profile
+
+_SKEW_SQL = """
+WITH per_key AS (
+    SELECT event_type, user_id, COUNT(*) AS c
+    FROM events
+    GROUP BY event_type, user_id
+)
+SELECT event_type,
+       COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(MAX(c) AS BIGINT) AS max_rows,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_rows,
+       ROUND(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c), 6)
+           AS skew_ratio,
+       CAST(CEIL(CAST(MAX(c) AS DOUBLE) * COUNT(*) / SUM(c))
+            AS BIGINT) AS suggested_salt
+FROM per_key
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "key_skew_profile",
+    _SKEW_SQL,
+    doc="Per-key load profile of the event log: how unevenly each "
+    "partition key (user_id, per event_type) distributes rows, with "
+    "the hottest key's multiple of the mean — exactly the number a "
+    "skew-safe rewrite needs as its salt factor (the diagnostic "
+    "behind skewsafe_user_enrichment's fixed salt and AQE's runtime "
+    "skew split). Two map-side-combinable aggregates; the second "
+    "input is one row per key, so at 100 TB the profile costs one "
+    "shuffle of (key, count) pairs — run it BEFORE the expensive "
+    "join, not after it stalls.",
+)
+def q_key_skew_profile(spark, sf_dir):
+    per_key = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("c"))
+    )
+    skew = F.col("max_rows").cast("double") * F.col("n_keys") / F.col(
+        "n_rows"
+    )
+    return (
+        per_key.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_rows"),
+        )
+        .select(
+            "event_type",
+            "n_keys",
+            "n_rows",
+            "max_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_keys"), 6
+            ).alias("mean_rows"),
+            F.round(skew, 6).alias("skew_ratio"),
+            F.ceil(skew).cast("long").alias("suggested_salt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ------------------------------------------------- boilerplate sentences
+
+_BOILERPLATE_MIN_DOCS = 2
+
+_BOILERPLATE_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz qq' AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+sent AS (
+    SELECT doc_id, unnest(string_split(text, '. ')) AS sentence
+    FROM corpus
+),
+freq AS (
+    SELECT md5(sentence) AS sentence_md5,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc_id
+    FROM sent
+    WHERE sentence <> ''
+    GROUP BY md5(sentence)
+    HAVING COUNT(DISTINCT doc_id) >= {_BOILERPLATE_MIN_DOCS}
+)
+SELECT sentence_md5, n_docs, first_doc_id
+FROM freq
+ORDER BY n_docs DESC, first_doc_id
+"""
+
+
+@register(
+    "boilerplate_paragraph_detection",
+    _BOILERPLATE_SQL,
+    doc="Sentences repeated across distinct documents — the "
+    "paragraph-frequency boilerplate filter (headers, footers, "
+    "cookie banners) a curation pipeline applies at SUB-document "
+    "grain where document-level dedup can't see the repetition. The "
+    "sentence explode keeps only md5(sentence) + doc_id into the "
+    "one distinct-count shuffle (the text never moves), so the "
+    "exchange is ~40 bytes per sentence occurrence at any corpus "
+    "size. Run over the planted-duplicate corpus "
+    "(dedup_queries.derived_corpus) so the fixture has repetition "
+    "to find.",
+)
+def q_boilerplate_paragraph_detection(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        derived_corpus,
+    )
+
+    sent = derived_corpus(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\. ")).alias("sentence"),
+    ).filter(F.col("sentence") != "")
+    return (
+        sent.select("doc_id", F.md5("sentence").alias("sentence_md5"))
+        .groupBy("sentence_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
+        .orderBy(F.col("n_docs").desc(), "first_doc_id")
+    )

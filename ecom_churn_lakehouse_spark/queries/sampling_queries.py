@@ -415,3 +415,90 @@ def q_user_item_negative_samples(spark, sf_dir):
             F.col("pick_order").cast("int").alias("pick_order"),
         )
     )
+
+
+# --------------- fixed-k weighted sample per group (stratified A-Res)
+
+_GWOR_K = 5
+_GWOR_MOD = 1_000_000
+
+_GROUP_WOR_SQL = f"""
+WITH pri AS (
+    SELECT o.o_orderkey, o.o_totalprice,
+           n.n_name AS nation,
+           ROUND(
+             -ln((1.0 + CAST(('0x' || substring(md5('gwor:' ||
+                  CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                  % {_GWOR_MOD}) / {_GWOR_MOD}.0)
+             / o.o_totalprice, 12) AS priority
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY nation ORDER BY priority, o_orderkey
+    ) AS rn
+    FROM pri
+)
+SELECT nation, o_orderkey, o_totalprice, priority
+FROM ranked WHERE rn <= {_GWOR_K}
+ORDER BY nation, priority, o_orderkey
+"""
+
+
+@register(
+    "per_nation_order_sample",
+    _GROUP_WOR_SQL,
+    doc="Fixed-size weighted sample WITHOUT replacement per group "
+    "(Efraimidis-Spirakis A-Res under a per-nation rank window): "
+    "exactly k=5 orders per nation, selection probability "
+    "proportional to order value WITHIN each stratum — the "
+    "every-stratum-represented form of weighted_order_sample_wor "
+    "(whose global top-k can starve small strata entirely). The "
+    "priority is the same scan-local replayable expression; the only "
+    "added cost is the per-group rank window, whose shuffle carries "
+    "4 columns — at 100 TB a two-phase refinement (per-partition "
+    "k-heap, then rank only survivors) bounds the sort, the same "
+    "TakeOrdered idea applied per key.",
+)
+def q_per_nation_order_sample(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("gwor:"), F.col("o_orderkey").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _GWOR_MOD
+    )
+    u = (1.0 + bucket) / float(_GWOR_MOD)
+    pri = F.round(-F.log(u) / F.col("o_totalprice"), 12)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("nation").orderBy("priority", "o_orderkey")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("nation", "o_orderkey", "o_totalprice", pri.alias("priority"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _GWOR_K)
+        .drop("__rn")
+        .orderBy("nation", "priority", "o_orderkey")
+    )

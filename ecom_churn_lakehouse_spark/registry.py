@@ -68,6 +68,7 @@ def _load_all() -> None:
         curation_queries,
         decision_queries,
         dedup_queries,
+        diagnostics_queries,
         event_queries,
         extended_queries,
         feature_queries,
