@@ -187,6 +187,71 @@ def q_stream_tumbling_daily(spark, sf_dir):
     return table.read()
 
 
+# ------------------------------- streaming replay dedup (exactly-once)
+
+
+@register(
+    "stream_dedup_replay_daily",
+    _STREAM_TUMBLING_SQL,
+    doc="Exactly-once ingest under an at-least-once source: the event "
+    "stream is fed a REPLAYED copy of 10% of its rows (re-delivered "
+    "files), dropDuplicatesWithinWatermark suppresses the replays by "
+    "event_id with state bounded to the watermark horizon, and the "
+    "downstream tumbling aggregate publishes through the keyed-MERGE "
+    "sink — the oracle is the plain batch aggregate over the ORIGINAL "
+    "events, so any replay that leaks through (or real row that is "
+    "wrongly suppressed) hash-fails. Composes §2.9's dedup + window + "
+    "foreachBatch MERGE in one pipeline "
+    "(streaming/events_stream.py::dedup_events_stream).",
+)
+def q_stream_dedup_replay_daily(spark, sf_dir):
+    import tempfile
+
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+    from ecom_churn_lakehouse_spark.sources.tables import load_events
+    from ecom_churn_lakehouse_spark.streaming import (
+        run_stream_to_managed_table,
+    )
+    from ecom_churn_lakehouse_spark.streaming.events_stream import (
+        dedup_events_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    ev = load_events(spark, sf_dir)
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    replayed.write.mode("overwrite").parquet(f"{base}/src")
+    stream = (
+        spark.readStream.schema(ev.schema).format("parquet").load(f"{base}/src")
+    )
+    # The whole fixture arrives in one AvailableNow pass, so the dedup
+    # watermark must span the full event-time range (a live pipeline
+    # would use the source's redelivery window, e.g. "1 hour").
+    deduped = dedup_events_stream(stream, watermark="3650 days")
+    # The dedup stage's watermark propagates; a second withWatermark on
+    # the same column is a redefinition error, so the tumbling
+    # aggregate is built directly (same shape as tumbling_counts_stream).
+    agg = (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    table = ManagedTable(
+        spark, f"{base}/agg", keys=["window_start", "event_type"]
+    )
+    run_stream_to_managed_table(agg, table, f"{base}/ckpt")
+    return table.read()
+
+
 # ----------------------------------------- skew-safe distinct count
 
 _SKEWSAFE_SQL = """
