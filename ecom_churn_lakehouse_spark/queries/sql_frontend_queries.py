@@ -48,6 +48,11 @@ _TWINS = [
     "peak_revenue_months",       # scalar-subquery max filter
     "high_value_share",          # CASE-share aggregation
     "significant_parts",         # Q11: scalar-subquery HAVING
+    "forecast_revenue_change",   # Q6: pure scan-local scalar agg
+    "national_market_share",     # Q8: market-share CASE ratio, 8 tables
+    "product_profit_by_nation",  # Q9: profit regroup by nation x year
+    "part_supplier_count",       # Q16: NOT IN + COUNT(DISTINCT)
+    "concentrated_suppliers",    # Q20: FILTER(WHERE) conditional agg
 ]
 
 

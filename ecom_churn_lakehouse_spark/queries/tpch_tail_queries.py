@@ -93,7 +93,8 @@ _Q8_START, _Q8_END = "1996-01-01", "1998-01-01"
 
 _MARKET_SHARE_SQL = f"""
 WITH vol AS (
-    SELECT EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+    SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT)
+               AS o_year,
            CAST(l.l_extendedprice * (1 - l.l_discount)
                 AS DECIMAL(18,6)) AS volume,
            sn.n_name AS supp_nation
@@ -201,7 +202,8 @@ _Q9_WORD = "red"
 
 _PRODUCT_PROFIT_SQL = f"""
 SELECT sn.n_name AS nation,
-       EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS o_year,
+       CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS BIGINT)
+           AS o_year,
        CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                      AS DECIMAL(18,6))) AS DOUBLE) AS profit
 FROM lineitem l
