@@ -693,3 +693,120 @@ def q_incremental_dedup_new_docs(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+# --------------------------------------- MinHash estimator accuracy
+
+
+def _minhash_error_sql() -> str:
+    """Oracle for minhash_estimate_error: LSH candidates with BOTH the
+    signature-estimated and exact Jaccard (no threshold filter, LEFT
+    JOIN keeps zero-overlap false positives)."""
+    h = (
+        "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % "
+        + str(MINHASH_P)
+    )
+    mins = ",\n           ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P}) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {j} AS band_idx, ".format(j=j)
+        + " || ',' || ".join(
+            f"mh{j * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_key FROM sigs"
+        for j in range(NUM_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+        for i in range(NUM_HASHES)
+    )
+    return (
+        f"WITH {_CORPUS_SQL}, {_SHINGLES_SQL},\n"
+        f"hashed AS (SELECT doc_id, {h} AS h FROM shingled),\n"
+        f"sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),\n"
+        f"banded AS (\n    {band_selects}\n),\n"
+        "cand AS (\n"
+        "    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+        "    FROM banded a JOIN banded b\n"
+        "      ON a.band_idx = b.band_idx AND a.band_key = b.band_key\n"
+        "         AND a.doc_id < b.doc_id\n"
+        "),\n"
+        "sh_a AS (SELECT c.doc_a, c.doc_b, s.shingle FROM cand c"
+        " JOIN shingled s ON c.doc_a = s.doc_id),\n"
+        "common AS (\n"
+        "    SELECT x.doc_a, x.doc_b, COUNT(*) AS n_common\n"
+        "    FROM sh_a x JOIN shingled s2\n"
+        "      ON x.doc_b = s2.doc_id AND x.shingle = s2.shingle\n"
+        "    GROUP BY 1, 2\n"
+        "),\n"
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id),\n"
+        "exact AS (\n"
+        "    SELECT c.doc_a, c.doc_b,\n"
+        "           ROUND(CAST(COALESCE(m.n_common, 0) AS DOUBLE)\n"
+        "                 / (sa.n_sh + sb.n_sh - COALESCE(m.n_common, 0)), 6)\n"
+        "               AS exact_jaccard\n"
+        "    FROM cand c\n"
+        "    LEFT JOIN common m ON c.doc_a = m.doc_a AND c.doc_b = m.doc_b\n"
+        "    JOIN sizes sa ON c.doc_a = sa.doc_id\n"
+        "    JOIN sizes sb ON c.doc_b = sb.doc_id\n"
+        ")\n"
+        "SELECT e.doc_a, e.doc_b,\n"
+        f"       ROUND(({matches}) / {NUM_HASHES}.0, 6) AS est_jaccard,\n"
+        "       e.exact_jaccard,\n"
+        f"       ROUND(ABS(ROUND(({matches}) / {NUM_HASHES}.0, 6)"
+        " - e.exact_jaccard), 6) AS abs_err\n"
+        "FROM exact e\n"
+        "JOIN sigs sa ON e.doc_a = sa.doc_id\n"
+        "JOIN sigs sb ON e.doc_b = sb.doc_id"
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    _minhash_error_sql(),
+    doc="Sketch-accuracy eval for the MinHash dedup surface: on every "
+    "LSH candidate pair, the signature-ESTIMATED Jaccard (matching "
+    "minhash components / K) next to the exact shingle-set Jaccard "
+    "and their absolute error — the measurement that justifies (or "
+    "indicts) K=16 before trusting the estimate at 100 TB, the "
+    "Jaccard twin of ann_recall_eval. Zero-overlap false positives "
+    "are KEPT (left join): they are precisely the pairs where the "
+    "estimator is most wrong. Signatures are computed once and "
+    "joined twice by pair id; the exact side touches candidates "
+    "only (array_intersect, row-local).",
+)
+def q_minhash_estimate_error(spark, sf_dir):
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures_exploded(arr)
+    cand = lsh_candidate_pairs(sigs)
+    exact = jaccard_on_pairs_arrays(cand, arr).withColumnRenamed(
+        "jaccard", "exact_jaccard"
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(NUM_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(NUM_HASHES)],
+    )
+    matches = None
+    for i in range(NUM_HASHES):
+        term = (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+        matches = term if matches is None else matches + term
+    est = F.round(matches / float(NUM_HASHES), 6)
+    return (
+        exact.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            "exact_jaccard",
+            F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"),
+        )
+    )
