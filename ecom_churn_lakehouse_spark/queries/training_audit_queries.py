@@ -306,6 +306,8 @@ def q_unigram_lm_doc_scores(spark, sf_dir):
 
 _SEMDEDUP_K = 8
 _SEMDEDUP_THRESHOLD = 0.9
+_SEMDEDUP_PLANES = 16
+_SEMDEDUP_ROWS_PER_BAND = 8
 
 _SEMDEDUP_COS = (
     "list_dot_product({a}, {b}) / "
@@ -334,12 +336,33 @@ assigned AS (
            ) AS rn
     FROM vcorpus, centroids
 ),
-clustered AS (SELECT vec_id, ev, cid FROM assigned WHERE rn = 1)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cid AS cluster_id,
-       ROUND({_SEMDEDUP_COS.format(a="a.ev", b="b.ev")}, 6) AS cosine_sim
-FROM clustered a JOIN clustered b
-  ON a.cid = b.cid AND a.vec_id < b.vec_id
-WHERE {_SEMDEDUP_COS.format(a="a.ev", b="b.ev")} >= {_SEMDEDUP_THRESHOLD}
+clustered AS (SELECT vec_id, ev, cid FROM assigned WHERE rn = 1),
+planes AS (
+    SELECT vec_id AS plane_id, ev AS hv FROM base
+    WHERE vec_id < {_SEMDEDUP_PLANES}
+),
+banded AS (
+    SELECT v.vec_id, p.plane_id // {_SEMDEDUP_ROWS_PER_BAND} AS band,
+           CAST(SUM(CASE WHEN list_dot_product(v.ev, p.hv) >= 0
+                         THEN 1 << (p.plane_id % {_SEMDEDUP_ROWS_PER_BAND})
+                         ELSE 0 END) AS BIGINT) AS bucket
+    FROM clustered v, planes p
+    GROUP BY v.vec_id, p.plane_id // {_SEMDEDUP_ROWS_PER_BAND}
+),
+cand AS (
+    SELECT DISTINCT ca.vec_id AS vec_a, cb.vec_id AS vec_b, ca.cid
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+                  AND a.vec_id < b.vec_id
+    JOIN clustered ca ON a.vec_id = ca.vec_id
+    JOIN clustered cb ON b.vec_id = cb.vec_id AND ca.cid = cb.cid
+)
+SELECT c.vec_a, c.vec_b, c.cid AS cluster_id,
+       ROUND({_SEMDEDUP_COS.format(a="va.ev", b="vb.ev")}, 6) AS cosine_sim
+FROM cand c
+JOIN clustered va ON c.vec_a = va.vec_id
+JOIN clustered vb ON c.vec_b = vb.vec_id
+WHERE {_SEMDEDUP_COS.format(a="va.ev", b="vb.ev")} >= {_SEMDEDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
 
@@ -348,21 +371,26 @@ ORDER BY vec_a, vec_b
     "semantic_dedup_pairs",
     _SEMDEDUP_SQL,
     doc="SemDeDup-shaped embedding dedup: assign every vector to its "
-    "nearest of K seed centroids (broadcast, scan-side argmax via "
-    "max(struct)), then compare pairs ONLY within a cluster — the "
-    "centroid partition replaces LSH banding as the candidate "
-    "generator (contrast: embedding_neardup_pairs). The per-vector "
-    "argmax is one map-side-combinable aggregate; the pair join is "
-    "cluster-keyed, so work is sum of squared CLUSTER sizes, not "
-    "corpus size squared. At 100 TB, K grows with the corpus "
-    "(k-means-seeded, cf. kmeans_two_rounds) to hold cluster sizes "
-    f"bounded; here K={_SEMDEDUP_K} over the planted-duplicate corpus.",
+    "nearest of K seed centroids (broadcast, one map-side-combinable "
+    "argmax aggregate), then generate candidates by banded sign-LSH "
+    "WITHIN a cluster — a pair qualifies only when it shares a "
+    "cluster AND an LSH band bucket, so candidate work is bounded by "
+    "bucket width, never sum-of-squared-cluster-sizes (the naive "
+    "within-cluster all-pairs is Theta(sum c_i^2): quadratic while K "
+    "is fixed — measured unrunnable at the 10x probe). Exact cosine "
+    "touches candidates only. Contrast embedding_neardup_pairs: same "
+    "LSH machinery, no cluster partition — the cluster key adds the "
+    "centroid locality SemDeDup prunes by, and at 100 TB, K grows "
+    "with the corpus (k-means-seeded, cf. kmeans_two_rounds) so "
+    f"clusters stay bounded; here K={_SEMDEDUP_K} over the "
+    "planted-duplicate corpus.",
 )
 def q_semantic_dedup_pairs(spark, sf_dir):
     from ecom_churn_lakehouse_spark.functions.vectors import (
         cosine_similarity,
         to_double_array,
     )
+    from ecom_churn_lakehouse_spark.similarity.ann import banded_sign_buckets
 
     corpus = (
         derived_vectors(spark, sf_dir)
@@ -387,21 +415,42 @@ def q_semantic_dedup_pairs(spark, sf_dir):
             F.first("embedding").alias("ev"),
         )
         .select("vec_id", (-F.col("m.ncid")).alias("cluster_id"), "ev")
+        .localCheckpoint(eager=False)
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    pair_cos = cosine_similarity(F.col("a.ev"), F.col("b.ev"))
-    return (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    planes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SEMDEDUP_PLANES
+    ).select(F.col("vec_id").alias("plane_id"), "embedding")
+    banded = banded_sign_buckets(
+        assigned.select("vec_id", F.col("ev").alias("embedding")),
+        planes,
+        _SEMDEDUP_ROWS_PER_BAND,
+    )
+    meta = assigned.select("vec_id", "cluster_id", "ev")
+    a = banded.alias("ba").join(meta.alias("ma"), on="vec_id").select(
+        F.col("vec_id").alias("vec_a"), "band", "bucket",
+        F.col("cluster_id").alias("__ca"), F.col("ev").alias("__va"),
+    )
+    b = banded.alias("bb").join(meta.alias("mb"), on="vec_id").select(
+        F.col("vec_id").alias("vec_b"), "band", "bucket",
+        F.col("cluster_id").alias("__cb"), F.col("ev").alias("__vb"),
+    )
+    pair_cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & (F.col("__ca") == F.col("__cb"))
         )
-        .filter(pair_cos >= _SEMDEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.col("__ca").alias("cluster_id"),
+                "__va", "__vb")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.filter(pair_cos >= _SEMDEDUP_THRESHOLD)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.col("a.cluster_id").alias("cluster_id"),
+            "vec_a",
+            "vec_b",
+            "cluster_id",
             F.round(pair_cos, 6).alias("cosine_sim"),
         )
         .orderBy("vec_a", "vec_b")
