@@ -134,3 +134,54 @@ def q_copurchase_pagerank(spark, sf_dir):
     return pr.select(
         F.col("node").alias("part_id"), F.col("v").alias("pagerank_fp")
     )
+
+
+# ------------------------------ bounded BFS via recursive CTE (SQL front)
+
+_REACH_MAX_HOPS = 3
+
+_REACHABILITY_SQL = f"""
+WITH RECURSIVE op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_COOCCUR}
+),
+seed AS (SELECT MIN(src) AS s FROM pairs),
+walk(part, hop) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT p.dst, w.hop + 1
+    FROM walk w JOIN pairs p ON p.src = w.part
+    WHERE w.hop < {_REACH_MAX_HOPS}
+)
+SELECT part AS partkey, CAST(MIN(hop) AS BIGINT) AS min_hops
+FROM walk
+GROUP BY part
+ORDER BY min_hops, partkey
+"""
+
+
+@register(
+    "copurchase_reachability",
+    _REACHABILITY_SQL,
+    doc="Bounded BFS over the thresholded co-purchase graph as a "
+    "RECURSIVE CTE — the SAME SQL text runs through spark.sql "
+    "(Spark 4 WITH RECURSIVE, UNION ALL + hop guard since distinct "
+    "recursion isn't supported yet) and the DuckDB oracle: min hop "
+    "count to every part within 3 hops of the seed. Complements the "
+    "DataFrame-loop iteration pattern (copurchase_pagerank, "
+    "connected_components) with the declarative recursion the SQL "
+    "front door must also parse. Scale posture: depth-bounded path "
+    "enumeration on an edge-thresholded graph; unbounded reachability "
+    "at 100 TB belongs to the checkpointed-loop operator "
+    "(operators/connected_components.py), not recursion-by-paths.",
+)
+def q_copurchase_reachability(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _REACHABILITY_SQL)
