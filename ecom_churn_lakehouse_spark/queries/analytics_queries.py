@@ -915,3 +915,145 @@ def q_customer_value_deciles_scalable(spark, sf_dir):
         "total_spend",
         decile.cast("int").alias("spend_decile"),
     )
+
+
+# ------------------------- time series: linear interpolation of gaps
+
+_INTERP_SQL = """
+WITH bounds AS (
+    SELECT date_trunc('hour', MIN(ts)) AS tmin, date_trunc('hour', MAX(ts)) AS tmax
+    FROM events
+),
+spine AS (
+    SELECT unnest(generate_series(tmin, tmax, INTERVAL 1 HOUR)) AS hour
+    FROM bounds
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT t.event_type, s.hour FROM types t CROSS JOIN spine s),
+vals AS (
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS v
+    FROM events GROUP BY 1, 2
+),
+g AS (
+    SELECT gr.event_type, gr.hour, va.v
+    FROM grid gr LEFT JOIN vals va
+      ON gr.event_type = va.event_type AND gr.hour = va.hour
+),
+w AS (
+    SELECT event_type, hour, v,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS pv,
+           LAST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ph,
+           FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS nv,
+           FIRST_VALUE(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS)
+               OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS nh
+    FROM g
+)
+SELECT event_type, hour,
+       CAST(v IS NOT NULL AS BOOLEAN) AS is_observed,
+       ROUND(CASE
+           WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv)
+                * ((epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph)))
+       END, 6) AS value_interp
+FROM w
+ORDER BY event_type, hour
+"""
+
+
+@register(
+    "hourly_value_interpolated",
+    _INTERP_SQL,
+    doc="Linear interpolation of missing hourly values per series — "
+    "the resample step a feature pipeline runs before lag/rolling "
+    "features on irregular telemetry (forward-fill twin: "
+    "last_purchase_ffill; zero-fill twin: hourly_events_gapfilled). "
+    "On the dense spine, each gap hour takes "
+    "prev + (next-prev)*dt_ratio from the nearest observed hours via "
+    "two-sided IGNORE NULLS frame windows; series edges fall back to "
+    "nearest-value. One window sort per direction, partitioned by "
+    "series key — at 100 TB each series' frame is independent, and "
+    "the spine join stays broadcast (types x hours is metadata-sized "
+    "next to the event volume).",
+)
+def q_hourly_value_interpolated(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("tmin"),
+        F.date_trunc("hour", F.max("ts")).alias("tmax"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("tmin", "tmax", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    # Decimal-accumulate average: order-independent, so Spark's partial
+    # aggregation and DuckDB's sequential sum agree bit-for-bit.
+    vals = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("v")
+    )
+    g = grid.join(F.broadcast(vals), on=["event_type", "hour"], how="left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("v").isNotNull(), F.col("hour"))
+    w = g.select(
+        "event_type",
+        "hour",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    dt = F.unix_timestamp("hour") - F.unix_timestamp("ph")
+    span = F.unix_timestamp("nh") - F.unix_timestamp("ph")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (dt.cast("double") / span.cast("double"))
+        )
+    )
+    return w.select(
+        "event_type",
+        "hour",
+        F.col("v").isNotNull().alias("is_observed"),
+        F.round(interp, 6).alias("value_interp"),
+    ).orderBy("event_type", "hour")
