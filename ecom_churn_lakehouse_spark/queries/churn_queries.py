@@ -404,3 +404,175 @@ def q_model_eval_metrics(spark, sf_dir):
         F.round(F.col("ap_sum") / n1, 6).alias("pr_auc"),
         F.round(F.col("brier"), 6).alias("brier_score"),
     )
+
+
+# ----------------------- score calibration (reliability bins)
+
+_CALIBRATION_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+scored AS (
+    SELECT f.customer_id, l.churn_label AS y,
+           {_SCORE_SQL} AS p
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+)
+SELECT LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9) AS bin,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_score,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
+       ROUND(ABS(CAST(SUM(CAST(p AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 6) AS calibration_gap
+FROM scored
+GROUP BY LEAST(CAST(FLOOR(p * 10) AS BIGINT), 9)
+ORDER BY bin
+"""
+
+
+@register(
+    "score_calibration_bins",
+    _CALIBRATION_SQL,
+    doc="Reliability diagram for the churn scorer: decile score bins "
+    "with mean predicted probability vs observed churn rate and the "
+    "per-bin calibration gap — the companion readout to "
+    "model_eval_metrics (AUC ranks, calibration tells you whether "
+    "the probabilities themselves are usable for thresholding). One "
+    "map-side-combinable aggregate over the scored population; the "
+    "mean score accumulates per-row DECIMAL so the bin means are "
+    "order-free, and the score itself is the same FMA-immune "
+    "rational squash as the eval entry.",
+)
+def q_score_calibration_bins(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "recency_days", "lifetime_orders"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    z = (
+        _W_RECENCY * F.col("recency_days")
+        + _W_ORDERS * F.col("lifetime_orders")
+        + F.lit(_B)
+    )
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = feats.join(labels, on="customer_id").select(
+        F.col("churn_label").alias("y"), p.alias("p")
+    )
+    bin_col = F.least(F.floor(F.col("p") * 10).cast("long"), F.lit(9))
+    mean_score = (
+        F.sum(F.col("p").cast("decimal(28,12)")).cast("double")
+        / F.count("*")
+    )
+    observed = F.sum("y").cast("double") / F.count("*")
+    return (
+        scored.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(mean_score, 6).alias("mean_score"),
+            F.round(observed, 6).alias("observed_rate"),
+            F.round(F.abs(mean_score - observed), 6).alias(
+                "calibration_gap"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# ----------------------- churn hazard table (survival analysis)
+
+_HAZARD_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+pop AS (
+    SELECT f.customer_id, l.churn_label AS d,
+           CASE WHEN l.churn_label = 1
+                THEN f.customer_tenure_days - f.recency_days
+                ELSE f.customer_tenure_days END AS t
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+),
+tot AS (SELECT COUNT(*) AS n FROM pop),
+byt AS (
+    SELECT t, CAST(SUM(d) AS BIGINT) AS n_churned,
+           CAST(COUNT(*) - SUM(d) AS BIGINT) AS n_censored
+    FROM pop GROUP BY t
+),
+cum AS (
+    SELECT t, n_churned, n_censored,
+           (SELECT n FROM tot)
+           - COALESCE(SUM(n_churned + n_censored) OVER (
+                 ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS n_at_risk
+    FROM byt
+)
+SELECT t AS lifetime_days, n_at_risk, n_churned, n_censored,
+       ROUND(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
+FROM cum
+ORDER BY lifetime_days
+"""
+
+
+@register(
+    "churn_hazard_table",
+    _HAZARD_SQL,
+    doc="Actuarial life table for customer churn: per lifetime-day "
+    "risk sets with churn events, right-censoring (customers still "
+    "active at the snapshot censor at their tenure), and the "
+    "discrete hazard d/n — the survival-analysis view of the same "
+    "labels the classifier trains on (Kaplan-Meier's S(t) is the "
+    "running product of (1-hazard); the product stays OUT of the "
+    "oracle surface because exp/ln chains differ in the last ulp "
+    "across libm implementations — every emitted column here is "
+    "exact integer arithmetic plus one rounded division). Shape: "
+    "one per-customer aggregate, one per-day aggregate, one "
+    "cumulative window over the tiny day-grain frame.",
+)
+def q_churn_hazard_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "recency_days", "customer_tenure_days"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    pop = feats.join(labels, on="customer_id").select(
+        F.col("churn_label").alias("d"),
+        F.when(
+            F.col("churn_label") == 1,
+            F.col("customer_tenure_days") - F.col("recency_days"),
+        )
+        .otherwise(F.col("customer_tenure_days"))
+        .alias("t"),
+    )
+    tot = pop.agg(F.count("*").alias("n"))
+    byt = pop.groupBy("t").agg(
+        F.sum("d").cast("long").alias("n_churned"),
+        (F.count("*") - F.sum("d")).cast("long").alias("n_censored"),
+    )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        byt.join(F.broadcast(tot))
+        .select(
+            F.col("t").alias("lifetime_days"),
+            (
+                F.col("n")
+                - F.coalesce(
+                    F.sum(F.col("n_churned") + F.col("n_censored")).over(
+                        w_prev
+                    ),
+                    F.lit(0),
+                )
+            ).alias("n_at_risk"),
+            "n_churned",
+            "n_censored",
+        )
+        .select(
+            "lifetime_days",
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.round(
+                F.col("n_churned").cast("double") / F.col("n_at_risk"), 6
+            ).alias("hazard"),
+        )
+        .orderBy("lifetime_days")
+    )
