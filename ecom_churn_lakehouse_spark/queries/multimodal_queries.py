@@ -284,3 +284,60 @@ def q_video_frame_stats(spark, sf_dir):
         "doc_id", "frame_idx", "n_frames", "width", "height",
         "mean_y", "mean_u", "mean_v",
     )
+
+
+# --------------------------------------------------- video scene cuts
+
+_CUT_THRESHOLD = 0.333333
+
+
+def _luma_sad_sql(block_a: int, block_b: int) -> str:
+    """DuckDB: mean |delta| of the 32 Y bytes between two sha blocks."""
+    byte = (
+        "CAST(('0x' || substr(sha256(d.text || 'y4m{b}'), i * 2 - 1, 2)) "
+        "AS INTEGER)"
+    )
+    return (
+        "(SELECT SUM(ABS("
+        + byte.format(b=block_b)
+        + " - "
+        + byte.format(b=block_a)
+        + f")) FROM unnest(range(1, 33)) AS t(i)) / {_V_W * _V_H * 255}.0"
+    )
+
+
+_SCENE_CUT_SQL = f"""
+SELECT d.doc_id,
+       CAST(f.frame_idx AS INTEGER) AS frame_idx,
+       ROUND(CASE f.frame_idx
+           {" ".join(f"WHEN {k} THEN {_luma_sad_sql((k - 1) * 3, k * 3)}" for k in range(1, _V_FRAMES))}
+       END, 6) AS delta_y,
+       ROUND(CASE f.frame_idx
+           {" ".join(f"WHEN {k} THEN {_luma_sad_sql((k - 1) * 3, k * 3)}" for k in range(1, _V_FRAMES))}
+       END, 6) >= {_CUT_THRESHOLD} AS is_cut,
+       TRUE AS decode_ok
+FROM documents d,
+     (SELECT unnest(range(1, {_V_FRAMES})) AS frame_idx) f
+"""
+
+
+@register(
+    "video_scene_cuts",
+    _SCENE_CUT_SQL,
+    doc="REAL video temporal analysis, oracle-verified: scene-cut "
+    "detection over the Y4M streams — mean absolute luma delta "
+    "between consecutive decoded frames (integer byte sums, one "
+    "rounded division), thresholded into shot boundaries. The shot "
+    "structure gates keyframe selection in a video training "
+    "pipeline; spatial twin: video_frame_stats. The DuckDB oracle "
+    "re-derives both frames' Y planes from sha256 hex and recomputes "
+    "the same SAD, so a wrong frame pairing, plane offset, or "
+    "normalization hash-fails (multimodal/decode.py::"
+    "video_scene_cuts, codecs.py::decode_y4m).",
+)
+def q_video_scene_cuts(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import video_scene_cuts
+
+    return video_scene_cuts(
+        _y4m_payloads(spark, sf_dir), threshold=_CUT_THRESHOLD
+    ).select("doc_id", "frame_idx", "delta_y", "is_cut", "decode_ok")
