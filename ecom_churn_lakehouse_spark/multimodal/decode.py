@@ -524,3 +524,80 @@ def video_scene_cuts(
     return df.select(id_col, payload_col).mapInPandas(
         _cut_batches, schema=SCENE_CUT_SCHEMA
     )
+
+
+AUDIO_WINDOW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("window_idx", T.IntegerType(), True),
+        T.StructField("window_rms", T.DoubleType(), True),
+        T.StructField("is_active", T.BooleanType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_activity_windows(
+    df: DataFrame,
+    window_frames: int = 8,
+    threshold: float = 0.577,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched voice-activity framing over REAL PCM WAV payloads:
+    the sample stream is cut into fixed windows, each scored by RMS
+    energy and thresholded active/silent — the VAD step an audio
+    curation pipeline runs before transcription (silent stretches are
+    dropped, active ones chunked). Window sums stay exact in float64
+    (power-of-two window of int16 squares) and sqrt is IEEE
+    correctly-rounded, so the scores hash cross-engine. Temporal twin
+    of :func:`decode_audio`'s whole-clip stats. Corrupt payloads yield
+    a single decode_ok=false row."""
+
+    def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecom_churn_lakehouse_spark.multimodal.codecs import decode_wav
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    samples, _rate = decode_wav(bytes(payload))
+                    s = samples.reshape(-1).astype("float64")
+                    n_win = len(s) // window_frames
+                    for w in range(n_win):
+                        chunk = s[w * window_frames : (w + 1) * window_frames]
+                        rms = round(
+                            float((chunk * chunk).mean()) ** 0.5 / 32768.0, 6
+                        )
+                        rows.append(
+                            {
+                                "doc_id": int(doc_id),
+                                "window_idx": w,
+                                "window_rms": rms,
+                                "is_active": rms >= threshold,
+                                "decode_ok": True,
+                            }
+                        )
+                except (ValueError, IndexError):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "window_idx": None,
+                            "window_rms": None,
+                            "is_active": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "window_idx", "window_rms", "is_active",
+                    "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _vad_batches, schema=AUDIO_WINDOW_SCHEMA
+    )
