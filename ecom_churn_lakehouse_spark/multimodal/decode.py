@@ -601,3 +601,83 @@ def audio_activity_windows(
     return df.select(id_col, payload_col).mapInPandas(
         _vad_batches, schema=AUDIO_WINDOW_SCHEMA
     )
+
+
+PATCH_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("patch_idx", T.IntegerType(), True),
+        T.StructField("patch_mean", T.DoubleType(), True),
+        T.StructField("patch_std", T.DoubleType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def image_patch_stats(
+    df: DataFrame,
+    patch: int = 4,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched ViT-style patchify over REAL image payloads: the
+    decoded raster splits into a grid of ``patch``x``patch`` tiles,
+    each scored by mean and std over all channel bytes — the patch
+    grid a vision-transformer preprocessor tokenizes (per-patch stats
+    are the cheapest patch signature for dedup/quality screens).
+    Stats follow AVG(b*b) - AVG(b)^2 with one division per AVG so the
+    oracle reproduces every float op; sqrt is IEEE correctly-rounded.
+    Corrupt payloads yield a single decode_ok=false row."""
+
+    def _patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ecom_churn_lakehouse_spark.multimodal.codecs import decode_image
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(
+                pdf[id_col].astype("int64"), pdf[payload_col]
+            ):
+                try:
+                    arr = decode_image(bytes(payload)).astype("int64")
+                    h, w = arr.shape[0], arr.shape[1]
+                    grid_w = w // patch
+                    for py in range(h // patch):
+                        for px in range(grid_w):
+                            tile = arr[
+                                py * patch : (py + 1) * patch,
+                                px * patch : (px + 1) * patch,
+                            ]
+                            n = tile.size
+                            mean_b = int(tile.sum()) / n
+                            mean_sq = int((tile * tile).sum()) / n
+                            std = (mean_sq - mean_b * mean_b) ** 0.5
+                            rows.append(
+                                {
+                                    "doc_id": int(doc_id),
+                                    "patch_idx": py * grid_w + px,
+                                    "patch_mean": round(mean_b / 255.0, 6),
+                                    "patch_std": round(std / 255.0, 6),
+                                    "decode_ok": True,
+                                }
+                            )
+                except (ValueError, IndexError):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "patch_idx": None,
+                            "patch_mean": None,
+                            "patch_std": None,
+                            "decode_ok": False,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "patch_idx", "patch_mean", "patch_std",
+                    "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _patch_batches, schema=PATCH_STATS_SCHEMA
+    )

@@ -404,3 +404,54 @@ def q_audio_activity_windows(spark, sf_dir):
         window_frames=_VAD_WINDOW,
         threshold=_VAD_THRESHOLD,
     ).select("doc_id", "window_idx", "window_rms", "is_active", "decode_ok")
+
+
+# ------------------------------------------------ image patch stats
+
+_PATCH = 4
+
+
+_PATCH_SQL = f"""
+WITH payload AS (
+    SELECT doc_id,
+           {" || ".join(f"sha256(text || '{i}')" for i in range(_N_BLOCKS))}
+               AS hexr
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           ((i // 3) // {_W}) // {_PATCH} * {_W // _PATCH}
+           + ((i // 3) % {_W}) // {_PATCH} AS patch_idx,
+           CAST(('0x' || substr(hexr, i * 2 + 1, 2)) AS INTEGER) AS b
+    FROM payload, unnest(range(0, {_W * _H * 3})) AS t(i)
+)
+SELECT doc_id,
+       CAST(patch_idx AS INTEGER) AS patch_idx,
+       ROUND(AVG(b) / 255.0, 6) AS patch_mean,
+       ROUND(sqrt(AVG(b * b) - AVG(b) * AVG(b)) / 255.0, 6) AS patch_std,
+       TRUE AS decode_ok
+FROM bytes
+GROUP BY doc_id, patch_idx
+"""
+
+
+@register(
+    "image_patch_stats",
+    _PATCH_SQL,
+    doc="REAL image patchify, oracle-verified: the decoded raster "
+    "splits into the 4x4-pixel patch grid a vision transformer "
+    "tokenizes, each patch scored by mean/std over its channel bytes "
+    "— the cheapest per-patch signature for dedup and quality "
+    "screens before embedding. The oracle re-derives every byte's "
+    "patch assignment from sha256 hex with pure index arithmetic "
+    "(row-major pixel -> (y//4, x//4) tile), so a wrong stride or "
+    "tile mapping hash-fails. Stats are AVG-based with one division "
+    "per aggregate and an IEEE sqrt, bit-stable cross-engine "
+    "(multimodal/decode.py::image_patch_stats).",
+)
+def q_image_patch_stats(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import image_patch_stats
+
+    return image_patch_stats(_payloads(spark, sf_dir), patch=_PATCH).select(
+        "doc_id", "patch_idx", "patch_mean", "patch_std", "decode_ok"
+    )
