@@ -380,3 +380,43 @@ def test_codec_roundtrips_property_based():
     image_roundtrip()
     wav_roundtrip()
     y4m_roundtrip()
+
+
+def test_temporal_ops_flag_corrupt_payloads(spark):
+    """video_scene_cuts / audio_activity_windows / image_patch_stats
+    emit decode_ok=false rows for garbage bytes instead of failing the
+    job (the oracle entries only exercise the happy path)."""
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        audio_activity_windows,
+        image_patch_stats,
+        video_scene_cuts,
+    )
+
+    garbage = _payload_df(spark)  # UTF-8 text bytes: no valid container
+    for fn in (video_scene_cuts, audio_activity_windows, image_patch_stats):
+        rows = fn(garbage).collect()
+        assert len(rows) == 20
+        assert all(r["decode_ok"] is False for r in rows)
+
+
+def test_scene_cut_deltas_match_manual_decode(spark):
+    """Pin one doc's luma SAD against a direct numpy recompute."""
+    from ecom_churn_lakehouse_spark.multimodal.codecs import decode_y4m
+    from ecom_churn_lakehouse_spark.multimodal.decode import video_scene_cuts
+    from ecom_churn_lakehouse_spark.queries.multimodal_queries import (
+        _y4m_payloads,
+    )
+
+    payloads = _y4m_payloads(spark, "/root/testdata/sf0.001").limit(1)
+    doc_id, payload = payloads.first()
+    frames, params = decode_y4m(bytes(payload))
+    out = {
+        r["frame_idx"]: r["delta_y"]
+        for r in video_scene_cuts(payloads).collect()
+    }
+    npx = params["width"] * params["height"]
+    for k in range(1, frames.shape[0]):
+        ya = frames[k - 1][:, :, 0].astype("int64")
+        yb = frames[k][:, :, 0].astype("int64")
+        expect = round(int(abs(yb - ya).sum()) / (npx * 255.0), 6)
+        assert out[k] == expect
