@@ -788,3 +788,74 @@ def q_brand_band_revenue(spark, sf_dir):
         .filter(band)
         .agg(_dsum(revenue, 6).alias("revenue"), F.count("*").alias("n_lines"))
     )
+
+
+# --------------------- scalar function battery (F-family extension)
+
+_SCALAR_BATTERY_SQL = """
+WITH base AS (
+    SELECT c_custkey, c_name, c_mktsegment,
+           DATE '1995-01-01' + CAST(c_custkey % 365 AS INTEGER) AS d
+    FROM customer
+)
+SELECT c_custkey AS custkey,
+       UPPER(c_name) AS name_upper,
+       UPPER(substr(c_name, 1, 1)) || LOWER(substr(c_name, 2))
+           AS name_capitalized,
+       REVERSE(c_name) AS name_reversed,
+       TRANSLATE(c_name, 'aeiou', '#####') AS vowels_masked,
+       CAST(STRPOS(c_name, '1') AS INTEGER) AS pos_digit_one,
+       LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+       REPEAT('*', CAST(c_custkey % 4 AS INTEGER)) AS stars,
+       CAST(ASCII(c_name) AS INTEGER) AS first_char_code,
+       CAST(LEVENSHTEIN(c_name, c_mktsegment) AS INTEGER) AS name_seg_dist,
+       CAST(QUARTER(d) AS INTEGER) AS d_quarter,
+       CAST(DAYOFYEAR(d) AS INTEGER) AS d_dayofyear,
+       CAST(LAST_DAY(d) AS DATE) AS d_month_end,
+       CAST(d + to_months(CAST(c_custkey % 12 AS INTEGER)) AS DATE) AS d_plus_months
+FROM base
+ORDER BY custkey
+"""
+
+
+@register(
+    "scalar_function_battery",
+    _SCALAR_BATTERY_SQL,
+    doc="Scalar-function parity battery (SURVEY §2.3 widening): 13 "
+    "string/date functions — case mapping, capitalize, reverse, "
+    "translate, substring search, padding, repeat, ascii, "
+    "levenshtein, quarter/dayofyear, month-end, add_months with "
+    "month-end clamping — in ONE scan-local projection, every value "
+    "hash-compared against the oracle's implementation. The parity "
+    "proof that a user's scalar expressions migrate verbatim; all "
+    "codegen-resident, zero shuffles (the ORDER BY exists only to "
+    "stabilize the artifact).",
+)
+def q_scalar_function_battery(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    d = F.date_add(
+        F.lit("1995-01-01").cast("date"), (F.col("c_custkey") % 365).cast("int")
+    )
+    return cust.select(
+        F.col("c_custkey").alias("custkey"),
+        F.upper("c_name").alias("name_upper"),
+        F.concat(
+            F.upper(F.substring("c_name", 1, 1)),
+            F.lower(F.expr("substring(c_name, 2)")),
+        ).alias("name_capitalized"),
+        F.reverse("c_name").alias("name_reversed"),
+        F.translate("c_name", "aeiou", "#####").alias("vowels_masked"),
+        F.instr("c_name", "1").cast("int").alias("pos_digit_one"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.expr("repeat('*', CAST(c_custkey % 4 AS INT))").alias("stars"),
+        F.ascii("c_name").cast("int").alias("first_char_code"),
+        F.levenshtein("c_name", "c_mktsegment").cast("int").alias(
+            "name_seg_dist"
+        ),
+        F.quarter(d).cast("int").alias("d_quarter"),
+        F.dayofyear(d).cast("int").alias("d_dayofyear"),
+        F.last_day(d).alias("d_month_end"),
+        F.add_months(d, (F.col("c_custkey") % 12).cast("int")).alias(
+            "d_plus_months"
+        ),
+    ).orderBy("custkey")
