@@ -859,3 +859,76 @@ def q_scalar_function_battery(spark, sf_dir):
             "d_plus_months"
         ),
     ).orderBy("custkey")
+
+
+# ----------------- array / higher-order function battery (§2.3 ext.)
+
+_ARRAY_BATTERY_SQL = """
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+SELECT vec_id,
+       CAST(len(ev) AS INTEGER) AS dim,
+       CAST(len(list_filter(ev, x -> x > 0)) AS INTEGER) AS n_pos,
+       CAST(list_sum(list_transform(ev,
+            x -> CAST(floor(x * 1000) AS BIGINT))) AS BIGINT) AS sum_milli,
+       list_min(ev) AS v_min,
+       list_max(ev) AS v_max,
+       ev[1] + ev[-1] AS ends_sum,
+       list_sort(ev)[1] AS s1,
+       list_sort(ev)[2] AS s2,
+       list_sort(ev)[3] AS s3,
+       CAST(len(list_distinct(list_transform(ev,
+            x -> CASE WHEN x >= 0 THEN 1 ELSE -1 END))) AS INTEGER)
+           AS n_signs
+FROM base
+ORDER BY vec_id
+"""
+
+
+@register(
+    "array_function_battery",
+    _ARRAY_BATTERY_SQL,
+    doc="Higher-order array-function parity battery (SURVEY §2.3 "
+    "widening): size, lambda filter, transform->fold (integerized so "
+    "the fold is exact), array min/max, positional access from both "
+    "ends, sort + positional take, and distinct-over-transform — in "
+    "ONE scan-local projection over the embedding column, every "
+    "value hash-verified. These are the primitives the vector and "
+    "text surfaces build on (functions/vectors.py); the battery "
+    "pins their semantics (1-based indexing, NULL behavior, sort "
+    "order) against an independent engine.",
+)
+def q_array_function_battery(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("ev")
+    )
+    sorted_ev = F.sort_array("ev")
+    return emb.select(
+        "vec_id",
+        F.size("ev").cast("int").alias("dim"),
+        F.size(F.filter("ev", lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.aggregate(
+            F.transform(
+                "ev", lambda x: F.floor(x * 1000).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_milli"),
+        F.array_min("ev").alias("v_min"),
+        F.array_max("ev").alias("v_max"),
+        (F.element_at("ev", 1) + F.element_at("ev", -1)).alias("ends_sum"),
+        F.element_at(sorted_ev, 1).alias("s1"),
+        F.element_at(sorted_ev, 2).alias("s2"),
+        F.element_at(sorted_ev, 3).alias("s3"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    "ev",
+                    lambda x: F.when(x >= 0, F.lit(1)).otherwise(F.lit(-1)),
+                )
+            )
+        )
+        .cast("int")
+        .alias("n_signs"),
+    ).orderBy("vec_id")
