@@ -932,3 +932,55 @@ def q_array_function_battery(spark, sf_dir):
         .cast("int")
         .alias("n_signs"),
     ).orderBy("vec_id")
+
+
+# --------------------------- regex function battery (§2.3 extension)
+
+_REGEX_BATTERY_SQL = r"""
+SELECT doc_id,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+e\b')) AS INTEGER)
+           AS n_e_words,
+       regexp_replace(text, '\s+', '_', 'g') AS snake_text,
+       regexp_matches(text, '^[a-z]') AS starts_lower,
+       regexp_split_to_array(text, '\s+')[2] AS second_token,
+       CAST(len(regexp_extract_all(text, '(?i)[aeiou]{2}')) AS INTEGER)
+           AS n_vowel_pairs
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register(
+    "regex_function_battery",
+    _REGEX_BATTERY_SQL,
+    doc="Regex parity battery (SURVEY §2.3 widening): capture-group "
+    "extract, extract-all count with a word-boundary anchor, global "
+    "replace, anchored match test, regex split with positional take, "
+    "and a case-insensitive inline-flag class — the regex dialect "
+    "subset (RE2-compatible, no backrefs/lookaround) that runs "
+    "byte-identically on Spark's Java regex and the oracle's RE2, "
+    "which is the portability contract all text-surface operators "
+    "(queries/text_queries.py, dq PII scrub) are written against. "
+    "Scan-local projection, zero shuffles.",
+)
+def q_regex_function_battery(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([A-Za-z]+)", 1).alias("first_word"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+e\b"), 0)
+        )
+        .cast("int")
+        .alias("n_e_words"),
+        F.regexp_replace("text", r"\s+", "_").alias("snake_text"),
+        F.col("text").rlike("^[a-z]").alias("starts_lower"),
+        F.element_at(toks, 2).alias("second_token"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"(?i)[aeiou]{2}"), 0)
+        )
+        .cast("int")
+        .alias("n_vowel_pairs"),
+    ).orderBy("doc_id")
