@@ -110,3 +110,54 @@ def test_boilerplate_detection_flags_planted_copies_only(spark):
     assert len(rows) > 0
     for r in rows:
         assert r["n_docs"] >= 2
+
+
+def test_interpolation_bounded_by_neighbors(spark):
+    """Gap hours lie within [min(prev,next), max(prev,next)]; observed
+    hours keep their own value."""
+    rows = queries()["hourly_value_interpolated"](spark, SF).collect()
+    by_series: dict[str, list] = {}
+    for r in rows:
+        by_series.setdefault(r["event_type"], []).append(r)
+    for series in by_series.values():
+        series.sort(key=lambda r: r["hour"])
+        observed = [
+            (i, r["value_interp"])
+            for i, r in enumerate(series)
+            if r["is_observed"]
+        ]
+        assert observed, "every series has at least one observation"
+        for i, r in enumerate(series):
+            if r["is_observed"]:
+                continue
+            prev = max((o for o in observed if o[0] < i), default=None)
+            nxt = min((o for o in observed if o[0] > i), default=None)
+            assert prev or nxt
+            vals = [o[1] for o in (prev, nxt) if o]
+            assert min(vals) - 1e-6 <= r["value_interp"] <= max(vals) + 1e-6
+
+
+def test_cuped_preserves_grand_mean(spark):
+    """The theta correction is mean-zero over the population, so the
+    customer-weighted average of adjusted means equals the raw one."""
+    rows = queries()["cuped_adjusted_spend"](spark, SF).collect()
+    n = sum(r["n_customers"] for r in rows)
+    raw = sum(r["mean_post"] * r["n_customers"] for r in rows) / n
+    adj = sum(r["mean_post_adjusted"] * r["n_customers"] for r in rows) / n
+    assert abs(raw - adj) < 1e-3
+
+
+def test_hazard_table_conserves_population(spark):
+    """Risk sets telescope: events + censored at t equal the drop in
+    n_at_risk, and the first risk set is the whole labeled population."""
+    rows = queries()["churn_hazard_table"](spark, SF).collect()
+    rows.sort(key=lambda r: r["lifetime_days"])
+    labels = queries()["churn_labels"](spark, SF).count()
+    assert rows[0]["n_at_risk"] == labels
+    for a, b in zip(rows, rows[1:]):
+        assert (
+            a["n_at_risk"] - a["n_churned"] - a["n_censored"]
+            == b["n_at_risk"]
+        )
+    last = rows[-1]
+    assert last["n_at_risk"] == last["n_churned"] + last["n_censored"]
