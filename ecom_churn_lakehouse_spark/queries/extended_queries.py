@@ -1016,3 +1016,96 @@ def q_last_purchase_ffill(spark, sf_dir):
             ignorenulls=True,
         ).over(w).alias("last_purchase_value"),
     )
+
+
+# ------------------------- robust outliers: median/MAD per group
+
+_MAD_K = 3.0  # flag beyond 3 scaled-MADs
+
+
+_MAD_SQL = f"""
+WITH med AS (
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS med
+    FROM orders GROUP BY o_orderpriority
+),
+mad AS (
+    SELECT o.o_orderpriority,
+           m.med,
+           quantile_cont(ABS(o.o_totalprice - m.med), 0.5) AS mad
+    FROM orders o JOIN med m ON o.o_orderpriority = m.o_orderpriority
+    GROUP BY o.o_orderpriority, m.med
+)
+SELECT o.o_orderpriority AS order_priority,
+       COUNT(*) AS n_orders,
+       ROUND(m.med, 6) AS median_value,
+       ROUND(m.mad, 6) AS mad_value,
+       CAST(COUNT(*) FILTER (
+           ABS(o.o_totalprice - m.med) > {_MAD_K} * 1.4826 * m.mad
+       ) AS BIGINT) AS n_outliers
+FROM orders o JOIN mad m ON o.o_orderpriority = m.o_orderpriority
+GROUP BY o.o_orderpriority, m.med, m.mad
+ORDER BY order_priority
+"""
+
+
+@register(
+    "order_value_mad_outliers",
+    _MAD_SQL,
+    doc="Robust outlier gate per group: median / MAD (median absolute "
+    "deviation, x1.4826 for normal consistency) with counts beyond "
+    f"{_MAD_K} scaled MADs — the outlier screen that survives the "
+    "heavy tails that wreck mean/stddev z-scores (contrast "
+    "price_outlier_orders' IQR sketch path and "
+    "user_activity_zscore's moment path). Two exact-percentile "
+    "aggregates (both engines interpolate identically) + one "
+    "counting pass, each keyed by the group — at 100 TB the exact "
+    "median swaps for percentile_approx exactly as "
+    "order_value_percentiles documents, and the final pass "
+    "broadcasts the 5-row stats frame into the scan.",
+)
+def q_order_value_mad_outliers(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = orders.join(F.broadcast(med), on="o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("absdev"),
+    )
+    mad = dev.groupBy("o_orderpriority", "med").agg(
+        F.percentile("absdev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), on="o_orderpriority")
+        .groupBy(
+            F.col("o_orderpriority").alias("order_priority"),
+            "med",
+            "mad",
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("o_totalprice") - F.col("med"))
+                    > _MAD_K * 1.4826 * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "order_priority",
+            "n_orders",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad_value"),
+            "n_outliers",
+        )
+        .orderBy("order_priority")
+    )
