@@ -140,18 +140,37 @@ def q_copurchase_pagerank(spark, sf_dir):
 
 _REACH_MAX_HOPS = 3
 
+# Density-relative edge cut (the Q11 lesson applied to graphs): a
+# fixed ">= 2 co-occurrences" threshold densifies as the fact table
+# grows (every pair's count scales with order volume), and 3-hop
+# UNION ALL path enumeration then explodes — measured: Spark's 1M
+# recursion row limit exceeded at the 10x probe. Cutting at
+# 1.5x the MEAN pair co-occurrence keeps "strong edge" selectivity
+# (and therefore path counts) roughly scale-invariant.
+_REACH_MEAN_MULT = 1.5
+
 _REACHABILITY_SQL = f"""
 WITH RECURSIVE op AS (
     SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-pairs AS (
-    SELECT a.l_partkey AS src, b.l_partkey AS dst
+pair_counts AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS cnt
     FROM op a JOIN op b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     GROUP BY a.l_partkey, b.l_partkey
-    HAVING COUNT(*) >= {_MIN_COOCCUR}
 ),
-seed AS (SELECT MIN(src) AS s FROM pairs),
+thr AS (
+    SELECT GREATEST({_MIN_COOCCUR},
+                    CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT)) AS t
+    FROM pair_counts
+),
+pairs AS (
+    SELECT src, dst FROM pair_counts, thr WHERE cnt >= t
+),
+seed AS (
+    SELECT src AS s FROM pairs
+    GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 1
+),
 walk(part, hop) AS (
     SELECT s, 0 FROM seed
     UNION ALL
@@ -177,8 +196,11 @@ ORDER BY min_hops, partkey
     "DataFrame-loop iteration pattern (copurchase_pagerank, "
     "connected_components) with the declarative recursion the SQL "
     "front door must also parse. Scale posture: depth-bounded path "
-    "enumeration on an edge-thresholded graph; unbounded reachability "
-    "at 100 TB belongs to the checkpointed-loop operator "
+    "enumeration on a DENSITY-RELATIVE edge cut (>= 1.5x the mean "
+    "pair co-occurrence — a fixed count threshold densifies with "
+    "order volume and blew Spark's recursion row limit at the 10x "
+    "probe); unbounded reachability at 100 TB belongs to the "
+    "checkpointed-loop operator "
     "(operators/connected_components.py), not recursion-by-paths.",
 )
 def q_copurchase_reachability(spark, sf_dir):
