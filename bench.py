@@ -106,6 +106,12 @@ HEADLINE = [
     "target_encoding_brand",
     "unigram_lm_doc_scores",
     "semantic_dedup_pairs",
+    "video_scene_cuts",
+    "audio_activity_windows",
+    "image_patch_stats",
+    "order_value_mad_outliers",
+    "hourly_value_interpolated",
+    "cuped_adjusted_spend",
 ]
 
 
