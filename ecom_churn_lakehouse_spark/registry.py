@@ -73,6 +73,7 @@ def _load_all() -> None:
         extended_queries,
         feature_queries,
         graph_queries,
+        lifecycle_queries,
         multimodal_queries,
         relational_queries,
         sampling_queries,
