@@ -1190,3 +1190,80 @@ def q_cuped_adjusted_spend(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------- per-group OLS: discount -> quantity regression
+
+_ELASTICITY_SQL = """
+WITH labeled AS (
+    SELECT p.p_brand AS brand,
+           CAST(l.l_discount AS DOUBLE) AS x,
+           CAST(l.l_quantity AS DOUBLE) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+moments AS (
+    SELECT brand,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)))
+               AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+               AS DOUBLE) AS sxx
+    FROM labeled GROUP BY brand
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_lines,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+       ROUND(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+             * (sx / n), 6) AS intercept
+FROM moments
+ORDER BY brand
+"""
+
+
+@register(
+    "discount_quantity_regression",
+    _ELASTICITY_SQL,
+    doc="Per-group OLS in one aggregation pass: the discount->quantity "
+    "slope and intercept per brand from exact decimal moments (n, "
+    "Sx, Sy, Sxy, Sxx) — the elasticity screen a pricing team runs "
+    "per segment, and the per-GROUP regression twin of "
+    "cuped_adjusted_spend's global theta. All sums are "
+    "order-independent decimals; the slope arithmetic is a fixed "
+    "single-expression chain, so both engines agree bit-for-bit at "
+    "6dp. One map-side-combinable shuffle keyed by brand; the part "
+    "dimension broadcasts into the fact scan.",
+)
+def q_discount_quantity_regression(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    labeled = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.col("l_discount").cast("double").alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    yd = F.col("y").cast("decimal(18,6)")
+    m = labeled.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        "brand",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6
+        ).alias("intercept"),
+    ).orderBy("brand")
