@@ -1267,3 +1267,62 @@ def q_discount_quantity_regression(spark, sf_dir):
             F.col("sy") / F.col("n") - slope * (F.col("sx") / F.col("n")), 6
         ).alias("intercept"),
     ).orderBy("brand")
+
+
+# ---------------------- day-of-week seasonality profile
+
+_DOW_SQL = """
+WITH dows AS (
+    SELECT CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS weekday,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+),
+tot AS (SELECT COUNT(*) AS n FROM dows)
+SELECT weekday,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ((SELECT n FROM tot) / 7.0), 6)
+           AS seasonal_index,
+       CAST(SUM(price) AS DOUBLE) AS total_value
+FROM dows
+GROUP BY weekday
+ORDER BY weekday
+"""
+
+
+@register(
+    "dow_seasonality_profile",
+    _DOW_SQL,
+    doc="Day-of-week seasonality profile: order counts, revenue, and "
+    "the seasonal index (observed / uniform expectation) per ISO "
+    "weekday — the demand-shape input to staffing and forecast "
+    "models (a flat index near 1.0 on this uniform fixture is the "
+    "correct readout). Weekday numbering is pinned to ISO Monday=0 "
+    "on BOTH engines (Spark weekday() ≡ DuckDB isodow()-1 — the "
+    "Sunday-first dayofweek() builtins disagree across engines and "
+    "are avoided). One scan, one 7-row aggregate, 1-row broadcast "
+    "total.",
+)
+def q_dow_seasonality_profile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    dows = orders.select(
+        F.weekday(F.to_date("o_orderdate")).cast("int").alias("weekday"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    tot = dows.agg(F.count("*").alias("n"))
+    return (
+        dows.groupBy("weekday")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("price").cast("double").alias("total_value"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "weekday",
+            "n_orders",
+            F.round(
+                F.col("n_orders").cast("double") / (F.col("n") / 7.0), 6
+            ).alias("seasonal_index"),
+            "total_value",
+        )
+        .orderBy("weekday")
+    )
