@@ -547,3 +547,89 @@ def q_significant_parts(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), "partkey")
     )
+
+
+# -------------- supplier reliability: Wilson lower-bound ranking
+
+_WILSON_Z2 = 3.8416  # z^2 at 95% (z = 1.96)
+
+_WILSON_SQL = f"""
+WITH per_supp AS (
+    SELECT l.l_suppkey,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+               AS DOUBLE) AS r
+    FROM lineitem l
+    GROUP BY l.l_suppkey
+),
+scored AS (
+    SELECT l_suppkey, n,
+           r / n AS p_hat,
+           (r / n + {_WILSON_Z2} / (2 * n)
+            - sqrt({_WILSON_Z2}) * sqrt((r / n) * (1 - r / n) / n
+                                        + {_WILSON_Z2} / (4 * n * n)))
+           / (1 + {_WILSON_Z2} / n) AS wilson_lo
+    FROM per_supp
+)
+SELECT s.l_suppkey AS suppkey,
+       sup.s_name AS supp_name,
+       CAST(s.n AS BIGINT) AS n_lines,
+       ROUND(s.p_hat, 6) AS return_rate,
+       ROUND(s.wilson_lo, 6) AS return_rate_lower_bound
+FROM scored s JOIN supplier sup ON s.l_suppkey = sup.s_suppkey
+ORDER BY return_rate_lower_bound DESC, suppkey
+LIMIT 25
+"""
+
+
+@register(
+    "supplier_return_wilson",
+    _WILSON_SQL,
+    doc="Supplier reliability ranked by the WILSON LOWER BOUND of the "
+    "return rate (z=1.96) — the confidence-adjusted ranking that "
+    "stops a 2-of-3 supplier outranking a 200-of-1000 one (raw-rate "
+    "sorts are the classic small-n ranking bug). The bound is a "
+    "fixed arithmetic chain over exact integer counts (sqrt is IEEE "
+    "correctly-rounded, both engines parenthesize identically), so "
+    "even the ranking cut is hash-stable. One fact aggregate keyed "
+    "by supplier + a broadcast dimension join + TakeOrdered 25.",
+)
+def q_supplier_return_wilson(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("double")
+        .alias("r"),
+    )
+    n = F.col("n")
+    p = F.col("r") / n
+    z2 = F.lit(_WILSON_Z2)
+    wilson = (
+        p
+        + z2 / (2 * n)
+        - F.sqrt(z2) * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+    ) / (1 + z2 / n)
+    return (
+        per.select(
+            "l_suppkey",
+            "n",
+            p.alias("p_hat"),
+            wilson.alias("wilson_lo"),
+        )
+        .join(F.broadcast(sup), F.col("l_suppkey") == sup.s_suppkey)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n").cast("long").alias("n_lines"),
+            F.round("p_hat", 6).alias("return_rate"),
+            F.round("wilson_lo", 6).alias("return_rate_lower_bound"),
+        )
+        .orderBy(F.col("return_rate_lower_bound").desc(), "suppkey")
+        .limit(25)
+    )

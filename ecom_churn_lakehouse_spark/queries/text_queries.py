@@ -865,3 +865,110 @@ def q_vocab_oov_rate(spark, sf_dir):
             ).alias("oov_rate"),
         )
     )
+
+
+# ------------------- vocabulary growth (Heaps-law checkpoints)
+
+_HEAPS_BUCKETS = 10
+
+_HEAPS_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+bounds AS (SELECT MAX(doc_id) AS mx FROM documents),
+first_seen AS (
+    SELECT token, MIN(doc_id) AS first_doc FROM toks GROUP BY token
+),
+tok_counts AS (
+    SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+),
+checkpoints AS (
+    SELECT CAST((d.doc_id * {_HEAPS_BUCKETS}) // ((SELECT mx FROM bounds) + 1) AS BIGINT)
+               AS bucket,
+           d.doc_id
+    FROM documents d
+),
+per_bucket AS (
+    SELECT c.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tc.n_tok) AS BIGINT) AS n_tokens
+    FROM checkpoints c JOIN tok_counts tc ON c.doc_id = tc.doc_id
+    GROUP BY c.bucket
+),
+vocab_per_bucket AS (
+    SELECT CAST((f.first_doc * {_HEAPS_BUCKETS}) // ((SELECT mx FROM bounds) + 1) AS BIGINT)
+               AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS new_types
+    FROM first_seen f
+    GROUP BY 1
+)
+SELECT p.bucket AS bucket,
+       CAST(SUM(p2.n_docs) AS BIGINT) AS cum_docs,
+       CAST(SUM(p2.n_tokens) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(v.new_types, 0)) AS BIGINT) AS cum_vocab
+FROM per_bucket p
+JOIN per_bucket p2 ON p2.bucket <= p.bucket
+LEFT JOIN vocab_per_bucket v ON v.bucket = p2.bucket
+GROUP BY p.bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "vocab_growth_checkpoints",
+    _HEAPS_SQL,
+    doc="Vocabulary growth curve (Heaps' law): cumulative distinct "
+    "token types vs cumulative tokens at 10 corpus checkpoints — "
+    "the saturation readout that tells a tokenizer team whether more "
+    "data still buys vocabulary coverage (cf. vocab_oov_rate's "
+    "fixed-vocab view). Each type is counted ONCE at its "
+    "first-occurrence doc (a min-aggregate over the token explode — "
+    "never a cumulative COUNT(DISTINCT) window, which would shuffle "
+    "the full type x checkpoint matrix); the checkpoint roll-up is a "
+    "10-row triangular self-join. All integer arithmetic.",
+)
+def q_vocab_growth_checkpoints(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    bounds = docs.agg(F.max("doc_id").alias("mx"))
+    bucket_of = lambda c: (c * _HEAPS_BUCKETS) / (F.col("mx") + 1)  # noqa: E731
+    first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    tok_counts = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    per_bucket = (
+        docs.join(F.broadcast(bounds))
+        .select(bucket_of(F.col("doc_id")).cast("long").alias("bucket"), "doc_id")
+        .join(tok_counts, on="doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+    vocab_per_bucket = (
+        first_seen.join(F.broadcast(bounds))
+        .select(bucket_of(F.col("first_doc")).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("new_types"))
+    )
+    p = per_bucket.alias("p")
+    p2 = per_bucket.alias("p2")
+    v = vocab_per_bucket.alias("v")
+    return (
+        p.join(p2, F.col("p2.bucket") <= F.col("p.bucket"))
+        .join(v, F.col("v.bucket") == F.col("p2.bucket"), "left")
+        .groupBy(F.col("p.bucket").alias("bucket"))
+        .agg(
+            F.sum("p2.n_docs").cast("long").alias("cum_docs"),
+            F.sum("p2.n_tokens").cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("v.new_types"), F.lit(0)))
+            .cast("long")
+            .alias("cum_vocab"),
+        )
+        .orderBy("bucket")
+    )
