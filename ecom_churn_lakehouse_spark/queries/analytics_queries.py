@@ -1326,3 +1326,142 @@ def q_dow_seasonality_profile(spark, sf_dir):
         )
         .orderBy("weekday")
     )
+
+
+# ------------------- new vs returning revenue split per month
+
+_NEW_RET_SQL = """
+WITH flagged AS (
+    SELECT o_custkey, o_totalprice,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS rn
+    FROM orders
+)
+SELECT month,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new_customers,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_returning_orders,
+       CAST(SUM(CASE WHEN rn = 1
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS new_revenue,
+       CAST(SUM(CASE WHEN rn > 1
+                THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS returning_revenue
+FROM flagged
+GROUP BY month
+ORDER BY month
+"""
+
+
+@register(
+    "new_vs_returning_revenue",
+    _NEW_RET_SQL,
+    doc="Monthly revenue split between each customer's FIRST order and "
+    "all subsequent ones — the acquisition-vs-retention decomposition "
+    "every growth dashboard leads with (cohort_retention gives the "
+    "matrix; this is the revenue-weighted headline). First-order "
+    "detection is a per-customer rank window (keyed, parallel), the "
+    "split is conditional decimal sums — two shuffles total. NULL "
+    "months never arise (every order has a date), and empty "
+    "categories surface as NULL sums, matching the oracle exactly.",
+)
+def q_new_vs_returning_revenue(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = orders.select(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.row_number().over(w).alias("rn"),
+    )
+    first = F.col("rn") == 1
+    return (
+        flagged.groupBy("month")
+        .agg(
+            F.sum(F.when(first, 1).otherwise(0)).cast("long").alias(
+                "n_new_customers"
+            ),
+            F.sum(F.when(~first, 1).otherwise(0)).cast("long").alias(
+                "n_returning_orders"
+            ),
+            F.sum(F.when(first, F.col("price"))).cast("double").alias(
+                "new_revenue"
+            ),
+            F.sum(F.when(~first, F.col("price"))).cast("double").alias(
+                "returning_revenue"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+# ------------------- null-safe equality join (<=> semantics)
+
+_NULLSAFE_SQL = """
+WITH l AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P' THEN NULL
+                ELSE o_orderstatus END AS status_key
+    FROM orders WHERE o_orderkey % 5 = 0
+),
+r AS (
+    SELECT CASE WHEN s = 'P' THEN NULL ELSE s END AS status_key,
+           CASE s WHEN 'O' THEN 'open' WHEN 'F' THEN 'done'
+                  ELSE 'pending-null' END AS status_label
+    FROM (SELECT DISTINCT o_orderstatus AS s FROM orders)
+)
+SELECT l.o_orderkey AS order_id, r.status_label AS status_label
+FROM l JOIN r ON l.status_key IS NOT DISTINCT FROM r.status_key
+ORDER BY order_id
+"""
+
+
+@register(
+    "null_safe_join_battery",
+    _NULLSAFE_SQL,
+    doc="Null-safe equality join: NULL keys MATCH each other "
+    "(Spark `eqNullSafe` / <=> ≡ SQL IS NOT DISTINCT FROM) — the "
+    "join variant a plain equi-join silently drops rows on, and the "
+    "last §2.6 join flavor not yet in the inventory. Dirty keys are "
+    "manufactured by NULLing one status; the pending rows must "
+    "survive the join with the NULL-keyed label. Plan note: Spark "
+    "plans <=> as a hash join key (null-safe keys hash like values), "
+    "so the broadcast dimension path is identical to a plain "
+    "equi-join — no nested-loop penalty.",
+)
+def q_null_safe_join_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    left = orders.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "P", None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status_key"),
+    )
+    right = (
+        orders.select(F.col("o_orderstatus").alias("s"))
+        .distinct()
+        .select(
+            F.when(F.col("s") == "P", None).otherwise(F.col("s")).alias(
+                "status_key"
+            ),
+            F.when(F.col("s") == "O", "open")
+            .when(F.col("s") == "F", "done")
+            .otherwise("pending-null")
+            .alias("status_label"),
+        )
+    )
+    return (
+        left.join(
+            F.broadcast(right),
+            left.status_key.eqNullSafe(right.status_key),
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "status_label",
+        )
+        .orderBy("order_id")
+    )
