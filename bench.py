@@ -181,17 +181,22 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "min",
     }
-    # Write the result to disk as well: the driver's stdout tail capture
-    # can clip the JSON line when Spark stage-progress output floods the
-    # buffer (BENCH_r03.json came back "parsed": null that way).
+    # stdout first — the two output channels must stay independent (an
+    # unwritable BENCH path must not eat the line the driver parses).
+    print(json.dumps(result))
+    # Also write to disk: the driver's stdout tail capture can clip the
+    # JSON line when Spark stage-progress output floods the buffer
+    # (BENCH_r03.json came back "parsed": null that way).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
     )
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
-        fh.write("\n")
-    print(json.dumps(result))
+    try:
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+    except OSError as e:  # pragma: no cover
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

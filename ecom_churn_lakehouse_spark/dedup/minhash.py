@@ -290,8 +290,13 @@ def lsh_probe_candidates(
     b = banded_signatures(probe_sigs, id_col).select(
         F.col(id_col).alias("doc_b"), "band_idx", "band_key"
     )
+    # doc_a != doc_b: a re-delivered doc_id present on BOTH sides
+    # (at-least-once sources) would otherwise collide on every band and
+    # emit a self-pair with Jaccard 1.0 — flagging the doc as a
+    # duplicate of itself.
     return (
         a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )

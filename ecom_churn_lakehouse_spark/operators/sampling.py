@@ -53,6 +53,18 @@ def hash_bucket(key: Column, salt: str) -> Column:
     )
 
 
+def hash_bucket_sql(key: str, salt: str, mod: int = HASH_MOD) -> str:
+    """The DuckDB-SQL twin of :func:`hash_bucket` — the ONE place the
+    portable md5-prefix bucket idiom is spelled for oracles. Every
+    split/fold/sample oracle must use this so a change to the idiom
+    (prefix width, modulus) cannot silently desynchronize the Spark
+    and SQL sides."""
+    return (
+        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT) % {mod}"
+    )
+
+
 def assign_split(
     df: DataFrame,
     key_col: str,

@@ -36,10 +36,9 @@ def _dsum(col, scale=2):
 #: Portable bucket: first 15 hex digits of md5(salt || key) mod `mod` —
 #: the same idiom operators/sampling.py and the dedup sketches use.
 def _hash_mod_sql(key: str, salt: str, mod: int) -> str:
-    return (
-        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % {mod}"
-    )
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    return hash_bucket_sql(key, salt, mod)
 
 
 def _hash_mod_col(key, salt: str, mod: int):

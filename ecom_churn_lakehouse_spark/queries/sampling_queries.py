@@ -25,13 +25,12 @@ from ecom_churn_lakehouse_spark.sources import (
     normalized_orders,
 )
 
-# Portable bucket: first 15 hex digits of md5(salt || key) mod 10^4 —
-# same idiom (and same DuckDB spelling) as the MinHash oracle.
+# Portable bucket — the shared SQL twin of operators/sampling.py's
+# hash_bucket (one spelling, cannot desynchronize).
 def _hb_sql(salt: str, key: str) -> str:
-    return (
-        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % 10000"
-    )
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    return hash_bucket_sql(key, salt)
 
 
 # ------------------------------------------------- train/val/test split

@@ -346,7 +346,9 @@ def q_corpus_curation(spark, sf_dir):
     # (not `corpus`) skips one full scan+union+repartition execution of
     # the corpus subgraph for the broadcast build.
     bench8 = doc_shingles(
-        docs.filter(F.col("doc_id") % 50 == 0), n=8, distinct=False
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)),
+        n=8,
+        distinct=False,
     ).select(F.xxhash64("shingle").alias("__sh"))
     contaminated = (
         doc_shingles(corpus.filter(~is_bench), n=8, distinct=False)

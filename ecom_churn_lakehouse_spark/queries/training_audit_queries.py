@@ -29,10 +29,9 @@ from ecom_churn_lakehouse_spark.sources import load_table
 
 
 def _hb_sql(salt: str, key: str) -> str:
-    return (
-        f"CAST(('0x' || substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15)) "
-        f"AS BIGINT) % 10000"
-    )
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    return hash_bucket_sql(key, salt)
 
 
 # ------------------------------------------------- split leakage audit

@@ -78,9 +78,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     args = sys.argv[2:]
     json_out = None
-    if args and args[0] == "--json":
-        json_out = args[1]
-        args = args[2:]
+    if "--json" in args:
+        i = args.index("--json")
+        if i + 1 >= len(args):
+            print("usage: check_oracle.py [sf_dir] [--json OUT] [query ...]")
+            return 2
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
     only = set(args)
 
     import __spark_entry__ as entrymod
