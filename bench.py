@@ -14,6 +14,7 @@ queries/dedup_queries.py).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import re
@@ -127,6 +128,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
 
+    # Fail fast on any renamed/removed headliner BEFORE the timing
+    # loop: a KeyError halfway through a multi-minute run loses every
+    # prior timing.
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        raise SystemExit(f"bench: HEADLINE names not in registry: {missing}")
+
     # Warm the JVM/codegen paths once on the smallest fixture.
     qs["pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
         "noop"
@@ -181,12 +189,14 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "min",
     }
-    # stdout first — the two output channels must stay independent (an
-    # unwritable BENCH path must not eat the line the driver parses).
+    # Full result first (informational), then a COMPACT line as the
+    # very LAST stdout write: the driver parses its own stdout-tail
+    # capture, and two rounds running (r3, r4) the 84-query map plus
+    # Spark progress spam overflowed that window -> "parsed": null.
+    # The compact line is small enough that the tail window always
+    # contains one complete parseable object; the full per-query map
+    # lives in the on-disk BENCH.json.
     print(json.dumps(result))
-    # Also write to disk: the driver's stdout tail capture can clip the
-    # JSON line when Spark stage-progress output floods the buffer
-    # (BENCH_r03.json came back "parsed": null that way).
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
@@ -197,6 +207,21 @@ def main() -> None:
             fh.write("\n")
     except OSError as e:  # pragma: no cover
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+    compact = {
+        "metric": "headline_suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "runs_per_query": RUNS,
+        "aggregation": "min",
+        "queries_detail": out_path,
+        "queries_sha256": hashlib.sha256(
+            json.dumps(timings, sort_keys=True).encode()
+        ).hexdigest()[:16],
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

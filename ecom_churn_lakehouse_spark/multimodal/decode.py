@@ -548,9 +548,12 @@ def audio_activity_windows(
     the sample stream is cut into fixed windows, each scored by RMS
     energy and thresholded active/silent — the VAD step an audio
     curation pipeline runs before transcription (silent stretches are
-    dropped, active ones chunked). Window sums stay exact in float64
-    (power-of-two window of int16 squares) and sqrt is IEEE
-    correctly-rounded, so the scores hash cross-engine. Temporal twin
+    dropped, active ones chunked). A trailing partial window is
+    emitted with RMS over its actual length (same grouping as the SQL
+    oracle's (i-1)//window). Window sums stay exact in float64 (small
+    sums of int16 squares), the mean is one correctly-rounded
+    division, and sqrt is IEEE correctly-rounded, so the scores hash
+    cross-engine. Temporal twin
     of :func:`decode_audio`'s whole-clip stats. Corrupt payloads yield
     a single decode_ok=false row."""
 
@@ -565,7 +568,12 @@ def audio_activity_windows(
                 try:
                     samples, _rate = decode_wav(bytes(payload))
                     s = samples.reshape(-1).astype("float64")
-                    n_win = len(s) // window_frames
+                    # Ceil: a trailing partial window is emitted too
+                    # (RMS over its actual length), matching the SQL
+                    # oracle's (i-1)//window grouping for ANY
+                    # window_frames — previously the pair agreed only
+                    # because the sample count happened to divide.
+                    n_win = -(-len(s) // window_frames)
                     for w in range(n_win):
                         chunk = s[w * window_frames : (w + 1) * window_frames]
                         rms = round(

@@ -41,15 +41,15 @@ __all__ = [
 HASH_MOD = 10_000
 
 
-def hash_bucket(key: Column, salt: str) -> Column:
-    """Uniform deterministic bucket in [0, HASH_MOD) from a key column."""
+def hash_bucket(key: Column, salt: str, mod: int = HASH_MOD) -> Column:
+    """Uniform deterministic bucket in [0, ``mod``) from a key column."""
     return (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15),
             16,
             10,
         ).cast("long")
-        % HASH_MOD
+        % mod
     )
 
 

@@ -505,7 +505,7 @@ cum AS (
     FROM byt
 )
 SELECT t AS lifetime_days, n_at_risk, n_churned, n_censored,
-       ROUND(CAST(n_churned AS DOUBLE) / n_at_risk, 6) AS hazard
+       CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
 FROM cum
 ORDER BY lifetime_days
 """
@@ -521,8 +521,12 @@ ORDER BY lifetime_days
     "labels the classifier trains on (Kaplan-Meier's S(t) is the "
     "running product of (1-hazard); the product stays OUT of the "
     "oracle surface because exp/ln chains differ in the last ulp "
-    "across libm implementations — every emitted column here is "
-    "exact integer arithmetic plus one rounded division). Shape: "
+    "across libm implementations — and the hazard itself is emitted "
+    "as exact integer parts-per-million (floor division on both "
+    "sides), never a rounded double: round 4's driver found the one "
+    "fixture row whose hazard 3/640 = 0.0046875 sits exactly on a "
+    "6-digit half-rounding boundary, where ROUND over a double is "
+    "engine-version-dependent by construction). Shape: "
     "one per-customer aggregate, one per-day aggregate, one "
     "cumulative window over the tiny day-grain frame.",
 )
@@ -570,9 +574,11 @@ def q_churn_hazard_table(spark, sf_dir):
             "n_at_risk",
             "n_churned",
             "n_censored",
-            F.round(
-                F.col("n_churned").cast("double") / F.col("n_at_risk"), 6
-            ).alias("hazard"),
+            # Exact integer ppm (LONG DIV LONG), zero float surface:
+            # hash-stable under any engine's rounding implementation.
+            F.expr("(n_churned * 1000000L) DIV n_at_risk")
+            .cast("long")
+            .alias("hazard_ppm"),
         )
         .orderBy("lifetime_days")
     )

@@ -171,7 +171,7 @@ GROUP BY 1, 2
     "(streaming/events_stream.py; SURVEY §2.9).",
 )
 def q_stream_tumbling_daily(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.streaming import (
@@ -180,7 +180,7 @@ def q_stream_tumbling_daily(spark, sf_dir):
         tumbling_counts_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_q_")
+    base = scratch_dir(prefix="stream_q_")
     table = ManagedTable(spark, f"{base}/agg", keys=["window_start", "event_type"])
     stream = tumbling_counts_stream(stream_events(spark, sf_dir), window="1 day")
     run_stream_to_managed_table(stream, table, f"{base}/ckpt")
@@ -205,7 +205,7 @@ def q_stream_tumbling_daily(spark, sf_dir):
     "(streaming/events_stream.py::dedup_events_stream).",
 )
 def q_stream_dedup_replay_daily(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.sources.tables import load_events
@@ -216,7 +216,7 @@ def q_stream_dedup_replay_daily(spark, sf_dir):
         dedup_events_stream,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    base = scratch_dir(prefix="stream_dedup_")
     ev = load_events(spark, sf_dir)
     replayed = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
     replayed.write.mode("overwrite").parquet(f"{base}/src")
@@ -671,7 +671,7 @@ GROUP BY 1, 2
     "windowed-streaming oracle).",
 )
 def q_stream_sliding_6h(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.streaming import (
@@ -680,7 +680,7 @@ def q_stream_sliding_6h(spark, sf_dir):
         stream_events,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_sl_")
+    base = scratch_dir(prefix="stream_sl_")
     table = ManagedTable(
         spark, f"{base}/agg", keys=["window_start", "event_type"]
     )
@@ -736,7 +736,7 @@ GROUP BY user_id, session_id
     "session_window_stream).",
 )
 def q_stream_session_windows(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.streaming import (
@@ -745,7 +745,7 @@ def q_stream_session_windows(spark, sf_dir):
         stream_events,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_se_")
+    base = scratch_dir(prefix="stream_se_")
     table = ManagedTable(
         spark, f"{base}/agg", keys=["session_start", "user_id"]
     )
@@ -786,7 +786,7 @@ GROUP BY user_id
     "verification tier as the windowed aggregations.",
 )
 def q_stateful_user_profiles(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.streaming import (
@@ -795,7 +795,7 @@ def q_stateful_user_profiles(spark, sf_dir):
         stream_events,
     )
 
-    base = tempfile.mkdtemp(prefix="stream_st_")
+    base = scratch_dir(prefix="stream_st_")
     table = ManagedTable(spark, f"{base}/agg", keys=["user_id"])
     stream = running_user_profiles(stream_events(spark, sf_dir))
     run_stream_to_managed_table(stream, table, f"{base}/ckpt")
@@ -950,7 +950,7 @@ GROUP BY 1, 2
     "stream-static).",
 )
 def q_stream_enriched_daily(spark, sf_dir):
-    import tempfile
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
     from ecom_churn_lakehouse_spark.streaming import (
@@ -963,7 +963,7 @@ def q_stream_enriched_daily(spark, sf_dir):
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
     )
-    base = tempfile.mkdtemp(prefix="stream_enr_")
+    base = scratch_dir(prefix="stream_enr_")
     table = ManagedTable(spark, f"{base}/agg", keys=["window_start", "segment"])
     stream = enriched_tumbling_counts_stream(
         stream_events(spark, sf_dir), dim, on="user_id", group_col="segment"

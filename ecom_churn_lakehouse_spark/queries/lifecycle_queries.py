@@ -13,7 +13,7 @@ time travel all hash-fail.
 
 from __future__ import annotations
 
-import tempfile
+from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
 from pyspark.sql import functions as F
 
@@ -42,7 +42,7 @@ def _batches(spark, sf_dir):
 
 
 def _run_merges(spark, sf_dir):
-    base = tempfile.mkdtemp(prefix="lifecycle_q_")
+    base = scratch_dir(prefix="lifecycle_q_")
     b1, b2, b3 = _batches(spark, sf_dir)
     t = ManagedTable(spark, f"{base}/orders", keys=["o_orderkey"])
     t.merge(b1)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ecom_churn_lakehouse_spark.operators.sampling import (
     assign_split,
     balance_classes,
+    hash_bucket,
     stratified_sample,
 )
 from ecom_churn_lakehouse_spark.plans.churn import churn_labels
@@ -27,10 +28,13 @@ from ecom_churn_lakehouse_spark.sources import (
 
 # Portable bucket — the shared SQL twin of operators/sampling.py's
 # hash_bucket (one spelling, cannot desynchronize).
-def _hb_sql(salt: str, key: str) -> str:
-    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+def _hb_sql(salt: str, key: str, mod: int | None = None) -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import (
+        HASH_MOD,
+        hash_bucket_sql,
+    )
 
-    return hash_bucket_sql(key, salt)
+    return hash_bucket_sql(key, salt, mod if mod is not None else HASH_MOD)
 
 
 # ------------------------------------------------- train/val/test split
@@ -426,9 +430,8 @@ WITH pri AS (
     SELECT o.o_orderkey, o.o_totalprice,
            n.n_name AS nation,
            ROUND(
-             -ln((1.0 + CAST(('0x' || substring(md5('gwor:' ||
-                  CAST(o.o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)
-                  % {_GWOR_MOD}) / {_GWOR_MOD}.0)
+             -ln((1.0 + {_hb_sql("gwor:", "o.o_orderkey", _GWOR_MOD)})
+                 / {_GWOR_MOD}.0)
              / o.o_totalprice, 12) AS priority
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -471,22 +474,7 @@ def q_per_nation_order_sample(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", F.col("n_name").alias("nation")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.lit("gwor:"), F.col("o_orderkey").cast("string")
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _GWOR_MOD
-    )
+    bucket = hash_bucket(F.col("o_orderkey"), "gwor:", mod=_GWOR_MOD)
     u = (1.0 + bucket) / float(_GWOR_MOD)
     pri = F.round(-F.log(u) / F.col("o_totalprice"), 12)
     from pyspark.sql.window import Window

@@ -939,12 +939,18 @@ def q_vocab_growth_checkpoints(spark, sf_dir):
         ).alias("token"),
     )
     bounds = docs.agg(F.max("doc_id").alias("mx"))
-    bucket_of = lambda c: (c * _HEAPS_BUCKETS) / (F.col("mx") + 1)  # noqa: E731
+    # Exact integer floor division (LONG DIV LONG), matching the
+    # oracle's `//` — never double division + cast, whose rounding is
+    # only coincidentally equal on fixtures whose quotients stay clear
+    # of integer boundaries.
+    bucket_of = lambda name: F.expr(  # noqa: E731
+        f"({name} * {_HEAPS_BUCKETS}) DIV (mx + 1)"
+    )
     first_seen = toks.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
     tok_counts = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     per_bucket = (
         docs.join(F.broadcast(bounds))
-        .select(bucket_of(F.col("doc_id")).cast("long").alias("bucket"), "doc_id")
+        .select(bucket_of("doc_id").cast("long").alias("bucket"), "doc_id")
         .join(tok_counts, on="doc_id")
         .groupBy("bucket")
         .agg(
@@ -954,7 +960,7 @@ def q_vocab_growth_checkpoints(spark, sf_dir):
     )
     vocab_per_bucket = (
         first_seen.join(F.broadcast(bounds))
-        .select(bucket_of(F.col("first_doc")).cast("long").alias("bucket"))
+        .select(bucket_of("first_doc").cast("long").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").cast("long").alias("new_types"))
     )

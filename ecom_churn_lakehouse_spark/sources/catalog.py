@@ -19,8 +19,27 @@ from ecom_churn_lakehouse_spark.sources.tables import TABLES, load_events, load_
 __all__ = ["register_tables", "run_sql"]
 
 
-def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
-    """Register every fixture table as a temp view; returns the names."""
+# (session id, sf_dir) pairs whose views are already registered —
+# re-registering all 10 views on EVERY run_sql call cost a measurable
+# constant (~0.5 s per query in BENCH_r04: sql_pricing_summary 1.95 s
+# vs 1.30 s for its DataFrame twin with an identical Catalyst plan).
+# Keyed on id(spark) so a new session (new temp-view namespace)
+# re-registers; a different sf_dir in the same session re-registers
+# and takes over the view names (last writer wins, matching the old
+# behavior).
+_REGISTERED: dict[int, str] = {}
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> list[str]:
+    """Register every fixture table as a temp view; returns the names.
+
+    Idempotent per (session, sf_dir): repeated calls are a dict probe,
+    not ten plan-analysis round-trips.
+    """
+    if not force and _REGISTERED.get(id(spark)) == sf_dir:
+        return list(TABLES)
     names = []
     for name in TABLES:
         df = (
@@ -30,6 +49,7 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
         )
         df.createOrReplaceTempView(name)
         names.append(name)
+    _REGISTERED[id(spark)] = sf_dir
     return names
 
 
