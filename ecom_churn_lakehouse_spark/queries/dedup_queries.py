@@ -598,8 +598,8 @@ _XSOURCE_SQL = f"""
 SELECT least(sa.source, sb.source) AS source_lo,
        greatest(sa.source, sb.source) AS source_hi,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       ROUND(CAST(SUM(CAST(p.jaccard AS DECIMAL(18,6))) AS DOUBLE)
-             / COUNT(*), 6) AS avg_jaccard
+       CAST(SUM(CAST(ROUND(p.jaccard * 1000000, 0) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS avg_jaccard_ppm
 FROM ({_minhash_sql()}) p
 JOIN documents sa ON sa.doc_id = p.doc_a % 100000
 JOIN documents sb ON sb.doc_id = p.doc_b % 100000
@@ -613,7 +613,8 @@ GROUP BY 1, 2
     doc="Which SOURCES near-duplicate each other: the MinHash+LSH pair "
     "stream (minhash_lsh_pairs, verified Jaccard >= 0.5) aggregated "
     "into a symmetric source-pair matrix (unordered pair key via "
-    "least/greatest) with pair counts and exact-decimal mean Jaccard. "
+    "least/greatest) with pair counts and exact integer-ppm mean "
+    "Jaccard (float-free oracle surface). "
     "The curation view that decides which sources to drop or "
     "down-weight when corpora plagiarize each other — computed on the "
     "verified pair stream (|pairs| rows), so the matrix costs one "
@@ -638,11 +639,19 @@ def q_cross_source_neardup_matrix(spark, sf_dir):
         )
         .agg(
             F.count("*").cast("long").alias("n_pairs"),
-            F.round(
-                F.sum(F.col("jaccard").cast("decimal(18,6)")).cast("double")
-                / F.count("*"),
-                6,
-            ).alias("avg_jaccard"),
+            # jaccard is a 6dp-rounded double, so jaccard*1e6 is within
+            # 1e-9 of an integer on every row: round-to-int is exact on
+            # both engines, and the mean stays in integer space (floor
+            # ppm) — round 5's rounding audit found two fixture means
+            # landing exactly on a 6-digit half boundary, where ROUND
+            # over a double is engine-version-dependent (the
+            # churn_hazard_table class).
+            F.expr(
+                "SUM(CAST(ROUND(jaccard * 1000000, 0) AS BIGINT))"
+                " DIV COUNT(*)"
+            )
+            .cast("long")
+            .alias("avg_jaccard_ppm"),
         )
     )
 
