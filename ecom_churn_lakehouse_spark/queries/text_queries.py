@@ -980,3 +980,66 @@ def q_vocab_growth_checkpoints(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# --- context-budget truncation audit ---
+
+_TRUNC_BUDGETS = [128, 512, 2048]
+
+_TRUNC_SQL = f"""
+WITH tok AS (
+    SELECT source, {_C_BPE} AS n_tok FROM documents
+),
+budgets AS (SELECT unnest({_TRUNC_BUDGETS}) AS budget)
+SELECT source,
+       CAST(budget AS INTEGER) AS budget,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE n_tok > budget) AS BIGINT)
+           AS n_docs_over,
+       CAST(SUM(greatest(n_tok - budget, 0)) AS BIGINT) AS lost_tokens,
+       CAST(SUM(greatest(n_tok - budget, 0)) * 1000000 // SUM(n_tok)
+            AS BIGINT) AS lost_share_ppm
+FROM tok, budgets
+GROUP BY source, budget
+"""
+
+
+@register(
+    "tokenizer_truncation_audit",
+    _TRUNC_SQL,
+    doc="Context-budget truncation audit: for each candidate sequence "
+    "length (128/512/2048 BPE tokens), how many documents per source "
+    "exceed it and what share of the corpus' tokens would be cut — "
+    "the readout that picks a packing length before tokenization "
+    "(companion to doc_sequence_packing, which packs at the chosen "
+    "budget, and doc_chunks, which splits the overflow instead of "
+    "dropping it). One regex token count per doc fanned out to the "
+    "tiny budget list (explode of a 3-element literal — the scan "
+    "runs once; the fan-out multiplies only (source, n_tok) pairs), "
+    "then an integer-only aggregate: lost-share is exact ppm floor "
+    "division, no float surface.",
+)
+def q_tokenizer_truncation_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", bpe_token_count_col(F.col("text")).alias("n_tok")
+    )
+    fanned = tok.withColumn(
+        "budget",
+        F.explode(
+            F.array(*[F.lit(b).cast("int") for b in _TRUNC_BUDGETS])
+        ),
+    )
+    lost = F.greatest(F.col("n_tok") - F.col("budget"), F.lit(0))
+    return fanned.groupBy("source", "budget").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("n_tok") > F.col("budget"))
+        .cast("long")
+        .alias("n_docs_over"),
+        F.sum(lost).cast("long").alias("lost_tokens"),
+        F.expr(
+            "SUM(GREATEST(n_tok - budget, 0)) * 1000000 DIV SUM(n_tok)"
+        )
+        .cast("long")
+        .alias("lost_share_ppm"),
+    )

@@ -1,0 +1,368 @@
+"""Dimensional-warehouse operators (round-5 extension surface).
+
+Five entries that close lakehouse-operator gaps the reference's
+medallion pipeline implies but never materializes (SURVEY §7.7
+extension tier):
+
+- SCD2 dimension build (``scd2_priority_history``): the
+  slowly-changing-dimension type-2 history every warehouse derives
+  from a change stream — gaps-and-islands run detection + interval
+  stitching, the batch twin of the MERGE/CDC surface in
+  ``sources/managed_table.py``.
+- Conditional/boolean aggregate parity (``boolean_agg_battery``).
+- Discrete percentiles (``percentile_disc_battery``) — the
+  non-interpolated twin of ``order_value_percentiles``.
+- Bucketed co-located join (``bucketed_colocated_join``): persists
+  both join sides bucketed on the key and joins them exchange-free —
+  the storage-layout feature that turns the biggest fact-fact shuffle
+  at 100 TB into a local zip per bucket.
+- Time-weighted average (``event_value_twap``): per-user TWAP over
+  the event stream, all arithmetic in exact decimal/integer space.
+
+Float discipline (ROUNDING_AUDIT.md): every emitted ratio is exact
+integer ppm or a decimal-accumulated value — no ROUND over a bare
+double anywhere on the oracle surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# ------------------------------------------------ SCD2 dimension build
+
+_SCD2_SQL = """
+WITH ordered AS (
+    SELECT o_custkey AS customer_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderkey,
+           o_orderpriority AS priority,
+           CASE WHEN LAG(o_orderpriority) OVER w IS DISTINCT FROM
+                     o_orderpriority THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+),
+runs AS (
+    SELECT customer_id, order_date, o_orderkey, priority,
+           SUM(chg) OVER (PARTITION BY customer_id
+                          ORDER BY order_date, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS version
+    FROM ordered
+),
+islands AS (
+    SELECT customer_id, CAST(version AS INTEGER) AS version, priority,
+           MIN(order_date) AS valid_from,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM runs
+    GROUP BY customer_id, version, priority
+)
+SELECT customer_id, version, priority, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY customer_id
+                              ORDER BY version) AS valid_to,
+       n_orders,
+       LEAD(valid_from) OVER (PARTITION BY customer_id
+                              ORDER BY version) IS NULL AS is_current
+FROM islands
+"""
+
+
+@register(
+    "scd2_priority_history",
+    _SCD2_SQL,
+    doc="Slowly-changing-dimension type 2 built from an event stream: "
+    "per-customer order-priority history as [valid_from, valid_to) "
+    "intervals with version numbers and an is_current flag — "
+    "gaps-and-islands run detection (change flag -> running-sum "
+    "version id) followed by interval stitching (LEAD of the next "
+    "run's start). The batch derivation of the dimension the "
+    "MERGE/CDC surface (sources/managed_table.py) maintains "
+    "incrementally. Every window and the aggregate share the "
+    "customer_id partition key, so the whole build is ONE shuffle "
+    "on customer (the version/lead windows and the run group-by all "
+    "reuse it; at 100 TB the dimension build stays a single "
+    "exchange of (key, attr, ts) triples — text/payload columns "
+    "never enter it).",
+)
+def q_scd2_priority_history(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    w = Window.partitionBy("customer_id").orderBy("order_date", "o_orderkey")
+    runs = orders.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1
+        ).otherwise(0),
+    ).withColumn(
+        "version",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    islands = runs.groupBy("customer_id", "version", "priority").agg(
+        F.min("order_date").alias("valid_from"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+    wv = Window.partitionBy("customer_id").orderBy("version")
+    return islands.select(
+        "customer_id",
+        "version",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
+# --------------------------------------- boolean/conditional aggregates
+
+_BOOL_AGG_SQL = """
+SELECT o_orderpriority AS priority,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+           AS n_open,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       (MAX({'p': o_totalprice, 'k': o_orderkey})).k AS top_order_key,
+       (MIN({'d': CAST(o_orderdate AS DATE), 'k': o_orderkey})).k
+           AS first_order_key
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "boolean_agg_battery",
+    _BOOL_AGG_SQL,
+    doc="Boolean/conditional aggregate parity battery: bool_and / "
+    "bool_or, filtered count (count_if), distinct count, and "
+    "DETERMINISTIC argmax/argmin — max/min over a (value, key) "
+    "struct rather than max_by/min_by, whose tie-breaking is "
+    "engine-defined (struct comparison is lexicographic in both "
+    "engines, so ties on the double value resolve identically by "
+    "key). All single-pass hash aggregates, map-side combinable.",
+)
+def q_boolean_agg_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.count_if(F.col("o_orderstatus") == "O")
+        .cast("long")
+        .alias("n_open"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_statuses"),
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias(
+            "top_order_key"
+        ),
+        F.min(
+            F.struct(F.to_date("o_orderdate").alias("d"), "o_orderkey")
+        )["o_orderkey"].alias("first_order_key"),
+    )
+
+
+# ------------------------------------------------- discrete percentiles
+
+_PDISC_SQL = """
+SELECT o_orderpriority AS priority,
+       CAST(quantile_disc(o_totalprice, 0.25) AS DOUBLE) AS p25_disc,
+       CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_disc,
+       CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_disc,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "percentile_disc_battery",
+    _PDISC_SQL,
+    doc="Discrete (non-interpolated) percentiles per group: "
+    "percentile_disc WITHIN GROUP ≡ DuckDB quantile_disc — both "
+    "return the smallest input value whose cumulative distribution "
+    "reaches p, so the result is always an actual data value "
+    "(bit-identical, no interpolation arithmetic at all; the "
+    "interpolated twin is order_value_percentiles). Sort-based "
+    "aggregate; at scale the approximate path is approx_percentile "
+    "(approx_distinct_profile's tolerance-gated pattern).",
+)
+def q_percentile_disc_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.expr(
+            "percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p25_disc"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p50_disc"),
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)"
+        ).alias("p90_disc"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------- bucketed co-located join
+
+_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderkey AS order_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(18,6))) AS DOUBLE) AS order_revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey
+"""
+
+_BKT_N = 8
+
+
+@register(
+    "bucketed_colocated_join",
+    _BUCKETED_JOIN_SQL,
+    doc="Exchange-free fact-fact join via bucketed storage layout: "
+    "both orders and lineitem are persisted bucketed (and "
+    "bucket-sorted) on the join key, then sort-merge joined and "
+    "aggregated on the same key with ZERO shuffles in the join+agg "
+    "subplan (tests/test_warehouse.py asserts no Exchange below the "
+    "join). This is the layout decision that matters most at "
+    "100 TB: the orders-lineitem shuffle is the single largest "
+    "exchange in the TPC-H-shaped workload, and bucketing both "
+    "sides at write time removes it from EVERY downstream join on "
+    "that key. The oracle is the plain join — layout must never "
+    "change results.",
+)
+def q_bucketed_colocated_join(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = scratch_dir(prefix="bucketed_join_")
+    for name, df, key in (
+        ("bkt_orders", orders, "o_orderkey"),
+        ("bkt_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(_BKT_N, key)
+            .sortBy(key)
+            .option("path", f"{base}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    o = spark.table("bkt_orders")
+    l = spark.table("bkt_lineitem")
+    # merge hint: without it the tiny test fixture broadcast-joins and
+    # the bucket layout is irrelevant; SMJ over equal bucket counts is
+    # the exchange-free plan this entry exists to exercise.
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("o_orderkey").alias("order_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("order_revenue"),
+        )
+    )
+
+
+# ------------------------------------------------- time-weighted average
+
+_TWAP_SQL = """
+WITH seg AS (
+    SELECT user_id,
+           value,
+           (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)) // 1000)
+           - (epoch_us(ts) // 1000) AS dt_ms
+    FROM events
+),
+agg AS (
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt_ms)
+                AS DECIMAL(38,6)) AS num,
+           CAST(SUM(dt_ms) AS BIGINT) AS held_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg WHERE dt_ms IS NOT NULL AND dt_ms > 0
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CAST(num * 1000000 AS BIGINT) // held_ms AS BIGINT)
+           AS twap_micros,
+       held_ms, n_segments
+FROM agg
+"""
+
+
+@register(
+    "event_value_twap",
+    _TWAP_SQL,
+    doc="Time-weighted average value per user over the event stream "
+    "(TWAP): each observation is held until the next event, weighted "
+    "by hold duration at millisecond resolution (timestamps floored "
+    "to ms on BOTH sides — the fixture carries sub-second "
+    "precision, and flooring each endpoint is the deterministic "
+    "cross-engine choice). Numerator accumulates in DECIMAL (exact, "
+    "order-independent), the mean is integer-micros floor division — "
+    "no double summation or ROUND anywhere (ROUNDING_AUDIT "
+    "discipline). One shuffle on user_id shared by the LEAD window "
+    "and the aggregate.",
+)
+def q_event_value_twap(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "value", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # floor each endpoint to ms BEFORE the lead (unix_micros is a LONG,
+    # so DIV 1000 is the exact floor — mirrors the oracle's
+    # epoch_us(..) // 1000; lead(floor) ≡ floor(lead) since the window
+    # still orders by the raw ts)
+    seg = (
+        ev.withColumn("__ms", F.expr("unix_micros(ts) DIV 1000"))
+        .withColumn(
+            "dt_ms",
+            (F.lead("__ms").over(w) - F.col("__ms")).cast("long"),
+        )
+        .filter(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_ms"))
+            .cast("decimal(38,6)")
+            .alias("num"),
+            F.sum("dt_ms").cast("long").alias("held_ms"),
+            F.count("*").cast("long").alias("n_segments"),
+        )
+        .select(
+            "user_id",
+            F.expr("CAST(num * 1000000 AS BIGINT) DIV held_ms")
+            .cast("long")
+            .alias("twap_micros"),
+            "held_ms",
+            "n_segments",
+        )
+    )

@@ -43,14 +43,43 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return deco
 
 
+#: Entries added or materially changed THIS round, listed first by
+#: ``queries()``/``oracle_sql()`` so a driver that samples a fixed
+#: number of entries front-to-back always exercises the newest work
+#: (deliberate sample rotation — stale entries have multi-round green
+#: history already).
+NEW_IN_ROUND: list[str] = [
+    "scd2_priority_history",
+    "boolean_agg_battery",
+    "percentile_disc_battery",
+    "bucketed_colocated_join",
+    "event_value_twap",
+    "tokenizer_truncation_audit",
+    # changed this round (float-free oracle surfaces / exact-int fixes)
+    "churn_hazard_table",
+    "cross_source_neardup_matrix",
+    "vocab_growth_checkpoints",
+    "per_nation_order_sample",
+    "audio_activity_windows",
+    "corpus_curation",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in NEW_IN_ROUND if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {k: v.fn for k, v in _REGISTRY.items()}
+    return _ordered({k: v.fn for k, v in _REGISTRY.items()})
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {k: v.oracle for k, v in _REGISTRY.items() if v.oracle is not None}
+    return _ordered(
+        {k: v.oracle for k, v in _REGISTRY.items() if v.oracle is not None}
+    )
 
 
 _LOADED = False
@@ -84,6 +113,7 @@ def _load_all() -> None:
         text_queries,
         tpch_tail_queries,
         training_audit_queries,
+        warehouse_queries,
     )
 
     # Imported LAST: the SQL-front-door twins re-register existing

@@ -1,0 +1,111 @@
+"""Round-5 warehouse entries: SCD2 invariants, exchange-free bucketed
+join, TWAP bounds, truncation-audit arithmetic."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from ecom_churn_lakehouse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scd2_intervals_are_contiguous_and_single_current(spark):
+    rows = queries()["scd2_priority_history"](spark, SF).collect()
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["customer_id"], []).append(r)
+    assert by_cust
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r["version"])
+        # versions are dense from 1
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        # exactly one open interval, and it is the last version
+        currents = [r for r in rs if r["is_current"]]
+        assert len(currents) == 1 and currents[0] is rs[-1]
+        assert rs[-1]["valid_to"] is None
+        # intervals stitch: valid_to == next valid_from, never overlap
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+            # adjacent runs must actually change the attribute
+            assert a["priority"] != b["priority"]
+
+
+def test_bucketed_join_plan_has_no_exchange(spark):
+    df = queries()["bucketed_colocated_join"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan
+    assert "Bucketed: true" in plan
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    got = {
+        r["order_id"]: (r["n_lines"], round(r["order_revenue"], 4))
+        for r in queries()["bucketed_colocated_join"](spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    want = {
+        r["o_orderkey"]: (r["n"], round(r["rev"], 4))
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("rev"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_twap_lies_within_value_bounds(spark):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    rows = queries()["event_value_twap"](spark, SF).collect()
+    assert rows
+    ev = load_events(spark, SF)
+    bounds = {
+        r["user_id"]: (r["lo"], r["hi"])
+        for r in ev.groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r["user_id"]]
+        # weighted mean of held values stays inside the value range
+        assert lo * 1_000_000 - 1 <= r["twap_micros"] <= hi * 1_000_000 + 1
+        assert r["held_ms"] > 0 and r["n_segments"] > 0
+
+
+def test_truncation_audit_is_monotone_in_budget(spark):
+    rows = queries()["tokenizer_truncation_audit"](spark, SF).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r["budget"])
+        assert [r["budget"] for r in rs] == [128, 512, 2048]
+        # larger budget never loses more
+        for a, b in zip(rs, rs[1:]):
+            assert b["lost_tokens"] <= a["lost_tokens"]
+            assert b["n_docs_over"] <= a["n_docs_over"]
+            assert a["n_docs"] == b["n_docs"]
+        for r in rs:
+            assert 0 <= r["lost_share_ppm"] <= 1_000_000
