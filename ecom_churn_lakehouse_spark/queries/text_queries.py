@@ -305,20 +305,25 @@ def q_corpus_curation(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
-    # Plan shape, measured at sf0.1:
+    # Plan shape, measured at sf0.1 (round 5 rewrite — 2.02 s -> 1.73 s
+    # fresh-build min-of-3, and ONE corpus text pass instead of two):
     # (1) repartition to full parallelism — a small-file corpus scan
     #     yields 1-2 input splits, serializing the regex/shingle work;
     #     at 100 TB this is a no-op (many files = natural parallelism).
-    # (2) NO checkpoint/cache boundaries: the corpus subgraph is read
-    #     by two consumers (the shingle/decontam pass and the scoring
-    #     pass), and re-scanning the parquet twice is far cheaper than
-    #     caching 32 RDD blocks of text between stages — the r2
-    #     localCheckpoint version oscillated 2-16 s under block-manager
-    #     memory churn; this shape holds a stable ~1.4 s at sf0.1.
-    # (3) the two expensive CPU stages each run exactly ONCE: shingle
-    #     construction covers bench+train disjointly (one full pass),
-    #     and regex quality scoring runs only on decontam SURVIVORS
-    #     (never on docs about to be dropped — the stages commute).
+    # (2) ONE fused pass consumes text: sha + quality/lang/BPE regexes
+    #     + the 8-gram shingle-hash ARRAY are all computed in a single
+    #     projection, checkpointed as COMPACT columns (~1.7 KB/doc —
+    #     no text; the r2 oscillation came from caching text blocks).
+    #     Both consumers (decontam probe, dedup/agg) read the
+    #     checkpoint, so the heavy scan runs exactly once — at 100 TB
+    #     this halves the dominant cost (the corpus read), at the
+    #     price of materializing features a silver table would hold
+    #     anyway.
+    # (3) the checkpoint barrier also prevents the optimizer from
+    #     collapsing the shingle `transform` into the probe's Generate
+    #     (explode-of-built-array re-evaluates the transform per
+    #     element — measured 7x slower; a barrier-free exchange-reuse
+    #     variant hit exactly that and ran 5.4 s).
     par = spark.sparkContext.defaultParallelism
     corpus = docs.unionByName(
         docs.filter(F.col("doc_id") % 10 == 0).select(
@@ -326,53 +331,49 @@ def q_corpus_curation(spark, sf_dir):
         )
     ).repartition(par)
     is_bench = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)
-    # No .distinct() anywhere in the decontam subgraph: duplicate bench
-    # shingles only duplicate probe hits, and LEFT ANTI is insensitive
-    # to duplicate keys on its right side — so both dedup exchanges
-    # (4 stages) are pure overhead. After the one repartition exchange
-    # the whole decontam path is map-side: shingle probe against the
-    # broadcast bench set, then a broadcast anti-join. (At 100 TB the
-    # bench set still dedups before broadcast if it outgrows the
-    # broadcast threshold — here it is thousands of rows.)
     # Probe on xxhash64(shingle), not the shingle STRING: the broadcast
     # build ships 8 bytes/row instead of a ~60-byte 8-gram and the hash
-    # join compares longs (measured 0.53 -> 0.34 s warm, 3.4 -> 0.85 s
-    # cold at sf0.1 — the cold gap is the broadcast build). A collision
-    # only adds a spurious contamination hit (P ~ n^2/2^64, ~1e-10 at
-    # any plausible bench size).
+    # join compares longs. A collision only adds a spurious
+    # contamination hit (P ~ n^2/2^64). No .distinct() in the decontam
+    # subgraph: duplicate bench shingles only duplicate probe hits, and
+    # LEFT ANTI is insensitive to duplicate right-side keys.
     # bench docs satisfy doc_id % 50 == 0 AND doc_id < 100000, and every
     # union copy has doc_id >= 100000 — so the bench partition comes
-    # entirely from the BASE parquet scan. Shingling `docs` directly
-    # (not `corpus`) skips one full scan+union+repartition execution of
-    # the corpus subgraph for the broadcast build.
+    # entirely from the BASE parquet scan.
     bench8 = doc_shingles(
         docs.filter((F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 100000)),
         n=8,
         distinct=False,
     ).select(F.xxhash64("shingle").alias("__sh"))
+    q = quality_cols(F.col("text"))
+    n_sh = F.size("__toks") - 7
+    idx = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh_arr = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice("__toks", i, 8), " "))
+    )
+    features = (
+        corpus.filter(~is_bench)
+        .withColumn("__toks", F.split(F.trim(F.col("text")), r"\s+"))
+        .select(
+            "doc_id",
+            "source",
+            F.sha2(F.col("text"), 256).alias("__sha"),
+            bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
+            q["quality_score"].alias("quality_score"),
+            lang_guess_col(F.col("text")).alias("lang_guess"),
+            sh_arr.alias("__shs"),
+        )
+        .localCheckpoint(eager=False)
+    )
     contaminated = (
-        doc_shingles(corpus.filter(~is_bench), n=8, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        features.select("doc_id", F.explode("__shs").alias("__sh"))
         .join(F.broadcast(bench8), on="__sh")
         .select("doc_id")
     )
-    clean_raw = corpus.filter(~is_bench).join(
+    scored = features.drop("__shs").join(
         F.broadcast(contaminated), on="doc_id", how="left_anti"
-    )
-    q = quality_cols(F.col("text"))
-    # text is consumed HERE (hash + all regex features in one
-    # projection) and dropped before any shuffle: the dedup exchange
-    # moves only (sha, doc_id, source, 2 numerics) instead of the full
-    # document payload — at 100 TB the text column IS the table, so
-    # keeping it out of the shuffle is the difference between moving
-    # kilobytes and moving the corpus.
-    scored = clean_raw.select(
-        "doc_id",
-        "source",
-        F.sha2(F.col("text"), 256).alias("__sha"),
-        bpe_token_count_col(F.col("text")).alias("n_bpe_tokens"),
-        q["quality_score"].alias("quality_score"),
-        lang_guess_col(F.col("text")).alias("lang_guess"),
     )
     kept = scored.filter(
         (F.col("quality_score") >= 0.55) & (F.col("lang_guess") == "en")
