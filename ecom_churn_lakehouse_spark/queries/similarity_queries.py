@@ -1127,3 +1127,147 @@ def q_matryoshka_recall_eval(spark, sf_dir):
             ),
         )
     )
+
+
+# -------- power-iteration PCA (top principal direction, exact integers)
+
+_PI_SCALE = 1_000_000  # input / loading quantization: micros
+
+
+def _pi_sql() -> str:
+    """Two power-iteration steps over the Gram matrix, all exact.
+
+    Inputs quantize ONCE to integer micros (round-half-away, audited
+    boundary-safe on the fixture); every cross-row sum is int128
+    (HUGEINT / DECIMAL(38,0)) so partial-aggregation order cannot
+    perturb a bit; each normalization is ONE engine-pinned double
+    division. No float accumulations anywhere.
+    """
+    return f"""
+WITH xi AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * {_PI_SCALE}, 0) AS BIGINT))
+               AS q
+    FROM embeddings
+),
+ex AS (
+    SELECT vec_id, i AS pos, q[i] AS x
+    FROM xi, unnest(range(1, len(q) + 1)) t(i)
+),
+s1 AS (SELECT vec_id, CAST(list_sum(q) AS BIGINT) AS s FROM xi),
+y1 AS (
+    SELECT ex.pos, SUM(CAST(ex.x AS HUGEINT) * s1.s) AS y
+    FROM ex JOIN s1 ON ex.vec_id = s1.vec_id
+    GROUP BY ex.pos
+),
+n1 AS (SELECT MAX(ABS(CAST(y AS DOUBLE))) AS nrm FROM y1),
+q1 AS (
+    SELECT pos,
+           CAST(ROUND((CAST(y AS DOUBLE) / (SELECT nrm FROM n1))
+                      * {_PI_SCALE}.0, 0) AS BIGINT) AS qv
+    FROM y1
+),
+s2 AS (
+    SELECT ex.vec_id, CAST(SUM(ex.x * q1.qv) AS BIGINT) AS s
+    FROM ex JOIN q1 ON ex.pos = q1.pos
+    GROUP BY ex.vec_id
+),
+y2 AS (
+    SELECT ex.pos, SUM(CAST(ex.x AS HUGEINT) * s2.s) AS y
+    FROM ex JOIN s2 ON ex.vec_id = s2.vec_id
+    GROUP BY ex.pos
+),
+n2 AS (SELECT MAX(ABS(CAST(y AS DOUBLE))) AS nrm FROM y2)
+SELECT CAST(pos - 1 AS INTEGER) AS dim_idx,
+       CAST(ROUND((CAST(y AS DOUBLE) / (SELECT nrm FROM n2))
+                  * {_PI_SCALE}.0, 0) AS BIGINT) AS loading_ppm
+FROM y2
+ORDER BY dim_idx
+"""
+
+
+@register(
+    "embedding_power_iteration",
+    _pi_sql(),
+    doc="Top principal direction of the embedding matrix via two "
+    "power-iteration steps on the Gram matrix (X^T X q, renormalized "
+    "each step) — the distributed linear-algebra kernel behind PCA "
+    "whitening / dominant-direction removal in embedding pipelines "
+    "(ABTT 'all-but-the-top' preprocessing). Determinism design, per "
+    "the copurchase_pagerank playbook: inputs quantize ONCE to "
+    "integer micros, every cross-row reduction is an int128 sum "
+    "(order-independent, bit-exact at any parallelism), and each "
+    "renormalization is one engine-pinned double division + one "
+    "audited half-away rounding. Per iteration the plan is one "
+    "per-row fold (x·q, sequential in-array — no cross-row floats) "
+    "and one groupBy(pos) with 64 groups; at 100 TB the 64-group agg "
+    "is map-side combined so the shuffle carries partitions x 64 "
+    "rows, and q ships as a broadcast — the classic 1-D "
+    "tall-skinny-matrix reduction.",
+)
+def q_embedding_power_iteration(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    xi = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * _PI_SCALE, 0).cast("long"),
+        ).alias("q"),
+    )
+    ex = xi.select(
+        "vec_id", F.posexplode("q").alias("pos0", "x")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
+    s1 = xi.select(
+        "vec_id",
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "s"
+        ),
+    )
+    def _yn(srel):
+        y = (
+            ex.join(srel, on="vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.col("x").cast("decimal(19,0)") * F.col("s")
+                )
+                .cast("decimal(38,0)")
+                .alias("y")
+            )
+        )
+        return y.join(
+            F.broadcast(
+                y.agg(
+                    F.max(F.abs(F.col("y").cast("double"))).alias("nrm")
+                )
+            )
+        )
+    q1 = _yn(s1).select(
+        "pos",
+        F.round(
+            (F.col("y").cast("double") / F.col("nrm")) * float(_PI_SCALE),
+            0,
+        )
+        .cast("long")
+        .alias("qv"),
+    )
+    s2 = (
+        ex.join(F.broadcast(q1), on="pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("qv")).cast("long").alias("s"))
+    )
+    return (
+        _yn(s2)
+        .select(
+            (F.col("pos") - 1).cast("int").alias("dim_idx"),
+            F.round(
+                (F.col("y").cast("double") / F.col("nrm"))
+                * float(_PI_SCALE),
+                0,
+            )
+            .cast("long")
+            .alias("loading_ppm"),
+        )
+        .orderBy("dim_idx")
+    )

@@ -55,6 +55,7 @@ NEW_IN_ROUND: list[str] = [
     "bucketed_colocated_join",
     "event_value_twap",
     "tokenizer_truncation_audit",
+    "embedding_power_iteration",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
     "cross_source_neardup_matrix",

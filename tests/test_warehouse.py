@@ -109,3 +109,18 @@ def test_truncation_audit_is_monotone_in_budget(spark):
             assert a["n_docs"] == b["n_docs"]
         for r in rs:
             assert 0 <= r["lost_share_ppm"] <= 1_000_000
+
+
+def test_power_iteration_is_normalized_and_stable(spark):
+    rows = queries()["embedding_power_iteration"](spark, SF).collect()
+    assert len(rows) == 64
+    assert [r["dim_idx"] for r in rows] == list(range(64))
+    peaks = [abs(r["loading_ppm"]) for r in rows]
+    # renormalized by the max-|.| component -> exactly one 1e6 peak
+    assert max(peaks) == 1_000_000
+    assert all(p <= 1_000_000 for p in peaks)
+    # deterministic: a second fresh plan yields bit-identical loadings
+    again = queries()["embedding_power_iteration"](spark, SF).collect()
+    assert [r["loading_ppm"] for r in rows] == [
+        r["loading_ppm"] for r in again
+    ]
