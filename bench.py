@@ -113,6 +113,15 @@ HEADLINE = [
     "order_value_mad_outliers",
     "hourly_value_interpolated",
     "cuped_adjusted_spend",
+    # round-5 additions: warehouse tier + exact-arithmetic surfaces
+    "scd2_priority_history",
+    "boolean_agg_battery",
+    "percentile_disc_battery",
+    "bucketed_colocated_join",
+    "event_value_twap",
+    "tokenizer_truncation_audit",
+    "embedding_power_iteration",
+    "churn_hazard_table",
 ]
 
 
