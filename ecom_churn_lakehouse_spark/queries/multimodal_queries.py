@@ -455,3 +455,64 @@ def q_image_patch_stats(spark, sf_dir):
     return image_patch_stats(_payloads(spark, sf_dir), patch=_PATCH).select(
         "doc_id", "patch_idx", "patch_mean", "patch_std", "decode_ok"
     )
+
+
+# --------------------------------------- per-channel intensity histogram
+
+_HIST_BINS = 4
+
+_CHANNEL_HIST_SQL = f"""
+WITH payload AS (
+    SELECT doc_id,
+           {" || ".join(f"sha256(text || '{i}')" for i in range(_N_BLOCKS))}
+               AS hexr
+    FROM documents
+),
+bytes AS (
+    SELECT doc_id,
+           CAST((i - 1) % 3 AS INTEGER) AS channel,
+           CAST(CAST(('0x' || substr(hexr, i * 2 - 1, 2)) AS INTEGER)
+                // {256 // _HIST_BINS} AS INTEGER) AS bin
+    FROM payload, unnest(range(1, {_W * _H * 3 + 1})) AS t(i)
+),
+grid AS (
+    SELECT d.doc_id, c.channel, b.bin
+    FROM (SELECT DISTINCT doc_id FROM documents) d,
+         unnest(range(0, 3)) c(channel),
+         unnest(range(0, {_HIST_BINS})) b(bin)
+)
+SELECT g.doc_id,
+       CAST(g.channel AS INTEGER) AS channel,
+       CAST(g.bin AS INTEGER) AS bin,
+       CAST(COUNT(y.doc_id) AS BIGINT) AS n_pixels,
+       TRUE AS decode_ok
+FROM grid g
+LEFT JOIN bytes y
+  ON y.doc_id = g.doc_id AND y.channel = g.channel AND y.bin = g.bin
+GROUP BY g.doc_id, g.channel, g.bin
+"""
+
+
+@register(
+    "image_channel_histogram",
+    _CHANNEL_HIST_SQL,
+    doc="REAL per-channel intensity histograms, oracle-verified with a "
+    "ZERO-float surface: the decoded PPM raster's R/G/B planes each "
+    "bucket into 4 equal-width intensity bins (empty bins emitted as "
+    "zero rows — a fixed 12-row shape per doc, stable for downstream "
+    "pivots). The color-distribution signature behind cheap image "
+    "dedup, exposure screens, and domain-shift monitoring in a "
+    "vision curation pipeline. The DuckDB oracle re-derives the "
+    "raster bytes from sha256 hex, buckets with integer floor "
+    "division, and zero-fills via a doc x channel x bin grid — a "
+    "wrong channel interleave, bin edge, or missing-bin convention "
+    "all hash-fail (multimodal/decode.py::image_channel_histograms).",
+)
+def q_image_channel_histogram(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        image_channel_histograms,
+    )
+
+    return image_channel_histograms(
+        _payloads(spark, sf_dir), bins=_HIST_BINS
+    ).select("doc_id", "channel", "bin", "n_pixels", "decode_ok")

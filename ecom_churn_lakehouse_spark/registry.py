@@ -56,6 +56,7 @@ NEW_IN_ROUND: list[str] = [
     "event_value_twap",
     "tokenizer_truncation_audit",
     "embedding_power_iteration",
+    "image_channel_histogram",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
     "cross_source_neardup_matrix",

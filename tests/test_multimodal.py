@@ -420,3 +420,39 @@ def test_scene_cut_deltas_match_manual_decode(spark):
         yb = frames[k][:, :, 0].astype("int64")
         expect = round(int(abs(yb - ya).sum()) / (npx * 255.0), 6)
         assert out[k] == expect
+
+
+def test_channel_histogram_counts_conserve_pixels(spark):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        image_channel_histograms,
+    )
+    from ecom_churn_lakehouse_spark.queries.multimodal_queries import (
+        _payloads,
+    )
+
+    hist = image_channel_histograms(
+        _payloads(spark, "/root/testdata/sf0.001"), bins=4
+    )
+    rows = hist.collect()
+    assert all(r["decode_ok"] for r in rows)
+    per_dc = (
+        hist.groupBy("doc_id", "channel")
+        .agg(F.sum("n_pixels").alias("s"), F.count("*").alias("nbins"))
+        .collect()
+    )
+    # 8x8 raster: every (doc, channel) has 4 bins summing to 64 pixels
+    assert per_dc and all(r["s"] == 64 and r["nbins"] == 4 for r in per_dc)
+
+
+def test_channel_histogram_corrupt_payload(spark):
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        image_channel_histograms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a ppm"))], "doc_id long, payload binary"
+    )
+    rows = image_channel_histograms(df, bins=4).collect()
+    assert len(rows) == 1 and rows[0]["decode_ok"] is False
