@@ -89,38 +89,21 @@ FROM islands
     "never enter it).",
 )
 def q_scd2_priority_history(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.scd2 import scd2_build
+
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("customer_id"),
         F.to_date("o_orderdate").alias("order_date"),
         "o_orderkey",
         F.col("o_orderpriority").alias("priority"),
     )
-    w = Window.partitionBy("customer_id").orderBy("order_date", "o_orderkey")
-    runs = orders.withColumn(
-        "chg",
-        F.when(
-            ~F.lag("priority").over(w).eqNullSafe(F.col("priority")), 1
-        ).otherwise(0),
-    ).withColumn(
-        "version",
-        F.sum("chg")
-        .over(w.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("int"),
-    )
-    islands = runs.groupBy("customer_id", "version", "priority").agg(
-        F.min("order_date").alias("valid_from"),
-        F.count("*").cast("long").alias("n_orders"),
-    )
-    wv = Window.partitionBy("customer_id").orderBy("version")
-    return islands.select(
-        "customer_id",
-        "version",
-        "priority",
-        "valid_from",
-        F.lead("valid_from").over(wv).alias("valid_to"),
-        "n_orders",
-        F.lead("valid_from").over(wv).isNull().alias("is_current"),
-    )
+    return scd2_build(
+        orders,
+        key_col="customer_id",
+        attr_col="priority",
+        ts_col="order_date",
+        tiebreak_col="o_orderkey",
+    ).withColumnRenamed("n_events", "n_orders")
 
 
 # --------------------------------------- boolean/conditional aggregates
