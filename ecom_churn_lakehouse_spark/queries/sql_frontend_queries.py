@@ -53,6 +53,7 @@ _TWINS = [
     "product_profit_by_nation",  # Q9: profit regroup by nation x year
     "part_supplier_count",       # Q16: NOT IN + COUNT(DISTINCT)
     "concentrated_suppliers",    # Q20: FILTER(WHERE) conditional agg
+    "scd2_priority_history",     # SCD2: named WINDOW, IS DISTINCT FROM, LEAD
 ]
 
 
