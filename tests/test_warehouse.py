@@ -124,3 +124,14 @@ def test_power_iteration_is_normalized_and_stable(spark):
     assert [r["loading_ppm"] for r in rows] == [
         r["loading_ppm"] for r in again
     ]
+
+
+def test_new_in_round_names_exist():
+    from ecom_churn_lakehouse_spark import registry
+
+    qs = registry.queries()
+    missing = [n for n in registry.NEW_IN_ROUND if n not in qs]
+    assert not missing, f"stale NEW_IN_ROUND names: {missing}"
+    # ordering contract: the listed names lead the returned dict
+    head = list(qs)[: len([n for n in registry.NEW_IN_ROUND if n in qs])]
+    assert head == [n for n in registry.NEW_IN_ROUND if n in qs]
