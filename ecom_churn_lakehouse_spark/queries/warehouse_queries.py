@@ -1,6 +1,6 @@
 """Dimensional-warehouse operators (round-5 extension surface).
 
-Five entries that close lakehouse-operator gaps the reference's
+Entries that close lakehouse-operator gaps the reference's
 medallion pipeline implies but never materializes (SURVEY §7.7
 extension tier):
 
@@ -349,3 +349,81 @@ def q_event_value_twap(spark, sf_dir):
             "n_segments",
         )
     )
+
+
+@register(
+    "stream_scd2_dimension",
+    _SCD2_SQL,
+    doc="Streaming CDC -> SCD2 dimension: order events arrive as "
+    "micro-batches (file source, maxFilesPerTrigger=1) and each "
+    "foreachBatch call drives pipelines/scd2.py::"
+    "incremental_scd2_update — only the batch's touched keys rebuild "
+    "from the accumulated event log and publish through the keyed "
+    "MERGE (stale versions tombstoned via the CDC delete channel). "
+    "The oracle is the BATCH SCD2 SQL over the original orders, so "
+    "the streaming path must converge to the exact batch dimension "
+    "state regardless of batch boundaries — the per-key "
+    "decomposability argument made executable. Composes §2.9 "
+    "foreachBatch + S7 MERGE + the round-5 SCD2 operator in one "
+    "pipeline.",
+)
+def q_stream_scd2_dimension(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.pipelines.scd2 import (
+        incremental_scd2_update,
+    )
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+    from ecom_churn_lakehouse_spark.sources.managed_table import ManagedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    base = scratch_dir(prefix="stream_scd2_")
+    # Three chronological chunks, one file each -> three micro-batches
+    # (customers recur across chunks, so mid-stream batches really do
+    # close previously-open intervals and bump versions).
+    for lo, hi in (
+        (None, "1995-01-01"),
+        ("1995-01-01", "1998-01-01"),
+        ("1998-01-01", None),
+    ):
+        chunk = orders
+        if lo:
+            chunk = chunk.filter(F.col("order_date") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("order_date") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+    dim = ManagedTable(
+        spark, f"{base}/dim", keys=["customer_id", "version"]
+    )
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        batch_df.write.mode("append").parquet(f"{base}/seen")
+        incremental_scd2_update(
+            spark,
+            dim,
+            spark.read.parquet(f"{base}/seen"),
+            batch_df.select("customer_id").distinct(),
+            key_col="customer_id",
+            attr_col="priority",
+            ts_col="order_date",
+            tiebreak_col="o_orderkey",
+        )
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return dim.read().withColumnRenamed("n_events", "n_orders")

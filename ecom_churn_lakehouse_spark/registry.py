@@ -57,6 +57,8 @@ NEW_IN_ROUND: list[str] = [
     "tokenizer_truncation_audit",
     "embedding_power_iteration",
     "image_channel_histogram",
+    "sql_scd2_priority_history",
+    "stream_scd2_dimension",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
     "cross_source_neardup_matrix",
