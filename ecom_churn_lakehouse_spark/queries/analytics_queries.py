@@ -932,8 +932,8 @@ types AS (SELECT DISTINCT event_type FROM events),
 grid AS (SELECT t.event_type, s.hour FROM types t CROSS JOIN spine s),
 vals AS (
     SELECT event_type, date_trunc('hour', ts) AS hour,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
-                 / COUNT(*), 6) AS v
+           CAST(SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT))
+                // COUNT(*) AS BIGINT) AS v
     FROM events GROUP BY 1, 2
 ),
 g AS (
@@ -965,13 +965,14 @@ w AS (
 )
 SELECT event_type, hour,
        CAST(v IS NOT NULL AS BOOLEAN) AS is_observed,
-       ROUND(CASE
+       CAST(CASE
            WHEN v IS NOT NULL THEN v
            WHEN pv IS NULL THEN nv
            WHEN nv IS NULL THEN pv
-           ELSE pv + (nv - pv)
-                * ((epoch(hour) - epoch(ph)) / (epoch(nh) - epoch(ph)))
-       END, 6) AS value_interp
+           ELSE (pv * (CAST(epoch(nh) AS BIGINT) - CAST(epoch(hour) AS BIGINT))
+                 + nv * (CAST(epoch(hour) AS BIGINT) - CAST(epoch(ph) AS BIGINT)))
+                // (CAST(epoch(nh) AS BIGINT) - CAST(epoch(ph) AS BIGINT))
+       END AS BIGINT) AS value_interp_micros
 FROM w
 ORDER BY event_type, hour
 """
@@ -984,13 +985,18 @@ ORDER BY event_type, hour
     "the resample step a feature pipeline runs before lag/rolling "
     "features on irregular telemetry (forward-fill twin: "
     "last_purchase_ffill; zero-fill twin: hourly_events_gapfilled). "
-    "On the dense spine, each gap hour takes "
-    "prev + (next-prev)*dt_ratio from the nearest observed hours via "
-    "two-sided IGNORE NULLS frame windows; series edges fall back to "
-    "nearest-value. One window sort per direction, partitioned by "
-    "series key — at 100 TB each series' frame is independent, and "
-    "the spine join stays broadcast (types x hours is metadata-sized "
-    "next to the event volume).",
+    "On the dense spine, each gap hour takes the convex combination "
+    "of the nearest observed hours via two-sided IGNORE NULLS frame "
+    "windows; series edges fall back to nearest-value. ALL "
+    "arithmetic is exact integer micros (per-event micros are exact "
+    "for 2dp values; hourly mean and interpolation are floor "
+    "divisions of non-negative integers) — the round-5 rounding "
+    "audit found 43 sf0.1 interpolated doubles sitting exactly on "
+    "6dp half boundaries, where ROUND is engine-version-dependent. "
+    "One window sort per direction, partitioned by series key — at "
+    "100 TB each series' frame is independent, and the spine join "
+    "stays broadcast (types x hours is metadata-sized next to the "
+    "event volume).",
 )
 def q_hourly_value_interpolated(spark, sf_dir):
     from pyspark.sql.window import Window
@@ -1007,16 +1013,20 @@ def q_hourly_value_interpolated(spark, sf_dir):
     )
     types = ev.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(spine))
-    # Decimal-accumulate average: order-independent, so Spark's partial
-    # aggregation and DuckDB's sequential sum agree bit-for-bit.
+    # Exact integer micros end-to-end (round-5 rounding audit: the
+    # sf0.1 fixture put 43 interpolated doubles exactly on 6dp half
+    # boundaries, where ROUND is engine-version-dependent): per-event
+    # micros are exact (values are 2dp), the hourly mean is a floor
+    # division of non-negative integers, and the interpolation is the
+    # convex integer combination (pv*(nh-h) + nv*(h-ph)) DIV (nh-ph).
     vals = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
     ).agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("v")
+        F.expr(
+            "SUM(CAST(ROUND(value * 1000000, 0) AS BIGINT)) DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("v")
     )
     g = grid.join(F.broadcast(vals), on=["event_type", "hour"], how="left")
     back = (
@@ -1039,23 +1049,28 @@ def q_hourly_value_interpolated(spark, sf_dir):
         F.first("v", ignorenulls=True).over(fwd).alias("nv"),
         F.first(obs_hour, ignorenulls=True).over(fwd).alias("nh"),
     )
-    dt = F.unix_timestamp("hour") - F.unix_timestamp("ph")
-    span = F.unix_timestamp("nh") - F.unix_timestamp("ph")
-    interp = (
+    gap = F.col("v").isNull() & F.col("pv").isNotNull() & F.col(
+        "nv"
+    ).isNotNull()
+    # convex combination of non-negative integer micros: floor
+    # division agrees across engines (it never would on negatives)
+    interp = F.when(
+        gap,
+        F.expr(
+            "(pv * (unix_timestamp(nh) - unix_timestamp(hour))"
+            " + nv * (unix_timestamp(hour) - unix_timestamp(ph)))"
+            " DIV (unix_timestamp(nh) - unix_timestamp(ph))"
+        ),
+    ).otherwise(
         F.when(F.col("v").isNotNull(), F.col("v"))
         .when(F.col("pv").isNull(), F.col("nv"))
-        .when(F.col("nv").isNull(), F.col("pv"))
-        .otherwise(
-            F.col("pv")
-            + (F.col("nv") - F.col("pv"))
-            * (dt.cast("double") / span.cast("double"))
-        )
+        .otherwise(F.col("pv"))
     )
     return w.select(
         "event_type",
         "hour",
         F.col("v").isNotNull().alias("is_observed"),
-        F.round(interp, 6).alias("value_interp"),
+        interp.cast("long").alias("value_interp_micros"),
     ).orderBy("event_type", "hour")
 
 

@@ -447,3 +447,170 @@ def q_kanonymity_audit(spark, sf_dir):
         .cast("long")
         .alias("suppressed_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture allocation: the sampling plan behind data mixing.
+# ---------------------------------------------------------------------------
+
+#: Total training budget = 2x the corpus (some sources must oversample).
+_MIX_BUDGET_X = 2
+
+_MIX_ALLOC_SQL = f"""
+WITH avail AS (
+    SELECT source,
+           CAST(SUBSTRING(source, 4) AS INTEGER) AS src_n,
+           CAST(SUM(CAST(length(regexp_extract_all(text,
+               '{{PAT}}')) AS BIGINT)) AS BIGINT) AS avail_tokens
+    FROM documents GROUP BY source
+),
+tot AS (
+    SELECT CAST(SUM(avail_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(src_n + 1) AS BIGINT) AS weight_denom
+    FROM avail
+)
+SELECT a.source,
+       CAST((a.src_n + 1) * 1000000 // t.weight_denom AS BIGINT)
+           AS weight_ppm,
+       a.avail_tokens,
+       CAST(t.corpus_tokens * {_MIX_BUDGET_X} * (a.src_n + 1)
+            // t.weight_denom AS BIGINT) AS target_tokens,
+       CAST((t.corpus_tokens * {_MIX_BUDGET_X} * (a.src_n + 1)
+             // t.weight_denom) * 1000000 // a.avail_tokens AS BIGINT)
+           AS epochs_ppm,
+       (t.corpus_tokens * {_MIX_BUDGET_X} * (a.src_n + 1)
+        // t.weight_denom) * 1000000 // a.avail_tokens > 1000000
+           AS oversampled
+FROM avail a, tot t
+"""
+
+
+@register(
+    "source_mixture_token_allocation",
+    _MIX_ALLOC_SQL.replace("{PAT}", r"\S+"),
+    doc="Token-budget allocation for data mixing: given per-source "
+    "mixture weights (here a deterministic ramp over the source id — "
+    "the config a mixing study sweeps) and a total training budget "
+    "(2x the corpus), emit each source's target token count, its "
+    "oversampling factor in exact ppm (epochs > 1e6 ppm = the source "
+    "repeats), and the oversampled flag — the allocation table "
+    "source_mixture_resample then EXECUTES by drawing documents. "
+    "All integer floor arithmetic on non-negative counts: zero float "
+    "surface. One scan + one 20-row broadcast of the totals.",
+)
+def q_source_mixture_token_allocation(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(token_count_col(F.col("text"))).cast("long").alias(
+            "avail_tokens"
+        )
+    ).withColumn(
+        "src_n", F.substring("source", 4, 10).cast("int")
+    )
+    tot = avail.agg(
+        F.sum("avail_tokens").cast("long").alias("corpus_tokens"),
+        F.sum(F.col("src_n") + 1).cast("long").alias("weight_denom"),
+    )
+    a = avail.join(F.broadcast(tot))
+    target = F.expr(
+        f"corpus_tokens * {_MIX_BUDGET_X} * (src_n + 1) DIV weight_denom"
+    )
+    epochs = F.expr(
+        f"(corpus_tokens * {_MIX_BUDGET_X} * (src_n + 1) DIV weight_denom)"
+        " * 1000000 DIV avail_tokens"
+    )
+    return a.select(
+        "source",
+        F.expr("(src_n + 1) * 1000000 DIV weight_denom")
+        .cast("long")
+        .alias("weight_ppm"),
+        "avail_tokens",
+        target.cast("long").alias("target_tokens"),
+        epochs.cast("long").alias("epochs_ppm"),
+        (epochs > 1_000_000).alias("oversampled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sharded curriculum ordering: the data-loading order for training.
+# ---------------------------------------------------------------------------
+
+_CURR_SHARDS = 8
+
+_CURRICULUM_SQL = """
+WITH scored AS (
+    SELECT doc_id,
+           CASE
+             WHEN {QUALITY} >= 0.7 THEN 0
+             WHEN {QUALITY} >= 0.55 THEN 1
+             ELSE 2
+           END AS band,
+           CAST({HB} AS BIGINT) AS shuffle_key
+    FROM documents
+)
+SELECT doc_id,
+       CAST(band AS INTEGER) AS band,
+       CAST(shuffle_key % {NSHARD} AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY shuffle_key % {NSHARD}
+           ORDER BY band, shuffle_key, doc_id) AS BIGINT) AS shard_pos
+FROM scored
+"""
+
+
+def _curriculum_sql() -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    quality = """ROUND(
+           least(CAST(length(regexp_extract_all(text, '\\S+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+           + least(CAST(length(regexp_extract_all(text,
+                 '\\b(the|a|and|of|to|in)\\b')) AS DOUBLE)
+             / greatest(length(regexp_extract_all(text, '\\S+')), 1) * 5.0, 1.0) * 0.3
+           + (1.0 - least(CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+             / greatest(length(text), 1) * 10.0, 1.0)) * 0.2,
+           6)"""
+    return (
+        _CURRICULUM_SQL.replace("{QUALITY}", quality)
+        .replace("{HB}", hash_bucket_sql("doc_id", "curr:", 1_000_000))
+        .replace("{NSHARD}", str(_CURR_SHARDS))
+    )
+
+
+@register(
+    "curriculum_shard_ordering",
+    _curriculum_sql(),
+    doc="Sharded curriculum ordering: every document gets a quality "
+    "band (high first), a deterministic shuffle key (salted "
+    "md5-bucket — the ONE portable hash idiom), a shard assignment, "
+    "and its position WITHIN the shard ordered by (band, shuffle "
+    "key) — the exact layout a data loader consumes for "
+    "quality-curriculum training with per-shard reproducible "
+    "shuffling. Positions are per-shard (never a global row_number: "
+    "a single-partition global sort is the classic driver-melting "
+    "anti-pattern; N shards = N independent window sorts that scale "
+    "out). Band thresholds reuse doc_quality's composite score.",
+)
+def q_curriculum_shard_ordering(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.text import quality_cols
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_cols(F.col("text"))["quality_score"]
+    scored = docs.select(
+        "doc_id",
+        F.when(q >= 0.7, 0).when(q >= 0.55, 1).otherwise(2).alias("band"),
+        hash_bucket(F.col("doc_id"), "curr:", mod=1_000_000).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.partitionBy(F.col("shuffle_key") % _CURR_SHARDS).orderBy(
+        "band", "shuffle_key", "doc_id"
+    )
+    return scored.select(
+        "doc_id",
+        F.col("band").cast("int").alias("band"),
+        (F.col("shuffle_key") % _CURR_SHARDS).cast("int").alias("shard"),
+        F.row_number().over(w).cast("long").alias("shard_pos"),
+    )

@@ -59,6 +59,9 @@ NEW_IN_ROUND: list[str] = [
     "image_channel_histogram",
     "sql_scd2_priority_history",
     "stream_scd2_dimension",
+    "source_mixture_token_allocation",
+    "curriculum_shard_ordering",
+    "hourly_value_interpolated",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
     "cross_source_neardup_matrix",

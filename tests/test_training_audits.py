@@ -122,7 +122,7 @@ def test_interpolation_bounded_by_neighbors(spark):
     for series in by_series.values():
         series.sort(key=lambda r: r["hour"])
         observed = [
-            (i, r["value_interp"])
+            (i, r["value_interp_micros"])
             for i, r in enumerate(series)
             if r["is_observed"]
         ]
@@ -134,7 +134,7 @@ def test_interpolation_bounded_by_neighbors(spark):
             nxt = min((o for o in observed if o[0] > i), default=None)
             assert prev or nxt
             vals = [o[1] for o in (prev, nxt) if o]
-            assert min(vals) - 1e-6 <= r["value_interp"] <= max(vals) + 1e-6
+            assert min(vals) - 1 <= r["value_interp_micros"] <= max(vals) + 1
 
 
 def test_cuped_preserves_grand_mean(spark):
