@@ -614,3 +614,107 @@ def q_curriculum_shard_ordering(spark, sf_dir):
         (F.col("shuffle_key") % _CURR_SHARDS).cast("int").alias("shard"),
         F.row_number().over(w).cast("long").alias("shard_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset datasheet: one-pass per-source corpus profile.
+# ---------------------------------------------------------------------------
+
+_DATASHEET_SQL = r"""
+WITH scored AS (
+    SELECT source,
+           sha256(text) AS sha,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_tok,
+           CAST(length(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+'))
+               AS BIGINT) AS n_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(ROUND((
+               least(CAST(length(regexp_extract_all(text, '\S+')) AS DOUBLE) / 100.0, 1.0) * 0.5
+               + least(CAST(length(regexp_extract_all(text,
+                     '\b(the|a|and|of|to|in)\b')) AS DOUBLE)
+                 / greatest(length(regexp_extract_all(text, '\S+')), 1) * 5.0, 1.0) * 0.3
+               + (1.0 - least(CAST(length(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                 / greatest(length(text), 1) * 10.0, 1.0)) * 0.2
+           ) * 1000000, 0) AS BIGINT) AS q_micros,
+           (length(regexp_extract_all(text, '\b(the|and|of)\b'))
+            >= greatest(
+                 length(regexp_extract_all(text, '\b(der|und|das)\b')),
+                 length(regexp_extract_all(text, '\b(le|et|les)\b')),
+                 length(regexp_extract_all(text, '\b(el|y|los)\b')), 1))
+               AS is_en
+    FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+       CAST(SUM(q_micros) // COUNT(*) AS BIGINT) AS mean_quality_ppm,
+       CAST(COUNT(*) FILTER (WHERE is_en) * 1000000 // COUNT(*) AS BIGINT)
+           AS en_share_ppm,
+       CAST((COUNT(*) - COUNT(DISTINCT sha)) * 1000000 // COUNT(*)
+            AS BIGINT) AS dup_rate_ppm
+FROM scored
+GROUP BY source
+"""
+
+
+@register(
+    "dataset_datasheet_by_source",
+    _DATASHEET_SQL,
+    doc="Per-source dataset datasheet in ONE scan + one aggregate: doc "
+    "and token counts (whitespace + BPE-ish), average length, mean "
+    "quality (exact ppm — the 6dp-rounded score re-quantized to "
+    "integer micros), English share, and exact-duplicate rate — the "
+    "'datasheets for datasets' summary a curation review reads "
+    "before admitting a source, and the documents twin of "
+    "orders_table_profile's deequ-style profiling. Every emitted "
+    "ratio is integer floor division on non-negative counts (zero "
+    "float surface). The language flag is the same marker-count "
+    "argmax as doc_lang_guess with English winning ties, expressed "
+    "as a >= comparison so one pass computes it inline.",
+)
+def q_dataset_datasheet_by_source(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.text import (
+        LANG_MARKERS,
+        bpe_token_count_col,
+        quality_cols,
+        token_count_col,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_cols(F.col("text"))["quality_score"]
+    marker = lambda ws: F.regexp_count(  # noqa: E731
+        F.col("text"), F.lit(r"\b(" + "|".join(ws) + r")\b")
+    ).cast("long")
+    c_en = marker(LANG_MARKERS["en"])
+    others = [marker(LANG_MARKERS[lg]) for lg in ("de", "fr", "es")]
+    is_en = c_en >= F.greatest(*others, F.lit(1))
+    scored = docs.select(
+        "source",
+        F.sha2("text", 256).alias("sha"),
+        token_count_col(F.col("text")).alias("n_tok"),
+        bpe_token_count_col(F.col("text")).alias("n_bpe"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(q * 1_000_000, 0).cast("long").alias("q_micros"),
+        is_en.alias("is_en"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        F.expr("SUM(n_chars) DIV COUNT(*)").cast("long").alias("avg_chars"),
+        F.expr("SUM(q_micros) DIV COUNT(*)")
+        .cast("long")
+        .alias("mean_quality_ppm"),
+        F.expr("COUNT_IF(is_en) * 1000000 DIV COUNT(*)")
+        .cast("long")
+        .alias("en_share_ppm"),
+        F.expr(
+            "(COUNT(*) - COUNT(DISTINCT sha)) * 1000000 DIV COUNT(*)"
+        )
+        .cast("long")
+        .alias("dup_rate_ppm"),
+    )
