@@ -122,6 +122,10 @@ HEADLINE = [
     "tokenizer_truncation_audit",
     "embedding_power_iteration",
     "churn_hazard_table",
+    "image_channel_histogram",
+    "source_mixture_token_allocation",
+    "curriculum_shard_ordering",
+    "dataset_datasheet_by_source",
 ]
 
 
