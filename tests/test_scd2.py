@@ -118,3 +118,72 @@ def test_stale_versions_are_tombstoned(spark):
     assert set(got) == {(1, 1), (2, 1)}
     assert got[(1, 1)][0] == "LOW" and got[(1, 1)][3] == 3
     assert got[(1, 1)][4] is True
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # key
+            st.integers(min_value=0, max_value=400),    # day offset
+            st.integers(min_value=1, max_value=10_000), # tiebreak
+            st.sampled_from(["A", "B", "C"]),           # attribute
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1], t[2]),
+    )
+)
+def test_scd2_properties_random_streams(spark, events):
+    """On ANY event stream: versions are dense from 1, intervals
+    stitch with no gaps/overlaps, adjacent runs differ in attribute,
+    run sizes sum to the key's event count, and the naive
+    per-key Python reference agrees exactly."""
+    from datetime import date, timedelta
+
+    rows = [
+        (k, date(2020, 1, 1) + timedelta(days=d), tb, a)
+        for k, d, tb, a in events
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "customer_id long, order_date date, o_orderkey long, priority string",
+    )
+    got = scd2_build(
+        df,
+        key_col="customer_id",
+        attr_col="priority",
+        ts_col="order_date",
+        tiebreak_col="o_orderkey",
+    ).collect()
+
+    # naive reference: sort each key's events, collapse runs
+    by_key: dict[int, list] = {}
+    for k, d, tb, a in ((r[0], r[1], r[2], r[3]) for r in rows):
+        by_key.setdefault(k, []).append((d, tb, a))
+    want = {}
+    for k, evs in by_key.items():
+        evs.sort()
+        runs = []
+        for d, tb, a in evs:
+            if runs and runs[-1][0] == a:
+                runs[-1][2] += 1
+            else:
+                runs.append([a, d, 1])
+        for v, (a, start, n) in enumerate(runs, start=1):
+            nxt = runs[v][1] if v < len(runs) else None
+            want[(k, v)] = (a, start, nxt, n, nxt is None)
+    got_map = {
+        (r["customer_id"], r["version"]): (
+            r["priority"],
+            r["valid_from"],
+            r["valid_to"],
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in got
+    }
+    assert got_map == want
