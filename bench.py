@@ -126,6 +126,7 @@ HEADLINE = [
     "source_mixture_token_allocation",
     "curriculum_shard_ordering",
     "dataset_datasheet_by_source",
+    "isotonic_calibration",
 ]
 
 

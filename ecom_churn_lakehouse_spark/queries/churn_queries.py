@@ -582,3 +582,121 @@ def q_churn_hazard_table(spark, sf_dir):
         )
         .orderBy("lifetime_days")
     )
+
+
+# ----------------------- isotonic calibration (PAV, applyInPandas)
+
+_ISO_BINS = 50
+
+_ISOTONIC_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+scored AS (
+    SELECT c.c_mktsegment AS segment,
+           l.churn_label AS y,
+           LEAST(CAST(FLOOR({_SCORE_SQL} * {_ISO_BINS}) AS BIGINT),
+                 {_ISO_BINS - 1}) AS score_bin
+    FROM feats f
+    JOIN labels l ON f.customer_id = l.customer_id
+    JOIN customer c ON c.c_custkey = f.customer_id
+),
+bins AS (
+    SELECT segment, score_bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS y_sum
+    FROM scored GROUP BY segment, score_bin
+),
+cums AS (
+    SELECT segment, score_bin, n, y_sum,
+           SUM(n) OVER w AS cn, SUM(y_sum) OVER w AS cy
+    FROM bins
+    WINDOW w AS (PARTITION BY segment ORDER BY score_bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+intervals AS (
+    SELECT a.segment, a.score_bin AS lo, b.score_bin AS hi,
+           CAST((b.cy - a.cy + a.y_sum) * 1000000
+                // (b.cn - a.cn + a.n) AS BIGINT) AS ppm
+    FROM cums a JOIN cums b
+      ON a.segment = b.segment AND a.score_bin <= b.score_bin
+),
+inner_min AS (
+    SELECT iv.segment, i.score_bin, iv.lo, MIN(iv.ppm) AS mn
+    FROM intervals iv
+    JOIN bins i ON i.segment = iv.segment
+               AND i.score_bin >= iv.lo AND i.score_bin <= iv.hi
+    GROUP BY iv.segment, i.score_bin, iv.lo
+)
+SELECT m.segment, m.score_bin, b.n, b.y_sum,
+       CAST(MAX(m.mn) AS BIGINT) AS fitted_rate_ppm
+FROM inner_min m
+JOIN bins b ON b.segment = m.segment AND b.score_bin = m.score_bin
+GROUP BY m.segment, m.score_bin, b.n, b.y_sum
+"""
+
+
+@register(
+    "isotonic_calibration",
+    _ISOTONIC_SQL,
+    doc="Per-segment isotonic (PAV) calibration of the churn scorer — "
+    "the monotone recalibration step between raw scores and "
+    "thresholding, fit with the grouped-map Pandas API "
+    "(operators/isotonic.py): a relational pre-bin bounds what "
+    "Python ever sees to |segments| x 50 rows regardless of input "
+    "size, then pool-adjacent-violators runs per group inside ONE "
+    "Arrow batch with pure integer arithmetic (violations detected "
+    "by cross-multiplication). The oracle verifies the sequential "
+    "pooling algorithm against the closed-form minimax identity "
+    "fit(i) = max_(lo<=i) min_(hi>=i) mean(lo..hi) — exact in ppm "
+    "because floor commutes with min/max — so an off-by-one in the "
+    "pooling loop hash-fails. The one genuinely-iterative per-group "
+    "op in the registry, and the reason applyInPandas (not a window "
+    "or agg) is the right tool for it.",
+)
+def q_isotonic_calibration(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.operators.isotonic import (
+        isotonic_fit_binned,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "recency_days", "lifetime_orders"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    z = (
+        _W_RECENCY * F.col("recency_days")
+        + _W_ORDERS * F.col("lifetime_orders")
+        + F.lit(_B)
+    )
+    p = F.lit(0.5) + z / (F.lit(2.0) * (F.lit(1.0) + F.abs(z)))
+    scored = (
+        feats.join(labels, on="customer_id")
+        .join(F.broadcast(cust), on="customer_id")
+        .select(
+            "segment",
+            F.col("churn_label").alias("y"),
+            F.least(
+                F.floor(p * _ISO_BINS).cast("long"),
+                F.lit(_ISO_BINS - 1),
+            ).alias("score_bin"),
+        )
+    )
+    binned = scored.groupBy("segment", "score_bin").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("y_sum"),
+    )
+    return isotonic_fit_binned(
+        binned, group_col="segment", bin_col="score_bin"
+    ).select(
+        F.col("group_key").alias("segment"),
+        "score_bin",
+        "n",
+        "y_sum",
+        "fitted_rate_ppm",
+    )

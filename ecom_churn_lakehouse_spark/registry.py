@@ -62,6 +62,7 @@ NEW_IN_ROUND: list[str] = [
     "source_mixture_token_allocation",
     "curriculum_shard_ordering",
     "dataset_datasheet_by_source",
+    "isotonic_calibration",
     "hourly_value_interpolated",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",

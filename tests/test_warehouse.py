@@ -135,3 +135,39 @@ def test_new_in_round_names_exist():
     # ordering contract: the listed names lead the returned dict
     head = list(qs)[: len([n for n in registry.NEW_IN_ROUND if n in qs])]
     assert head == [n for n in registry.NEW_IN_ROUND if n in qs]
+
+
+def test_pav_blocks_unit():
+    from ecom_churn_lakehouse_spark.operators.isotonic import pav_blocks
+
+    # textbook violation: rates 1.0, 0.0 pool into one 0.5 block
+    assert pav_blocks([(0, 2, 2), (1, 2, 0)]) == [(0, 1, 4, 2)]
+    # already monotone: untouched
+    assert pav_blocks([(0, 2, 0), (1, 2, 1), (2, 2, 2)]) == [
+        (0, 0, 2, 0),
+        (1, 1, 2, 1),
+        (2, 2, 2, 2),
+    ]
+    # cascade: 0.9, 0.5, 0.1 pools fully
+    assert pav_blocks([(0, 10, 9), (1, 10, 5), (2, 10, 1)]) == [
+        (0, 2, 30, 15)
+    ]
+
+
+def test_isotonic_calibration_invariants(spark):
+    rows = queries()["isotonic_calibration"](spark, SF).collect()
+    assert rows
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["score_bin"])
+        # fitted rates are non-decreasing in the score
+        for a, b in zip(rs, rs[1:]):
+            assert a["fitted_rate_ppm"] <= b["fitted_rate_ppm"]
+        # fitted mass conserves observed churners (block means weight
+        # back to the same totals): sum(n * rate) ~ sum(y) * 1e6, up
+        # to one floor unit per bin
+        mass = sum(r["n"] * r["fitted_rate_ppm"] for r in rs)
+        truth = sum(r["y_sum"] for r in rs) * 1_000_000
+        assert truth - sum(r["n"] for r in rs) < mass + 1 and mass <= truth
