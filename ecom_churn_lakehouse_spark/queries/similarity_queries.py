@@ -1208,13 +1208,20 @@ ORDER BY dim_idx
 )
 def q_embedding_power_iteration(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
+    # quantize ONCE and checkpoint: the exploded (vec_id, pos, x)
+    # relation feeds four joins (s1, y1, s2, y2) — without the barrier
+    # each consumer re-reads and re-quantizes the embedding table
+    # (12 scans in the audited plan), which at 100 TB means reading
+    # the corpus twelve times; the checkpoint is the same size as the
+    # input and is the per-iteration-lineage move copurchase_pagerank
+    # makes.
     xi = emb.select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.round(x.cast("double") * _PI_SCALE, 0).cast("long"),
         ).alias("q"),
-    )
+    ).localCheckpoint(eager=False)
     ex = xi.select(
         "vec_id", F.posexplode("q").alias("pos0", "x")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "x")
