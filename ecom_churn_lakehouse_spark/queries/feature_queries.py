@@ -297,3 +297,63 @@ def q_segment_churn_encoding(spark, sf_dir):
         )
         .drop("global_rate")
     )
+
+
+# ------------------- quantile transform (rank-normalized feature)
+
+_QT_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY o_custkey
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cust FROM spend)
+SELECT customer_id, total_spend,
+       CAST((RANK() OVER (ORDER BY total_spend, customer_id) - 1)
+            * 1000000 // (SELECT n_cust - 1 FROM n) AS BIGINT)
+           AS spend_rank_ppm
+FROM spend
+"""
+
+
+@register(
+    "spend_quantile_transform",
+    _QT_SQL,
+    doc="Quantile transform of a skewed feature (sklearn "
+    "QuantileTransformer shape): each customer's total spend maps to "
+    "its rank position in exact ppm — the monotone re-scaling that "
+    "makes heavy-tailed money features usable by distance-based "
+    "models. Deterministic total order (value, then key) and integer "
+    "floor arithmetic on non-negative ranks: zero float surface "
+    "beyond the decimal-exact spend itself. The global RANK window "
+    "is the exactness baseline; at 100 TB the serving path is the "
+    "broadcast-percentile-cutoff binning of "
+    "customer_value_deciles_scalable (same trade documented there).",
+)
+def q_spend_quantile_transform(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_spend")
+    )
+    n = spend.agg(F.count("*").cast("long").alias("n_cust"))
+    w = Window.orderBy("total_spend", "customer_id")
+    return (
+        spend.withColumn("__rk", F.rank().over(w))
+        .join(F.broadcast(n))
+        .select(
+            "customer_id",
+            "total_spend",
+            # rank is INT — widen BEFORE the *1e6 or it overflows int32
+            # as soon as the population passes ~2148 rows
+            F.expr(
+                "CAST(__rk - 1 AS BIGINT) * 1000000 DIV (n_cust - 1)"
+            )
+            .cast("long")
+            .alias("spend_rank_ppm"),
+        )
+    )

@@ -984,3 +984,71 @@ def q_regex_function_battery(spark, sf_dir):
         .cast("int")
         .alias("n_vowel_pairs"),
     ).orderBy("doc_id")
+
+
+# ------------------------- null ordering semantics (sort/window corner)
+
+_NULL_ORD_SQL = """
+WITH t AS (
+    SELECT o_orderkey, o_orderstatus,
+           NULLIF(o_orderpriority, '3-MEDIUM') AS pri
+    FROM orders
+)
+SELECT o_orderstatus AS status,
+       CAST(COUNT(*) FILTER (WHERE pri IS NULL) AS BIGINT) AS n_null_pri,
+       (MIN({'isnull': CASE WHEN pri IS NULL THEN 0 ELSE 1 END,
+             'p': COALESCE(pri, ''), 'k': o_orderkey})).k
+           AS first_key_nulls_first,
+       (MIN({'isnull': CASE WHEN pri IS NULL THEN 1 ELSE 0 END,
+             'p': COALESCE(pri, ''), 'k': o_orderkey})).k
+           AS first_key_nulls_last
+FROM t
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "null_ordering_battery",
+    _NULL_ORD_SQL,
+    doc="NULL-ordering semantics battery: rows with a synthesized NULL "
+    "attribute (NULLIF) ranked under asc_nulls_first vs "
+    "asc_nulls_last per group, reduced to the deterministic first "
+    "key each convention selects (plus the null count). The Spark "
+    "side exercises the window-ordering flags (row_number over "
+    "asc_nulls_first / asc_nulls_last with a key tie-break); the "
+    "oracle encodes the SAME total orders as struct-min argmins "
+    "(explicit isnull rank + attribute + key), so a flipped default "
+    "or missing tie-break hash-fails. The corner matters because "
+    "Spark and many engines default NULLS FIRST for ASC while "
+    "SQL-standard RDBMSs often default NULLS LAST — this entry pins "
+    "the engine's behavior explicitly instead of trusting defaults.",
+)
+def q_null_ordering_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")).alias("pri"),
+    )
+    w_nf = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("pri").asc_nulls_first(), "o_orderkey"
+    )
+    w_nl = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("pri").asc_nulls_last(), "o_orderkey"
+    )
+    ranked = t.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "pri",
+        F.row_number().over(w_nf).alias("__rnf"),
+        F.row_number().over(w_nl).alias("__rnl"),
+    )
+    return ranked.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count_if(F.col("pri").isNull()).cast("long").alias("n_null_pri"),
+        F.max(F.when(F.col("__rnf") == 1, F.col("o_orderkey"))).alias(
+            "first_key_nulls_first"
+        ),
+        F.max(F.when(F.col("__rnl") == 1, F.col("o_orderkey"))).alias(
+            "first_key_nulls_last"
+        ),
+    )

@@ -1044,3 +1044,36 @@ def q_tokenizer_truncation_audit(spark, sf_dir):
         .cast("long")
         .alias("lost_share_ppm"),
     )
+
+
+# --- language-ID evaluation: declared vs guessed confusion matrix ---
+
+_LANG_CONF_SQL = f"""
+WITH guessed AS ({_lang_sql()})
+SELECT declared_lang, lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM guessed
+GROUP BY declared_lang, lang_guess
+"""
+
+
+@register(
+    "lang_id_confusion",
+    _LANG_CONF_SQL,
+    doc="Language-ID confusion matrix: the declared fixture language "
+    "crossed with the marker-word heuristic's guess, with document "
+    "counts — the evaluation artifact that decides whether the cheap "
+    "heuristic is good enough to gate a corpus or needs a model "
+    "(per-doc twin: doc_lang_guess; integer counts only). One "
+    "aggregate over the per-doc scoring scan.",
+)
+def q_lang_id_confusion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("declared_lang"),
+            lang_guess_col(F.col("text")).alias("lang_guess"),
+        )
+        .groupBy("declared_lang", "lang_guess")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )

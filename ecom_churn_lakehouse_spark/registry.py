@@ -63,6 +63,9 @@ NEW_IN_ROUND: list[str] = [
     "curriculum_shard_ordering",
     "dataset_datasheet_by_source",
     "isotonic_calibration",
+    "spend_quantile_transform",
+    "lang_id_confusion",
+    "null_ordering_battery",
     "hourly_value_interpolated",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
