@@ -718,3 +718,55 @@ def q_dataset_datasheet_by_source(spark, sf_dir):
         .cast("long")
         .alias("dup_rate_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency report: per-source shard fill rates.
+# ---------------------------------------------------------------------------
+
+_PACK_EFF_SQL = f"""
+WITH packed AS ({_PACKING_SQL}),
+last_bin AS (
+    SELECT source, MAX(bin_id) AS max_bin FROM packed GROUP BY source
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(p.bin_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(p.bin_tokens) * 1000000
+            // (COUNT(*) * {_PACK_BUDGET}) AS BIGINT) AS fill_ppm,
+       CAST(COUNT(*) FILTER (WHERE p.bin_tokens > {_PACK_BUDGET})
+            AS BIGINT) AS n_overfull_bins,
+       CAST(MAX(p.bin_tokens) AS BIGINT) AS max_bin_tokens
+FROM packed p
+GROUP BY p.source
+"""
+
+
+@register(
+    "packing_efficiency_report",
+    _PACK_EFF_SQL,
+    doc="Shard-packing efficiency per source: bin count, overall fill "
+    "rate in exact ppm against the "
+    f"{_PACK_BUDGET}-token budget, overfull bins (docs that straddle "
+    "a boundary carry their overflow), and the largest bin — the "
+    "report that tells a training-infra team how much compute "
+    "equal-work shards actually waste, read together with "
+    "tokenizer_truncation_audit (which prices the alternative of "
+    "cutting instead of packing). Pure integer aggregate over the "
+    "packing entry's own bin relation, so the two can never drift.",
+)
+def q_packing_efficiency_report(spark, sf_dir):
+    packed = q_doc_sequence_packing(spark, sf_dir)
+    return packed.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("bin_tokens").cast("long").alias("total_tokens"),
+        F.expr(
+            f"SUM(bin_tokens) * 1000000 DIV (COUNT(*) * {_PACK_BUDGET})"
+        )
+        .cast("long")
+        .alias("fill_ppm"),
+        F.count_if(F.col("bin_tokens") > _PACK_BUDGET)
+        .cast("long")
+        .alias("n_overfull_bins"),
+        F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
+    )

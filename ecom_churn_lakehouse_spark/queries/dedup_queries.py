@@ -819,3 +819,59 @@ def q_minhash_estimate_error(spark, sf_dir):
             F.round(F.abs(est - F.col("exact_jaccard")), 6).alias("abs_err"),
         )
     )
+
+
+# -------------------- dedup threshold decision curve
+
+_TH_CURVE_SQL = f"""
+WITH pairs AS ({_minhash_sql()}),
+th AS (SELECT unnest([50, 60, 70, 80, 90]) AS t),
+hit AS (
+    SELECT th.t, p.doc_a, p.doc_b
+    FROM pairs p JOIN th ON p.jaccard >= th.t / 100.0
+),
+pc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM hit GROUP BY t),
+dc AS (
+    SELECT t, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs_affected
+    FROM (
+        SELECT t, doc_a AS d FROM hit
+        UNION ALL
+        SELECT t, doc_b AS d FROM hit
+    ) GROUP BY t
+)
+SELECT CAST(pc.t AS INTEGER) AS threshold_pct, pc.n_pairs,
+       dc.n_docs_affected
+FROM pc JOIN dc ON pc.t = dc.t
+"""
+
+
+@register(
+    "neardup_threshold_curve",
+    _TH_CURVE_SQL,
+    doc="Dedup threshold decision curve: for candidate Jaccard cuts "
+    "(0.5..0.9), how many verified near-dup pairs survive and how "
+    "many documents they touch — the curve a curation team reads "
+    "before fixing the dedup threshold (too low deletes content, too "
+    "high ships duplicates). Computed as one fan-out aggregate over "
+    "the ALREADY-banded LSH pair stream (|pairs| x 5 rows), so the "
+    "sweep costs nothing beyond the pipeline it tunes — never a "
+    "re-run of candidate generation per threshold.",
+)
+def q_neardup_threshold_curve(spark, sf_dir):
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    th = F.explode(
+        F.array(*[F.lit(t).cast("int") for t in (50, 60, 70, 80, 90)])
+    )
+    hit = pairs.withColumn("t", th).filter(
+        F.col("jaccard") >= F.col("t") / 100.0
+    )
+    pc = hit.groupBy("t").agg(F.count("*").cast("long").alias("n_pairs"))
+    docs = hit.select("t", F.col("doc_a").alias("d")).unionByName(
+        hit.select("t", F.col("doc_b").alias("d"))
+    )
+    dc = docs.groupBy("t").agg(
+        F.countDistinct("d").cast("long").alias("n_docs_affected")
+    )
+    return pc.join(dc, on="t").select(
+        F.col("t").alias("threshold_pct"), "n_pairs", "n_docs_affected"
+    )

@@ -1077,3 +1077,86 @@ def q_lang_id_confusion(spark, sf_dir):
         .groupBy("declared_lang", "lang_guess")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# --- bigram LM surprisal screen (log-free, exact ppm) ---
+
+_BIGRAM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(trim(text), '\S+') AS t
+    FROM documents
+),
+big AS (
+    SELECT doc_id,
+           t[i] AS w1, t[i] || ' ' || t[i + 1] AS bg
+    FROM toks, unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+),
+uni AS (
+    SELECT doc_id, unnest(t) AS w FROM toks
+),
+c_uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM uni GROUP BY w),
+c_big AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS cb FROM big GROUP BY bg),
+vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM c_uni)
+SELECT b.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(MIN((cb.cb + 1) * 1000000 // (cu.cw + vv.v)) AS BIGINT)
+           AS min_bigram_prob_ppm
+FROM big b
+JOIN c_big cb ON b.bg = cb.bg
+JOIN c_uni cu ON b.w1 = cu.w
+CROSS JOIN vocab vv
+GROUP BY b.doc_id
+"""
+
+
+@register(
+    "doc_min_bigram_prob",
+    _BIGRAM_SQL,
+    doc="Bigram-LM surprisal screen, log-free: per document, the "
+    "MINIMUM add-one-smoothed corpus bigram probability "
+    "(c(ab)+1)/(c(a)+V) over its bigrams, in exact integer ppm — the "
+    "'most surprising transition' signal that flags OCR junk, "
+    "shuffled text, and concatenation seams without ever touching "
+    "ln/exp (the libm-unstable path unigram_lm_doc_scores documents; "
+    "min of exact rationals needs no logarithm because min commutes "
+    "with any monotone map). Counts shuffle once each for unigrams "
+    "and bigrams; the per-doc reduce joins the doc's own bigram "
+    "stream against the broadcast-size count tables.",
+)
+def q_doc_min_bigram_prob(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
+    )
+    big = toks.select(
+        "doc_id", "t", F.explode(idx).alias("i")
+    ).select(
+        "doc_id",
+        F.element_at("t", F.col("i")).alias("w1"),
+        F.concat_ws(
+            " ",
+            F.element_at("t", F.col("i")),
+            F.element_at("t", F.col("i") + 1),
+        ).alias("bg"),
+    )
+    uni = toks.select("doc_id", F.explode("t").alias("w"))
+    c_uni = uni.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    c_big = big.groupBy("bg").agg(F.count("*").cast("long").alias("cb"))
+    vocab = c_uni.agg(F.count("*").cast("long").alias("v"))
+    return (
+        big.join(c_big, on="bg")
+        .join(c_uni, big.w1 == c_uni.w)
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.min(
+                F.expr("(cb + 1) * 1000000 DIV (cw + v)")
+            )
+            .cast("long")
+            .alias("min_bigram_prob_ppm"),
+        )
+    )

@@ -66,6 +66,9 @@ NEW_IN_ROUND: list[str] = [
     "spend_quantile_transform",
     "lang_id_confusion",
     "null_ordering_battery",
+    "neardup_threshold_curve",
+    "doc_min_bigram_prob",
+    "packing_efficiency_report",
     "hourly_value_interpolated",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
