@@ -172,7 +172,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 # -------------------------------------------------------- MinHash + LSH
 
 
-def _minhash_sql() -> str:
+def _minhash_banded_sql() -> str:
+    """Shared head of the MinHash oracle: corpus -> shingles -> hashed
+    -> 16-min signatures -> banded (band_idx, band_key) relation.
+    ONE spelling for every consumer (pair generation, bucket-occupancy
+    diagnostics) so the banding constants cannot desynchronize."""
     h = (
         "CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) % "
         + str(MINHASH_P)
@@ -193,7 +197,13 @@ def _minhash_sql() -> str:
         f"WITH {_CORPUS_SQL}, {_SHINGLES_SQL},\n"
         f"hashed AS (SELECT doc_id, {h} AS h FROM shingled),\n"
         f"sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),\n"
-        f"banded AS (\n    {band_selects}\n),\n"
+        f"banded AS (\n    {band_selects}\n)"
+    )
+
+
+def _minhash_sql() -> str:
+    return (
+        _minhash_banded_sql() + ",\n"
         "cand AS (\n"
         "    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
         "    FROM banded a JOIN banded b\n"
@@ -874,4 +884,50 @@ def q_neardup_threshold_curve(spark, sf_dir):
     )
     return pc.join(dc, on="t").select(
         F.col("t").alias("threshold_pct"), "n_pairs", "n_docs_affected"
+    )
+
+
+# -------------------- LSH bucket occupancy (banding skew diagnostic)
+
+_BUCKET_OCC_SQL = f"""
+{_minhash_banded_sql()},
+buckets AS (
+    SELECT band_idx, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM banded GROUP BY band_idx, band_key
+)
+SELECT sz AS bucket_size,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_candidate_pairs
+FROM buckets
+GROUP BY sz
+"""
+
+
+@register(
+    "lsh_bucket_occupancy",
+    _BUCKET_OCC_SQL,
+    doc="LSH bucket-occupancy histogram: how many (band, key) buckets "
+    "hold 1, 2, ... documents, and how many candidate pairs each "
+    "size class generates (sz choose 2 per bucket) — THE diagnostic "
+    "that predicts the banded join's cost before running it, because "
+    "one boilerplate mega-bucket of size m contributes m(m-1)/2 "
+    "pairs on its own (the supernode failure mode "
+    "neardup_degree_hist measures after the fact; this measures it "
+    "BEFORE pair generation, when capping or re-banding is still "
+    "cheap). Pure integer aggregate over the banded relation — same "
+    "banding spelling as minhash_lsh_pairs via the shared SQL head.",
+)
+def q_lsh_bucket_occupancy(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.minhash import banded_signatures
+
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir))
+    banded = banded_signatures(minhash_signatures_exploded(arr))
+    buckets = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    return buckets.groupBy(F.col("sz").alias("bucket_size")).agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr("sz * (sz - 1) DIV 2")).cast("long").alias(
+            "n_candidate_pairs"
+        ),
     )

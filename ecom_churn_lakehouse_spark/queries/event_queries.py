@@ -811,3 +811,67 @@ def q_event_sessions_capped(spark, sf_dir):
             F.max("ts").alias("session_end"),
         )
     )
+
+
+# -------------------- DAU/WAU stickiness (engagement ratio)
+
+_STICKY_SQL = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+    FROM events
+),
+dau AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+fan AS (
+    SELECT user_id, CAST(dd AS DATE) AS d
+    FROM ud, unnest(generate_series(ud.d, ud.d + INTERVAL 6 DAY,
+                                    INTERVAL 1 DAY)) t(dd)
+),
+wau AS (
+    SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM fan GROUP BY d
+)
+SELECT dau.d AS day, dau.dau, w.wau,
+       CAST(dau.dau * 1000000 // w.wau AS BIGINT) AS stickiness_ppm
+FROM dau JOIN wau w ON dau.d = w.d
+"""
+
+
+@register(
+    "dau_wau_stickiness",
+    _STICKY_SQL,
+    doc="DAU/WAU stickiness per day — the engagement ratio product "
+    "teams track (1e6 ppm = every weekly user active daily). WAU "
+    "reuses rolling_7d_active_users' scale idiom: dedup to (user, "
+    "day) FIRST, then fan each active day out to the <=7 window days "
+    "it contributes to — the shuffle carries user-days x 7, never "
+    "raw events, and no sliding COUNT(DISTINCT) window exists to "
+    "single-partition. Ratio in exact integer ppm (non-negative "
+    "floor division). Days are emitted only where a user was active "
+    "(DAU > 0), so the inner join defines the spine.",
+)
+def q_dau_wau_stickiness(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    dau = ud.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("dd"),
+    )
+    wau = fan.groupBy(F.col("dd").alias("d")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, on="d")
+        .select(
+            F.col("d").alias("day"),
+            "dau",
+            "wau",
+            F.expr("dau * 1000000 DIV wau").cast("long").alias(
+                "stickiness_ppm"
+            ),
+        )
+    )

@@ -69,6 +69,8 @@ NEW_IN_ROUND: list[str] = [
     "neardup_threshold_curve",
     "doc_min_bigram_prob",
     "packing_efficiency_report",
+    "lsh_bucket_occupancy",
+    "dau_wau_stickiness",
     "hourly_value_interpolated",
     # changed this round (float-free oracle surfaces / exact-int fixes)
     "churn_hazard_table",
