@@ -127,6 +127,12 @@ HEADLINE = [
     "curriculum_shard_ordering",
     "dataset_datasheet_by_source",
     "isotonic_calibration",
+    "spend_quantile_transform",
+    "neardup_threshold_curve",
+    "doc_min_bigram_prob",
+    "packing_efficiency_report",
+    "lsh_bucket_occupancy",
+    "dau_wau_stickiness",
 ]
 
 

@@ -920,7 +920,12 @@ GROUP BY sz
 def q_lsh_bucket_occupancy(spark, sf_dir):
     from ecom_churn_lakehouse_spark.dedup.minhash import banded_signatures
 
-    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir))
+    # checkpoint before the explode or the optimizer collapses the
+    # shingle-building transform into the Generate (the 7x trap —
+    # measured 4.0 s -> 1.x s at sf0.1)
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
     banded = banded_signatures(minhash_signatures_exploded(arr))
     buckets = banded.groupBy("band_idx", "band_key").agg(
         F.count("*").cast("long").alias("sz")
