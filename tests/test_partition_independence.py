@@ -26,6 +26,13 @@ ENTRIES = [
     "order_value_psi_drift",
     "discount_quantity_regression",
     "model_eval_metrics",
+    # round-5 exact-integer surfaces: ppm/micros floor arithmetic must
+    # be partition-invariant by construction — prove it anyway
+    "churn_hazard_table",
+    "event_value_twap",
+    "embedding_power_iteration",
+    "isotonic_calibration",
+    "cross_source_neardup_matrix",
 ]
 
 
