@@ -504,7 +504,9 @@ cum AS (
              ), 0) AS n_at_risk
     FROM byt
 )
-SELECT t AS lifetime_days, n_at_risk, n_churned, n_censored,
+SELECT t AS lifetime_days,
+       CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       n_churned, n_censored,
        CAST((n_churned * 1000000) // n_at_risk AS BIGINT) AS hazard_ppm
 FROM cum
 ORDER BY lifetime_days

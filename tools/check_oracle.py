@@ -74,6 +74,64 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+# Oracle output dtypes with an exact Spark/pandas twin: anything else
+# (HUGEINT from integer SUM widening, unsigned ints, ...) materializes
+# in pandas as float64/object and the driver hashes e.g. 6.0 vs Spark's
+# long 6 — the representation-gap class that produced the only red row
+# in rounds 4 AND 5. DECIMAL is allowed up to precision 38 (Spark's cap).
+_ALLOWED_DUCK_TYPES = {
+    "BOOLEAN",
+    "TINYINT",
+    "SMALLINT",
+    "INTEGER",
+    "BIGINT",
+    "FLOAT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP WITH TIME ZONE",
+}
+
+
+def _duck_type_ok(t: str) -> bool:
+    t = t.strip()
+    while t.endswith("[]"):  # LIST of allowed is allowed
+        t = t[:-2].strip()
+    if t in _ALLOWED_DUCK_TYPES:
+        return True
+    if t.startswith("DECIMAL("):
+        try:
+            prec = int(t[len("DECIMAL(") :].split(",")[0])
+        except ValueError:
+            return False
+        return prec <= 38
+    return False
+
+
+def dtype_audit(con, oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
+    """LIMIT-0 every oracle and flag output columns whose DuckDB type
+    has no exact Spark twin (HUGEINT, unsigned, ...). Returns problem
+    strings; empty means the registry is driver-hash-representable."""
+    hits: list[str] = []
+    for name, sql in oracles.items():
+        if only and name not in only:
+            continue
+        try:
+            rel = con.sql(f"SELECT * FROM ({sql}) __dta LIMIT 0")
+            cols_types = list(zip(rel.columns, [str(t) for t in rel.types]))
+        except Exception as exc:  # noqa: BLE001 - report, don't crash the sweep
+            hits.append(f"{name}: dtype probe raised: {exc}")
+            continue
+        for col, typ in cols_types:
+            if not _duck_type_ok(typ):
+                hits.append(
+                    f"{name}.{col}: DuckDB type {typ} has no exact Spark twin "
+                    "(driver hash risk — cast it in the oracle's final SELECT)"
+                )
+    return hits
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     args = sys.argv[2:]
@@ -101,6 +159,13 @@ def main() -> int:
 
     failures = 0
     results: dict[str, dict] = {}
+
+    # Representation-gap gate: every oracle's output schema must be
+    # exactly Spark-expressible BEFORE any value comparison runs.
+    dtype_hits = dtype_audit(con, oracles, only or None)
+    for hit in dtype_hits:
+        print(f"FAIL  dtype-audit: {hit}")
+    failures += len(dtype_hits)
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -155,6 +220,7 @@ def main() -> int:
                 1 for r in results.values() if r["status"] == "rows_only"
             ),
             "n_fail": failures,
+            "dtype_audit_hits": dtype_hits,
             "results": results,
         }
         with open(json_out, "w") as fh:
