@@ -1128,9 +1128,13 @@ def q_doc_min_bigram_prob(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
     )
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))
-    )
+    # Guard the <2-token case explicitly: Spark's sequence(1, 0) steps
+    # DOWNWARD to [1, 0] and element_at(t, 0) throws, while DuckDB's
+    # generate_series(1, 0) is empty — so an unguarded short doc both
+    # crashes the plan and diverges from the oracle.
+    idx = F.when(
+        F.size("t") >= 2, F.sequence(F.lit(1), F.size("t") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     big = toks.select(
         "doc_id", "t", F.explode(idx).alias("i")
     ).select(

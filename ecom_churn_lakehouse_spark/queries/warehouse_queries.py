@@ -26,6 +26,8 @@ double anywhere on the oracle surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -283,16 +285,16 @@ WITH seg AS (
 ),
 agg AS (
     SELECT user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,6)) * dt_ms)
-                AS DECIMAL(38,6)) AS num,
+           SUM(CAST(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                         AS DECIMAL(19,0)) AS DECIMAL(19,0))
+               * CAST(dt_ms AS DECIMAL(18,0))) AS num,
            CAST(SUM(dt_ms) AS BIGINT) AS held_ms,
            CAST(COUNT(*) AS BIGINT) AS n_segments
     FROM seg WHERE dt_ms IS NOT NULL AND dt_ms > 0
     GROUP BY user_id
 )
 SELECT user_id,
-       CAST(CAST(num * 1000000 AS BIGINT) // held_ms AS BIGINT)
-           AS twap_micros,
+       CAST(CAST(num AS HUGEINT) // held_ms AS BIGINT) AS twap_micros,
        held_ms, n_segments
 FROM agg
 """
@@ -331,20 +333,27 @@ def q_event_value_twap(spark, sf_dir):
         )
         .filter(F.col("dt_ms").isNotNull() & (F.col("dt_ms") > 0))
     )
+    # Numerator accumulates directly in integer micros: quantize value
+    # to exact 6-dp micros FIRST (DECIMAL(19,0)), then multiply by the
+    # DECIMAL(18,0) hold time -> DECIMAL(38,0) product, never above
+    # Spark's 38-digit cap. The old num*1000000 post-multiply pushed a
+    # DECIMAL(38,6) past precision 38, which with ANSI off silently
+    # NULLs twap once a user's value*dt mass grows large (ADVICE r5).
+    v_micros = (
+        (F.col("value").cast("decimal(18,6)") * 1000000)
+        .cast("decimal(19,0)")
+    )
     return (
         seg.groupBy("user_id")
         .agg(
-            F.sum(F.col("value").cast("decimal(18,6)") * F.col("dt_ms"))
-            .cast("decimal(38,6)")
+            F.sum(v_micros * F.col("dt_ms").cast("decimal(18,0)"))
             .alias("num"),
             F.sum("dt_ms").cast("long").alias("held_ms"),
             F.count("*").cast("long").alias("n_segments"),
         )
         .select(
             "user_id",
-            F.expr("CAST(num * 1000000 AS BIGINT) DIV held_ms")
-            .cast("long")
-            .alias("twap_micros"),
+            F.expr("CAST(num DIV held_ms AS BIGINT)").alias("twap_micros"),
             "held_ms",
             "n_segments",
         )
@@ -402,11 +411,20 @@ def q_stream_scd2_dimension(spark, sf_dir):
     def _apply(batch_df, batch_id):
         if batch_df.isEmpty():
             return
-        batch_df.write.mode("append").parquet(f"{base}/seen")
+        # foreachBatch is at-least-once: a retried batch must not
+        # duplicate events in the accumulated log (it would inflate
+        # n_orders and break batch-convergence). Writing each batch to
+        # its own batch_id-keyed directory and skipping when it already
+        # exists makes the append idempotent under replay (ADVICE r5);
+        # the SCD2 rebuild for the batch's keys is itself idempotent
+        # (MERGE on key+version), so re-running the update is safe.
+        dest = f"{base}/seen/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            batch_df.write.mode("overwrite").parquet(dest)
         incremental_scd2_update(
             spark,
             dim,
-            spark.read.parquet(f"{base}/seen"),
+            spark.read.parquet(f"{base}/seen").drop("batch_id"),
             batch_df.select("customer_id").distinct(),
             key_col="customer_id",
             attr_col="priority",

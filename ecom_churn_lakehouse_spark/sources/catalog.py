@@ -12,6 +12,8 @@ see identical data.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ecom_churn_lakehouse_spark.sources.tables import TABLES, load_events, load_table
@@ -23,11 +25,15 @@ __all__ = ["register_tables", "run_sql"]
 # re-registering all 10 views on EVERY run_sql call cost a measurable
 # constant (~0.5 s per query in BENCH_r04: sql_pricing_summary 1.95 s
 # vs 1.30 s for its DataFrame twin with an identical Catalyst plan).
-# Keyed on id(spark) so a new session (new temp-view namespace)
-# re-registers; a different sf_dir in the same session re-registers
+# Keyed on the session OBJECT via weakref so a new session (new
+# temp-view namespace) re-registers even if CPython reuses a dead
+# session's id(); a different sf_dir in the same session re-registers
 # and takes over the view names (last writer wins, matching the old
-# behavior).
-_REGISTERED: dict[int, str] = {}
+# behavior). A dead session's entry is dropped automatically, so it
+# can never alias a freshly created one (ADVICE r5).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def register_tables(
@@ -38,7 +44,7 @@ def register_tables(
     Idempotent per (session, sf_dir): repeated calls are a dict probe,
     not ten plan-analysis round-trips.
     """
-    if not force and _REGISTERED.get(id(spark)) == sf_dir:
+    if not force and _REGISTERED.get(spark) == sf_dir:
         return list(TABLES)
     names = []
     for name in TABLES:
@@ -49,7 +55,7 @@ def register_tables(
         )
         df.createOrReplaceTempView(name)
         names.append(name)
-    _REGISTERED[id(spark)] = sf_dir
+    _REGISTERED[spark] = sf_dir
     return names
 
 

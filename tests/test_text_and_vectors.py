@@ -241,3 +241,31 @@ def test_multiprobe_expands_and_improves_recall(spark):
              for r in bucketed_topk(probes, buckets, emb, k=3).collect()}
     assert len(multi & ex) >= len(single & ex)  # recall never drops
     assert len(multi) >= len(single)  # candidate coverage never shrinks
+
+
+def test_doc_min_bigram_prob_survives_short_docs(spark, tmp_path):
+    # ADVICE r5: sequence(1, 0) steps DOWN in Spark, so an unguarded
+    # 1-token doc made element_at(t, 0) throw and killed the query.
+    import pandas as pd
+
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_doc_min_bigram_prob,
+    )
+
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["single", "two tokens here ok", "two tokens again yes"],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [6, 18, 20],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    rows = {
+        r["doc_id"]: r
+        for r in q_doc_min_bigram_prob(spark, str(tmp_path)).collect()
+    }
+    # the 1-token doc has no bigrams -> contributes no row, no crash
+    assert set(rows) == {2, 3}
+    assert all(r["n_bigrams"] == 3 for r in rows.values())
+    assert all(0 < r["min_bigram_prob_ppm"] <= 1_000_000 for r in rows.values())
