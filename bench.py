@@ -200,6 +200,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # Host load context travels WITH the number: the committed r5 local
+    # snapshot was ~30% above the driver's run of identical code purely
+    # from background load, and the raw figure is what gets diffed.
+    try:
+        loadavg = [round(x, 2) for x in os.getloadavg()]
+    except OSError:  # pragma: no cover
+        loadavg = None
     result = {
         "metric": "headline_suite_wall_clock",
         "value": total,
@@ -208,6 +215,7 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": RUNS,
         "aggregation": "min",
+        "loadavg_1_5_15": loadavg,
     }
     # Full result first (informational), then a COMPACT line as the
     # very LAST stdout write: the driver parses its own stdout-tail
@@ -236,6 +244,7 @@ def main() -> None:
         "runs_per_query": RUNS,
         "aggregation": "min",
         "queries_detail": out_path,
+        "loadavg_1_5_15": loadavg,
         "queries_sha256": hashlib.sha256(
             json.dumps(timings, sort_keys=True).encode()
         ).hexdigest()[:16],
