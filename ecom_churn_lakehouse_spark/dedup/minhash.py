@@ -40,6 +40,11 @@ __all__ = [
     "minhash_signatures_exploded",
     "jaccard_on_pairs_arrays",
     "banded_signatures",
+    "capped_banded_pairs",
+    "doc_salt_col",
+    "REBAND_ROWS",
+    "REBAND_A",
+    "REBAND_B",
     "lsh_candidate_pairs",
     "lsh_probe_candidates",
     "jaccard_on_pairs",
@@ -53,6 +58,16 @@ ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
 MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+# Second, independent hash family for bucket-cap re-banding: over-cap
+# buckets are sub-bucketed by a 2-row minhash key from THIS family, so
+# genuinely similar members stay together (collision prob s^2) while
+# boilerplate-only collisions scatter. Separate seed so the families
+# can never alias.
+REBAND_ROWS = 2
+_rng2 = random.Random(4242)
+REBAND_A = [_rng2.randrange(1, MINHASH_P) for _ in range(REBAND_ROWS)]
+REBAND_B = [_rng2.randrange(0, MINHASH_P) for _ in range(REBAND_ROWS)]
 
 
 def choose_bands(
@@ -160,7 +175,10 @@ def minhash_signatures_from_arrays(
 
 
 def minhash_signatures_exploded(
-    arrays: DataFrame, id_col: str = "doc_id", shingles_col: str = "shingles"
+    arrays: DataFrame,
+    id_col: str = "doc_id",
+    shingles_col: str = "shingles",
+    include_reband: bool = False,
 ) -> DataFrame:
     """K min-hash values per doc via explode + hash-aggregate — the
     FAST path on this Spark build, despite the shuffle.
@@ -183,13 +201,24 @@ def minhash_signatures_exploded(
     sh = arrays.select(id_col, F.explode(shingles_col).alias("__s"))
     hashed = sh.select(id_col, shingle_hash_col(F.col("__s")).alias("__h"))
     h = F.col("__h")
+    reband = (
+        [
+            F.min(
+                (F.lit(REBAND_A[i]) * h + F.lit(REBAND_B[i])) % MINHASH_P
+            ).alias(f"rb{i}")
+            for i in range(REBAND_ROWS)
+        ]
+        if include_reband
+        else []
+    )
     return hashed.groupBy(id_col).agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * h + F.lit(MINHASH_B[i])) % MINHASH_P).alias(
                 f"mh{i}"
             )
             for i in range(NUM_HASHES)
-        ]
+        ],
+        *reband,
     )
 
 
@@ -229,8 +258,18 @@ def jaccard_on_pairs_arrays(
     )
 
 
-def banded_signatures(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Explode a signature row into its (band_idx, band_key) LSH bands."""
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Explode a signature row into its (band_idx, band_key) LSH bands.
+
+    ``carry_cols`` ride through the explode unchanged (e.g. the
+    re-band key in :func:`capped_banded_pairs`) — carrying them here is
+    free, where joining them back on ``id_col`` later would cost a
+    full shuffle of the banded relation.
+    """
     bands = F.array(
         *[
             F.struct(
@@ -246,8 +285,11 @@ def banded_signatures(signatures: DataFrame, id_col: str = "doc_id") -> DataFram
             for j in range(NUM_BANDS)
         ]
     )
-    return signatures.select(F.col(id_col), F.explode(bands).alias("b")).select(
+    return signatures.select(
+        F.col(id_col), *carry_cols, F.explode(bands).alias("b")
+    ).select(
         id_col,
+        *carry_cols,
         F.col("b.band_idx").alias("band_idx"),
         F.col("b.band_key").alias("band_key"),
     )
@@ -264,6 +306,99 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     )
     return (
         a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def doc_salt_col(id_col, modulus):
+    """Portable per-doc salt: md5-prefix integer of the id, mod P,
+    then mod ``modulus`` — reproducible verbatim in the DuckDB oracle
+    (same construction as :func:`shingle_hash_col`)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 15), 16, 10).cast(
+            "long"
+        )
+        % MINHASH_P
+    ) % modulus
+
+
+def capped_banded_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", cap: int = 16
+) -> DataFrame:
+    """LSH candidate pairs with a bucket-size cost contract: no single
+    (band, key) bucket may contribute more than ~|bucket| * cap / 2
+    candidate pairs, so one boilerplate mega-bucket of size m can
+    never inject m(m-1)/2 pairs into the verify stage (the failure
+    mode the ``lsh_bucket_occupancy`` diagnostic measures — this is
+    the mitigation it motivates).
+
+    Two deterministic levels, both engine-portable:
+
+    1. **Re-band (similarity-preserving).** Members of a bucket larger
+       than ``cap`` are sub-bucketed by a 2-row minhash key from a
+       SECOND hash family (``rb0,rb1``): genuinely similar members
+       collide again with probability s^2 (exact duplicates with
+       certainty), while boilerplate-only collisions — whose minima
+       came from a few shared shingles that happen to win the first
+       family's rows — scatter, because the second family's minima are
+       won by each doc's own content with fresh randomness.
+    2. **Salt (hard cost cap).** Sub-buckets STILL larger than ``cap``
+       (every member shares both band key and re-band key) are salted
+       into ceil(size/cap) groups by a doc-id hash. This is the
+       explicit cost policy: a group of > cap docs with identical
+       17-minhash evidence is near-certainly an identical-content
+       mega-cluster, whose full quadratic pair list the pairwise
+       surface REFUSES to enumerate — exact_dedup (hash-groupBy) is
+       the linear-cost path for those, and each salt group still
+       emits enough pairs to flag every member as a duplicate.
+
+    With ``cap`` above the corpus's max bucket size both levels are
+    inert and the output is IDENTICAL to :func:`lsh_candidate_pairs`
+    (the registry entry's oracle states exactly that equivalence).
+    Scale shape: two count-aggregates and the pair self-join all
+    shuffle on the same band-bucket key family; candidate volume is
+    sum over buckets of min-quadratic-capped work, never raw m^2.
+    """
+    banded = banded_signatures(
+        signatures.withColumn(
+            "__rb",
+            F.concat_ws(
+                ",", *[F.col(f"rb{i}") for i in range(REBAND_ROWS)]
+            ),
+        ),
+        id_col,
+        carry_cols=("__rb",),
+    )
+    sz1 = banded.groupBy("band_idx", "band_key").agg(
+        F.count("*").alias("__sz1")
+    )
+    lvl1 = banded.join(sz1, on=["band_idx", "band_key"]).withColumn(
+        "__sub",
+        F.when(F.col("__sz1") > cap, F.col("__rb")).otherwise(F.lit("")),
+    )
+    sz2 = lvl1.groupBy("band_idx", "band_key", "__sub").agg(
+        F.count("*").alias("__sz2")
+    )
+    lvl2 = lvl1.join(sz2, on=["band_idx", "band_key", "__sub"]).withColumn(
+        "__salt",
+        F.when(
+            F.col("__sz2") > cap,
+            doc_salt_col(
+                F.col(id_col), F.expr(f"(__sz2 + {cap} - 1) DIV {cap}")
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    keyed = lvl2.select(id_col, "band_idx", "band_key", "__sub", "__salt")
+    a = keyed.select(
+        F.col(id_col).alias("doc_a"), "band_idx", "band_key", "__sub", "__salt"
+    )
+    b = keyed.select(
+        F.col(id_col).alias("doc_b"), "band_idx", "band_key", "__sub", "__salt"
+    )
+    return (
+        a.join(b, on=["band_idx", "band_key", "__sub", "__salt"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

@@ -251,6 +251,39 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
 
 
+_LSH_BUCKET_CAP = 16
+
+
+@register(
+    "lsh_capped_neardup_pairs",
+    _minhash_sql(),
+    doc="Bucket-capped LSH near-dup pairs — the mitigation "
+    "lsh_bucket_occupancy motivates (dedup/minhash.py::"
+    "capped_banded_pairs): buckets above the size cap are first "
+    "re-banded with a 2-row minhash key from a SECOND hash family "
+    "(similar members re-collide, boilerplate-only collisions "
+    "scatter), and sub-buckets still above the cap are salted into "
+    "ceil(size/cap) doc-hash groups — a hard cost contract that "
+    "bounds any single bucket's candidate contribution to ~size*cap/2 "
+    "instead of size^2/2. The ORACLE is the PLAIN banding pipeline: "
+    "with the cap above the corpus's max bucket occupancy (16 vs the "
+    "observed max of 4 at sf0.01 / 6 at sf0.1) the capped plan must "
+    "produce the IDENTICAL verified pair set, which is exactly the "
+    "equivalence the hash comparison proves; the planted-mega-bucket "
+    "behavior of both cap levels is pinned by "
+    "tests/test_capped_lsh.py and the 10x probe in SCALING.md.",
+)
+def q_lsh_capped_neardup_pairs(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.minhash import capped_banded_pairs
+
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures_exploded(arr, include_reband=True)
+    cand = capped_banded_pairs(sigs, cap=_LSH_BUCKET_CAP)
+    return jaccard_on_pairs_arrays(cand, arr).filter(F.col("jaccard") >= 0.5)
+
+
 # ------------------------------------------------------------- SimHash
 
 

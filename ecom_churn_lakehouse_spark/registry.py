@@ -49,16 +49,21 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
+    # ---- round 6 ----
+    "lsh_capped_neardup_pairs",
+    "churn_hazard_table",
+    "event_value_twap",
+    "stream_scd2_dimension",
+    "doc_min_bigram_prob",
+    "bucketed_colocated_join",
+    # ---- round 5 (kept until CORRECTNESS_r06 confirms) ----
     "scd2_priority_history",
     "boolean_agg_battery",
     "percentile_disc_battery",
-    "bucketed_colocated_join",
-    "event_value_twap",
     "tokenizer_truncation_audit",
     "embedding_power_iteration",
     "image_channel_histogram",
     "sql_scd2_priority_history",
-    "stream_scd2_dimension",
     "source_mixture_token_allocation",
     "curriculum_shard_ordering",
     "dataset_datasheet_by_source",
@@ -67,13 +72,11 @@ NEW_IN_ROUND: list[str] = [
     "lang_id_confusion",
     "null_ordering_battery",
     "neardup_threshold_curve",
-    "doc_min_bigram_prob",
     "packing_efficiency_report",
     "lsh_bucket_occupancy",
     "dau_wau_stickiness",
     "hourly_value_interpolated",
-    # changed this round (float-free oracle surfaces / exact-int fixes)
-    "churn_hazard_table",
+    # changed in round 5 (float-free oracle surfaces / exact-int fixes)
     "cross_source_neardup_matrix",
     "vocab_growth_checkpoints",
     "per_nation_order_sample",
