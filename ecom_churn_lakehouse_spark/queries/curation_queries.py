@@ -770,3 +770,61 @@ def q_packing_efficiency_report(spark, sf_dir):
         .alias("n_overfull_bins"),
         F.max("bin_tokens").cast("long").alias("max_bin_tokens"),
     )
+
+
+# ------------------------------------------ duplicate inflation curve
+
+
+def _dup_inflation_sql() -> str:
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import _CORPUS_SQL
+
+    return f"""
+WITH {_CORPUS_SQL.strip()},
+g AS (
+    SELECT sha256(text) AS sha,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(MIN(length(text)) AS BIGINT) AS len
+    FROM corpus GROUP BY sha256(text)
+)
+SELECT k AS copies_per_doc,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(SUM(k - 1) AS BIGINT) AS redundant_docs,
+       CAST(SUM((k - 1) * len) AS BIGINT) AS redundant_chars
+FROM g GROUP BY k
+"""
+
+
+@register(
+    "dup_inflation_curve",
+    _dup_inflation_sql(),
+    doc="Training-token inflation from exact duplication, by "
+    "copy-count class: how many content groups appear k times, and "
+    "how many documents/characters beyond one canonical copy per "
+    "group the corpus carries at each k — the histogram that says "
+    "whether duplicate mass is a long tail of doubles (mild "
+    "upweighting) or a few thousand-copy boilerplate groups "
+    "(catastrophic memorization risk; the capped-LSH mega-bucket "
+    "regime). One sha256 hash-groupBy (map-side combinable on the "
+    "digest) then a k-grain rollup of the group frame — the group "
+    "relation is |distinct contents|, already the dedup pipeline's "
+    "working set, and text never enters the second shuffle.",
+)
+def q_dup_inflation_curve(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        derived_corpus,
+    )
+
+    corpus = derived_corpus(spark, sf_dir)
+    g = corpus.groupBy(F.sha2(F.col("text"), 256).alias("sha")).agg(
+        F.count("*").cast("long").alias("k"),
+        F.min(F.length("text")).cast("long").alias("len"),
+    )
+    return g.groupBy(F.col("k").alias("copies_per_doc")).agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("k").cast("long").alias("n_docs"),
+        F.sum(F.col("k") - 1).cast("long").alias("redundant_docs"),
+        F.sum((F.col("k") - 1) * F.col("len"))
+        .cast("long")
+        .alias("redundant_chars"),
+    )

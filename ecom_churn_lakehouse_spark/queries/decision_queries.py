@@ -34,6 +34,7 @@ Scale posture:
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ecom_churn_lakehouse_spark.registry import register
 from ecom_churn_lakehouse_spark.sources import load_table
@@ -632,4 +633,90 @@ def q_supplier_return_wilson(spark, sf_dir):
         )
         .orderBy(F.col("return_rate_lower_bound").desc(), "suppkey")
         .limit(25)
+    )
+
+
+# ----------------------------------------- CUSUM changepoint detection
+
+_CUSUM_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS rev_cents
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT CAST(SUM(rev_cents) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily
+),
+cum AS (
+    SELECT day, rev_cents,
+           CAST(SUM(rev_cents) OVER (ORDER BY day) AS BIGINT) AS p,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS k
+    FROM daily
+)
+SELECT c.day, c.rev_cents,
+       CAST(abs(t.n * c.p - c.k * t.s) AS BIGINT) AS cusum_stat,
+       t.n AS n_days
+FROM cum c CROSS JOIN tot t
+ORDER BY cusum_stat DESC, day
+LIMIT 5
+"""
+
+
+@register(
+    "revenue_cusum_changepoint",
+    _CUSUM_SQL,
+    doc="Exact-integer CUSUM changepoint screen over daily revenue: "
+    "the statistic |n*P_k - k*S_n| (prefix sum vs pro-rata share of "
+    "the total, both in integer cents) peaks at the day where the "
+    "revenue-rate regime shifts — the drift detector a pipeline runs "
+    "before trusting a trained-on-last-quarter model, kin to "
+    "order_value_psi_drift but locating WHEN, not how much. All "
+    "arithmetic is BIGINT (cents x day-rank, magnitudes ~1e14), so "
+    "the argmax is hash-stable across engines. Scale shape: one "
+    "map-side-combinable day-grain aggregate (bounded by the "
+    "calendar, not the data) then windows over the tiny daily frame; "
+    "the single-partition window touches ~thousands of rows at ANY "
+    "corpus size.",
+)
+def q_revenue_cusum_changepoint(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        daily.select(
+            "day",
+            "rev_cents",
+            F.sum("rev_cents").over(w_cum).cast("long").alias("p"),
+            F.row_number().over(Window.orderBy("day"))
+            .cast("long")
+            .alias("k"),
+            F.sum("rev_cents").over(w_all).cast("long").alias("s"),
+            F.count("*").over(w_all).cast("long").alias("n_days"),
+        )
+        .select(
+            "day",
+            "rev_cents",
+            F.abs(
+                F.col("n_days") * F.col("p") - F.col("k") * F.col("s")
+            )
+            .cast("long")
+            .alias("cusum_stat"),
+            "n_days",
+        )
+        .orderBy(F.desc("cusum_stat"), "day")
+        .limit(5)
     )

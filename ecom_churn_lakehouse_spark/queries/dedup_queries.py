@@ -969,3 +969,87 @@ def q_lsh_bucket_occupancy(spark, sf_dir):
             "n_candidate_pairs"
         ),
     )
+
+
+# ------------------------------------- dedup savings datasheet by source
+
+_SAVINGS_SQL = f"""
+WITH clusters AS (
+{_clusters_sql()}
+),
+{_CORPUS_SQL.strip()},
+doc_src AS (
+    SELECT c2.doc_id, CAST(length(c2.text) AS BIGINT) AS n_chars, d.source
+    FROM corpus c2 JOIN documents d ON c2.doc_id % 100000 = d.doc_id
+),
+dec AS (
+    SELECT ds.source, ds.n_chars,
+           COALESCE(cl.is_survivor, 1) AS keep
+    FROM doc_src ds LEFT JOIN clusters cl ON ds.doc_id = cl.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dropped,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_dropped,
+       CAST(SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) * 1000000
+            // SUM(n_chars) AS BIGINT) AS chars_dropped_ppm
+FROM dec GROUP BY source
+"""
+
+
+@register(
+    "dedup_savings_by_source",
+    _SAVINGS_SQL,
+    doc="The dedup DECISION quantified per source: how many documents "
+    "and characters the near-dup keep-list (neardup_clusters' min-id "
+    "survivors) would actually delete from each source, as exact "
+    "integer counts and floor-division ppm — the number a curation "
+    "team reads to see WHERE its duplicate mass lives (a source "
+    "that loses 40% of its bytes to dedup is a scraper config bug, "
+    "not a corpus property). Composes the cluster resolution with a "
+    "metadata join back to the source dimension; the per-source "
+    "rollup is map-side combinable and the cluster frame joins "
+    "broadcast-size (|non-survivors| << |corpus| in any sane "
+    "pipeline).",
+)
+def q_dedup_savings_by_source(spark, sf_dir):
+    clusters = q_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "is_survivor"
+    )
+    corpus = derived_corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    src = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("base_id"), "source"
+    )
+    dec = (
+        corpus.join(
+            F.broadcast(src), corpus.doc_id % 100000 == src.base_id
+        )
+        .join(clusters, on="doc_id", how="left")
+        .select(
+            "source",
+            "n_chars",
+            F.coalesce(F.col("is_survivor"), F.lit(1)).alias("keep"),
+        )
+    )
+    dropped_chars = F.sum(
+        F.when(F.col("keep") == 0, F.col("n_chars")).otherwise(F.lit(0))
+    )
+    return dec.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum((F.col("keep") == 0).cast("long"))
+        .cast("long")
+        .alias("n_dropped"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        dropped_chars.cast("long").alias("chars_dropped"),
+        F.expr(
+            "SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) * 1000000"
+            " DIV SUM(n_chars)"
+        )
+        .cast("long")
+        .alias("chars_dropped_ppm"),
+    )

@@ -1278,3 +1278,205 @@ def q_embedding_power_iteration(spark, sf_dir):
         )
         .orderBy("dim_idx")
     )
+
+
+# ------------------------------------- hybrid retrieval (fixed-point RRF)
+
+_RRF_K = 60
+_RRF_TOPN = 50
+
+_RRF_SQL = rf"""
+WITH lex AS (
+    SELECT doc_id,
+           CAST(length(list_filter(regexp_extract_all(text, '\S+'),
+                                   x -> x = 'spark')) +
+                length(list_filter(regexp_extract_all(text, '\S+'),
+                                   x -> x = 'join')) +
+                length(list_filter(regexp_extract_all(text, '\S+'),
+                                   x -> x = 'window')) AS BIGINT) AS tf_sum
+    FROM documents
+),
+lex_rank AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY tf_sum DESC, doc_id) AS BIGINT)
+               AS lex_rank
+    FROM lex WHERE tf_sum > 0
+    QUALIFY lex_rank <= {_RRF_TOPN}
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+dense AS (
+    SELECT e.vec_id AS doc_id,
+           {_COS.format(a="e.embedding::DOUBLE[]", b="q.v")} AS sim
+    FROM embeddings e CROSS JOIN qv q
+    WHERE e.vec_id <> 0
+),
+dense_rank_t AS (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT)
+               AS dense_rank
+    FROM dense
+    QUALIFY dense_rank <= {_RRF_TOPN}
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           COALESCE(1000000 // ({_RRF_K} + l.lex_rank), 0)
+           + COALESCE(1000000 // ({_RRF_K} + d.dense_rank), 0)
+               AS rrf_micro
+    FROM lex_rank l FULL OUTER JOIN dense_rank_t d ON l.doc_id = d.doc_id
+)
+SELECT doc_id, lex_rank, dense_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+FROM fused
+ORDER BY rrf_micro DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    _RRF_SQL,
+    doc="Hybrid retrieval via fixed-point reciprocal-rank fusion: a "
+    "lexical top-50 (exact-integer term-frequency score over the "
+    "fixed term set, deterministic doc_id tie-break) and a dense "
+    "top-50 (cosine against a fixed query vector — mul/add/sqrt "
+    "only, all correctly-rounded IEEE so ranks are engine-stable; "
+    "no libm-unstable ln on any ordering surface) fuse as "
+    "sum(1e6 DIV (60 + rank)) — RRF in exact integer micros, so the "
+    "fused ordering is hash-stable by construction. The full-outer "
+    "join is |top-50| x 2 rows regardless of corpus size; at 100 TB "
+    "each modality's top-k comes from its own index (BM25 posting "
+    "pruning / ANN buckets) and fusion cost never grows with the "
+    "corpus.",
+)
+def q_rrf_hybrid_retrieval(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def _tf(term):
+        # factory keeps the lambda unary — a default-arg capture makes
+        # PySpark pass (element, index) and silently rebind the term
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_sum = (_tf("spark") + _tf("join") + _tf("window")).cast("long")
+    lex = (
+        docs.select("doc_id", tf_sum.alias("tf_sum"))
+        .filter(F.col("tf_sum") > 0)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("tf_sum"), "doc_id"))
+            .cast("long")
+            .alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= _RRF_TOPN)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        to_double_array(F.col("embedding")).alias("v")
+    )
+    cand = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        to_double_array(F.col("embedding")).alias("e"),
+    )
+    dense = cand.join(F.broadcast(qv)).select(
+        "doc_id",
+        (
+            dot(F.col("e"), F.col("v"))
+            / (l2_norm(F.col("e")) * l2_norm(F.col("v")))
+        ).alias("sim"),
+    )
+    dense_r = dense.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("sim"), "doc_id"))
+        .cast("long")
+        .alias("dense_rank"),
+    ).filter(F.col("dense_rank") <= _RRF_TOPN)
+    fused = lex.join(dense_r, on="doc_id", how="full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + dense_rank)"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(20)
+
+
+# --------------------------------- embedding dimension variance screen
+
+_DIM_VAR_SQL = """
+WITH ex AS (
+    SELECT CAST(i - 1 AS INTEGER) AS dim_idx,
+           CAST(FLOOR(embedding[i]::DOUBLE * 1000000) AS BIGINT) AS v
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS t(i)
+)
+SELECT dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(v) AS BIGINT) AS sum_micro,
+       CAST((CAST(COUNT(*) AS HUGEINT)
+             * CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))
+                    AS HUGEINT)
+             - CAST(SUM(v) AS HUGEINT) * CAST(SUM(v) AS HUGEINT))
+            // (CAST(COUNT(*) AS HUGEINT) * CAST(COUNT(*) AS HUGEINT))
+            AS BIGINT) AS var_micro2
+FROM ex
+GROUP BY dim_idx
+"""
+
+
+@register(
+    "embedding_dim_variance_screen",
+    _DIM_VAR_SQL,
+    doc="Dead/collapsed-dimension screen over the embedding column: "
+    "per dimension, the population variance of the 6-dp-quantized "
+    "values in exact integer micro^2 — near-zero variance flags a "
+    "dimension the encoder never uses (wasted index width; "
+    "matryoshka truncation candidates). Quantization is "
+    "FLOOR(value*1e6) — float->double widening and the multiply are "
+    "exact IEEE and FLOOR is engine-identical, unlike double->int "
+    "CAST (Spark truncates, DuckDB rounds). The variance numerator "
+    "n*sum(v^2) - sum(v)^2 is >= 0 by Cauchy-Schwarz, so the floor "
+    "division is truncation-safe; products stay under DECIMAL(38) "
+    "via tight operand precisions. One posexplode + one 64-group "
+    "aggregate: map-side combinable, shuffle carries 64 rows of "
+    "partials per partition at ANY corpus size.",
+)
+def q_embedding_dim_variance_screen(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        F.posexplode(F.col("embedding")).alias("dim_idx", "val")
+    ).select(
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        F.floor(F.col("val").cast("double") * 1000000)
+        .cast("long")
+        .alias("v"),
+    )
+    return ex.groupBy("dim_idx").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("v").cast("long").alias("sum_micro"),
+        F.expr(
+            "CAST((CAST(COUNT(*) AS DECIMAL(10,0))"
+            " * CAST(SUM(CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0)))"
+            "        AS DECIMAL(27,0))"
+            " - CAST(SUM(v) AS DECIMAL(18,0)) * CAST(SUM(v) AS DECIMAL(18,0)))"
+            " DIV (CAST(COUNT(*) AS DECIMAL(10,0))"
+            "      * CAST(COUNT(*) AS DECIMAL(10,0))) AS BIGINT)"
+        ).alias("var_micro2"),
+    )

@@ -466,3 +466,141 @@ def q_stream_scd2_dimension(spark, sf_dir):
     )
     q.awaitTermination()
     return dim.read().withColumnRenamed("n_events", "n_orders")
+
+
+# ------------------------------------------------ rank-function battery
+
+_RANK_BATTERY_SQL = """
+WITH ranked AS (
+    SELECT o_orderpriority AS priority, o_orderkey AS order_id,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+           CAST(NTILE(4) OVER w AS INTEGER) AS price_quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+)
+SELECT priority, order_id, price_quartile,
+       CAST(CASE WHEN n > 1 THEN ((rn - 1) * 1000000) // (n - 1)
+                 ELSE 0 END AS BIGINT) AS percent_rank_ppm,
+       CAST((rn * 1000000) // n AS BIGINT) AS cume_dist_ppm
+FROM ranked
+"""
+
+
+@register(
+    "rank_function_battery",
+    _RANK_BATTERY_SQL,
+    doc="Ranking-function battery: NTILE(4), percent_rank and "
+    "cume_dist per priority partition, all over ONE window "
+    "specification (one shuffle + one sort serves every function). "
+    "The rank ratios are emitted as exact integer ppm with the rank "
+    "widened to BIGINT before the multiply (ROW_NUMBER/RANK are "
+    "INT32 in Spark — unwidened, populations past ~2148 rows "
+    "overflow under ANSI; round-5 gotcha list), and the tie-break "
+    "(price, orderkey) makes every rank deterministic so "
+    "percent_rank needs no RANK-vs-ROW_NUMBER ambiguity. "
+    "percent_rank's n=1 partition edge is guarded explicitly — both "
+    "engines define it as 0 but the guarded floor-division spelling "
+    "would otherwise divide by zero.",
+)
+def q_rank_function_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wp = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").alias("order_id"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+    ).select(
+        "priority",
+        "order_id",
+        "price_quartile",
+        F.when(
+            F.col("n") > 1,
+            F.expr("((rn - 1) * 1000000) DIV (n - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("percent_rank_ppm"),
+        F.expr("(rn * 1000000) DIV n").cast("long").alias("cume_dist_ppm"),
+    )
+
+
+# -------------------------------- incremental aggregate maintenance (MV)
+
+_MV_SPLIT = "1997-01-01"
+
+_MV_SQL = """
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS revenue_cents
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register(
+    "incremental_agg_maintenance",
+    _MV_SQL,
+    doc="Incremental materialized-view maintenance by partial-"
+    "aggregate merge: the revenue-by-nation MV is materialized from "
+    "orders before the split date, PERSISTED, read back, and then "
+    "brought current by merging the delta partition's partial "
+    "aggregate (SUM and COUNT are commutative monoids, so "
+    "merge(base, delta) re-aggregates the two partial frames — the "
+    "same algebra Spark's own map-side combine uses, lifted to "
+    "cross-run persistence). The oracle is the full recompute over "
+    "all orders: maintenance must be indistinguishable from rebuild. "
+    "All money in exact integer cents. At 100 TB this is THE "
+    "difference between touching one day's partition and re-scanning "
+    "years of facts on every refresh; avg-type measures derive at "
+    "read time from the summed partials, never get merged "
+    "themselves.",
+)
+def q_incremental_agg_maintenance(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+
+    def partial(df):
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < _MV_SPLIT))
+    mv_path = scratch_dir(prefix="mv_rev_nation_") + "/mv"
+    base.write.mode("overwrite").parquet(mv_path)
+    materialized = spark.read.parquet(mv_path)
+    delta = partial(orders.filter(F.col("o_orderdate") >= _MV_SPLIT))
+    return (
+        materialized.unionByName(delta)
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -51,6 +51,13 @@ def register(name: str, oracle: str | None, doc: str = ""):
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
     "lsh_capped_neardup_pairs",
+    "rank_function_battery",
+    "revenue_cusum_changepoint",
+    "dedup_savings_by_source",
+    "rrf_hybrid_retrieval",
+    "incremental_agg_maintenance",
+    "embedding_dim_variance_screen",
+    "dup_inflation_curve",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
