@@ -875,3 +875,201 @@ def q_dau_wau_stickiness(spark, sf_dir):
             ),
         )
     )
+
+
+# ------------------------------------------- out-of-order depth profile
+
+_OOO_SQL = """
+WITH t AS (
+    SELECT user_id, event_id,
+           epoch_us(ts) // 1000 AS ts_ms,
+           epoch_us(ts) // 1000
+           + (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 121 - 60) * 1000 AS arr_ms
+    FROM events
+),
+d AS (
+    SELECT user_id, event_id,
+           GREATEST(
+               COALESCE(MAX(ts_ms) OVER (PARTITION BY user_id
+                                         ORDER BY arr_ms, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING), ts_ms)
+               - ts_ms, 0) AS late_ms
+    FROM t
+),
+b AS (
+    SELECT CASE WHEN late_ms = 0 THEN 'in-order'
+                WHEN late_ms < 10000 THEN '<10s'
+                WHEN late_ms < 30000 THEN '<30s'
+                WHEN late_ms < 60000 THEN '<1m'
+                WHEN late_ms < 120000 THEN '<2m'
+                ELSE '>=2m' END AS lateness_bucket,
+           late_ms
+    FROM d
+)
+SELECT lateness_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+FROM b GROUP BY lateness_bucket
+"""
+
+
+@register(
+    "out_of_order_depth",
+    _OOO_SQL,
+    doc="Watermark-design artifact: replay each user's events in "
+    "ARRIVAL order (event_id) and measure how far behind the "
+    "running max event-time each arrival lands — the exact "
+    "disorder profile that fixes withWatermark's delay (a watermark "
+    "of X ms drops precisely the events in buckets beyond X; "
+    "stream_dedup_replay_daily picks its 1-day delay from this). "
+    "Arrival order is event time plus a deterministic md5 jitter in "
+    "[-60 s, +60 s] — the fixture generator emits perfectly ordered "
+    "events, so unjittered the histogram is one vacuous bucket. "
+    "Millisecond-exact integers bucketed by a CASE ladder, so the "
+    "histogram is hash-stable. One shuffle on user_id; the running "
+    "max and the lateness are window-local.",
+)
+def q_out_of_order_depth(spark, sf_dir):
+    # Arrival order = event time + deterministic per-event jitter in
+    # [-60 s, +60 s] (portable md5 hash of the id), simulating the
+    # network/batching disorder the fixture's generator does not emit
+    # (unjittered, every event is in-order and the histogram is one
+    # vacuous bucket — the thresholded-entry gotcha).
+    jitter_s = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 121
+        - 60
+    )
+    ev = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts) DIV 1000").alias("ts_ms"),
+        (F.expr("unix_micros(ts) DIV 1000") + jitter_s * 1000).alias(
+            "arr_ms"
+        ),
+    )
+    w = Window.partitionBy("user_id").orderBy("arr_ms", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    late = ev.select(
+        F.greatest(
+            F.coalesce(F.max("ts_ms").over(w), F.col("ts_ms"))
+            - F.col("ts_ms"),
+            F.lit(0),
+        ).alias("late_ms")
+    )
+    bucket = (
+        F.when(F.col("late_ms") == 0, "in-order")
+        .when(F.col("late_ms") < 10000, "<10s")
+        .when(F.col("late_ms") < 30000, "<30s")
+        .when(F.col("late_ms") < 60000, "<1m")
+        .when(F.col("late_ms") < 120000, "<2m")
+        .otherwise(">=2m")
+    )
+    return late.groupBy(bucket.alias("lateness_bucket")).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.max("late_ms").cast("long").alias("max_late_ms"),
+    )
+
+
+# ------------------------------------- position-based click attribution
+
+_MTA_SQL = """
+WITH purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+),
+win AS (
+    SELECT p.purchase_id, c.click_id, c.c_ts,
+           CAST(ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                                   ORDER BY c.c_ts, c.click_id) AS BIGINT)
+               AS pos,
+           CAST(COUNT(*) OVER (PARTITION BY p.purchase_id) AS BIGINT) AS k
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+         AND c.c_ts < p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+),
+credited AS (
+    SELECT purchase_id, click_id,
+           CASE WHEN k = 1 THEN 'only'
+                WHEN pos = 1 THEN 'first'
+                WHEN pos = k THEN 'last'
+                ELSE 'middle' END AS position_class,
+           CAST(CASE WHEN k = 1 THEN 1000000
+                     WHEN pos = 1 OR pos = k THEN 400000
+                     ELSE 200000 // (k - 2) END AS BIGINT) AS credit_micro
+    FROM win
+)
+SELECT position_class,
+       CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum
+FROM credited GROUP BY position_class
+"""
+
+
+@register(
+    "multi_touch_attribution",
+    _MTA_SQL,
+    doc="Position-based (U-shaped) multi-touch attribution: every "
+    "click in the 7 days before a purchase earns credit — 40%/40% "
+    "to first and last touch, the middle 20% floor-split across "
+    "interior clicks, a lone click taking 100% — in exact integer "
+    "micro-credits (floor division on non-negative operands only, "
+    "so Spark DIV and DuckDB // agree; the flooring remainder is "
+    "deliberately unassigned, deterministic on both engines). The "
+    "user-equi join makes the range predicate key-local (never a "
+    "cross product — the plan audit's CartesianProduct check "
+    "proves it), and position ranking is one window over the "
+    "per-purchase click set.",
+)
+def q_multi_touch_attribution(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    win = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wseq = Window.partitionBy("purchase_id").orderBy("c_ts", "click_id")
+    wall = Window.partitionBy("purchase_id")
+    pos = win.select(
+        "purchase_id",
+        "click_id",
+        F.row_number().over(wseq).cast("long").alias("pos"),
+        F.count("*").over(wall).cast("long").alias("k"),
+    )
+    credited = pos.select(
+        F.when(F.col("k") == 1, "only")
+        .when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("k"), "last")
+        .otherwise("middle")
+        .alias("position_class"),
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(400000))
+        .otherwise(F.expr("200000 DIV (k - 2)"))
+        .cast("long")
+        .alias("credit_micro"),
+    )
+    return credited.groupBy("position_class").agg(
+        F.count("*").cast("long").alias("n_credits"),
+        F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
+    )

@@ -131,3 +131,77 @@ def q_version_change_feed(spark, sf_dir):
     return t.diff_versions(prev).select(
         F.col("o_orderkey").alias("order_id"), "change_type"
     )
+
+
+# ----------------------------------------------- GDPR erasure cascade
+
+_ERASURE_SQL = """
+WITH subjects AS (
+    SELECT c_custkey AS id FROM customer WHERE c_custkey % 37 = 0
+),
+del_orders AS (
+    SELECT o_orderkey FROM orders
+    WHERE o_custkey IN (SELECT id FROM subjects)
+)
+SELECT 'customer' AS table_name,
+       CAST((SELECT COUNT(*) FROM subjects) AS BIGINT) AS n_rows_to_delete
+UNION ALL
+SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM del_orders
+UNION ALL
+SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+UNION ALL
+SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+WHERE user_id IN (SELECT id FROM subjects)
+"""
+
+
+@register(
+    "user_erasure_audit",
+    _ERASURE_SQL,
+    doc="Right-to-erasure cascade audit: given a deterministic "
+    "data-subject set (custkey % 37), the exact row counts a "
+    "delete would cascade to across every table that references the "
+    "subject — directly (orders, events) or transitively through "
+    "the order foreign key (lineitem). The compliance-review "
+    "artifact that runs BEFORE the destructive MERGE-delete "
+    "(sources/managed_table.py's CDC tombstone channel executes it); "
+    "every probe is a LEFT SEMI join against the broadcast-size "
+    "subject/order-key sets, so the audit costs one scan per table "
+    "at any scale, and nothing here mutates state.",
+)
+def q_user_erasure_audit(spark, sf_dir):
+    subjects = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 37 == 0)
+        .select(F.col("c_custkey").alias("id"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    del_orders = orders.join(
+        F.broadcast(subjects), orders.o_custkey == subjects.id, "left_semi"
+    ).select("o_orderkey")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    del_lines = lineitem.join(
+        F.broadcast(del_orders),
+        lineitem.l_orderkey == del_orders.o_orderkey,
+        "left_semi",
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    events = load_events(spark, sf_dir)
+    del_events = events.join(
+        F.broadcast(subjects), events.user_id == subjects.id, "left_semi"
+    )
+
+    def count_row(name, df):
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").cast("long").alias("n_rows_to_delete"),
+        )
+
+    return (
+        count_row("customer", subjects)
+        .unionByName(count_row("orders", del_orders))
+        .unionByName(count_row("lineitem", del_lines))
+        .unionByName(count_row("events", del_events))
+    )

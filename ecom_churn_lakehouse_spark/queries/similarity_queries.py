@@ -1480,3 +1480,107 @@ def q_embedding_dim_variance_screen(spark, sf_dir):
             "      * CAST(COUNT(*) AS DECIMAL(10,0))) AS BIGINT)"
         ).alias("var_micro2"),
     )
+
+
+# ----------------------------------- product quantization (PQ) codes
+
+_PQ_M = 8  # subspaces
+_PQ_DIMS = 8  # dims per subspace
+_PQ_K = 4  # centroids per subspace (seed vectors vec_id < 4)
+
+
+def _pq_sql() -> str:
+    d2 = " + ".join(
+        f"(v.ev[m*{_PQ_DIMS}+{j+1}] - c.cv[m*{_PQ_DIMS}+{j+1}])"
+        f" * (v.ev[m*{_PQ_DIMS}+{j+1}] - c.cv[m*{_PQ_DIMS}+{j+1}])"
+        for j in range(_PQ_DIMS)
+    )
+    return f"""
+WITH c AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {_PQ_K}
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+sub AS (
+    SELECT v.vec_id, c.cid, t.m, {d2} AS d2
+    FROM v CROSS JOIN c
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) t
+),
+pick AS (
+    SELECT vec_id, m, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                              ORDER BY d2, cid) AS rn
+    FROM sub
+)
+SELECT vec_id,
+       CAST(SUM(CAST(cid AS BIGINT) * (CAST(1 AS BIGINT) << (2 * m)))
+            AS BIGINT) AS pq_code,
+       CAST(SUM(CAST(FLOOR(d2 * 1000000) AS BIGINT)) AS BIGINT)
+           AS q_err_micro
+FROM pick WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+@register(
+    "embedding_pq_codes",
+    _pq_sql(),
+    doc="Product quantization: the 64-dim embedding splits into 8 "
+    "subspaces of 8 dims, each assigned to its nearest of 4 "
+    "deterministic seed centroids (L2^2, ties to the smaller "
+    "centroid id — raw distances are row-local IEEE mul/add, "
+    "engine-identical, the cosine_topk argument), packing the "
+    "vector into a 16-bit code (2 bits x 8 subspaces via integer "
+    "shifts) plus a FLOOR-quantized integer reconstruction error. "
+    "This is the memory side of IVF-PQ: 64 floats -> 2 bytes, the "
+    "compression that lets a 100 TB vector corpus serve from RAM; "
+    "ann_ivf_topk is the routing side. Codebooks broadcast "
+    "(K x M tiny), assignment is map-only per vector, and the "
+    "per-vec argmin windows partition by (vec_id, m) — the shuffle "
+    "carries M rows per vector, never the corpus squared.",
+)
+def q_embedding_pq_codes(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        to_double_array(F.col("embedding")).alias("cv"),
+    )
+    v = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("ev")
+    )
+    sub = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn(
+            "m", F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)]))
+        )
+    )
+    idx = lambda j: (F.col("m") * _PQ_DIMS + j + 1).cast("int")  # noqa: E731
+    d2 = sum(
+        (
+            F.element_at("ev", idx(j)) - F.element_at("cv", idx(j))
+        )
+        * (F.element_at("ev", idx(j)) - F.element_at("cv", idx(j)))
+        for j in range(_PQ_DIMS)
+    )
+    scored = sub.select("vec_id", "cid", "m", d2.alias("d2"))
+    w = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return best.groupBy("vec_id").agg(
+        F.sum(
+            F.expr(
+                "CAST(cid AS BIGINT)"
+                " * shiftleft(CAST(1 AS BIGINT), CAST(2 * m AS INT))"
+            )
+        )
+        .cast("long")
+        .alias("pq_code"),
+        F.sum(F.floor(F.col("d2") * 1000000).cast("long"))
+        .cast("long")
+        .alias("q_err_micro"),
+    )

@@ -1164,3 +1164,61 @@ def q_doc_min_bigram_prob(spark, sf_dir):
             .alias("min_bigram_prob_ppm"),
         )
     )
+
+
+# ------------------------------------------- skip-gram co-occurrence
+
+_SKIPGRAM_SQL = r"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM toks
+),
+expanded AS (
+    SELECT t, i, unnest([1, 2]) AS d FROM pos
+),
+pairs AS (
+    SELECT least(t[i], t[i+d]) AS w1, greatest(t[i], t[i+d]) AS w2
+    FROM expanded WHERE i + d <= len(t)
+)
+SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_cooccur
+FROM pairs GROUP BY w1, w2
+ORDER BY n_cooccur DESC, w1, w2
+LIMIT 30
+"""
+
+
+@register(
+    "skipgram_cooccurrence",
+    _SKIPGRAM_SQL,
+    doc="Skip-gram co-occurrence counts (window 2, unordered pairs "
+    "via least/greatest normalization) — the raw statistic under "
+    "word2vec-style negative sampling and PMI phrase mining "
+    "(token_pmi_bigrams is the adjacent-only special case). Each "
+    "position emits at most 2 pairs, so the exploded relation is "
+    "2x tokens — linear, and the count aggregate partial-combines "
+    "per partition before the single shuffle on the pair key. Top "
+    "30 with full deterministic tie-break.",
+)
+def q_skipgram_cooccurrence(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split(F.trim(F.col("text")), r"\s+").alias("t"))
+    pos = toks.select("t", F.posexplode("t").alias("i0", "w"))
+    expanded = pos.select(
+        "t",
+        "i0",
+        "w",
+        F.explode(F.array(F.lit(1), F.lit(2))).alias("d"),
+    ).filter(F.col("i0") + F.col("d") < F.size("t"))
+    neighbor = F.element_at("t", F.col("i0") + F.col("d") + 1)
+    pairs = expanded.select(
+        F.least(F.col("w"), neighbor).alias("w1"),
+        F.greatest(F.col("w"), neighbor).alias("w2"),
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("n_cooccur"))
+        .orderBy(F.desc("n_cooccur"), "w1", "w2")
+        .limit(30)
+    )

@@ -604,3 +604,90 @@ def q_incremental_agg_maintenance(spark, sf_dir):
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "stream_agg_maintenance",
+    _MV_SQL,
+    doc="Streaming twin of incremental_agg_maintenance: order files "
+    "arrive as micro-batches (file source, maxFilesPerTrigger=1) and "
+    "each foreachBatch call writes the batch's PARTIAL revenue-by-"
+    "nation aggregate to a batch_id-keyed partial directory — "
+    "skipped if already present, so at-least-once redelivery cannot "
+    "double-count (the idempotence pattern stream_scd2_dimension "
+    "uses). The served view is the read-time merge (re-aggregate) "
+    "of all partials; the oracle is the batch full recompute, so "
+    "convergence must be exact regardless of batch boundaries. "
+    "Partials are |nations| rows per batch — the shuffle the "
+    "streaming path pays is constant-size, while the fact scan "
+    "happens once per arriving file.",
+)
+def q_stream_agg_maintenance(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+
+    def partial(df):
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+            )
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count("*").cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("revenue_cents"),
+            )
+        )
+
+    base = scratch_dir(prefix="stream_mv_")
+    for lo, hi in (
+        (None, "1996-01-01"),
+        ("1996-01-01", "1998-01-01"),
+        ("1998-01-01", None),
+    ):
+        chunk = orders
+        if lo:
+            chunk = chunk.filter(F.col("o_orderdate") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("o_orderdate") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            partial(batch_df).write.mode("overwrite").parquet(dest)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/partials")
+        .drop("batch_id")
+        .groupBy("nation")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

@@ -58,6 +58,12 @@ NEW_IN_ROUND: list[str] = [
     "incremental_agg_maintenance",
     "embedding_dim_variance_screen",
     "dup_inflation_curve",
+    "out_of_order_depth",
+    "multi_touch_attribution",
+    "user_erasure_audit",
+    "skipgram_cooccurrence",
+    "stream_agg_maintenance",
+    "embedding_pq_codes",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
