@@ -268,3 +268,70 @@ def q_boilerplate_paragraph_detection(spark, sf_dir):
         .filter(F.col("n_docs") >= _BOILERPLATE_MIN_DOCS)
         .orderBy(F.col("n_docs").desc(), "first_doc_id")
     )
+
+
+# ---------------------------------------- partition layout advisor
+
+_LAYOUT_SQL = """
+WITH o AS (
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS by_month,
+           o_orderpriority AS by_priority,
+           CAST(o_custkey % 16 AS VARCHAR) AS by_cust_bucket
+    FROM orders
+),
+m AS (SELECT 'order_month' AS layout_key, by_month AS part, COUNT(*) AS n
+      FROM o GROUP BY by_month),
+p AS (SELECT 'order_priority', by_priority, COUNT(*) FROM o GROUP BY by_priority),
+c AS (SELECT 'custkey_bucket16', by_cust_bucket, COUNT(*) FROM o GROUP BY by_cust_bucket),
+allp AS (SELECT * FROM m UNION ALL SELECT * FROM p UNION ALL SELECT * FROM c)
+SELECT layout_key,
+       CAST(COUNT(*) AS BIGINT) AS n_partitions,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) AS BIGINT) AS max_partition_rows,
+       CAST(MIN(n) AS BIGINT) AS min_partition_rows,
+       CAST(MAX(n) * COUNT(*) * 1000000 // SUM(n) AS BIGINT)
+           AS skew_ppm
+FROM allp GROUP BY layout_key
+"""
+
+
+@register(
+    "partition_layout_advisor",
+    _LAYOUT_SQL,
+    doc="Storage-layout advisor: for three candidate partitionBy keys "
+    "over orders (calendar month, priority, a 16-way custkey hash "
+    "bucket), the partition count, row extremes, and a skew index "
+    "(max partition / perfectly-even share, exact integer ppm — "
+    "1e6 = balanced). THE pre-write decision at 100 TB: a "
+    "5-partition priority layout means 20 TB files, a high-"
+    "cardinality key means millions of small files, and skew_ppm "
+    "predicts the straggler factor of every downstream "
+    "partition-pruned scan. One pass per candidate, all map-side "
+    "combinable; n_partitions per candidate stays catalog-sized.",
+)
+def q_partition_layout_advisor(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select(
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM").alias("by_month"),
+        F.col("o_orderpriority").alias("by_priority"),
+        (F.col("o_custkey") % 16).cast("string").alias("by_cust_bucket"),
+    )
+
+    def layout(name, col):
+        return o.groupBy(F.col(col).alias("part")).agg(
+            F.count("*").alias("n")
+        ).select(F.lit(name).alias("layout_key"), "part", "n")
+
+    allp = (
+        layout("order_month", "by_month")
+        .unionByName(layout("order_priority", "by_priority"))
+        .unionByName(layout("custkey_bucket16", "by_cust_bucket"))
+    )
+    return allp.groupBy("layout_key").agg(
+        F.count("*").cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_partition_rows"),
+        F.min("n").cast("long").alias("min_partition_rows"),
+        F.expr("MAX(n) * COUNT(*) * 1000000 DIV SUM(n)")
+        .cast("long")
+        .alias("skew_ppm"),
+    )

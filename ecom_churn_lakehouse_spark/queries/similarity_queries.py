@@ -1584,3 +1584,228 @@ def q_embedding_pq_codes(spark, sf_dir):
         .cast("long")
         .alias("q_err_micro"),
     )
+
+
+# --------------------------------------------- IVF-PQ composed pipeline
+
+_IVFPQ_SHORTLIST = 10
+
+
+def _ivfpq_sql() -> str:
+    d2_code = " + ".join(
+        f"(v.ev[t.m*{_PQ_DIMS}+{j+1}] - p.cv[t.m*{_PQ_DIMS}+{j+1}])"
+        f" * (v.ev[t.m*{_PQ_DIMS}+{j+1}] - p.cv[t.m*{_PQ_DIMS}+{j+1}])"
+        for j in range(_PQ_DIMS)
+    )
+    d2_adc = " + ".join(
+        f"(cand.qv[k.m*{_PQ_DIMS}+{j+1}] - p.cv[k.m*{_PQ_DIMS}+{j+1}])"
+        f" * (cand.qv[k.m*{_PQ_DIMS}+{j+1}] - p.cv[k.m*{_PQ_DIMS}+{j+1}])"
+        for j in range(_PQ_DIMS)
+    )
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+    FROM embeddings WHERE vec_id % 37 = 1
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+assigned AS (
+    SELECT vec_id, bucket FROM (
+        SELECT v.vec_id, c.ccid AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY v.vec_id
+                   ORDER BY {_COS.format(a="v.ev", b="c.ccv")} DESC, c.ccid
+               ) AS rn
+        FROM vecs v, cents c
+    ) WHERE rn = 1
+),
+pqc AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings WHERE vec_id < {_PQ_K}
+),
+sub AS (
+    SELECT v.vec_id, p.cid, t.m, {d2_code} AS d2
+    FROM vecs v CROSS JOIN pqc p
+    CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) t
+),
+codes AS (
+    SELECT vec_id, m, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d2, cid) AS rn
+        FROM sub
+    ) WHERE rn = 1
+),
+q AS (
+    SELECT a.vec_id AS query_id, a.bucket, v.ev AS qv
+    FROM assigned a JOIN vecs v ON a.vec_id = v.vec_id
+    WHERE a.vec_id % 50 = 0
+),
+cand AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id, q.qv
+    FROM q JOIN assigned a
+      ON q.bucket = a.bucket AND a.vec_id <> q.query_id
+),
+adc AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           CAST(SUM(CAST(FLOOR(({d2_adc}) * 1000000) AS BIGINT)) AS BIGINT)
+               AS adc_micro
+    FROM cand
+    JOIN codes k ON cand.neighbor_id = k.vec_id
+    JOIN pqc p ON k.cid = p.cid
+    GROUP BY 1, 2
+),
+shortlist AS (
+    SELECT query_id, neighbor_id, adc_micro FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_micro, neighbor_id) AS rn
+        FROM adc
+    ) WHERE rn <= {_IVFPQ_SHORTLIST}
+),
+rerank AS (
+    SELECT s.query_id, s.neighbor_id, s.adc_micro,
+           {_COS.format(a="qv.ev", b="nv.ev")} AS sim
+    FROM shortlist s
+    JOIN vecs qv ON s.query_id = qv.vec_id
+    JOIN vecs nv ON s.neighbor_id = nv.vec_id
+)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim, adc_micro
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM rerank
+)
+WHERE rn <= 3
+"""
+
+
+@register(
+    "ann_ivfpq_topk",
+    _ivfpq_sql(),
+    doc="The full modern ANN serving pipeline composed end to end: "
+    "IVF coarse routing (nearest of ~14 centroids, nprobe=1) -> "
+    "asymmetric-distance (ADC) scoring of every in-cell candidate "
+    "against the query using only the candidate's 2-bit-per-"
+    "subspace PQ code (embedding_pq_codes' codebooks; per-subspace "
+    "distances FLOOR-quantized to integer micros so the shortlist "
+    "ordering is hash-stable) -> exact cosine re-rank of the "
+    "ADC top-10 shortlist -> top-3. This is how a 100 TB vector "
+    "store actually serves: full vectors touched only for "
+    "|shortlist| rows per query, candidates scored from RAM-sized "
+    "codes, routing via broadcast centroids; every join is "
+    "bucket-local or broadcast.",
+)
+def q_ann_ivfpq_topk(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+    from ecom_churn_lakehouse_spark.similarity.ann import ivf_assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    assigned = ivf_assign_cells(emb, centroids)
+
+    vecs = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("ev")
+    )
+    pqc = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"),
+        to_double_array(F.col("embedding")).alias("cv"),
+    )
+    sub = (
+        vecs.crossJoin(F.broadcast(pqc))
+        .withColumn(
+            "m", F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)]))
+        )
+    )
+    idx = lambda j: (F.col("m") * _PQ_DIMS + j + 1).cast("int")  # noqa: E731
+    d2_code = sum(
+        (F.element_at("ev", idx(j)) - F.element_at("cv", idx(j)))
+        * (F.element_at("ev", idx(j)) - F.element_at("cv", idx(j)))
+        for j in range(_PQ_DIMS)
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        sub.select("vec_id", "cid", "m", d2_code.alias("d2"))
+        .withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "cid")
+    )
+
+    q = (
+        assigned.filter(F.col("vec_id") % 50 == 0)
+        .join(vecs, on="vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "bucket",
+            F.col("ev").alias("qv"),
+        )
+    )
+    cand = q.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "bucket"),
+        on="bucket",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+
+    kidx = lambda j: (F.col("m") * _PQ_DIMS + j + 1).cast("int")  # noqa: E731
+    d2_adc = sum(
+        (F.element_at("qv", kidx(j)) - F.element_at("cv", kidx(j)))
+        * (F.element_at("qv", kidx(j)) - F.element_at("cv", kidx(j)))
+        for j in range(_PQ_DIMS)
+    )
+    adc = (
+        cand.join(
+            codes.withColumnRenamed("vec_id", "neighbor_id"),
+            on="neighbor_id",
+        )
+        .join(F.broadcast(pqc), on="cid")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(F.floor(d2_adc * 1000000).cast("long"))
+            .cast("long")
+            .alias("adc_micro")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        "adc_micro", "neighbor_id"
+    )
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= _IVFPQ_SHORTLIST)
+        .drop("rn")
+    )
+    qv = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("ev").alias("q_ev")
+    )
+    nv = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("ev").alias("n_ev")
+    )
+    rerank = (
+        shortlist.join(qv, on="query_id")
+        .join(nv, on="neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_micro",
+            (
+                dot(F.col("q_ev"), F.col("n_ev"))
+                / (l2_norm(F.col("q_ev")) * l2_norm(F.col("n_ev")))
+            ).alias("sim"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    return (
+        rerank.withColumn("rn", F.row_number().over(w_final))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("cosine_sim"),
+            "adc_micro",
+        )
+    )

@@ -454,3 +454,85 @@ def q_semantic_dedup_pairs(spark, sf_dir):
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ------------------------------------- expanding-window temporal folds
+
+_FOLD_CUTS = ("1994-01-01", "1995-07-01", "1997-01-01", "1998-07-01")
+
+_FOLDS_SQL = f"""
+WITH folds AS (
+    SELECT 1 AS fold, DATE '{_FOLD_CUTS[0]}' AS t_end, DATE '{_FOLD_CUTS[1]}' AS v_end
+    UNION ALL
+    SELECT 2, DATE '{_FOLD_CUTS[1]}', DATE '{_FOLD_CUTS[2]}'
+    UNION ALL
+    SELECT 3, DATE '{_FOLD_CUTS[2]}', DATE '{_FOLD_CUTS[3]}'
+)
+SELECT f.fold,
+       CAST(f.t_end AS DATE) AS train_end,
+       CAST(f.v_end AS DATE) AS val_end,
+       CAST(COUNT(CASE WHEN CAST(o.o_orderdate AS DATE) < f.t_end
+                       THEN 1 END) AS BIGINT) AS n_train,
+       CAST(COUNT(CASE WHEN CAST(o.o_orderdate AS DATE) >= f.t_end
+                        AND CAST(o.o_orderdate AS DATE) < f.v_end
+                       THEN 1 END) AS BIGINT) AS n_val
+FROM folds f CROSS JOIN orders o
+GROUP BY f.fold, f.t_end, f.v_end
+"""
+
+
+@register(
+    "expanding_window_folds",
+    _FOLDS_SQL,
+    doc="Expanding-window temporal cross-validation folds: each fold "
+    "trains on everything before its cut and validates on the next "
+    "interval — the only CV scheme that never leaks the future into "
+    "training (temporal_train_val_split is the single-split special "
+    "case; group_kfold_balance is the entity-leakage twin). Emitted "
+    "as the per-fold row-count datasheet a pipeline pins BEFORE "
+    "training so fold sizes are audited, not assumed. The fold "
+    "frame is 3 rows broadcast against one fact scan; counts are "
+    "conditional aggregates in a single pass, not one scan per "
+    "fold.",
+)
+def q_expanding_window_folds(spark, sf_dir):
+    folds = [
+        (1, _FOLD_CUTS[0], _FOLD_CUTS[1]),
+        (2, _FOLD_CUTS[1], _FOLD_CUTS[2]),
+        (3, _FOLD_CUTS[2], _FOLD_CUTS[3]),
+    ]
+    spark_folds = spark.createDataFrame(
+        folds, "fold int, t_end string, v_end string"
+    ).select(
+        "fold",
+        F.to_date("t_end").alias("t_end"),
+        F.to_date("v_end").alias("v_end"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("d")
+    )
+    return (
+        orders.crossJoin(F.broadcast(spark_folds))
+        .groupBy("fold", "t_end", "v_end")
+        .agg(
+            F.count(F.when(F.col("d") < F.col("t_end"), 1))
+            .cast("long")
+            .alias("n_train"),
+            F.count(
+                F.when(
+                    (F.col("d") >= F.col("t_end"))
+                    & (F.col("d") < F.col("v_end")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_val"),
+        )
+        .select(
+            "fold",
+            F.col("t_end").alias("train_end"),
+            F.col("v_end").alias("val_end"),
+            "n_train",
+            "n_val",
+        )
+    )

@@ -64,6 +64,9 @@ NEW_IN_ROUND: list[str] = [
     "skipgram_cooccurrence",
     "stream_agg_maintenance",
     "embedding_pq_codes",
+    "ann_ivfpq_topk",
+    "partition_layout_advisor",
+    "expanding_window_folds",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
