@@ -133,6 +133,23 @@ HEADLINE = [
     "packing_efficiency_report",
     "lsh_bucket_occupancy",
     "dau_wau_stickiness",
+    # round-6 additions: capped LSH, decision artifacts, IVF-PQ serving
+    "lsh_capped_neardup_pairs",
+    "rank_function_battery",
+    "revenue_cusum_changepoint",
+    "dedup_savings_by_source",
+    "rrf_hybrid_retrieval",
+    "incremental_agg_maintenance",
+    "embedding_dim_variance_screen",
+    "dup_inflation_curve",
+    "out_of_order_depth",
+    "multi_touch_attribution",
+    "user_erasure_audit",
+    "skipgram_cooccurrence",
+    "embedding_pq_codes",
+    "ann_ivfpq_topk",
+    "partition_layout_advisor",
+    "expanding_window_folds",
 ]
 
 

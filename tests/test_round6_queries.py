@@ -1,0 +1,113 @@
+"""Behavioral invariants for the round-6 entries — properties the
+row-hash oracle can't state (conservation laws, monotonicity, packing
+bijectivity), per SURVEY §5's golden-test strategy."""
+
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from ecom_churn_lakehouse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pq_code_roundtrips_to_subspace_assignments(spark):
+    # the packed 16-bit code must decode back to 8 valid 2-bit codes,
+    # and identical vectors must get identical codes
+    rows = queries()["embedding_pq_codes"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        code = r["pq_code"]
+        assert 0 <= code < 4**8
+        assert r["q_err_micro"] >= 0
+    # seed vectors ARE the codebook: vec 0..3 must self-assign with
+    # zero reconstruction error in every subspace
+    by_id = {r["vec_id"]: r for r in rows}
+    for cid in range(4):
+        expected = sum(cid << (2 * m) for m in range(8))
+        assert by_id[cid]["pq_code"] == expected
+        assert by_id[cid]["q_err_micro"] == 0
+
+
+def test_attribution_credit_is_conserved_per_purchase(spark):
+    # per purchase, assigned credit never exceeds 1.0 and reaches it
+    # exactly when flooring loses nothing (k<=2 or (k-2) | 200000)
+    ev = queries()
+    df = ev["multi_touch_attribution"](spark, SF)
+    rows = {r["position_class"]: r for r in df.collect()}
+    assert set(rows) <= {"only", "first", "middle", "last"}
+    # U-shape: first and last class totals are equal by construction
+    if "first" in rows and "last" in rows:
+        assert rows["first"]["n_credits"] == rows["last"]["n_credits"]
+        assert (
+            rows["first"]["credit_micro_sum"]
+            == rows["last"]["credit_micro_sum"]
+        )
+    for r in rows.values():
+        assert 0 < r["credit_micro_sum"] <= r["n_credits"] * 1_000_000
+
+
+def test_erasure_cascade_counts_are_internally_consistent(spark):
+    rows = {
+        r["table_name"]: r["n_rows_to_delete"]
+        for r in queries()["user_erasure_audit"](spark, SF).collect()
+    }
+    assert set(rows) == {"customer", "orders", "lineitem", "events"}
+    # a cascade can only fan out: lineitem rows require their order
+    if rows["orders"] == 0:
+        assert rows["lineitem"] == 0
+    assert all(v >= 0 for v in rows.values())
+
+
+def test_rrf_scores_bounded_and_sorted(spark):
+    rows = queries()["rrf_hybrid_retrieval"](spark, SF).collect()
+    assert 0 < len(rows) <= 20
+    scores = [r["rrf_micro"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # max possible: rank 1 in both lists
+    assert all(0 < s <= 2 * (1_000_000 // 61) for s in scores)
+
+
+def test_mv_maintenance_equals_recompute(spark):
+    got = {
+        r["nation"]: (r["n_orders"], r["revenue_cents"])
+        for r in queries()["incremental_agg_maintenance"](spark, SF).collect()
+    }
+    # independent recompute in one shot
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    nation = load_table(spark, SF, "nation")
+    full = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    want = {r["nation"]: (r["n"], r["cents"]) for r in full.collect()}
+    assert got == want
+
+
+def test_cusum_peak_is_argmax_of_statistic(spark):
+    rows = queries()["revenue_cusum_changepoint"](spark, SF).collect()
+    assert len(rows) == 5
+    stats = [r["cusum_stat"] for r in rows]
+    assert stats == sorted(stats, reverse=True)
+    assert all(s >= 0 for s in stats)
+    assert len({r["day"] for r in rows}) == 5
+
+
+def test_variance_screen_nonnegative_and_complete(spark):
+    rows = queries()["embedding_dim_variance_screen"](spark, SF).collect()
+    assert sorted(r["dim_idx"] for r in rows) == list(range(64))
+    assert all(r["var_micro2"] >= 0 for r in rows)
+    n = {r["n_vecs"] for r in rows}
+    assert len(n) == 1  # every dimension sees every vector
