@@ -335,3 +335,85 @@ def q_partition_layout_advisor(spark, sf_dir):
         .cast("long")
         .alias("skew_ppm"),
     )
+
+
+# --------------------------------------------- Benford first-digit audit
+
+# log10(1 + 1/d) in exact ppm — the canonical Benford expectation,
+# hardcoded so no libm log enters either engine's surface.
+_BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_sql() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    )
+    return f"""
+WITH d AS (
+    SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS INTEGER) AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+tot AS (SELECT COUNT(*) AS n FROM d)
+SELECT digit,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) * 1000000 // t.n AS BIGINT) AS share_ppm,
+       CAST(CASE digit {case} END AS BIGINT) AS benford_ppm,
+       CAST(abs(COUNT(*) * 1000000 // t.n
+                - CASE digit {case} END) AS BIGINT) AS abs_delta_ppm
+FROM d CROSS JOIN tot t
+GROUP BY digit, t.n
+"""
+
+
+@register(
+    "benford_digit_audit",
+    _benford_sql(),
+    doc="Benford's-law first-digit audit over order totals: observed "
+    "first-significant-digit shares in exact integer ppm against the "
+    "hardcoded log10(1+1/d) expectation (constants in ppm, so no "
+    "libm log on any compared surface) — the classic fabricated-"
+    "data / unit-mixup screen a DQ pipeline runs on monetary "
+    "columns (synthetic uniform-ish fixture prices deviate wildly, "
+    "which is exactly what the audit should say about them). One "
+    "scan, nine groups, the total broadcast via a 1-row frame.",
+)
+def q_benford_digit_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    d = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    tot = d.agg(F.count("*").alias("n"))
+    benford = F.coalesce(
+        *[
+            F.when(F.col("digit") == dd, F.lit(p))
+            for dd, p in _BENFORD_PPM.items()
+        ]
+    ).cast("long")
+    return (
+        d.join(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 1000000 DIV n").cast("long").alias(
+                "share_ppm"
+            ),
+            benford.alias("benford_ppm"),
+            F.abs(
+                F.expr("n_orders * 1000000 DIV n") - benford
+            )
+            .cast("long")
+            .alias("abs_delta_ppm"),
+        )
+    )

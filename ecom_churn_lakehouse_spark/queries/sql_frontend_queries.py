@@ -54,6 +54,10 @@ _TWINS = [
     "part_supplier_count",       # Q16: NOT IN + COUNT(DISTINCT)
     "concentrated_suppliers",    # Q20: FILTER(WHERE) conditional agg
     "scd2_priority_history",     # SCD2: named WINDOW, IS DISTINCT FROM, LEAD
+    # round-6 qualifying additions
+    "user_erasure_audit",        # IN-subquery cascade + scalar subquery
+    "expanding_window_folds",    # DATE literals, conditional COUNT(CASE)
+    "incremental_agg_maintenance",  # 3-way join + DECIMAL cents agg
 ]
 
 

@@ -691,3 +691,138 @@ def q_stream_agg_maintenance(spark, sf_dir):
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+# ------------------------------------------- penny-exact installment split
+
+_INSTALLMENT_SQL = """
+WITH c AS (
+    SELECT o_orderpriority AS priority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM orders
+),
+split AS (
+    SELECT priority, cents,
+           cents // 3 + CASE WHEN cents % 3 >= 1 THEN 1 ELSE 0 END AS i1,
+           cents // 3 + CASE WHEN cents % 3 >= 2 THEN 1 ELSE 0 END AS i2,
+           cents // 3 AS i3
+    FROM c
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(i1) AS BIGINT) AS inst1_cents,
+       CAST(SUM(i2) AS BIGINT) AS inst2_cents,
+       CAST(SUM(i3) AS BIGINT) AS inst3_cents
+FROM split GROUP BY priority
+"""
+
+
+@register(
+    "installment_split_battery",
+    _INSTALLMENT_SQL,
+    doc="Penny-exact installment allocation: each order's cents split "
+    "into 3 installments with the remainder pennies assigned to the "
+    "EARLIEST installments (the standard finance allocation rule — "
+    "never divide money as floats and round, or pennies appear and "
+    "vanish). Conservation i1+i2+i3 = cents holds row-wise by "
+    "construction and is visible in the aggregate (total_cents = "
+    "sum of the three installment columns — the oracle hash pins "
+    "it). All operands non-negative, so DuckDB // and Spark DIV "
+    "agree; single scan, map-side combinable.",
+)
+def q_installment_split_battery(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    split = c.select(
+        "priority",
+        "cents",
+        F.expr(
+            "cents DIV 3 + CASE WHEN cents % 3 >= 1 THEN 1 ELSE 0 END"
+        ).alias("i1"),
+        F.expr(
+            "cents DIV 3 + CASE WHEN cents % 3 >= 2 THEN 1 ELSE 0 END"
+        ).alias("i2"),
+        F.expr("cents DIV 3").alias("i3"),
+    )
+    return split.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.sum("i1").cast("long").alias("inst1_cents"),
+        F.sum("i2").cast("long").alias("inst2_cents"),
+        F.sum("i3").cast("long").alias("inst3_cents"),
+    )
+
+
+# ------------------------------------- schema-evolution union semantics
+
+_SCHEMA_EVO_SQL = """
+WITH legacy AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST(NULL AS VARCHAR) AS priority
+    FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+),
+modern AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+           o_orderpriority AS priority
+    FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+),
+unioned AS (
+    SELECT * FROM legacy UNION ALL SELECT * FROM modern
+)
+SELECT COALESCE(priority, '<pre-schema>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(COUNT(priority) AS BIGINT) AS n_with_priority
+FROM unioned GROUP BY COALESCE(priority, '<pre-schema>')
+"""
+
+
+@register(
+    "schema_evolution_union",
+    _SCHEMA_EVO_SQL,
+    doc="Schema-evolution read semantics: a 'legacy' extract missing "
+    "the priority column unions with the evolved extract via "
+    "unionByName(allowMissingColumns=True) — Spark's mergeSchema "
+    "read path in miniature — and the missing column surfaces as "
+    "typed NULLs that flow correctly through grouping (NULL-keyed "
+    "group), COUNT(col) vs COUNT(*), and COALESCE labeling. The "
+    "oracle spells the same union with explicit NULL padding, so "
+    "the hash pins that evolution never invents or drops rows or "
+    "miscounts the null-column population.",
+)
+def q_schema_evolution_union(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_orderpriority"),
+    )
+    legacy = orders.filter(F.col("d") < "1996-01-01").select(
+        "o_orderkey", "cents"
+    )
+    modern = orders.filter(F.col("d") >= "1996-01-01").select(
+        "o_orderkey", "cents", F.col("o_orderpriority").alias("priority")
+    )
+    unioned = legacy.unionByName(modern, allowMissingColumns=True)
+    return unioned.groupBy(
+        F.coalesce(F.col("priority"), F.lit("<pre-schema>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count("priority").cast("long").alias("n_with_priority"),
+    )

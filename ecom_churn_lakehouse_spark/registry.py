@@ -67,6 +67,12 @@ NEW_IN_ROUND: list[str] = [
     "ann_ivfpq_topk",
     "partition_layout_advisor",
     "expanding_window_folds",
+    "benford_digit_audit",
+    "installment_split_battery",
+    "schema_evolution_union",
+    "sql_user_erasure_audit",
+    "sql_expanding_window_folds",
+    "sql_incremental_agg_maintenance",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
