@@ -143,6 +143,7 @@ def _load_all() -> None:
         event_queries,
         extended_queries,
         feature_queries,
+        format_queries,
         graph_queries,
         lifecycle_queries,
         multimodal_queries,
