@@ -73,6 +73,8 @@ NEW_IN_ROUND: list[str] = [
     "sql_user_erasure_audit",
     "sql_expanding_window_folds",
     "sql_incremental_agg_maintenance",
+    "csv_roundtrip_integrity",
+    "json_roundtrip_integrity",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
