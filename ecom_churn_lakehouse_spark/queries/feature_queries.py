@@ -357,3 +357,92 @@ def q_spend_quantile_transform(spark, sf_dir):
             .alias("spend_rank_ppm"),
         )
     )
+
+
+# --------------------------------------------- winsorized spend stats
+
+_WINSOR_SQL = """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS cents
+    FROM orders GROUP BY o_custkey
+),
+cuts AS (
+    SELECT CAST(quantile_disc(cents, 0.05) AS BIGINT) AS p05,
+           CAST(quantile_disc(cents, 0.95) AS BIGINT) AS p95
+    FROM spend
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       c.p05 AS p05_cents,
+       c.p95 AS p95_cents,
+       CAST(SUM(s.cents) AS BIGINT) AS sum_cents_raw,
+       CAST(SUM(LEAST(GREATEST(s.cents, c.p05), c.p95)) AS BIGINT)
+           AS sum_cents_winsorized,
+       CAST(SUM(CASE WHEN s.cents < c.p05 OR s.cents > c.p95
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
+FROM spend s CROSS JOIN cuts c
+GROUP BY c.p05, c.p95
+"""
+
+
+@register(
+    "winsorized_spend_stats",
+    _WINSOR_SQL,
+    doc="Winsorized robust spend statistics: per-customer lifetime "
+    "spend clamped to its own [p5, p95] (percentile_disc cut points "
+    "— actual data values, so no interpolation float surface), with "
+    "raw vs winsorized totals and the clamped count, all exact "
+    "integer cents. The outlier treatment a feature pipeline "
+    "applies before z-scoring spend-like columns (order_value_"
+    "mad_outliers is the detection twin; this is the mitigation). "
+    "Cut points are a 1-row broadcast; the clamp pass is "
+    "map-side combinable.",
+)
+def q_winsorized_spend_stats(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    cuts = spend.agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)"
+        )
+        .cast("long")
+        .alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)"
+        )
+        .cast("long")
+        .alias("p95"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("cents"), F.col("p05")), F.col("p95")
+    )
+    return (
+        spend.join(F.broadcast(cuts))
+        .groupBy("p05", "p95")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("sum_cents_raw"),
+            F.sum(clamped).cast("long").alias("sum_cents_winsorized"),
+            F.sum(
+                (
+                    (F.col("cents") < F.col("p05"))
+                    | (F.col("cents") > F.col("p95"))
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+        .select(
+            "n_customers",
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "sum_cents_raw",
+            "sum_cents_winsorized",
+            "n_clamped",
+        )
+    )

@@ -1809,3 +1809,214 @@ def q_ann_ivfpq_topk(spark, sf_dir):
             "adc_micro",
         )
     )
+
+
+# ----------------------------------- nprobe -> recall tuning curve
+
+_CURVE_MAX_NPROBE = 4
+
+
+def _nprobe_curve_sql() -> str:
+    return f"""
+WITH cents AS (
+    SELECT vec_id AS ccid, embedding::DOUBLE[] AS ccv
+    FROM embeddings WHERE vec_id % 37 = 1
+),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+corpus_cells AS (
+    SELECT vec_id, bucket FROM (
+        SELECT v.vec_id, c.ccid AS bucket,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_COS.format(a="v.ev", b="c.ccv")} DESC, c.ccid
+               ) AS rn
+        FROM vecs v, cents c
+    ) WHERE rn = 1
+),
+qcells AS (
+    SELECT vec_id AS query_id, ccid AS bucket, rn AS cell_rank FROM (
+        SELECT v.vec_id, c.ccid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_COS.format(a="v.ev", b="c.ccv")} DESC, c.ccid
+               ) AS rn
+        FROM vecs v, cents c WHERE v.vec_id % 50 = 0
+    ) WHERE rn <= {_CURVE_MAX_NPROBE}
+),
+cand AS (
+    SELECT q.query_id, cc.vec_id AS neighbor_id,
+           MIN(q.cell_rank) AS mr
+    FROM qcells q JOIN corpus_cells cc ON q.bucket = cc.bucket
+    WHERE cc.vec_id <> q.query_id
+    GROUP BY 1, 2
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id, c.mr,
+           {_COS.format(a="qv.ev", b="nv.ev")} AS sim
+    FROM cand c
+    JOIN vecs qv ON c.query_id = qv.vec_id
+    JOIN vecs nv ON c.neighbor_id = nv.vec_id
+),
+fan AS (
+    SELECT s.*, t.nprobe FROM scored s
+    CROSS JOIN (SELECT unnest(generate_series(1, {_CURVE_MAX_NPROBE}))
+                AS nprobe) t
+    WHERE s.mr <= t.nprobe
+),
+ann AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nprobe, query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM fan
+    ) WHERE rn <= 3
+),
+exact AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                   ORDER BY {_COS.format(a="q.ev", b="v.ev")} DESC, v.vec_id
+               ) AS rn
+        FROM vecs q JOIN vecs v ON q.vec_id <> v.vec_id
+        WHERE q.vec_id % 50 = 0
+    ) WHERE rn <= 3
+),
+nq AS (SELECT COUNT(DISTINCT query_id) AS n FROM exact)
+SELECT a.nprobe,
+       CAST(COUNT(e.query_id) AS BIGINT) AS n_hits,
+       CAST(COUNT(e.query_id) * 1000000 // (3 * q.n) AS BIGINT)
+           AS recall_ppm
+FROM ann a
+LEFT JOIN exact e
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+CROSS JOIN nq q
+GROUP BY a.nprobe, q.n
+"""
+
+
+@register(
+    "ann_nprobe_recall_curve",
+    _nprobe_curve_sql(),
+    doc="The IVF tuning curve a search team actually reads: recall@3 "
+    "vs nprobe (1..4) in one pass — candidates carry their MINIMUM "
+    "reaching cell rank, so the whole curve is a fan-out filter over "
+    "ONE candidate generation, never a re-search per setting "
+    "(neardup_threshold_curve's pattern applied to ANN). Ground "
+    "truth is brute force over the same sampled query set; recall "
+    "is exact integer ppm. The knee of this curve is where you stop "
+    "paying probe cost for recall you do not get.",
+)
+def q_ann_nprobe_recall_curve(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        brute_force_topk,
+        ivf_assign_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
+        F.col("vec_id").alias("centroid_id"), "embedding"
+    )
+    corpus_cells = ivf_assign_cells(emb, centroids)
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    # Ranked query cells: ivf_assign_cells emits a query's cells in
+    # rank order but drops the rank itself, so recompute the ranked
+    # assignment here (same cosine + ccid tie-break spelling).
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        dot,
+        l2_norm,
+        to_double_array,
+    )
+
+    cents = centroids.select(
+        F.col("centroid_id").alias("ccid"),
+        to_double_array(F.col("embedding")).alias("ccv"),
+    )
+    qv = queries_df.select(
+        F.col("vec_id").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("qev"),
+    )
+    sim_qc = (
+        dot(F.col("qev"), F.col("ccv"))
+        / (l2_norm(F.col("qev")) * l2_norm(F.col("ccv")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("__sim"), "ccid"
+    )
+    qcells_ranked = (
+        qv.crossJoin(F.broadcast(cents))
+        .select("query_id", "ccid", sim_qc.alias("__sim"))
+        .withColumn("cell_rank", F.row_number().over(w_rank))
+        .filter(F.col("cell_rank") <= _CURVE_MAX_NPROBE)
+        .select("query_id", F.col("ccid").alias("bucket"), "cell_rank")
+    )
+    cand = (
+        qcells_ranked.join(
+            corpus_cells.select(
+                F.col("vec_id").alias("neighbor_id"), "bucket"
+            ),
+            on="bucket",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("cell_rank").alias("mr"))
+    )
+    vecs = emb.select(
+        "vec_id", to_double_array(F.col("embedding")).alias("ev")
+    )
+    scored = (
+        cand.join(
+            vecs.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("ev").alias("q_ev"),
+            ),
+            on="query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("ev").alias("n_ev"),
+            ),
+            on="neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "mr",
+            (
+                dot(F.col("q_ev"), F.col("n_ev"))
+                / (l2_norm(F.col("q_ev")) * l2_norm(F.col("n_ev")))
+            ).alias("sim"),
+        )
+    )
+    fan = scored.withColumn(
+        "nprobe",
+        F.explode(
+            F.array(*[F.lit(n) for n in range(1, _CURVE_MAX_NPROBE + 1)])
+        ),
+    ).filter(F.col("mr") <= F.col("nprobe"))
+    w_ann = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("sim"), "neighbor_id"
+    )
+    ann = (
+        fan.withColumn("rn", F.row_number().over(w_ann))
+        .filter(F.col("rn") <= 3)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = brute_force_topk(queries_df, emb, k=3).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    nq = exact.agg(
+        F.countDistinct("query_id").alias("n")
+    )
+    return (
+        ann.join(exact, on=["query_id", "neighbor_id"], how="left")
+        .join(F.broadcast(nq))
+        .groupBy("nprobe", "n")
+        .agg(F.count("hit").cast("long").alias("n_hits"))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.expr("n_hits * 1000000 DIV (3 * n)")
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+    )

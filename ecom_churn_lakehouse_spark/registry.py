@@ -75,6 +75,9 @@ NEW_IN_ROUND: list[str] = [
     "sql_incremental_agg_maintenance",
     "csv_roundtrip_integrity",
     "json_roundtrip_integrity",
+    "aqp_sampled_revenue",
+    "ann_nprobe_recall_curve",
+    "winsorized_spend_stats",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
