@@ -150,6 +150,14 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "partition_layout_advisor",
     "expanding_window_folds",
+    "benford_digit_audit",
+    "installment_split_battery",
+    "schema_evolution_union",
+    "csv_roundtrip_integrity",
+    "json_roundtrip_integrity",
+    "aqp_sampled_revenue",
+    "ann_nprobe_recall_curve",
+    "winsorized_spend_stats",
 ]
 
 

@@ -17,8 +17,9 @@ Scale: signatures are one groupBy(doc) over the shingle relation;
 banding explodes each doc into B rows; candidate generation is a
 self-join on (band_idx, band_key) — bucket-local, never all-pairs.
 Hot buckets (boilerplate text) are the skew risk: AQE skew-join
-handles moderate cases; for pathological ones cap bucket size
-upstream with a count filter.
+handles moderate cases; for pathological ones
+:func:`capped_banded_pairs` bounds any bucket's candidate
+contribution (second-family re-band, then doc-hash salt).
 """
 
 from __future__ import annotations
