@@ -158,6 +158,7 @@ HEADLINE = [
     "aqp_sampled_revenue",
     "ann_nprobe_recall_curve",
     "winsorized_spend_stats",
+    "rfm_segmentation",
 ]
 
 

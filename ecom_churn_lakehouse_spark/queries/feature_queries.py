@@ -446,3 +446,95 @@ def q_winsorized_spend_stats(spark, sf_dir):
             "n_clamped",
         )
     )
+
+
+# ---------------------------------------------- RFM quintile segments
+
+_RFM_SQL = f"""
+WITH base AS (
+    SELECT o_custkey AS customer_id,
+           CAST(DATE '{AS_OF}' - MAX(CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+               AS monetary_cents
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) <= DATE '{AS_OF}'
+    GROUP BY o_custkey
+),
+scored AS (
+    SELECT customer_id, recency_days, frequency, monetary_cents,
+           CAST(NTILE(5) OVER (ORDER BY recency_days, customer_id)
+                AS INTEGER) AS r,
+           CAST(NTILE(5) OVER (ORDER BY frequency DESC, customer_id)
+                AS INTEGER) AS f,
+           CAST(NTILE(5) OVER (ORDER BY monetary_cents DESC, customer_id)
+                AS INTEGER) AS m
+    FROM base
+)
+SELECT CAST(r * 100 + f * 10 + m AS INTEGER) AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+       CAST(MIN(recency_days) AS BIGINT) AS min_recency_days,
+       CAST(MAX(frequency) AS BIGINT) AS max_frequency
+FROM scored GROUP BY r * 100 + f * 10 + m
+"""
+
+
+@register(
+    "rfm_segmentation",
+    _RFM_SQL,
+    doc="RFM quintile segmentation at the churn snapshot date: "
+    "recency/frequency/monetary each NTILE(5)-scored (quintile 1 = "
+    "best, deterministic customer_id tie-break so the binning is "
+    "hash-stable) and packed into the classic 111..555 segment "
+    "code, rolled up to segment-level counts and monetary mass — "
+    "the lifecycle-marketing cousin of the churn features "
+    "(customer_features shares the same point-in-time cutoff, so "
+    "segments and churn labels are joinable artifacts of one "
+    "snapshot). One shuffle for the per-customer aggregate; the "
+    "three rankings share one global sort input.",
+)
+def q_rfm_segmentation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") <= AS_OF
+    )
+    base = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.datediff(F.lit(AS_OF).cast("date"), F.max(F.to_date("o_orderdate")))
+        .cast("long")
+        .alias("recency_days"),
+        F.count("*").cast("long").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    scored = base.select(
+        "customer_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "customer_id"))
+        .cast("int")
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "customer_id"))
+        .cast("int")
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary_cents"), "customer_id"))
+        .cast("int")
+        .alias("m"),
+    )
+    return scored.groupBy(
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("rfm_segment")
+    ).agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        F.min("recency_days").cast("long").alias("min_recency_days"),
+        F.max("frequency").cast("long").alias("max_frequency"),
+    )

@@ -78,6 +78,7 @@ NEW_IN_ROUND: list[str] = [
     "aqp_sampled_revenue",
     "ann_nprobe_recall_curve",
     "winsorized_spend_stats",
+    "rfm_segmentation",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
