@@ -159,6 +159,7 @@ HEADLINE = [
     "ann_nprobe_recall_curve",
     "winsorized_spend_stats",
     "rfm_segmentation",
+    "neardup_cluster_chain_audit",
 ]
 
 

@@ -1053,3 +1053,93 @@ def q_dedup_savings_by_source(spark, sf_dir):
         .cast("long")
         .alias("chars_dropped_ppm"),
     )
+
+
+# ----------------------------- cluster size / chaining diagnostic
+
+_CLUSTER_CHAIN_SQL = f"""
+WITH comp AS (
+{_clusters_sql()}
+),
+pairs2 AS (
+{_minhash_sql()}
+),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM comp GROUP BY cluster_id
+),
+direct AS (
+    SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_direct
+    FROM pairs2 p JOIN comp c ON p.doc_a = c.doc_id
+    GROUP BY c.cluster_id
+)
+SELECT s.sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(CASE WHEN COALESCE(d.n_direct, 0)
+                          = s.sz * (s.sz - 1) // 2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cliques,
+       CAST(SUM(COALESCE(d.n_direct, 0)) AS BIGINT) AS n_direct_pairs
+FROM sizes s LEFT JOIN direct d ON s.cluster_id = d.cluster_id
+WHERE s.sz > 1
+GROUP BY s.sz
+"""
+
+
+@register(
+    "neardup_cluster_chain_audit",
+    _CLUSTER_CHAIN_SQL,
+    doc="Transitive-chaining audit of the near-dup clusters: per "
+    "cluster-size class, how many clusters are CLIQUES (every "
+    "member pair directly verified >= threshold) versus chained "
+    "(members linked only transitively, A~B~C with A,C dissimilar) "
+    "— the known failure mode of union-find dedup, where a chain "
+    "of borderline pairs glues unrelated documents into one "
+    "cluster and the min-id survivor deletes content that was "
+    "never a duplicate of it. n_cliques == n_clusters is the "
+    "healthy reading; a chained mega-cluster says tighten the "
+    "threshold or switch the drop rule to pairwise. Reuses the "
+    "cluster and pair relations; the audit itself is two "
+    "broadcast-size joins.",
+)
+def q_neardup_cluster_chain_audit(spark, sf_dir):
+    arr = doc_shingle_arrays(derived_corpus(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
+    cand = lsh_candidate_pairs(minhash_signatures_exploded(arr))
+    pairs = jaccard_on_pairs_arrays(cand, arr).filter(
+        F.col("jaccard") >= 0.5
+    ).localCheckpoint(eager=False)
+    cc = connected_components(pairs, src="doc_a", dst="doc_b")
+    comp = cc.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz")
+    )
+    direct = (
+        pairs.join(
+            comp.withColumnRenamed("doc_id", "doc_a"), on="doc_a"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_direct"))
+    )
+    joined = sizes.join(direct, on="cluster_id", how="left").select(
+        "sz",
+        F.coalesce(F.col("n_direct"), F.lit(0)).alias("n_direct"),
+    )
+    return (
+        joined.filter(F.col("sz") > 1)
+        .groupBy(F.col("sz").alias("cluster_size"))
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(
+                (
+                    F.col("n_direct")
+                    == F.expr("sz * (sz - 1) DIV 2")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_cliques"),
+            F.sum("n_direct").cast("long").alias("n_direct_pairs"),
+        )
+    )

@@ -79,6 +79,7 @@ NEW_IN_ROUND: list[str] = [
     "ann_nprobe_recall_curve",
     "winsorized_spend_stats",
     "rfm_segmentation",
+    "neardup_cluster_chain_audit",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
