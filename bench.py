@@ -160,6 +160,8 @@ HEADLINE = [
     "winsorized_spend_stats",
     "rfm_segmentation",
     "neardup_cluster_chain_audit",
+    "ship_delay_percentiles",
+    "revenue_gini_by_nation",
 ]
 
 

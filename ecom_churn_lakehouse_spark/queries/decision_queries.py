@@ -720,3 +720,149 @@ def q_revenue_cusum_changepoint(spark, sf_dir):
         .orderBy(F.desc("cusum_stat"), "day")
         .limit(5)
     )
+
+
+# ---------------------------------------------- ship-delay SLA profile
+
+_SHIP_DELAY_SQL = """
+WITH d AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+                AS BIGINT) AS delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(quantile_disc(delay_days, 0.5) AS BIGINT) AS p50_days,
+       CAST(quantile_disc(delay_days, 0.9) AS BIGINT) AS p90_days,
+       CAST(quantile_disc(delay_days, 0.99) AS BIGINT) AS p99_days,
+       CAST(MAX(delay_days) AS BIGINT) AS max_days
+FROM d GROUP BY priority
+"""
+
+
+@register(
+    "ship_delay_percentiles",
+    _SHIP_DELAY_SQL,
+    doc="Fulfillment-latency SLA profile: order-to-ship delay in "
+    "whole days per priority class at p50/p90/p99/max via "
+    "percentile_disc (actual data values — integer days, so the "
+    "whole surface is exact). The operations twin of the revenue "
+    "queries: p99 by priority is what an SLA is written against, "
+    "and a p99 that degrades while p50 holds is the classic "
+    "tail-latency regression. Key-local join (lineitem already "
+    "carries the order key), one sort-based aggregate per class.",
+)
+def q_ship_delay_percentiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("order_d"),
+    )
+    d = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "priority",
+        F.datediff("ship_d", "order_d").cast("long").alias("delay_days"),
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p90_days"),
+        F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY delay_days)")
+        .cast("long")
+        .alias("p99_days"),
+        F.max("delay_days").cast("long").alias("max_days"),
+    )
+
+
+# ------------------------------------------ revenue concentration (Gini)
+
+_GINI_SQL = """
+WITH spend AS (
+    SELECT n.n_name AS nation, o.o_custkey,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_custkey
+),
+ranked AS (
+    SELECT nation, cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                                   ORDER BY cents, o_custkey) AS BIGINT)
+               AS rk
+    FROM spend
+)
+SELECT nation,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(CAST(2 * SUM(CAST(rk AS HUGEINT) * cents)
+                 - (COUNT(*) + 1) * CAST(SUM(cents) AS HUGEINT)
+                 AS HUGEINT) * 1000000
+            // (CAST(COUNT(*) AS HUGEINT) * CAST(SUM(cents) AS HUGEINT))
+            AS BIGINT) AS gini_ppm
+FROM ranked GROUP BY nation
+"""
+
+
+@register(
+    "revenue_gini_by_nation",
+    _GINI_SQL,
+    doc="Revenue-concentration Gini coefficient per nation in exact "
+    "integer ppm: customers ranked ascending by spend (custkey "
+    "tie-break), Gini = (2*sum(rank*x) - (n+1)*sum(x)) / "
+    "(n*sum(x)) — the numerator is non-negative for ascending "
+    "ranks, so the floor division is truncation-safe, and every "
+    "operand is integer cents (the inequality metric behind "
+    "'whale concentration' risk: a nation whose revenue Gini "
+    "approaches 1 depends on a handful of customers, the retention "
+    "counterpart of key_skew_profile's partition-skew reading). One "
+    "customer-grain aggregate, one per-nation window, one rollup — "
+    "all on the same nation/customer key family.",
+)
+def q_revenue_gini_by_nation(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    spend = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "nation",
+        "cents",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.expr(
+            "CAST((2 * SUM(CAST(rk AS DECIMAL(18,0))"
+            "              * CAST(cents AS DECIMAL(18,0)))"
+            "      - (COUNT(*) + 1)"
+            "        * CAST(SUM(cents) AS DECIMAL(28,0)))"
+            "     * 1000000"
+            " DIV (CAST(COUNT(*) AS DECIMAL(10,0))"
+            "      * CAST(SUM(cents) AS DECIMAL(27,0))) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -80,6 +80,8 @@ NEW_IN_ROUND: list[str] = [
     "winsorized_spend_stats",
     "rfm_segmentation",
     "neardup_cluster_chain_audit",
+    "ship_delay_percentiles",
+    "revenue_gini_by_nation",
     "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
