@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "largest_remainder_allocation",
+    "user_activity_streaks",
+    "revenue_max_drawdown",
+    "weighted_median_price",
     "lsh_capped_neardup_pairs",
     "rank_function_battery",
     "revenue_cusum_changepoint",
@@ -144,6 +148,7 @@ def _load_all() -> None:
     from ecom_churn_lakehouse_spark.queries import (  # noqa: F401
         advanced_queries,
         analytics_queries,
+        apportion_queries,
         churn_queries,
         curation_queries,
         decision_queries,

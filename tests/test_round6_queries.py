@@ -111,3 +111,85 @@ def test_variance_screen_nonnegative_and_complete(spark):
     assert all(r["var_micro2"] >= 0 for r in rows)
     n = {r["n_vecs"] for r in rows}
     assert len(n) == 1  # every dimension sees every vector
+
+
+def test_largest_remainder_allocation_conserves_budget(spark):
+    # Hamilton apportionment: allocations are floor or floor+1 and sum
+    # EXACTLY to the budget — the property that distinguishes it from
+    # independent rounding (which drifts).
+    rows = queries()["largest_remainder_allocation"](spark, SF).collect()
+    assert rows
+    assert sum(r["alloc_units"] for r in rows) == 1_000_000
+    for r in rows:
+        assert r["alloc_units"] in (r["floor_units"], r["floor_units"] + 1)
+    # extra units go to the smallest remainder ranks: the set of
+    # rank values receiving +1 must be a prefix of 1..n
+    extra_ranks = sorted(
+        r["remainder_rank"] for r in rows if r["alloc_units"] > r["floor_units"]
+    )
+    assert extra_ranks == list(range(1, len(extra_ranks) + 1))
+
+
+def test_activity_streaks_partition_days_exactly(spark):
+    # islands partition the active-day set: streak days sum to
+    # distinct active days, and every streak is at least 1 day
+    df = queries()["user_activity_streaks"](spark, SF)
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_streaks"] <= r["n_active_days"]
+        assert r["max_streak_days"] <= r["n_active_days"]
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    truth = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    truth_map = {r["user_id"]: r["count"] for r in truth}
+    for r in rows:
+        assert r["n_active_days"] == truth_map[r["user_id"]]
+
+
+def test_weighted_median_has_majority_weight_on_both_sides(spark):
+    # defining property of the weighted median: weight at or below it
+    # and weight at or above it are each >= half the total
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    med = {
+        r["brand"]: r
+        for r in queries()["weighted_median_price"](spark, SF).collect()
+    }
+    part = load_table(spark, SF, "part").select(
+        "p_partkey",
+        "p_brand",
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    li = load_table(spark, SF, "lineitem").select("l_partkey", "l_quantity")
+    pw = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "price_cents")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+        .collect()
+    )
+    by_brand = {}
+    for r in pw:
+        by_brand.setdefault(r["p_brand"], []).append((r["price_cents"], r["w"]))
+    for brand, pairs in by_brand.items():
+        m = med[brand]["weighted_median_cents"]
+        tot = sum(w for _, w in pairs)
+        assert med[brand]["total_weight"] == tot
+        below = sum(w for p, w in pairs if p <= m)
+        above = sum(w for p, w in pairs if p >= m)
+        assert 2 * below >= tot and 2 * above >= tot
+
+
+def test_drawdown_bounded_by_peak(spark):
+    r = queries()["revenue_max_drawdown"](spark, SF).collect()[0]
+    assert r["n_days"] > 0
+    assert 0 <= r["max_drawdown_micros"] <= r["peak_cum_micros"]
