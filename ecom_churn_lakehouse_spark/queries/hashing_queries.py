@@ -1,0 +1,458 @@
+"""Binary-code similarity and sketch-based frequency operators
+(SURVEY §7.7 LLM-pipeline tier; round-6 widening).
+
+Four operators a 100 TB curation/serving stack leans on once float
+vectors and raw token streams get too heavy to move:
+
+- ``ann_hamming_mih_topk`` — binary ANN: sign-binarize each embedding
+  into a 64-bit code (two 32-bit words, so no sign-bit edge cases in
+  either engine), index it multi-index-hashing style as 8 x 8-bit
+  bands, generate candidates by exact band match (pigeonhole: any
+  neighbor within Hamming distance 7 shares >= 1 band), then re-rank
+  candidates by exact Hamming distance. Codes are 16 bytes/vector vs
+  256 for the float vector — the memory story that makes binary codes
+  the first-stage filter at corpus scale.
+- ``knn_label_consensus`` — label-noise audit: per vector, the share
+  of its k nearest (exact cosine over band-matched candidates) that
+  carry the same label, in exact ppm. On geometrically clusterable
+  labels low consensus flags mislabeled points; on this fixture's
+  random embeddings it reports the ~1/n_labels null baseline — the
+  operator is the measurement, the fixture fixes its expected value.
+- ``token_zipf_constant`` — rank x frequency for the top corpus
+  tokens: the Zipf-law health check (the product is ~constant for
+  natural text; a flat or bimodal profile flags boilerplate or
+  templated corpora).
+- ``cms_heavy_hitters`` — a count-min sketch (3 salted hash rows x 512
+  counters) built as three tiny grouped aggregates over the global
+  token-count frame, then the CMS point-estimate (min over rows) for
+  the top-20 exact heavy hitters next to their true counts. The
+  one-sided error contract (estimate >= truth, always) is asserted in
+  tests; the overshoot column shows the collision cost of the 512-wide
+  sketch directly.
+
+Scale posture:
+- Binary codes/bands are built in one map-only projection per vector
+  (JVM-side ``aggregate``/``transform`` fold, no Python); candidate
+  generation is an equi-join on (band_id, band_value) — bucket-local,
+  never all-pairs. At 100 TB the band join is the standard banded-LSH
+  shuffle; Hamming re-rank touches candidates only.
+- The CMS is the aggregate-then-sketch form: token counts are already
+  one map-side-combinable shuffle, and each sketch row is a 512-row
+  frame — the sketch itself is broadcast-size by construction, which
+  is the whole point of CMS at stream scale.
+- Zipf ranking sorts the (vocab-sized) count frame, not the token
+  stream, and keeps only the top slice.
+
+Integer discipline: every compared column is BIGINT (Hamming counts,
+ranks, token counts, ppm via DIV on non-negative operands).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.operators.sampling import (
+    hash_bucket,
+    hash_bucket_sql,
+)
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Shared sign-binarization spelling: 64 sign bits -> two 32-bit words.
+# --------------------------------------------------------------------------
+
+_N_BANDS = 8
+_BAND_BITS = 8
+
+#: Spark word-packing expression (word j covers dims 32j+1 .. 32j+32).
+def _word_expr(j: int) -> str:
+    return (
+        f"aggregate(transform(sequence(0, 31), i -> "
+        f"IF(element_at(embedding, {32 * j} + i + 1) >= 0, "
+        f"shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+
+
+def _word_sql(j: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 32), i -> "
+        f"CASE WHEN embedding[{32 * j} + i + 1] >= 0 "
+        f"THEN (1::BIGINT << i) ELSE 0::BIGINT END))"
+    )
+
+
+#: Band b (0..7) lives in word b//4, bits 8*(b%4) .. 8*(b%4)+7.
+_BAND_SPARK = "shiftright(IF(b < 4, w0, w1), 8 * (b % 4)) & 255"
+_BAND_SQL = "(CASE WHEN b < 4 THEN w0 ELSE w1 END >> (8 * (b % 4))) & 255"
+
+_CODES_SQL = f"""
+codes AS (
+    SELECT vec_id, label,
+           CAST({_word_sql(0)} AS BIGINT) AS w0,
+           CAST({_word_sql(1)} AS BIGINT) AS w1
+    FROM embeddings
+),
+bands AS (
+    SELECT vec_id, w0, w1, b, CAST({_BAND_SQL} AS BIGINT) AS band_val
+    FROM codes, unnest(range(0, {_N_BANDS})) AS t(b)
+)
+"""
+
+
+def _spark_codes(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_word_expr(0)).cast("long").alias("w0"),
+        F.expr(_word_expr(1)).cast("long").alias("w1"),
+    )
+
+
+def _spark_bands(codes):
+    return codes.select(
+        "vec_id",
+        "w0",
+        "w1",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("b"),
+    ).withColumn("band_val", F.expr(_BAND_SPARK).cast("long"))
+
+
+# --------------------------------------------------------------------------
+# Binary ANN: multi-index-hashing candidates + exact Hamming re-rank.
+# --------------------------------------------------------------------------
+
+_HAMMING_SQL = f"""
+WITH {_CODES_SQL},
+q AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           q.w0 AS qw0, q.w1 AS qw1, c.w0 AS cw0, c.w1 AS cw1
+    FROM q JOIN bands c
+      ON q.b = c.b AND q.band_val = c.band_val
+    WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CAST(bit_count(xor(qw0, cw0)) AS BIGINT)
+           + CAST(bit_count(xor(qw1, cw1)) AS BIGINT) AS hamming_dist
+    FROM cand
+)
+SELECT query_id, neighbor_id, hamming_dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY hamming_dist, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 5
+"""
+
+
+@register(
+    "ann_hamming_mih_topk",
+    _HAMMING_SQL,
+    doc="Binary ANN over sign codes: 64-bit signature as two 32-bit "
+    "words, multi-index-hashing candidates (8 x 8-bit bands, equi-join "
+    "— pigeonhole covers Hamming <= 7 exactly), exact-Hamming re-rank "
+    "via bit_count(xor). 16-byte codes make this the first-stage "
+    "filter when float vectors are too big to shuffle; candidate "
+    "generation is bucket-local, never all-pairs.",
+)
+def q_ann_hamming_mih_topk(spark, sf_dir):
+    bands = _spark_bands(_spark_codes(spark, sf_dir))
+    q = bands.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+        "b",
+        "band_val",
+    )
+    c = bands.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("w0").alias("cw0"),
+        F.col("w1").alias("cw1"),
+        "b",
+        "band_val",
+    )
+    cand = (
+        q.join(c, ["b", "band_val"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qw0", "qw1", "cw0", "cw1")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.expr("CAST(bit_count(qw0 ^ cw0) AS BIGINT)")
+            + F.expr("CAST(bit_count(qw1 ^ cw1) AS BIGINT)")
+        ).alias("hamming_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming_dist", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# kNN label-consensus audit over band-matched candidates.
+# --------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_CONSENSUS_SQL = f"""
+WITH {_CODES_SQL},
+vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bands q JOIN bands c
+      ON q.b = c.b AND q.band_val = c.band_val
+    WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           qv.label AS q_label, cv.label AS c_label,
+           {_COS.format(a="qv.ev", b="cv.ev")} AS sim
+    FROM cand cd
+    JOIN vecs qv ON cd.query_id = qv.vec_id
+    JOIN vecs cv ON cd.neighbor_id = cv.vec_id
+),
+topk AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT query_id AS vec_id,
+       CAST(MIN(q_label) AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS k_used,
+       CAST(CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+                 AS BIGINT) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+FROM topk
+WHERE rn <= 5
+GROUP BY query_id
+"""
+
+
+@register(
+    "knn_label_consensus",
+    _CONSENSUS_SQL,
+    doc="Label-noise audit: share of each vector's k=5 nearest "
+    "neighbors (exact cosine over band-matched candidates — the same "
+    "banded-LSH candidate stream the dedup tier uses, never all-pairs) "
+    "that carry the same label, in exact ppm. Low consensus on "
+    "clusterable labels flags mislabeled points; on this fixture's "
+    "random embeddings the expected value is the 1/n_labels baseline.",
+)
+def q_knn_label_consensus(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    bands = _spark_bands(_spark_codes(spark, sf_dir))
+    cand = (
+        bands.select(F.col("vec_id").alias("query_id"), "b", "band_val")
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "b", "band_val"),
+            ["b", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        to_double_array(F.col("embedding")).alias("__qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        to_double_array(F.col("embedding")).alias("__cv"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_label",
+            "c_label",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return topk.groupBy(F.col("query_id").alias("vec_id")).agg(
+        F.min("q_label").cast("int").alias("label"),
+        F.count("*").cast("long").alias("k_used"),
+        F.expr(
+            "CAST(CAST(SUM(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)"
+            " AS BIGINT) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("agree_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf rank x frequency profile.
+# --------------------------------------------------------------------------
+
+_ZIPF_SQL = r"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+),
+counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS token_count
+    FROM toks GROUP BY token
+)
+SELECT token, token_count,
+       CAST(rn AS BIGINT) AS rank,
+       CAST(rn * token_count AS BIGINT) AS zipf_k
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY token_count DESC, token) AS rn
+    FROM counts
+)
+WHERE rn <= 50
+"""
+
+
+@register(
+    "token_zipf_constant",
+    _ZIPF_SQL,
+    doc="Zipf-law health check: rank x frequency for the top-50 corpus "
+    "tokens (near-constant for natural text; flat or bimodal profiles "
+    "flag boilerplate/templated corpora). The global sort runs over "
+    "the vocabulary-sized count frame, never the token stream.",
+)
+def q_token_zipf_constant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("token_count"))
+    )
+    w = Window.orderBy(F.desc("token_count"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select(
+            "token",
+            "token_count",
+            "rank",
+            (F.col("rank") * F.col("token_count")).cast("long").alias("zipf_k"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch heavy hitters.
+# --------------------------------------------------------------------------
+
+_CMS_DEPTH = 3
+_CMS_WIDTH = 512
+
+_CMS_SQL = r"""
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+),
+counts AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count
+    FROM toks GROUP BY token
+),
+{rows},
+top20 AS (
+    SELECT token, exact_count FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY exact_count DESC, token) AS rn
+        FROM counts
+    ) WHERE rn <= 20
+)
+SELECT t.token AS token, t.exact_count AS exact_count,
+       CAST(LEAST({mins}) AS BIGINT) AS cms_estimate,
+       CAST(LEAST({mins}) - t.exact_count AS BIGINT) AS overshoot
+FROM top20 t
+{joins}
+""".format(
+    rows=",\n".join(
+        f"row{d} AS (\n"
+        f"    SELECT {hash_bucket_sql('token', f'cms{d}:', _CMS_WIDTH)} AS bucket,\n"
+        f"           CAST(SUM(exact_count) AS BIGINT) AS counter\n"
+        f"    FROM counts GROUP BY 1\n)"
+        for d in range(_CMS_DEPTH)
+    ),
+    mins=", ".join(f"r{d}.counter" for d in range(_CMS_DEPTH)),
+    joins="\n".join(
+        f"JOIN row{d} r{d} ON r{d}.bucket = "
+        + hash_bucket_sql("t.token", f"cms{d}:", _CMS_WIDTH)
+        for d in range(_CMS_DEPTH)
+    ),
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    _CMS_SQL,
+    doc="Count-min sketch point estimates vs truth for the top-20 "
+    "tokens: 3 salted hash rows x 512 counters, built as three grouped "
+    "aggregates over the (vocab-sized) global count frame; estimate = "
+    "min over rows, one-sided (>= truth, asserted in tests). The "
+    "sketch is broadcast-size by construction — the reason CMS is the "
+    "frequency structure that survives stream scale.",
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    rows = [
+        counts.groupBy(
+            hash_bucket(F.col("token"), f"cms{d}:", _CMS_WIDTH).alias("bucket")
+        )
+        .agg(F.sum("exact_count").cast("long").alias(f"counter{d}"))
+        for d in range(_CMS_DEPTH)
+    ]
+    w = Window.orderBy(F.desc("exact_count"), F.asc("token"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "exact_count")
+    )
+    out = top
+    for d in range(_CMS_DEPTH):
+        out = out.withColumn(
+            f"__b{d}", hash_bucket(F.col("token"), f"cms{d}:", _CMS_WIDTH)
+        ).join(
+            F.broadcast(rows[d]),
+            F.col(f"__b{d}") == F.col("bucket"),
+        ).drop("bucket", f"__b{d}")
+    est = F.least(*[F.col(f"counter{d}") for d in range(_CMS_DEPTH)]).cast("long")
+    return out.select(
+        "token",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est - F.col("exact_count")).cast("long").alias("overshoot"),
+    )

@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "ann_hamming_mih_topk",
+    "knn_label_consensus",
+    "token_zipf_constant",
+    "cms_heavy_hitters",
     "largest_remainder_allocation",
     "user_activity_streaks",
     "revenue_max_drawdown",
@@ -159,6 +163,7 @@ def _load_all() -> None:
         feature_queries,
         format_queries,
         graph_queries,
+        hashing_queries,
         lifecycle_queries,
         multimodal_queries,
         relational_queries,

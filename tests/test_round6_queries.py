@@ -193,3 +193,71 @@ def test_drawdown_bounded_by_peak(spark):
     r = queries()["revenue_max_drawdown"](spark, SF).collect()[0]
     assert r["n_days"] > 0
     assert 0 <= r["max_drawdown_micros"] <= r["peak_cum_micros"]
+
+
+def test_cms_estimate_is_one_sided(spark):
+    # count-min guarantee: estimate >= exact count, always
+    rows = queries()["cms_heavy_hitters"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overshoot"] == r["cms_estimate"] - r["exact_count"]
+
+
+def test_mih_bands_cover_hamming_radius_7(spark):
+    # pigeonhole: 8 bands over a 64-bit code — any pair within Hamming
+    # distance 7 differs in at most 7 bands, so at least one band
+    # matches exactly and the pair MUST be a candidate. Verify against
+    # brute force on the fixture.
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        _spark_bands,
+        _spark_codes,
+    )
+
+    codes = {r["vec_id"]: (r["w0"], r["w1"]) for r in _spark_codes(spark, SF).collect()}
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in queries()["ann_hamming_mih_topk"](spark, SF).collect()
+    }
+    queries_ids = [v for v in codes if v % 50 == 0]
+    for qid in queries_ids:
+        qw0, qw1 = codes[qid]
+        exact = sorted(
+            (
+                bin((qw0 ^ w0) | ((qw1 ^ w1) << 32)).count("1"),
+                nid,
+            )
+            for nid, (w0, w1) in codes.items()
+            if nid != qid
+        )
+        close = [(d, nid) for d, nid in exact if d <= 7]
+        for d, nid in close[:5]:
+            # every radius-<=7 neighbor that brute-force ranks in the
+            # top-5 must have been found by the banded candidates
+            top5 = exact[:5]
+            if (d, nid) in top5:
+                assert (qid, nid) in got, (qid, nid, d)
+
+
+def test_knn_consensus_ppm_is_bounded_and_exact(spark):
+    rows = queries()["knn_label_consensus"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["k_used"] <= 5
+        assert 0 <= r["agree_ppm"] <= 1_000_000
+        # ppm is exactly floor(agree * 1e6 / k): reconstructible
+        agree = r["agree_ppm"] * r["k_used"] // 1_000_000
+        assert agree * 1_000_000 // r["k_used"] == r["agree_ppm"]
+
+
+def test_zipf_ranks_are_dense_and_ordered(spark):
+    rows = sorted(
+        queries()["token_zipf_constant"](spark, SF).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r["token_count"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r["zipf_k"] == r["rank"] * r["token_count"]
