@@ -1,0 +1,175 @@
+"""Data-governance audits: functional-dependency discovery and
+l-diversity (SURVEY §2.11 DQ tier widening, §7.7 extension surface).
+
+- ``functional_dependency_audit`` — checks a candidate list of
+  column-level functional dependencies (lhs -> rhs) across tables and
+  reports, per candidate, how many lhs values violate it and the worst
+  fan-out. FDs are the schema contracts MERGE/SCD pipelines silently
+  assume (a dimension key mapping to two segment values corrupts every
+  downstream join); the audit is the check a warehouse runs before
+  trusting a new feed. Complements ``referential_integrity_audit``
+  (cross-table keys) with intra-table value dependencies.
+- ``ldiversity_audit`` — the companion to ``kanonymity_audit`` on the
+  SAME (nation, segment) quasi-identifier: k-anonymity bounds cell
+  size, l-diversity bounds what a cell reveals — a cell where every
+  member shares one sensitive value (here: the customer's modal order
+  priority) leaks it even when the cell is large. Reports distinct
+  sensitive values per cell and whether the cell meets l >= 3.
+
+Scale posture: every audit is one map-side-combinable grouped
+aggregate per candidate (or per cell) — COUNT DISTINCT over the
+grouped frame, no joins against facts except the one dimension join
+each needs. The candidate list is config; the plan shape is invariant
+in it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Functional-dependency audit.
+# --------------------------------------------------------------------------
+
+#: (table, lhs, rhs) candidates: a mix of schema-guaranteed FDs (key ->
+#: attribute — must hold), and plausible-but-false ones a profiler
+#: would surface for human review.
+_FD_CANDIDATES = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("part", "p_partkey", "p_name"),
+    ("part", "p_brand", "p_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+]
+
+_FD_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{t}' AS table_name, '{lhs}' AS lhs, '{rhs}' AS rhs,
+       CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+       CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_lhs,
+       CAST(MAX(n_rhs) AS BIGINT) AS max_rhs_fanout,
+       MAX(n_rhs) = 1 AS fd_holds
+FROM (
+    SELECT {lhs}, COUNT(DISTINCT {rhs}) AS n_rhs
+    FROM {t} GROUP BY {lhs}
+)"""
+    for t, lhs, rhs in _FD_CANDIDATES
+)
+
+
+@register(
+    "functional_dependency_audit",
+    _FD_SQL,
+    doc="Functional-dependency audit over a candidate (lhs -> rhs) "
+    "list: per candidate, the number of lhs values mapping to more "
+    "than one rhs and the worst fan-out. Key->attribute candidates "
+    "must hold (schema contract); the plausible-but-false ones are "
+    "what a profiler flags for review. One COUNT-DISTINCT aggregate "
+    "per candidate, map-side combinable, unioned.",
+)
+def q_functional_dependency_audit(spark, sf_dir):
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        df = (
+            load_table(spark, sf_dir, t)
+            .groupBy(lhs)
+            .agg(F.count_distinct(rhs).alias("n_rhs"))
+            .agg(
+                F.count("*").cast("long").alias("n_lhs_values"),
+                F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_lhs"),
+                F.max("n_rhs").cast("long").alias("max_rhs_fanout"),
+                (F.max("n_rhs") == 1).alias("fd_holds"),
+            )
+            .select(
+                F.lit(t).alias("table_name"),
+                F.lit(lhs).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                "n_lhs_values",
+                "n_violating_lhs",
+                "max_rhs_fanout",
+                "fd_holds",
+            )
+        )
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# l-diversity audit.
+# --------------------------------------------------------------------------
+
+_L_DIVERSITY = 3
+
+_LDIV_SQL = f"""
+WITH modal AS (
+    SELECT o_custkey,
+           MAX({{'n': cnt, 'inv_p': p}}).inv_p AS modal_priority
+    FROM (
+        SELECT o_custkey, o_orderpriority AS p, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    ) GROUP BY o_custkey
+),
+released AS (
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           m.modal_priority
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN modal m ON m.o_custkey = c.c_custkey
+)
+SELECT nation, segment,
+       CAST(COUNT(*) AS BIGINT) AS cell_rows,
+       CAST(COUNT(DISTINCT modal_priority) AS BIGINT)
+           AS distinct_sensitive,
+       COUNT(DISTINCT modal_priority) >= {_L_DIVERSITY} AS meets_l
+FROM released
+GROUP BY nation, segment
+"""
+
+
+@register(
+    "ldiversity_audit",
+    _LDIV_SQL,
+    doc=f"l-diversity (l={_L_DIVERSITY}) over the same (nation, "
+    "segment) quasi-identifier kanonymity_audit bounds: each cell's "
+    "distinct count of the sensitive attribute (the customer's modal "
+    "order priority, lexicographic tie-break). A large cell with one "
+    "sensitive value leaks it despite meeting k — the two audits "
+    "gate a release together. Modal priority is a per-customer argmax "
+    "(struct-MAX, no window), then one grouped COUNT DISTINCT.",
+)
+def q_ldiversity_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    modal = (
+        orders.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt").alias("n"), F.col("o_orderpriority").alias("inv_p"))
+            )["inv_p"].alias("modal_priority")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    released = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(modal, cust.c_custkey == modal.o_custkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "modal_priority",
+        )
+    )
+    return released.groupBy("nation", "segment").agg(
+        F.count("*").cast("long").alias("cell_rows"),
+        F.count_distinct("modal_priority").cast("long").alias("distinct_sensitive"),
+        (F.count_distinct("modal_priority") >= _L_DIVERSITY).alias("meets_l"),
+    )

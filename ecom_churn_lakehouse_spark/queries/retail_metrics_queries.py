@@ -1,0 +1,305 @@
+"""Retail-economics operators: index-number decomposition, cohort LTV,
+and interval self-overlap (SURVEY §2.6 analytics widening, §7.7).
+
+- ``unit_value_index_decomposition`` — the value/price/volume index
+  triple per brand between two years, in exact ppm: value index
+  (rev2/rev1), volume index (qty2/qty1) and unit-value price index
+  (rev2*qty1 / rev1*qty2). The multiplicative identity value =
+  price x volume holds up to ppm flooring and is asserted in tests —
+  the classic "how much of the revenue change was price vs volume"
+  decomposition, done entirely in DECIMAL(38) cross-products so no
+  division happens before the final DIV.
+- ``cohort_ltv_curve`` — cumulative revenue per acquisition cohort by
+  cohort age in months: the lifetime-value curve that sits behind
+  every retention/payback decision. Cohort = first-order month per
+  customer (one aggregate), then one grouped sum and one per-cohort
+  cumulative window over the tiny (cohort x age) frame.
+- ``order_interval_overlap_pairs`` — interval self-join: pairs of
+  orders of the SAME customer whose 7-day fulfillment windows
+  overlap, with the exact overlap length in days. The equi-key
+  (customer) bounds the join; the range predicate runs inside each
+  key group — the standard way an interval join stays linear when a
+  natural equi-key exists (the keyless variant needs date-binning,
+  as in the asof family).
+
+Integer discipline: revenue in exact micros (index entry) or cents
+(LTV), indices in exact ppm via DIV on non-negative operands, overlap
+lengths in whole days.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Unit-value index decomposition between two years.
+# --------------------------------------------------------------------------
+
+_Y1, _Y2 = 1996, 1997
+
+_UVI_SQL = f"""
+WITH yr AS (
+    SELECT p.p_brand AS brand,
+           CAST(year(l.l_shipdate) AS INTEGER) AS yr,
+           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS rev_micros,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(l.l_shipdate) IN ({_Y1}, {_Y2})
+    GROUP BY p.p_brand, year(l.l_shipdate)
+),
+wide AS (
+    SELECT a.brand,
+           a.rev_micros AS rev1_micros, b.rev_micros AS rev2_micros,
+           a.qty AS qty1, b.qty AS qty2
+    FROM yr a JOIN yr b ON a.brand = b.brand
+    WHERE a.yr = {_Y1} AND b.yr = {_Y2}
+      AND a.rev_micros > 0 AND a.qty > 0 AND b.qty > 0
+)
+SELECT brand, rev1_micros, rev2_micros, qty1, qty2,
+       CAST(CAST(rev2_micros AS HUGEINT) * 1000000
+            // rev1_micros AS BIGINT) AS value_index_ppm,
+       CAST(CAST(qty2 AS HUGEINT) * 1000000 // qty1 AS BIGINT)
+           AS volume_index_ppm,
+       CAST(CAST(rev2_micros AS HUGEINT) * qty1 * 1000000
+            // (CAST(rev1_micros AS HUGEINT) * qty2) AS BIGINT)
+           AS unit_value_index_ppm
+FROM wide
+"""
+
+
+@register(
+    "unit_value_index_decomposition",
+    _UVI_SQL,
+    doc=f"Value/volume/unit-value-price index triple per brand, "
+    f"{_Y1}->{_Y2}, exact ppm: value = rev2/rev1, volume = qty2/qty1, "
+    "price = (rev2*qty1)/(rev1*qty2) — all as DECIMAL(38) cross-"
+    "products with one final DIV, so value ~= price x volume holds to "
+    "ppm flooring (asserted in tests). One fact aggregate per year "
+    "(single scan, map-side combinable), then a 25-brand self-join.",
+)
+def q_unit_value_index_decomposition(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = (
+        li.filter(F.year("l_shipdate").isin(_Y1, _Y2))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.sum(
+                (
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,6)")
+                    * 1000000
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("rev_micros"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    a = yr.filter(F.col("yr") == _Y1).select(
+        "brand",
+        F.col("rev_micros").alias("rev1_micros"),
+        F.col("qty").alias("qty1"),
+    )
+    b = yr.filter(F.col("yr") == _Y2).select(
+        "brand",
+        F.col("rev_micros").alias("rev2_micros"),
+        F.col("qty").alias("qty2"),
+    )
+    wide = a.join(b, "brand").filter(
+        (F.col("rev1_micros") > 0) & (F.col("qty1") > 0) & (F.col("qty2") > 0)
+    )
+    return wide.select(
+        "brand",
+        "rev1_micros",
+        "rev2_micros",
+        "qty1",
+        "qty2",
+        F.expr(
+            "CAST(CAST(rev2_micros AS DECIMAL(38,0)) * 1000000"
+            " DIV rev1_micros AS BIGINT)"
+        ).alias("value_index_ppm"),
+        F.expr(
+            "CAST(CAST(qty2 AS DECIMAL(38,0)) * 1000000 DIV qty1 AS BIGINT)"
+        ).alias("volume_index_ppm"),
+        F.expr(
+            "CAST(CAST(rev2_micros AS DECIMAL(38,0)) * qty1 * 1000000"
+            " DIV (CAST(rev1_micros AS DECIMAL(38,0)) * qty2) AS BIGINT)"
+        ).alias("unit_value_index_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve.
+# --------------------------------------------------------------------------
+
+_LTV_SQL = """
+WITH om AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                AS INTEGER) AS ym,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM orders
+),
+coh AS (
+    SELECT o_custkey, CAST(MIN(ym) AS INTEGER) AS cohort_ym FROM om
+    GROUP BY o_custkey
+),
+sz AS (
+    SELECT cohort_ym, CAST(COUNT(*) AS BIGINT) AS cohort_size
+    FROM coh GROUP BY cohort_ym
+),
+rev AS (
+    SELECT c.cohort_ym, CAST(o.ym - c.cohort_ym AS INTEGER) AS age_months,
+           CAST(SUM(o.cents) AS BIGINT) AS rev_cents
+    FROM om o JOIN coh c ON o.o_custkey = c.o_custkey
+    GROUP BY c.cohort_ym, o.ym - c.cohort_ym
+)
+SELECT CAST(r.cohort_ym // 12 AS INTEGER) AS cohort_year,
+       CAST(r.cohort_ym % 12 + 1 AS INTEGER) AS cohort_month,
+       r.age_months,
+       s.cohort_size,
+       r.rev_cents,
+       CAST(SUM(r.rev_cents) OVER (
+           PARTITION BY r.cohort_ym ORDER BY r.age_months
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_rev_cents
+FROM rev r JOIN sz s ON r.cohort_ym = s.cohort_ym
+"""
+
+
+@register(
+    "cohort_ltv_curve",
+    _LTV_SQL,
+    doc="Cumulative revenue per acquisition cohort by age in months — "
+    "the LTV curve behind retention/payback decisions. Cohort month "
+    "is one per-customer MIN aggregate; revenue is one grouped sum to "
+    "the (cohort x age) frame, and the cumulative window runs over "
+    "that tiny frame only. Exact cents; cohort months as integer "
+    "year/month columns (no cross-engine date formatting surface).",
+)
+def q_cohort_ltv_curve(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    om = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("int")
+        .alias("ym"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("ym").cast("int").alias("cohort_ym"))
+    sz = coh.groupBy("cohort_ym").agg(F.count("*").cast("long").alias("cohort_size"))
+    rev = (
+        om.join(coh, "o_custkey")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).cast("int").alias("age_months"),
+        )
+        .agg(F.sum("cents").cast("long").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_ym")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(sz), "cohort_ym")
+        .select(
+            F.expr("CAST(cohort_ym DIV 12 AS INT)").alias("cohort_year"),
+            (F.col("cohort_ym") % 12 + 1).cast("int").alias("cohort_month"),
+            "age_months",
+            "cohort_size",
+            "rev_cents",
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Interval self-overlap pairs.
+# --------------------------------------------------------------------------
+
+_WINDOW_DAYS = 7
+
+_OVERLAP_SQL = f"""
+WITH iv AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS s,
+           CAST(o_orderdate AS DATE) + {_WINDOW_DAYS} AS e
+    FROM orders
+)
+SELECT a.o_custkey AS custkey,
+       a.o_orderkey AS orderkey_a,
+       b.o_orderkey AS orderkey_b,
+       CAST(date_diff('day',
+                      CASE WHEN a.s >= b.s THEN a.s ELSE b.s END,
+                      CASE WHEN a.e <= b.e THEN a.e ELSE b.e END)
+            AS BIGINT) AS overlap_days
+FROM iv a JOIN iv b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+WHERE a.s < b.e AND b.s < a.e
+"""
+
+
+@register(
+    "order_interval_overlap_pairs",
+    _OVERLAP_SQL,
+    doc=f"Interval self-join: order pairs of the same customer whose "
+    f"{_WINDOW_DAYS}-day fulfillment windows overlap, with exact "
+    "overlap length in days. The customer equi-key bounds the join "
+    "(per-key order counts are small and stay small at scale — "
+    "fan-out is per-customer quadratic only in their own recent "
+    "orders); a keyless interval join would add date-binning, as the "
+    "asof family does.",
+)
+def q_order_interval_overlap_pairs(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), _WINDOW_DAYS).alias("e"),
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("s").alias("sa"),
+        F.col("e").alias("ea"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("s").alias("sb"),
+        F.col("e").alias("eb"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (F.col("sa") < F.col("eb"))
+            & (F.col("sb") < F.col("ea"))
+        )
+        .select(
+            "custkey",
+            "orderkey_a",
+            "orderkey_b",
+            F.datediff(
+                F.least("ea", "eb"), F.greatest("sa", "sb")
+            )
+            .cast("long")
+            .alias("overlap_days"),
+        )
+    )

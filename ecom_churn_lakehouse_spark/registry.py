@@ -50,6 +50,11 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "functional_dependency_audit",
+    "ldiversity_audit",
+    "unit_value_index_decomposition",
+    "cohort_ltv_curve",
+    "order_interval_overlap_pairs",
     "ann_hamming_mih_topk",
     "knn_label_consensus",
     "token_zipf_constant",
@@ -162,11 +167,13 @@ def _load_all() -> None:
         extended_queries,
         feature_queries,
         format_queries,
+        governance_queries,
         graph_queries,
         hashing_queries,
         lifecycle_queries,
         multimodal_queries,
         relational_queries,
+        retail_metrics_queries,
         sampling_queries,
         search_queries,
         shape_queries,

@@ -261,3 +261,77 @@ def test_zipf_ranks_are_dense_and_ordered(spark):
     assert counts == sorted(counts, reverse=True)
     for r in rows:
         assert r["zipf_k"] == r["rank"] * r["token_count"]
+
+
+def test_index_decomposition_identity_holds_to_ppm(spark):
+    # value index ~= price index x volume index, up to ppm flooring
+    rows = queries()["unit_value_index_decomposition"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        approx = r["unit_value_index_ppm"] * r["volume_index_ppm"] // 1_000_000
+        # two floors, each off by < 1 ppm of the other factor
+        assert abs(approx - r["value_index_ppm"]) <= max(
+            2, r["volume_index_ppm"] // 500_000 + 2
+        )
+        assert r["qty1"] > 0 and r["qty2"] > 0 and r["rev1_micros"] > 0
+
+
+def test_fd_audit_schema_contracts_hold(spark):
+    rows = {
+        (r["table_name"], r["lhs"], r["rhs"]): r
+        for r in queries()["functional_dependency_audit"](spark, SF).collect()
+    }
+    # key -> attribute FDs MUST hold
+    assert rows[("nation", "n_nationkey", "n_regionkey")]["fd_holds"]
+    assert rows[("part", "p_partkey", "p_name")]["fd_holds"]
+    for r in rows.values():
+        assert r["max_rhs_fanout"] >= 1
+        assert (r["n_violating_lhs"] == 0) == r["fd_holds"]
+
+
+def test_ldiversity_bounded_by_cell_size_and_domain(spark):
+    rows = queries()["ldiversity_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["distinct_sensitive"] <= min(r["cell_rows"], 5)
+        assert r["meets_l"] == (r["distinct_sensitive"] >= 3)
+
+
+def test_cohort_ltv_is_cumulative_and_conserves_revenue(spark):
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    rows = queries()["cohort_ltv_curve"](spark, SF).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault((r["cohort_year"], r["cohort_month"]), []).append(r)
+    grand = 0
+    for _, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_months"])
+        cum = 0
+        for r in rs:
+            cum += r["rev_cents"]
+            assert r["cum_rev_cents"] == cum
+        grand += cum
+    truth = (
+        load_table(spark, SF, "orders")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("c")
+        )
+        .collect()[0]["c"]
+    )
+    assert grand == truth  # every order lands in exactly one (cohort, age)
+
+
+def test_interval_overlap_pairs_are_symmetric_free_and_positive(spark):
+    rows = queries()["order_interval_overlap_pairs"](spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["orderkey_a"] < r["orderkey_b"]
+        assert 1 <= r["overlap_days"] <= 7
+        key = (r["custkey"], r["orderkey_a"], r["orderkey_b"])
+        assert key not in seen
+        seen.add(key)
