@@ -50,6 +50,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) != pd.api.types.is_float_dtype(dv):
+            # The driver hashes representations: float64 6.0 vs int64 6
+            # fails even when numerically equal (rounds 4+5 red rows).
+            problems.append(
+                f"col {c}: pandas dtype family mismatch spark={sv.dtype} "
+                f"duck={dv.dtype}  ** driver hash risk even if values equal **"
+            )
         if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
             a = sv.astype(float).to_numpy()
             b = dv.astype(float).to_numpy()
@@ -70,6 +77,57 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 problems.append(
                     f"col {c}: {int(neq.sum())}/{len(sv)} values differ, e.g. row {i}: "
                     f"spark={sv.iloc[i]!r} duck={dv.iloc[i]!r}"
+                )
+            else:
+                # Decimal equality is numeric (Decimal('6.0') == Decimal('6'))
+                # but the driver hashes representations, where scale shows.
+                import decimal
+
+                is_dec = sv.map(lambda v: isinstance(v, decimal.Decimal))
+                if is_dec.any():
+                    sstr = sv[is_dec].map(str)
+                    dstr = dv[is_dec].map(
+                        lambda v: str(v) if isinstance(v, decimal.Decimal) else repr(v)
+                    )
+                    sneq = sstr.ne(dstr)
+                    if sneq.any():
+                        i = int(sneq.idxmax())
+                        problems.append(
+                            f"col {c}: decimal scale/representation differs, e.g. "
+                            f"spark={sstr.loc[i]!r} duck={dstr.loc[i]!r}"
+                            "  ** driver hash risk — align decimal scales **"
+                        )
+    return problems
+
+
+def schema_family_problems(spark_fields, duck_cols_types) -> list[str]:
+    """Static Spark-output-schema vs DuckDB-LIMIT-0 cross-check: flag
+    type-FAMILY mismatches (int vs float vs decimal) and decimal SCALE
+    mismatches — both hash-diverge at the driver even when the local
+    numeric comparison is equal (the rounds-4/5 red-row class)."""
+    duck = dict(duck_cols_types)
+    problems = []
+    for f in spark_fields:
+        st = f.dataType.simpleString()
+        dt = duck.get(f.name)
+        if dt is None:
+            continue
+        s_dec, d_dec = st.startswith("decimal"), dt.startswith("DECIMAL")
+        s_f, d_f = st in ("double", "float"), dt in ("DOUBLE", "FLOAT")
+        s_i = st in ("bigint", "int", "smallint", "tinyint")
+        d_i = dt in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT")
+        if s_dec != d_dec or s_f != d_f or (s_i != d_i and not (s_dec or d_dec or s_f or d_f)):
+            problems.append(
+                f"col {f.name}: output type family mismatch spark={st} duck={dt}"
+                "  ** driver hash risk **"
+            )
+        elif s_dec and d_dec:
+            s_scale = st.rsplit(",", 1)[1].rstrip(")")
+            d_scale = dt.rsplit(",", 1)[1].rstrip(")")
+            if s_scale != d_scale:
+                problems.append(
+                    f"col {f.name}: decimal scale mismatch spark={st} duck={dt}"
+                    "  ** driver hash risk **"
                 )
     return problems
 
@@ -183,13 +241,16 @@ def main() -> int:
             results[name] = {"status": "rows_only", "spark_rows": len(spark_pdf)}
             continue
         try:
-            duck_pdf = con.sql(oracles[name]).df()
+            rel = con.sql(oracles[name])
+            duck_types = list(zip(rel.columns, [str(t) for t in rel.types]))
+            duck_pdf = rel.df()
         except Exception:
             print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
             failures += 1
             results[name] = {"status": "FAIL", "err": "oracle SQL raised"}
             continue
-        problems = compare(name, spark_pdf, duck_pdf)
+        problems = schema_family_problems(sdf.schema.fields, duck_types)
+        problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             failures += 1
             print(f"FAIL  {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
