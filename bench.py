@@ -162,6 +162,10 @@ HEADLINE = [
     "neardup_cluster_chain_audit",
     "ship_delay_percentiles",
     "revenue_gini_by_nation",
+    "tcloseness_audit",
+    "promo_chisq_independence",
+    "bootstrap_mean_ci",
+    "acctbal_variance_components",
 ]
 
 

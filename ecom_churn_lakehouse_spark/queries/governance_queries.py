@@ -15,6 +15,13 @@ l-diversity (SURVEY §2.11 DQ tier widening, §7.7 extension surface).
   member shares one sensitive value (here: the customer's modal order
   priority) leaks it even when the cell is large. Reports distinct
   sensitive values per cell and whether the cell meets l >= 3.
+- ``tcloseness_audit`` — completes the release-gate trio: l-diversity
+  counts distinct sensitive values, t-closeness bounds how far a
+  cell's sensitive DISTRIBUTION drifts from the global one (a cell
+  with 3 distinct priorities at 98/1/1% still leaks). Earth-mover's
+  distance over the ordered priority domain, computed on exact
+  ppm-quantized cumulative distributions so both engines agree
+  bit-for-bit (no float accumulation anywhere).
 
 Scale posture: every audit is one map-side-combinable grouped
 aggregate per candidate (or per cell) — COUNT DISTINCT over the
@@ -172,4 +179,148 @@ def q_ldiversity_audit(spark, sf_dir):
         F.count("*").cast("long").alias("cell_rows"),
         F.count_distinct("modal_priority").cast("long").alias("distinct_sensitive"),
         (F.count_distinct("modal_priority") >= _L_DIVERSITY).alias("meets_l"),
+    )
+
+
+# --------------------------------------------------------------------------
+# t-closeness audit.
+# --------------------------------------------------------------------------
+
+#: Release gate: a cell passes when EMD(cell, global) <= 0.35.
+_T_PPM = 350_000
+
+_TCLOSE_SQL = f"""
+WITH modal AS (
+    SELECT o_custkey,
+           MAX({{'n': cnt, 'inv_p': p}}).inv_p AS modal_priority
+    FROM (
+        SELECT o_custkey, o_orderpriority AS p, COUNT(*) AS cnt
+        FROM orders GROUP BY o_custkey, o_orderpriority
+    ) GROUP BY o_custkey
+),
+released AS (
+    SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+           m.modal_priority
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN modal m ON m.o_custkey = c.c_custkey
+),
+gdist AS (
+    SELECT modal_priority AS p,
+           SUM(COUNT(*)) OVER (ORDER BY modal_priority) AS g_cum,
+           SUM(COUNT(*)) OVER () AS n_total
+    FROM released GROUP BY modal_priority
+),
+grid AS (
+    SELECT cells.nation, cells.segment, dom.p
+    FROM (SELECT DISTINCT nation, segment FROM released) cells
+    CROSS JOIN (SELECT DISTINCT modal_priority AS p FROM released) dom
+),
+cell_counts AS (
+    SELECT nation, segment, modal_priority AS p, COUNT(*) AS cnt
+    FROM released GROUP BY nation, segment, modal_priority
+),
+cum AS (
+    SELECT g.nation, g.segment, g.p,
+           SUM(COALESCE(c.cnt, 0))
+               OVER (PARTITION BY g.nation, g.segment ORDER BY g.p) AS c_cum,
+           SUM(COALESCE(c.cnt, 0))
+               OVER (PARTITION BY g.nation, g.segment) AS n_cell
+    FROM grid g
+    LEFT JOIN cell_counts c
+      ON c.nation = g.nation AND c.segment = g.segment AND c.p = g.p
+)
+SELECT cum.nation, cum.segment,
+       CAST(MAX(cum.n_cell) AS BIGINT) AS cell_rows,
+       CAST(SUM(ABS(cum.c_cum * 1000000 // cum.n_cell
+                    - gdist.g_cum * 1000000 // gdist.n_total))
+            // 4 AS BIGINT) AS emd_ppm,
+       SUM(ABS(cum.c_cum * 1000000 // cum.n_cell
+               - gdist.g_cum * 1000000 // gdist.n_total)) // 4
+           <= {_T_PPM} AS meets_t
+FROM cum JOIN gdist ON gdist.p = cum.p
+GROUP BY cum.nation, cum.segment
+"""
+
+
+@register(
+    "tcloseness_audit",
+    _TCLOSE_SQL,
+    doc=f"t-closeness (t={_T_PPM / 1e6}) over the (nation, segment) "
+    "quasi-identifier: earth-mover's distance between each cell's "
+    "distribution of the sensitive attribute (modal order priority, "
+    "ordered domain) and the global distribution, as the mean absolute "
+    "gap of ppm-quantized cumulative distributions. Completes the "
+    "k-anonymity / l-diversity / t-closeness release-gate trio. All "
+    "arithmetic is exact integer ppm (floor-quantized CDFs) so the "
+    "oracle matches bit-for-bit; the sensitive domain is 5 values so "
+    "every window runs on a cells-x-5 frame, never on facts.",
+)
+def q_tcloseness_audit(spark, sf_dir):
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    modal = (
+        orders.groupBy("o_custkey", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                F.struct(F.col("cnt").alias("n"), F.col("o_orderpriority").alias("inv_p"))
+            )["inv_p"].alias("modal_priority")
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    released = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(modal, cust.c_custkey == modal.o_custkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "modal_priority",
+        )
+    )
+    # Global cumulative distribution: |domain| rows, broadcast to the grid.
+    glob = (
+        released.groupBy(F.col("modal_priority").alias("p"))
+        .agg(F.count("*").alias("gcnt"))
+        .select(
+            "p",
+            F.sum("gcnt").over(Window.orderBy("p")).alias("g_cum"),
+            F.sum("gcnt").over(Window.partitionBy()).alias("n_total"),
+        )
+    )
+    cells = released.select("nation", "segment").distinct()
+    dom = released.select(F.col("modal_priority").alias("p")).distinct()
+    grid = cells.crossJoin(F.broadcast(dom))
+    cell_counts = released.groupBy(
+        "nation", "segment", F.col("modal_priority").alias("p")
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy("nation", "segment").orderBy("p")
+    w_cell = Window.partitionBy("nation", "segment")
+    cum = (
+        grid.join(cell_counts, ["nation", "segment", "p"], "left")
+        .select(
+            "nation",
+            "segment",
+            "p",
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(w_cum).alias("c_cum"),
+            F.sum(F.coalesce(F.col("cnt"), F.lit(0))).over(w_cell).alias("n_cell"),
+        )
+    )
+    joined = cum.join(F.broadcast(glob), "p")
+    return joined.groupBy("nation", "segment").agg(
+        F.max("n_cell").cast("long").alias("cell_rows"),
+        F.expr(
+            "CAST(SUM(ABS(c_cum * 1000000 DIV n_cell - g_cum * 1000000 DIV n_total)) DIV 4 AS BIGINT)"
+        ).alias("emd_ppm"),
+        (
+            F.expr(
+                "SUM(ABS(c_cum * 1000000 DIV n_cell - g_cum * 1000000 DIV n_total)) DIV 4"
+            )
+            <= F.lit(_T_PPM)
+        ).alias("meets_t"),
     )

@@ -1,0 +1,285 @@
+"""Statistical-inference operators: independence testing, resampled
+uncertainty, and exact variance components (SURVEY §7.7 extension
+surface — the significance checks an experimentation/curation team
+runs on warehouse aggregates).
+
+- ``promo_chisq_independence`` — Pearson chi-square contingency audit
+  between line return flag and promo part status. The per-cell
+  contributions are what an analyst reads (which cell drives the
+  dependence); quantized to exact micro units so both engines agree
+  bit-for-bit despite the float division.
+- ``bootstrap_mean_ci`` — deterministic multiplier bootstrap of the
+  mean order value: B=32 replicas, each row's replica weight drawn
+  from the shared md5 idiom (mod 3, mean 1). Replica means are exact
+  integer (cents + micro remainder), ranked so the 2.5%/97.5% ends
+  read off as rank 1 / rank B. Resampling-as-projection: no shuffle
+  of the fact is keyed on randomness, so the plan is one explode +
+  one grouped agg at any scale.
+- ``acctbal_variance_components`` — per-nation exact population
+  variance NUMERATOR (n*Σx² − (Σx)²) carried in DECIMAL(38,0) cents²
+  and SURFACED AS VARCHAR (DuckDB materializes any DECIMAL output as
+  pandas float64, so exact wide integers must cross the driver-hash
+  boundary as strings). Signed values stay sums (never divided) so
+  truncation-direction divergence cannot arise.
+
+Scale posture: chi-square reduces the fact to a 6-row contingency
+frame before any window; the bootstrap is a B-way explode with
+map-side-combinable aggregation (output is exactly B rows); the
+variance components are one map-combinable grouped aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Chi-square independence: return flag x promo status.
+# --------------------------------------------------------------------------
+
+#: The float part of the chi-square must be evaluated with IDENTICAL
+#: association order in both engines — one shared expression text,
+#: floor-quantized to micro units (the sanctioned double quantizer).
+_EXPECTED_MICRO = (
+    "CAST(FLOOR(CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) "
+    "/ CAST(n_tot AS DOUBLE) * 1000000.0) AS BIGINT)"
+)
+_CHI2_MICRO = (
+    "CAST(FLOOR("
+    "(CAST(observed AS DOUBLE) - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    " * "
+    "(CAST(observed AS DOUBLE) - CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    " / (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_CHISQ_SQL = f"""
+WITH cells AS (
+    SELECT l.l_returnflag AS returnflag,
+           p.p_type LIKE 'PROMO%' AS is_promo,
+           CAST(COUNT(*) AS BIGINT) AS observed
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+),
+tot AS (
+    SELECT returnflag, is_promo, observed,
+           CAST(SUM(observed) OVER (PARTITION BY returnflag) AS BIGINT) AS r_tot,
+           CAST(SUM(observed) OVER (PARTITION BY is_promo) AS BIGINT) AS c_tot,
+           CAST(SUM(observed) OVER () AS BIGINT) AS n_tot
+    FROM cells
+)
+SELECT returnflag, is_promo, observed,
+       {_EXPECTED_MICRO} AS expected_micro,
+       {_CHI2_MICRO} AS chi2_contrib_micro
+FROM tot
+"""
+
+
+@register(
+    "promo_chisq_independence",
+    _CHISQ_SQL,
+    doc="Pearson chi-square contingency audit: is line return status "
+    "independent of whether the part was on promo? Emits the 3x2 "
+    "contingency table with expected counts and per-cell chi-square "
+    "contributions in exact micro units (floor-quantized IEEE doubles "
+    "evaluated with one shared expression text on both engines). The "
+    "fact joins the dimension once, reduces to 6 rows, and every "
+    "window runs on the 6-row frame — contingency testing at 100 TB "
+    "costs one fact scan.",
+)
+def q_promo_chisq_independence(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
+    )
+    cells = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_returnflag").alias("returnflag"), "is_promo")
+        .agg(F.count("*").cast("long").alias("observed"))
+    )
+    tot = cells.select(
+        "returnflag",
+        "is_promo",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("returnflag")).cast("long").alias("r_tot"),
+        F.sum("observed").over(Window.partitionBy("is_promo")).cast("long").alias("c_tot"),
+        F.sum("observed").over(Window.partitionBy()).cast("long").alias("n_tot"),
+    )
+    return tot.select(
+        "returnflag",
+        "is_promo",
+        "observed",
+        F.expr(_EXPECTED_MICRO).alias("expected_micro"),
+        F.expr(_CHI2_MICRO).alias("chi2_contrib_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic multiplier bootstrap of the mean order value.
+# --------------------------------------------------------------------------
+
+_B = 32
+
+_BOOT_KEY_SQL = "(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR))"
+
+_BOOT_SQL = f"""
+WITH weighted AS (
+    SELECT t.b,
+           {hash_bucket_sql(_BOOT_KEY_SQL, "boot:", 3)} AS w,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders CROSS JOIN (SELECT UNNEST(range(0, {_B})) AS b) t
+),
+rep AS (
+    SELECT CAST(b AS INTEGER) AS replica_id,
+           CAST(SUM(w) AS BIGINT) AS n_eff,
+           CAST(SUM(w * cents) AS BIGINT) AS spend_sum_cents
+    FROM weighted GROUP BY b
+),
+stats AS (
+    SELECT replica_id, n_eff, spend_sum_cents,
+           spend_sum_cents // n_eff AS mean_cents_int,
+           ((spend_sum_cents % n_eff) * 1000000) // n_eff AS mean_frac_micro
+    FROM rep
+)
+SELECT replica_id, n_eff, spend_sum_cents,
+       CAST(mean_cents_int AS BIGINT) AS mean_cents_int,
+       CAST(mean_frac_micro AS BIGINT) AS mean_frac_micro,
+       CAST(RANK() OVER (ORDER BY mean_cents_int, mean_frac_micro, replica_id)
+            AS INTEGER) AS mean_rank,
+       CASE RANK() OVER (ORDER BY mean_cents_int, mean_frac_micro, replica_id)
+            WHEN 1 THEN 'lo' WHEN {_B} THEN 'hi' ELSE 'mid' END AS ci_role
+FROM stats
+"""
+
+
+@register(
+    "bootstrap_mean_ci",
+    _BOOT_SQL,
+    doc=f"Deterministic multiplier bootstrap (B={_B}) of the mean "
+    "order value: each (order, replica) draws an integer weight in "
+    "{0,1,2} (mean 1) from the shared md5 idiom, so every engine and "
+    "every rerun sees the same resample. Replica means are exact "
+    "integers (cents + micro remainder via non-negative DIV/mod), "
+    "ranked so the extreme replicas read as the CI ends. The plan is "
+    "one B-way explode + one map-side-combinable agg to B rows; "
+    "windows run on the B-row frame only.",
+)
+def q_bootstrap_mean_ci(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    weighted = orders.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_B - 1))).alias("b"),
+        "o_orderkey",
+        "cents",
+    ).select(
+        "b",
+        hash_bucket(
+            F.concat(
+                F.col("o_orderkey").cast("string"), F.lit(":"), F.col("b").cast("string")
+            ),
+            "boot:",
+            mod=3,
+        ).alias("w"),
+        "cents",
+    )
+    rep = weighted.groupBy("b").agg(
+        F.sum("w").cast("long").alias("n_eff"),
+        F.sum(F.col("w") * F.col("cents")).cast("long").alias("spend_sum_cents"),
+    )
+    stats = rep.select(
+        F.col("b").cast("int").alias("replica_id"),
+        "n_eff",
+        "spend_sum_cents",
+        F.expr("spend_sum_cents DIV n_eff").alias("mean_cents_int"),
+        F.expr("((spend_sum_cents % n_eff) * 1000000) DIV n_eff").alias("mean_frac_micro"),
+    )
+    w = Window.orderBy("mean_cents_int", "mean_frac_micro", "replica_id")
+    ranked = stats.withColumn("mean_rank", F.rank().over(w).cast("int"))
+    return ranked.select(
+        "replica_id",
+        "n_eff",
+        "spend_sum_cents",
+        F.col("mean_cents_int").cast("long").alias("mean_cents_int"),
+        F.col("mean_frac_micro").cast("long").alias("mean_frac_micro"),
+        "mean_rank",
+        F.when(F.col("mean_rank") == 1, "lo")
+        .when(F.col("mean_rank") == _B, "hi")
+        .otherwise("mid")
+        .alias("ci_role"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact variance components (signed-safe: sums only, no division).
+# --------------------------------------------------------------------------
+
+_VAR_SQL = """
+WITH comp AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS DECIMAL(25,0)))
+                AS DECIMAL(25,0)) AS sumsq_cents2
+    FROM customer GROUP BY c_nationkey
+)
+SELECT n_name AS nation, n, sum_cents,
+       CAST(CAST(sumsq_cents2 AS DECIMAL(38,0)) AS VARCHAR) AS sumsq_cents2,
+       CAST(CAST(CAST(n AS DECIMAL(12,0)) * sumsq_cents2
+                 - CAST(CAST(sum_cents AS DECIMAL(18,0))
+                        * CAST(sum_cents AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                 AS DECIMAL(38,0)) AS VARCHAR) AS var_numer_cents2
+FROM comp JOIN nation ON n_nationkey = c_nationkey
+"""
+
+
+@register(
+    "acctbal_variance_components",
+    _VAR_SQL,
+    doc="Per-nation EXACT population-variance components of customer "
+    "account balance in cents: n, signed sum, sum of squares, and the "
+    "variance numerator n*SUMSQ - SUM^2 carried in DECIMAL(38,0) - no "
+    "float accumulation, no division (acctbal is signed, and integer "
+    "division direction diverges across engines on negatives, so the "
+    "operator stops at the exact numerator). One map-side-combinable "
+    "aggregate over the fact, then a broadcast dimension join on 25 "
+    "rows. Exactness envelope: sumsq fits DECIMAL(25,0) up to ~1e12 "
+    "rows per nation at cents scale, far past the 100 TB fixture "
+    "shape.",
+)
+def q_acctbal_variance_components(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("cents")
+    )
+    comp = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(25,0)"))
+        .cast("decimal(25,0)")
+        .alias("sumsq_cents2"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return comp.join(F.broadcast(nation), comp.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        "n",
+        "sum_cents",
+        F.col("sumsq_cents2").cast("decimal(38,0)").cast("string").alias("sumsq_cents2"),
+        (
+            F.col("n").cast("decimal(12,0)") * F.col("sumsq_cents2")
+            - (
+                F.col("sum_cents").cast("decimal(18,0)")
+                * F.col("sum_cents").cast("decimal(18,0)")
+            ).cast("decimal(37,0)")
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("var_numer_cents2"),
+    )

@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "tcloseness_audit",
+    "promo_chisq_independence",
+    "bootstrap_mean_ci",
+    "acctbal_variance_components",
     "functional_dependency_audit",
     "ldiversity_audit",
     "unit_value_index_decomposition",
@@ -168,6 +172,7 @@ def _load_all() -> None:
         feature_queries,
         format_queries,
         governance_queries,
+        inference_queries,
         graph_queries,
         hashing_queries,
         lifecycle_queries,

@@ -1,0 +1,73 @@
+"""Behavioral invariants for the inference tier (chi-square,
+bootstrap, variance components) and the t-closeness audit — the
+conservation/bound properties the row-hash oracle can't state."""
+
+import sys
+from decimal import Decimal
+
+sys.path.insert(0, "/root/repo")
+
+from ecom_churn_lakehouse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tcloseness_emd_bounded_and_degenerate_cells_flagged(spark):
+    rows = queries()["tcloseness_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # EMD over ppm-quantized CDFs lies in [0, 1e6]
+        assert 0 <= r["emd_ppm"] <= 1_000_000
+        assert r["meets_t"] == (r["emd_ppm"] <= 350_000)
+        assert r["cell_rows"] >= 1
+    # a single-customer cell (if any) has the most extreme distribution;
+    # global sanity: at least one cell must be close to the global dist
+    assert min(r["emd_ppm"] for r in rows) < 350_000
+
+
+def test_chisq_marginals_conserve_and_contribs_nonnegative(spark):
+    rows = queries()["promo_chisq_independence"](spark, SF).collect()
+    assert len(rows) == 6
+    n_tot = sum(r["observed"] for r in rows)
+    # expected counts (micro) conserve the total to within per-cell floor loss
+    exp_sum = sum(r["expected_micro"] for r in rows)
+    assert n_tot * 1_000_000 - 6 <= exp_sum <= n_tot * 1_000_000
+    for r in rows:
+        assert r["chi2_contrib_micro"] >= 0
+
+
+def test_bootstrap_weights_resample_consistently(spark):
+    rows = queries()["bootstrap_mean_ci"](spark, SF).collect()
+    assert len(rows) == 32
+    roles = [r["ci_role"] for r in rows]
+    assert roles.count("lo") == 1 and roles.count("hi") == 1
+    ranks = sorted(r["mean_rank"] for r in rows)
+    assert ranks == list(range(1, 33))
+    # multiplier weights have mean 1: every replica's effective n is
+    # within a loose CLT band of the real order count
+    import duckdb
+
+    n_orders = duckdb.sql(f"SELECT COUNT(*) FROM '{SF}/orders.parquet'").fetchone()[0]
+    for r in rows:
+        assert abs(r["n_eff"] - n_orders) < 6 * (n_orders ** 0.5) + 10
+        # exact integer mean decomposition: sum = mean*n + remainder
+        assert 0 <= r["mean_frac_micro"] < 1_000_000
+        assert (
+            r["mean_cents_int"] * r["n_eff"]
+            <= r["spend_sum_cents"]
+            < (r["mean_cents_int"] + 1) * r["n_eff"]
+        )
+
+
+def test_variance_numerator_matches_two_pass_computation(spark):
+    rows = queries()["acctbal_variance_components"](spark, SF).collect()
+    assert rows
+    import duckdb
+
+    con = duckdb.connect()
+    for r in rows[:5]:
+        # recompute n*sumsq - sum^2 from the surfaced exact components
+        numer = int(r["n"]) * int(Decimal(r["sumsq_cents2"])) - int(r["sum_cents"]) ** 2
+        assert numer == int(Decimal(r["var_numer_cents2"]))
+        # population variance numerator is always >= 0
+        assert numer >= 0

@@ -45,3 +45,16 @@ def test_dtype_audit_flags_hugeint():
         {"probe": "SELECT SUM(x) OVER () AS s FROM (SELECT 1::BIGINT AS x)"},
     )
     assert hits and "HUGEINT" in hits[0]
+
+
+def test_dtype_audit_flags_decimal_output():
+    # DuckDB materializes ANY DECIMAL output as pandas float64 while
+    # Spark yields object Decimal - a guaranteed driver-hash gap, so
+    # DECIMAL may appear in intermediates but never in a final SELECT.
+    from tools.check_oracle import dtype_audit
+
+    con = duckdb.connect()
+    hits = dtype_audit(
+        con, {"probe": "SELECT CAST(1 AS DECIMAL(38,0)) AS d"}
+    )
+    assert hits and "DECIMAL" in hits[0]

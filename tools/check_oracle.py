@@ -136,7 +136,11 @@ def schema_family_problems(spark_fields, duck_cols_types) -> list[str]:
 # (HUGEINT from integer SUM widening, unsigned ints, ...) materializes
 # in pandas as float64/object and the driver hashes e.g. 6.0 vs Spark's
 # long 6 — the representation-gap class that produced the only red row
-# in rounds 4 AND 5. DECIMAL is allowed up to precision 38 (Spark's cap).
+# in rounds 4 AND 5. DECIMAL is NOT allowed as an OUTPUT type: DuckDB's
+# pandas conversion turns every DECIMAL into float64 while Spark yields
+# object Decimal — guaranteed driver-hash divergence. Keep DECIMAL for
+# intermediates and surface exact wide integers as BIGINT (when they
+# fit) or VARCHAR (when they don't).
 _ALLOWED_DUCK_TYPES = {
     "BOOLEAN",
     "TINYINT",
@@ -156,15 +160,7 @@ def _duck_type_ok(t: str) -> bool:
     t = t.strip()
     while t.endswith("[]"):  # LIST of allowed is allowed
         t = t[:-2].strip()
-    if t in _ALLOWED_DUCK_TYPES:
-        return True
-    if t.startswith("DECIMAL("):
-        try:
-            prec = int(t[len("DECIMAL(") :].split(",")[0])
-        except ValueError:
-            return False
-        return prec <= 38
-    return False
+    return t in _ALLOWED_DUCK_TYPES
 
 
 def dtype_audit(con, oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
