@@ -24,6 +24,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "column_encoding_advisor",
+    "join_cardinality_estimate",
+    "table_checksum_by_segment",
+    "snapshot_table_diff",
     "customer_features",
     "churn_labels",
     "training_snapshot",

@@ -1,0 +1,431 @@
+"""Data-ops operators: storage-layout advice, optimizer-style join
+cardinality estimation, replication checksums, and snapshot diffing
+(SURVEY §7.7 extension surface — the table-management tooling a
+lakehouse team runs around the reference's MERGE/SCD pipelines,
+reference parity anchor: src/transformations/orders_bronze_to_silver.py's
+managed-table lifecycle).
+
+- ``column_encoding_advisor`` — per candidate column: exact distinct
+  count, exact RUN count in table sort-key order, and length stats,
+  driving a DICT/RLE/PLAIN encoding recommendation. Run counting is
+  the distributed design: runs within o_orderkey-range buckets via a
+  bucket-partitioned window, then bucket-boundary merges corrected on
+  the tiny bucket-summary frame — no global single-partition window
+  ever touches the fact.
+- ``join_cardinality_estimate`` — the textbook CBO estimate
+  |L ⋈ R| ≈ n_L·n_R / max(ndv_L, ndv_R) for three real join
+  candidates, side by side with the exact join size and the worst
+  single-key contribution (the skew diagnostic AQE would want).
+- ``table_checksum_by_segment`` — order-insensitive BIT_XOR row
+  checksum per customer segment (plus row count and hash extrema):
+  the cheap replication-divergence detector — two sites compare 5
+  rows instead of 1.5e7.
+- ``snapshot_table_diff`` — full-outer diff of two deterministic
+  snapshots of ``orders``, classifying added/removed/changed/
+  unchanged with per-column change counts — the generic audit behind
+  version_change_feed when no CDC log exists.
+
+Scale posture: the advisor's windows are bucket-partitioned (8192
+keys per bucket) so parallelism scales with data; the estimator
+reduces each side to per-key counts before any join of counts; the
+checksum is one map-side-combinable aggregate; the diff is a single
+key-equi full-outer join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket, hash_bucket_sql
+from ecom_churn_lakehouse_spark.registry import register
+from ecom_churn_lakehouse_spark.sources import load_table
+
+# --------------------------------------------------------------------------
+# Column encoding advisor (distributed exact run-length profile).
+# --------------------------------------------------------------------------
+
+_BUCKET = 8192
+_ADVISOR_COLS = ["o_orderstatus", "o_orderpriority"]
+
+_ENC_COL_SQL = """
+SELECT '{col}' AS column_name,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(ndv AS BIGINT) AS n_distinct,
+       CAST(runs AS BIGINT) AS n_runs,
+       CAST(len_sum * 1000 // n AS BIGINT) AS avg_len_milli,
+       CASE WHEN runs * 1000000 // n <= 50000 THEN 'RLE'
+            WHEN ndv * 1000000 // n <= 1000 THEN 'DICT'
+            ELSE 'PLAIN' END AS recommendation
+FROM (
+    SELECT (SELECT COUNT(*) FROM orders) AS n,
+           (SELECT COUNT(DISTINCT {col}) FROM orders) AS ndv,
+           (SELECT SUM(LENGTH({col})) FROM orders) AS len_sum,
+           (SELECT SUM(bruns) - SUM(CASE WHEN prev_last = fst THEN 1 ELSE 0 END)
+            FROM (
+                SELECT bucket, fst,
+                       LAG(lst) OVER (ORDER BY bucket) AS prev_last, bruns
+                FROM (
+                    SELECT bucket,
+                           ARG_MIN({col}, o_orderkey) AS fst,
+                           ARG_MAX({col}, o_orderkey) AS lst,
+                           SUM(is_run_start) AS bruns
+                    FROM (
+                        SELECT o_orderkey // {bucket} AS bucket, o_orderkey, {col},
+                               CASE WHEN {col} IS DISTINCT FROM
+                                    LAG({col}) OVER (PARTITION BY o_orderkey // {bucket}
+                                                     ORDER BY o_orderkey)
+                                    THEN 1 ELSE 0 END AS is_run_start
+                        FROM orders
+                    ) GROUP BY bucket
+                )
+            )) AS runs
+)
+"""
+
+_ENC_SQL = "\nUNION ALL\n".join(
+    _ENC_COL_SQL.format(col=c, bucket=_BUCKET) for c in _ADVISOR_COLS
+)
+
+
+def _encoding_profile(orders, col):
+    b = (F.col("o_orderkey") / _BUCKET).cast("long").alias("bucket")
+    w_in = Window.partitionBy("bucket").orderBy("o_orderkey")
+    marked = orders.select(b, "o_orderkey", col).withColumn(
+        "is_run_start",
+        F.when(
+            ~F.col(col).eqNullSafe(F.lag(col).over(w_in)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    per_bucket = marked.groupBy("bucket").agg(
+        F.expr(f"min_by({col}, o_orderkey)").alias("fst"),
+        F.expr(f"max_by({col}, o_orderkey)").alias("lst"),
+        F.sum("is_run_start").alias("bruns"),
+    )
+    w_b = Window.orderBy("bucket")
+    merged = per_bucket.select(
+        "bruns", F.lag("lst").over(w_b).alias("prev_last"), "fst"
+    ).agg(
+        (
+            F.sum("bruns")
+            - F.sum(F.when(F.col("prev_last") == F.col("fst"), 1).otherwise(0))
+        ).alias("runs")
+    )
+    stats = orders.agg(
+        F.count("*").alias("n"),
+        F.count_distinct(col).alias("ndv"),
+        F.sum(F.length(col)).alias("len_sum"),
+    )
+    joined = stats.withColumn("k", F.lit(1)).join(
+        merged.withColumn("k", F.lit(1)), "k"
+    )
+    return joined.select(
+        F.lit(col).alias("column_name"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.col("ndv").cast("long").alias("n_distinct"),
+        F.col("runs").cast("long").alias("n_runs"),
+        F.expr("len_sum * 1000 DIV n").cast("long").alias("avg_len_milli"),
+        F.when(F.expr("runs * 1000000 DIV n") <= 50000, "RLE")
+        .when(F.expr("ndv * 1000000 DIV n") <= 1000, "DICT")
+        .otherwise("PLAIN")
+        .alias("recommendation"),
+    )
+
+
+@register(
+    "column_encoding_advisor",
+    _ENC_SQL,
+    doc="Storage-layout advisor: per candidate column, exact distinct "
+    "count, exact run count in o_orderkey order, and average length, "
+    "driving a DICT/RLE/PLAIN recommendation. The run count uses the "
+    "distributed design: runs inside 8192-key range buckets via a "
+    "bucket-partitioned window, then boundary merges corrected on the "
+    "bucket-summary frame (n/8192 rows) — exact total, no global "
+    "window on the fact, parallelism grows with data.",
+)
+def q_column_encoding_advisor(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = None
+    for c in _ADVISOR_COLS:
+        df = _encoding_profile(orders, c)
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+# --------------------------------------------------------------------------
+# CBO-style join cardinality estimate vs exact.
+# --------------------------------------------------------------------------
+
+_JOIN_CANDIDATES = [
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+]
+
+#: Shared IEEE expression text — both engines must evaluate the
+#: estimate with identical association order.
+_EST_EXPR = (
+    "CAST(FLOOR(CAST(n_left AS DOUBLE) * CAST(n_right AS DOUBLE) "
+    "/ CAST(GREATEST(ndv_left, ndv_right) AS DOUBLE)) AS BIGINT)"
+)
+
+_CARD_ONE_SQL = """
+SELECT '{lt}.{lk} = {rt}.{rk}' AS join_candidate,
+       n_left, n_right, ndv_left, ndv_right,
+       {est} AS est_rows,
+       actual_rows, max_single_key_pairs
+FROM (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {lt}) AS n_left,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {rt}) AS n_right,
+           (SELECT CAST(COUNT(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS ndv_left,
+           (SELECT CAST(COUNT(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS ndv_right,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM {lt} l JOIN {rt} r ON l.{lk} = r.{rk}) AS actual_rows,
+           (SELECT CAST(MAX(cl * cr) AS BIGINT) FROM
+               (SELECT {lk} AS k, COUNT(*) AS cl FROM {lt} GROUP BY {lk}) a
+               JOIN
+               (SELECT {rk} AS k, COUNT(*) AS cr FROM {rt} GROUP BY {rk}) b
+               USING (k)) AS max_single_key_pairs
+)
+"""
+
+_CARD_SQL = "\nUNION ALL\n".join(
+    _CARD_ONE_SQL.format(lt=lt, lk=lk, rt=rt, rk=rk, est=_EST_EXPR)
+    for lt, lk, rt, rk in _JOIN_CANDIDATES
+)
+
+
+@register(
+    "join_cardinality_estimate",
+    _CARD_SQL,
+    doc="Optimizer's-eye join audit: for three real join candidates, "
+    "the textbook CBO estimate n_L*n_R/max(ndv_L,ndv_R) next to the "
+    "exact join cardinality and the worst single-key pair count (the "
+    "skew signal AQE acts on). Each side reduces to per-key counts "
+    "before any count-frame join; the estimate itself is one shared "
+    "floor-quantized IEEE expression. This is the planning artifact "
+    "that decides broadcast-vs-shuffle and salting at 100 TB.",
+)
+def q_join_cardinality_estimate(spark, sf_dir):
+    out = None
+    for lt, lk, rt, rk in _JOIN_CANDIDATES:
+        left = load_table(spark, sf_dir, lt)
+        right = load_table(spark, sf_dir, rt)
+        lstats = left.agg(
+            F.count("*").cast("long").alias("n_left"),
+            F.count_distinct(lk).cast("long").alias("ndv_left"),
+        )
+        rstats = right.agg(
+            F.count("*").cast("long").alias("n_right"),
+            F.count_distinct(rk).cast("long").alias("ndv_right"),
+        )
+        actual = (
+            left.join(right, left[lk] == right[rk])
+            .agg(F.count("*").cast("long").alias("actual_rows"))
+        )
+        lcnt = left.groupBy(F.col(lk).alias("k")).agg(F.count("*").alias("cl"))
+        rcnt = right.groupBy(F.col(rk).alias("k")).agg(F.count("*").alias("cr"))
+        worst = (
+            lcnt.join(rcnt, "k")
+            .agg(F.max(F.col("cl") * F.col("cr")).cast("long").alias("max_single_key_pairs"))
+        )
+        one = (
+            lstats.withColumn("j", F.lit(1))
+            .join(rstats.withColumn("j", F.lit(1)), "j")
+            .join(actual.withColumn("j", F.lit(1)), "j")
+            .join(worst.withColumn("j", F.lit(1)), "j")
+            .select(
+                F.lit(f"{lt}.{lk} = {rt}.{rk}").alias("join_candidate"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.expr(_EST_EXPR).alias("est_rows"),
+                "actual_rows",
+                "max_single_key_pairs",
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Replication checksum.
+# --------------------------------------------------------------------------
+
+_CHECKSUM_KEY_SQL = (
+    "(CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' || "
+    "CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR))"
+)
+
+_CHECKSUM_SQL = f"""
+SELECT c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR({hash_bucket_sql(_CHECKSUM_KEY_SQL, "ck:", 2**60)}) AS BIGINT)
+           AS xor_checksum,
+       CAST(MIN({hash_bucket_sql(_CHECKSUM_KEY_SQL, "ck:", 2**60)}) AS BIGINT)
+           AS min_hash,
+       CAST(MAX({hash_bucket_sql(_CHECKSUM_KEY_SQL, "ck:", 2**60)}) AS BIGINT)
+           AS max_hash
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "table_checksum_by_segment",
+    _CHECKSUM_SQL,
+    doc="Replication-divergence detector: per customer segment, an "
+    "order-insensitive BIT_XOR checksum of a canonical row hash "
+    "(key|name|balance-cents through the shared md5 idiom), plus row "
+    "count and hash extrema. Two replicas compare 5 rows to certify "
+    "1.5e7 — and XOR localizes a single-row divergence to its "
+    "segment. One map-side-combinable aggregate, no shuffle beyond "
+    "5 groups.",
+)
+def q_table_checksum_by_segment(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    row_key = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit("|"),
+        F.col("c_name"),
+        F.lit("|"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").cast("string"),
+    )
+    h = hash_bucket(row_key, "ck:", mod=2**60)
+    return (
+        cust.select(F.col("c_mktsegment").alias("segment"), h.alias("h"))
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.expr("bit_xor(h)").cast("long").alias("xor_checksum"),
+            F.min("h").cast("long").alias("min_hash"),
+            F.max("h").cast("long").alias("max_hash"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Snapshot diff.
+# --------------------------------------------------------------------------
+
+_SNAP_CUT_A = "1997-12-31"
+_SNAP_CUT_B = "1998-06-30"
+
+_H_DROP = hash_bucket_sql("o_orderkey", "snapdrop:", 97)
+_H_STATUS = hash_bucket_sql("o_orderkey", "snapstat:", 50)
+_H_PRICE = hash_bucket_sql("o_orderkey", "snapprice:", 31)
+
+_DIFF_SQL = f"""
+WITH snap_a AS (
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders WHERE o_orderdate <= TIMESTAMP '{_SNAP_CUT_A} 00:00:00'
+),
+snap_b AS (
+    SELECT o_orderkey,
+           CASE WHEN {_H_STATUS} = 0 THEN 'X' ELSE o_orderstatus END AS status,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + CASE WHEN {_H_PRICE} = 0 THEN 100 ELSE 0 END AS cents
+    FROM orders
+    WHERE o_orderdate <= TIMESTAMP '{_SNAP_CUT_B} 00:00:00' AND {_H_DROP} != 0
+),
+diff AS (
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.status IS DISTINCT FROM b.status
+                     OR a.cents IS DISTINCT FROM b.cents THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                     AND a.status IS DISTINCT FROM b.status THEN 1 ELSE 0 END
+               AS status_diff,
+           CASE WHEN a.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                     AND a.cents IS DISTINCT FROM b.cents THEN 1 ELSE 0 END
+               AS price_diff
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_class,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(status_diff) AS BIGINT) AS n_status_diff,
+       CAST(SUM(price_diff) AS BIGINT) AS n_price_diff
+FROM diff GROUP BY change_class
+"""
+
+
+@register(
+    "snapshot_table_diff",
+    _DIFF_SQL,
+    doc="Generic snapshot-diff audit: two deterministic snapshots of "
+    "orders (a time cutoff plus hash-seeded synthetic status/price "
+    "revisions and deletions), full-outer joined on the key and "
+    "classified added/removed/changed/unchanged with per-column "
+    "change counts — version_change_feed's audit twin when no CDC "
+    "log exists (reference parity anchor: the MERGE pipeline in "
+    "src/transformations/orders_bronze_to_silver.py). One key-equi "
+    "full-outer join; the classification is a projection.",
+)
+def q_snapshot_table_diff(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    snap_a = orders.filter(
+        F.col("o_orderdate") <= F.lit(f"{_SNAP_CUT_A} 00:00:00").cast("timestamp")
+    ).select("o_orderkey", F.col("o_orderstatus").alias("status"), cents.alias("cents"))
+    h_status = hash_bucket(F.col("o_orderkey"), "snapstat:", mod=50)
+    h_price = hash_bucket(F.col("o_orderkey"), "snapprice:", mod=31)
+    h_drop = hash_bucket(F.col("o_orderkey"), "snapdrop:", mod=97)
+    snap_b = (
+        orders.filter(
+            (F.col("o_orderdate") <= F.lit(f"{_SNAP_CUT_B} 00:00:00").cast("timestamp"))
+            & (h_drop != 0)
+        )
+        .select(
+            "o_orderkey",
+            F.when(h_status == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias("status"),
+            (cents + F.when(h_price == 0, F.lit(100)).otherwise(F.lit(0))).alias("cents"),
+        )
+    )
+    # presence is judged on payload nulls: status/cents are never null
+    # inside a snapshot, so an all-null side means "absent from it"
+    diff = (
+        snap_a.select("o_orderkey", F.col("status").alias("a_status"), F.col("cents").alias("a_cents"))
+        .join(
+            snap_b.select(
+                "o_orderkey", F.col("status").alias("b_status"), F.col("cents").alias("b_cents")
+            ),
+            "o_orderkey",
+            "full_outer",
+        )
+        .select(
+            F.when(F.col("a_status").isNull() & F.col("a_cents").isNull(), "added")
+            .when(F.col("b_status").isNull() & F.col("b_cents").isNull(), "removed")
+            .when(
+                ~F.col("a_status").eqNullSafe(F.col("b_status"))
+                | ~F.col("a_cents").eqNullSafe(F.col("b_cents")),
+                "changed",
+            )
+            .otherwise("unchanged")
+            .alias("change_class"),
+            F.when(
+                F.col("a_status").isNotNull()
+                & F.col("b_status").isNotNull()
+                & ~F.col("a_status").eqNullSafe(F.col("b_status")),
+                1,
+            )
+            .otherwise(0)
+            .alias("status_diff"),
+            F.when(
+                F.col("a_cents").isNotNull()
+                & F.col("b_cents").isNotNull()
+                & ~F.col("a_cents").eqNullSafe(F.col("b_cents")),
+                1,
+            )
+            .otherwise(0)
+            .alias("price_diff"),
+        )
+    )
+    return diff.groupBy("change_class").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum("status_diff").cast("long").alias("n_status_diff"),
+        F.sum("price_diff").cast("long").alias("n_price_diff"),
+    )

@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "column_encoding_advisor",
+    "join_cardinality_estimate",
+    "table_checksum_by_segment",
+    "snapshot_table_diff",
     "tcloseness_audit",
     "promo_chisq_independence",
     "bootstrap_mean_ci",
@@ -164,6 +168,7 @@ def _load_all() -> None:
         apportion_queries,
         churn_queries,
         curation_queries,
+        dataops_queries,
         decision_queries,
         dedup_queries,
         diagnostics_queries,
