@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "containment_neardup_pairs",
+    "bloom_filter_fp_audit",
     "column_encoding_advisor",
     "join_cardinality_estimate",
     "table_checksum_by_segment",

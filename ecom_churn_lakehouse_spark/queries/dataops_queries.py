@@ -429,3 +429,133 @@ def q_snapshot_table_diff(spark, sf_dir):
         F.sum("status_diff").cast("long").alias("n_status_diff"),
         F.sum("price_diff").cast("long").alias("n_price_diff"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter false-positive audit.
+# --------------------------------------------------------------------------
+
+_BF_BITS = 131_072  # 2^17
+_BF_SALTS = ["bf0:", "bf1:", "bf2:"]
+
+_BF_MEMBER_BITS_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT DISTINCT {hash_bucket_sql('o_custkey', s, _BF_BITS)} AS pos "
+    "FROM orders" for s in _BF_SALTS
+)
+_BF_PROBE_BITS_SQL = "\n    UNION ALL\n    ".join(
+    f"SELECT c_custkey, {hash_bucket_sql('c_custkey', s, _BF_BITS)} AS pos "
+    "FROM customer" for s in _BF_SALTS
+)
+
+_BF_SQL = f"""
+WITH bits AS (
+    SELECT DISTINCT pos FROM (
+    {_BF_MEMBER_BITS_SQL}
+    )
+),
+probe_bits AS (
+    {_BF_PROBE_BITS_SQL}
+),
+hits AS (
+    SELECT p.c_custkey, COUNT(b.pos) AS matched
+    FROM probe_bits p LEFT JOIN bits b ON b.pos = p.pos
+    GROUP BY p.c_custkey
+),
+truth AS (
+    SELECT DISTINCT o_custkey FROM orders
+),
+verdicts AS (
+    SELECT h.c_custkey,
+           h.matched = {len(_BF_SALTS)} AS bloom_positive,
+           t.o_custkey IS NOT NULL AS is_member
+    FROM hits h LEFT JOIN truth t ON t.o_custkey = h.c_custkey
+)
+SELECT CAST({len(_BF_SALTS)} AS INTEGER) AS k_hashes,
+       CAST({_BF_BITS} AS BIGINT) AS m_bits,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_members,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) AS n_true_members,
+       CAST(SUM(CASE WHEN bloom_positive THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_positive,
+       CAST(SUM(CASE WHEN bloom_positive AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(SUM(CASE WHEN bloom_positive AND NOT is_member THEN 1 ELSE 0 END)
+            * 1000000
+            // GREATEST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END), 1)
+            AS BIGINT) AS fp_ppm
+FROM verdicts
+"""
+
+
+@register(
+    "bloom_filter_fp_audit",
+    _BF_SQL,
+    doc=f"Relational Bloom filter (m={_BF_BITS} bits, k="
+    f"{len(_BF_SALTS)} md5-idiom hashes) over the customers-with-"
+    "orders key set, probed with every customer: true membership vs "
+    "bloom verdict, measured false-positive rate in exact ppm. No "
+    "false negatives by construction (asserted in tests). This is the "
+    "join-pruning primitive behind runtime row filters: the bitset "
+    "relation is bounded by m rows regardless of data size, so it is "
+    "ALWAYS broadcastable — probing 100 TB costs a map-side hash "
+    "lookup, never a shuffle of the fact.",
+)
+def q_bloom_filter_fp_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    k = len(_BF_SALTS)
+
+    bits = None
+    for s in _BF_SALTS:
+        one = orders.select(hash_bucket(F.col("o_custkey"), s, mod=_BF_BITS).alias("pos"))
+        bits = one if bits is None else bits.unionByName(one)
+    bits = bits.distinct()
+
+    probe_bits = None
+    for s in _BF_SALTS:
+        one = cust.select(
+            "c_custkey", hash_bucket(F.col("c_custkey"), s, mod=_BF_BITS).alias("pos")
+        )
+        probe_bits = one if probe_bits is None else probe_bits.unionByName(one)
+
+    hits = (
+        probe_bits.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                        F.col("pos") == F.col("bpos"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("bpos").alias("matched"))
+    )
+    truth = orders.select(F.col("o_custkey")).distinct()
+    verdicts = hits.join(truth, hits.c_custkey == truth.o_custkey, "left").select(
+        (F.col("matched") == k).alias("bloom_positive"),
+        F.col("o_custkey").isNotNull().alias("is_member"),
+    )
+    n_bits = bits.agg(F.count("*").cast("long").alias("n_bits_set"))
+    n_mem = truth.agg(F.count("*").cast("long").alias("n_members"))
+    summary = verdicts.agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum(F.col("is_member").cast("long")).cast("long").alias("n_true_members"),
+        F.sum(F.col("bloom_positive").cast("long")).cast("long").alias("n_bloom_positive"),
+        F.sum((F.col("bloom_positive") & ~F.col("is_member")).cast("long"))
+        .cast("long")
+        .alias("n_false_positive"),
+        F.expr(
+            "CAST(SUM(CAST(bloom_positive AND NOT is_member AS BIGINT)) * 1000000 "
+            "DIV GREATEST(SUM(CAST(NOT is_member AS BIGINT)), 1) AS BIGINT)"
+        ).alias("fp_ppm"),
+    )
+    return (
+        summary.withColumn("j", F.lit(1))
+        .join(n_bits.withColumn("j", F.lit(1)), "j")
+        .join(n_mem.withColumn("j", F.lit(1)), "j")
+        .select(
+            F.lit(k).cast("int").alias("k_hashes"),
+            F.lit(_BF_BITS).cast("long").alias("m_bits"),
+            "n_bits_set",
+            "n_members",
+            "n_probes",
+            "n_true_members",
+            "n_bloom_positive",
+            "n_false_positive",
+            "fp_ppm",
+        )
+    )

@@ -1143,3 +1143,126 @@ def q_neardup_cluster_chain_audit(spark, sf_dir):
             F.sum("n_direct").cast("long").alias("n_direct_pairs"),
         )
     )
+
+
+# ------------------------------------------------- containment near-dup
+
+#: Directional containment threshold C(A in B) = |A∩B| / |A| >= 0.8.
+_CONTAIN_T = 0.8
+_CONTAIN_PPM = 800_000
+
+#: Corpus with planted SUB-documents: doc_id%5==0 contributes its
+#: first half (doc_id+300000). Containment(half -> original) ≈ 1.0
+#: while Jaccard ≈ 0.5 — exactly the duplication Jaccard-thresholded
+#: dedup misses (chunked re-posts, quoted excerpts, truncated crawls).
+_CONTAIN_CORPUS_SQL = r"""
+ccorpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(
+               (regexp_extract_all(text, '\S+'))[1:len(regexp_extract_all(text, '\S+')) // 2],
+               ' ') AS text
+    FROM documents WHERE doc_id % 5 = 0
+)
+"""
+
+_CONTAIN_SQL = (
+    f"WITH {_CONTAIN_CORPUS_SQL}, "
+    + _SHINGLES_SQL.replace("FROM corpus", "FROM ccorpus").lstrip()
+    + f""",
+sizes AS (
+    SELECT doc_id, COUNT(*) AS n_sh FROM shingled GROUP BY doc_id
+),
+common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+    FROM shingled a JOIN shingled b
+      ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(sa.n_sh AS BIGINT) AS n_a,
+       CAST(c.n_common * 1000000 // sa.n_sh AS BIGINT) AS containment_ppm
+FROM common c
+JOIN sizes sa ON c.doc_a = sa.doc_id
+WHERE c.n_common * 1000000 // sa.n_sh >= {_CONTAIN_PPM}
+"""
+)
+
+
+def _containment_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    halves = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, (F.size(toks) / 2).cast("int")), " "
+        ).alias("text"),
+    )
+    return docs.unionByName(halves)
+
+
+@register(
+    "containment_neardup_pairs",
+    _CONTAIN_SQL,
+    doc="DIRECTIONAL containment dedup C(A in B)=|A∩B|/|A| >= 0.8 — "
+    "catches sub-document duplication (quoted excerpts, truncated "
+    "crawls, chunk re-posts) that symmetric Jaccard misses: the "
+    "planted half-documents sit at containment ~1.0 but Jaccard ~0.5. "
+    "Candidates come from the asymmetric prefix filter: A's "
+    "|A|-ceil(0.8|A|)+1 RAREST shingles must hit B's full set when "
+    "containment holds (lossless, same WWW'08 principle as "
+    "dedup/ppjoin.py but one-sided since containment does not bound "
+    "|B|), and rarest-first ordering keeps the candidate join on cold "
+    "keys. Verification intersects compact shingle arrays on "
+    "candidates only; score is exact integer ppm.",
+)
+def q_containment_neardup_pairs(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    corpus = _containment_corpus(spark, sf_dir)
+    arr = doc_shingle_arrays(corpus).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    # Asymmetric prefix filter: rank each doc's shingles rarest-first;
+    # the contained side exposes only its prefix, the container side
+    # its full set.
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__cnt"))
+    w_doc = Window.partitionBy("doc_id")
+    ranked = sh.join(freq, on="shingle").select(
+        "doc_id",
+        "shingle",
+        F.row_number().over(w_doc.orderBy("__cnt", "shingle")).alias("__pos"),
+        F.count("*").over(w_doc).alias("__n"),
+    )
+    prefix = ranked.filter(
+        F.col("__pos") <= F.col("__n") - F.ceil(F.lit(_CONTAIN_T) * F.col("__n")) + 1
+    ).select(F.col("doc_id").alias("doc_a"), "shingle")
+    full = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    cand = (
+        prefix.join(full, on="shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = arr.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("__sh_a"),
+        F.size("shingles").alias("__n_a"),
+    )
+    b = arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sh_b"))
+    n_common = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    return (
+        cand.join(a, on="doc_a")
+        .join(b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_common.cast("long").alias("n_common"),
+            F.col("__n_a").cast("long").alias("n_a"),
+            F.expr(
+                f"CAST(size(array_intersect(__sh_a, __sh_b)) * 1000000 DIV __n_a AS BIGINT)"
+            ).alias("containment_ppm"),
+        )
+        .filter(F.col("containment_ppm") >= _CONTAIN_PPM)
+    )

@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "containment_neardup_pairs",
+    "bloom_filter_fp_audit",
     "column_encoding_advisor",
     "join_cardinality_estimate",
     "table_checksum_by_segment",
