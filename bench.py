@@ -24,6 +24,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "pareto_frontier_orders",
+    "neardup_split_leakage",
+    "chunk_dedup_savings",
     "containment_neardup_pairs",
     "bloom_filter_fp_audit",
     "column_encoding_advisor",

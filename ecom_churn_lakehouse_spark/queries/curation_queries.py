@@ -828,3 +828,102 @@ def q_dup_inflation_curve(spark, sf_dir):
         .cast("long")
         .alias("redundant_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup savings (RAG/pre-training index hygiene).
+# ---------------------------------------------------------------------------
+
+_CHUNK_SAVINGS_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz qq' AS text
+    FROM documents WHERE doc_id % 7 = 0
+),
+toks AS (
+    SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t
+    FROM corpus
+),
+chunks AS (
+    SELECT doc_id,
+           list_slice(t, i * {_CHUNK_STRIDE} + 1,
+                      i * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}) AS chunk
+    FROM toks,
+         unnest(range(0, CAST(floor((len(t) - 1) / {_CHUNK_STRIDE}) AS BIGINT)
+                         + 1)) AS u(i)
+    WHERE len(t) > 0
+),
+hashed AS (
+    SELECT len(chunk) = {_CHUNK_TOKENS} AS is_full_chunk,
+           md5(array_to_string(chunk, ' ')) AS h,
+           len(chunk) AS n_tokens
+    FROM chunks
+),
+per_hash AS (
+    SELECT is_full_chunk, h,
+           COUNT(*) AS copies, MIN(n_tokens) AS n_tokens
+    FROM hashed GROUP BY is_full_chunk, h
+)
+SELECT is_full_chunk,
+       CAST(SUM(copies) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+       CAST(SUM(copies - 1) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM((copies - 1) * n_tokens) AS BIGINT) AS dup_tokens,
+       CAST(SUM((copies - 1) * n_tokens) * 1000000
+            // SUM(copies * n_tokens) AS BIGINT) AS savings_ppm
+FROM per_hash
+GROUP BY is_full_chunk
+"""
+
+
+@register(
+    "chunk_dedup_savings",
+    _CHUNK_SAVINGS_SQL,
+    doc=f"Chunk-level dedup savings: the {_CHUNK_TOKENS}-token/"
+    f"{_CHUNK_STRIDE}-stride context windows a RAG or pre-training "
+    "index actually stores duplicate across documents even when doc-"
+    "level dedup passed (copies chunk identically; an appended-tail "
+    "variant shares every aligned chunk). md5 hash-groupBy on the "
+    "chunk text (hashed away in the scan projection, so the exchange "
+    "never moves chunk text), split by full-window vs tail-window "
+    "class, with exact-ppm token savings. The planted corpus "
+    "(dedup_queries.derived_corpus spelling) makes expected savings "
+    "deterministic.",
+)
+def q_chunk_dedup_savings(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import derived_corpus
+
+    corpus = derived_corpus(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_toks = corpus.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") > 0
+    )
+    n_chunks = F.floor((F.size("__toks") - 1) / F.lit(_CHUNK_STRIDE)) + 1
+    exploded = with_toks.select(
+        "__toks",
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("__i"),
+    )
+    chunk = F.slice(
+        "__toks", (F.col("__i") * _CHUNK_STRIDE + 1).cast("int"), _CHUNK_TOKENS
+    )
+    hashed = exploded.select(
+        (F.size(chunk) == _CHUNK_TOKENS).alias("is_full_chunk"),
+        F.md5(F.array_join(chunk, " ")).alias("h"),
+        F.size(chunk).alias("n_tokens"),
+    )
+    per_hash = hashed.groupBy("is_full_chunk", "h").agg(
+        F.count("*").alias("copies"), F.min("n_tokens").alias("n_tokens")
+    )
+    return per_hash.groupBy("is_full_chunk").agg(
+        F.sum("copies").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("n_unique_chunks"),
+        F.sum(F.col("copies") - 1).cast("long").alias("n_dup_chunks"),
+        F.sum((F.col("copies") - 1) * F.col("n_tokens")).cast("long").alias("dup_tokens"),
+        F.expr(
+            "CAST(SUM((copies - 1) * n_tokens) * 1000000 "
+            "DIV SUM(copies * n_tokens) AS BIGINT)"
+        ).alias("savings_ppm"),
+    )

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from ecom_churn_lakehouse_spark.operators.sampling import assign_split
 from ecom_churn_lakehouse_spark.queries.dedup_queries import (
     _CORPUS_SQL,
+    _JACCARD_TAIL_SQL,
+    _SHINGLES_SQL,
     derived_corpus,
     derived_vectors,
 )
@@ -536,3 +538,102 @@ def q_expanding_window_folds(spark, sf_dir):
             "n_val",
         )
     )
+
+
+# ------------------------------------------- NEAR-dup split leakage
+
+_NEARDUP_LEAK_SQL = (
+    "WITH "
+    + _CORPUS_SQL.strip()
+    + ",\n"
+    + _SHINGLES_SQL.strip()
+    + ",\n"
+    + _JACCARD_TAIL_SQL.format(
+        pair_source_a="shingled", pair_source_b="shingled"
+    ).strip()
+    + f""",
+splits AS (
+    SELECT doc_id,
+           CASE WHEN {_hb_sql("split:", "doc_id")} < 8000 THEN 'train'
+                WHEN {_hb_sql("split:", "doc_id")} < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM corpus
+),
+leak AS (
+    SELECT LEAST(sa.split, sb.split) AS split_lo,
+           GREATEST(sa.split, sb.split) AS split_hi,
+           j.doc_a, j.doc_b
+    FROM jac j
+    JOIN splits sa ON j.doc_a = sa.doc_id
+    JOIN splits sb ON j.doc_b = sb.doc_id
+    WHERE j.jaccard >= 0.6 AND sa.split != sb.split
+),
+pair_counts AS (
+    SELECT split_lo, split_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM leak GROUP BY split_lo, split_hi
+),
+doc_counts AS (
+    SELECT split_lo, split_hi, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_leaked_docs
+    FROM (
+        SELECT split_lo, split_hi, doc_a AS d FROM leak
+        UNION ALL
+        SELECT split_lo, split_hi, doc_b AS d FROM leak
+    ) GROUP BY split_lo, split_hi
+)
+SELECT p.split_lo, p.split_hi, p.n_pairs, d.n_leaked_docs
+FROM pair_counts p JOIN doc_counts d
+  ON p.split_lo = d.split_lo AND p.split_hi = d.split_hi
+"""
+)
+
+
+@register(
+    "neardup_split_leakage",
+    _NEARDUP_LEAK_SQL,
+    doc="NEAR-duplicate split leakage: split_leakage_audit catches "
+    "byte-identical clones straddling train/val/test, but a paraphrase "
+    "or '... zz qq'-style appended variant leaks evaluation signal "
+    "just as hard. Reuses the lossless PPJoin candidate path "
+    "(prefix+length filter, Jaccard >= 0.6 on compact shingle arrays) "
+    "and the scan-local md5 split assignment, then counts leaking "
+    "pairs and distinct leaked docs per split-boundary class. A clean "
+    "post-dedup pipeline returns 0 rows; the planted corpus leaks by "
+    "construction.",
+)
+def q_neardup_split_leakage(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.dedup.ppjoin import prefix_filter_candidates
+    from ecom_churn_lakehouse_spark.dedup.shingles import doc_shingle_arrays
+    from ecom_churn_lakehouse_spark.dedup.minhash import jaccard_on_pairs_arrays
+
+    corpus = derived_corpus(spark, sf_dir)
+    arr = doc_shingle_arrays(corpus).localCheckpoint(eager=False)
+    sh = arr.select("doc_id", F.explode("shingles").alias("shingle"))
+    pairs = jaccard_on_pairs_arrays(
+        prefix_filter_candidates(sh, threshold=0.6), arr
+    ).filter(F.col("jaccard") >= 0.6)
+    splits = assign_split(
+        corpus, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    ).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    leak = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.least("split_a", "split_b").alias("split_lo"),
+            F.greatest("split_a", "split_b").alias("split_hi"),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    pair_counts = leak.groupBy("split_lo", "split_hi").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        leak.select("split_lo", "split_hi", F.col("doc_a").alias("d"))
+        .unionByName(leak.select("split_lo", "split_hi", F.col("doc_b").alias("d")))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count_distinct("d").cast("long").alias("n_leaked_docs"))
+    )
+    return pair_counts.join(doc_counts, ["split_lo", "split_hi"])

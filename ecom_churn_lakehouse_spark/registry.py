@@ -50,6 +50,9 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "chunk_dedup_savings",
+    "neardup_split_leakage",
+    "pareto_frontier_orders",
     "containment_neardup_pairs",
     "bloom_filter_fp_audit",
     "column_encoding_advisor",

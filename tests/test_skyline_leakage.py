@@ -1,0 +1,79 @@
+"""Behavioral invariants for the skyline, near-dup leakage, and
+chunk-dedup-savings entries."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from ecom_churn_lakehouse_spark.registry import queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skyline_is_mutually_non_dominated_and_complete(spark):
+    sky = queries()["pareto_frontier_orders"](spark, SF).collect()
+    assert sky
+    pts = [(r["price_cents"], r["fulfillment_days"]) for r in sky]
+    # no skyline point dominates another
+    for p, d in pts:
+        for p2, d2 in pts:
+            assert not (p2 >= p and d2 <= d and (p2 > p or d2 < d))
+    # frontier is strictly monotone: sorted by days asc, price strictly inc... 
+    # (price must INCREASE as latency increases, else the faster one dominates)
+    uniq = sorted(set(pts), key=lambda t: t[1])
+    for (p1, d1), (p2, d2) in zip(uniq, uniq[1:]):
+        assert d2 > d1 and p2 > p1
+
+
+def test_skyline_dominates_every_order(spark):
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    sky = queries()["pareto_frontier_orders"](spark, SF).collect()
+    pts = sorted({(r["fulfillment_days"], r["price_cents"]) for r in sky})
+    # every order is dominated-or-equal by some skyline point: for its
+    # fulfillment_days, the skyline's best price at <= days is >= its price
+    orders = load_table(spark, SF, "orders").select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("p"),
+    )
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_shipdate")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "p")
+        .agg(F.max(F.datediff("l_shipdate", "o_orderdate")).alias("d"))
+    ).collect()
+    import bisect
+
+    days = [d for d, _ in pts]
+    best = []
+    cur = -1
+    for _, p in pts:
+        cur = max(cur, p)
+        best.append(cur)
+    for r in per_order:
+        i = bisect.bisect_right(days, r["d"]) - 1
+        if i >= 0:
+            assert best[i] >= r["p"]
+
+
+def test_neardup_leakage_classes_are_cross_split_only(spark):
+    rows = queries()["neardup_split_leakage"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["split_lo"] != r["split_hi"]
+        assert r["split_lo"] < r["split_hi"]
+        # a pair involves exactly 2 docs, a doc can appear in many pairs
+        assert r["n_leaked_docs"] <= 2 * r["n_pairs"]
+        assert r["n_pairs"] >= 1
+
+
+def test_chunk_savings_conserve_and_detect_planted_dups(spark):
+    rows = {r["is_full_chunk"]: r for r in queries()["chunk_dedup_savings"](spark, SF).collect()}
+    assert set(rows) == {True, False}
+    for r in rows.values():
+        assert r["n_unique_chunks"] + r["n_dup_chunks"] == r["n_chunks"]
+        assert 0 <= r["savings_ppm"] < 1_000_000
+    # planted exact doc copies guarantee duplicate full chunks
+    assert rows[True]["n_dup_chunks"] > 0
