@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "stream_checksum_maintenance",
     "pareto_frontier_orders",
     "neardup_split_leakage",
     "chunk_dedup_savings",

@@ -826,3 +826,92 @@ def q_schema_evolution_union(spark, sf_dir):
         F.sum("cents").cast("long").alias("total_cents"),
         F.count("priority").cast("long").alias("n_with_priority"),
     )
+
+
+# ------------------------------------------- streaming checksum maintenance
+
+from ecom_churn_lakehouse_spark.queries.dataops_queries import (  # noqa: E402
+    _CHECKSUM_SQL as _CHECKSUM_TWIN_SQL,
+)
+
+
+@register(
+    "stream_checksum_maintenance",
+    _CHECKSUM_TWIN_SQL,
+    doc="Streaming twin of table_checksum_by_segment: BIT_XOR is a "
+    "mergeable sketch (XOR of per-batch XORs IS the total XOR, and a "
+    "re-applied row cancels itself), so the replication checksum is "
+    "maintainable from micro-batches without reprocessing history. "
+    "Three customer chunks stream through foreachBatch (idempotent "
+    "per-batch_id partial writes, at-least-once safe); the merged "
+    "partials must equal the one-shot batch checksum exactly — which "
+    "is the oracle.",
+)
+def q_stream_checksum_maintenance(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+    row_key = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.lit("|"),
+        F.col("c_name"),
+        F.lit("|"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").cast("string"),
+    )
+
+    def partial(df):
+        h = hash_bucket(row_key, "ck:", mod=2**60)
+        return (
+            df.select(F.col("c_mktsegment").alias("segment"), h.alias("h"))
+            .groupBy("segment")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("long").alias("xor_checksum"),
+                F.min("h").cast("long").alias("min_hash"),
+                F.max("h").cast("long").alias("max_hash"),
+            )
+        )
+
+    base = scratch_dir(prefix="stream_ck_")
+    for lo, hi in ((None, 40000), (40000, 80000), (80000, None)):
+        chunk = cust
+        if lo:
+            chunk = chunk.filter(F.col("c_custkey") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("c_custkey") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            partial(batch_df).write.mode("overwrite").parquet(dest)
+
+    stream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/partials")
+        .drop("batch_id")
+        .groupBy("segment")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.expr("bit_xor(xor_checksum)").cast("long").alias("xor_checksum"),
+            F.min("min_hash").cast("long").alias("min_hash"),
+            F.max("max_hash").cast("long").alias("max_hash"),
+        )
+    )

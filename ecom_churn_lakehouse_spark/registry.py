@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "stream_checksum_maintenance",
     "chunk_dedup_savings",
     "neardup_split_leakage",
     "pareto_frontier_orders",

@@ -74,3 +74,18 @@ def test_snapshot_diff_classes_conserve_both_snapshots(spark):
     assert ch["n_status_diff"] + ch["n_price_diff"] >= ch["n_rows"]
     for cls in ("added", "removed", "unchanged"):
         assert rows[cls]["n_status_diff"] == 0 and rows[cls]["n_price_diff"] == 0
+
+
+def test_stream_checksum_converges_to_batch_checksum(spark):
+    batch = {
+        r["segment"]: r
+        for r in queries()["table_checksum_by_segment"](spark, SF).collect()
+    }
+    stream = {
+        r["segment"]: r
+        for r in queries()["stream_checksum_maintenance"](spark, SF).collect()
+    }
+    assert set(batch) == set(stream)
+    for seg in batch:
+        for c in ("n_rows", "xor_checksum", "min_hash", "max_hash"):
+            assert batch[seg][c] == stream[seg][c], (seg, c)
