@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "brand_discount_elasticity_components",
+    "zorder_layout_audit",
     "stream_checksum_maintenance",
     "pareto_frontier_orders",
     "neardup_split_leakage",

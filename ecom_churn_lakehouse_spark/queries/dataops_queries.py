@@ -559,3 +559,129 @@ def q_bloom_filter_fp_audit(spark, sf_dir):
             "fp_ppm",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout audit.
+# --------------------------------------------------------------------------
+
+_Z_BITS = 12
+_Z_FILE_ROWS = 4096  # z-range bucket width (2^12 z values per file)
+_Z_EPOCH = "1995-01-01"
+
+
+def _z_interleave_sql(day: str, ck: str) -> str:
+    """DuckDB spelling of the 12+12-bit Morton interleave."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({day} >> {b}) & 1) << {2 * b + 1})")
+        terms.append(f"((({ck} >> {b}) & 1) << {2 * b})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_col(day, ck):
+    """Spark spelling of the same Morton interleave."""
+    z = F.lit(0)
+    for b in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(day, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = z + F.shiftleft(F.shiftright(ck, b).bitwiseAND(F.lit(1)), 2 * b)
+    return z
+
+
+_ZORDER_SQL = f"""
+WITH keyed AS (
+    SELECT CAST(date_diff('day', TIMESTAMP '{_Z_EPOCH} 00:00:00', o_orderdate)
+                AS BIGINT) AS day_idx,
+           o_custkey % 4096 AS ck
+    FROM orders
+),
+layouts AS (
+    SELECT 'linear_by_date' AS layout, day_idx, ck,
+           day_idx // 16 AS file_id
+    FROM keyed
+    UNION ALL
+    SELECT 'zorder' AS layout, day_idx, ck,
+           {_z_interleave_sql("day_idx", "ck")} // {_Z_FILE_ROWS} AS file_id
+    FROM keyed
+),
+day_files AS (
+    SELECT layout, day_idx, COUNT(DISTINCT file_id) AS nf
+    FROM layouts GROUP BY layout, day_idx
+),
+ck_files AS (
+    SELECT layout, ck, COUNT(DISTINCT file_id) AS nf
+    FROM layouts GROUP BY layout, ck
+)
+SELECT l.layout,
+       CAST(COUNT(DISTINCT l.file_id) AS BIGINT) AS n_files,
+       CAST((SELECT SUM(nf) * 1000 // COUNT(*) FROM day_files d
+             WHERE d.layout = l.layout) AS BIGINT) AS files_per_day_milli,
+       CAST((SELECT SUM(nf) * 1000 // COUNT(*) FROM ck_files c
+             WHERE c.layout = l.layout) AS BIGINT) AS files_per_custbucket_milli
+FROM layouts l
+GROUP BY l.layout
+"""
+
+
+@register(
+    "zorder_layout_audit",
+    _ZORDER_SQL,
+    doc="Multi-dimensional layout audit: the same orders fact under a "
+    "date-linear file layout vs a Morton (Z-order) interleave of "
+    "(day, custkey%4096), measuring the average number of files a "
+    "single-day query and a single-customer-bucket query must touch. "
+    "Date partitioning gives 1-ish file per day but every file per "
+    "customer; Z-order balances both — the quantified case for "
+    "OPTIMIZE ZORDER at 100 TB. The interleave is pure integer bit "
+    "arithmetic (shiftleft/shiftright/AND), spelled natively on each "
+    "engine, and every aggregate is map-side combinable.",
+)
+def q_zorder_layout_audit(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lit(f"{_Z_EPOCH} 00:00:00").cast("timestamp")
+        )
+        .cast("long")
+        .alias("day_idx"),
+        (F.col("o_custkey") % 4096).alias("ck"),
+    )
+    linear = keyed.select(
+        F.lit("linear_by_date").alias("layout"),
+        "day_idx",
+        "ck",
+        F.expr("day_idx DIV 16").alias("file_id"),
+    )
+    zord = keyed.select(
+        F.lit("zorder").alias("layout"),
+        "day_idx",
+        "ck",
+        (
+            _z_interleave_col(F.col("day_idx"), F.col("ck")) / _Z_FILE_ROWS
+        )
+        .cast("long")
+        .alias("file_id"),
+    )
+    layouts = linear.unionByName(zord)
+    day_files = layouts.groupBy("layout", "day_idx").agg(
+        F.count_distinct("file_id").alias("nf")
+    )
+    ck_files = layouts.groupBy("layout", "ck").agg(
+        F.count_distinct("file_id").alias("nf")
+    )
+    day_avg = day_files.groupBy("layout").agg(
+        F.expr("SUM(nf) * 1000 DIV COUNT(*)").cast("long").alias("files_per_day_milli")
+    )
+    ck_avg = ck_files.groupBy("layout").agg(
+        F.expr("SUM(nf) * 1000 DIV COUNT(*)")
+        .cast("long")
+        .alias("files_per_custbucket_milli")
+    )
+    totals = layouts.groupBy("layout").agg(
+        F.count_distinct("file_id").cast("long").alias("n_files")
+    )
+    return (
+        totals.join(day_avg, "layout")
+        .join(ck_avg, "layout")
+        .select("layout", "n_files", "files_per_day_milli", "files_per_custbucket_milli")
+    )

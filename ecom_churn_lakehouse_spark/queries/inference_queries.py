@@ -283,3 +283,84 @@ def q_acctbal_variance_components(spark, sf_dir):
         .cast("string")
         .alias("var_numer_cents2"),
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped OLS components: discount -> quantity elasticity per brand.
+# --------------------------------------------------------------------------
+
+#: Slope/intercept from exact integer component sums, quantized with
+#: one shared IEEE expression text (the components are BIGINT-exact;
+#: only the final ratio goes through double).
+_SLOPE_MICRO = (
+    "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sum_xy AS DOUBLE)"
+    " - CAST(sum_x_bp AS DOUBLE) * CAST(sum_y AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sum_xx AS DOUBLE)"
+    " - CAST(sum_x_bp AS DOUBLE) * CAST(sum_x_bp AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_OLS_SQL = f"""
+WITH comp AS (
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS BIGINT) AS sum_x_bp,
+           CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT) AS sum_y,
+           CAST(SUM(CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT) AS sum_xy,
+           CAST(SUM(CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS BIGINT) AS sum_xx
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+)
+SELECT brand, n, sum_x_bp, sum_y, sum_xy, sum_xx,
+       {_SLOPE_MICRO} AS slope_micro
+FROM comp
+"""
+
+
+@register(
+    "brand_discount_elasticity_components",
+    _OLS_SQL,
+    doc="Grouped OLS: per-brand discount(basis points) -> quantity "
+    "regression from EXACT integer component sums (n, Σx, Σy, Σxy, "
+    "Σxx as BIGINT; the only float is the final slope ratio, floor-"
+    "quantized through one shared IEEE expression). The per-group-"
+    "regression shape every feature-screening pass needs: one fact-"
+    "dim join, one map-side-combinable aggregate per brand, no "
+    "per-row Python anywhere. Component exactness envelope: Σxx at "
+    "basis-point scale fits int64 to ~9e12 rows per brand.",
+)
+def q_brand_discount_elasticity_components(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("x_bp"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    comp = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x_bp").cast("long").alias("sum_x_bp"),
+            F.sum("y").cast("long").alias("sum_y"),
+            F.sum(F.col("x_bp") * F.col("y")).cast("long").alias("sum_xy"),
+            F.sum(F.col("x_bp") * F.col("x_bp")).cast("long").alias("sum_xx"),
+        )
+    )
+    return comp.select(
+        "brand",
+        "n",
+        "sum_x_bp",
+        "sum_y",
+        "sum_xy",
+        "sum_xx",
+        F.expr(_SLOPE_MICRO).alias("slope_micro"),
+    )

@@ -58,6 +58,8 @@ _TWINS = [
     "user_erasure_audit",        # IN-subquery cascade + scalar subquery
     "expanding_window_folds",    # DATE literals, conditional COUNT(CASE)
     "incremental_agg_maintenance",  # 3-way join + DECIMAL cents agg
+    "join_cardinality_estimate",    # scalar subqueries + USING join + FLOOR/GREATEST
+    "promo_chisq_independence",     # window marginals + LIKE + ordinal GROUP BY
 ]
 
 

@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "zorder_layout_audit",
+    "brand_discount_elasticity_components",
+    "sql_join_cardinality_estimate",
+    "sql_promo_chisq_independence",
     "stream_checksum_maintenance",
     "chunk_dedup_savings",
     "neardup_split_leakage",

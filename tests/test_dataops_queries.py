@@ -89,3 +89,15 @@ def test_stream_checksum_converges_to_batch_checksum(spark):
     for seg in batch:
         for c in ("n_rows", "xor_checksum", "min_hash", "max_hash"):
             assert batch[seg][c] == stream[seg][c], (seg, c)
+
+
+def test_zorder_balances_both_access_paths(spark):
+    rows = {r["layout"]: r for r in queries()["zorder_layout_audit"](spark, SF).collect()}
+    assert set(rows) == {"linear_by_date", "zorder"}
+    lin, z = rows["linear_by_date"], rows["zorder"]
+    # date-linear layout: each day maps to exactly one file
+    assert lin["files_per_day_milli"] == 1000
+    # ...and z-order must beat linear on the OTHER dimension
+    assert z["files_per_custbucket_milli"] < lin["files_per_custbucket_milli"]
+    # while costing more files per day than the date-partitioned layout
+    assert z["files_per_day_milli"] >= lin["files_per_day_milli"]

@@ -71,3 +71,23 @@ def test_variance_numerator_matches_two_pass_computation(spark):
         assert numer == int(Decimal(r["var_numer_cents2"]))
         # population variance numerator is always >= 0
         assert numer >= 0
+
+
+def test_brand_ols_components_satisfy_cauchy_schwarz(spark):
+    rows = queries()["brand_discount_elasticity_components"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # variance numerator n*Sxx - Sx^2 >= 0 (Cauchy-Schwarz), and
+        # strictly > 0 here since discounts vary within a brand
+        assert r["n"] * r["sum_xy"] is not None
+        assert r["n"] * r["sum_xx"] - r["sum_x_bp"] ** 2 > 0
+        # slope_micro recomputes from the exact components
+        num = float(r["n"] * r["sum_xy"] - r["sum_x_bp"] * r["sum_y"])
+        den = float(r["n"] * r["sum_xx"] - r["sum_x_bp"] ** 2)
+        import math
+
+        assert r["slope_micro"] == math.floor(
+            (float(r["n"]) * float(r["sum_xy"]) - float(r["sum_x_bp"]) * float(r["sum_y"]))
+            / (float(r["n"]) * float(r["sum_xx"]) - float(r["sum_x_bp"]) * float(r["sum_x_bp"]))
+            * 1e6
+        )
