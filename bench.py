@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "scd2_asof_fact_join",
     "brand_discount_elasticity_components",
     "zorder_layout_audit",
     "stream_checksum_maintenance",

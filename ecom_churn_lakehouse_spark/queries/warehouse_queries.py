@@ -915,3 +915,92 @@ def q_stream_checksum_maintenance(spark, sf_dir):
             F.max("max_hash").cast("long").alias("max_hash"),
         )
     )
+
+
+# ------------------------------------------- SCD2 as-of fact join
+
+#: The dimension CTE is the scd2_priority_history oracle VERBATIM so
+#: the two entries cannot desynchronize.
+_SCD2_ASOF_SQL = _SCD2_SQL.strip().replace("WITH ", "", 1)
+
+_SCD2_ASOF_JOIN_SQL = f"""
+WITH {_SCD2_ASOF_SQL.split("SELECT customer_id, version")[0].rstrip().rstrip(")").rstrip()}
+),
+dim AS (
+SELECT customer_id, version{_SCD2_ASOF_SQL.split("SELECT customer_id, version", 1)[1]}
+),
+fact AS (
+    SELECT o.o_custkey AS customer_id,
+           CAST(l.l_shipdate AS DATE) AS ship_date,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS price_cents
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT COALESCE(d.priority, 'PRE-HISTORY') AS priority_at_ship,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(f.price_cents) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(DISTINCT f.customer_id) AS BIGINT) AS n_customers
+FROM fact f
+LEFT JOIN dim d
+  ON d.customer_id = f.customer_id
+ AND d.valid_from <= f.ship_date
+ AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+GROUP BY COALESCE(d.priority, 'PRE-HISTORY')
+"""
+
+
+@register(
+    "scd2_asof_fact_join",
+    _SCD2_ASOF_JOIN_SQL,
+    doc="Temporal (as-of) fact-to-dimension join: every line item "
+    "resolves the customer's order-priority VERSION that was valid at "
+    "ship time against the SCD2 history scd2_priority_history builds, "
+    "then rolls revenue up by priority-as-of-ship. The join is "
+    "customer-equi with a residual [valid_from, valid_to) range "
+    "predicate — per-key version lists are short, so the range check "
+    "is row-local after the equi shuffle; intervals partition each "
+    "customer's timeline, so exactly one version matches per line "
+    "(asserted in tests). This is the late-arriving-dimension "
+    "resolution every warehouse MERGE pipeline needs.",
+)
+def q_scd2_asof_fact_join(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.scd2 import scd2_build
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = scd2_build(
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderkey",
+            F.col("o_orderpriority").alias("priority"),
+        ),
+        "customer_id",
+        "priority",
+        "order_date",
+        "o_orderkey",
+    ).select("customer_id", "priority", "valid_from", "valid_to")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    fact = li.join(
+        orders.select("o_orderkey", F.col("o_custkey").alias("customer_id")),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("customer_id", "ship_date", "price_cents")
+    joined = fact.join(
+        dim.withColumnRenamed("customer_id", "d_customer_id"),
+        (F.col("customer_id") == F.col("d_customer_id"))
+        & (F.col("valid_from") <= F.col("ship_date"))
+        & (F.col("valid_to").isNull() | (F.col("ship_date") < F.col("valid_to"))),
+        "left",
+    )
+    return joined.groupBy(
+        F.coalesce(F.col("priority"), F.lit("PRE-HISTORY")).alias("priority_at_ship")
+    ).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("price_cents").cast("long").alias("revenue_cents"),
+        F.count_distinct("customer_id").cast("long").alias("n_customers"),
+    )

@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "scd2_asof_fact_join",
     "zorder_layout_audit",
     "brand_discount_elasticity_components",
     "sql_join_cardinality_estimate",

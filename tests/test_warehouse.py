@@ -171,3 +171,25 @@ def test_isotonic_calibration_invariants(spark):
         mass = sum(r["n"] * r["fitted_rate_ppm"] for r in rs)
         truth = sum(r["y_sum"] for r in rs) * 1_000_000
         assert truth - sum(r["n"] for r in rs) < mass + 1 and mass <= truth
+
+
+def test_scd2_asof_join_matches_exactly_one_version_per_line(spark):
+    # conservation: the as-of join neither drops nor duplicates lines —
+    # total joined lines equals the raw lineitem count (intervals
+    # partition each customer's timeline from their first order date,
+    # and every ship date is >= the order date >= that start)
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    rows = queries()["scd2_asof_fact_join"](spark, sf).collect()
+    total = sum(r["n_lines"] for r in rows)
+    n_li = duckdb.sql(f"SELECT COUNT(*) FROM '{sf}/lineitem.parquet'").fetchone()[0]
+    assert total == n_li
+    by = {r["priority_at_ship"]: r for r in rows}
+    # facts shipping before the customer's first version land in the
+    # explicit PRE-HISTORY bucket; everything else resolved uniquely
+    assert set(by) - {"PRE-HISTORY"}, "no version ever resolved"
+    for r in rows:
+        assert r["revenue_cents"] > 0 and r["n_customers"] >= 1
