@@ -941,10 +941,8 @@ SELECT COALESCE(d.priority, 'PRE-HISTORY') AS priority_at_ship,
        CAST(SUM(f.price_cents) AS BIGINT) AS revenue_cents,
        CAST(COUNT(DISTINCT f.customer_id) AS BIGINT) AS n_customers
 FROM fact f
-LEFT JOIN dim d
-  ON d.customer_id = f.customer_id
- AND d.valid_from <= f.ship_date
- AND (d.valid_to IS NULL OR f.ship_date < d.valid_to)
+ASOF LEFT JOIN dim d
+  ON f.customer_id = d.customer_id AND f.ship_date >= d.valid_from
 GROUP BY COALESCE(d.priority, 'PRE-HISTORY')
 """
 
