@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "ann_filtered_topk",
+    "golden_record_consolidation",
     "scd2_asof_fact_join",
     "brand_discount_elasticity_components",
     "zorder_layout_audit",

@@ -685,3 +685,101 @@ def q_zorder_layout_audit(spark, sf_dir):
         .join(ck_avg, "layout")
         .select("layout", "n_files", "files_per_day_milli", "files_per_custbucket_milli")
     )
+
+
+# --------------------------------------------------------------------------
+# Golden-record consolidation (MDM survivorship).
+# --------------------------------------------------------------------------
+
+#: Three deterministic "systems" feed duplicate customer records:
+#: CRM (the base row, recency 1), WEB (custkey%8==0: fresher segment,
+#: missing balance, recency 2), BILLING (custkey%5==0: fresher
+#: balance, missing segment, recency 3). Survivorship = latest
+#: NON-NULL value per attribute.
+_GOLDEN_RECORDS_SQL = """
+records AS (
+    SELECT c_custkey AS entity_key, 1 AS recency, 'crm' AS sys,
+           c_mktsegment AS segment,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS acctbal_cents
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 2, 'web',
+           'UPGRADED', CAST(NULL AS BIGINT)
+    FROM customer WHERE c_custkey % 8 = 0
+    UNION ALL
+    SELECT c_custkey, 3, 'billing',
+           CAST(NULL AS VARCHAR),
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + 500
+    FROM customer WHERE c_custkey % 5 = 0
+)
+"""
+
+_GOLDEN_SQL = f"""
+WITH {_GOLDEN_RECORDS_SQL.strip()}
+SELECT entity_key,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(DISTINCT sys) AS BIGINT) AS n_sources,
+       MAX(CASE WHEN segment IS NOT NULL
+                THEN {{'r': recency, 'v': segment}} END).v AS segment,
+       MAX(CASE WHEN acctbal_cents IS NOT NULL
+                THEN {{'r': recency, 'v': acctbal_cents}} END).v AS acctbal_cents,
+       CAST(MAX(recency) AS INTEGER) AS latest_recency
+FROM records
+GROUP BY entity_key
+"""
+
+
+@register(
+    "golden_record_consolidation",
+    _GOLDEN_SQL,
+    doc="MDM golden-record survivorship: duplicate per-entity records "
+    "from three systems (deterministic synthetic feeds with fresher-"
+    "but-sparser attributes) consolidate to one row per entity by the "
+    "LATEST NON-NULL value per attribute (struct-MAX argmax over a "
+    "recency-keyed struct, null observations excluded per column "
+    "independently) plus record/source provenance counts. One grouped "
+    "aggregate on the entity key — consolidation at 100 TB is a "
+    "single shuffle of (key, recency, attrs) rows, no window, no "
+    "self-join.",
+)
+def q_golden_record_consolidation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    crm = cust.select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit(1).alias("recency"),
+        F.lit("crm").alias("sys"),
+        F.col("c_mktsegment").alias("segment"),
+        cents.alias("acctbal_cents"),
+    )
+    web = cust.filter(F.col("c_custkey") % 8 == 0).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit(2).alias("recency"),
+        F.lit("web").alias("sys"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit(None).cast("long").alias("acctbal_cents"),
+    )
+    billing = cust.filter(F.col("c_custkey") % 5 == 0).select(
+        F.col("c_custkey").alias("entity_key"),
+        F.lit(3).alias("recency"),
+        F.lit("billing").alias("sys"),
+        F.lit(None).cast("string").alias("segment"),
+        (cents + 500).alias("acctbal_cents"),
+    )
+    records = crm.unionByName(web).unionByName(billing)
+
+    def latest_nonnull(col):
+        return F.max(
+            F.when(
+                F.col(col).isNotNull(),
+                F.struct(F.col("recency").alias("r"), F.col(col).alias("v")),
+            )
+        )["v"]
+
+    return records.groupBy("entity_key").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.count_distinct("sys").cast("long").alias("n_sources"),
+        latest_nonnull("segment").alias("segment"),
+        latest_nonnull("acctbal_cents").alias("acctbal_cents"),
+        F.max("recency").cast("int").alias("latest_recency"),
+    )

@@ -2020,3 +2020,82 @@ def q_ann_nprobe_recall_curve(spark, sf_dir):
             .alias("recall_ppm"),
         )
     )
+
+
+# --------------------------------------------- filtered vector search
+
+_FILTERED_TOPK_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label
+    FROM embeddings
+),
+pre AS (
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (
+            SELECT query_id, neighbor_id,
+                   {_COS.format(a="qv", b="cv")} AS sim
+            FROM q, c
+            WHERE query_id <> neighbor_id AND c.label = 1
+        )
+    ) WHERE rn <= 5
+),
+post AS (
+    SELECT query_id, neighbor_id, ROUND(sim, 6) AS cosine_sim
+    FROM (
+        SELECT query_id, neighbor_id, sim, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (
+            SELECT query_id, neighbor_id, label,
+                   {_COS.format(a="qv", b="cv")} AS sim
+            FROM q, c
+            WHERE query_id <> neighbor_id
+        )
+    ) WHERE rn <= 5 AND label = 1
+)
+SELECT 'prefilter' AS strategy, query_id, neighbor_id, cosine_sim FROM pre
+UNION ALL
+SELECT 'postfilter' AS strategy, query_id, neighbor_id, cosine_sim FROM post
+"""
+
+
+@register(
+    "ann_filtered_topk",
+    _FILTERED_TOPK_SQL,
+    doc="Filtered vector search, both strategies side by side: "
+    "PREFILTER restricts the corpus to the metadata predicate "
+    "(label=1) before exact top-5 — full recall, search space shrinks "
+    "with selectivity; POSTFILTER takes unfiltered top-5 then applies "
+    "the predicate — cheaper per query against a prebuilt unfiltered "
+    "index but loses neighbors (every postfilter row also appears "
+    "under prefilter; the deficit IS the recall loss, asserted in "
+    "tests). The trade every filtered-ANN serving layer tunes; on the "
+    "IVF path the same predicate pushes into the cell scan.",
+)
+def q_ann_filtered_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    pre = brute_force_topk(queries_df, emb.filter(F.col("label") == 1), k=5).select(
+        F.lit("prefilter").alias("strategy"), "query_id", "neighbor_id", "cosine_sim"
+    )
+    labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    post = (
+        brute_force_topk(queries_df, emb, k=5)
+        .join(F.broadcast(labels), "neighbor_id")
+        .filter(F.col("label") == 1)
+        .select(
+            F.lit("postfilter").alias("strategy"),
+            "query_id",
+            "neighbor_id",
+            "cosine_sim",
+        )
+    )
+    return pre.unionByName(post)

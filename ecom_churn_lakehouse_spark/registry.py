@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "golden_record_consolidation",
+    "ann_filtered_topk",
     "scd2_asof_fact_join",
     "zorder_layout_audit",
     "brand_discount_elasticity_components",

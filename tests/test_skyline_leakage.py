@@ -77,3 +77,36 @@ def test_chunk_savings_conserve_and_detect_planted_dups(spark):
         assert 0 <= r["savings_ppm"] < 1_000_000
     # planted exact doc copies guarantee duplicate full chunks
     assert rows[True]["n_dup_chunks"] > 0
+
+
+def test_postfilter_is_subset_of_prefilter_with_recall_loss(spark):
+    rows = queries()["ann_filtered_topk"](spark, SF).collect()
+    pre = {(r["query_id"], r["neighbor_id"]) for r in rows if r["strategy"] == "prefilter"}
+    post = {(r["query_id"], r["neighbor_id"]) for r in rows if r["strategy"] == "postfilter"}
+    assert pre and post
+    # every postfilter survivor is also found by prefilter (both exact
+    # over the same predicate; postfilter can only lose neighbors)
+    assert post <= pre
+    # per query, postfilter returns at most as many neighbors
+    from collections import Counter
+
+    cpre = Counter(q for q, _ in pre)
+    cpost = Counter(q for q, _ in post)
+    for q in cpre:
+        assert cpost.get(q, 0) <= cpre[q] == 5
+
+
+def test_golden_record_survivorship_rules(spark):
+    rows = {r["entity_key"]: r for r in queries()["golden_record_consolidation"](spark, SF).collect()}
+    assert rows
+    for k, r in rows.items():
+        in_web = k % 8 == 0
+        in_billing = k % 5 == 0
+        assert r["n_records"] == 1 + in_web + in_billing
+        assert r["n_sources"] == r["n_records"]
+        # latest non-null wins per column INDEPENDENTLY
+        if in_web:
+            assert r["segment"] == "UPGRADED"
+        if in_billing:
+            assert r["latest_recency"] == 3
+        assert r["segment"] is not None and r["acctbal_cents"] is not None
