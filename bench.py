@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "neyman_allocation",
     "ann_filtered_topk",
     "golden_record_consolidation",
     "scd2_asof_fact_join",

@@ -364,3 +364,130 @@ def q_brand_discount_elasticity_components(spark, sf_dir):
         "sum_xx",
         F.expr(_SLOPE_MICRO).alias("slope_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Neyman allocation: optimal stratified-sample sizes.
+# --------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+_NEYMAN_SQL = f"""
+WITH comp AS (
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS s1,
+           CAST(SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS DECIMAL(25,0)))
+                AS DECIMAL(25,0)) AS s2
+    FROM customer GROUP BY c_nationkey
+),
+weights AS (
+    SELECT c_nationkey, n,
+           -- N_h * S_h = sqrt(n*SUMSQ - SUM^2) exactly (population S);
+           -- the numerator is exact DECIMAL, the sqrt is the only
+           -- float (correctly rounded), floor-quantized to milli
+           CAST(FLOOR(sqrt(CAST(CAST(n AS DECIMAL(12,0)) * s2
+                           - CAST(CAST(s1 AS DECIMAL(18,0))
+                                  * CAST(s1 AS DECIMAL(18,0)) AS DECIMAL(37,0))
+                           AS DOUBLE)) * 1000.0) AS BIGINT) AS w_milli
+    FROM comp
+),
+tot AS (
+    SELECT c_nationkey, n, w_milli,
+           CAST(SUM(w_milli) OVER () AS BIGINT) AS w_total
+    FROM weights
+),
+quota AS (
+    SELECT c_nationkey, n, w_milli,
+           {_NEYMAN_BUDGET} * w_milli // w_total AS floor_units,
+           {_NEYMAN_BUDGET} * w_milli % w_total AS rem
+    FROM tot
+),
+ranked AS (
+    SELECT c_nationkey, n, w_milli, floor_units,
+           RANK() OVER (ORDER BY rem DESC, c_nationkey) AS rem_rank,
+           CAST({_NEYMAN_BUDGET} - SUM(floor_units) OVER () AS BIGINT) AS leftover
+    FROM quota
+)
+SELECT nn.n_name AS nation, r.n AS n_rows, r.w_milli,
+       CAST(r.floor_units
+            + CASE WHEN r.rem_rank <= r.leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc_n
+FROM ranked r JOIN nation nn ON nn.n_nationkey = r.c_nationkey
+"""
+
+
+@register(
+    "neyman_allocation",
+    _NEYMAN_SQL,
+    doc=f"Neyman-optimal stratified sampling design: allocate a "
+    f"{_NEYMAN_BUDGET}-row sample budget across nation strata "
+    "proportionally to N_h*S_h — which for population S equals "
+    "sqrt(n*Σx²−(Σx)²) EXACTLY, so the whole design needs one "
+    "correctly-rounded sqrt per stratum on top of exact integer "
+    "components, then integer largest-remainder apportionment "
+    "(floor quotas + remainder ranking) so allocations sum to the "
+    "budget exactly. One map-combinable aggregate over the frame; "
+    "all windows run on the 25-row stratum frame.",
+)
+def q_neyman_allocation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    comp = cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s1"),
+        F.sum((F.col("cents") * F.col("cents")).cast("decimal(25,0)"))
+        .cast("decimal(25,0)")
+        .alias("s2"),
+    )
+    numer = (
+        F.col("n").cast("decimal(12,0)") * F.col("s2")
+        - (F.col("s1").cast("decimal(18,0)") * F.col("s1").cast("decimal(18,0)")).cast(
+            "decimal(37,0)"
+        )
+    )
+    weights = comp.select(
+        "c_nationkey",
+        "n",
+        F.floor(F.sqrt(numer.cast("double")) * 1000.0).cast("long").alias("w_milli"),
+    )
+    tot = weights.select(
+        "c_nationkey",
+        "n",
+        "w_milli",
+        F.sum("w_milli").over(Window.partitionBy()).cast("long").alias("w_total"),
+    )
+    quota = tot.select(
+        "c_nationkey",
+        "n",
+        "w_milli",
+        F.expr(f"{_NEYMAN_BUDGET} * w_milli DIV w_total").alias("floor_units"),
+        F.expr(f"{_NEYMAN_BUDGET} * w_milli % w_total").alias("rem"),
+    )
+    ranked = quota.select(
+        "c_nationkey",
+        "n",
+        "w_milli",
+        "floor_units",
+        F.rank().over(Window.orderBy(F.col("rem").desc(), "c_nationkey")).alias("rem_rank"),
+        (F.lit(_NEYMAN_BUDGET) - F.sum("floor_units").over(Window.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return ranked.join(F.broadcast(nation), ranked.c_nationkey == nation.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("n").alias("n_rows"),
+        "w_milli",
+        (
+            F.col("floor_units")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc_n"),
+    )

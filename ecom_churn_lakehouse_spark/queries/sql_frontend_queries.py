@@ -60,6 +60,7 @@ _TWINS = [
     "incremental_agg_maintenance",  # 3-way join + DECIMAL cents agg
     "join_cardinality_estimate",    # scalar subqueries + USING join + FLOOR/GREATEST
     "promo_chisq_independence",     # window marginals + LIKE + ordinal GROUP BY
+    "brand_discount_elasticity_components",  # exact BIGINT component sums + shared FLOOR expr
 ]
 
 

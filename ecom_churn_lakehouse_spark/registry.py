@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "neyman_allocation",
+    "sql_brand_discount_elasticity_components",
     "golden_record_consolidation",
     "ann_filtered_topk",
     "scd2_asof_fact_join",

@@ -91,3 +91,15 @@ def test_brand_ols_components_satisfy_cauchy_schwarz(spark):
             / (float(r["n"]) * float(r["sum_xx"]) - float(r["sum_x_bp"]) * float(r["sum_x_bp"]))
             * 1e6
         )
+
+
+def test_neyman_allocation_conserves_budget_and_orders_by_dispersion(spark):
+    rows = queries()["neyman_allocation"](spark, SF).collect()
+    assert len(rows) == 25
+    assert sum(r["alloc_n"] for r in rows) == 10_000
+    for r in rows:
+        assert r["alloc_n"] >= 0 and r["w_milli"] >= 0
+    # allocation is monotone in the weight (up to the +/-1 remainder unit)
+    srt = sorted(rows, key=lambda r: r["w_milli"])
+    for a, b in zip(srt, srt[1:]):
+        assert b["alloc_n"] >= a["alloc_n"] - 1
