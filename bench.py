@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "orc_roundtrip_integrity",
+    "embedding_drift_by_dim",
     "neyman_allocation",
     "ann_filtered_topk",
     "golden_record_consolidation",

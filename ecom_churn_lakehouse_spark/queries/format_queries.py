@@ -121,3 +121,23 @@ def q_json_roundtrip_integrity(spark, sf_dir):
         F.col("payload.order_date").alias("order_date"),
     )
     return _summarize(flat)
+
+
+@register(
+    "orc_roundtrip_integrity",
+    _EXTRACT_SQL,
+    doc="ORC sink + source round-trip: the same typed orders extract "
+    "through Spark's built-in columnar ORC path (snappy, column "
+    "statistics on by default), read back and aggregated to the same "
+    "parquet-direct oracle. Completes the built-in format matrix "
+    "(parquet/CSV/JSON/ORC); at scale ORC reads are stripe-parallel "
+    "and predicate pushdown works off the stripe statistics exactly "
+    "as parquet row groups do.",
+)
+def q_orc_roundtrip_integrity(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    base = scratch_dir(prefix="fmt_orc_")
+    _extract(spark, sf_dir).write.mode("overwrite").orc(f"{base}/orders_orc")
+    back = spark.read.orc(f"{base}/orders_orc")
+    return _summarize(back)

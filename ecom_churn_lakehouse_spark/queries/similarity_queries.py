@@ -2099,3 +2099,101 @@ def q_ann_filtered_topk(spark, sf_dir):
         )
     )
     return pre.unionByName(post)
+
+
+# ------------------------------------------------- embedding drift
+
+#: Old cohort = first half of vec_ids, new cohort = second half.
+#: Values quantized per element to micro BEFORE any aggregation
+#: (float sums are order-dependent; integer sums are exact), and the
+#: per-dimension mean uses an OFFSET so the integer division never
+#: sees a negative numerator (DIV truncates toward zero on Spark but
+#: floors on DuckDB — identical only for non-negative operands).
+_DRIFT_SQL = """
+WITH bounds AS (
+    SELECT MIN(vec_id) + (MAX(vec_id) - MIN(vec_id)) // 2 AS mid
+    FROM embeddings
+),
+vals AS (
+    SELECT CASE WHEN e.vec_id <= b.mid THEN 'old' ELSE 'new' END AS cohort,
+           generate_subscripts(e.embedding, 1) - 1 AS dim_idx,
+           CAST(FLOOR(CAST(unnest(e.embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS v_micro
+    FROM embeddings e
+    CROSS JOIN bounds b
+),
+agg AS (
+    SELECT cohort, CAST(dim_idx AS INTEGER) AS dim_idx,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+           (CAST(SUM(v_micro) AS BIGINT) + CAST(COUNT(*) AS BIGINT) * 1000000)
+               // CAST(COUNT(*) AS BIGINT) - 1000000 AS mean_micro
+    FROM vals GROUP BY cohort, dim_idx
+)
+SELECT o.dim_idx,
+       o.n AS n_old, n.n AS n_new,
+       CAST(o.mean_micro AS BIGINT) AS mean_old_micro,
+       CAST(n.mean_micro AS BIGINT) AS mean_new_micro,
+       CAST(n.mean_micro - o.mean_micro AS BIGINT) AS shift_micro
+FROM (SELECT * FROM agg WHERE cohort = 'old') o
+JOIN (SELECT * FROM agg WHERE cohort = 'new') n USING (dim_idx)
+"""
+
+
+@register(
+    "embedding_drift_by_dim",
+    _DRIFT_SQL,
+    doc="Embedding drift monitor: per-dimension mean shift between an "
+    "old and a new vector cohort, the serving-side check that a "
+    "re-embedded corpus or upgraded encoder has not moved the space "
+    "under a frozen index. Every value is floor-quantized to micro "
+    "per ELEMENT before aggregation (float sums are partial-order "
+    "dependent; integer sums are exact), and the mean division is "
+    "offset-shifted so no negative numerator ever meets DIV. One "
+    "dims-wide explode with map-side-combinable partial aggregation — "
+    "the shuffle carries 64 rows per cohort, not vectors.",
+)
+def q_embedding_drift_by_dim(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    mid = emb.agg(
+        (F.min("vec_id") + F.expr("(MAX(vec_id) - MIN(vec_id)) DIV 2")).alias("mid")
+    )
+    vals = (
+        emb.crossJoin(F.broadcast(mid))
+        .select(
+            F.when(F.col("vec_id") <= F.col("mid"), "old").otherwise("new").alias("cohort"),
+            F.posexplode(F.col("embedding")),
+        )
+        .select(
+            "cohort",
+            F.col("pos").cast("int").alias("dim_idx"),
+            F.floor(F.col("col").cast("double") * 1000000).cast("long").alias("v_micro"),
+        )
+    )
+    agg = vals.groupBy("cohort", "dim_idx").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v_micro").cast("long").alias("sum_micro"),
+    ).withColumn(
+        "mean_micro",
+        F.expr("(sum_micro + n * 1000000) DIV n - 1000000"),
+    )
+    old = agg.filter(F.col("cohort") == "old").select(
+        "dim_idx",
+        F.col("n").alias("n_old"),
+        F.col("mean_micro").alias("mean_old_micro"),
+    )
+    new = agg.filter(F.col("cohort") == "new").select(
+        "dim_idx",
+        F.col("n").alias("n_new"),
+        F.col("mean_micro").alias("mean_new_micro"),
+    )
+    return old.join(new, "dim_idx").select(
+        "dim_idx",
+        "n_old",
+        "n_new",
+        F.col("mean_old_micro").cast("long").alias("mean_old_micro"),
+        F.col("mean_new_micro").cast("long").alias("mean_new_micro"),
+        (F.col("mean_new_micro") - F.col("mean_old_micro"))
+        .cast("long")
+        .alias("shift_micro"),
+    )

@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "embedding_drift_by_dim",
+    "orc_roundtrip_integrity",
     "neyman_allocation",
     "sql_brand_discount_elasticity_components",
     "golden_record_consolidation",

@@ -110,3 +110,19 @@ def test_golden_record_survivorship_rules(spark):
         if in_billing:
             assert r["latest_recency"] == 3
         assert r["segment"] is not None and r["acctbal_cents"] is not None
+
+
+def test_embedding_drift_cohorts_partition_and_shift_is_consistent(spark):
+    import duckdb
+
+    rows = queries()["embedding_drift_by_dim"](spark, SF).collect()
+    n_vecs = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/embeddings.parquet'"
+    ).fetchone()[0]
+    dims = {r["dim_idx"] for r in rows}
+    assert dims == set(range(len(dims)))
+    for r in rows:
+        assert r["n_old"] + r["n_new"] == n_vecs
+        assert r["shift_micro"] == r["mean_new_micro"] - r["mean_old_micro"]
+        # unit-ish embeddings: per-dim means stay inside [-1, 1]
+        assert -1_000_000 <= r["mean_old_micro"] <= 1_000_000
