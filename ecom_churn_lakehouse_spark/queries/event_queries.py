@@ -1073,3 +1073,75 @@ def q_multi_touch_attribution(spark, sf_dir):
         F.count("*").cast("long").alias("n_credits"),
         F.sum("credit_micro").cast("long").alias("credit_micro_sum"),
     )
+
+
+# ------------------------------------------------- rate-spike detection
+
+_SPIKE_WINDOW_H = 24
+_SPIKE_K_MILLI = 3_000  # flag when count > mean + 3.0 * sqrt(mean)
+
+#: One shared IEEE expression text: the Poisson upper bound on the
+#: trailing-mean rate, floor-quantized to milli-events.
+_SPIKE_BOUND_MILLI = (
+    "CAST(FLOOR((CAST(trail_sum AS DOUBLE) / CAST(trail_n AS DOUBLE)"
+    f" + {_SPIKE_K_MILLI / 1000.0}"
+    " * sqrt(CAST(trail_sum AS DOUBLE) / CAST(trail_n AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_SPIKE_SQL = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY date_trunc('hour', ts)
+),
+trail AS (
+    SELECT hour_ts, n_events,
+           CAST(SUM(n_events) OVER w AS BIGINT) AS trail_sum,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trail_n
+    FROM hourly
+    WINDOW w AS (ORDER BY hour_ts
+                 ROWS BETWEEN {_SPIKE_WINDOW_H} PRECEDING AND 1 PRECEDING)
+)
+SELECT hour_ts, n_events, trail_sum, trail_n,
+       {_SPIKE_BOUND_MILLI} AS bound_milli,
+       n_events * 1000 > {_SPIKE_BOUND_MILLI} AS is_spike
+FROM trail
+WHERE trail_n >= {_SPIKE_WINDOW_H}
+"""
+
+
+@register(
+    "event_rate_spike_flags",
+    _SPIKE_SQL,
+    doc=f"Operational rate-spike monitor: hourly event counts flagged "
+    f"when they exceed the trailing-{_SPIKE_WINDOW_H}h mean plus "
+    "3*sqrt(mean) (the Poisson-noise upper bound, so quiet hours get "
+    "tight thresholds and busy hours loose ones). The fact reduces to "
+    "the hour grain FIRST; the trailing window and the bound run on "
+    "the tiny hour frame — exact integer counts everywhere, the bound "
+    "a single shared floor-quantized IEEE expression. Warm-up hours "
+    "(incomplete trailing window) are excluded, not mis-flagged.",
+)
+def q_event_rate_spike_flags(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count("*").cast("long").alias("n_events"))
+    w = Window.orderBy("hour_ts").rowsBetween(-_SPIKE_WINDOW_H, -1)
+    trail = hourly.select(
+        "hour_ts",
+        "n_events",
+        F.sum("n_events").over(w).cast("long").alias("trail_sum"),
+        F.count("*").over(w).cast("long").alias("trail_n"),
+    ).filter(F.col("trail_n") >= _SPIKE_WINDOW_H)
+    return trail.select(
+        "hour_ts",
+        "n_events",
+        "trail_sum",
+        "trail_n",
+        F.expr(_SPIKE_BOUND_MILLI).alias("bound_milli"),
+        (F.col("n_events") * 1000 > F.expr(_SPIKE_BOUND_MILLI)).alias("is_spike"),
+    )

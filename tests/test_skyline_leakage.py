@@ -126,3 +126,16 @@ def test_embedding_drift_cohorts_partition_and_shift_is_consistent(spark):
         assert r["shift_micro"] == r["mean_new_micro"] - r["mean_old_micro"]
         # unit-ish embeddings: per-dim means stay inside [-1, 1]
         assert -1_000_000 <= r["mean_old_micro"] <= 1_000_000
+
+
+def test_spike_flags_warmup_excluded_and_bound_consistent(spark):
+    import math
+
+    rows = queries()["event_rate_spike_flags"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["trail_n"] == 24  # warm-up rows excluded, full window only
+        mean = r["trail_sum"] / r["trail_n"]
+        bound = math.floor((mean + 3.0 * math.sqrt(mean)) * 1000.0)
+        assert r["bound_milli"] == bound
+        assert r["is_spike"] == (r["n_events"] * 1000 > bound)
