@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "event_cooldown_dedup",
     "event_rate_spike_flags",
     "orc_roundtrip_integrity",
     "embedding_drift_by_dim",

@@ -1145,3 +1145,69 @@ def q_event_rate_spike_flags(spark, sf_dir):
         F.expr(_SPIKE_BOUND_MILLI).alias("bound_milli"),
         (F.col("n_events") * 1000 > F.expr(_SPIKE_BOUND_MILLI)).alias("is_spike"),
     )
+
+
+# ------------------------------------------------- cooldown dedup
+
+_COOLDOWN_MIN = 30
+
+_COOLDOWN_SQL = f"""
+WITH marked AS (
+    SELECT event_type,
+           CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts, event_id) IS NULL
+                     OR CAST(epoch(ts) AS BIGINT)
+                        - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY ts, event_id))
+                               AS BIGINT) >= {_COOLDOWN_MIN} * 60
+                THEN 1 ELSE 0 END AS kept
+    FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_raw,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST((COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS BIGINT)
+           AS suppressed_ppm
+FROM marked
+GROUP BY event_type
+"""
+
+
+@register(
+    "event_cooldown_dedup",
+    _COOLDOWN_SQL,
+    doc=f"Telemetry burst suppression: within each (user, event_type) "
+    f"stream, keep only the FIRST event of any burst — an event is "
+    f"kept iff no same-key event occurred in the preceding "
+    f"{_COOLDOWN_MIN} minutes of the kept-or-dropped raw stream "
+    "(LAG-threshold gaps-and-islands, the retry/double-click "
+    "de-noiser every ingest runs). Gaps compare TRUE elapsed epoch "
+    "seconds on both engines (DuckDB's date_diff counts calendar "
+    "boundaries, which diverges). NOTE the semantics: the cooldown "
+    "is measured against the previous RAW event, so a sustained "
+    "drizzle with sub-threshold gaps suppresses everything after its "
+    "first event. One (user, type) shuffle; suppression rates in "
+    "exact ppm per event type.",
+)
+def q_event_cooldown_dedup(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    kept = F.when(
+        prev.isNull()
+        | (
+            (F.unix_timestamp("ts") - F.unix_timestamp(prev))
+            >= _COOLDOWN_MIN * 60
+        ),
+        1,
+    ).otherwise(0)
+    marked = events.select("event_type", kept.alias("kept"))
+    return marked.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_raw"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.expr("CAST((COUNT(*) - SUM(kept)) * 1000000 DIV COUNT(*) AS BIGINT)").alias(
+            "suppressed_ppm"
+        ),
+    )

@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "event_cooldown_dedup",
     "event_rate_spike_flags",
     "embedding_drift_by_dim",
     "orc_roundtrip_integrity",

@@ -139,3 +139,13 @@ def test_spike_flags_warmup_excluded_and_bound_consistent(spark):
         bound = math.floor((mean + 3.0 * math.sqrt(mean)) * 1000.0)
         assert r["bound_milli"] == bound
         assert r["is_spike"] == (r["n_events"] * 1000 > bound)
+
+
+def test_cooldown_dedup_keeps_at_least_one_per_key_and_bounds(spark):
+    rows = queries()["event_cooldown_dedup"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_kept"] <= r["n_raw"]
+        assert 0 <= r["suppressed_ppm"] < 1_000_000
+        # exact ppm recomputation
+        assert r["suppressed_ppm"] == (r["n_raw"] - r["n_kept"]) * 1_000_000 // r["n_raw"]
