@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "prefix_cache_savings",
+    "ann_topk_diversity_filter",
     "event_cooldown_dedup",
     "event_rate_spike_flags",
     "orc_roundtrip_integrity",

@@ -927,3 +927,74 @@ def q_chunk_dedup_savings(spark, sf_dir):
             "DIV SUM(copies * n_tokens) AS BIGINT)"
         ).alias("savings_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-cache savings (LLM serving economics).
+# ---------------------------------------------------------------------------
+
+_PREFIX_KS = [16, 32, 64]
+
+_PREFIX_ONE_SQL = """
+SELECT {k} AS prefix_k,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pfx) AS BIGINT) AS n_groups,
+       CAST(SUM(tok_n) AS BIGINT) AS total_tokens,
+       CAST((COUNT(*) - COUNT(DISTINCT pfx)) * {k} AS BIGINT) AS tokens_saved,
+       CAST((COUNT(*) - COUNT(DISTINCT pfx)) * {k} * 1000000
+            // SUM(tok_n) AS BIGINT) AS savings_ppm
+FROM (
+    SELECT md5(array_to_string(t[1:{k}], ' ')) AS pfx, len(t) AS tok_n
+    FROM (SELECT regexp_extract_all(trim(text), '\\S+') AS t FROM documents)
+    WHERE len(t) >= {k}
+)
+"""
+
+_PREFIX_SQL = "\nUNION ALL\n".join(
+    _PREFIX_ONE_SQL.format(k=k) for k in _PREFIX_KS
+)
+
+
+@register(
+    "prefix_cache_savings",
+    _PREFIX_SQL,
+    doc="LLM prefix-cache economics: docs sharing an identical "
+    "first-k-token prefix reuse each other's KV cache, so per k in "
+    "{16, 32, 64} this measures the prefix-group structure of the "
+    "corpus and the token mass a perfect prefix cache saves "
+    "((copies-1)*k per group, exact ppm of total tokens). Prefix "
+    "identity travels as an md5, so the grouping exchange carries "
+    "~50 bytes/doc regardless of document width — the same "
+    "hash-early discipline as the dedup tier.",
+)
+def q_prefix_cache_savings(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(toks.alias("t")).select("t", F.size("t").alias("tok_n"))
+    out = None
+    for k in _PREFIX_KS:
+        one = (
+            base.filter(F.col("tok_n") >= k)
+            .select(
+                F.md5(F.array_join(F.slice("t", 1, k), " ")).alias("pfx"), "tok_n"
+            )
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.count_distinct("pfx").cast("long").alias("n_groups"),
+                F.sum("tok_n").cast("long").alias("total_tokens"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("prefix_k"),
+                "n_docs",
+                "n_groups",
+                "total_tokens",
+                ((F.col("n_docs") - F.col("n_groups")) * k)
+                .cast("long")
+                .alias("tokens_saved"),
+                F.expr(
+                    f"CAST((n_docs - n_groups) * {k} * 1000000 DIV total_tokens AS BIGINT)"
+                ).alias("savings_ppm"),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -2197,3 +2197,111 @@ def q_embedding_drift_by_dim(spark, sf_dir):
         .cast("long")
         .alias("shift_micro"),
     )
+
+
+# ------------------------------------------- retrieval diversity filter
+
+_DIVERSITY_SIM_PPM = 950_000
+
+_DIVERSITY_SQL = f"""
+WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % 50 = 0
+),
+c AS (
+    SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings
+),
+topk AS (
+    SELECT query_id, neighbor_id, cv, ROUND(sim, 6) AS cosine_sim,
+           CAST(rn AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cv, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rn
+        FROM (
+            SELECT query_id, neighbor_id, cv,
+                   {_COS.format(a="qv", b="cv")} AS sim
+            FROM q, c WHERE query_id <> neighbor_id
+        )
+    ) WHERE rn <= 10
+),
+flagged AS (
+    SELECT a.query_id, a.neighbor_id, a.cosine_sim, a.rank,
+           MAX(CASE WHEN CAST(FLOOR({_COS.format(a="a.cv", b="b.cv")} * 1000000)
+                             AS BIGINT) >= {_DIVERSITY_SIM_PPM}
+                    THEN b.rank END) IS NOT NULL AS is_redundant
+    FROM topk a
+    LEFT JOIN topk b
+      ON b.query_id = a.query_id AND b.rank < a.rank
+    GROUP BY a.query_id, a.neighbor_id, a.cosine_sim, a.rank
+)
+SELECT query_id, neighbor_id, cosine_sim, rank, is_redundant
+FROM flagged
+"""
+
+
+@register(
+    "ann_topk_diversity_filter",
+    _DIVERSITY_SQL,
+    doc="Retrieval diversity (MMR-lite): within each query's exact "
+    "top-10 list, a neighbor is flagged redundant when it is nearly "
+    "identical (cosine >= 0.95, floor-quantized ppm) to a HIGHER-"
+    "ranked neighbor of the same list — the dedup a RAG context "
+    "builder applies so the prompt is not filled with copies of one "
+    "passage. The pairwise check is k^2-bounded WITHIN each 10-item "
+    "list (never across the corpus), so the filter costs nothing at "
+    "any scale once top-k lists exist.",
+)
+def q_ann_topk_diversity_filter(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") % 50 == 0)
+    topk = brute_force_topk(queries_df, emb, k=10).withColumn(
+        "rank",
+        F.row_number()
+        .over(W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id"))
+        .cast("int"),
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double_array(F.col("embedding")).alias("nv"),
+    )
+    topk_v = topk.join(F.broadcast(vecs), "neighbor_id")
+    a = topk_v.select(
+        "query_id",
+        F.col("neighbor_id").alias("a_id"),
+        F.col("cosine_sim").alias("a_sim"),
+        F.col("rank").alias("a_rank"),
+        F.col("nv").alias("a_v"),
+    )
+    b = topk_v.select(
+        F.col("query_id").alias("b_qid"),
+        F.col("rank").alias("b_rank"),
+        F.col("nv").alias("b_v"),
+    )
+    pair_sim_ppm = F.floor(
+        (dot(F.col("a_v"), F.col("b_v"))
+         / (F.sqrt(dot(F.col("a_v"), F.col("a_v"))) * F.sqrt(dot(F.col("b_v"), F.col("b_v")))))
+        * 1000000
+    ).cast("long")
+    flagged = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("b_qid")) & (F.col("b_rank") < F.col("a_rank")),
+            "left",
+        )
+        .groupBy("query_id", "a_id", "a_sim", "a_rank")
+        .agg(
+            F.max(
+                F.when(pair_sim_ppm >= _DIVERSITY_SIM_PPM, F.col("b_rank"))
+            ).isNotNull().alias("is_redundant")
+        )
+    )
+    return flagged.select(
+        "query_id",
+        F.col("a_id").alias("neighbor_id"),
+        F.col("a_sim").alias("cosine_sim"),
+        F.col("a_rank").alias("rank"),
+        "is_redundant",
+    )

@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "ann_topk_diversity_filter",
+    "prefix_cache_savings",
     "event_cooldown_dedup",
     "event_rate_spike_flags",
     "embedding_drift_by_dim",

@@ -149,3 +149,31 @@ def test_cooldown_dedup_keeps_at_least_one_per_key_and_bounds(spark):
         assert 0 <= r["suppressed_ppm"] < 1_000_000
         # exact ppm recomputation
         assert r["suppressed_ppm"] == (r["n_raw"] - r["n_kept"]) * 1_000_000 // r["n_raw"]
+
+
+def test_prefix_cache_savings_monotonic_structure(spark):
+    rows = {r["prefix_k"]: r for r in queries()["prefix_cache_savings"](spark, SF).collect()}
+    assert set(rows) == {16, 32, 64}
+    for r in rows.values():
+        assert r["n_groups"] <= r["n_docs"]
+        assert r["tokens_saved"] == (r["n_docs"] - r["n_groups"]) * r["prefix_k"]
+        assert 0 <= r["savings_ppm"] < 1_000_000
+    # longer prefixes qualify fewer docs
+    assert rows[16]["n_docs"] >= rows[32]["n_docs"] >= rows[64]["n_docs"]
+
+
+def test_diversity_filter_rank1_never_redundant(spark):
+    rows = queries()["ann_topk_diversity_filter"](spark, SF).collect()
+    assert rows
+    from collections import defaultdict
+
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r["query_id"]].append(r)
+    for q, lst in per_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        assert lst[0]["is_redundant"] is False  # nothing ranks above #1
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        # sims are non-increasing down the list
+        sims = [r["cosine_sim"] for r in lst]
+        assert all(a >= b for a, b in zip(sims, sims[1:]))
