@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "fim_span_stats",
     "prefix_cache_savings",
     "ann_topk_diversity_filter",
     "event_cooldown_dedup",

@@ -998,3 +998,77 @@ def q_prefix_cache_savings(spark, sf_dir):
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Fill-in-the-middle span sampling.
+# ---------------------------------------------------------------------------
+
+_FIM_MIN_TOKENS = 12
+
+from ecom_churn_lakehouse_spark.operators.sampling import (  # noqa: E402
+    hash_bucket,
+    hash_bucket_sql,
+)
+
+_FIM_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, len(regexp_extract_all(trim(text), '\\S+')) AS n_tokens
+    FROM documents
+),
+eligible AS (
+    SELECT doc_id, n_tokens,
+           1 + {hash_bucket_sql("doc_id", "fim_a:", 1_000_000)}
+               % (n_tokens // 3) AS prefix_len,
+           1 + {hash_bucket_sql("doc_id", "fim_b:", 1_000_000)}
+               % (n_tokens // 3) AS middle_len
+    FROM toks WHERE n_tokens >= {_FIM_MIN_TOKENS}
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prefix_len AS BIGINT) AS prefix_len,
+       CAST(middle_len AS BIGINT) AS middle_len,
+       CAST(n_tokens - prefix_len - middle_len AS BIGINT) AS suffix_len,
+       CAST(middle_len * 1000000 // n_tokens AS BIGINT) AS middle_frac_ppm
+FROM eligible
+"""
+
+
+@register(
+    "fim_span_stats",
+    _FIM_SQL,
+    doc="Fill-in-the-middle (FIM) span sampling: per eligible doc "
+    f"(>= {_FIM_MIN_TOKENS} tokens), deterministic prefix/middle/"
+    "suffix split lengths drawn from the shared md5 idiom, each span "
+    "capped at a third of the doc so all three are non-empty — the "
+    "document-to-training-example transform infilling pretraining "
+    "runs, reproducible across engines and reruns because the spans "
+    "are pure projections of (doc_id, n_tokens). Scan-local: no "
+    "shuffle at all.",
+)
+def q_fim_span_stats(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    base = docs.select("doc_id", n.alias("n_tokens")).filter(
+        F.col("n_tokens") >= _FIM_MIN_TOKENS
+    )
+    h_a = hash_bucket(F.col("doc_id"), "fim_a:", mod=1_000_000)
+    h_b = hash_bucket(F.col("doc_id"), "fim_b:", mod=1_000_000)
+    spans = base.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (F.lit(1) + h_a % F.expr("n_tokens DIV 3")).cast("long").alias("prefix_len"),
+        (F.lit(1) + h_b % F.expr("n_tokens DIV 3")).cast("long").alias("middle_len"),
+    )
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "prefix_len",
+        "middle_len",
+        (F.col("n_tokens") - F.col("prefix_len") - F.col("middle_len"))
+        .cast("long")
+        .alias("suffix_len"),
+        F.expr("CAST(middle_len * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "middle_frac_ppm"
+        ),
+    )

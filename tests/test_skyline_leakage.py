@@ -177,3 +177,13 @@ def test_diversity_filter_rank1_never_redundant(spark):
         # sims are non-increasing down the list
         sims = [r["cosine_sim"] for r in lst]
         assert all(a >= b for a, b in zip(sims, sims[1:]))
+
+
+def test_fim_spans_partition_documents_nonempty(spark):
+    rows = queries()["fim_span_stats"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["prefix_len"] >= 1 and r["middle_len"] >= 1 and r["suffix_len"] >= 1
+        assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == r["n_tokens"]
+        assert r["prefix_len"] <= r["n_tokens"] // 3
+        assert 0 < r["middle_frac_ppm"] <= 400_000
