@@ -24,6 +24,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "shuffle_partition_advisor",
+    "categorical_topn_encoding",
     "fim_span_stats",
     "prefix_cache_savings",
     "ann_topk_diversity_filter",

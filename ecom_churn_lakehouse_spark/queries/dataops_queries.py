@@ -783,3 +783,113 @@ def q_golden_record_consolidation(spark, sf_dir):
         latest_nonnull("acctbal_cents").alias("acctbal_cents"),
         F.max("recency").cast("int").alias("latest_recency"),
     )
+
+
+# --------------------------------------------------------------------------
+# Shuffle-partition advisor.
+# --------------------------------------------------------------------------
+
+_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+
+#: Conservative per-type width model (bytes per value in a shuffle
+#: row, uncompressed): fixed-width types by size, strings by measured
+#: average length + 4-byte length header.
+_ADVISOR_TABLES = ["orders", "lineitem", "customer", "events"]
+
+
+def _width_exprs_sql(cols):
+    parts = []
+    for name, typ in cols:
+        if typ in ("BIGINT", "DOUBLE", "TIMESTAMP"):
+            parts.append("8")
+        elif typ == "INTEGER":
+            parts.append("4")
+        else:  # VARCHAR
+            parts.append(f"CAST(FLOOR(AVG(LENGTH({name}))) + 4 AS BIGINT)")
+    return " + ".join(parts)
+
+
+_SHUFFLE_ADVISOR_SQL = None  # built lazily below (needs table schemas)
+
+
+def _build_shuffle_advisor_sql():
+    # Widths come from the SHARED schema model, not a live probe: the
+    # type list is the testdata contract (TESTDATA.md), so the oracle
+    # text is deterministic.
+    schemas = {
+        "orders": [("o_orderkey", "BIGINT"), ("o_custkey", "BIGINT"),
+                   ("o_orderstatus", "VARCHAR"), ("o_totalprice", "DOUBLE"),
+                   ("o_orderdate", "TIMESTAMP"), ("o_orderpriority", "VARCHAR")],
+        "lineitem": [("l_orderkey", "BIGINT"), ("l_partkey", "BIGINT"),
+                     ("l_suppkey", "BIGINT"), ("l_linenumber", "INTEGER"),
+                     ("l_quantity", "DOUBLE"), ("l_extendedprice", "DOUBLE"),
+                     ("l_discount", "DOUBLE"), ("l_tax", "DOUBLE"),
+                     ("l_returnflag", "VARCHAR"), ("l_linestatus", "VARCHAR"),
+                     ("l_shipdate", "TIMESTAMP")],
+        "customer": [("c_custkey", "BIGINT"), ("c_name", "VARCHAR"),
+                     ("c_nationkey", "INTEGER"), ("c_acctbal", "DOUBLE"),
+                     ("c_mktsegment", "VARCHAR")],
+        "events": [("event_id", "BIGINT"), ("ts", "TIMESTAMP"),
+                   ("user_id", "BIGINT"), ("event_type", "VARCHAR"),
+                   ("value", "DOUBLE"), ("props", "VARCHAR")],
+    }
+    selects = []
+    for t in _ADVISOR_TABLES:
+        width = _width_exprs_sql(schemas[t])
+        selects.append(f"""
+SELECT '{t}' AS table_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST({width} AS BIGINT) AS est_row_bytes,
+       CAST(COUNT(*) * ({width}) AS BIGINT) AS est_shuffle_bytes,
+       CAST(GREATEST(COUNT(*) * ({width}) // {_TARGET_PARTITION_BYTES}, 1)
+            AS BIGINT) AS recommended_partitions
+FROM {t}""")
+    return "\nUNION ALL\n".join(selects)
+
+
+_SHUFFLE_ADVISOR_SQL = _build_shuffle_advisor_sql()
+
+
+@register(
+    "shuffle_partition_advisor",
+    _SHUFFLE_ADVISOR_SQL,
+    doc=f"Config advisor: per table, estimated uncompressed shuffle "
+    "bytes from a typed width model (fixed-width types by size, "
+    "strings by measured average length + header) and the "
+    "spark.sql.shuffle.partitions value that keeps each partition "
+    f"near {_TARGET_PARTITION_BYTES >> 20} MB — the sizing rule the "
+    "task prompt's spill-aware guidance encodes, as a query. One "
+    "map-combinable aggregate per table; at 100 TB this is how the "
+    "session config stops being a guess.",
+)
+def q_shuffle_partition_advisor(spark, sf_dir):
+    out = None
+    for t in _ADVISOR_TABLES:
+        df = load_table(spark, sf_dir, t)
+        agg_cols = [F.count("*").cast("long").alias("n_rows")]
+        width_expr = None
+        for f_ in df.schema.fields:
+            st = f_.dataType.simpleString()
+            if st in ("bigint", "double", "timestamp", "timestamp_ntz", "date"):
+                term = F.lit(8).cast("long")
+            elif st == "int":
+                term = F.lit(4).cast("long")
+            else:
+                term = (F.floor(F.avg(F.length(f_.name))) + 4).cast("long")
+            width_expr = term if width_expr is None else width_expr + term
+        one = df.agg(*agg_cols, width_expr.alias("est_row_bytes")).select(
+            F.lit(t).alias("table_name"),
+            "n_rows",
+            F.col("est_row_bytes").cast("long").alias("est_row_bytes"),
+            (F.col("n_rows") * F.col("est_row_bytes"))
+            .cast("long")
+            .alias("est_shuffle_bytes"),
+            F.greatest(
+                F.expr(f"(n_rows * est_row_bytes) DIV {_TARGET_PARTITION_BYTES}"),
+                F.lit(1),
+            )
+            .cast("long")
+            .alias("recommended_partitions"),
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

@@ -538,3 +538,71 @@ def q_rfm_segmentation(spark, sf_dir):
         F.min("recency_days").cast("long").alias("min_recency_days"),
         F.max("frequency").cast("long").alias("max_frequency"),
     )
+
+
+# ------------------------------------------- top-N categorical encoding
+
+_TOPN_CATEGORIES = 7
+
+_TOPN_ENC_SQL = f"""
+WITH counts AS (
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY p_brand
+),
+ranked AS (
+    SELECT p_brand, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) AS rk,
+           CAST(SUM(n) OVER () AS BIGINT) AS total
+    FROM counts
+),
+mapped AS (
+    SELECT CASE WHEN rk <= {_TOPN_CATEGORIES} THEN p_brand
+                ELSE 'OTHER' END AS encoded_brand,
+           n, total
+    FROM ranked
+)
+SELECT encoded_brand,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_source_categories,
+       CAST(SUM(n) * 1000000 // MAX(total) AS BIGINT) AS coverage_ppm
+FROM mapped
+GROUP BY encoded_brand
+"""
+
+
+@register(
+    "categorical_topn_encoding",
+    _TOPN_ENC_SQL,
+    doc=f"Vocabulary-capped categorical encoding: keep the top-"
+    f"{_TOPN_CATEGORIES} brands by frequency (deterministic "
+    "count-then-name tie-break) and collapse the tail to OTHER, "
+    "reporting per encoded level the row mass, the number of source "
+    "categories folded in, and exact-ppm coverage — the cardinality "
+    "control every feature pipeline applies before one-hot/embedding "
+    "so a high-cardinality column cannot explode the feature space. "
+    "The ranking runs on the |categories|-sized count frame, never "
+    "the fact.",
+)
+def q_categorical_topn_encoding(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    part = load_table(spark, sf_dir, "part")
+    counts = part.groupBy("p_brand").agg(F.count("*").cast("long").alias("n"))
+    ranked = counts.select(
+        "p_brand",
+        "n",
+        F.row_number().over(W.orderBy(F.col("n").desc(), "p_brand")).alias("rk"),
+        F.sum("n").over(W.partitionBy()).cast("long").alias("total"),
+    )
+    mapped = ranked.select(
+        F.when(F.col("rk") <= _TOPN_CATEGORIES, F.col("p_brand"))
+        .otherwise("OTHER")
+        .alias("encoded_brand"),
+        "n",
+        "total",
+    )
+    return mapped.groupBy("encoded_brand").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_source_categories"),
+        F.expr("CAST(SUM(n) * 1000000 DIV MAX(total) AS BIGINT)").alias("coverage_ppm"),
+    )

@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "categorical_topn_encoding",
+    "shuffle_partition_advisor",
     "fim_span_stats",
     "ann_topk_diversity_filter",
     "prefix_cache_savings",

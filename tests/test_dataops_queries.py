@@ -101,3 +101,28 @@ def test_zorder_balances_both_access_paths(spark):
     assert z["files_per_custbucket_milli"] < lin["files_per_custbucket_milli"]
     # while costing more files per day than the date-partitioned layout
     assert z["files_per_day_milli"] >= lin["files_per_day_milli"]
+
+
+def test_shuffle_advisor_widths_and_partitions_sane(spark):
+    rows = {r["table_name"]: r for r in queries()["shuffle_partition_advisor"](spark, SF).collect()}
+    assert set(rows) == {"orders", "lineitem", "customer", "events"}
+    for r in rows.values():
+        assert r["est_row_bytes"] >= 8  # at least one fixed-width col
+        assert r["est_shuffle_bytes"] == r["n_rows"] * r["est_row_bytes"]
+        assert r["recommended_partitions"] >= 1
+    # lineitem is the widest, biggest table -> largest estimate
+    assert rows["lineitem"]["est_shuffle_bytes"] == max(
+        r["est_shuffle_bytes"] for r in rows.values()
+    )
+
+
+def test_topn_encoding_covers_everything_with_capped_vocab(spark):
+    rows = {r["encoded_brand"]: r for r in queries()["categorical_topn_encoding"](spark, SF).collect()}
+    assert len(rows) <= 8  # 7 named + OTHER
+    assert sum(r["coverage_ppm"] for r in rows.values()) <= 1_000_000
+    assert sum(r["coverage_ppm"] for r in rows.values()) >= 1_000_000 - len(rows)
+    named = [b for b in rows if b != "OTHER"]
+    for b in named:
+        assert rows[b]["n_source_categories"] == 1
+    if "OTHER" in rows:
+        assert rows["OTHER"]["n_source_categories"] >= 1
