@@ -491,3 +491,110 @@ def q_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test.
+# --------------------------------------------------------------------------
+
+#: Final ratio and the alpha=0.05 critical value are the only floats;
+#: both evaluate ONE shared IEEE expression over exact integers.
+_KS_D_PPM = (
+    "CAST(FLOOR(CAST(max_diff AS DOUBLE) "
+    "/ (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) * 1000000.0) AS BIGINT)"
+)
+_KS_REJECT = (
+    "CAST(max_diff AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " > 1.358 * sqrt((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))"
+)
+
+_KS_SQL = f"""
+WITH tagged AS (
+    SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           c.c_mktsegment = 'BUILDING' AS grp1
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+per_value AS (
+    SELECT cents,
+           SUM(CASE WHEN grp1 THEN 1 ELSE 0 END) AS c1,
+           SUM(CASE WHEN grp1 THEN 0 ELSE 1 END) AS c2
+    FROM tagged GROUP BY cents
+),
+cum AS (
+    SELECT SUM(c1) OVER (ORDER BY cents) AS cum1,
+           SUM(c2) OVER (ORDER BY cents) AS cum2,
+           SUM(c1) OVER () AS n1,
+           SUM(c2) OVER () AS n2
+    FROM per_value
+),
+stat AS (
+    SELECT CAST(MAX(ABS(CAST(cum1 AS DECIMAL(19,0)) * n2
+                        - CAST(cum2 AS DECIMAL(19,0)) * n1))
+                 AS DECIMAL(38,0)) AS max_diff_dec,
+           CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2
+    FROM cum
+)
+SELECT n1, n2,
+       CAST(max_diff_dec AS VARCHAR) AS max_diff_exact,
+       {_KS_D_PPM.replace("max_diff", "max_diff_dec")} AS d_ppm,
+       {_KS_REJECT.replace("max_diff", "max_diff_dec")} AS reject_at_05
+FROM stat
+"""
+
+
+@register(
+    "spend_ks_test",
+    _KS_SQL,
+    doc="Two-sample Kolmogorov-Smirnov test: does the BUILDING "
+    "segment's order-value distribution differ from everyone else's? "
+    "D = max |CDF1 - CDF2| computed on cross-multiplied EXACT integer "
+    "cumulative counts (|cum1*n2 - cum2*n1|, DECIMAL-wide, surfaced "
+    "as VARCHAR), so the supremum is found without a single float "
+    "comparison; only the final ppm ratio and the 1.358*sqrt critical "
+    "value are IEEE doubles from one shared expression. The fact "
+    "reduces to the distinct-value grain before the cumulative "
+    "windows — at 100 TB the prefix-sum frame is |distinct cents|, "
+    "range-partitionable like the deciles pattern.",
+)
+def q_spend_ks_test(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("grp1")
+    )
+    tagged = orders.join(cust, orders.o_custkey == cust.c_custkey).select("cents", "grp1")
+    per_value = tagged.groupBy("cents").agg(
+        F.sum(F.when(F.col("grp1"), 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("grp1"), 0).otherwise(1)).alias("c2"),
+    )
+    w_cum = Window.orderBy("cents")
+    w_all = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    stat = cum.agg(
+        F.max(
+            F.abs(
+                F.col("cum1").cast("decimal(19,0)") * F.col("n2")
+                - F.col("cum2").cast("decimal(19,0)") * F.col("n1")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("max_diff_dec"),
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+    )
+    return stat.select(
+        "n1",
+        "n2",
+        F.col("max_diff_dec").cast("string").alias("max_diff_exact"),
+        F.expr(_KS_D_PPM.replace("max_diff", "max_diff_dec")).alias("d_ppm"),
+        F.expr(_KS_REJECT.replace("max_diff", "max_diff_dec")).alias("reject_at_05"),
+    )

@@ -103,3 +103,32 @@ def test_neyman_allocation_conserves_budget_and_orders_by_dispersion(spark):
     srt = sorted(rows, key=lambda r: r["w_milli"])
     for a, b in zip(srt, srt[1:]):
         assert b["alloc_n"] >= a["alloc_n"] - 1
+
+
+def test_ks_test_statistic_matches_scipy_style_recompute(spark):
+    import duckdb
+
+    r = queries()["spend_ks_test"](spark, SF).collect()[0]
+    con = duckdb.connect()
+    # naive recompute: D over the merged empirical CDFs
+    df = con.sql(
+        f"""
+        SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+               c.c_mktsegment = 'BUILDING' AS grp1
+        FROM '{SF}/orders.parquet' o
+        JOIN '{SF}/customer.parquet' c ON c.c_custkey = o.o_custkey
+        """
+    ).df()
+    s1 = sorted(df[df.grp1].cents)
+    s2 = sorted(df[~df.grp1].cents)
+    import bisect
+
+    n1, n2 = len(s1), len(s2)
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    vals = sorted(set(s1) | set(s2))
+    d_num = max(
+        abs(bisect.bisect_right(s1, v) * n2 - bisect.bisect_right(s2, v) * n1)
+        for v in vals
+    )
+    assert int(r["max_diff_exact"]) == d_num
+    assert r["d_ppm"] == int(d_num / (n1 * n2) * 1e6)  # floor of positive
