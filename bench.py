@@ -24,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "copurchase_community_modularity",
     "spend_ks_test",
     "shuffle_partition_advisor",
     "categorical_topn_encoding",

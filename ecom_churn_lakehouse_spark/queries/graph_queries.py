@@ -207,3 +207,121 @@ def q_copurchase_reachability(spark, sf_dir):
     from ecom_churn_lakehouse_spark.sources.catalog import run_sql
 
     return run_sql(spark, sf_dir, _REACHABILITY_SQL)
+
+
+# ------------------------------------------- community modularity
+
+#: Signed FLOOR (not DIV) — FLOOR floors toward -inf identically on
+#: both engines, so a negative modularity contribution is safe.
+_MOD_PPM = (
+    "CAST(FLOOR((4.0 * CAST(m AS DOUBLE) * CAST(e_in AS DOUBLE)"
+    " - CAST(a_deg AS DOUBLE) * CAST(a_deg AS DOUBLE))"
+    " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) * 1000000.0) AS BIGINT)"
+)
+
+_MODULARITY_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+labeled AS (
+    SELECT pa.p_brand AS brand_a, pb.p_brand AS brand_b
+    FROM edges e
+    JOIN part pa ON pa.p_partkey = e.part_a
+    JOIN part pb ON pb.p_partkey = e.part_b
+),
+m_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM labeled),
+internal AS (
+    SELECT brand_a AS brand, CAST(COUNT(*) AS BIGINT) AS e_in
+    FROM labeled WHERE brand_a = brand_b GROUP BY brand_a
+),
+degrees AS (
+    SELECT brand, CAST(SUM(d) AS BIGINT) AS a_deg FROM (
+        SELECT brand_a AS brand, COUNT(*) AS d FROM labeled GROUP BY brand_a
+        UNION ALL
+        SELECT brand_b AS brand, COUNT(*) AS d FROM labeled GROUP BY brand_b
+    ) GROUP BY brand
+)
+SELECT d.brand, t.m,
+       COALESCE(i.e_in, 0) AS e_in,
+       d.a_deg,
+       {_MOD_PPM.replace("e_in", "COALESCE(i.e_in, 0)").replace("a_deg", "d.a_deg").replace("CAST(m AS DOUBLE)", "CAST(t.m AS DOUBLE)")} AS q_contrib_ppm
+FROM degrees d
+CROSS JOIN m_tot t
+LEFT JOIN internal i ON i.brand = d.brand
+"""
+
+
+@register(
+    "copurchase_community_modularity",
+    _MODULARITY_SQL,
+    doc="Graph community quality: Newman modularity contribution per "
+    "brand-community over the copurchase graph (parts co-bought in "
+    ">= 2 orders), Q_i = e_in/m - (deg_i/2m)^2 evaluated as one "
+    "shared signed-FLOOR IEEE expression over exact integer edge/"
+    "degree counts — the partition-quality score behind every "
+    "community-detection loop, here scoring the catalog's brand "
+    "partition. Edge counts reduce the graph to the |brands|-sized "
+    "frame before any window; the pair generation reuses the basket "
+    "row-local fan-out (no fact self-join).",
+)
+def q_copurchase_community_modularity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.posexplode("parts").alias("i", "part_a"), "parts"
+    ).select(
+        "part_a",
+        F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+    )
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    labeled = (
+        edges.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("part_a"),
+                                    F.col("p_brand").alias("brand_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(part.select(F.col("p_partkey").alias("part_b"),
+                                    F.col("p_brand").alias("brand_b"))),
+            "part_b",
+        )
+        .select("brand_a", "brand_b")
+    )
+    m_tot = labeled.agg(F.count("*").cast("long").alias("m"))
+    internal = (
+        labeled.filter(F.col("brand_a") == F.col("brand_b"))
+        .groupBy(F.col("brand_a").alias("brand"))
+        .agg(F.count("*").cast("long").alias("e_in"))
+    )
+    degrees = (
+        labeled.select(F.col("brand_a").alias("brand"))
+        .unionByName(labeled.select(F.col("brand_b").alias("brand")))
+        .groupBy("brand")
+        .agg(F.count("*").cast("long").alias("a_deg"))
+    )
+    out = (
+        degrees.crossJoin(F.broadcast(m_tot))
+        .join(internal, "brand", "left")
+        .withColumn("e_in", F.coalesce(F.col("e_in"), F.lit(0)).cast("long"))
+        .select(
+            "brand",
+            "m",
+            "e_in",
+            "a_deg",
+            F.expr(_MOD_PPM).alias("q_contrib_ppm"),
+        )
+    )
+    return out

@@ -50,6 +50,7 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "copurchase_community_modularity",
     "spend_ks_test",
     "categorical_topn_encoding",
     "shuffle_partition_advisor",

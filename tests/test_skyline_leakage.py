@@ -187,3 +187,17 @@ def test_fim_spans_partition_documents_nonempty(spark):
         assert r["prefix_len"] + r["middle_len"] + r["suffix_len"] == r["n_tokens"]
         assert r["prefix_len"] <= r["n_tokens"] // 3
         assert 0 < r["middle_frac_ppm"] <= 400_000
+
+
+def test_modularity_identities(spark):
+    rows = queries()["copurchase_community_modularity"](spark, SF).collect()
+    assert rows
+    m = rows[0]["m"]
+    # sum of degrees = 2m; internal edges bounded by degree/2; Q_i in [-1, 1]
+    assert sum(r["a_deg"] for r in rows) == 2 * m
+    for r in rows:
+        assert r["m"] == m
+        assert 2 * r["e_in"] <= r["a_deg"]
+        assert -1_000_000 <= r["q_contrib_ppm"] <= 1_000_000
+    # total modularity of any partition is < 1
+    assert sum(r["q_contrib_ppm"] for r in rows) < 1_000_000
