@@ -893,3 +893,136 @@ def q_shuffle_partition_advisor(spark, sf_dir):
         )
         out = one if out is None else out.unionByName(one)
     return out
+
+
+# --------------------------------------------------------------------------
+# Zone-map (min/max data-skipping) pruning audit across storage layouts.
+# --------------------------------------------------------------------------
+
+_ZM_GROUP_ROWS = 1000
+_ZM_LO = "1995-03-01"
+_ZM_HI = "1995-03-31"
+
+_ZONEMAP_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS odate FROM orders
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+grouped AS (
+    SELECT 'date_sorted' AS layout,
+           CAST((ROW_NUMBER() OVER (ORDER BY odate, okey) - 1)
+                // {_ZM_GROUP_ROWS} AS BIGINT) AS grp,
+           odate
+    FROM base
+    UNION ALL
+    SELECT 'key_clustered' AS layout,
+           CAST((ROW_NUMBER() OVER (ORDER BY okey) - 1)
+                // {_ZM_GROUP_ROWS} AS BIGINT) AS grp,
+           odate
+    FROM base
+    UNION ALL
+    SELECT 'hash_random' AS layout,
+           CAST(({hash_bucket_sql("okey", "zonemap:", 1_000_000_000)})
+                % (1 + (n - 1) // {_ZM_GROUP_ROWS}) AS BIGINT) AS grp,
+           odate
+    FROM base, n_tot
+),
+zones AS (
+    SELECT layout, grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(odate) AS lo, MAX(odate) AS hi,
+           CAST(SUM(CASE WHEN odate BETWEEN DATE '{_ZM_LO}' AND DATE '{_ZM_HI}'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+    FROM grouped GROUP BY layout, grp
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(n_match) AS BIGINT) AS rows_matched,
+       CAST(SUM(CASE WHEN hi >= DATE '{_ZM_LO}' AND lo <= DATE '{_ZM_HI}'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS groups_hit,
+       CAST(SUM(CASE WHEN hi >= DATE '{_ZM_LO}' AND lo <= DATE '{_ZM_HI}'
+                     THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(SUM(CASE WHEN hi >= DATE '{_ZM_LO}' AND lo <= DATE '{_ZM_HI}'
+                     THEN 0 ELSE 1 END) * 1000000
+            // COUNT(*) AS BIGINT) AS prune_ratio_ppm,
+       CAST(SUM(CASE WHEN hi >= DATE '{_ZM_LO}' AND lo <= DATE '{_ZM_HI}'
+                     THEN n_rows ELSE 0 END) * 1000000
+            // GREATEST(SUM(n_match), 1) AS BIGINT) AS amplification_ppm
+FROM zones
+GROUP BY layout
+"""
+
+
+@register(
+    "zone_map_pruning_audit",
+    _ZONEMAP_SQL,
+    doc=f"Data-skipping effectiveness audit: simulate parquet row-group "
+    f"zone maps ({_ZM_GROUP_ROWS}-row groups, min/max o_orderdate per "
+    "group) under three physical layouts — date-sorted, key-clustered, "
+    "and hash-random — and measure, for a one-month predicate, how "
+    "many groups a min/max-pruning scan must read, the scan "
+    "amplification vs true matches, and the prune ratio. The "
+    "layout-advice twin of zorder_layout_audit: it quantifies WHY "
+    "sorting on the filter column wins (sorted prunes ~all groups, "
+    "hash prunes none). All three layouts derive in ONE fact pass "
+    "(two range-partitionable row_number sorts + one md5 bucket), "
+    "fanned out row-locally; zones reduce to |groups| rows before the "
+    "final 3-row rollup. At 100 TB group ids come from the same "
+    "range-partitioner boundaries the deciles pattern documents.",
+)
+def q_zone_map_pruning_audit(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    n_tot = base.agg(F.count("*").cast("long").alias("n"))
+    with_groups = base.crossJoin(F.broadcast(n_tot)).select(
+        "odate",
+        F.floor(
+            (F.row_number().over(Window.orderBy("odate", "okey")) - 1)
+            / _ZM_GROUP_ROWS
+        ).cast("long").alias("g_date"),
+        F.floor(
+            (F.row_number().over(Window.orderBy("okey")) - 1) / _ZM_GROUP_ROWS
+        ).cast("long").alias("g_key"),
+        (
+            hash_bucket(F.col("okey"), "zonemap:", mod=1_000_000_000)
+            % (1 + F.floor((F.col("n") - 1) / _ZM_GROUP_ROWS))
+        ).cast("long").alias("g_hash"),
+    )
+    grouped = with_groups.select(
+        "odate",
+        F.explode(
+            F.array(
+                F.struct(F.lit("date_sorted").alias("layout"), F.col("g_date").alias("grp")),
+                F.struct(F.lit("key_clustered").alias("layout"), F.col("g_key").alias("grp")),
+                F.struct(F.lit("hash_random").alias("layout"), F.col("g_hash").alias("grp")),
+            )
+        ).alias("lg"),
+    ).select("odate", F.col("lg.layout").alias("layout"), F.col("lg.grp").alias("grp"))
+    lo, hi = F.lit(_ZM_LO).cast("date"), F.lit(_ZM_HI).cast("date")
+    zones = grouped.groupBy("layout", "grp").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("odate").alias("lo"),
+        F.max("odate").alias("hi"),
+        F.sum(F.when((F.col("odate") >= lo) & (F.col("odate") <= hi), 1).otherwise(0))
+        .cast("long")
+        .alias("n_match"),
+    )
+    hit = (F.col("hi") >= lo) & (F.col("lo") <= hi)
+    return zones.groupBy("layout").agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("n_match").cast("long").alias("rows_matched"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("groups_hit"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_scanned"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hi >= DATE '1995-03-01' AND lo <= DATE '1995-03-31' "
+            "THEN 0 ELSE 1 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+        ).alias("prune_ratio_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN hi >= DATE '1995-03-01' AND lo <= DATE '1995-03-31' "
+            "THEN n_rows ELSE 0 END) * 1000000 DIV GREATEST(SUM(n_match), 1) AS BIGINT)"
+        ).alias("amplification_ppm"),
+    )

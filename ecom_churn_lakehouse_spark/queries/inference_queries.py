@@ -598,3 +598,228 @@ def q_spend_ks_test(spark, sf_dir):
         F.expr(_KS_D_PPM.replace("max_diff", "max_diff_dec")).alias("d_ppm"),
         F.expr(_KS_REJECT.replace("max_diff", "max_diff_dec")).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected, exact doubled ranks).
+# --------------------------------------------------------------------------
+
+#: z-score from exact integer components, evaluated as ONE shared IEEE
+#: expression text on both engines (the only float in the operator).
+#: Doubled units throughout: u1_x2 and mu_x2 = n1*n2 are both 2x the
+#: textbook values, so the numerator (u1_x2 - mu)/2 recovers U1-E[U].
+_MWU_Z_MILLI = (
+    "CAST(FLOOR((CAST(u1_x2_dec AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " / 2.0"
+    " / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+    "        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)"
+    "           - CAST(tie_cubes_dec AS DOUBLE)"
+    "             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_MWU_SQL = f"""
+WITH tagged AS (
+    SELECT CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+           p.p_type LIKE 'PROMO%' AS g1
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_value AS (
+    SELECT q,
+           CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS c2
+    FROM tagged GROUP BY q
+),
+cum AS (
+    SELECT q, c1, c2,
+           CAST(SUM(c1 + c2) OVER (ORDER BY q) - (c1 + c2) AS BIGINT) AS below,
+           CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+           CAST(SUM(c2) OVER () AS BIGINT) AS n2
+    FROM per_value
+),
+comp AS (
+    SELECT CAST(MAX(n1) AS BIGINT) AS n1,
+           CAST(MAX(n2) AS BIGINT) AS n2,
+           CAST(SUM(CAST(c1 AS DECIMAL(18,0))
+                    * CAST(2 * below + c1 + c2 + 1 AS DECIMAL(20,0)))
+                AS DECIMAL(38,0)) AS r1_x2_dec,
+           CAST(SUM(CAST(c1 + c2 AS DECIMAL(12,0))
+                    * CAST(c1 + c2 AS DECIMAL(12,0))
+                    * CAST(c1 + c2 AS DECIMAL(12,0))
+                    - CAST(c1 + c2 AS DECIMAL(12,0)))
+                AS DECIMAL(38,0)) AS tie_cubes_dec
+    FROM cum
+),
+stat AS (
+    SELECT n1, n2, r1_x2_dec, tie_cubes_dec,
+           CAST(r1_x2_dec - CAST(n1 AS DECIMAL(20,0)) * CAST(n1 + 1 AS DECIMAL(20,0))
+                AS DECIMAL(38,0)) AS u1_x2_dec
+    FROM comp
+)
+SELECT n1, n2,
+       CAST(r1_x2_dec AS VARCHAR) AS r1_x2,
+       CAST(u1_x2_dec AS VARCHAR) AS u1_x2,
+       CAST(tie_cubes_dec AS VARCHAR) AS tie_cubes,
+       {_MWU_Z_MILLI} AS z_milli,
+       abs({_MWU_Z_MILLI}) > 1960 AS reject_at_05
+FROM stat
+"""
+
+
+@register(
+    "mannwhitney_u_quantity",
+    _MWU_SQL,
+    doc="Mann-Whitney U rank-sum test: do PROMO-part lineitems ship in "
+    "different quantities than non-promo lines? Quantity is small-"
+    "domain and massively tied, so the operator carries DOUBLED "
+    "average ranks (2*below + t + 1 per value — always an integer), "
+    "making R1, U1 and the t^3-t tie-correction term EXACT integers "
+    "accumulated in DECIMAL(38,0) and surfaced as VARCHAR; the only "
+    "float is the tie-corrected normal z through one shared IEEE "
+    "expression, floor-quantized to milli. Scale: the fact reduces to "
+    "the distinct-value grain (|quantity| rows) before any window — "
+    "rank-sum testing at 100 TB costs one fact-dim join plus one "
+    "map-combinable agg, like spend_ks_test.",
+)
+def q_mannwhitney_u_quantity(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("g1")
+    )
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select("q", "g1")
+    per_value = tagged.groupBy("q").agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("c1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("c2"),
+    )
+    w_cum = Window.orderBy("q")
+    w_all = Window.partitionBy()
+    cum = per_value.select(
+        "q",
+        "c1",
+        "c2",
+        (F.sum(F.col("c1") + F.col("c2")).over(w_cum) - (F.col("c1") + F.col("c2")))
+        .cast("long")
+        .alias("below"),
+        F.sum("c1").over(w_all).cast("long").alias("n1"),
+        F.sum("c2").over(w_all).cast("long").alias("n2"),
+    )
+    t_dec = (F.col("c1") + F.col("c2")).cast("decimal(12,0)")
+    comp = cum.agg(
+        F.max("n1").cast("long").alias("n1"),
+        F.max("n2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(18,0)")
+            * (2 * F.col("below") + F.col("c1") + F.col("c2") + 1).cast("decimal(20,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("r1_x2_dec"),
+        F.sum(t_dec * t_dec * t_dec - t_dec).cast("decimal(38,0)").alias("tie_cubes_dec"),
+    )
+    stat = comp.withColumn(
+        "u1_x2_dec",
+        (
+            F.col("r1_x2_dec")
+            - F.col("n1").cast("decimal(20,0)") * (F.col("n1") + 1).cast("decimal(20,0)")
+        ).cast("decimal(38,0)"),
+    )
+    return stat.select(
+        "n1",
+        "n2",
+        F.col("r1_x2_dec").cast("string").alias("r1_x2"),
+        F.col("u1_x2_dec").cast("string").alias("u1_x2"),
+        F.col("tie_cubes_dec").cast("string").alias("tie_cubes"),
+        F.expr(_MWU_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_MWU_Z_MILLI)) > 1960).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-brand Spearman rank correlation (exact rank components).
+# --------------------------------------------------------------------------
+
+#: rho = 1 - 6*SUM(d^2)/(n^3-n) with d in doubled-rank units (so
+#: SUM(d2^2) = 4*SUM(d^2), hence the 1.5 factor). Signed -> FLOOR.
+_SPEARMAN_PPM = (
+    "CAST(FLOOR((1.0 - 1.5 * CAST(sum_d2sq_dec AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "    - CAST(n AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_SPEARMAN_SQL = f"""
+WITH rows_ AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+ranked AS (
+    SELECT brand,
+           2 * RANK() OVER (PARTITION BY brand ORDER BY q)
+             + COUNT(*) OVER (PARTITION BY brand, q) - 1 AS r2x,
+           2 * RANK() OVER (PARTITION BY brand ORDER BY cents)
+             + COUNT(*) OVER (PARTITION BY brand, cents) - 1 AS r2y
+    FROM rows_
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(r2x - r2y AS DECIMAL(18,0))
+                     * CAST(r2x - r2y AS DECIMAL(18,0)))
+                 AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2sq,
+       {_SPEARMAN_PPM.replace("sum_d2sq_dec", "CAST(SUM(CAST(r2x - r2y AS DECIMAL(18,0)) * CAST(r2x - r2y AS DECIMAL(18,0))) AS DECIMAL(38,0))").replace("CAST(n AS DOUBLE)", "CAST(COUNT(*) AS DOUBLE)")} AS rho_ppm
+FROM ranked
+GROUP BY brand
+"""
+
+
+@register(
+    "spearman_price_quantity_by_brand",
+    _SPEARMAN_SQL,
+    doc="Per-brand Spearman rank correlation between lineitem quantity "
+    "and extended price — the monotone-association screen feature "
+    "audits run where Pearson is distorted by outliers. Ties use "
+    "average ranks carried as DOUBLED integers (2*RANK + tiecount - 1),"
+    " so the rank-difference sum-of-squares is an EXACT integer in "
+    "DECIMAL(38,0) (surfaced VARCHAR); the only float is the final "
+    "rho = 1 - 1.5*SUMd2sq/(n^3-n) through one shared signed-FLOOR "
+    "IEEE expression. Scale: both rankings are brand-partitioned "
+    "windows (range-partitionable sorts, no global frame); one fact-"
+    "dim broadcast join feeds them and the output is |brands| rows.",
+)
+def q_spearman_price_quantity_by_brand(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rows_ = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "q", "cents"
+    )
+    ranked = rows_.select(
+        "brand",
+        (
+            2 * F.rank().over(Window.partitionBy("brand").orderBy("q"))
+            + F.count("*").over(Window.partitionBy("brand", "q"))
+            - 1
+        ).alias("r2x"),
+        (
+            2 * F.rank().over(Window.partitionBy("brand").orderBy("cents"))
+            + F.count("*").over(Window.partitionBy("brand", "cents"))
+            - 1
+        ).alias("r2y"),
+    )
+    d2 = (F.col("r2x") - F.col("r2y")).cast("decimal(18,0)")
+    out = ranked.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(d2 * d2).cast("decimal(38,0)").alias("sum_d2sq_dec"),
+    )
+    return out.select(
+        "brand",
+        "n",
+        F.col("sum_d2sq_dec").cast("string").alias("sum_d2sq"),
+        F.expr(_SPEARMAN_PPM).alias("rho_ppm"),
+    )

@@ -1222,3 +1222,108 @@ def q_skipgram_cooccurrence(spark, sf_dir):
         .orderBy(F.desc("n_cooccur"), "w1", "w2")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# Vocabulary spelling-variant detection (edit distance on the vocab grain).
+# --------------------------------------------------------------------------
+
+_SPELL_MAX_DIST = 3
+_SPELL_LEN_BAND = 2
+
+_SPELL_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+v AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE tok <> '' GROUP BY tok
+),
+pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, a.tf AS tf_a, b.tf AS tf_b,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+    FROM v a JOIN v b
+      ON substring(a.tok, 1, 1) = substring(b.tok, 1, 1)
+     AND abs(length(a.tok) - length(b.tok)) <= {_SPELL_LEN_BAND}
+     AND a.tok < b.tok
+)
+SELECT tok_a, tok_b, tf_a, tf_b, dist,
+       CASE WHEN tf_a > tf_b OR (tf_a = tf_b AND tok_a < tok_b)
+            THEN tok_a ELSE tok_b END AS fold_into
+FROM pairs
+WHERE dist <= {_SPELL_MAX_DIST}
+"""
+
+
+@register(
+    "token_spell_variants",
+    _SPELL_SQL,
+    doc=f"Vocabulary normalization screen: token pairs within "
+    f"Levenshtein distance {_SPELL_MAX_DIST} (typo/variant candidates), "
+    "with the fold direction a normalizer would apply (low-frequency "
+    "token folds into the high-frequency spelling). Runs on the VOCAB "
+    "grain — the corpus is reduced to (token, tf) first, which is "
+    "Heaps-sublinear in corpus size, so the pairwise stage never sees "
+    "a document row. Blocking is an EQUI-join: the probe side fans "
+    f"out {2 * _SPELL_LEN_BAND + 1} (first_char, length±{_SPELL_LEN_BAND}) "
+    "keys so Spark gets a hash-joinable key instead of an inequality "
+    "residual over a skewed first-char bucket; Levenshtein runs only "
+    "on blocked candidates (pyspark F.levenshtein — JVM codegen, no "
+    "UDF). Scale probe caveat: the K-replica harness salts every "
+    "token, so each original token becomes a true K-clique of "
+    "variants — output grows ~K^2/2 BY CONSTRUCTION (real "
+    "duplication), like the documented eval-twin entries.",
+)
+def q_token_spell_variants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # Probe side A explodes its key to every length in the +/- band so
+    # the join is pure equi on (first_char, length) — bounded 5x fan-out
+    # on the (small) vocab frame, no inequality residual.
+    a = v.select(
+        F.col("tok").alias("tok_a"),
+        F.col("tf").alias("tf_a"),
+        F.substring("tok", 1, 1).alias("c1"),
+        F.explode(
+            F.sequence(
+                F.length("tok") - _SPELL_LEN_BAND, F.length("tok") + _SPELL_LEN_BAND
+            )
+        ).alias("blen"),
+    ).filter(F.col("blen") >= 1)
+    b = v.select(
+        F.col("tok").alias("tok_b"),
+        F.col("tf").alias("tf_b"),
+        F.substring("tok", 1, 1).alias("c1"),
+        F.length("tok").alias("blen"),
+    )
+    pairs = (
+        a.join(b, on=["c1", "blen"])
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select(
+            "tok_a",
+            "tok_b",
+            "tf_a",
+            "tf_b",
+            F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= _SPELL_MAX_DIST)
+    )
+    return pairs.select(
+        "tok_a",
+        "tok_b",
+        "tf_a",
+        "tf_b",
+        "dist",
+        F.when(
+            (F.col("tf_a") > F.col("tf_b"))
+            | ((F.col("tf_a") == F.col("tf_b")) & (F.col("tok_a") < F.col("tok_b"))),
+            F.col("tok_a"),
+        )
+        .otherwise(F.col("tok_b"))
+        .alias("fold_into"),
+    )

@@ -50,6 +50,10 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: history already).
 NEW_IN_ROUND: list[str] = [
     # ---- round 6 ----
+    "mannwhitney_u_quantity",
+    "token_spell_variants",
+    "zone_map_pruning_audit",
+    "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",
     "categorical_topn_encoding",
