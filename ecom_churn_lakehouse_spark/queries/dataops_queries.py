@@ -1026,3 +1026,68 @@ def q_zone_map_pruning_audit(spark, sf_dir):
             "THEN n_rows ELSE 0 END) * 1000000 DIV GREATEST(SUM(n_match), 1) AS BIGINT)"
         ).alias("amplification_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (CBO statistics construction).
+# --------------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+_EQUIDEPTH_SQL = f"""
+WITH vals AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           o_orderkey AS okey
+    FROM orders
+),
+bucketed AS (
+    SELECT cents,
+           CAST(NTILE({_HIST_BUCKETS}) OVER (ORDER BY cents, okey) AS INTEGER) AS bucket
+    FROM vals
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(cents) AS lo_cents,
+       MAX(cents) AS hi_cents,
+       CAST(COUNT(DISTINCT cents) AS BIGINT) AS n_distinct,
+       CAST((MAX(cents) - MIN(cents)) * 1000000
+            // GREATEST(COUNT(DISTINCT cents), 1) AS BIGINT) AS width_per_ndv_micro
+FROM bucketed
+GROUP BY bucket
+"""
+
+
+@register(
+    "equidepth_histogram_stats",
+    _EQUIDEPTH_SQL,
+    doc=f"Equi-depth histogram construction over order value "
+    f"({_HIST_BUCKETS} buckets): per bucket the row count, exact "
+    "bounds, distinct-value count, and value-range-per-NDV — the "
+    "statistics object a cost-based optimizer stores per column "
+    "(ANALYZE ... COMPUTE STATISTICS FOR COLUMNS builds exactly this "
+    "shape) and the input join_cardinality_estimate would consume for "
+    "range predicates. NTILE over the (cents, orderkey) total order "
+    "is deterministic on both engines. Scale: the global sort is the "
+    "deciles pattern (range-partitionable, "
+    "customer_value_deciles_scalable documents the boundary-merge "
+    "variant); per-bucket stats are map-combinable.",
+)
+def q_equidepth_histogram_stats(spark, sf_dir):
+    vals = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey").alias("okey"),
+    )
+    bucketed = vals.select(
+        "cents",
+        F.ntile(_HIST_BUCKETS).over(Window.orderBy("cents", "okey")).cast("int").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("cents").alias("lo_cents"),
+        F.max("cents").alias("hi_cents"),
+        F.countDistinct("cents").cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST((MAX(cents) - MIN(cents)) * 1000000 "
+            "DIV GREATEST(COUNT(DISTINCT cents), 1) AS BIGINT)"
+        ).alias("width_per_ndv_micro"),
+    )

@@ -21,6 +21,7 @@ mega-orders don't densify the graph.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ecom_churn_lakehouse_spark.registry import register
@@ -325,3 +326,126 @@ def q_copurchase_community_modularity(spark, sf_dir):
         )
     )
     return out
+
+
+# ------------------------------------------- common-neighbor link prediction
+
+_LP_TOP_K = 50
+
+_LINKPRED_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+),
+adj AS (
+    SELECT part_a AS u, part_b AS v FROM edges
+    UNION ALL
+    SELECT part_b AS u, part_a AS v FROM edges
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY u),
+wedges AS (
+    SELECT a.u AS part_a, b.v AS part_b, CAST(COUNT(*) AS BIGINT) AS cn
+    FROM adj a JOIN adj b ON a.v = b.u AND a.u < b.v
+    GROUP BY a.u, b.v
+),
+cand AS (
+    SELECT w.part_a, w.part_b, w.cn
+    FROM wedges w
+    LEFT JOIN edges e ON e.part_a = w.part_a AND e.part_b = w.part_b
+    WHERE e.part_a IS NULL
+),
+scored AS (
+    SELECT c.part_a, c.part_b, c.cn,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST(c.cn * 1000000 // (da.d + db.d - c.cn) AS BIGINT) AS jaccard_ppm
+    FROM cand c
+    JOIN deg da ON da.u = c.part_a
+    JOIN deg db ON db.u = c.part_b
+)
+SELECT part_a, part_b, cn, deg_a, deg_b, jaccard_ppm,
+       CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT *, ROW_NUMBER() OVER (ORDER BY cn DESC, jaccard_ppm DESC, part_a, part_b) AS rk
+    FROM scored
+)
+WHERE rk <= {_LP_TOP_K}
+"""
+
+
+@register(
+    "copurchase_link_prediction",
+    _LINKPRED_SQL,
+    doc=f"Link prediction on the thresholded co-purchase graph: for "
+    "part pairs at distance 2 that are NOT yet connected, the common-"
+    "neighbor count and neighborhood Jaccard (exact ppm via DIV on "
+    f"non-negative counts), top {_LP_TOP_K} candidates — the "
+    "recommender primitive ('parts bought with both X and Y but never "
+    "together'). Wedge enumeration joins the symmetrized adjacency "
+    "with itself on the shared endpoint, so candidate work is "
+    "sum(deg^2) over the DENSITY-THRESHOLDED edge frame (>= 2 "
+    "co-orders — the same cut that keeps pagerank's graph sparse), "
+    "never a part-catalog cross join; existing edges leave via one "
+    "anti-join and the top-k is a rank over the candidate frame.",
+)
+def q_copurchase_link_prediction(spark, sf_dir):
+    # Basket row-local pair fan-out (no fact self-join), as in
+    # copurchase_community_modularity.
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.posexplode("parts").alias("i", "part_a"), "parts"
+    ).select(
+        "part_a",
+        F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+    )
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=False)  # reused by adj, anti-join, degrees
+    )
+    adj = edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionByName(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    a = adj.select(F.col("u").alias("part_a"), F.col("v").alias("mid"))
+    b = adj.select(F.col("u").alias("mid"), F.col("v").alias("part_b"))
+    wedges = (
+        a.join(b, on="mid")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("long").alias("cn"))
+    )
+    cand = wedges.join(edges, on=["part_a", "part_b"], how="left_anti")
+    scored = (
+        cand.join(deg.select(F.col("u").alias("part_a"), F.col("d").alias("deg_a")), "part_a")
+        .join(deg.select(F.col("u").alias("part_b"), F.col("d").alias("deg_b")), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cn",
+            "deg_a",
+            "deg_b",
+            F.expr("CAST(cn * 1000000 DIV (deg_a + deg_b - cn) AS BIGINT)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.desc("cn"), F.desc("jaccard_ppm"), "part_a", "part_b"
+            )
+        )
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rk") <= _LP_TOP_K)

@@ -456,3 +456,88 @@ def q_cms_heavy_hitters(spark, sf_dir):
         est.alias("cms_estimate"),
         (est - F.col("exact_count")).cast("long").alias("overshoot"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch accuracy curve.
+# --------------------------------------------------------------------------
+
+#: 13 hex chars = 52 bits, so (k-1) * 2^52 stays inside int64 for
+#: k <= 1024 (1023 * 2^52 ~ 4.6e18 < 2^63). Collision probability over
+#: n distinct keys is n^2 / 2^53 — negligible below ~1e8 distinct, and
+#: deterministic (both engines hash identically) regardless.
+_KMV_BITS = 52
+_KMV_DOMAIN = 1 << _KMV_BITS
+_KMV_KS = (16, 128, 1024)
+_KMV_MAX_K = max(_KMV_KS)
+
+_KMV_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT CAST(('0x' || substring(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 13))
+                         AS BIGINT) AS h
+    FROM orders
+),
+exact_n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM hashes),
+topk AS (
+    SELECT h FROM hashes ORDER BY h LIMIT {_KMV_MAX_K}
+),
+ranked AS (
+    SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS k FROM topk
+),
+curve AS (
+    SELECT k, h AS h_k,
+           CAST((k - 1) * {_KMV_DOMAIN} // h AS BIGINT) AS est
+    FROM ranked WHERE k IN ({", ".join(str(k) for k in _KMV_KS)})
+)
+SELECT CAST(c.k AS INTEGER) AS k, c.h_k, e.n_exact, c.est,
+       CAST(ABS(c.est - e.n_exact) * 1000000 // e.n_exact AS BIGINT) AS abs_err_ppm
+FROM curve c CROSS JOIN exact_n e
+"""
+
+
+@register(
+    "kmv_distinct_curve",
+    _KMV_SQL,
+    doc=f"KMV (k-minimum-values) distinct-count sketch over distinct "
+    f"buyers (orders.o_custkey): estimate = (k-1)*2^{_KMV_BITS}/h_k from the k-th smallest "
+    f"52-bit md5 hash, evaluated at k in {_KMV_KS} next to the exact "
+    "distinct count and the ppm error — the accuracy-vs-sketch-size "
+    "curve that justifies picking k. Everything is exact integer "
+    "arithmetic (the estimator itself is an integer floor-division). "
+    "Scale: KMV is a MERGEABLE sketch — the global k smallest hashes "
+    "are the merge of per-partition k-minima, which is exactly what "
+    "Spark's sort-limit (TakeOrderedAndProject) executes: per-"
+    "partition top-k, then a k-sized driver merge; no global sort, no "
+    "full shuffle. The exact count alongside costs one distinct "
+    "aggregate and exists only to score the sketch.",
+)
+def q_kmv_distinct_curve(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "orders").select("o_custkey")
+    hashes = ev.select(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    ).distinct()
+    exact_n = hashes.agg(F.count("*").cast("long").alias("n_exact"))
+    topk = hashes.orderBy("h").limit(_KMV_MAX_K)
+    ranked = topk.select(
+        "h", F.row_number().over(Window.orderBy("h")).cast("long").alias("k")
+    )
+    curve = ranked.filter(F.col("k").isin(*_KMV_KS)).select(
+        "k",
+        F.col("h").alias("h_k"),
+        F.expr(f"CAST((k - 1) * {_KMV_DOMAIN} DIV h AS BIGINT)").alias("est"),
+    )
+    return curve.crossJoin(F.broadcast(exact_n)).select(
+        F.col("k").cast("int").alias("k"),
+        "h_k",
+        "n_exact",
+        "est",
+        F.expr("CAST(ABS(est - n_exact) * 1000000 DIV n_exact AS BIGINT)").alias(
+            "abs_err_ppm"
+        ),
+    )

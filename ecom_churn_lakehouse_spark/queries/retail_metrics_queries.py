@@ -389,3 +389,113 @@ def q_pareto_frontier_orders(spark, sf_dir):
         )
         .select("o_orderkey", "price_cents", "fulfillment_days")
     )
+
+
+# --------------------------------------------------------------------------
+# Daily-revenue autocorrelation components at lags 1/7/28.
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = (1, 7, 28)
+
+#: Pearson r over the lagged pairs from EXACT integer components; the
+#: only float is this one shared signed-FLOOR expression (sqrt is
+#: correctly rounded). n*Sxy - Sx*Sy etc. evaluate in double - the
+#: components themselves stay exact on the output surface.
+_ACF_R_MILLI = (
+    "CAST(FLOOR((CAST(n_pairs AS DOUBLE) * CAST(sum_xy_dec AS DOUBLE)"
+    " - CAST(sum_x AS DOUBLE) * CAST(sum_y AS DOUBLE))"
+    " / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sum_xx_dec AS DOUBLE)"
+    "         - CAST(sum_x AS DOUBLE) * CAST(sum_x AS DOUBLE))"
+    "        * (CAST(n_pairs AS DOUBLE) * CAST(sum_yy_dec AS DOUBLE)"
+    "           - CAST(sum_y AS DOUBLE) * CAST(sum_y AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_ACF_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+lags AS (SELECT UNNEST([{", ".join(str(l) for l in _ACF_LAGS)}]) AS lag),
+pairs AS (
+    SELECT l.lag, a.cents AS x, b.cents AS y
+    FROM daily a
+    CROSS JOIN lags l
+    JOIN daily b ON b.d = a.d + l.lag
+),
+comp AS (
+    SELECT CAST(lag AS INTEGER) AS lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(x) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sum_xy_dec,
+           CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sum_xx_dec,
+           CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                AS DECIMAL(38,0)) AS sum_yy_dec
+    FROM pairs GROUP BY lag
+)
+SELECT lag, n_pairs, sum_x, sum_y,
+       CAST(sum_xy_dec AS VARCHAR) AS sum_xy,
+       CAST(sum_xx_dec AS VARCHAR) AS sum_xx,
+       CAST(sum_yy_dec AS VARCHAR) AS sum_yy,
+       {_ACF_R_MILLI} AS r_milli
+FROM comp
+"""
+
+
+@register(
+    "revenue_autocorr_components",
+    _ACF_SQL,
+    doc=f"Daily-revenue autocorrelation at lags {_ACF_LAGS}: Pearson r "
+    "between the series and its lag from EXACT integer components "
+    "(pair count, sums, and cross/self products accumulated in "
+    "DECIMAL(38,0) cents^2, surfaced as VARCHAR); the only float is "
+    "the final r through one shared signed-FLOOR IEEE expression. "
+    "Lag-7 strong + lag-1 weak reads as weekly seasonality — the "
+    "seasonality detector behind dow_seasonality_profile. Scale: the "
+    "fact reduces to the DAY grain first (one map-combinable agg); "
+    "the lag join and all products run on the |days| frame (3650 rows "
+    "per decade regardless of fact size).",
+)
+def q_revenue_autocorr_components(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    lags = F.array(*[F.lit(l) for l in _ACF_LAGS])
+    a = daily.select(
+        F.explode(lags).alias("lag"),
+        F.col("d"),
+        F.col("cents").alias("x"),
+    ).withColumn("join_d", F.expr("date_add(d, lag)"))
+    b = daily.select(F.col("d").alias("join_d"), F.col("cents").alias("y"))
+    pairs = a.join(b, on="join_d").select("lag", "x", "y")
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    comp = pairs.groupBy(F.col("lag").cast("int").alias("lag")).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sum_x"),
+        F.sum("y").cast("long").alias("sum_y"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sum_xy_dec"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sum_xx_dec"),
+        F.sum(yd * yd).cast("decimal(38,0)").alias("sum_yy_dec"),
+    )
+    return comp.select(
+        "lag",
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        F.col("sum_xy_dec").cast("string").alias("sum_xy"),
+        F.col("sum_xx_dec").cast("string").alias("sum_xx"),
+        F.col("sum_yy_dec").cast("string").alias("sum_yy"),
+        F.expr(_ACF_R_MILLI).alias("r_milli"),
+    )

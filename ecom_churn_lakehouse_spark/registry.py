@@ -53,6 +53,10 @@ NEW_IN_ROUND: list[str] = [
     "mannwhitney_u_quantity",
     "token_spell_variants",
     "zone_map_pruning_audit",
+    "kmv_distinct_curve",
+    "copurchase_link_prediction",
+    "revenue_autocorr_components",
+    "equidepth_histogram_stats",
     "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",
