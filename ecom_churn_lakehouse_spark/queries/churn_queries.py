@@ -702,3 +702,97 @@ def q_isotonic_calibration(spark, sf_dir):
         "y_sum",
         "fitted_rate_ppm",
     )
+
+
+# -------------------- gains / lift table (decile targeting curve)
+
+_GAINS_DECILES = 10
+
+_GAINS_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+d AS (
+    SELECT f.customer_id, f.recency_days, l.churn_label AS y
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+),
+deciled AS (
+    SELECT y,
+           CAST(NTILE({_GAINS_DECILES}) OVER (
+               ORDER BY recency_days DESC, customer_id) AS INTEGER) AS decile
+    FROM d
+),
+g AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_churned
+    FROM deciled GROUP BY decile
+),
+c AS (
+    SELECT decile, n, n_churned,
+           CAST(SUM(n_churned) OVER (ORDER BY decile) AS BIGINT) AS cum_churned,
+           CAST(SUM(n_churned) OVER () AS BIGINT) AS tot_churned,
+           CAST(SUM(n) OVER () AS BIGINT) AS tot_n
+    FROM g
+)
+SELECT decile, n, n_churned,
+       CAST(n_churned * 1000000 // n AS BIGINT) AS churn_rate_ppm,
+       CAST(cum_churned * 1000000 // tot_churned AS BIGINT) AS cum_captured_ppm,
+       CAST(n_churned * tot_n * 1000000 // (n * tot_churned) AS BIGINT) AS lift_ppm
+FROM c
+"""
+
+
+@register(
+    "churn_gains_table",
+    _GAINS_SQL,
+    doc=f"Gains/lift table for churn targeting: customers ranked by "
+    "the recency heuristic score (stalest first), cut into "
+    f"{_GAINS_DECILES} deciles; per decile the exact churn rate, "
+    "cumulative share of all churners captured, and lift vs the base "
+    "rate — the retention-campaign budget curve every model review "
+    "reads next to AUC (feature_auc_screen) and calibration "
+    "(score_calibration_bins). All ratios are exact integer ppm via "
+    "DIV on non-negative counts. Scale: the decile cut is the deciles "
+    "pattern (range-partitionable NTILE over the customer frame); "
+    "every window after it runs on the 10-row decile frame.",
+)
+def q_churn_gains_table(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feats = q_customer_features(spark, sf_dir).select("customer_id", "recency_days")
+    labels = q_churn_labels(spark, sf_dir)
+    d = feats.join(labels, on="customer_id").select(
+        "customer_id", "recency_days", F.col("churn_label").alias("y")
+    )
+    deciled = d.select(
+        "y",
+        F.ntile(_GAINS_DECILES)
+        .over(Window.orderBy(F.desc("recency_days"), "customer_id"))
+        .cast("int")
+        .alias("decile"),
+    )
+    g = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_churned"),
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "n_churned",
+        F.sum("n_churned").over(Window.orderBy("decile")).cast("long").alias("cum_churned"),
+        F.sum("n_churned").over(Window.partitionBy()).cast("long").alias("tot_churned"),
+        F.sum("n").over(Window.partitionBy()).cast("long").alias("tot_n"),
+    )
+    return c.select(
+        "decile",
+        "n",
+        "n_churned",
+        F.expr("CAST(n_churned * 1000000 DIV n AS BIGINT)").alias("churn_rate_ppm"),
+        F.expr("CAST(cum_churned * 1000000 DIV tot_churned AS BIGINT)").alias(
+            "cum_captured_ppm"
+        ),
+        F.expr(
+            "CAST(n_churned * tot_n * 1000000 DIV (n * tot_churned) AS BIGINT)"
+        ).alias("lift_ppm"),
+    )

@@ -333,15 +333,22 @@ def q_copurchase_community_modularity(spark, sf_dir):
 _LP_TOP_K = 50
 
 _LINKPRED_SQL = f"""
-WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
-    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_counts AS MATERIALIZED (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS cnt
     FROM op a JOIN op b
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
     GROUP BY 1, 2
-    HAVING COUNT(*) >= 2
 ),
-adj AS (
+thr AS MATERIALIZED (
+    SELECT GREATEST(2, CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT)) AS t
+    FROM pair_counts
+),
+edges AS MATERIALIZED (
+    SELECT part_a, part_b FROM pair_counts, thr WHERE cnt >= t
+),
+adj AS MATERIALIZED (
     SELECT part_a AS u, part_b AS v FROM edges
     UNION ALL
     SELECT part_b AS u, part_a AS v FROM edges
@@ -389,7 +396,13 @@ WHERE rk <= {_LP_TOP_K}
     "sum(deg^2) over the DENSITY-THRESHOLDED edge frame (>= 2 "
     "co-orders — the same cut that keeps pagerank's graph sparse), "
     "never a part-catalog cross join; existing edges leave via one "
-    "anti-join and the top-k is a rank over the candidate frame.",
+    "anti-join and the top-k is a rank over the candidate frame. The "
+    "edge cut is DENSITY-RELATIVE (>= 1.5x the mean pair "
+    "co-occurrence, the copurchase_reachability lesson): a fixed "
+    "count threshold densifies as order volume grows and sent the "
+    "wedge stage superlinear at the 10x probe (16.8x); the relative "
+    "cut keeps strong-edge selectivity (and sum(deg^2)) "
+    "scale-invariant.",
 )
 def q_copurchase_link_prediction(spark, sf_dir):
     # Basket row-local pair fan-out (no fact self-join), as in
@@ -404,11 +417,23 @@ def q_copurchase_link_prediction(spark, sf_dir):
         "part_a",
         F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
     )
+    # Checkpoint the pair counts at FULL parallelism before anything
+    # consumes them twice (threshold scalar + edge filter) — a naive
+    # coalesce here propagates up into the heavy fan-out aggregation
+    # and serializes it (measured 4x worse at sf0.1).
+    pair_counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)
+    thr = pair_counts.agg(
+        F.expr(
+            f"GREATEST(2, CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT))"
+        ).alias("t")
+    )
     edges = (
-        pairs.groupBy("part_a", "part_b")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+        pair_counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") >= F.col("t"))
         .select("part_a", "part_b")
+        .coalesce(4)
         .localCheckpoint(eager=False)  # reused by adj, anti-join, degrees
     )
     adj = edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionByName(
@@ -449,3 +474,154 @@ def q_copurchase_link_prediction(spark, sf_dir):
         .cast("int"),
     )
     return ranked.filter(F.col("rk") <= _LP_TOP_K)
+
+
+# ------------------------------------------- bounded k-core peeling
+
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    # AS MATERIALIZED on every multiply-referenced CTE: DuckDB inlines
+    # plain CTEs, and the peel chain references each adj/s level twice,
+    # so the op self-join would otherwise be recomputed exponentially
+    # (measured 122 s inlined vs 0.8 s materialized at sf0.1).
+    head = f"""
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_counts AS MATERIALIZED (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+),
+thr AS MATERIALIZED (
+    SELECT GREATEST(2, CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT)) AS t
+    FROM pair_counts
+),
+edges AS MATERIALIZED (
+    SELECT part_a, part_b FROM pair_counts, thr WHERE cnt >= t
+),
+adj0 AS MATERIALIZED (
+    SELECT part_a AS u, part_b AS v FROM edges
+    UNION ALL
+    SELECT part_b AS u, part_a AS v FROM edges
+),
+deg0 AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj0 GROUP BY u)"""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        steps.append(f"""
+s{r} AS MATERIALIZED (SELECT u FROM deg{r - 1} WHERE d >= {_KCORE_K}),
+adj{r} AS MATERIALIZED (
+    SELECT a.u, a.v FROM adj{r - 1} a
+    JOIN s{r} x ON x.u = a.u
+    JOIN s{r} y ON y.u = a.v
+),
+deg{r} AS MATERIALIZED (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM adj{r} GROUP BY u)""")
+    last = _KCORE_ROUNDS
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT d0.u AS part_id,
+       d0.d AS initial_degree,
+       CAST(COALESCE(df.d, 0) AS BIGINT) AS degree_after_peel,
+       CAST(CASE WHEN s1.u IS NULL THEN 1
+                 WHEN s2.u IS NULL THEN 2
+                 WHEN s3.u IS NULL THEN 3
+                 ELSE 0 END AS INTEGER) AS removed_in_round
+FROM deg0 d0
+LEFT JOIN s1 ON s1.u = d0.u
+LEFT JOIN s2 ON s2.u = d0.u
+LEFT JOIN s3 ON s3.u = d0.u
+LEFT JOIN deg{last} df ON df.u = d0.u"""
+    )
+
+
+@register(
+    "kcore_peeling_rounds",
+    _kcore_sql(),
+    doc=f"Bounded {_KCORE_K}-core peeling ({_KCORE_ROUNDS} rounds) over "
+    "the thresholded co-purchase graph: iteratively drop nodes with "
+    f"degree < {_KCORE_K} and re-count degrees — the dense-substructure "
+    "extractor (k-core) that complements PageRank's centrality loop "
+    "with a MONOTONE-shrinking iteration. Per node: initial degree, "
+    "degree after the final peel, and the round it was removed in (0 "
+    "= survived). Each round is one semi-join of the adjacency "
+    "against survivors + one grouped degree count — the frame only "
+    "shrinks, so per-iteration cost is bounded by the first; the "
+    "oracle unrolls the identical rounds as chained CTEs. The edge "
+    "cut is DENSITY-RELATIVE (>= 1.5x mean pair co-occurrence, the "
+    "reachability lesson) so the peel's edge frame does not densify "
+    "with order volume; at 100 TB the peel runs on that frame "
+    "(<< fact), like all the copurchase graph entries.",
+)
+def q_kcore_peeling_rounds(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.posexplode("parts").alias("i", "part_a"), "parts"
+    ).select(
+        "part_a",
+        F.explode(F.expr("slice(parts, i + 2, size(parts))")).alias("part_b"),
+    )
+    # Checkpoint the pair counts at FULL parallelism before anything
+    # consumes them twice (threshold scalar + edge filter) — a naive
+    # coalesce here propagates up into the heavy fan-out aggregation
+    # and serializes it (measured 4x worse at sf0.1).
+    pair_counts = pairs.groupBy("part_a", "part_b").agg(
+        F.count("*").cast("long").alias("cnt")
+    ).localCheckpoint(eager=False)
+    thr = pair_counts.agg(
+        F.expr(
+            f"GREATEST(2, CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT))"
+        ).alias("t")
+    )
+    edges = (
+        pair_counts.crossJoin(F.broadcast(thr))
+        .filter(F.col("cnt") >= F.col("t"))
+        .select("part_a", "part_b")
+        .coalesce(4)
+        .localCheckpoint(eager=False)
+    )
+    adj = edges.select(F.col("part_a").alias("u"), F.col("part_b").alias("v")).unionByName(
+        edges.select(F.col("part_b").alias("u"), F.col("part_a").alias("v"))
+    )
+    deg0 = adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    survivors = []  # s_r frames, for removed_in_round reconstruction
+    cur_adj, cur_deg = adj, deg0
+    for _ in range(_KCORE_ROUNDS):
+        s = cur_deg.filter(F.col("d") >= _KCORE_K).select("u").localCheckpoint(eager=False)
+        survivors.append(s)
+        cur_adj = cur_adj.join(s, on="u").join(
+            s.select(F.col("u").alias("v")), on="v"
+        ).select("u", "v")
+        cur_deg = cur_adj.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    out = deg0.select(F.col("u").alias("part_id"), F.col("d").alias("initial_degree"))
+    final_deg = cur_deg.select(
+        F.col("u").alias("part_id"), F.col("d").alias("degree_after_peel")
+    )
+    out = out.join(final_deg, on="part_id", how="left").withColumn(
+        "degree_after_peel", F.coalesce(F.col("degree_after_peel"), F.lit(0)).cast("long")
+    )
+    for idx, s in enumerate(survivors, start=1):
+        out = out.join(
+            s.select(F.col("u").alias("part_id"), F.lit(1).alias(f"in_s{idx}")),
+            on="part_id",
+            how="left",
+        )
+    return out.select(
+        "part_id",
+        "initial_degree",
+        "degree_after_peel",
+        F.when(F.col("in_s1").isNull(), 1)
+        .when(F.col("in_s2").isNull(), 2)
+        .when(F.col("in_s3").isNull(), 3)
+        .otherwise(0)
+        .cast("int")
+        .alias("removed_in_round"),
+    )

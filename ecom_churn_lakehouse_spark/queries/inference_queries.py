@@ -823,3 +823,214 @@ def q_spearman_price_quantity_by_brand(spark, sf_dir):
         F.col("sum_d2sq_dec").cast("string").alias("sum_d2sq"),
         F.expr(_SPEARMAN_PPM).alias("rho_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Difference-in-differences: promo uplift on line quantity.
+# --------------------------------------------------------------------------
+
+_DID_CUT = "1998-01-01"
+
+_DID_SQL = f"""
+WITH tagged AS (
+    SELECT p.p_type LIKE 'PROMO%' AS treated,
+           l.l_shipdate >= TIMESTAMP '{_DID_CUT} 00:00:00' AS post,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+cells AS (
+    SELECT treated, post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q_cents) AS BIGINT) AS sum_q
+    FROM tagged GROUP BY treated, post
+),
+means AS (
+    SELECT treated, post, n, sum_q,
+           CAST(sum_q * 10000 // n AS BIGINT) AS mean_q_micro
+    FROM cells
+),
+wide AS (
+    SELECT
+      MAX(CASE WHEN treated AND post THEN n END) AS n_tp,
+      MAX(CASE WHEN treated AND NOT post THEN n END) AS n_t0,
+      MAX(CASE WHEN NOT treated AND post THEN n END) AS n_cp,
+      MAX(CASE WHEN NOT treated AND NOT post THEN n END) AS n_c0,
+      MAX(CASE WHEN treated AND post THEN mean_q_micro END) AS mean_tp_micro,
+      MAX(CASE WHEN treated AND NOT post THEN mean_q_micro END) AS mean_t0_micro,
+      MAX(CASE WHEN NOT treated AND post THEN mean_q_micro END) AS mean_cp_micro,
+      MAX(CASE WHEN NOT treated AND NOT post THEN mean_q_micro END) AS mean_c0_micro
+    FROM means
+)
+SELECT n_tp, n_t0, n_cp, n_c0,
+       mean_tp_micro, mean_t0_micro, mean_cp_micro, mean_c0_micro,
+       CAST((mean_tp_micro - mean_t0_micro) - (mean_cp_micro - mean_c0_micro)
+            AS BIGINT) AS did_micro
+FROM wide
+"""
+
+
+@register(
+    "promo_did_uplift",
+    _DID_SQL,
+    doc=f"Difference-in-differences uplift estimate: did PROMO parts' "
+    f"line quantity move differently after {_DID_CUT} than non-promo "
+    "parts'? The four cell means are exact integer micro-quantities "
+    "(sum*10000 DIV n on non-negative operands); the DiD itself is "
+    "pure BIGINT subtraction of already-floored means, so the signed "
+    "result cannot diverge across engines. The quasi-experimental "
+    "counterpart to promo_chisq_independence: one fact-dim join, one "
+    "map-combinable aggregate to a 4-cell frame, everything after "
+    "runs on 4 rows.",
+)
+def q_promo_did_uplift(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_shipdate") >= F.lit(_DID_CUT).cast("timestamp")).alias("post"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("long").alias("q_cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("treated")
+    )
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("q_cents").cast("long").alias("sum_q"),
+        )
+    )
+    means = cells.select(
+        "treated",
+        "post",
+        "n",
+        "sum_q",
+        F.expr("CAST(sum_q * 10000 DIV n AS BIGINT)").alias("mean_q_micro"),
+    )
+
+    def cell(col, t, p):
+        cond = (F.col("treated") == t) & (F.col("post") == p)
+        return F.max(F.when(cond, F.col(col)))
+
+    wide = means.agg(
+        cell("n", True, True).alias("n_tp"),
+        cell("n", True, False).alias("n_t0"),
+        cell("n", False, True).alias("n_cp"),
+        cell("n", False, False).alias("n_c0"),
+        cell("mean_q_micro", True, True).alias("mean_tp_micro"),
+        cell("mean_q_micro", True, False).alias("mean_t0_micro"),
+        cell("mean_q_micro", False, True).alias("mean_cp_micro"),
+        cell("mean_q_micro", False, False).alias("mean_c0_micro"),
+    )
+    return wide.select(
+        "*",
+        (
+            (F.col("mean_tp_micro") - F.col("mean_t0_micro"))
+            - (F.col("mean_cp_micro") - F.col("mean_c0_micro"))
+        )
+        .cast("long")
+        .alias("did_micro"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Simpson's-paradox screen: pooled vs per-brand regression sign.
+# --------------------------------------------------------------------------
+
+_SIMPSON_SQL = """
+WITH comp AS (
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT))
+                AS DECIMAL(38,0)) AS sx,
+           CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)
+                    * CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT)
+                    AS DECIMAL(25,0))) AS DECIMAL(38,0)) AS sxy
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+),
+signed AS (
+    SELECT brand, n,
+           CAST(CAST(n AS DECIMAL(18,0)) * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+           CAST(SUM(n) OVER () AS BIGINT) AS n_all,
+           CAST(SUM(sx) OVER () AS DECIMAL(38,0)) AS sx_all,
+           CAST(SUM(sy) OVER () AS DECIMAL(38,0)) AS sy_all,
+           CAST(SUM(sxy) OVER () AS DECIMAL(38,0)) AS sxy_all
+    FROM comp
+)
+SELECT brand, n,
+       CAST(slope_num AS VARCHAR) AS slope_num,
+       CAST(CASE WHEN slope_num > 0 THEN 1 WHEN slope_num < 0 THEN -1 ELSE 0 END
+            AS INTEGER) AS brand_sign,
+       CAST(CASE WHEN CAST(n_all AS DECIMAL(18,0)) * sxy_all - sx_all * sy_all > 0 THEN 1
+                 WHEN CAST(n_all AS DECIMAL(18,0)) * sxy_all - sx_all * sy_all < 0 THEN -1
+                 ELSE 0 END AS INTEGER) AS pooled_sign,
+       (CASE WHEN slope_num > 0 THEN 1 WHEN slope_num < 0 THEN -1 ELSE 0 END)
+       <> (CASE WHEN CAST(n_all AS DECIMAL(18,0)) * sxy_all - sx_all * sy_all > 0 THEN 1
+                WHEN CAST(n_all AS DECIMAL(18,0)) * sxy_all - sx_all * sy_all < 0 THEN -1
+                ELSE 0 END) AS sign_flipped
+FROM signed
+"""
+
+
+@register(
+    "simpsons_paradox_screen",
+    _SIMPSON_SQL,
+    doc="Simpson's-paradox screen on the discount -> quantity relation: "
+    "per-brand OLS slope SIGN vs the pooled slope sign, flagged where "
+    "they disagree — the aggregation-bias tripwire every metrics "
+    "review needs before trusting a pooled trend. The slope sign is "
+    "read off the EXACT integer numerator n*Sxy - Sx*Sy (DECIMAL(38,0),"
+    " surfaced as VARCHAR) — no division, no floats, so a sign can "
+    "never flip from rounding. One fact-dim join + one map-combinable "
+    "aggregate; the pooled components are windows over the |brands| "
+    "frame.",
+)
+def q_simpsons_paradox_screen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_discount").cast("decimal(18,4)") * 10000).cast("long").alias("x_bp"),
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    comp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("x_bp").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum((F.col("x_bp") * F.col("y")).cast("decimal(25,0)"))
+            .cast("decimal(38,0)")
+            .alias("sxy"),
+        )
+    )
+    w = Window.partitionBy()
+    signed = comp.select(
+        "brand",
+        "n",
+        (F.col("n").cast("decimal(18,0)") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)")
+        .alias("slope_num"),
+        F.sum("n").over(w).cast("long").alias("n_all"),
+        F.sum("sx").over(w).cast("decimal(38,0)").alias("sx_all"),
+        F.sum("sy").over(w).cast("decimal(38,0)").alias("sy_all"),
+        F.sum("sxy").over(w).cast("decimal(38,0)").alias("sxy_all"),
+    )
+    brand_sign = (
+        F.when(F.col("slope_num") > 0, 1).when(F.col("slope_num") < 0, -1).otherwise(0)
+    )
+    pooled_num = (
+        F.col("n_all").cast("decimal(18,0)") * F.col("sxy_all")
+        - F.col("sx_all") * F.col("sy_all")
+    )
+    pooled_sign = F.when(pooled_num > 0, 1).when(pooled_num < 0, -1).otherwise(0)
+    return signed.select(
+        "brand",
+        "n",
+        F.col("slope_num").cast("string").alias("slope_num"),
+        brand_sign.cast("int").alias("brand_sign"),
+        pooled_sign.cast("int").alias("pooled_sign"),
+        (brand_sign != pooled_sign).alias("sign_flipped"),
+    )

@@ -499,3 +499,78 @@ def q_revenue_autocorr_components(spark, sf_dir):
         F.col("sum_yy_dec").cast("string").alias("sum_yy"),
         F.expr(_ACF_R_MILLI).alias("r_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling exact median of daily revenue (order statistic in a window).
+# --------------------------------------------------------------------------
+
+_RMED_DAYS = 15
+
+_RMED_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+),
+contrib AS (
+    SELECT t.d AS target_d, s.cents
+    FROM daily s JOIN daily t ON t.d BETWEEN s.d AND s.d + {_RMED_DAYS - 1}
+)
+SELECT target_d AS d,
+       CAST(COUNT(*) AS INTEGER) AS n_days_in_window,
+       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents,
+       MIN(cents) AS min_cents,
+       MAX(cents) AS max_cents
+FROM contrib
+GROUP BY target_d
+"""
+
+
+@register(
+    "rolling_median_daily_revenue",
+    _RMED_SQL,
+    doc=f"Trailing {_RMED_DAYS}-day EXACT median (plus min/max) of "
+    "daily revenue — the robust trend line a monitoring dashboard "
+    "draws where a rolling mean is outlier-distorted. Spark has no "
+    "median window function, so the operator re-keys each day's "
+    "revenue to the target days it contributes to (a row-local "
+    f"{_RMED_DAYS}-way explode on the DAY-grain frame) and takes "
+    "percentile_disc(0.5) per target day — discrete percentile, so "
+    "the result is an actual observed BIGINT cents value, bit-equal "
+    "to DuckDB's quantile_disc. Scale: the fact reduces to the day "
+    "grain first; the explode+agg touches |days|*window rows "
+    "(~55k/decade) regardless of fact size.",
+)
+def q_rolling_median_daily_revenue(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    contrib = daily.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), _RMED_DAYS - 1))
+        ).alias("target_d"),
+        "cents",
+    ).join(
+        # only REAL days are targets (the oracle's join formulation
+        # draws targets from the daily frame; the explode overshoots
+        # past the last data day without this semi-join)
+        daily.select(F.col("d").alias("target_d")),
+        on="target_d",
+        how="left_semi",
+    )
+    return contrib.groupBy(F.col("target_d").alias("d")).agg(
+        F.count("*").cast("int").alias("n_days_in_window"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("median_cents"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

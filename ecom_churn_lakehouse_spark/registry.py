@@ -57,6 +57,11 @@ NEW_IN_ROUND: list[str] = [
     "copurchase_link_prediction",
     "revenue_autocorr_components",
     "equidepth_histogram_stats",
+    "churn_gains_table",
+    "kcore_peeling_rounds",
+    "rolling_median_daily_revenue",
+    "promo_did_uplift",
+    "simpsons_paradox_screen",
     "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",
