@@ -335,3 +335,126 @@ def test_interval_overlap_pairs_are_symmetric_free_and_positive(spark):
         key = (r["custkey"], r["orderkey_a"], r["orderkey_b"])
         assert key not in seen
         seen.add(key)
+
+
+# ---------------- round-6 extension batch (post-closing session) ----------
+
+
+def test_kcore_peel_is_monotone_and_consistent(spark):
+    rows = queries()["kcore_peeling_rounds"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["removed_in_round"] in (0, 1, 2, 3)
+        assert 0 <= r["degree_after_peel"] <= r["initial_degree"]
+        if r["removed_in_round"] == 1:
+            # removed immediately -> the node never met the core bar
+            assert r["initial_degree"] < 2
+        if r["removed_in_round"] in (1, 2, 3):
+            assert r["degree_after_peel"] == 0
+
+
+def test_gains_table_cumulative_capture_is_monotone_to_one(spark):
+    rows = sorted(
+        queries()["churn_gains_table"](spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    caps = [r["cum_captured_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(caps, caps[1:]))
+    assert caps[-1] == 1_000_000
+    for r in rows:
+        assert 0 <= r["churn_rate_ppm"] <= 1_000_000
+        assert r["n_churned"] <= r["n"]
+
+
+def test_kmv_estimate_is_sane(spark):
+    rows = queries()["kmv_distinct_curve"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["est"] > 0
+        assert r["n_exact"] > 0
+        # deterministic fixture; generous 80% band guards the estimator
+        # wiring (k-1 numerator, domain constant), not sketch variance
+        assert r["abs_err_ppm"] < 800_000
+    # more hashes -> the k used must be <= exact distinct count
+    assert all(r["k"] <= r["n_exact"] for r in rows)
+
+
+def test_zone_map_sorted_layout_dominates_hash(spark):
+    rows = {r["layout"]: r for r in queries()["zone_map_pruning_audit"](spark, SF).collect()}
+    assert set(rows) == {"date_sorted", "key_clustered", "hash_random"}
+    # every layout sees the same table and the same true matches
+    matched = {r["rows_matched"] for r in rows.values()}
+    assert len(matched) == 1
+    assert rows["date_sorted"]["prune_ratio_ppm"] >= rows["hash_random"]["prune_ratio_ppm"]
+    assert rows["date_sorted"]["rows_scanned"] <= rows["hash_random"]["rows_scanned"]
+    for r in rows.values():
+        assert r["rows_scanned"] >= r["rows_matched"]
+
+
+def test_mannwhitney_u_is_in_range(spark):
+    (r,) = queries()["mannwhitney_u_quantity"](spark, SF).collect()
+    n1, n2 = r["n1"], r["n2"]
+    u1_x2 = int(r["u1_x2"])
+    assert 0 <= u1_x2 <= 2 * n1 * n2
+    # R1 is at least the minimum possible rank sum n1*(n1+1)/2 (doubled)
+    assert int(r["r1_x2"]) >= n1 * (n1 + 1)
+    assert int(r["tie_cubes"]) >= 0
+
+
+def test_spearman_rho_is_bounded(spark):
+    rows = queries()["spearman_price_quantity_by_brand"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
+        assert int(r["sum_d2sq"]) >= 0
+
+
+def test_spell_variants_fold_into_higher_frequency(spark):
+    rows = queries()["token_spell_variants"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert 0 < r["dist"] <= 3
+        tf = {r["tok_a"]: r["tf_a"], r["tok_b"]: r["tf_b"]}
+        assert tf[r["fold_into"]] == max(r["tf_a"], r["tf_b"])
+
+
+def test_rolling_median_is_within_window_extremes(spark):
+    rows = queries()["rolling_median_daily_revenue"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days_in_window"] <= 15
+        assert r["min_cents"] <= r["median_cents"] <= r["max_cents"]
+
+
+def test_link_prediction_scores_are_valid(spark):
+    rows = queries()["copurchase_link_prediction"](spark, SF).collect()
+    assert rows
+    rks = sorted(r["rk"] for r in rows)
+    assert rks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["cn"] >= 1
+        assert 0 < r["jaccard_ppm"] <= 1_000_000
+        assert r["cn"] <= min(r["deg_a"], r["deg_b"])
+
+
+def test_did_is_exact_cell_arithmetic(spark):
+    (r,) = queries()["promo_did_uplift"](spark, SF).collect()
+    assert r["did_micro"] == (r["mean_tp_micro"] - r["mean_t0_micro"]) - (
+        r["mean_cp_micro"] - r["mean_c0_micro"]
+    )
+    for c in ("n_tp", "n_t0", "n_cp", "n_c0"):
+        assert r[c] > 0
+
+
+def test_simpson_screen_signs_match_numerators(spark):
+    rows = queries()["simpsons_paradox_screen"](spark, SF).collect()
+    assert rows
+    pooled = {r["pooled_sign"] for r in rows}
+    assert len(pooled) == 1  # one pooled sign shared by every row
+    for r in rows:
+        num = int(r["slope_num"])
+        expect = 1 if num > 0 else (-1 if num < 0 else 0)
+        assert r["brand_sign"] == expect
+        assert r["sign_flipped"] == (r["brand_sign"] != r["pooled_sign"])
