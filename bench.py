@@ -193,6 +193,20 @@ HEADLINE = [
     "promo_chisq_independence",
     "bootstrap_mean_ci",
     "acctbal_variance_components",
+    # round-6 extension batch (rank inference, sketches, graph, layout)
+    "mannwhitney_u_quantity",
+    "spearman_price_quantity_by_brand",
+    "token_spell_variants",
+    "zone_map_pruning_audit",
+    "kmv_distinct_curve",
+    "copurchase_link_prediction",
+    "revenue_autocorr_components",
+    "equidepth_histogram_stats",
+    "churn_gains_table",
+    "kcore_peeling_rounds",
+    "rolling_median_daily_revenue",
+    "promo_did_uplift",
+    "simpsons_paradox_screen",
 ]
 
 

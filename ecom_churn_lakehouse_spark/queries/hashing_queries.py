@@ -541,3 +541,113 @@ def q_kmv_distinct_curve(spark, sf_dir):
             "abs_err_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming KMV maintenance (mergeable-sketch twin of kmv_distinct_curve).
+# --------------------------------------------------------------------------
+
+#: Same estimator pipeline as the batch entry, WITHOUT the exact-count
+#: columns: the streaming point is that per-batch k-minima merge into
+#: the global sketch with O(k) state — keeping the exact distinct set
+#: alongside would defeat the sketch.
+_KMV_STREAM_SQL = f"""
+WITH hashes AS (
+    SELECT DISTINCT CAST(('0x' || substring(md5('kmv:' || CAST(o_custkey AS VARCHAR)), 1, 13))
+                         AS BIGINT) AS h
+    FROM orders
+),
+topk AS (
+    SELECT h FROM hashes ORDER BY h LIMIT {_KMV_MAX_K}
+),
+ranked AS (
+    SELECT h, CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS k FROM topk
+)
+SELECT CAST(k AS INTEGER) AS k, h AS h_k,
+       CAST((k - 1) * {_KMV_DOMAIN} // h AS BIGINT) AS est
+FROM ranked WHERE k IN ({", ".join(str(k) for k in _KMV_KS)})
+"""
+
+
+@register(
+    "stream_kmv_maintenance",
+    _KMV_STREAM_SQL,
+    doc="Streaming twin of kmv_distinct_curve: KMV is a MERGEABLE "
+    "sketch (the k smallest hashes of a union are the k smallest of "
+    "the per-batch k-minima), so the distinct-count estimate is "
+    "maintainable from micro-batches with O(k) state per batch and "
+    "no reprocessing. Three order chunks stream through foreachBatch "
+    "(idempotent per-batch_id partial writes, at-least-once safe); "
+    "each batch persists only its local k smallest distinct hashes; "
+    "the merged partials re-ranked must reproduce the one-shot batch "
+    "sketch EXACTLY — which is the oracle (the estimator columns of "
+    "the batch entry).",
+)
+def q_stream_kmv_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv:"), F.col("o_custkey").cast("string"))), 1, 13
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h")
+    )
+
+    base = scratch_dir(prefix="stream_kmv_")
+    for lo, hi in ((None, 50000), (50000, 100000), (100000, None)):
+        chunk = orders
+        if lo:
+            chunk = chunk.filter(F.col("o_custkey") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("o_custkey") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            (
+                batch_df.select(h)
+                .distinct()
+                .orderBy("h")
+                .limit(_KMV_MAX_K)
+                .write.mode("overwrite")
+                .parquet(dest)
+            )
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = (
+        spark.read.parquet(f"{base}/partials")
+        .select("h")
+        .distinct()  # same hash may survive several batches' top-k
+        .orderBy("h")
+        .limit(_KMV_MAX_K)
+    )
+    ranked = merged.select(
+        "h", F.row_number().over(Window.orderBy("h")).cast("long").alias("k")
+    )
+    return ranked.filter(F.col("k").isin(*_KMV_KS)).select(
+        F.col("k").cast("int").alias("k"),
+        F.col("h").alias("h_k"),
+        F.expr(f"CAST((k - 1) * {_KMV_DOMAIN} DIV h AS BIGINT)").alias("est"),
+    )

@@ -658,9 +658,9 @@ stat AS (
     FROM comp
 )
 SELECT n1, n2,
-       CAST(r1_x2_dec AS VARCHAR) AS r1_x2,
-       CAST(u1_x2_dec AS VARCHAR) AS u1_x2,
-       CAST(tie_cubes_dec AS VARCHAR) AS tie_cubes,
+       CAST(r1_x2_dec AS STRING) AS r1_x2,
+       CAST(u1_x2_dec AS STRING) AS u1_x2,
+       CAST(tie_cubes_dec AS STRING) AS tie_cubes,
        {_MWU_Z_MILLI} AS z_milli,
        abs({_MWU_Z_MILLI}) > 1960 AS reject_at_05
 FROM stat
@@ -768,7 +768,7 @@ SELECT brand,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(CAST(SUM(CAST(r2x - r2y AS DECIMAL(18,0))
                      * CAST(r2x - r2y AS DECIMAL(18,0)))
-                 AS DECIMAL(38,0)) AS VARCHAR) AS sum_d2sq,
+                 AS DECIMAL(38,0)) AS STRING) AS sum_d2sq,
        {_SPEARMAN_PPM.replace("sum_d2sq_dec", "CAST(SUM(CAST(r2x - r2y AS DECIMAL(18,0)) * CAST(r2x - r2y AS DECIMAL(18,0))) AS DECIMAL(38,0))").replace("CAST(n AS DOUBLE)", "CAST(COUNT(*) AS DOUBLE)")} AS rho_ppm
 FROM ranked
 GROUP BY brand
@@ -960,7 +960,7 @@ signed AS (
     FROM comp
 )
 SELECT brand, n,
-       CAST(slope_num AS VARCHAR) AS slope_num,
+       CAST(slope_num AS STRING) AS slope_num,
        CAST(CASE WHEN slope_num > 0 THEN 1 WHEN slope_num < 0 THEN -1 ELSE 0 END
             AS INTEGER) AS brand_sign,
        CAST(CASE WHEN CAST(n_all AS DECIMAL(18,0)) * sxy_all - sx_all * sy_all > 0 THEN 1

@@ -61,6 +61,10 @@ _TWINS = [
     "join_cardinality_estimate",    # scalar subqueries + USING join + FLOOR/GREATEST
     "promo_chisq_independence",     # window marginals + LIKE + ordinal GROUP BY
     "brand_discount_elasticity_components",  # exact BIGINT component sums + shared FLOOR expr
+    # round-6 extension batch qualifying additions
+    "mannwhitney_u_quantity",       # cumulative-rank windows + DECIMAL(38,0) + shared sqrt expr
+    "spearman_price_quantity_by_brand",  # doubled-average-rank windows per brand
+    "simpsons_paradox_screen",      # signed DECIMAL numerators + global window sums
 ]
 
 

@@ -62,6 +62,10 @@ NEW_IN_ROUND: list[str] = [
     "rolling_median_daily_revenue",
     "promo_did_uplift",
     "simpsons_paradox_screen",
+    "stream_kmv_maintenance",
+    "sql_mannwhitney_u_quantity",
+    "sql_spearman_price_quantity_by_brand",
+    "sql_simpsons_paradox_screen",
     "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",
