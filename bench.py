@@ -207,6 +207,14 @@ HEADLINE = [
     "rolling_median_daily_revenue",
     "promo_did_uplift",
     "simpsons_paradox_screen",
+    "event_value_ohlc_hourly",
+    "shapley_channel_attribution",
+    "kmv_set_overlap_estimate",
+    "session_top_paths",
+    "incremental_join_maintenance",
+    "spell_blocking_quality_eval",
+    "threshold_sweep_pr_curve",
+    "bootstrap_ab_diff_ci",
 ]
 
 

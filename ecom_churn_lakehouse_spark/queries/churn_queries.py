@@ -796,3 +796,92 @@ def q_churn_gains_table(spark, sf_dir):
             "CAST(n_churned * tot_n * 1000000 DIV (n * tot_churned) AS BIGINT)"
         ).alias("lift_ppm"),
     )
+
+
+# -------------------- threshold sweep: precision/recall/F1 by decile cut
+
+_PR_SWEEP_SQL = f"""
+WITH feats AS ({_FEATURES_SQL}),
+labels AS ({_LABELS_SQL}),
+scored AS (
+    SELECT f.customer_id, l.churn_label AS y,
+           {_SCORE_SQL} AS p
+    FROM feats f JOIN labels l ON f.customer_id = l.customer_id
+),
+deciled AS (
+    SELECT y,
+           CAST(NTILE(10) OVER (ORDER BY p DESC, customer_id) AS INTEGER) AS cut
+    FROM scored
+),
+g AS (
+    SELECT cut, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS npos
+    FROM deciled GROUP BY cut
+),
+c AS (
+    SELECT cut,
+           CAST(SUM(n) OVER (ORDER BY cut) AS BIGINT) AS cum_n,
+           CAST(SUM(npos) OVER (ORDER BY cut) AS BIGINT) AS cum_pos,
+           CAST(SUM(npos) OVER () AS BIGINT) AS tot_pos
+    FROM g
+)
+SELECT cut, cum_n AS n_flagged, cum_pos AS true_positives,
+       CAST(cum_pos * 1000000 // cum_n AS BIGINT) AS precision_ppm,
+       CAST(cum_pos * 1000000 // tot_pos AS BIGINT) AS recall_ppm,
+       CAST(2 * cum_pos * 1000000 // (cum_n + tot_pos) AS BIGINT) AS f1_ppm
+FROM c
+"""
+
+
+@register(
+    "threshold_sweep_pr_curve",
+    _PR_SWEEP_SQL,
+    doc="Operating-point sweep for the approved churn model: rank "
+    "customers by the deterministic rational-sigmoid score, cut at "
+    "each decile, and report precision / recall / F1 at every cut in "
+    "EXACT integer ppm (F1 = 2TP/(flagged+actual_pos) — computed from "
+    "raw counts, never from the rounded P and R). The curve "
+    "model_eval_metrics' scalar PR-AUC integrates — a campaign picks "
+    "ITS operating point off this table. Decile-cut thresholds avoid "
+    "float threshold comparisons entirely. Scale: NTILE over the "
+    "customer frame (deciles pattern); every window after runs on the "
+    "10-row cut frame.",
+)
+def q_threshold_sweep_pr_curve(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    feats = q_customer_features(spark, sf_dir).select(
+        "customer_id", "recency_days", "lifetime_orders"
+    )
+    labels = q_churn_labels(spark, sf_dir)
+    scored = feats.join(labels, on="customer_id").select(
+        "customer_id",
+        F.col("churn_label").alias("y"),
+        F.expr(_SCORE_SQL).alias("p"),
+    )
+    deciled = scored.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("p"), "customer_id"))
+        .cast("int")
+        .alias("cut"),
+    )
+    g = deciled.groupBy("cut").agg(
+        F.count("*").cast("long").alias("n"), F.sum("y").cast("long").alias("npos")
+    )
+    c = g.select(
+        "cut",
+        F.sum("n").over(Window.orderBy("cut")).cast("long").alias("cum_n"),
+        F.sum("npos").over(Window.orderBy("cut")).cast("long").alias("cum_pos"),
+        F.sum("npos").over(Window.partitionBy()).cast("long").alias("tot_pos"),
+    )
+    return c.select(
+        "cut",
+        F.col("cum_n").alias("n_flagged"),
+        F.col("cum_pos").alias("true_positives"),
+        F.expr("CAST(cum_pos * 1000000 DIV cum_n AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(cum_pos * 1000000 DIV tot_pos AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(2 * cum_pos * 1000000 DIV (cum_n + tot_pos) AS BIGINT)").alias(
+            "f1_ppm"
+        ),
+    )

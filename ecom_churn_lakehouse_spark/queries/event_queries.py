@@ -1211,3 +1211,246 @@ def q_event_cooldown_dedup(spark, sf_dir):
             "suppressed_ppm"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Hourly OHLC bars over the event value stream.
+# --------------------------------------------------------------------------
+
+_OHLC_SQL = """
+WITH ev AS (
+    SELECT date_trunc('hour', ts) AS hour, ts, event_id,
+           CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM events
+)
+SELECT hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       (MIN({'t': ts, 'i': event_id, 'v': cents})).v AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       (MAX({'t': ts, 'i': event_id, 'v': cents})).v AS close_cents,
+       CAST(SUM(cents) AS BIGINT) AS volume_cents
+FROM ev GROUP BY hour
+"""
+
+
+@register(
+    "event_value_ohlc_hourly",
+    _OHLC_SQL,
+    doc="Hourly OHLC bars over the event value stream: open/close via "
+    "lexicographic struct-extrema argmin/argmax on (ts, event_id, "
+    "cents) — the deterministic first/last-in-window idiom that needs "
+    "no window function, so the whole bar is ONE map-side-combinable "
+    "aggregate (structs min/max combine associatively across "
+    "partitions). The market-data primitive next to event_value_twap: "
+    "TWAP integrates the hold time, OHLC keeps the path extremes. At "
+    "100 TB each hour's bar folds locally per partition and merges in "
+    "the combiner — no sort, no window, no shuffle beyond the "
+    "hour-key exchange.",
+)
+def q_event_value_ohlc_hourly(spark, sf_dir):
+    ev = load_events(spark, sf_dir).select(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "ts",
+        "event_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    first = F.min(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"), F.col("cents").alias("v")))
+    last = F.max(F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"), F.col("cents").alias("v")))
+    return ev.groupBy("hour").agg(
+        F.count("*").cast("long").alias("n_events"),
+        first.getField("v").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        last.getField("v").alias("close_cents"),
+        F.sum("cents").cast("long").alias("volume_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shapley-value channel attribution (exact rational credit).
+# --------------------------------------------------------------------------
+
+_SHAPLEY_CHANNELS = ("click", "signup", "view")
+_SHAPLEY_LCM = 6  # lcm(1..3): credit conv(S)/|S| stays integer in sixths
+
+_SHAPLEY_SQL = f"""
+WITH conv AS (
+    SELECT user_id, MIN(ts) AS first_purchase_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+exposure AS (
+    SELECT e.user_id,
+           list_sort(list_distinct(list(e.event_type))) AS channels
+    FROM events e JOIN conv c ON c.user_id = e.user_id
+    WHERE e.event_type IN ({", ".join(f"'{c}'" for c in _SHAPLEY_CHANNELS)})
+      AND e.ts < c.first_purchase_ts
+    GROUP BY e.user_id
+),
+subsets AS (
+    SELECT array_to_string(channels, ',') AS subset,
+           len(channels) AS subset_size,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions
+    FROM exposure GROUP BY 1, 2
+),
+credited AS (
+    SELECT unnest(string_split(subset, ',')) AS channel,
+           n_conversions * ({_SHAPLEY_LCM} // subset_size) AS credit_sixths,
+           n_conversions
+    FROM subsets
+),
+tot AS (SELECT CAST(SUM(n_conversions) AS BIGINT) AS total_conv FROM subsets)
+SELECT channel,
+       CAST(SUM(credit_sixths) AS BIGINT) AS shapley_sixths,
+       CAST(SUM(n_conversions) AS BIGINT) AS n_converting_users,
+       CAST(SUM(credit_sixths) * 1000000 // ({_SHAPLEY_LCM} * (SELECT total_conv FROM tot))
+            AS BIGINT) AS credit_share_ppm
+FROM credited
+GROUP BY channel
+"""
+
+
+@register(
+    "shapley_channel_attribution",
+    _SHAPLEY_SQL,
+    doc="Shapley-value marketing attribution over pre-purchase channel "
+    f"exposure sets ({', '.join(_SHAPLEY_CHANNELS)}): each converting "
+    "user's exposure SET earns conv(S)/|S| credit per member channel "
+    "(the symmetric-game Shapley value), carried as EXACT integers in "
+    "lcm-scaled sixths so equal split never rounds; the final share "
+    "is integer ppm. The game-theoretic counterpart to "
+    "multi_touch_attribution's position rules. Scale: exposure sets "
+    "reduce users to one row each (collect_set after an as-of filter "
+    "against the user's first purchase); subsets reduce further to "
+    "<= 2^|channels| rows, and all credit math runs on that frame.",
+)
+def q_shapley_channel_attribution(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    exposure = (
+        ev.filter(F.col("event_type").isin(*_SHAPLEY_CHANNELS))
+        .join(conv, on="user_id")
+        .filter(F.col("ts") < F.col("first_purchase_ts"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("channels"))
+    )
+    subsets = exposure.groupBy(
+        F.array_join("channels", ",").alias("subset"),
+        F.size("channels").alias("subset_size"),
+    ).agg(F.count("*").cast("long").alias("n_conversions"))
+    credited = subsets.select(
+        F.explode(F.split("subset", ",")).alias("channel"),
+        (F.col("n_conversions") * F.expr(f"{_SHAPLEY_LCM} DIV subset_size"))
+        .cast("long")
+        .alias("credit_sixths"),
+        "n_conversions",
+    )
+    tot = subsets.agg(F.sum("n_conversions").cast("long").alias("total_conv"))
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.sum("credit_sixths").cast("long").alias("shapley_sixths"),
+            F.sum("n_conversions").cast("long").alias("n_converting_users"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "shapley_sixths",
+            "n_converting_users",
+            F.expr(
+                f"CAST(shapley_sixths * 1000000 DIV ({_SHAPLEY_LCM} * total_conv) AS BIGINT)"
+            ).alias("credit_share_ppm"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Session path mining: most frequent event-type prefixes per session.
+# --------------------------------------------------------------------------
+
+_PATH_GAP_MIN = 30
+_PATH_PREFIX = 5
+_PATH_TOP = 20
+
+_TOP_PATHS_SQL = f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {_PATH_GAP_MIN} * 60 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+),
+paths AS (
+    SELECT user_id, session_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:{_PATH_PREFIX}], '>')
+               AS path
+    FROM sessions GROUP BY user_id, session_id
+),
+counted AS (
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+)
+SELECT path, n_sessions, CAST(rk AS INTEGER) AS rk
+FROM (
+    SELECT path, n_sessions,
+           ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS rk
+    FROM counted
+)
+WHERE rk <= {_PATH_TOP}
+"""
+
+
+@register(
+    "session_top_paths",
+    _TOP_PATHS_SQL,
+    doc=f"Session path mining: sessionize the event stream "
+    f"({_PATH_GAP_MIN}-min gap), take each session's first "
+    f"{_PATH_PREFIX} event types as an ordered path, and rank the "
+    f"top {_PATH_TOP} paths by frequency — the UX-funnel sequence "
+    "report (which journeys actually happen) complementing the "
+    "1-step event_type_transitions matrix. Order inside each path is "
+    "pinned by sorting (ts, event_id) structs INSIDE the row "
+    "(collect_list order is not deterministic across partitions; "
+    "sort_array of structs is). Scale: sessionization is the standard "
+    "user-partitioned window; paths reduce sessions to one row and "
+    "counting is map-combinable on the path-string grain.",
+)
+def q_session_top_paths(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators import sessionize
+
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type")
+    sess = sessionize(ev, gap_minutes=_PATH_GAP_MIN)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.array_join(
+                F.transform(F.slice("evs", 1, _PATH_PREFIX), lambda s: s["event_type"]),
+                ">",
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count("*").cast("long").alias("n_sessions"))
+    ranked = counted.select(
+        "path",
+        "n_sessions",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n_sessions"), "path"))
+        .cast("int")
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= _PATH_TOP)

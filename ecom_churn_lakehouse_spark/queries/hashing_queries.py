@@ -651,3 +651,137 @@ def q_stream_kmv_maintenance(spark, sf_dir):
         F.col("h").alias("h_k"),
         F.expr(f"CAST((k - 1) * {_KMV_DOMAIN} DIV h AS BIGINT)").alias("est"),
     )
+
+
+# --------------------------------------------------------------------------
+# KMV sketch set-overlap (Jaccard / intersection) estimation.
+# --------------------------------------------------------------------------
+
+_OVERLAP_K = 64
+
+#: Shared hash text: both key sets MUST hash with the same salt or the
+#: sketches aren't comparable.
+_OVERLAP_HASH_SQL = (
+    "CAST(('0x' || substring(md5('setkmv:' || CAST({key} AS VARCHAR)), 1, 13)) AS BIGINT)"
+)
+
+_OVERLAP_SQL = f"""
+WITH ha AS (
+    SELECT DISTINCT {_OVERLAP_HASH_SQL.format(key="user_id")} AS h FROM events
+),
+hb AS (
+    SELECT DISTINCT {_OVERLAP_HASH_SQL.format(key="o_custkey")} AS h FROM orders
+),
+ska AS (SELECT h FROM ha ORDER BY h LIMIT {_OVERLAP_K}),
+skb AS (SELECT h FROM hb ORDER BY h LIMIT {_OVERLAP_K}),
+uni AS (
+    SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb)
+    ORDER BY h LIMIT {_OVERLAP_K}
+),
+est AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+    FROM uni
+    WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)
+),
+hk AS (SELECT MAX(h) AS h_k FROM uni),
+exact AS (
+    SELECT CAST((SELECT COUNT(*) FROM ha) AS BIGINT) AS n_a,
+           CAST((SELECT COUNT(*) FROM hb) AS BIGINT) AS n_b,
+           CAST((SELECT COUNT(*) FROM (SELECT h FROM ha INTERSECT SELECT h FROM hb))
+                AS BIGINT) AS inter_exact
+)
+SELECT CAST({_OVERLAP_K} AS INTEGER) AS k,
+       e.n_a, e.n_b, e.inter_exact,
+       CAST(e.inter_exact * 1000000 // (e.n_a + e.n_b - e.inter_exact) AS BIGINT)
+           AS jaccard_exact_ppm,
+       s.n_common,
+       CAST(s.n_common * 1000000 // {_OVERLAP_K} AS BIGINT) AS jaccard_est_ppm,
+       CAST(({_OVERLAP_K} - 1) * {_KMV_DOMAIN} // (SELECT h_k FROM hk) AS BIGINT)
+           AS union_est,
+       CAST(s.n_common * (({_OVERLAP_K} - 1) * {_KMV_DOMAIN} // (SELECT h_k FROM hk))
+            // {_OVERLAP_K} AS BIGINT) AS inter_est
+FROM est s CROSS JOIN exact e
+"""
+
+
+@register(
+    "kmv_set_overlap_estimate",
+    _OVERLAP_SQL,
+    doc=f"Sketch-based set-overlap estimation: two KMV sketches "
+    f"(k={_OVERLAP_K}, shared salt) over event users and order "
+    "customers; the k-minima of the sketch UNION give the union-size "
+    "estimate, and the fraction of those minima present in BOTH "
+    "sketches is the Jaccard estimate (n_common/k, exact integer "
+    "ppm) — intersection size follows without ever joining the raw "
+    "key sets. Reported next to the exact Jaccard/intersection so the "
+    "sketch error is visible. The distinct-overlap planner question "
+    "('how many event users are known buyers?') answered from two "
+    "O(k) summaries — at 100 TB each side's sketch is its "
+    "per-partition k-minima merged (TakeOrderedAndProject), and the "
+    "comparison itself is driver-trivial.",
+)
+def q_kmv_set_overlap_estimate(spark, sf_dir):
+    def sketch(df, col):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("setkmv:"), F.col(col).cast("string"))), 1, 13
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h")
+        )
+        return df.select(h).distinct()
+
+    ha = sketch(load_table(spark, sf_dir, "events").select("user_id"), "user_id")
+    hb = sketch(load_table(spark, sf_dir, "orders").select("o_custkey"), "o_custkey")
+    ska = ha.orderBy("h").limit(_OVERLAP_K)
+    skb = hb.orderBy("h").limit(_OVERLAP_K)
+    uni = (
+        ska.select("h")
+        .union(skb.select("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(_OVERLAP_K)
+        .localCheckpoint(eager=False)  # reused by n_common and h_k
+    )
+    common = (
+        uni.join(ska.withColumnRenamed("h", "h_a"), uni.h == F.col("h_a"), "left_semi")
+        .join(skb.withColumnRenamed("h", "h_b"), F.col("h") == F.col("h_b"), "left_semi")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    hk = uni.agg(F.max("h").alias("h_k"))
+    exact = (
+        ha.agg(F.count("*").cast("long").alias("n_a"))
+        .crossJoin(hb.agg(F.count("*").cast("long").alias("n_b")))
+        .crossJoin(
+            ha.join(hb, on="h", how="left_semi")
+            .agg(F.count("*").cast("long").alias("inter_exact"))
+        )
+    )
+    return (
+        common.crossJoin(F.broadcast(hk))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_OVERLAP_K).cast("int").alias("k"),
+            "n_a",
+            "n_b",
+            "inter_exact",
+            F.expr(
+                "CAST(inter_exact * 1000000 DIV (n_a + n_b - inter_exact) AS BIGINT)"
+            ).alias("jaccard_exact_ppm"),
+            "n_common",
+            F.expr(f"CAST(n_common * 1000000 DIV {_OVERLAP_K} AS BIGINT)").alias(
+                "jaccard_est_ppm"
+            ),
+            F.expr(f"CAST(({_OVERLAP_K} - 1) * {_KMV_DOMAIN} DIV h_k AS BIGINT)").alias(
+                "union_est"
+            ),
+            F.expr(
+                f"CAST(n_common * (({_OVERLAP_K} - 1) * {_KMV_DOMAIN} DIV h_k) "
+                f"DIV {_OVERLAP_K} AS BIGINT)"
+            ).alias("inter_est"),
+        )
+    )

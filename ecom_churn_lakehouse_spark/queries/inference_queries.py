@@ -1034,3 +1034,128 @@ def q_simpsons_paradox_screen(spark, sf_dir):
         pooled_sign.cast("int").alias("pooled_sign"),
         (brand_sign != pooled_sign).alias("sign_flipped"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic bootstrap CI for the A/B difference in mean order value.
+# --------------------------------------------------------------------------
+
+_AB_B = 32
+
+_AB_KEY_SQL = "(CAST(o_orderkey AS VARCHAR) || ':' || CAST(b AS VARCHAR))"
+
+_AB_DIFF_SQL = f"""
+WITH weighted AS (
+    SELECT t.b,
+           {hash_bucket_sql(_AB_KEY_SQL, "abboot:", 3)} AS w,
+           c.c_mktsegment = 'BUILDING' AS grp1,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    CROSS JOIN (SELECT UNNEST(range(0, {_AB_B})) AS b) t
+),
+rep AS (
+    SELECT CAST(b AS INTEGER) AS replica_id,
+           CAST(SUM(CASE WHEN grp1 THEN w ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN grp1 THEN w * cents ELSE 0 END) AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN grp1 THEN 0 ELSE w END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN grp1 THEN 0 ELSE w * cents END) AS BIGINT) AS s2
+    FROM weighted GROUP BY b
+),
+diffs AS (
+    SELECT replica_id, n1, n2,
+           -- split-mean idiom ((s//n)*1e6 + (s%n)*1e6//n): scaling the
+           -- REMAINDER instead of the sum keeps everything in int64 at
+           -- any fact size (s*1e6 overflowed at the 10x probe); all
+           -- operands non-negative, so DIV == // on both engines, and
+           -- the final subtraction is pure signed integer
+           CAST(((s1 // n1) * 1000000 + ((s1 % n1) * 1000000) // n1)
+                - ((s2 // n2) * 1000000 + ((s2 % n2) * 1000000) // n2)
+                AS BIGINT) AS diff_micro_cents
+    FROM rep
+)
+SELECT replica_id, n1, n2, diff_micro_cents,
+       CAST(RANK() OVER (ORDER BY diff_micro_cents, replica_id) AS INTEGER) AS diff_rank,
+       CASE RANK() OVER (ORDER BY diff_micro_cents, replica_id)
+            WHEN 1 THEN 'lo' WHEN {_AB_B} THEN 'hi' ELSE 'mid' END AS ci_role
+FROM diffs
+"""
+
+
+@register(
+    "bootstrap_ab_diff_ci",
+    _AB_DIFF_SQL,
+    doc=f"Deterministic multiplier bootstrap (B={_AB_B}) of the "
+    "BUILDING-vs-rest DIFFERENCE in mean order value — the A/B "
+    "uncertainty interval next to the point tests (spend_ks_test, "
+    "mannwhitney, CUPED): each replica reweights every order with the "
+    "shared md5 multiplier, both group means are floored to exact "
+    "integer micro-cents (non-negative DIV), and their difference is "
+    "pure signed integer subtraction; replicas ranked so the extreme "
+    "rows read as the CI ends (a CI excluding zero = significant "
+    "segment effect). One B-way explode + one map-combinable agg; "
+    "windows on the B-row frame.",
+)
+def q_bootstrap_ab_diff_ci(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", (F.col("c_mktsegment") == "BUILDING").alias("grp1")
+    )
+    weighted = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(_AB_B - 1))).alias("b"),
+            "o_orderkey",
+            "grp1",
+            "cents",
+        )
+        .select(
+            "b",
+            hash_bucket(
+                F.concat(
+                    F.col("o_orderkey").cast("string"),
+                    F.lit(":"),
+                    F.col("b").cast("string"),
+                ),
+                "abboot:",
+                mod=3,
+            ).alias("w"),
+            "grp1",
+            "cents",
+        )
+    )
+    rep = weighted.groupBy(F.col("b").cast("int").alias("replica_id")).agg(
+        F.sum(F.when(F.col("grp1"), F.col("w")).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("grp1"), F.col("w") * F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("grp1"), 0).otherwise(F.col("w"))).cast("long").alias("n2"),
+        F.sum(F.when(F.col("grp1"), 0).otherwise(F.col("w") * F.col("cents")))
+        .cast("long")
+        .alias("s2"),
+    )
+    diffs = rep.select(
+        "replica_id",
+        "n1",
+        "n2",
+        F.expr(
+            "CAST(((s1 DIV n1) * 1000000 + ((s1 % n1) * 1000000) DIV n1)"
+            " - ((s2 DIV n2) * 1000000 + ((s2 % n2) * 1000000) DIV n2) AS BIGINT)"
+        ).alias("diff_micro_cents"),
+    )
+    w = Window.orderBy("diff_micro_cents", "replica_id")
+    return diffs.select(
+        "replica_id",
+        "n1",
+        "n2",
+        "diff_micro_cents",
+        F.rank().over(w).cast("int").alias("diff_rank"),
+        F.when(F.rank().over(w) == 1, "lo")
+        .when(F.rank().over(w) == _AB_B, "hi")
+        .otherwise("mid")
+        .alias("ci_role"),
+    )

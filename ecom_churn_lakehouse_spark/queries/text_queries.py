@@ -1327,3 +1327,113 @@ def q_token_spell_variants(spark, sf_dir):
         .otherwise(F.col("tok_b"))
         .alias("fold_into"),
     )
+
+
+# --------------------------------------------------------------------------
+# Blocking-quality evaluation for the spell-variant blocking scheme.
+# --------------------------------------------------------------------------
+
+_BLOCKEVAL_SQL = f"""
+WITH toks AS (
+    SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+),
+v AS (SELECT DISTINCT tok FROM toks WHERE tok <> ''),
+truth AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b
+    FROM v a JOIN v b ON a.tok < b.tok
+    WHERE levenshtein(a.tok, b.tok) <= {_SPELL_MAX_DIST}
+),
+blocked AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b
+    FROM v a JOIN v b
+      ON substring(a.tok, 1, 1) = substring(b.tok, 1, 1)
+     AND abs(length(a.tok) - length(b.tok)) <= {_SPELL_LEN_BAND}
+     AND a.tok < b.tok
+),
+hits AS (
+    SELECT t.tok_a FROM truth t
+    JOIN blocked k ON k.tok_a = t.tok_a AND k.tok_b = t.tok_b
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS vocab_size,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM blocked) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_candidate_true,
+       CAST((SELECT COUNT(*) FROM hits) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM truth), 1) AS BIGINT) AS recall_ppm,
+       CAST((SELECT COUNT(*) FROM hits) * 1000000
+            // GREATEST((SELECT COUNT(*) FROM blocked), 1) AS BIGINT) AS precision_ppm
+"""
+
+
+@register(
+    "spell_blocking_quality_eval",
+    _BLOCKEVAL_SQL,
+    doc="Blocking-quality evaluation for token_spell_variants' "
+    "(first_char, length-band) scheme: exact recall and precision of "
+    "the blocked candidate set against the FULL pairwise "
+    "ground truth (every vocab pair within the distance threshold). "
+    "The ground-truth pass is O(V^2) BY DEFINITION — this is an "
+    "eval-twin entry like ann_recall_eval: it exists to certify the "
+    "production blocking, runs on the Heaps-sublinear vocab grain, "
+    "and is never the serving path. Recall < 1e6 ppm would mean the "
+    "length band drops true variants (distance <= 3 pairs can differ "
+    "by up to 3 in length; the +/-2 band trades that tail for 5x "
+    "bounded fan-out — the measured tradeoff is the point of the "
+    "report).",
+)
+def q_spell_blocking_quality_eval(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    v = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by truth, blocked, and count
+    )
+    a = v.select(F.col("tok").alias("tok_a"))
+    b = v.select(F.col("tok").alias("tok_b"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .filter(F.levenshtein("tok_a", "tok_b") <= _SPELL_MAX_DIST)
+    )
+    blocked = (
+        v.select(
+            F.col("tok").alias("tok_a"),
+            F.substring("tok", 1, 1).alias("c1"),
+            F.explode(
+                F.sequence(
+                    F.length("tok") - _SPELL_LEN_BAND, F.length("tok") + _SPELL_LEN_BAND
+                )
+            ).alias("blen"),
+        )
+        .filter(F.col("blen") >= 1)
+        .join(
+            v.select(
+                F.col("tok").alias("tok_b"),
+                F.substring("tok", 1, 1).alias("c1"),
+                F.length("tok").alias("blen"),
+            ),
+            on=["c1", "blen"],
+        )
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .select("tok_a", "tok_b")
+    )
+    hits = truth.join(blocked, on=["tok_a", "tok_b"], how="left_semi")
+    out = (
+        v.agg(F.count("*").cast("long").alias("vocab_size"))
+        .crossJoin(truth.agg(F.count("*").cast("long").alias("n_true_pairs")))
+        .crossJoin(blocked.agg(F.count("*").cast("long").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_candidate_true")))
+    )
+    return out.select(
+        "vocab_size",
+        "n_true_pairs",
+        "n_candidates",
+        "n_candidate_true",
+        F.expr(
+            "CAST(n_candidate_true * 1000000 DIV GREATEST(n_true_pairs, 1) AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(n_candidate_true * 1000000 DIV GREATEST(n_candidates, 1) AS BIGINT)"
+        ).alias("precision_ppm"),
+    )

@@ -66,6 +66,14 @@ NEW_IN_ROUND: list[str] = [
     "sql_mannwhitney_u_quantity",
     "sql_spearman_price_quantity_by_brand",
     "sql_simpsons_paradox_screen",
+    "event_value_ohlc_hourly",
+    "shapley_channel_attribution",
+    "kmv_set_overlap_estimate",
+    "session_top_paths",
+    "incremental_join_maintenance",
+    "spell_blocking_quality_eval",
+    "threshold_sweep_pr_curve",
+    "bootstrap_ab_diff_ci",
     "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",
