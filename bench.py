@@ -215,6 +215,7 @@ HEADLINE = [
     "spell_blocking_quality_eval",
     "threshold_sweep_pr_curve",
     "bootstrap_ab_diff_ci",
+    "embedding_density_clusters",
 ]
 
 

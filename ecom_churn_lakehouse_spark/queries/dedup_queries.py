@@ -1266,3 +1266,125 @@ def q_containment_neardup_pairs(spark, sf_dir):
         )
         .filter(F.col("containment_ppm") >= _CONTAIN_PPM)
     )
+
+
+# --------------------------------------- density clustering (DBSCAN-style)
+
+_DBSCAN_MIN_PTS = 2
+
+
+def _density_clusters_sql() -> str:
+    # epsilon-neighborhood = the verified cosine>=threshold pair graph
+    # (the embedding_neardup_pairs oracle embeds as the pairs CTE);
+    # recursive walk = transitive closure over CORE-CORE edges only.
+    return (
+        "WITH RECURSIVE pairs AS (\n"
+        + _NEARDUP_SQL
+        + "\n),\n"
+        "adj AS (\n"
+        "    SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "    UNION ALL\n"
+        "    SELECT doc_b, doc_a FROM pairs\n"
+        "),\n"
+        "deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_neighbors FROM adj GROUP BY u),\n"
+        f"core AS (SELECT u FROM deg WHERE n_neighbors >= {_DBSCAN_MIN_PTS}),\n"
+        "cc_edges AS (\n"
+        "    SELECT a.u, a.v FROM adj a\n"
+        "    JOIN core x ON x.u = a.u JOIN core y ON y.u = a.v\n"
+        "),\n"
+        "walk(node, reach) AS (\n"
+        "    SELECT u, u FROM cc_edges\n"
+        "    UNION\n"
+        "    SELECT w.node, e.v FROM walk w JOIN cc_edges e ON e.u = w.reach\n"
+        "),\n"
+        "core_lab AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),\n"
+        "border AS (\n"
+        "    SELECT a.u AS node, MIN(cl.cluster_id) AS cluster_id\n"
+        "    FROM adj a\n"
+        "    JOIN core_lab cl ON cl.node = a.v\n"
+        "    WHERE a.u NOT IN (SELECT u FROM core)\n"
+        "    GROUP BY a.u\n"
+        ")\n"
+        "SELECT c.node AS vec_id, c.cluster_id, d.n_neighbors, 'core' AS role\n"
+        "FROM core_lab c JOIN deg d ON d.u = c.node\n"
+        "UNION ALL\n"
+        "SELECT b.node AS vec_id, b.cluster_id, d.n_neighbors, 'border' AS role\n"
+        "FROM border b JOIN deg d ON d.u = b.node"
+    )
+
+
+@register(
+    "embedding_density_clusters",
+    _density_clusters_sql(),
+    doc=f"DBSCAN-style density clustering over the embedding corpus: "
+    "the epsilon-neighborhood is the VERIFIED cosine pair graph the "
+    "banded sign-LSH already produces (embedding_neardup_pairs), core "
+    f"points have >= {_DBSCAN_MIN_PTS} neighbors, clusters are "
+    "connected components over CORE-CORE edges "
+    "(operators/connected_components.py — the scalable loop; the "
+    "oracle walks a recursive transitive closure), and border points "
+    "attach to the MIN cluster id among their core neighbors "
+    "(deterministic). Density clustering beyond kmeans_two_rounds' "
+    "centroid model, built entirely from candidates-only machinery: "
+    "no stage ever touches the all-pairs space, so the operator "
+    "inherits the near-dup pipeline's 100 TB posture.",
+)
+def q_embedding_density_clusters(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components,
+    )
+    from ecom_churn_lakehouse_spark.similarity.ann import (
+        banded_sign_buckets,
+        neardup_pairs,
+    )
+
+    corpus = (
+        derived_vectors(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=False)
+    )
+    planes = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEARDUP_PLANES
+    ).select(F.col("vec_id").alias("plane_id"), "embedding")
+    banded = banded_sign_buckets(corpus, planes, _NEARDUP_ROWS_PER_BAND)
+    pairs = neardup_pairs(banded, corpus, _NEARDUP_THRESHOLD).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)
+    adj = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("long").alias("n_neighbors"))
+    core = deg.filter(F.col("n_neighbors") >= _DBSCAN_MIN_PTS).select("u")
+    cc_edges = adj.join(core, on="u").join(
+        core.select(F.col("u").alias("v")), on="v"
+    )
+    core_lab = connected_components(
+        cc_edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+        src="doc_a",
+        dst="doc_b",
+    ).select("node", F.col("label").alias("cluster_id"))
+    border = (
+        adj.join(core, on="u", how="left_anti")  # non-core endpoints only
+        .join(core_lab.select(F.col("node").alias("v"), "cluster_id"), on="v")
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    out_core = (
+        core_lab.join(deg, core_lab.node == deg.u)
+        .select(
+            F.col("node").alias("vec_id"),
+            "cluster_id",
+            "n_neighbors",
+            F.lit("core").alias("role"),
+        )
+    )
+    out_border = (
+        border.join(deg, border.node == deg.u)
+        .select(
+            F.col("node").alias("vec_id"),
+            "cluster_id",
+            "n_neighbors",
+            F.lit("border").alias("role"),
+        )
+    )
+    return out_core.unionByName(out_border)

@@ -74,6 +74,7 @@ NEW_IN_ROUND: list[str] = [
     "spell_blocking_quality_eval",
     "threshold_sweep_pr_curve",
     "bootstrap_ab_diff_ci",
+    "embedding_density_clusters",
     "spearman_price_quantity_by_brand",
     "copurchase_community_modularity",
     "spend_ks_test",

@@ -458,3 +458,102 @@ def test_simpson_screen_signs_match_numerators(spark):
         expect = 1 if num > 0 else (-1 if num < 0 else 0)
         assert r["brand_sign"] == expect
         assert r["sign_flipped"] == (r["brand_sign"] != r["pooled_sign"])
+
+
+def test_ohlc_bars_are_ordered(spark):
+    rows = queries()["event_value_ohlc_hourly"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["low_cents"] <= r["open_cents"] <= r["high_cents"]
+        assert r["low_cents"] <= r["close_cents"] <= r["high_cents"]
+        assert r["n_events"] >= 1
+
+
+def test_shapley_credit_conserves_total_conversion_mass(spark):
+    rows = queries()["shapley_channel_attribution"](spark, SF).collect()
+    assert rows
+    # every converting user's 6 sixths are fully distributed over their
+    # channels, so total credit == 6 * (conversions with >=1 channel)
+    total_sixths = sum(r["shapley_sixths"] for r in rows)
+    assert total_sixths % 6 == 0
+    shares = sum(r["credit_share_ppm"] for r in rows)
+    assert shares <= 1_000_000  # floor-division undershoot only
+
+
+def test_kmv_overlap_estimates_are_consistent(spark):
+    (r,) = queries()["kmv_set_overlap_estimate"](spark, SF).collect()
+    assert 0 <= r["n_common"] <= r["k"]
+    assert r["inter_exact"] <= min(r["n_a"], r["n_b"])
+    assert 0 <= r["jaccard_est_ppm"] <= 1_000_000
+    assert r["union_est"] > 0 and r["inter_est"] >= 0
+
+
+def test_session_paths_rank_is_dense_and_ordered(spark):
+    rows = sorted(queries()["session_top_paths"](spark, SF).collect(), key=lambda r: r["rk"])
+    assert rows and rows[0]["rk"] == 1
+    counts = [r["n_sessions"] for r in rows]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert all(">" in r["path"] or r["path"] for r in rows)
+
+
+def test_pr_curve_recall_monotone_precision_bounded(spark):
+    rows = sorted(queries()["threshold_sweep_pr_curve"](spark, SF).collect(), key=lambda r: r["cut"])
+    assert [r["cut"] for r in rows] == list(range(1, 11))
+    recalls = [r["recall_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1_000_000
+    for r in rows:
+        assert 0 <= r["precision_ppm"] <= 1_000_000
+        assert r["true_positives"] <= r["n_flagged"]
+
+
+def test_ab_bootstrap_has_exactly_one_lo_and_hi(spark):
+    rows = queries()["bootstrap_ab_diff_ci"](spark, SF).collect()
+    assert len(rows) == 32
+    roles = [r["ci_role"] for r in rows]
+    assert roles.count("lo") == 1 and roles.count("hi") == 1
+    lo = next(r for r in rows if r["ci_role"] == "lo")
+    hi = next(r for r in rows if r["ci_role"] == "hi")
+    assert lo["diff_micro_cents"] <= hi["diff_micro_cents"]
+
+
+def test_density_cluster_cores_meet_min_pts(spark):
+    rows = queries()["embedding_density_clusters"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["role"] == "core":
+            assert r["n_neighbors"] >= 2
+        assert r["cluster_id"] is not None
+    # cluster ids are the min core id of the component
+    by_cluster = {}
+    for r in rows:
+        if r["role"] == "core":
+            by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert cid == min(members)
+
+
+def test_incremental_join_matches_direct_join(spark):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    maintained = {
+        r["segment"]: (r["n_orders"], r["revenue_cents"])
+        for r in queries()["incremental_join_maintenance"](spark, SF).collect()
+    }
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    direct = {
+        r["segment"]: (r["n"], r["cents"])
+        for r in orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    }
+    assert maintained == direct
