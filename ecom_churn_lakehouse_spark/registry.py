@@ -49,6 +49,14 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
+    # ---- round 7: directive-fix / previously-flagged entries FIRST ----
+    # (VERDICT r6 rule: entries named in the previous round's "What's
+    # wrong"/watch list go at the very front so the driver's 50-entry
+    # front sample re-verifies them before any new work.)
+    "churn_hazard_table",        # red r4+r5; fix landed r6, needs a driver row
+    "simpsons_paradox_screen",   # r6 watch: K=10 probe 14.83 — BIGINT-partials fix this round
+    "kmv_set_overlap_estimate",  # r6 watch: loaded-host 1x probe — re-probed idle this round
+    # ---- round 7: new entries ----
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
@@ -61,14 +69,12 @@ NEW_IN_ROUND: list[str] = [
     "kcore_peeling_rounds",
     "rolling_median_daily_revenue",
     "promo_did_uplift",
-    "simpsons_paradox_screen",
     "stream_kmv_maintenance",
     "sql_mannwhitney_u_quantity",
     "sql_spearman_price_quantity_by_brand",
     "sql_simpsons_paradox_screen",
     "event_value_ohlc_hourly",
     "shapley_channel_attribution",
-    "kmv_set_overlap_estimate",
     "session_top_paths",
     "incremental_join_maintenance",
     "spell_blocking_quality_eval",
@@ -155,7 +161,6 @@ NEW_IN_ROUND: list[str] = [
     "neardup_cluster_chain_audit",
     "ship_delay_percentiles",
     "revenue_gini_by_nation",
-    "churn_hazard_table",
     "event_value_twap",
     "stream_scd2_dimension",
     "doc_min_bigram_prob",

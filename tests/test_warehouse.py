@@ -137,6 +137,24 @@ def test_new_in_round_names_exist():
     assert head == [n for n in registry.NEW_IN_ROUND if n in qs]
 
 
+def test_previously_flagged_entries_lead_sample():
+    """VERDICT r6 directive #1: any entry named red/weak/watch in the
+    PREVIOUS round's verdict must sit inside the driver's 50-entry
+    front sample until a driver CORRECTNESS row confirms it green.
+    Update this list each round from VERDICT.md's "What's wrong" and
+    watch items."""
+    from ecom_churn_lakehouse_spark import registry
+
+    flagged_last_round = [
+        "churn_hazard_table",  # red r4+r5, fix landed r6 w/o driver row
+        "simpsons_paradox_screen",  # r6 probe watch item
+        "kmv_set_overlap_estimate",  # r6 probe watch item
+    ]
+    front = list(registry.queries())[:50]
+    missing = [n for n in flagged_last_round if n not in front]
+    assert not missing, f"flagged entries not in driver front sample: {missing}"
+
+
 def test_pav_blocks_unit():
     from ecom_churn_lakehouse_spark.operators.isotonic import pav_blocks
 
