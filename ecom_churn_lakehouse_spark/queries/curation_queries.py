@@ -1072,3 +1072,102 @@ def q_fim_span_stats(spark, sf_dir):
             "middle_frac_ppm"
         ),
     )
+
+
+# --------------------------------------- chunk-stitch overlap detection
+
+#: Overlap window (tokens) a sliding-window chunker carries between
+#: consecutive chunks.
+_STITCH_K = 8
+
+_STITCH_SQL = f"""
+WITH base AS (
+    SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM documents
+),
+corpus AS (
+    SELECT doc_id, t FROM base
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id,
+           t[len(t) - {_STITCH_K - 1} : len(t)] || t[1:4] AS t
+    FROM base WHERE doc_id % 6 = 0 AND len(t) >= 16
+),
+sig AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[1:{_STITCH_K}], ' ')) AS head_h,
+           md5(array_to_string(t[len(t) - {_STITCH_K - 1} : len(t)], ' ')) AS tail_h
+    FROM corpus WHERE len(t) >= {_STITCH_K}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.n_tokens AS a_tokens, b.n_tokens AS b_tokens,
+       CAST(a.n_tokens + b.n_tokens - {_STITCH_K} AS BIGINT) AS merged_tokens
+FROM sig a JOIN sig b
+  ON a.tail_h = b.head_h AND a.doc_id <> b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "chunk_stitch_overlap_pairs",
+    _STITCH_SQL,
+    doc=f"Chunk-boundary overlap detection: a sliding-window chunker "
+    f"carries the last {_STITCH_K} tokens of one chunk into the head "
+    "of the next, so re-ingesting chunked corpora double-counts every "
+    "overlap window. Each doc emits an md5 of its first and last "
+    f"{_STITCH_K} tokens; a tail-hash = head-hash equi-join finds "
+    "consecutive-chunk pairs and reports the stitched token count "
+    "(a+b-overlap) — the dedup saving a stitching pass realizes. "
+    "Continuation chunks are planted on both engines (every 6th doc "
+    "with >= 16 tokens gains a chunk starting with its last "
+    f"{_STITCH_K} tokens). Scale: two md5s per doc (map-only), one "
+    "hash-key equi-join — bucket-local, never all-pairs; the classic "
+    "content-defined-chunking audit before span-level dedup "
+    "(repeated_span_exact_dedup) pays for full positional hashing.",
+)
+def q_chunk_stitch_overlap_pairs(spark, sf_dir):
+    K = _STITCH_K
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    cont = base.filter(
+        (F.col("doc_id") % 6 == 0) & (F.size("t") >= 16)
+    ).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(
+            F.slice("t", F.size("t") - (K - 1), K), F.slice("t", 1, 4)
+        ).alias("t"),
+    )
+    corpus = base.unionByName(cont)
+    sig = corpus.filter(F.size("t") >= K).select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(F.slice("t", 1, K), " ")).alias("head_h"),
+        F.md5(
+            F.array_join(F.slice("t", F.size("t") - (K - 1), K), " ")
+        ).alias("tail_h"),
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n_tokens").alias("a_tokens"),
+        F.col("tail_h").alias("h"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n_tokens").alias("b_tokens"),
+        F.col("head_h").alias("h"),
+    )
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "a_tokens",
+            "b_tokens",
+            (F.col("a_tokens") + F.col("b_tokens") - K)
+            .cast("long")
+            .alias("merged_tokens"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1183,3 +1183,101 @@ def q_incremental_join_maintenance(spark, sf_dir):
         F.count("*").cast("long").alias("n_orders"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ------------------------------------------------ file compaction plan
+
+_COMPACT_SQL = """
+WITH files AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(o_orderkey % 8 AS BIGINT) AS file_id,
+           CAST(COUNT(*) * 96 + SUM(length(o_orderpriority)) AS BIGINT) AS bytes
+    FROM orders
+    GROUP BY 1, 2
+),
+target AS (
+    SELECT CAST((4 * SUM(bytes)) // COUNT(*) AS BIGINT) AS target_bytes
+    FROM files
+),
+planned AS (
+    SELECT f.month, f.file_id, f.bytes, t.target_bytes,
+           CAST(COALESCE(SUM(f.bytes) OVER (
+                    PARTITION BY f.month ORDER BY f.file_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                // t.target_bytes AS BIGINT) AS bin_id
+    FROM files f, target t
+)
+SELECT month, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+       CAST(MAX(target_bytes) AS BIGINT) AS target_bytes
+FROM planned
+GROUP BY month, bin_id
+ORDER BY month, bin_id
+"""
+
+
+@register(
+    "file_compaction_plan",
+    _COMPACT_SQL,
+    doc="Small-file compaction planning (the OPTIMIZE/bin-packing "
+    "step every lakehouse table needs): the simulated file listing "
+    "(one file per month x 8-way key bucket, bytes from row-size "
+    "estimates) is coalesced per partition into compaction groups by "
+    "a deterministic sequential first-fit — running byte cumsum "
+    "integer-divided by the target size. The target is MEAN-RELATIVE "
+    "(4x the average file size, exact integer DIV) so the plan stays "
+    "non-vacuous at every scale factor instead of pinning a byte "
+    "constant that goes degenerate at 10x. Output: per compaction "
+    "group, its file count and byte total — files_before/after and "
+    "the write amplification fall straight out. Scale: one "
+    "map-combinable agg to the file-listing grain (tiny by "
+    "construction), windows partitioned per month; the fact table is "
+    "touched once. Complements partition_layout_advisor (pre-write "
+    "key choice) with the post-write maintenance decision.",
+)
+def q_file_compaction_plan(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_orderkey") % 8).cast("long").alias("file_id"),
+    ).agg(
+        (F.count("*") * 96 + F.sum(F.length("o_orderpriority")))
+        .cast("long")
+        .alias("bytes")
+    )
+    target = files.agg(
+        F.expr("CAST((4 * SUM(bytes)) DIV COUNT(*) AS BIGINT)").alias(
+            "target_bytes"
+        )
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = (
+        files.crossJoin(F.broadcast(target))
+        .select(
+            "month",
+            "file_id",
+            "bytes",
+            "target_bytes",
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_prev"),
+        )
+        .select(
+            "month",
+            "bytes",
+            "target_bytes",
+            F.expr("CAST(cum_prev DIV target_bytes AS BIGINT)").alias("bin_id"),
+        )
+    )
+    return (
+        planned.groupBy("month", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("bin_bytes"),
+            F.max("target_bytes").cast("long").alias("target_bytes"),
+        )
+        .orderBy("month", "bin_id")
+    )

@@ -1388,3 +1388,378 @@ def q_embedding_density_clusters(spark, sf_dir):
         )
     )
     return out_core.unionByName(out_border)
+
+
+# ----------------------------------------------- span-level exact dedup
+
+#: Span length (tokens) for the repeated-span scan — the "50-token
+#: boilerplate" failure mode scaled to the fixture's ~40-token docs.
+_SPAN_L = 8
+
+#: Planted boilerplate (13 tokens), prepended to every 5th doc on BOTH
+#: engines: the classic license-header span that document-level
+#: Jaccard/containment dedup never flags (13 tokens of a 250-token doc
+#: is ~5% similarity) but span-level dedup must remove.
+_SPAN_BP = (
+    "terms of service apply all rights reserved "
+    "contact the vendor for more info"
+)
+
+_SPAN_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BP} ' || text ELSE text END AS text
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, source, regexp_extract_all(trim(text), '\\S+') AS t FROM corpus
+),
+sized AS (
+    SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens, t FROM toks
+),
+totals AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM sized GROUP BY source
+),
+occ AS (
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(1, n_tokens - {_SPAN_L - 1})) AS BIGINT) AS pos,
+           t
+    FROM sized WHERE n_tokens >= {_SPAN_L}
+),
+hashed AS (
+    SELECT doc_id, source, pos,
+           md5(array_to_string(t[pos:pos + {_SPAN_L - 1}], ' ')) AS h
+    FROM occ
+),
+marked AS (
+    SELECT doc_id, source, pos,
+           COUNT(*) OVER (PARTITION BY h) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+    FROM hashed
+),
+iv AS (
+    SELECT doc_id, source, pos AS s, pos + {_SPAN_L - 1} AS e
+    FROM marked WHERE cnt > 1 AND rn > 1
+),
+flagged AS (
+    SELECT doc_id, source, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM iv
+),
+isl AS (
+    SELECT doc_id, source, s, e,
+           SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+),
+covered AS (
+    SELECT doc_id, source, island, MAX(e) - MIN(s) + 1 AS cov
+    FROM isl GROUP BY doc_id, source, island
+),
+perdoc AS (
+    SELECT doc_id, source, CAST(SUM(cov) AS BIGINT) AS rm
+    FROM covered GROUP BY doc_id, source
+),
+persrc AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS affected_docs,
+           CAST(SUM(rm) AS BIGINT) AS removable_tokens
+    FROM perdoc GROUP BY source
+)
+SELECT t.source, t.n_docs,
+       CAST(COALESCE(p.affected_docs, 0) AS BIGINT) AS affected_docs,
+       t.total_tokens,
+       CAST(COALESCE(p.removable_tokens, 0) AS BIGINT) AS removable_tokens,
+       CAST(COALESCE(p.removable_tokens, 0) * 1000000 // t.total_tokens
+            AS BIGINT) AS removable_ppm
+FROM totals t LEFT JOIN persrc p USING (source)
+ORDER BY t.source
+"""
+
+
+@register(
+    "repeated_span_exact_dedup",
+    _SPAN_SQL,
+    doc=f"Span-level exact substring dedup (VERDICT r6 #4; ExactSubstr "
+    "discipline, Lee et al. 'Deduplicating Training Data Makes LMs "
+    f"Better'): every positional {_SPAN_L}-token span is hashed, spans "
+    "occurring more than once corpus-wide keep only their first "
+    "occurrence (min doc_id, pos), and every other occurrence's token "
+    "range is removable; overlapping removable ranges are unioned per "
+    "doc (gaps-and-islands) and reported per source as exact removable-"
+    "token counts + ppm. Catches the failure mode document-level "
+    "shingle/containment dedup misses: one exact boilerplate span "
+    "repeated across thousands of otherwise-distinct docs (a 13-token "
+    "license header is planted on every 5th doc on both engines). "
+    "Scale: one explode over cheap index sequences (span text built "
+    "AFTER the Generate — the 7x fused-transform trap), one shuffle "
+    "bucketed by span hash (never all-pairs; group sizes bounded by "
+    "the duplication factor), then per-doc windows. Reference keyed-"
+    "dedup analogue: src/transformations/orders_bronze_to_silver.py:79-90.",
+)
+def q_repeated_span_exact_dedup(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    L = _SPAN_L
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    corpus = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_BP + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sized = corpus.select(
+        "doc_id",
+        "source",
+        F.split(F.trim(F.col("text")), r"\s+").alias("__toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "__toks",
+        F.size("__toks").cast("long").alias("n_tokens"),
+    )
+    totals = sized.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+    # explode the CHEAP index sequence; build each span hash after the
+    # Generate (doc_shingles plan shape — avoids the fused-transform 7x)
+    exploded = sized.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        "source",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_tokens") - (L - 1)).cast("int"))
+        ).alias("pos"),
+    )
+    occ = exploded.select(
+        "doc_id",
+        "source",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.array_join(F.slice("__toks", F.col("pos"), L), " ")).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    marked = occ.select(
+        "doc_id",
+        "source",
+        "pos",
+        F.count("*").over(wh).alias("cnt"),
+        F.row_number().over(who).alias("rn"),
+    )
+    iv = marked.filter((F.col("cnt") > 1) & (F.col("rn") > 1)).select(
+        "doc_id",
+        "source",
+        F.col("pos").alias("s"),
+        (F.col("pos") + (L - 1)).alias("e"),
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.select(
+        "doc_id", "source", "s", "e", F.max("e").over(wprev).alias("prev_max")
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+    ).otherwise(0)
+    isl = flagged.select(
+        "doc_id", "source", "s", "e", F.sum(new_island).over(wrun).alias("island")
+    )
+    covered = isl.groupBy("doc_id", "source", "island").agg(
+        (F.max("e") - F.min("s") + 1).alias("cov")
+    )
+    perdoc = covered.groupBy("doc_id", "source").agg(
+        F.sum("cov").cast("long").alias("rm")
+    )
+    persrc = perdoc.groupBy("source").agg(
+        F.count("*").cast("long").alias("affected_docs"),
+        F.sum("rm").cast("long").alias("removable_tokens"),
+    )
+    return (
+        totals.join(persrc, "source", "left")
+        .fillna(0, subset=["affected_docs", "removable_tokens"])
+        .select(
+            "source",
+            "n_docs",
+            "affected_docs",
+            "total_tokens",
+            "removable_tokens",
+            F.expr(
+                "CAST(removable_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("removable_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ------------------------------------------ incremental span dedup
+
+_INC_SPAN_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id, source,
+           CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BP} ' || text ELSE text END AS text
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM corpus)
+),
+base_occ AS (
+    SELECT doc_id, t,
+           CAST(unnest(generate_series(1, n_tokens - {_SPAN_L - 1})) AS BIGINT) AS pos
+    FROM sized WHERE doc_id % 10 <> 0 AND n_tokens >= {_SPAN_L}
+),
+base_idx AS (
+    SELECT DISTINCT md5(array_to_string(t[pos:pos + {_SPAN_L - 1}], ' ')) AS h
+    FROM base_occ
+),
+batch_occ AS (
+    SELECT doc_id, t,
+           CAST(unnest(generate_series(1, n_tokens - {_SPAN_L - 1})) AS BIGINT) AS pos
+    FROM sized WHERE doc_id % 10 = 0 AND n_tokens >= {_SPAN_L}
+),
+batch_hashed AS (
+    SELECT doc_id, pos,
+           md5(array_to_string(t[pos:pos + {_SPAN_L - 1}], ' ')) AS h
+    FROM batch_occ
+),
+hits AS (
+    SELECT bh.doc_id, bh.pos AS s, bh.pos + {_SPAN_L - 1} AS e
+    FROM batch_hashed bh JOIN base_idx USING (h)
+),
+flagged AS (
+    SELECT doc_id, s, e,
+           MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM flagged
+),
+perdoc AS (
+    SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS rm
+    FROM (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS cov
+          FROM isl GROUP BY doc_id, island)
+    GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_tokens,
+       CAST(COALESCE(p.rm, 0) AS BIGINT) AS removable_tokens,
+       CAST(COALESCE(p.rm, 0) * 1000000 // b.n_tokens AS BIGINT) AS removable_ppm
+FROM (SELECT doc_id, n_tokens FROM sized WHERE doc_id % 10 = 0) b
+LEFT JOIN perdoc p USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@register(
+    "incremental_span_dedup",
+    _INC_SPAN_SQL,
+    doc="Incremental span-level dedup — the ingest-time form of "
+    "repeated_span_exact_dedup: an arriving batch (every 10th doc) is "
+    "scanned against the BASE corpus's span-hash index only, so the "
+    "cost per ingest is |batch spans| + one bucketed semi-join "
+    "against the index, never a corpus-wide rescan. Each batch doc "
+    "reports the token coverage (gaps-and-islands union) of its "
+    "spans already present in the base — the removable prefix here is "
+    "the planted 13-token license header, which every batch doc "
+    "shares with base docs ending in 5. Scale: the base index is "
+    "distinct span hashes (build once, maintain by append); the "
+    "per-batch work is proportional to the batch, which is the whole "
+    "point of incremental maintenance (same contract as "
+    "incremental_dedup_new_docs, one level deeper than doc-grain).",
+)
+def q_incremental_span_dedup(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    L = _SPAN_L
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_BP + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sized = corpus.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("__toks"),
+    ).select(
+        "doc_id", "__toks", F.size("__toks").cast("long").alias("n_tokens")
+    )
+
+    def occ(df):
+        ex = df.filter(F.col("n_tokens") >= L).select(
+            "doc_id",
+            "__toks",
+            F.explode(
+                F.sequence(F.lit(1), (F.col("n_tokens") - (L - 1)).cast("int"))
+            ).alias("pos"),
+        )
+        return ex.select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice("__toks", F.col("pos"), L), " ")).alias(
+                "h"
+            ),
+        )
+
+    base_idx = occ(sized.filter(F.col("doc_id") % 10 != 0)).select("h").distinct()
+    batch = sized.filter(F.col("doc_id") % 10 == 0)
+    hits = (
+        occ(batch)
+        .join(base_idx, "h", "left_semi")
+        .select(
+            "doc_id", F.col("pos").alias("s"), (F.col("pos") + (L - 1)).alias("e")
+        )
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = hits.select(
+        "doc_id", "s", "e", F.max("e").over(wprev).alias("prev_max")
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+    ).otherwise(0)
+    isl = flagged.select(
+        "doc_id", "s", "e", F.sum(new_island).over(wrun).alias("island")
+    )
+    perdoc = (
+        isl.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("long").alias("rm"))
+    )
+    return (
+        batch.select("doc_id", "n_tokens")
+        .join(perdoc, "doc_id", "left")
+        .fillna(0, subset=["rm"])
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("rm").alias("removable_tokens"),
+            F.expr("CAST(rm * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "removable_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

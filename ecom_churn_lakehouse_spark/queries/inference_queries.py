@@ -1173,3 +1173,102 @@ def q_bootstrap_ab_diff_ci(spark, sf_dir):
         .otherwise("mid")
         .alias("ci_role"),
     )
+
+
+# --------------------------------------------------------------------------
+# McNemar paired test: customer activity before vs after the snapshot.
+# --------------------------------------------------------------------------
+
+_MCN_W1 = "1997-01-01"
+_MCN_W2 = "1997-06-30"
+_MCN_W3 = "1997-12-31"
+
+_MCNEMAR_SQL = f"""
+WITH flags AS (
+    SELECT c.c_custkey,
+           COALESCE(MAX(CASE WHEN o.o_orderdate >= DATE '{_MCN_W1}'
+                              AND o.o_orderdate <  DATE '{_MCN_W2}'
+                             THEN 1 END), 0) AS w1,
+           COALESCE(MAX(CASE WHEN o.o_orderdate >= DATE '{_MCN_W2}'
+                              AND o.o_orderdate <  DATE '{_MCN_W3}'
+                             THEN 1 END), 0) AS w2
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+),
+cells AS (
+    SELECT CAST(SUM(CASE WHEN w1 = 0 AND w2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00,
+           CAST(SUM(CASE WHEN w1 = 0 AND w2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+           CAST(SUM(CASE WHEN w1 = 1 AND w2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+           CAST(SUM(CASE WHEN w1 = 1 AND w2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11
+    FROM flags
+)
+SELECT n00, n01, n10, n11,
+       CAST((n10 - n01) * (n10 - n01) AS BIGINT) AS chisq_num,
+       CAST(n10 + n01 AS BIGINT) AS chisq_den,
+       CAST(CASE WHEN n10 + n01 > 0
+                 THEN ((n10 - n01) * (n10 - n01) * 1000) // (n10 + n01)
+                 ELSE 0 END AS BIGINT) AS stat_milli
+FROM cells
+"""
+
+
+@register(
+    "mcnemar_paired_test",
+    _MCNEMAR_SQL,
+    doc="McNemar test on paired binary outcomes: each customer's "
+    "activity flag in the half-year before vs after the snapshot "
+    "date — the within-subject churn test that the unpaired tests "
+    "(chi-square, Mann-Whitney) can't do, since it uses only the "
+    "discordant cells n01/n10. The statistic is the exact rational "
+    "(n10-n01)^2/(n10+n01), surfaced as integer numerator/denominator "
+    "plus a milli-scaled quotient (all operands non-negative, so DIV "
+    "== // cross-engine; the squared term keeps the numerator "
+    "non-negative by construction). Scale: orders pre-filtered to the "
+    "two windows before the join, one map-combinable per-customer "
+    "flag aggregate, then a 4-cell global fold — the same shape as "
+    "promo_chisq_independence.",
+)
+def q_mcnemar_paired_test(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = F.col("o_orderdate")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter((od >= F.lit(_MCN_W1)) & (od < F.lit(_MCN_W3)))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.when(od < F.lit(_MCN_W2), 1)).alias("w1"),
+            F.max(F.when(od >= F.lit(_MCN_W2), 1)).alias("w2"),
+        )
+    )
+    flags = cust.join(orders, "c_custkey", "left").fillna(
+        0, subset=["w1", "w2"]
+    )
+    cells = flags.agg(
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.when((F.col("w1") == 0) & (F.col("w2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.when((F.col("w1") == 1) & (F.col("w2") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n11"),
+    )
+    return cells.select(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        ((F.col("n10") - F.col("n01")) * (F.col("n10") - F.col("n01")))
+        .cast("long")
+        .alias("chisq_num"),
+        (F.col("n10") + F.col("n01")).cast("long").alias("chisq_den"),
+        F.expr(
+            "CAST(CASE WHEN n10 + n01 > 0"
+            " THEN ((n10 - n01) * (n10 - n01) * 1000) DIV (n10 + n01)"
+            " ELSE 0 END AS BIGINT)"
+        ).alias("stat_milli"),
+    )

@@ -1437,3 +1437,153 @@ def q_spell_blocking_quality_eval(spark, sf_dir):
             "CAST(n_candidate_true * 1000000 DIV GREATEST(n_candidates, 1) AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+# ------------- BPE merge learning (3 iterations, tokenizer training) -------------
+
+
+def _bpe_iter_sql(prev_seg: str, p: str, m: str, nxt_seg: str) -> str:
+    """One unrolled BPE iteration: pair counts over the segmented
+    vocabulary, deterministic argmax (count DESC, then lexicographic),
+    and the merge applied with TWO replace passes (a single
+    non-overlapping replace misses boundary-sharing repeats; two
+    passes are exact for same-symbol runs <= 5, beyond any natural
+    vocabulary — and bit-identical cross-engine either way)."""
+    return f"""
+{p}idx AS (
+    SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+    FROM (SELECT freq, string_split(trim(seg), ' ') AS s FROM {prev_seg})
+    WHERE len(s) >= 2
+),
+{p} AS (
+    SELECT s[i] AS left_sym, s[i + 1] AS right_sym, freq FROM {p}idx
+),
+{m} AS (
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM {p} GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+),
+{nxt_seg} AS (
+    SELECT freq,
+           replace(replace(seg,
+                   ' ' || left_sym || ' ' || right_sym || ' ',
+                   ' ' || left_sym || right_sym || ' '),
+                   ' ' || left_sym || ' ' || right_sym || ' ',
+                   ' ' || left_sym || right_sym || ' ') AS seg
+    FROM {prev_seg}, {m}
+)"""
+
+
+_BPE_LEARN_SQL = f"""
+WITH words AS (
+    SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w FROM documents)
+    GROUP BY 1
+),
+seg0 AS (
+    SELECT freq,
+           ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seg
+    FROM words
+),{_bpe_iter_sql("seg0", "p1", "m1", "seg1")},{_bpe_iter_sql("seg1", "p2", "m2", "seg2")},{_bpe_iter_sql("seg2", "p3", "m3", "seg3")}
+SELECT CAST(1 AS INTEGER) AS iteration, left_sym, right_sym,
+       left_sym || right_sym AS merged, pair_count FROM m1
+UNION ALL
+SELECT CAST(2 AS INTEGER), left_sym, right_sym,
+       left_sym || right_sym, pair_count FROM m2
+UNION ALL
+SELECT CAST(3 AS INTEGER), left_sym, right_sym,
+       left_sym || right_sym, pair_count FROM m3
+ORDER BY iteration
+"""
+
+
+def _bpe_pairs(segdf):
+    syms = F.split(F.trim(F.col("seg")), " ")
+    sized = segdf.select("freq", syms.alias("s")).filter(F.size("s") >= 2)
+    ex = sized.select(
+        "freq",
+        "s",
+        F.explode(F.sequence(F.lit(1), F.size("s") - 1)).alias("i"),
+    )
+    return ex.select(
+        F.element_at("s", F.col("i")).alias("left_sym"),
+        F.element_at("s", F.col("i") + 1).alias("right_sym"),
+        "freq",
+    )
+
+
+def _bpe_argmax(pairs):
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(1)
+    )
+
+
+def _bpe_apply(segdf, m):
+    j = segdf.crossJoin(F.broadcast(m.select("left_sym", "right_sym")))
+    seg2 = F.expr(
+        "replace(replace(seg,"
+        " ' ' || left_sym || ' ' || right_sym || ' ',"
+        " ' ' || left_sym || right_sym || ' '),"
+        " ' ' || left_sym || ' ' || right_sym || ' ',"
+        " ' ' || left_sym || right_sym || ' ')"
+    )
+    return j.select("freq", seg2.alias("seg"))
+
+
+@register(
+    "bpe_merge_learning",
+    _BPE_LEARN_SQL,
+    doc="THREE iterations of BPE tokenizer training (extends the "
+    "single-round bpe_merge_candidates): pair counts over the "
+    "segmented vocabulary, deterministic argmax (count DESC, then "
+    "lexicographic), merge applied, repeat — each learned merge can "
+    "be a multi-character symbol from the previous round, which is "
+    "the part one round can't show. Fully declarative: the argmax is "
+    "a 1-row frame broadcast-cross-joined back (no collect, no "
+    "driver value), so the whole 3-round recursion is ONE Catalyst "
+    "plan; the oracle unrolls the identical three CTE stages. Merge "
+    "application is two non-overlapping replace passes (exact for "
+    "same-symbol runs <= 5; identical both engines regardless). "
+    "Scale: every stage after word counting is vocabulary-grain "
+    "(Heaps-law sublinear), the corpus is touched exactly once.",
+)
+def q_bpe_merge_learning(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)")
+            ).alias("w")
+        )
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seg = words.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(r"regexp_extract_all(word, '[a-z]', 0)"), " "
+            ),
+            F.lit(" "),
+        ).alias("seg"),
+    )
+    outs = []
+    for it in (1, 2, 3):
+        m = _bpe_argmax(_bpe_pairs(seg)).localCheckpoint(eager=False)
+        outs.append(
+            m.select(
+                F.lit(it).cast("int").alias("iteration"),
+                "left_sym",
+                "right_sym",
+                F.concat(F.col("left_sym"), F.col("right_sym")).alias("merged"),
+                "pair_count",
+            )
+        )
+        if it < 3:
+            seg = _bpe_apply(seg, m)
+    return outs[0].unionByName(outs[1]).unionByName(outs[2]).orderBy("iteration")

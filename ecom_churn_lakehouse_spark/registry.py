@@ -57,6 +57,14 @@ NEW_IN_ROUND: list[str] = [
     "simpsons_paradox_screen",   # r6 watch: K=10 probe 14.83 — BIGINT-partials fix this round
     "kmv_set_overlap_estimate",  # r6 watch: loaded-host 1x probe — re-probed idle this round
     # ---- round 7: new entries ----
+    "repeated_span_exact_dedup",
+    "image_perceptual_hashes",
+    "image_phash_neardup_pairs",
+    "mcnemar_paired_test",
+    "chunk_stitch_overlap_pairs",
+    "bpe_merge_learning",
+    "file_compaction_plan",
+    "incremental_span_dedup",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
