@@ -1171,3 +1171,174 @@ def q_chunk_stitch_overlap_pairs(spark, sf_dir):
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ------------------------------------------------ curation keep manifest
+
+_MANIFEST_SQL_TMPL = """
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN '{BP} ' || text ELSE text END AS text
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN '{BP} ' || text ELSE text END AS text
+    FROM documents WHERE doc_id % 10 = 0
+),
+sized AS (
+    SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tokens, t
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(trim(text), '\\S+') AS t
+          FROM corpus)
+),
+sha AS (
+    SELECT doc_id, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY sha256(text)) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY sha256(text)) AS BIGINT) AS n_copies,
+           CAST(SUM(n_tokens) OVER () AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) OVER () AS BIGINT) AS total_docs
+    FROM sized
+),
+occ AS (
+    SELECT doc_id,
+           CAST(unnest(generate_series(1, n_tokens - {LM1})) AS BIGINT) AS pos,
+           t
+    FROM sized WHERE n_tokens >= {L}
+),
+hashed AS (
+    SELECT doc_id, pos, md5(array_to_string(t[pos:pos + {LM1}], ' ')) AS h
+    FROM occ
+),
+iv AS (
+    SELECT doc_id, pos AS s, pos + {LM1} AS e
+    FROM (SELECT doc_id, pos,
+                 COUNT(*) OVER (PARTITION BY h) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+          FROM hashed)
+    WHERE cnt > 1 AND rn > 1
+),
+isl AS (
+    SELECT doc_id, s, e,
+           SUM(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM (SELECT doc_id, s, e,
+                 MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_max
+          FROM iv)
+),
+perdoc AS (
+    SELECT doc_id, CAST(SUM(cov) AS BIGINT) AS rm
+    FROM (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS cov
+          FROM isl GROUP BY doc_id, island)
+    GROUP BY doc_id
+),
+joined AS (
+    SELECT s.doc_id, s.n_tokens, s.canonical_id, s.n_copies,
+           s.total_tokens, s.total_docs,
+           CAST(COALESCE(p.rm, 0) * 1000000 // s.n_tokens AS BIGINT) AS span_ppm
+    FROM sha s LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_copies, span_ppm,
+       CASE WHEN doc_id <> canonical_id THEN 'exact_duplicate'
+            WHEN span_ppm > 300000 THEN 'boilerplate_heavy'
+            WHEN 2 * n_tokens * total_docs < total_tokens THEN 'too_short'
+            ELSE 'keep' END AS decision
+FROM joined
+ORDER BY doc_id
+"""
+
+
+@register(
+    "curation_keep_manifest",
+    None,  # assigned below — needs dedup constants
+    doc="The keep/drop manifest a curation pass actually materializes: "
+    "every doc gets ONE decision with reason-code precedence — "
+    "exact_duplicate (sha256 group, min-doc_id survivor, the "
+    "exact_dedup_groups relation), boilerplate_heavy (>30% of tokens "
+    "inside non-canonical repeated spans, the repeated_span_exact_"
+    "dedup relation via the shared span_removable_per_doc helper), "
+    "too_short (mean-relative: fewer than half the average tokens — "
+    "never a constant that goes vacuous across scale factors), else "
+    "keep. Exact copies of every 10th doc and the 13-token license "
+    "header on every 5th are planted identically on both engines. "
+    "Scale: one sha256 window per doc, the span-hash bucketed "
+    "shuffle, one global stats window — each signal is the standalone "
+    "entry's plan, composed; no signal is recomputed per decision.",
+)
+def q_curation_keep_manifest(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        _SPAN_BP,
+        span_removable_per_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bp_text = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(_SPAN_BP + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", bp_text.alias("text"))
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), bp_text.alias("text")
+    )
+    corpus = base.unionByName(copies)
+    sized = corpus.select(
+        "doc_id",
+        "text",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    wsha = Window.partitionBy(F.sha2(F.col("text"), 256))
+    wall = Window.partitionBy()
+    sha = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.min("doc_id").over(wsha).alias("canonical_id"),
+        F.count("*").over(wsha).cast("long").alias("n_copies"),
+        F.sum("n_tokens").over(wall).cast("long").alias("total_tokens"),
+        F.count("*").over(wall).cast("long").alias("total_docs"),
+    )
+    perdoc = span_removable_per_doc(corpus)
+    joined = sha.join(perdoc, "doc_id", "left").fillna(0, subset=["rm"]).select(
+        "doc_id",
+        "n_tokens",
+        "canonical_id",
+        "n_copies",
+        "total_tokens",
+        "total_docs",
+        F.expr("CAST(rm * 1000000 DIV n_tokens AS BIGINT)").alias("span_ppm"),
+    )
+    decision = (
+        F.when(F.col("doc_id") != F.col("canonical_id"), "exact_duplicate")
+        .when(F.col("span_ppm") > 300000, "boilerplate_heavy")
+        .when(
+            2 * F.col("n_tokens") * F.col("total_docs") < F.col("total_tokens"),
+            "too_short",
+        )
+        .otherwise("keep")
+    )
+    return joined.select(
+        "doc_id", "n_tokens", "n_copies", "span_ppm", decision.alias("decision")
+    ).orderBy("doc_id")
+
+
+# bind the oracle text now that the dedup constants are importable
+def _bind_manifest_oracle():
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        _SPAN_BP,
+        _SPAN_L,
+    )
+    from ecom_churn_lakehouse_spark import registry as _reg
+
+    sql = _MANIFEST_SQL_TMPL.replace("{BP}", _SPAN_BP).replace(
+        "{L}", str(_SPAN_L)
+    ).replace("{LM1}", str(_SPAN_L - 1))
+    e = _reg._REGISTRY["curation_keep_manifest"]
+    _reg._REGISTRY["curation_keep_manifest"] = type(e)(
+        fn=e.fn, oracle=sql, doc=e.doc
+    )
+
+
+_bind_manifest_oracle()

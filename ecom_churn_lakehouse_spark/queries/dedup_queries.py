@@ -1763,3 +1763,64 @@ def q_incremental_span_dedup(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def span_removable_per_doc(corpus: DataFrame, L: int = _SPAN_L) -> DataFrame:
+    """Removable-token coverage per doc: positional ``L``-gram hashes,
+    corpus-wide duplicated spans keep only their first (doc_id, pos)
+    occurrence, every other occurrence's range is unioned per doc
+    (gaps-and-islands). Returns ``(doc_id, rm)``. Shared by
+    repeated_span_exact_dedup / curation_keep_manifest so the manifest
+    is the same relation the standalone entry reports."""
+    from pyspark.sql.window import Window
+
+    sized = corpus.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    ).select(
+        "doc_id", "__toks", F.size("__toks").cast("long").alias("n_tokens")
+    )
+    ex = sized.filter(F.col("n_tokens") >= L).select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(1), (F.col("n_tokens") - (L - 1)).cast("int"))
+        ).alias("pos"),
+    )
+    occ = ex.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.md5(F.array_join(F.slice("__toks", F.col("pos"), L), " ")).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    who = Window.partitionBy("h").orderBy("doc_id", "pos")
+    iv = (
+        occ.select(
+            "doc_id",
+            "pos",
+            F.count("*").over(wh).alias("cnt"),
+            F.row_number().over(who).alias("rn"),
+        )
+        .filter((F.col("cnt") > 1) & (F.col("rn") > 1))
+        .select("doc_id", F.col("pos").alias("s"), (F.col("pos") + (L - 1)).alias("e"))
+    )
+    wprev = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.select(
+        "doc_id", "s", "e", F.max("e").over(wprev).alias("prev_max")
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("s").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    new_island = F.when(
+        F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+    ).otherwise(0)
+    return (
+        flagged.select(
+            "doc_id", "s", "e", F.sum(new_island).over(wrun).alias("island")
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s") + 1).alias("cov"))
+        .groupBy("doc_id")
+        .agg(F.sum("cov").cast("long").alias("rm"))
+    )

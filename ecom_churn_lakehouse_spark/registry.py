@@ -65,6 +65,7 @@ NEW_IN_ROUND: list[str] = [
     "bpe_merge_learning",
     "file_compaction_plan",
     "incremental_span_dedup",
+    "curation_keep_manifest",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",

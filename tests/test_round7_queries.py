@@ -50,3 +50,26 @@ def test_span_dedup_island_union_no_double_count(spark):
         assert r["removable_ppm"] == r["removable_tokens"] * 1_000_000 // (
             r["total_tokens"]
         )
+
+
+def test_keep_manifest_decision_precedence(spark):
+    """Exact duplicates must be dropped as duplicates even when they
+    are also boilerplate-heavy; every planted copy is non-canonical."""
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_curation_keep_manifest,
+    )
+
+    rows = {r["doc_id"]: r for r in q_curation_keep_manifest(spark, SF).collect()}
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    copies = [d + 100000 for d in range(0, n_docs, 10)]
+    assert copies, "no planted copies"
+    for c in copies:
+        assert rows[c]["decision"] == "exact_duplicate", (c, rows[c])
+        # its original must NOT be dropped as a duplicate
+        assert rows[c - 100000]["decision"] != "exact_duplicate"
+    decisions = {r["decision"] for r in rows.values()}
+    assert "keep" in decisions
+    # every doc got exactly one row
+    assert len(rows) == n_docs + len(copies)
