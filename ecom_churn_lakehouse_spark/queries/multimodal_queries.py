@@ -736,3 +736,137 @@ def q_image_phash_neardup_pairs(spark, sf_dir):
         .filter(F.col("hamming") <= _PHASH_T)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --------------------------- streaming phash dedup maintenance (r7)
+
+
+@register(
+    "stream_phash_dedup_maintenance",
+    _PHASH_PAIRS_SQL,
+    doc="Streaming twin of image_phash_neardup_pairs — incremental "
+    "near-dup index maintenance: image payloads arrive in three "
+    "micro-batches (foreachBatch, idempotent batch_id= partial "
+    "writes, at-least-once safe); each batch decodes ONLY its own "
+    "images (Arrow mapInPandas), appends their 7-byte dHash codes to "
+    "the code index, and emits exactly the pairs that involve a NEW "
+    "image — a band-bucketed join of new codes against (index-so-far "
+    "UNION new), so per-batch work is proportional to the batch, "
+    "never a corpus rescan. The accumulated pair table must equal the "
+    "one-shot batch relation EXACTLY, which is the oracle (the batch "
+    "entry's SQL verbatim). The maintenance identity: candidate pairs "
+    "are monotone under banding — a pair's bands never change, so the "
+    "first batch where both sides exist emits it exactly once "
+    "(doc_a < doc_b dedups the direction).",
+)
+def q_stream_phash_dedup_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.multimodal.decode import (
+        image_perceptual_hashes,
+    )
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    corpus = _phash_corpus(spark, sf_dir)
+    base = scratch_dir(prefix="stream_phash_")
+    # three deterministic doc_id ranges -> three source files
+    for lo, hi in ((None, 200), (200, 500000), (500000, None)):
+        chunk = corpus
+        if lo:
+            chunk = chunk.filter(F.col("doc_id") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("doc_id") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _bands(codes):
+        b = codes.select(
+            "doc_id",
+            "dhash56",
+            F.explode(F.sequence(F.lit(0), F.lit(_PHASH_BANDS - 1))).alias("k"),
+        )
+        return b.select(
+            "doc_id",
+            "dhash56",
+            "k",
+            F.expr(
+                f"(dhash56 >> ({_PHASH_BAND_BITS} * k))"
+                f" & {(1 << _PHASH_BAND_BITS) - 1}"
+            ).alias("bv"),
+        )
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pair_dest = f"{base}/pairs/batch_id={batch_id}"
+        code_dest = f"{base}/codes/batch_id={batch_id}"
+        if os.path.exists(pair_dest) and os.path.exists(code_dest):
+            return  # replayed batch: partials already published
+        new_codes = (
+            image_perceptual_hashes(batch_df)
+            .filter(F.col("decode_ok"))
+            .select("doc_id", "dhash56")
+            .localCheckpoint(eager=False)
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(f"{base}/codes"):
+            index = sess.read.parquet(f"{base}/codes").select(
+                "doc_id", "dhash56"
+            )
+            universe = index.unionByName(new_codes)
+        else:
+            universe = new_codes
+        nb = _bands(new_codes)
+        ub = _bands(universe)
+        # pairs touching a new image: (new, universe) both directions,
+        # normalized to doc_a < doc_b; pairs between two OLD images
+        # were emitted by an earlier batch (bands are immutable)
+        cand = (
+            nb.alias("a")
+            .join(
+                ub.alias("b"),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.bv") == F.col("b.bv"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+                F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+                F.when(
+                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.dhash56")
+                )
+                .otherwise(F.col("b.dhash56"))
+                .alias("ha"),
+                F.when(
+                    F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.dhash56")
+                )
+                .otherwise(F.col("a.dhash56"))
+                .alias("hb"),
+            )
+            .distinct()
+        )
+        pairs = cand.select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(bit_count(ha ^ hb) AS INT)").alias("hamming"),
+        ).filter(F.col("hamming") <= _PHASH_T)
+        pairs.write.mode("overwrite").parquet(pair_dest)
+        new_codes.write.mode("overwrite").parquet(code_dest)
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{base}/pairs")
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()  # a pair seen via several batches' partials collapses
+        .orderBy("doc_a", "doc_b")
+    )

@@ -66,6 +66,7 @@ NEW_IN_ROUND: list[str] = [
     "file_compaction_plan",
     "incremental_span_dedup",
     "curation_keep_manifest",
+    "stream_phash_dedup_maintenance",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
