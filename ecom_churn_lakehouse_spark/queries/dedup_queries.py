@@ -1824,3 +1824,132 @@ def span_removable_per_doc(corpus: DataFrame, L: int = _SPAN_L) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("cov").cast("long").alias("rm"))
     )
+
+
+# --------------------------------------- span length sensitivity curve
+
+_SPAN_CURVE_LS = (6, 8, 12)
+
+
+def _span_curve_one_sql(L: int) -> str:
+    return f"""
+    SELECT {L} AS span_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS affected_docs,
+           CAST(COALESCE(SUM(cov), 0) AS BIGINT) AS removable_tokens
+    FROM (
+        SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS cov
+        FROM (
+            SELECT doc_id, s, e,
+                   SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY s
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM (
+                SELECT doc_id, s, e,
+                       MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM (
+                    SELECT doc_id, pos AS s, pos + {L - 1} AS e
+                    FROM (
+                        SELECT doc_id, pos,
+                               COUNT(*) OVER (PARTITION BY h) AS cnt,
+                               ROW_NUMBER() OVER (PARTITION BY h
+                                                  ORDER BY doc_id, pos) AS rn
+                        FROM (
+                            SELECT doc_id, pos,
+                                   md5(array_to_string(
+                                       t[pos:pos + {L - 1}], ' ')) AS h
+                            FROM (
+                                SELECT doc_id, t,
+                                       CAST(unnest(generate_series(
+                                           1, n_tokens - {L - 1}))
+                                           AS BIGINT) AS pos
+                                FROM sized WHERE n_tokens >= {L}
+                            )
+                        )
+                    ) WHERE cnt > 1 AND rn > 1
+                )
+            )
+        ) GROUP BY doc_id, island
+    )
+"""
+
+
+_SPAN_CURVE_SQL = f"""
+WITH corpus AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN '{_SPAN_BP} ' || text ELSE text END AS text
+    FROM documents
+),
+sized AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, t
+    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS t FROM corpus)
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM sized)
+SELECT CAST(span_len AS INTEGER) AS span_len, affected_docs, removable_tokens,
+       CAST(removable_tokens * 1000000 // total_tokens AS BIGINT)
+           AS removable_ppm
+FROM ({" UNION ALL ".join(_span_curve_one_sql(L) for L in _SPAN_CURVE_LS)}) c, tot
+ORDER BY span_len
+"""
+
+
+@register(
+    "span_dedup_savings_curve",
+    _SPAN_CURVE_SQL,
+    doc=f"Minimum-span-length sensitivity curve for span-level dedup: "
+    f"removable-token coverage at L in {_SPAN_CURVE_LS} over the same "
+    "boilerplate-planted corpus as repeated_span_exact_dedup. "
+    "Shorter L removes more (catching coincidental n-gram repeats — "
+    "the precision risk), longer L only the true boilerplate — the "
+    "curve's knee is how the ExactSubstr literature picks its "
+    "threshold, measured instead of guessed. Monotone non-increasing "
+    "in L by construction (pinned in tests). Scale: one span-hash "
+    "bucketed pass per L (|Ls| fixed small); each pass is the "
+    "standalone entry's plan.",
+)
+def q_span_dedup_savings_curve(spark, sf_dir):
+    from pyspark.sql import DataFrame as _DF
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(_SPAN_BP + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).localCheckpoint(eager=False)
+    total = corpus.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n")
+    ).agg(F.sum("n").cast("long").alias("total_tokens"))
+
+    out: _DF | None = None
+    for L in _SPAN_CURVE_LS:
+        perdoc = span_removable_per_doc(corpus, L=L)
+        one = perdoc.agg(
+            F.count("*").cast("long").alias("affected_docs"),
+            F.coalesce(F.sum("rm"), F.lit(0)).cast("long").alias(
+                "removable_tokens"
+            ),
+        ).select(
+            F.lit(L).cast("int").alias("span_len"),
+            "affected_docs",
+            "removable_tokens",
+        )
+        out = one if out is None else out.unionByName(one)
+    return (
+        out.crossJoin(F.broadcast(total))
+        .select(
+            "span_len",
+            "affected_docs",
+            "removable_tokens",
+            F.expr(
+                "CAST(removable_tokens * 1000000 DIV total_tokens AS BIGINT)"
+            ).alias("removable_ppm"),
+        )
+        .orderBy("span_len")
+    )

@@ -324,3 +324,134 @@ def q_tcloseness_audit(spark, sf_dir):
             <= F.lit(_T_PPM)
         ).alias("meets_t"),
     )
+
+
+# ------------------------------------- k-anonymity generalization ladder
+
+_KANON_K = 3
+
+_KANON_SQL = f"""
+WITH lvl0 AS (
+    SELECT 0 AS level,
+           CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+               || CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       // 100000 AS VARCHAR) AS qid
+    FROM customer
+),
+lvl1 AS (
+    SELECT 1 AS level,
+           CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qid
+    FROM customer
+),
+lvl2 AS (
+    SELECT 2 AS level,
+           CAST(n.n_regionkey AS VARCHAR) || '|' || c.c_mktsegment AS qid
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+),
+lvl3 AS (
+    SELECT 3 AS level, c_mktsegment AS qid FROM customer
+),
+all_lvls AS (
+    SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1
+    UNION ALL SELECT * FROM lvl2 UNION ALL SELECT * FROM lvl3
+),
+groups AS (
+    SELECT level, qid, CAST(COUNT(*) AS BIGINT) AS sz
+    FROM all_lvls GROUP BY level, qid
+)
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(MIN(sz) AS BIGINT) AS min_group_size,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_groups,
+       CAST(SUM(CASE WHEN sz < {_KANON_K} THEN sz ELSE 0 END) * 1000000
+            // SUM(sz) AS BIGINT) AS suppressed_ppm,
+       MIN(sz) >= {_KANON_K} AS satisfies_k
+FROM groups
+GROUP BY level
+ORDER BY level
+"""
+
+
+@register(
+    "kanon_generalization_ladder",
+    _KANON_SQL,
+    doc=f"k-anonymity generalization ladder (k={_KANON_K}): the same "
+    "customer quasi-identifier evaluated at four generalization "
+    "levels — (nation, segment, account-balance band), (nation, "
+    "segment), (region, segment), (segment) — each scored by its "
+    "smallest equivalence class, violating-group count, and the "
+    "record share that suppression-based k-anonymity would delete "
+    "(exact ppm, non-negative DIV). The release decision is the "
+    "FIRST level with satisfies_k — the generalize-vs-suppress "
+    "tradeoff every governed data release walks, one level up from "
+    "the point checks ldiversity_audit / tcloseness_audit run at a "
+    "fixed grain. Scale: four map-combinable aggs over the dim "
+    "(grouped on the qid), then a |groups|-frame fold; the balance "
+    "band is the canonical cents quantization so the band edge is "
+    "bit-stable cross-engine.",
+)
+def q_kanon_generalization_ladder(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    band = F.expr(
+        "CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        " DIV 100000 AS STRING)"
+    )
+    lvl0 = cust.select(
+        F.lit(0).alias("level"),
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), "c_mktsegment", band
+        ).alias("qid"),
+    )
+    lvl1 = cust.select(
+        F.lit(1).alias("level"),
+        F.concat_ws(
+            "|", F.col("c_nationkey").cast("string"), "c_mktsegment"
+        ).alias("qid"),
+    )
+    lvl2 = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.lit(2).alias("level"),
+        F.concat_ws(
+            "|", F.col("n_regionkey").cast("string"), "c_mktsegment"
+        ).alias("qid"),
+    )
+    lvl3 = cust.select(
+        F.lit(3).alias("level"), F.col("c_mktsegment").alias("qid")
+    )
+    groups = (
+        lvl0.unionByName(lvl1)
+        .unionByName(lvl2)
+        .unionByName(lvl3)
+        .groupBy("level", "qid")
+        .agg(F.count("*").cast("long").alias("sz"))
+    )
+    k = _KANON_K
+    return (
+        groups.groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("sz").cast("long").alias("min_group_size"),
+            F.sum(F.when(F.col("sz") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("violating_groups"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN sz < {k} THEN sz ELSE 0 END) * 1000000"
+                " DIV SUM(sz) AS BIGINT)"
+            ).alias("suppressed_ppm"),
+            (F.min("sz") >= k).alias("satisfies_k"),
+        )
+        .select(
+            F.col("level").cast("int").alias("level"),
+            "n_groups",
+            "min_group_size",
+            "violating_groups",
+            "suppressed_ppm",
+            "satisfies_k",
+        )
+        .orderBy("level")
+    )

@@ -574,3 +574,127 @@ def q_rolling_median_daily_revenue(spark, sf_dir):
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+# ------------------------------------- association rules (market basket)
+
+_RULES_MIN_CO = 2
+_RULES_TOPN = 25
+
+_BASKET_RULES_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_baskets AS (
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM items
+),
+item_counts AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM items GROUP BY 1
+),
+co AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {_RULES_MIN_CO}
+),
+rules AS (
+    SELECT pa AS antecedent, pb AS consequent, cab,
+           ca.cnt AS cnt_a, cb.cnt AS cnt_b
+    FROM co JOIN item_counts ca ON ca.l_partkey = co.pa
+            JOIN item_counts cb ON cb.l_partkey = co.pb
+    UNION ALL
+    SELECT pb, pa, cab, cb.cnt, ca.cnt
+    FROM co JOIN item_counts ca ON ca.l_partkey = co.pa
+            JOIN item_counts cb ON cb.l_partkey = co.pb
+),
+scored AS (
+    SELECT antecedent, consequent, cab, cnt_a, cnt_b,
+           CAST(cab * 1000000 // nb AS BIGINT) AS support_ppm,
+           CAST(cab * 1000000 // cnt_a AS BIGINT) AS confidence_ppm,
+           CAST(cab * nb AS BIGINT) AS lift_num,
+           CAST(cnt_a * cnt_b AS BIGINT) AS lift_den,
+           cab * nb > cnt_a * cnt_b AS positive_lift
+    FROM rules, n_baskets
+)
+SELECT * FROM scored
+ORDER BY confidence_ppm DESC, antecedent, consequent
+LIMIT {_RULES_TOPN}
+"""
+
+
+@register(
+    "basket_rules_support_confidence",
+    _BASKET_RULES_SQL,
+    doc=f"Association-rule mining over order baskets: co-occurring part "
+    f"pairs (>= {_RULES_MIN_CO} shared baskets) scored as directional "
+    "rules with exact integer support and confidence (ppm, "
+    "non-negative DIV) and lift surfaced as the exact integer "
+    "numerator/denominator pair cab*N vs cnt_a*cnt_b (no division: "
+    "cab*N stays under int64 even at ~1e8-basket scale, and the "
+    "boolean reads off the comparison) — top-"
+    f"{_RULES_TOPN} by confidence with a total tie-break. Scale: "
+    "pair generation is a self-join keyed on the ORDER, so work is "
+    "sum over baskets of size^2 (basket sizes are bounded small), "
+    "never catalog x catalog; item counts join back broadcast-size. "
+    "The recommendation/affinity query next to "
+    "copurchase_link_prediction's graph scores.",
+)
+def q_basket_rules_support_confidence(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    items = li.distinct()
+    nb = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("nb")
+    )
+    counts = items.groupBy("l_partkey").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    co = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("cab"))
+        .filter(F.col("cab") >= _RULES_MIN_CO)
+    )
+    ca = counts.select(F.col("l_partkey").alias("pa"), F.col("cnt").alias("cnt_pa"))
+    cb = counts.select(F.col("l_partkey").alias("pb"), F.col("cnt").alias("cnt_pb"))
+    joined = co.join(ca, "pa").join(cb, "pb")
+    fwd = joined.select(
+        F.col("pa").alias("antecedent"),
+        F.col("pb").alias("consequent"),
+        "cab",
+        F.col("cnt_pa").alias("cnt_a"),
+        F.col("cnt_pb").alias("cnt_b"),
+    )
+    rev = joined.select(
+        F.col("pb").alias("antecedent"),
+        F.col("pa").alias("consequent"),
+        "cab",
+        F.col("cnt_pb").alias("cnt_a"),
+        F.col("cnt_pa").alias("cnt_b"),
+    )
+    scored = (
+        fwd.unionByName(rev)
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            "cab",
+            "cnt_a",
+            "cnt_b",
+            F.expr("CAST(cab * 1000000 DIV nb AS BIGINT)").alias("support_ppm"),
+            F.expr("CAST(cab * 1000000 DIV cnt_a AS BIGINT)").alias(
+                "confidence_ppm"
+            ),
+            (F.col("cab") * F.col("nb")).cast("long").alias("lift_num"),
+            (F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("lift_den"),
+            (F.col("cab") * F.col("nb") > F.col("cnt_a") * F.col("cnt_b")).alias(
+                "positive_lift"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.col("confidence_ppm").desc(), "antecedent", "consequent"
+    ).limit(_RULES_TOPN)

@@ -67,6 +67,9 @@ NEW_IN_ROUND: list[str] = [
     "incremental_span_dedup",
     "curation_keep_manifest",
     "stream_phash_dedup_maintenance",
+    "kanon_generalization_ladder",
+    "basket_rules_support_confidence",
+    "span_dedup_savings_curve",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",

@@ -73,3 +73,53 @@ def test_keep_manifest_decision_precedence(spark):
     assert "keep" in decisions
     # every doc got exactly one row
     assert len(rows) == n_docs + len(copies)
+
+
+def test_span_curve_monotone_in_length(spark):
+    """Longer minimum spans can only remove fewer tokens."""
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        q_span_dedup_savings_curve,
+    )
+
+    rows = sorted(
+        q_span_dedup_savings_curve(spark, SF).collect(),
+        key=lambda r: r["span_len"],
+    )
+    assert [r["span_len"] for r in rows] == [6, 8, 12]
+    toks = [r["removable_tokens"] for r in rows]
+    assert toks == sorted(toks, reverse=True), toks
+    # the 13-token planted boilerplate is visible at every L <= 12
+    assert all(t > 0 for t in toks)
+
+
+def test_kanon_ladder_monotone(spark):
+    """Coarser generalization can only grow the smallest group."""
+    from ecom_churn_lakehouse_spark.queries.governance_queries import (
+        q_kanon_generalization_ladder,
+    )
+
+    rows = sorted(
+        q_kanon_generalization_ladder(spark, SF).collect(),
+        key=lambda r: r["level"],
+    )
+    assert len(rows) == 4
+    # group count shrinks (or holds) as the qid coarsens
+    ng = [r["n_groups"] for r in rows]
+    assert ng == sorted(ng, reverse=True), ng
+    # suppression share shrinks as groups merge
+    sup = [r["suppressed_ppm"] for r in rows]
+    assert sup == sorted(sup, reverse=True), sup
+
+
+def test_basket_rules_invariants(spark):
+    """Confidence >= support, symmetric support, exact lift components."""
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        q_basket_rules_support_confidence,
+    )
+
+    rows = q_basket_rules_support_confidence(spark, SF).collect()
+    assert rows, "no rules at sf0.001"
+    for r in rows:
+        assert r["confidence_ppm"] >= r["support_ppm"]
+        assert r["cab"] <= min(r["cnt_a"], r["cnt_b"])
+        assert r["positive_lift"] == (r["lift_num"] > r["lift_den"])
