@@ -785,3 +785,119 @@ def q_kmv_set_overlap_estimate(spark, sf_dir):
             ).alias("inter_est"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Mutual-kNN graph construction (the SemDeDup/clustering prerequisite).
+# --------------------------------------------------------------------------
+
+_MUTUAL_KNN_SQL = f"""
+WITH {_CODES_SQL},
+vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+),
+cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bands q JOIN bands c
+      ON q.b = c.b AND q.band_val = c.band_val
+    WHERE q.vec_id <> c.vec_id
+),
+scored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COS.format(a="qv.ev", b="cv.ev")} AS sim
+    FROM cand cd
+    JOIN vecs qv ON cd.query_id = qv.vec_id
+    JOIN vecs cv ON cd.neighbor_id = cv.vec_id
+),
+topk AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM scored
+)
+SELECT a.query_id AS vec_a, a.neighbor_id AS vec_b,
+       CAST(a.rn AS INTEGER) AS rank_ab,
+       CAST(b.rn AS INTEGER) AS rank_ba
+FROM (SELECT * FROM topk WHERE rn <= 5) a
+JOIN (SELECT * FROM topk WHERE rn <= 5) b
+  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+WHERE a.query_id < a.neighbor_id
+ORDER BY vec_a, vec_b
+"""
+
+
+@register(
+    "mutual_knn_graph",
+    _MUTUAL_KNN_SQL,
+    doc="Mutual-kNN graph construction — the prerequisite relation for "
+    "SemDeDup-style semantic clustering and outlier pruning: each "
+    "vector's k=5 nearest (exact cosine over the SAME banded-LSH "
+    "candidate stream as knn_label_consensus, never all-pairs), kept "
+    "only where the relation is MUTUAL (a in kNN(b) and b in kNN(a)) "
+    "— mutuality is the standard density filter that drops hub/"
+    "boundary edges before community detection. Only ranks are "
+    "surfaced (floats stay internal), so the compare is exact "
+    "integers. Scale: banded candidates + per-vector top-k windows; "
+    "the mutual join is kNN-output-sized (<= 5N rows), tiny next to "
+    "the candidate stream.",
+)
+def q_mutual_knn_graph(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    bands = _spark_bands(_spark_codes(spark, sf_dir))
+    cand = (
+        bands.select(F.col("vec_id").alias("query_id"), "b", "band_val")
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "b", "band_val"),
+            ["b", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("__qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double_array(F.col("embedding")).alias("__cv"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "rn")
+        .localCheckpoint(eager=False)
+    )
+    b_side = topk.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+        F.col("rn").alias("rank_ba"),
+    )
+    return (
+        topk.join(b_side, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("vec_a"),
+            F.col("neighbor_id").alias("vec_b"),
+            F.col("rn").cast("int").alias("rank_ab"),
+            F.col("rank_ba").cast("int").alias("rank_ba"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

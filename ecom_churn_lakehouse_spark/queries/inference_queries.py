@@ -1272,3 +1272,82 @@ def q_mcnemar_paired_test(spark, sf_dir):
             " ELSE 0 END AS BIGINT)"
         ).alias("stat_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Poisson overdispersion screen on daily order counts.
+# --------------------------------------------------------------------------
+
+_DISPERSION_SQL = """
+WITH daily AS (
+    SELECT o_orderdate AS d, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(c) AS BIGINT) AS total_orders,
+           CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sum_sq
+    FROM daily
+)
+SELECT n_days, total_orders,
+       CAST(total_orders * 1000 // n_days AS BIGINT) AS mean_milli,
+       CAST(CAST(n_days AS DECIMAL(38,0)) * sum_sq
+            - CAST(total_orders AS DECIMAL(38,0)) * total_orders
+            AS VARCHAR) AS var_numerator,
+       CAST(CAST(CAST(n_days AS DECIMAL(38,0)) * sum_sq
+                 - CAST(total_orders AS DECIMAL(38,0)) * total_orders
+                 AS HUGEINT) * 1000
+            // CAST(CAST(n_days AS DECIMAL(38,0)) * total_orders AS HUGEINT)
+            AS BIGINT) AS dispersion_milli
+FROM comp
+"""
+
+
+@register(
+    "order_count_overdispersion",
+    _DISPERSION_SQL,
+    doc="Poisson overdispersion screen on daily order counts: the "
+    "variance-to-mean ratio (index of dispersion) as an exact "
+    "rational — variance numerator n*Sum(c^2) - (Sum c)^2 (always "
+    ">= 0 by Cauchy-Schwarz, so integer division is engine-agnostic), "
+    "denominator n*Sum(c). dispersion_milli ~ 1000 means Poisson "
+    "arrivals; far above flags bursty/clumped traffic where Poisson "
+    "CIs and anomaly thresholds (event_rate_spike_flags) are "
+    "miscalibrated. The numerator is surfaced as VARCHAR because it "
+    "genuinely exceeds int64 at fact scale; the DECIMAL(38) widening "
+    "happens only on the |days|-grain frame (the simpsons r7 "
+    "discipline — BIGINT partials over the fact, int128 on the small "
+    "frame). Oracle gotcha pinned here: DuckDB // on DECIMAL operands "
+    "is TRUE division (the cast then rounds) — the oracle divides in "
+    "HUGEINT where // is integral, matching Spark's decimal DIV.",
+)
+def q_order_count_overdispersion(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    comp = daily.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("total_orders"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("sum_sq"),
+    )
+    var_num = (
+        F.col("n_days").cast("decimal(38,0)") * F.col("sum_sq")
+        - F.col("total_orders").cast("decimal(38,0)") * F.col("total_orders")
+    )
+    return comp.select(
+        "n_days",
+        "total_orders",
+        F.expr("CAST(total_orders * 1000 DIV n_days AS BIGINT)").alias(
+            "mean_milli"
+        ),
+        var_num.cast("decimal(38,0)").cast("string").alias("var_numerator"),
+        F.expr(
+            "CAST((CAST(n_days AS DECIMAL(38,0)) * sum_sq"
+            " - CAST(total_orders AS DECIMAL(38,0)) * total_orders) * 1000"
+            " DIV (CAST(n_days AS DECIMAL(38,0)) * total_orders) AS BIGINT)"
+        ).alias("dispersion_milli"),
+    )

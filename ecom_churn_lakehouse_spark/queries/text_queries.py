@@ -1587,3 +1587,106 @@ def q_bpe_merge_learning(spark, sf_dir):
         if it < 3:
             seg = _bpe_apply(seg, m)
     return outs[0].unionByName(outs[1]).unionByName(outs[2]).orderBy("iteration")
+
+
+_BPE_CURVE_SQL = f"""
+WITH words AS (
+    SELECT lower(w) AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(regexp_extract_all(text, '[A-Za-z]+')) AS w FROM documents)
+    GROUP BY 1
+),
+seg0 AS (
+    SELECT freq,
+           ' ' || array_to_string(regexp_extract_all(word, '[a-z]'), ' ') || ' ' AS seg
+    FROM words
+),{_bpe_iter_sql("seg0", "cp1", "cm1", "seg1")},{_bpe_iter_sql("seg1", "cp2", "cm2", "seg2")},{_bpe_iter_sql("seg2", "cp3", "cm3", "seg3")}
+SELECT CAST(n_merges AS INTEGER) AS n_merges, corpus_tokens, distinct_symbols
+FROM (
+    SELECT 0 AS n_merges,
+           (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+            FROM seg0) AS corpus_tokens,
+           (SELECT CAST(COUNT(DISTINCT s.sym) AS BIGINT)
+            FROM seg0, unnest(string_split(trim(seg0.seg), ' ')) s(sym))
+               AS distinct_symbols
+    UNION ALL
+    SELECT 1,
+           (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+            FROM seg1),
+           (SELECT CAST(COUNT(DISTINCT s.sym) AS BIGINT)
+            FROM seg1, unnest(string_split(trim(seg1.seg), ' ')) s(sym))
+    UNION ALL
+    SELECT 2,
+           (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+            FROM seg2),
+           (SELECT CAST(COUNT(DISTINCT s.sym) AS BIGINT)
+            FROM seg2, unnest(string_split(trim(seg2.seg), ' ')) s(sym))
+    UNION ALL
+    SELECT 3,
+           (SELECT CAST(SUM(freq * len(string_split(trim(seg), ' '))) AS BIGINT)
+            FROM seg3),
+           (SELECT CAST(COUNT(DISTINCT s.sym) AS BIGINT)
+            FROM seg3, unnest(string_split(trim(seg3.seg), ' ')) s(sym))
+)
+ORDER BY n_merges
+"""
+
+
+@register(
+    "bpe_compression_curve",
+    _BPE_CURVE_SQL,
+    doc="The compression curve that motivates BPE: corpus token count "
+    "and alphabet size after 0, 1, 2, 3 learned merges (the same "
+    "deterministic merge sequence as bpe_merge_learning). Token count "
+    "is monotone non-increasing — each merge round removes exactly "
+    "the occurrences it fuses — while the symbol inventory grows by "
+    "at most one per round; the ratio of the two IS the "
+    "tokens-per-byte economics a tokenizer trades. Scale: "
+    "vocabulary-grain (the corpus is scanned once for word counts; "
+    "every curve point is an agg over the segmented vocab frame).",
+)
+def q_bpe_compression_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(text, '[A-Za-z]+', 0)")
+            ).alias("w")
+        )
+        .select(F.lower(F.col("w")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    seg = words.select(
+        "freq",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(r"regexp_extract_all(word, '[a-z]', 0)"), " "
+            ),
+            F.lit(" "),
+        ).alias("seg"),
+    )
+
+    def _point(segdf, i):
+        syms = segdf.select(
+            "freq", F.split(F.trim(F.col("seg")), " ").alias("s")
+        )
+        return (
+            syms.select("freq", F.explode("s").alias("sym"))
+            .agg(
+                F.sum("freq").cast("long").alias("corpus_tokens"),
+                F.countDistinct("sym").cast("long").alias("distinct_symbols"),
+            )
+            .select(
+                F.lit(i).cast("int").alias("n_merges"),
+                "corpus_tokens",
+                "distinct_symbols",
+            )
+        )
+
+    out = _point(seg, 0)
+    for it in (1, 2, 3):
+        m = _bpe_argmax(_bpe_pairs(seg)).localCheckpoint(eager=False)
+        seg = _bpe_apply(seg, m).localCheckpoint(eager=False)
+        out = out.unionByName(_point(seg, it))
+    return out.orderBy("n_merges")

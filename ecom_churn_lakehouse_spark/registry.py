@@ -70,6 +70,9 @@ NEW_IN_ROUND: list[str] = [
     "kanon_generalization_ladder",
     "basket_rules_support_confidence",
     "span_dedup_savings_curve",
+    "bpe_compression_curve",
+    "order_count_overdispersion",
+    "mutual_knn_graph",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
