@@ -1109,3 +1109,100 @@ def q_order_value_mad_outliers(spark, sf_dir):
         )
         .orderBy("order_priority")
     )
+
+
+# ---------------------------------------------- array set-op battery
+
+_ARRAY_SETOP_SQL = """
+WITH grp AS (
+    SELECT l_orderkey,
+           COALESCE(list_sort(list_distinct(
+               list(l_partkey % 97) FILTER (WHERE l_linenumber % 2 = 1))), [])
+               AS a,
+           COALESCE(list_sort(list_distinct(
+               list(l_partkey % 97) FILTER (WHERE l_linenumber % 2 = 0))), [])
+               AS b
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       CAST(len(a) AS INTEGER) AS n_a,
+       CAST(len(b) AS INTEGER) AS n_b,
+       COALESCE(array_to_string(list_sort(list_intersect(a, b)), ','), '')
+           AS inter_csv,
+       COALESCE(array_to_string(list_sort(
+           list_filter(a, x -> NOT list_contains(b, x))), ','), '')
+           AS except_csv,
+       COALESCE(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','),
+                '') AS union_csv,
+       list_contains(a, 5) AS has_5,
+       list_max(a) AS a_max,
+       list_min(a) AS a_min,
+       CAST(COALESCE(list_sum(a), 0) AS BIGINT) AS a_sum,
+       COALESCE(array_to_string(a[1:3], ','), '') AS first3_csv
+FROM grp
+ORDER BY l_orderkey
+"""
+
+
+@register(
+    "array_setop_battery",
+    _ARRAY_SETOP_SQL,
+    doc="Two-array SET-OP parity battery (complements array_function_"
+    "battery's single-array fold battery): per order, two "
+    "disjoint-linenumber part-key arrays, then intersect / except / "
+    "union-distinct / contains / min / max / fold-sum / slice, every "
+    "set-valued result SORTED before surfacing because DuckDB's "
+    "list_intersect and list_distinct return arbitrary order while "
+    "Spark's array_intersect preserves left order — unsorted "
+    "surfaces would hash-diverge even when the sets are equal. "
+    "Empty-group edges pinned: DuckDB's FILTERed list() aggregate is "
+    "NULL on empty (coalesced to []) where Spark's collect_list is "
+    "already [], and list_sum(NULL/[]) is NULL where Spark's "
+    "aggregate fold starts at 0, and DuckDB array_to_string(EMPTY) is "
+    "NULL where Spark array_join is '' (coalesced). Scale: one grouped agg over a "
+    "keyed 2% order slice; arrays are basket-sized.",
+)
+def q_array_setop_battery(spark, sf_dir):
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 97).alias("k"),
+        )
+    )
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_linenumber") % 2 == 1, F.col("k")))
+            )
+        ).alias("a"),
+        F.array_sort(
+            F.array_distinct(
+                F.collect_list(F.when(F.col("l_linenumber") % 2 == 0, F.col("k")))
+            )
+        ).alias("b"),
+    )
+    csv = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda x: x.cast("string")), ","
+    )
+    return grp.select(
+        "l_orderkey",
+        F.size("a").cast("int").alias("n_a"),
+        F.size("b").cast("int").alias("n_b"),
+        csv(F.array_sort(F.array_intersect("a", "b"))).alias("inter_csv"),
+        csv(F.array_sort(F.array_except("a", "b"))).alias("except_csv"),
+        csv(F.array_sort(F.array_distinct(F.concat("a", "b")))).alias(
+            "union_csv"
+        ),
+        F.array_contains("a", F.lit(5)).alias("has_5"),
+        F.array_max("a").alias("a_max"),
+        F.array_min("a").alias("a_min"),
+        F.aggregate(
+            "a", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("a_sum"),
+        csv(F.slice("a", 1, 3)).alias("first3_csv"),
+    ).orderBy("l_orderkey")

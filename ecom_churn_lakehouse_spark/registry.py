@@ -73,6 +73,8 @@ NEW_IN_ROUND: list[str] = [
     "bpe_compression_curve",
     "order_count_overdispersion",
     "mutual_knn_graph",
+    "array_setop_battery",
+    "theil_sen_daily_revenue_trend",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
