@@ -24,6 +24,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 7 ----
+    "repeated_span_exact_dedup",
+    "incremental_span_dedup",
+    "span_dedup_savings_curve",
+    "image_perceptual_hashes",
+    "image_phash_neardup_pairs",
+    "stream_phash_dedup_maintenance",
+    "curation_keep_manifest",
+    "chunk_stitch_overlap_pairs",
+    "bpe_merge_learning",
+    "bpe_compression_curve",
+    "mcnemar_paired_test",
+    "order_count_overdispersion",
+    "theil_sen_daily_revenue_trend",
+    "mutual_knn_graph",
+    "basket_rules_support_confidence",
+    "kanon_generalization_ladder",
+    "file_compaction_plan",
+    "array_setop_battery",
     "copurchase_community_modularity",
     "spend_ks_test",
     "shuffle_partition_advisor",
