@@ -455,3 +455,126 @@ def q_kanon_generalization_ladder(spark, sf_dir):
         )
         .orderBy("level")
     )
+
+
+# ------------------------------------------- local-DP randomized response
+
+#: Lie with probability 1/4 (hb1 == 0 of 4); a liar reports a uniform
+#: nation (hb2 of 25, which may coincide with the truth — the classic
+#: "uniform over ALL K" variant, so the debias closed form is exact).
+#: Debiased estimate: E[obs_j] = n/(4K) + (3/4)*true_j  =>
+#: est_j = (4K*obs_j - n)/(3K) = (100*obs_j - n)/75 for K=25.
+_RR_EST_MILLI = (
+    "CASE WHEN (100 * reported_cnt - n) >= 0"
+    " THEN ((100 * reported_cnt - n) * 1000) {div} 75"
+    " ELSE -((-(100 * reported_cnt - n) * 1000) {div} 75)"
+    "      - (CASE WHEN (-(100 * reported_cnt - n) * 1000) % 75 > 0"
+    "              THEN 1 ELSE 0 END)"
+    " END"
+)
+
+
+def _rr_sql() -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    hb1 = hash_bucket_sql("c_custkey", "rr1:", 4)
+    hb2 = hash_bucket_sql("c_custkey", "rr2:", 25)
+    est = _RR_EST_MILLI.format(div="//")
+    return f"""
+WITH reported AS (
+    SELECT c_custkey,
+           CAST(c_nationkey AS BIGINT) AS true_nation,
+           CAST(CASE WHEN {hb1} = 0 THEN {hb2}
+                     ELSE c_nationkey END AS BIGINT) AS reported_nation
+    FROM customer
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM reported),
+true_c AS (
+    SELECT true_nation AS nation_key, CAST(COUNT(*) AS BIGINT) AS true_cnt
+    FROM reported GROUP BY true_nation
+),
+rep_c AS (
+    SELECT reported_nation AS nation_key, CAST(COUNT(*) AS BIGINT) AS reported_cnt
+    FROM reported GROUP BY reported_nation
+),
+joined AS (
+    SELECT CAST(nt.n_nationkey AS BIGINT) AS nation_key,
+           COALESCE(t.true_cnt, 0) AS true_cnt,
+           COALESCE(r.reported_cnt, 0) AS reported_cnt,
+           (SELECT n FROM tot) AS n
+    FROM nation nt
+    LEFT JOIN true_c t ON t.nation_key = nt.n_nationkey
+    LEFT JOIN rep_c r ON r.nation_key = nt.n_nationkey
+)
+SELECT nation_key, true_cnt, reported_cnt,
+       CAST({est} AS BIGINT) AS est_milli,
+       CAST(abs(CAST({est} AS BIGINT) - true_cnt * 1000) AS BIGINT)
+           AS abs_err_milli
+FROM joined
+"""
+
+
+@register(
+    "randomized_response_privacy",
+    _rr_sql(),
+    doc="Local differential privacy by randomized response: each "
+    "customer reports their true nation with probability 3/4, else a "
+    "uniform nation (eps = ln(76) ~ 4.33 per the RR closed form), and "
+    "the curator debiases the reported histogram back to an unbiased "
+    "estimate est_j = (4K*obs_j - n)/(3K) — the mechanism behind "
+    "every privacy-preserving telemetry count. Both the coin and the "
+    "lie value come from the shared md5 bucket idiom, so the oracle "
+    "reproduces the noise bit-for-bit; the estimate is pure int64 "
+    "milli with the explicit-sign floor-division CASE (negative "
+    "numerators appear for under-reported nations — theil_sen's "
+    "idiom). The nation dimension is the join spine so empty nations "
+    "still get a row. Scale: two scan-local hashes, two "
+    "map-combinable groupBys on a 25-value key, one broadcast spine "
+    "join — no window, no fact shuffle; 100*obs stays under int64 to "
+    "~9e16 customers.",
+)
+def q_randomized_response_privacy(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    cust = load_table(spark, sf_dir, "customer")
+    reported = cust.select(
+        F.col("c_nationkey").cast("long").alias("true_nation"),
+        F.when(
+            hash_bucket(F.col("c_custkey"), "rr1:", mod=4) == 0,
+            hash_bucket(F.col("c_custkey"), "rr2:", mod=25),
+        )
+        .otherwise(F.col("c_nationkey"))
+        .cast("long")
+        .alias("reported_nation"),
+    )
+    tot = reported.agg(F.count("*").cast("long").alias("n"))
+    true_c = reported.groupBy(F.col("true_nation").alias("nation_key")).agg(
+        F.count("*").cast("long").alias("true_cnt")
+    )
+    rep_c = reported.groupBy(F.col("reported_nation").alias("nation_key")).agg(
+        F.count("*").cast("long").alias("reported_cnt")
+    )
+    spine = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nation_key")
+    )
+    joined = (
+        spine.join(F.broadcast(true_c), "nation_key", "left")
+        .join(F.broadcast(rep_c), "nation_key", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nation_key",
+            F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+            F.coalesce("reported_cnt", F.lit(0)).cast("long").alias("reported_cnt"),
+            "n",
+        )
+    )
+    est = _RR_EST_MILLI.format(div="DIV")
+    return joined.select(
+        "nation_key",
+        "true_cnt",
+        "reported_cnt",
+        F.expr(est).cast("long").alias("est_milli"),
+        F.expr(f"CAST(abs(CAST({est} AS BIGINT) - true_cnt * 1000) AS BIGINT)").alias(
+            "abs_err_milli"
+        ),
+    )

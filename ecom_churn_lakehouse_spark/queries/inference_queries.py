@@ -1460,3 +1460,317 @@ def q_theil_sen_daily_revenue_trend(spark, sf_dir):
     return med.crossJoin(F.broadcast(n_days)).select(
         "n_days", "n_pairs", "theil_sen_slope_micro"
     )
+
+
+# --------------------------------------------------------------------------
+# Kruskal-Wallis H test across the five order priorities.
+# --------------------------------------------------------------------------
+
+#: Tie-corrected H from exact integer components, ONE shared IEEE
+#: expression text on both engines. Doubled-rank units: r2_j = 2*R_j,
+#: so SUM_j R_j^2/n_j = SUM_j r2_j^2/(4*n_j) — hence the /4.0. The
+#: five per-group terms are summed in FIXED textual order (IEEE adds
+#: associate left-to-right identically on both engines), which is the
+#: whole reason the stats are pivoted to one row first.
+_KW_H_MILLI = (
+    "CAST(FLOOR(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))"
+    " * ((CAST(r2_urgent AS DOUBLE) * CAST(r2_urgent AS DOUBLE) / CAST(n_urgent AS DOUBLE)"
+    "     + CAST(r2_high AS DOUBLE) * CAST(r2_high AS DOUBLE) / CAST(n_high AS DOUBLE)"
+    "     + CAST(r2_medium AS DOUBLE) * CAST(r2_medium AS DOUBLE) / CAST(n_medium AS DOUBLE)"
+    "     + CAST(r2_notspec AS DOUBLE) * CAST(r2_notspec AS DOUBLE) / CAST(n_notspec AS DOUBLE)"
+    "     + CAST(r2_low AS DOUBLE) * CAST(r2_low AS DOUBLE) / CAST(n_low AS DOUBLE)) / 4.0)"
+    " - 3.0 * (CAST(n AS DOUBLE) + 1.0))"
+    " / (1.0 - CAST(tie_cubes AS DOUBLE)"
+    "    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    "       - CAST(n AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_KW_SQL = f"""
+WITH tagged AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           o_orderpriority AS prio
+    FROM orders
+),
+per_value AS (
+    SELECT cents,
+           CAST(SUM(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+           CAST(SUM(CASE WHEN prio = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+           CAST(SUM(CASE WHEN prio = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS c5
+    FROM tagged GROUP BY cents
+),
+cum AS (
+    SELECT c1, c2, c3, c4, c5,
+           c1 + c2 + c3 + c4 + c5 AS t,
+           CAST(SUM(c1 + c2 + c3 + c4 + c5) OVER (ORDER BY cents)
+                - (c1 + c2 + c3 + c4 + c5) AS BIGINT) AS below
+    FROM per_value
+),
+comp AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n,
+           CAST(SUM(c1) AS BIGINT) AS n_urgent,
+           CAST(SUM(c2) AS BIGINT) AS n_high,
+           CAST(SUM(c3) AS BIGINT) AS n_medium,
+           CAST(SUM(c4) AS BIGINT) AS n_notspec,
+           CAST(SUM(c5) AS BIGINT) AS n_low,
+           CAST(SUM(c1 * (2 * below + t + 1)) AS BIGINT) AS r2_urgent,
+           CAST(SUM(c2 * (2 * below + t + 1)) AS BIGINT) AS r2_high,
+           CAST(SUM(c3 * (2 * below + t + 1)) AS BIGINT) AS r2_medium,
+           CAST(SUM(c4 * (2 * below + t + 1)) AS BIGINT) AS r2_notspec,
+           CAST(SUM(c5 * (2 * below + t + 1)) AS BIGINT) AS r2_low,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+    FROM cum
+)
+SELECT n, n_urgent, n_high, n_medium, n_notspec, n_low,
+       r2_urgent, r2_high, r2_medium, r2_notspec, r2_low, tie_cubes,
+       {_KW_H_MILLI} AS h_milli,
+       {_KW_H_MILLI} > 9488 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "kruskal_wallis_priority_spend",
+    _KW_SQL,
+    doc="Kruskal-Wallis H test (tie-corrected): do the five order "
+    "priorities draw from the same spend distribution? The k-group "
+    "generalization of mannwhitney_u_quantity, built on the same "
+    "doubled-rank discipline: per-group rank sums r2_j = "
+    "SUM c_jv*(2*below+t+1) are EXACT integers at the distinct-value "
+    "grain, as is the t^3-t tie term; the only float is one shared "
+    "IEEE expression whose five per-group terms are summed in fixed "
+    "textual order, then floor-quantized to milli (chi2_{{df=4,.05}} "
+    "critical 9.488 -> reject_at_05). Scale: the fact reduces to the "
+    "distinct-cents grain in one map-combinable agg before the single "
+    "rank window; r2_j <= N(N+1) stays under int64 to ~3e9 orders, "
+    "past which spend re-grains to dollar buckets first (same move "
+    "as the KS test).",
+)
+def q_kruskal_wallis_priority_spend(spark, sf_dir):
+    tagged = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cnt = lambda p: (  # noqa: E731 — local conditional-count shorthand
+        F.sum(F.when(F.col("prio") == p, 1).otherwise(0)).cast("long")
+    )
+    per_value = tagged.groupBy("cents").agg(
+        cnt("1-URGENT").alias("c1"),
+        cnt("2-HIGH").alias("c2"),
+        cnt("3-MEDIUM").alias("c3"),
+        cnt("4-NOT SPECIFIED").alias("c4"),
+        cnt("5-LOW").alias("c5"),
+    )
+    t = F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4") + F.col("c5")
+    w_cum = Window.orderBy("cents")
+    cum = per_value.select(
+        "c1",
+        "c2",
+        "c3",
+        "c4",
+        "c5",
+        t.alias("t"),
+        (F.sum(t).over(w_cum) - t).cast("long").alias("below"),
+    )
+    avgd = 2 * F.col("below") + F.col("t") + 1
+    comp = cum.agg(
+        F.sum("t").cast("long").alias("n"),
+        F.sum("c1").cast("long").alias("n_urgent"),
+        F.sum("c2").cast("long").alias("n_high"),
+        F.sum("c3").cast("long").alias("n_medium"),
+        F.sum("c4").cast("long").alias("n_notspec"),
+        F.sum("c5").cast("long").alias("n_low"),
+        F.sum(F.col("c1") * avgd).cast("long").alias("r2_urgent"),
+        F.sum(F.col("c2") * avgd).cast("long").alias("r2_high"),
+        F.sum(F.col("c3") * avgd).cast("long").alias("r2_medium"),
+        F.sum(F.col("c4") * avgd).cast("long").alias("r2_notspec"),
+        F.sum(F.col("c5") * avgd).cast("long").alias("r2_low"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_cubes"),
+    )
+    return comp.select(
+        "n",
+        "n_urgent",
+        "n_high",
+        "n_medium",
+        "n_notspec",
+        "n_low",
+        "r2_urgent",
+        "r2_high",
+        "r2_medium",
+        "r2_notspec",
+        "r2_low",
+        "tie_cubes",
+        F.expr(_KW_H_MILLI).alias("h_milli"),
+        (F.expr(_KW_H_MILLI) > 9488).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-brand Kendall tau-b on (quantity, discount) — contingency grain.
+# --------------------------------------------------------------------------
+
+#: tau_b = (C - D) / sqrt((T0-T1)(T0-T2)); every input exact int64,
+#: the product under the sqrt taken in DOUBLE (it exceeds int64 at the
+#: 10x probe), one shared IEEE expression text, floor-quantized milli.
+_KENDALL_MILLI = (
+    "CAST(FLOOR((CAST(c_pairs AS DOUBLE) - CAST(d_pairs AS DOUBLE))"
+    " / sqrt(CAST(t0 - t1 AS DOUBLE) * CAST(t0 - t2 AS DOUBLE))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_KENDALL_SQL = f"""
+WITH cells AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+           CAST(CAST(l.l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, 2, 3
+),
+pair_sums AS (
+    SELECT a.brand,
+           CAST(SUM(CASE WHEN b.d > a.d THEN a.cnt * b.cnt ELSE 0 END)
+                AS BIGINT) AS c_pairs,
+           CAST(SUM(CASE WHEN b.d < a.d THEN a.cnt * b.cnt ELSE 0 END)
+                AS BIGINT) AS d_pairs
+    FROM cells a JOIN cells b
+      ON b.brand = a.brand AND b.q > a.q AND b.d <> a.d
+    GROUP BY a.brand
+),
+marg AS (
+    SELECT brand,
+           CAST(SUM(cnt) AS BIGINT) AS n,
+           CAST(SUM(cnt) * (SUM(cnt) - 1) // 2 AS BIGINT) AS t0
+    FROM cells GROUP BY brand
+),
+tie_q AS (
+    SELECT brand, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t1
+    FROM (SELECT brand, q, SUM(cnt) AS m FROM cells GROUP BY brand, q)
+    GROUP BY brand
+),
+tie_d AS (
+    SELECT brand, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t2
+    FROM (SELECT brand, d, SUM(cnt) AS m FROM cells GROUP BY brand, d)
+    GROUP BY brand
+)
+SELECT m.brand, m.n, p.c_pairs, p.d_pairs, m.t0, q.t1, d.t2,
+       {_KENDALL_MILLI} AS tau_b_milli
+FROM marg m
+JOIN pair_sums p ON p.brand = m.brand
+JOIN tie_q q ON q.brand = m.brand
+JOIN tie_d d ON d.brand = m.brand
+ORDER BY m.brand
+"""
+
+
+@register(
+    "kendall_tau_quantity_discount",
+    _KENDALL_SQL,
+    doc="Per-brand Kendall tau-b between lineitem quantity and "
+    "discount — the rank-correlation that, unlike Spearman "
+    "(spearman_price_quantity_by_brand), is exactly computable at "
+    "the CONTINGENCY grain: quantity x discount is a bounded domain "
+    "(~50 x 11 cells), so concordant/discordant pair counts are "
+    "cell-pair cross-products, never row pairs. C, D and the three "
+    "tie terms T0/T1/T2 are exact int64; the only float is one "
+    "shared IEEE expression (the product under the sqrt exceeds "
+    "int64 at the 10x probe, so it multiplies in DOUBLE — exact "
+    "int inputs make the conversion deterministic). Scale: the fact "
+    "reduces to <= |Q|*|D| cells per brand in one map-combinable "
+    "agg; the cell self-join is DOMAIN-bounded (~300k cell pairs "
+    "per brand regardless of fact size) — Kendall at 100 TB costs "
+    "one broadcast dim join plus one bounded self-join, while the "
+    "naive row-pair spelling is quadratic and never viable.",
+)
+def q_kendall_tau_quantity_discount(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("d"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "q", "d")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("brand").alias("ab"),
+        F.col("q").alias("qa"),
+        F.col("d").alias("da"),
+        F.col("cnt").alias("ca"),
+    )
+    b = cells.select(
+        F.col("brand").alias("bb"),
+        F.col("q").alias("qb"),
+        F.col("d").alias("db"),
+        F.col("cnt").alias("cb"),
+    )
+    # cells are domain-bounded (|brands| x |Q| x |D|) — broadcast the
+    # probe side so the pair enumeration never shuffles
+    pair_sums = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bb") == F.col("ab"))
+            & (F.col("qb") > F.col("qa"))
+            & (F.col("db") != F.col("da")),
+        )
+        .groupBy(F.col("ab").alias("brand"))
+        .agg(
+            F.sum(
+                F.when(F.col("db") > F.col("da"), F.col("ca") * F.col("cb")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("c_pairs"),
+            F.sum(
+                F.when(F.col("db") < F.col("da"), F.col("ca") * F.col("cb")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("d_pairs"),
+        )
+    )
+    marg = cells.groupBy("brand").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.expr("CAST(SUM(cnt) * (SUM(cnt) - 1) DIV 2 AS BIGINT)").alias("t0"),
+    )
+    tie_q = (
+        cells.groupBy("brand", "q")
+        .agg(F.sum("cnt").alias("m"))
+        .groupBy("brand")
+        .agg(F.expr("CAST(SUM(m * (m - 1) DIV 2) AS BIGINT)").alias("t1"))
+    )
+    tie_d = (
+        cells.groupBy("brand", "d")
+        .agg(F.sum("cnt").alias("m"))
+        .groupBy("brand")
+        .agg(F.expr("CAST(SUM(m * (m - 1) DIV 2) AS BIGINT)").alias("t2"))
+    )
+    return (
+        marg.join(pair_sums, "brand")
+        .join(tie_q, "brand")
+        .join(tie_d, "brand")
+        .select(
+            "brand",
+            "n",
+            "c_pairs",
+            "d_pairs",
+            "t0",
+            "t1",
+            "t2",
+            F.expr(_KENDALL_MILLI).alias("tau_b_milli"),
+        )
+        .orderBy("brand")
+    )

@@ -698,3 +698,110 @@ def q_basket_rules_support_confidence(spark, sf_dir):
     return scored.orderBy(
         F.col("confidence_ppm").desc(), "antecedent", "consequent"
     ).limit(_RULES_TOPN)
+
+
+# --------------------------------------------------- ABC classification
+
+_ABC_SQL = """
+WITH part_rev AS (
+    SELECT l_partkey AS part_key,
+           CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS rev_micros
+    FROM lineitem GROUP BY l_partkey
+),
+tot AS (SELECT CAST(SUM(rev_micros) AS BIGINT) AS total_micros FROM part_rev),
+ranked AS (
+    SELECT part_key, rev_micros,
+           CAST(SUM(rev_micros) OVER (ORDER BY rev_micros DESC, part_key)
+                AS BIGINT) AS cum_micros
+    FROM part_rev
+),
+classed AS (
+    SELECT CASE WHEN cum_micros * 10 <= (SELECT total_micros FROM tot) * 8
+                THEN 'A'
+                WHEN cum_micros * 100 <= (SELECT total_micros FROM tot) * 95
+                THEN 'B'
+                ELSE 'C' END AS abc_class,
+           rev_micros
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev_micros) AS BIGINT) AS class_micros,
+       -- dollar-grain share: pure int64 on both engines (DECIMAL //
+       -- rounds before flooring in DuckDB — off-by-one vs Spark DIV)
+       CAST((SUM(rev_micros) // 1000000) * 10000
+            // ((SELECT total_micros FROM tot) // 1000000)
+            AS BIGINT) AS share_bp
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@register(
+    "abc_inventory_classes",
+    _ABC_SQL,
+    doc="ABC inventory classification: parts ranked by discounted "
+    "revenue, class A while the cumulative share stays within 80%, "
+    "B to 95%, C after — the Pareto cut every inventory policy and "
+    "slotting decision starts from (pareto_frontier_orders' sibling "
+    "at the part grain). Revenue is exact integer micros (price*"
+    "(1-discount) is exact at 4 decimals, DECIMAL(18,6) carries it "
+    "losslessly), thresholds compare integer cross-products (cum*10 "
+    "vs total*8 — no division anywhere except the final dollar-grain "
+    "share_bp, pure int64 on both engines because DuckDB's DECIMAL "
+    "// rounds before flooring while Spark DIV truncates exactly). "
+    "Scale: the fact reduces to the part grain in one "
+    "map-combinable agg; the ordered cumulative window runs on the "
+    "part DIMENSION (~fixed cardinality), not the fact — at 100 TB "
+    "this is a range-partitioned sort of ~millions of rows, and "
+    "cum*100 stays under int64 to ~9e16 micros of total revenue, "
+    "past which the grain coarsens to cents (same move as the "
+    "unit-value index).",
+)
+def q_abc_inventory_classes(spark, sf_dir):
+    part_rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                )
+                .cast("decimal(18,6)")
+                .cast("decimal(24,6)")
+                * 1000000
+            )
+            .cast("long")
+            .alias("rev_micros")
+        )
+    )
+    total = part_rev.agg(
+        F.sum("rev_micros").cast("long").alias("total_micros")
+    )
+    w = Window.orderBy(F.col("rev_micros").desc(), "part_key")
+    ranked = part_rev.select(
+        "rev_micros", F.sum("rev_micros").over(w).cast("long").alias("cum_micros")
+    )
+    classed = ranked.crossJoin(F.broadcast(total)).select(
+        F.when(F.col("cum_micros") * 10 <= F.col("total_micros") * 8, "A")
+        .when(F.col("cum_micros") * 100 <= F.col("total_micros") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "rev_micros",
+        "total_micros",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("long").alias("n_parts"),
+            F.sum("rev_micros").cast("long").alias("class_micros"),
+            F.expr(
+                "CAST((SUM(rev_micros) DIV 1000000) * 10000"
+                " DIV (MAX(total_micros) DIV 1000000) AS BIGINT)"
+            ).alias("share_bp"),
+        )
+        .orderBy("abc_class")
+    )

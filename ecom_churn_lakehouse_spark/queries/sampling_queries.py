@@ -572,3 +572,126 @@ def q_aqp_sampled_revenue(spark, sf_dir):
         .cast("long")
         .alias("abs_err_ppm"),
     )
+
+
+# ---------------------------------------- Horvitz-Thompson estimation
+
+#: Per-stratum Poisson inclusion rates in permille. '5-LOW' keeps
+#: everything — the degenerate stratum doubles as a built-in check
+#: (its HT total must equal the population total and its SE must be
+#: exactly 0).
+_HT_RATE_CASE = (
+    "CASE {col} WHEN '1-URGENT' THEN 50 WHEN '2-HIGH' THEN 100"
+    " WHEN '3-MEDIUM' THEN 200 WHEN '4-NOT SPECIFIED' THEN 500"
+    " ELSE 1000 END"
+)
+
+#: Poisson-sampling SE of the HT total with constant per-stratum
+#: inclusion probability pi = rate/1000:
+#:   Var = (1-pi)/pi^2 * SUM_sample(y^2) = (1000-rate)*1000/rate^2 * sumsq
+#: One shared IEEE expression text on both engines — every input is an
+#: exact integer (sumsq_dec is an exact DECIMAL(38,0) sum of cents^2),
+#: and each float op in a fixed expression is correctly rounded, so
+#: the double is bit-identical cross-engine.
+_HT_SE_CENTS = (
+    "CAST(FLOOR(sqrt((1000.0 - CAST(rate_permille AS DOUBLE)) * 1000.0"
+    " / (CAST(rate_permille AS DOUBLE) * CAST(rate_permille AS DOUBLE))"
+    " * CAST(sumsq_dec AS DOUBLE))) AS BIGINT)"
+)
+
+_HT_SQL = f"""
+WITH base AS (
+    SELECT o_orderpriority AS priority,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           {_hb_sql("ht:", "o_orderkey", 1000)} AS hb,
+           {_HT_RATE_CASE.format(col="o_orderpriority")} AS rate_permille
+    FROM orders
+),
+g AS (
+    SELECT priority, rate_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_pop,
+           CAST(SUM(cents) AS BIGINT) AS pop_cents,
+           CAST(SUM(CASE WHEN hb < rate_permille THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sample,
+           CAST(SUM(CASE WHEN hb < rate_permille THEN cents ELSE 0 END)
+               AS BIGINT) AS sample_cents,
+           CAST(SUM(CASE WHEN hb < rate_permille
+                         THEN CAST(cents AS DECIMAL(20,0)) * cents
+                         ELSE 0 END) AS DECIMAL(38,0)) AS sumsq_dec
+    FROM base GROUP BY priority, rate_permille
+)
+SELECT priority, CAST(rate_permille AS BIGINT) AS rate_permille,
+       n_pop, n_sample, pop_cents, sample_cents,
+       CAST(sample_cents * 1000 // rate_permille AS BIGINT) AS ht_total_cents,
+       CAST(sumsq_dec AS VARCHAR) AS sample_sumsq,
+       {_HT_SE_CENTS} AS se_cents,
+       CAST(abs(sample_cents * 1000 // rate_permille - pop_cents) * 1000000
+            // pop_cents AS BIGINT) AS abs_err_ppm
+FROM g
+"""
+
+
+@register(
+    "horvitz_thompson_total",
+    _HT_SQL,
+    doc="Horvitz-Thompson estimation under deterministic stratified "
+    "Poisson sampling: each order priority stratum keeps rows whose "
+    "hash bucket falls under its permille rate (5% urgent .. 100% "
+    "low), then the HT total SUM(y_i/pi_i) and its Poisson-design SE "
+    "sqrt((1-pi)/pi^2 * SUM_s y^2) are computed per stratum from "
+    "exact integer components — the survey-sampling estimator behind "
+    "every unequal-probability AQP read. The '5-LOW' stratum samples "
+    "at 1000 permille, so its HT total equals the population total "
+    "and its SE is exactly 0 (built-in degeneracy check); the only "
+    "float is one shared IEEE sqrt expression over exact ints. "
+    "Scale: one scan, one map-combinable groupBy on a 5-value key — "
+    "no window, no join; sample_cents*1000 stays under int64 through "
+    "per-stratum totals of ~9e15 cents (several PB of orders); past "
+    "that the estimator moves to DECIMAL(38) cross-products like the "
+    "unit-value index. Reference keyed-sampling analogue: the "
+    "deterministic-assignment discipline of customer_split.",
+)
+def q_horvitz_thompson_total(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        hash_bucket(F.col("o_orderkey"), "ht:", mod=1000).alias("hb"),
+        F.expr(_HT_RATE_CASE.format(col="o_orderpriority")).alias("rate_permille"),
+    )
+    in_s = F.col("hb") < F.col("rate_permille")
+    g = base.groupBy("priority", "rate_permille").agg(
+        F.count("*").cast("long").alias("n_pop"),
+        F.sum("cents").cast("long").alias("pop_cents"),
+        F.sum(F.when(in_s, 1).otherwise(0)).cast("long").alias("n_sample"),
+        F.sum(F.when(in_s, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sample_cents"),
+        F.sum(
+            F.when(
+                in_s, F.col("cents").cast("decimal(20,0)") * F.col("cents")
+            ).otherwise(F.lit(0).cast("decimal(20,0)"))
+        )
+        .cast("decimal(38,0)")
+        .alias("sumsq_dec"),
+    )
+    return g.select(
+        "priority",
+        F.col("rate_permille").cast("long").alias("rate_permille"),
+        "n_pop",
+        "n_sample",
+        "pop_cents",
+        "sample_cents",
+        F.expr("sample_cents * 1000 DIV rate_permille")
+        .cast("long")
+        .alias("ht_total_cents"),
+        F.col("sumsq_dec").cast("string").alias("sample_sumsq"),
+        F.expr(_HT_SE_CENTS).alias("se_cents"),
+        F.expr(
+            "abs(sample_cents * 1000 DIV rate_permille - pop_cents) * 1000000"
+            " DIV pop_cents"
+        )
+        .cast("long")
+        .alias("abs_err_ppm"),
+    )

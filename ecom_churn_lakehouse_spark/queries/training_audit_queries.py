@@ -637,3 +637,115 @@ def q_neardup_split_leakage(spark, sf_dir):
         .agg(F.count_distinct("d").cast("long").alias("n_leaked_docs"))
     )
     return pair_counts.join(doc_counts, ["split_lo", "split_hi"])
+
+
+# ------------------------------------------------- pass@k estimation
+
+#: Unbiased pass@k (Chen et al. HumanEval estimator): with n trials
+#: and c passes, pass@k = 1 - C(n-c,k)/C(n,k), computed as the exact
+#: integer product ratio PROD_{i<k}(n-c-i) / PROD_{i<k}(n-i). k is
+#: small and enumerated, so the products are spelled per branch —
+#: identical text on both engines, pure int64 (n <= ~100 trials per
+#: entity keeps num*1e6 under 1e16).
+_PAK_NUM = (
+    "CASE WHEN n - c < k THEN 0"
+    " WHEN k = 1 THEN (n - c)"
+    " WHEN k = 3 THEN (n - c) * (n - c - 1) * (n - c - 2)"
+    " ELSE (n - c) * (n - c - 1) * (n - c - 2) * (n - c - 3) * (n - c - 4)"
+    " END"
+)
+_PAK_DEN = (
+    "CASE WHEN k = 1 THEN n"
+    " WHEN k = 3 THEN n * (n - 1) * (n - 2)"
+    " ELSE n * (n - 1) * (n - 2) * (n - 3) * (n - 4) END"
+)
+_PAK_PPM = f"(1000000 - (({_PAK_NUM}) * 1000000) {{div}} ({_PAK_DEN}))"
+
+_PAK_SQL = f"""
+WITH trials AS (
+    SELECT o_custkey AS entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS c
+    FROM orders GROUP BY o_custkey
+),
+per_k AS (
+    SELECT ks.k, t.n, t.c,
+           CAST({_PAK_PPM.format(div="//")} AS BIGINT) AS pass_ppm
+    FROM trials t CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(3 AS BIGINT)),
+                                     (CAST(5 AS BIGINT))) AS ks(k)
+    WHERE t.n >= ks.k
+)
+SELECT k,
+       CAST(COUNT(*) AS BIGINT) AS n_entities,
+       CAST(SUM(pass_ppm) // COUNT(*) AS BIGINT) AS mean_pass_ppm,
+       CAST(SUM(CASE WHEN pass_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_certain_pass,
+       CAST(SUM(CASE WHEN pass_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_pass
+FROM per_k GROUP BY k ORDER BY k
+"""
+
+
+@register(
+    "pass_at_k_estimator",
+    _PAK_SQL,
+    doc="Unbiased pass@k estimation (the HumanEval estimator "
+    "1 - C(n-c,k)/C(n,k)) over per-entity trial outcomes — here each "
+    "customer's orders are the trials and fulfilled status the pass, "
+    "the exact shape of grading k-sample model generations grouped "
+    "by problem. The combinatorial ratio is an exact integer product "
+    "ratio per entity (never factorials — the telescoped k-term "
+    "products), floor-quantized to ppm; entities with fewer than k "
+    "trials are excluded per k, and the estimator's two degeneracies "
+    "(all-fail -> 0, too-few-failures -> exactly 1e6) are surfaced "
+    "as count columns. Scale: one map-combinable groupBy to the "
+    "entity grain, a 3-way literal fan-out, one 3-key agg — no "
+    "window, no join; products stay int64 while trials/entity "
+    "<= ~400 (n^5*1e6 < 2^63), past which pass@k re-grains to "
+    "capped-n reservoir trials.",
+)
+def q_pass_at_k_estimator(spark, sf_dir):
+    trials = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("entity_id"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    per_k = (
+        trials.withColumn(
+            "k",
+            F.explode(
+                F.array(
+                    F.lit(1).cast("long"),
+                    F.lit(3).cast("long"),
+                    F.lit(5).cast("long"),
+                )
+            ),
+        )
+        .filter(F.col("n") >= F.col("k"))
+        .select(
+            "k",
+            F.expr(_PAK_PPM.format(div="DIV")).cast("long").alias("pass_ppm"),
+        )
+    )
+    return (
+        per_k.groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.expr("CAST(SUM(pass_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_pass_ppm"
+            ),
+            F.sum(F.when(F.col("pass_ppm") == 1000000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_certain_pass"),
+            F.sum(F.when(F.col("pass_ppm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_zero_pass"),
+        )
+        .orderBy("k")
+    )

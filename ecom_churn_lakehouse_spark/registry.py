@@ -75,6 +75,12 @@ NEW_IN_ROUND: list[str] = [
     "mutual_knn_graph",
     "array_setop_battery",
     "theil_sen_daily_revenue_trend",
+    "horvitz_thompson_total",
+    "kruskal_wallis_priority_spend",
+    "abc_inventory_classes",
+    "randomized_response_privacy",
+    "pass_at_k_estimator",
+    "kendall_tau_quantity_discount",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",
