@@ -866,3 +866,261 @@ def q_revenue_gini_by_nation(spark, sf_dir):
             "      * CAST(SUM(cents) AS DECIMAL(27,0))) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ------------------------------------------------ greedy budget knapsack
+
+_KNAPSACK_SQL = """
+WITH part_econ AS (
+    SELECT l_partkey AS part_key,
+           CAST(SUM(CAST(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS rev_micros,
+           CAST(SUM(CAST(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                AS BIGINT) AS cost_micros
+    FROM lineitem GROUP BY l_partkey
+),
+viable AS (SELECT * FROM part_econ WHERE cost_micros > 0),
+budget AS (
+    SELECT CAST(SUM(cost_micros) // 10 AS BIGINT) AS budget_micros FROM viable
+),
+ranked AS (
+    SELECT part_key, rev_micros, cost_micros,
+           CAST(rev_micros * 1000 // cost_micros AS BIGINT) AS roi_milli,
+           CAST(SUM(cost_micros) OVER (
+                ORDER BY rev_micros * 1000 // cost_micros DESC, part_key)
+                AS BIGINT) AS cum_cost
+    FROM viable
+),
+taken AS (
+    SELECT * FROM ranked, budget WHERE cum_cost <= budget_micros
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(MAX(budget_micros) AS BIGINT) AS budget_micros,
+       CAST(SUM(cost_micros) AS BIGINT) AS spent_micros,
+       CAST(SUM(rev_micros) AS BIGINT) AS captured_rev_micros,
+       CAST(MIN(roi_milli) AS BIGINT) AS marginal_roi_milli,
+       -- dollar-grain utilization: spent*10000 overflows int64 at the
+       -- 10x probe scale
+       CAST((SUM(cost_micros) // 1000000) * 10000
+            // (MAX(budget_micros) // 1000000) AS BIGINT) AS utilization_bp
+FROM taken
+"""
+
+
+@register(
+    "campaign_budget_knapsack",
+    _KNAPSACK_SQL,
+    doc="Greedy fractional-knapsack budget allocation: given a promo "
+    "budget of 10% of total discount spend, fund parts in decreasing "
+    "revenue-per-discount-dollar (ROI) order until the budget is "
+    "exhausted — the density-greedy rule that is optimal for the "
+    "fractional relaxation and the standard first answer to 'which "
+    "campaigns do we fund'. Revenue and discount cost are exact "
+    "integer micros; ROI is an exact milli ratio (non-negative DIV); "
+    "selection is one cumulative-cost window over the ranked frame. "
+    "Scale: the fact reduces to the part grain map-combinably; the "
+    "ranked cumsum runs on the part DIMENSION (range-partitioned "
+    "sort at scale, same shape as abc_inventory_classes); "
+    "rev*1000 stays under int64 to ~9e15 micros per part.",
+)
+def q_campaign_budget_knapsack(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    econ = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .cast("decimal(24,6)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("rev_micros"),
+        F.sum(
+            (F.col("l_extendedprice") * F.col("l_discount"))
+            .cast("decimal(18,6)")
+            .cast("decimal(24,6)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("cost_micros"),
+    )
+    viable = econ.filter(F.col("cost_micros") > 0).localCheckpoint(eager=False)
+    budget = viable.agg(
+        F.expr("CAST(SUM(cost_micros) DIV 10 AS BIGINT)").alias("budget_micros")
+    )
+    roi = F.expr("CAST(rev_micros * 1000 DIV cost_micros AS BIGINT)")
+    w = Window.orderBy(F.col("roi_milli").desc(), "part_key")
+    ranked = viable.withColumn("roi_milli", roi).withColumn(
+        "cum_cost", F.sum("cost_micros").over(w).cast("long")
+    )
+    taken = ranked.crossJoin(F.broadcast(budget)).filter(
+        F.col("cum_cost") <= F.col("budget_micros")
+    )
+    return taken.agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.max("budget_micros").cast("long").alias("budget_micros"),
+        F.sum("cost_micros").cast("long").alias("spent_micros"),
+        F.sum("rev_micros").cast("long").alias("captured_rev_micros"),
+        F.min("roi_milli").cast("long").alias("marginal_roi_milli"),
+        F.expr(
+            "CAST((SUM(cost_micros) DIV 1000000) * 10000"
+            " DIV (MAX(budget_micros) DIV 1000000) AS BIGINT)"
+        ).alias("utilization_bp"),
+    )
+
+
+# ------------------------------------------- decision-tree split screen
+
+#: Weighted Gini impurity of a binary split, one shared IEEE
+#: expression from exact integer counts (squares < 2^53 stay exact in
+#: DOUBLE). No lateral aliases — every intermediate is spelled inline
+#: (the round-4 gotcha).
+_GINI_MICRO = (
+    "CAST(FLOOR((("
+    "CAST(n_left AS DOUBLE)"
+    " - (CAST(pos_left AS DOUBLE) * CAST(pos_left AS DOUBLE)"
+    "    + CAST(n_left - pos_left AS DOUBLE) * CAST(n_left - pos_left AS DOUBLE))"
+    "   / CAST(n_left AS DOUBLE)"
+    ") + ("
+    "CAST(n - n_left AS DOUBLE)"
+    " - (CAST(p - pos_left AS DOUBLE) * CAST(p - pos_left AS DOUBLE)"
+    "    + CAST((n - n_left) - (p - pos_left) AS DOUBLE)"
+    "      * CAST((n - n_left) - (p - pos_left) AS DOUBLE))"
+    "   / CAST(n - n_left AS DOUBLE)"
+    ")) / CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)"
+)
+
+
+def _gini_sql() -> str:
+    from ecom_churn_lakehouse_spark.registry import AS_OF, HORIZON_DAYS
+
+    return f"""
+WITH base AS (
+    SELECT o_custkey AS customer_id,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderstatus AS order_status
+    FROM orders
+),
+bounds AS (SELECT MAX(order_date) AS dataset_end_date FROM base),
+spine AS (
+    SELECT DISTINCT customer_id FROM base, bounds
+    WHERE order_date <= DATE '{AS_OF}'
+      AND DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY <= bounds.dataset_end_date
+),
+future_active AS (
+    SELECT DISTINCT customer_id FROM base
+    WHERE order_date > DATE '{AS_OF}'
+      AND order_date <= DATE '{AS_OF}' + INTERVAL {HORIZON_DAYS} DAY
+      AND order_status NOT IN ('P')
+),
+labeled AS (
+    SELECT s.customer_id,
+           CAST(CASE WHEN f.customer_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS churn_label
+    FROM spine s LEFT JOIN future_active f ON s.customer_id = f.customer_id
+),
+binned AS (
+    SELECT l.churn_label,
+           CAST(NTILE(10) OVER (ORDER BY c.c_acctbal, c.c_custkey) AS BIGINT)
+               AS decile
+    FROM labeled l JOIN customer c ON c.c_custkey = l.customer_id
+),
+per_bin AS (
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_d,
+           CAST(SUM(churn_label) AS BIGINT) AS pos_d
+    FROM binned GROUP BY decile
+),
+cum AS (
+    SELECT decile AS split_decile,
+           CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS n_left,
+           CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS pos_left,
+           CAST(SUM(n_d) OVER () AS BIGINT) AS n,
+           CAST(SUM(pos_d) OVER () AS BIGINT) AS p
+    FROM per_bin
+),
+scored AS (
+    SELECT split_decile, n_left, pos_left,
+           n - n_left AS n_right, p - pos_left AS pos_right,
+           {_GINI_MICRO} AS weighted_gini_micro
+    FROM cum WHERE split_decile <= 9
+)
+SELECT split_decile, n_left, pos_left, n_right, pos_right,
+       weighted_gini_micro,
+       weighted_gini_micro = MIN(weighted_gini_micro) OVER () AS is_best
+FROM scored ORDER BY split_decile
+"""
+
+
+@register(
+    "decision_split_gini_screen",
+    _gini_sql(),
+    doc="Decision-tree split screening: the nine candidate splits of "
+    "the account-balance decile feature against the 60-day churn "
+    "label, scored by weighted Gini impurity — the inner loop of "
+    "tree induction (and the feature-screening shape behind "
+    "feature_auc_screen), run as one pass. Counts are exact ints at "
+    "the decile grain; each split's impurity is ONE shared IEEE "
+    "expression per row (squares of counts stay exact in double "
+    "below 2^53), floor-quantized to micro, best split flagged by "
+    "integer MIN. Scale: the label spine is the established churn "
+    "plan; binning is one global ntile over the customer dim "
+    "(range-partitionable), then everything runs at the 10-row "
+    "decile grain — no fact window, no join wider than the "
+    "broadcast label.",
+)
+def q_decision_split_gini_screen(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from ecom_churn_lakehouse_spark.plans.churn import churn_labels
+    from ecom_churn_lakehouse_spark.registry import AS_OF, HORIZON_DAYS
+    from ecom_churn_lakehouse_spark.sources import normalized_orders
+
+    labels = churn_labels(normalized_orders(spark, sf_dir), AS_OF, HORIZON_DAYS)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    binned = labels.join(
+        cust, labels.customer_id == cust.c_custkey
+    ).select(
+        F.col("churn_label").cast("long").alias("churn_label"),
+        F.ntile(10)
+        .over(W.orderBy("c_acctbal", "c_custkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    per_bin = binned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_d"),
+        F.sum("churn_label").cast("long").alias("pos_d"),
+    )
+    w_cum = W.orderBy("decile")
+    w_all = W.partitionBy()
+    cum = per_bin.select(
+        F.col("decile").alias("split_decile"),
+        F.sum("n_d").over(w_cum).cast("long").alias("n_left"),
+        F.sum("pos_d").over(w_cum).cast("long").alias("pos_left"),
+        F.sum("n_d").over(w_all).cast("long").alias("n"),
+        F.sum("pos_d").over(w_all).cast("long").alias("p"),
+    )
+    scored = cum.filter(F.col("split_decile") <= 9).select(
+        "split_decile",
+        "n_left",
+        "pos_left",
+        (F.col("n") - F.col("n_left")).alias("n_right"),
+        (F.col("p") - F.col("pos_left")).alias("pos_right"),
+        "n",
+        "p",
+        F.expr(_GINI_MICRO).alias("weighted_gini_micro"),
+    )
+    return scored.select(
+        "split_decile",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        "weighted_gini_micro",
+        (
+            F.col("weighted_gini_micro")
+            == F.min("weighted_gini_micro").over(w_all)
+        ).alias("is_best"),
+    ).orderBy("split_decile")

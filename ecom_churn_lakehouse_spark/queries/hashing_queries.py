@@ -901,3 +901,113 @@ def q_mutual_knn_graph(spark, sf_dir):
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CMS maintenance (mergeable-sketch twin of cms_heavy_hitters).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_cms_maintenance",
+    _CMS_SQL,
+    doc="Streaming twin of cms_heavy_hitters: a count-min sketch is "
+    "MERGEABLE by element-wise counter addition, so the frequency "
+    "structure is maintainable from micro-batches with O(depth*width) "
+    "state and no reprocessing. Three document chunks stream through "
+    "foreachBatch (idempotent per-batch_id partial writes, "
+    "at-least-once safe); each batch persists only its local "
+    "(row, bucket, count) partial counters; the summed partials "
+    "queried for the same top-20 probe tokens must reproduce the "
+    "one-shot batch sketch EXACTLY — the oracle is the batch entry's "
+    "SQL verbatim. The probe-token list (top-20 exact counts) is "
+    "computed batch-side: it exists to score the sketch, exactly as "
+    "in the batch entry.",
+)
+def q_stream_cms_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias(
+        "token"
+    )
+
+    base = scratch_dir(prefix="stream_cms_")
+    n_max = docs.agg(F.max("doc_id")).collect()[0][0]
+    cut1, cut2 = n_max // 3, 2 * n_max // 3
+    for lo, hi in ((None, cut1), (cut1, cut2), (cut2, None)):
+        chunk = docs
+        if lo:
+            chunk = chunk.filter(F.col("doc_id") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("doc_id") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            toks = batch_df.select(tok)
+            partials = None
+            for d in range(_CMS_DEPTH):
+                p = toks.groupBy(
+                    F.lit(d).alias("row_id"),
+                    hash_bucket(F.col("token"), f"cms{d}:", _CMS_WIDTH).alias(
+                        "bucket"
+                    ),
+                ).agg(F.count("*").cast("long").alias("counter"))
+                partials = p if partials is None else partials.unionByName(p)
+            partials.write.mode("overwrite").parquet(dest)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        spark.read.parquet(f"{base}/partials")
+        .groupBy("row_id", "bucket")
+        .agg(F.sum("counter").cast("long").alias("counter"))
+    )
+
+    counts = (
+        docs.select(tok)
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    w = Window.orderBy(F.desc("exact_count"), F.asc("token"))
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("token", "exact_count")
+    )
+    out = top
+    for d in range(_CMS_DEPTH):
+        row_d = merged.filter(F.col("row_id") == d).select(
+            "bucket", F.col("counter").alias(f"counter{d}")
+        )
+        out = (
+            out.withColumn(
+                f"__b{d}", hash_bucket(F.col("token"), f"cms{d}:", _CMS_WIDTH)
+            )
+            .join(F.broadcast(row_d), F.col(f"__b{d}") == F.col("bucket"))
+            .drop("bucket", f"__b{d}")
+        )
+    est = F.least(*[F.col(f"counter{d}") for d in range(_CMS_DEPTH)]).cast("long")
+    return out.select(
+        "token",
+        "exact_count",
+        est.alias("cms_estimate"),
+        (est - F.col("exact_count")).cast("long").alias("overshoot"),
+    )

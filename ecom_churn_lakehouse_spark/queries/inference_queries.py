@@ -1774,3 +1774,223 @@ def q_kendall_tau_quantity_discount(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Brown-Forsythe (median-based Levene) variance homogeneity test.
+# --------------------------------------------------------------------------
+
+#: One-way ANOVA F on |x - group_median|, from exact integer
+#: components pivoted to one row: S_j = SUM(z) and Q = SUM(z^2) per
+#: group. F = ((N-k)/(k-1)) * (SUM_j S_j^2/n_j - T^2/N)
+#:                          / (Q - SUM_j S_j^2/n_j),
+#: five group terms summed in fixed textual order; floor-milli.
+_BF_BETWEEN = (
+    "(CAST(s_urgent AS DOUBLE) * CAST(s_urgent AS DOUBLE) / CAST(n_urgent AS DOUBLE)"
+    " + CAST(s_high AS DOUBLE) * CAST(s_high AS DOUBLE) / CAST(n_high AS DOUBLE)"
+    " + CAST(s_medium AS DOUBLE) * CAST(s_medium AS DOUBLE) / CAST(n_medium AS DOUBLE)"
+    " + CAST(s_notspec AS DOUBLE) * CAST(s_notspec AS DOUBLE) / CAST(n_notspec AS DOUBLE)"
+    " + CAST(s_low AS DOUBLE) * CAST(s_low AS DOUBLE) / CAST(n_low AS DOUBLE))"
+)
+_BF_T = "(CAST(s_urgent + s_high + s_medium + s_notspec + s_low AS DOUBLE))"
+_BF_F_MILLI = (
+    f"CAST(FLOOR(((CAST(n AS DOUBLE) - 5.0) / 4.0)"
+    f" * ({_BF_BETWEEN} - {_BF_T} * {_BF_T} / CAST(n AS DOUBLE))"
+    f" / (CAST(q_dec AS DOUBLE) - {_BF_BETWEEN})"
+    f" * 1000.0) AS BIGINT)"
+)
+
+_BF_SQL = f"""
+WITH tagged AS (
+    SELECT o_orderpriority AS prio,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+med AS (
+    SELECT prio,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+               AS med_cents
+    FROM tagged GROUP BY prio
+),
+z AS (
+    SELECT t.prio, CAST(abs(t.cents - m.med_cents) AS BIGINT) AS z
+    FROM tagged t JOIN med m ON m.prio = t.prio
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN prio = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+           CAST(SUM(CASE WHEN prio = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS n_notspec,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN prio = '1-URGENT' THEN z ELSE 0 END) AS BIGINT) AS s_urgent,
+           CAST(SUM(CASE WHEN prio = '2-HIGH' THEN z ELSE 0 END) AS BIGINT) AS s_high,
+           CAST(SUM(CASE WHEN prio = '3-MEDIUM' THEN z ELSE 0 END) AS BIGINT) AS s_medium,
+           CAST(SUM(CASE WHEN prio = '4-NOT SPECIFIED' THEN z ELSE 0 END) AS BIGINT) AS s_notspec,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN z ELSE 0 END) AS BIGINT) AS s_low,
+           CAST(SUM(CAST(z AS DECIMAL(20,0)) * z) AS DECIMAL(38,0)) AS q_dec
+    FROM z
+)
+SELECT n, n_urgent, n_high, n_medium, n_notspec, n_low,
+       s_urgent, s_high, s_medium, s_notspec, s_low,
+       CAST(q_dec AS VARCHAR) AS sum_z_sq,
+       {_BF_F_MILLI} AS f_milli,
+       {_BF_F_MILLI} > 2372 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "brown_forsythe_priority_spend",
+    _BF_SQL,
+    doc="Brown-Forsythe variance-homogeneity test: do the five order "
+    "priorities have the same spend SPREAD (not location)? One-way "
+    "ANOVA F on |x - group median| — the median-based Levene "
+    "variant, robust to the heavy right tail of spend. Group medians "
+    "are exact via percentile_disc (cross-engine exact per the "
+    "round-5 boundary fixtures), absolute deviations are exact int "
+    "cents, S_j and Q accumulate exactly (Q in DECIMAL(38), "
+    "surfaced as VARCHAR); the only float is one shared IEEE "
+    "expression with fixed term order, floor-milli "
+    "(F_{{4,inf,.05}} = 2.372 -> reject_at_05). Scale: one "
+    "map-combinable median per group (5 groups), one broadcast "
+    "join back, one grouped pivot agg — no window over the fact; "
+    "S_j stays under int64 to ~1e11 orders of cent-scale "
+    "deviations.",
+)
+def q_brown_forsythe_priority_spend(spark, sf_dir):
+    tagged = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    med = tagged.groupBy("prio").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)"
+        ).alias("med_cents")
+    )
+    z = tagged.join(F.broadcast(med), "prio").select(
+        "prio", F.abs(F.col("cents") - F.col("med_cents")).cast("long").alias("z")
+    )
+    cnt = lambda p: (  # noqa: E731
+        F.sum(F.when(F.col("prio") == p, 1).otherwise(0)).cast("long")
+    )
+    s = lambda p: (  # noqa: E731
+        F.sum(F.when(F.col("prio") == p, F.col("z")).otherwise(0)).cast("long")
+    )
+    comp = z.agg(
+        F.count("*").cast("long").alias("n"),
+        cnt("1-URGENT").alias("n_urgent"),
+        cnt("2-HIGH").alias("n_high"),
+        cnt("3-MEDIUM").alias("n_medium"),
+        cnt("4-NOT SPECIFIED").alias("n_notspec"),
+        cnt("5-LOW").alias("n_low"),
+        s("1-URGENT").alias("s_urgent"),
+        s("2-HIGH").alias("s_high"),
+        s("3-MEDIUM").alias("s_medium"),
+        s("4-NOT SPECIFIED").alias("s_notspec"),
+        s("5-LOW").alias("s_low"),
+        F.sum(F.col("z").cast("decimal(20,0)") * F.col("z"))
+        .cast("decimal(38,0)")
+        .alias("q_dec"),
+    )
+    return comp.select(
+        "n",
+        "n_urgent",
+        "n_high",
+        "n_medium",
+        "n_notspec",
+        "n_low",
+        "s_urgent",
+        "s_high",
+        "s_medium",
+        "s_notspec",
+        "s_low",
+        F.col("q_dec").cast("string").alias("sum_z_sq"),
+        F.expr(_BF_F_MILLI).alias("f_milli"),
+        (F.expr(_BF_F_MILLI) > 2372).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test: PROMO vs non-PROMO return rates.
+# --------------------------------------------------------------------------
+
+#: Pooled two-proportion z from four exact integers, one shared IEEE
+#: expression text; milli-floored. Relative risk the same way.
+_PZ_MILLI = (
+    "CAST(FLOOR((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    "        * (1.0 - CAST(x1 + x2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))"
+    "        * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+_PZ_RR_MILLI = (
+    "CAST(FLOOR((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) * 1000.0) AS BIGINT)"
+)
+
+_PZ_SQL = f"""
+WITH tagged AS (
+    SELECT p.p_type LIKE 'PROMO%' AS g1,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+comp AS (
+    SELECT CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN g1 THEN ret ELSE 0 END) AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN g1 THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN g1 THEN 0 ELSE ret END) AS BIGINT) AS x2
+    FROM tagged
+)
+SELECT n1, x1, n2, x2,
+       {_PZ_MILLI} AS z_milli,
+       {_PZ_RR_MILLI} AS risk_ratio_milli,
+       abs({_PZ_MILLI}) > 1960 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "two_proportion_ztest_returns",
+    _PZ_SQL,
+    doc="Two-proportion pooled z-test: do PROMO parts get returned at "
+    "a different rate than non-promo parts? The categorical "
+    "counterpart of mannwhitney_u_quantity on the same cohort split "
+    "— four exact integer counts from one fused conditional "
+    "aggregate, then the pooled z and the relative risk each as ONE "
+    "shared IEEE expression, milli-floored. Scale: one broadcast "
+    "dim join + one map-combinable agg to a single row; nothing "
+    "else. The pure-count shape means it survives any fact scale "
+    "unchanged.",
+)
+def q_two_proportion_ztest_returns(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("g1")
+    )
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    comp = tagged.agg(
+        F.sum(F.when(F.col("g1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("g1"), F.col("ret")).otherwise(0))
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(1)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("g1"), 0).otherwise(F.col("ret")))
+        .cast("long")
+        .alias("x2"),
+    )
+    return comp.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        F.expr(_PZ_MILLI).alias("z_milli"),
+        F.expr(_PZ_RR_MILLI).alias("risk_ratio_milli"),
+        (F.abs(F.expr(_PZ_MILLI)) > 1960).alias("reject_at_05"),
+    )

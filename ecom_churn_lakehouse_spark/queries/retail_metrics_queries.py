@@ -718,9 +718,13 @@ ranked AS (
     FROM part_rev
 ),
 classed AS (
-    SELECT CASE WHEN cum_micros * 10 <= (SELECT total_micros FROM tot) * 8
+    -- HUGEINT threshold cross-products: cum*100 overflows int64 at
+    -- the 10x probe scale
+    SELECT CASE WHEN CAST(cum_micros AS HUGEINT) * 10
+                     <= CAST((SELECT total_micros FROM tot) AS HUGEINT) * 8
                 THEN 'A'
-                WHEN cum_micros * 100 <= (SELECT total_micros FROM tot) * 95
+                WHEN CAST(cum_micros AS HUGEINT) * 100
+                     <= CAST((SELECT total_micros FROM tot) AS HUGEINT) * 95
                 THEN 'B'
                 ELSE 'C' END AS abc_class,
            rev_micros
@@ -756,10 +760,10 @@ ORDER BY abc_class
     "Scale: the fact reduces to the part grain in one "
     "map-combinable agg; the ordered cumulative window runs on the "
     "part DIMENSION (~fixed cardinality), not the fact — at 100 TB "
-    "this is a range-partitioned sort of ~millions of rows, and "
-    "cum*100 stays under int64 to ~9e16 micros of total revenue, "
-    "past which the grain coarsens to cents (same move as the "
-    "unit-value index).",
+    "this is a range-partitioned sort of ~millions of rows. The "
+    "threshold cross-products run in DECIMAL(38)/HUGEINT because "
+    "cum*100 exceeds int64 already at the 10x probe (caught there); "
+    "the decimal compare touches only the part-grain frame.",
 )
 def q_abc_inventory_classes(spark, sf_dir):
     part_rev = (
@@ -785,9 +789,13 @@ def q_abc_inventory_classes(spark, sf_dir):
     ranked = part_rev.select(
         "rev_micros", F.sum("rev_micros").over(w).cast("long").alias("cum_micros")
     )
+    # threshold cross-products in DECIMAL: cum*100 overflows int64 at
+    # the 10x probe (caught there — total revenue micros ~2.3e17)
+    cum_d = F.col("cum_micros").cast("decimal(38,0)")
+    tot_d = F.col("total_micros").cast("decimal(38,0)")
     classed = ranked.crossJoin(F.broadcast(total)).select(
-        F.when(F.col("cum_micros") * 10 <= F.col("total_micros") * 8, "A")
-        .when(F.col("cum_micros") * 100 <= F.col("total_micros") * 95, "B")
+        F.when(cum_d * 10 <= tot_d * 8, "A")
+        .when(cum_d * 100 <= tot_d * 95, "B")
         .otherwise("C")
         .alias("abc_class"),
         "rev_micros",

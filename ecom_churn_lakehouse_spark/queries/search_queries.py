@@ -194,3 +194,156 @@ def q_token_pmi_bigrams(spark, sf_dir):
             ).alias("pmi"),
         )
     )
+
+
+# ---------------------------------------------------- NDCG ranking eval
+
+#: Exact-by-construction NDCG@10: gains are the exact integers 2^rel-1
+#: (CASE lookup), the log2(rank+1) discounts are PRECOMPUTED double
+#: literals embedded in the shared expression text (both engines parse
+#: the same shortest-repr literal to the same bit pattern), and each
+#: per-row term is floor-quantized to micros BEFORE the integer sum —
+#: no float accumulation anywhere, so window-aggregation order can
+#: never flip a bit (DuckDB sums window frames via segment trees,
+#: Spark linearly; a raw double running sum is NOT portable).
+_NDCG_K = 10
+_NDCG_GAIN = (
+    "CASE rel WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3"
+    " WHEN 3 THEN 7 WHEN 4 THEN 15 ELSE 31 END"
+)
+
+
+def _ndcg_denom_case(rank_col: str) -> str:
+    import math
+
+    whens = " ".join(
+        f"WHEN {r} THEN {math.log2(r + 1)!r}" for r in range(1, _NDCG_K + 1)
+    )
+    return f"CASE {rank_col} {whens} ELSE 1.0 END"
+
+
+_NDCG_TERM = (
+    f"CAST(FLOOR(CAST({_NDCG_GAIN} AS DOUBLE)"
+    f" / ({_ndcg_denom_case('rnk')}) * 1000000.0) AS BIGINT)"
+)
+
+_NDCG_SQL = f"""
+WITH oc AS (
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+),
+base AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nation_key,
+           c.c_custkey,
+           c.c_acctbal,
+           CAST(LEAST(COALESCE(oc.n_orders, 0), 5) AS BIGINT) AS rel
+    FROM customer c LEFT JOIN oc ON oc.o_custkey = c.c_custkey
+),
+retrieved AS (
+    SELECT nation_key, rel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY nation_key
+                ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+    FROM base
+),
+ideal AS (
+    SELECT nation_key, rel,
+           CAST(ROW_NUMBER() OVER (PARTITION BY nation_key
+                ORDER BY rel DESC, c_custkey) AS BIGINT) AS rnk
+    FROM base
+),
+dcg AS (
+    SELECT nation_key, CAST(SUM({_NDCG_TERM}) AS BIGINT) AS dcg_micro
+    FROM retrieved WHERE rnk <= {_NDCG_K} GROUP BY nation_key
+),
+idcg AS (
+    SELECT nation_key, CAST(SUM({_NDCG_TERM}) AS BIGINT) AS idcg_micro
+    FROM ideal WHERE rnk <= {_NDCG_K} GROUP BY nation_key
+),
+sizes AS (
+    SELECT nation_key, CAST(COUNT(*) AS BIGINT) AS n_items FROM base
+    GROUP BY nation_key
+)
+SELECT s.nation_key, s.n_items, d.dcg_micro, i.idcg_micro,
+       CAST(CASE WHEN i.idcg_micro = 0 THEN 0
+                 ELSE d.dcg_micro * 1000 // i.idcg_micro END AS BIGINT)
+           AS ndcg_milli
+FROM sizes s
+JOIN dcg d ON d.nation_key = s.nation_key
+JOIN idcg i ON i.nation_key = s.nation_key
+ORDER BY s.nation_key
+"""
+
+
+@register(
+    "ranking_ndcg_eval",
+    _NDCG_SQL,
+    doc="NDCG@10 ranking evaluation per query group: account balance "
+    "is the 'model score' ranking customers within each nation, "
+    "graded relevance is the capped order count, and the metric is "
+    "DCG over the retrieved top-10 normalized by the ideal ordering "
+    "— the standard graded-relevance retrieval metric next to "
+    "rrf_hybrid_retrieval's rank fusion and ann_recall_eval's "
+    "set recall. Gains 2^rel-1 are exact-int CASE lookups and the "
+    "log2 discounts are shared double LITERALS (rank domain is "
+    "1..10), each term floor-quantized to micros before an integer "
+    "sum — float accumulation order never matters. Scale: two "
+    "per-group top-10 windows (rank-pushdown limits the sort) over "
+    "the customer dim plus one map-combinable order count; no fact "
+    "window; ndcg from exact micro ints via non-negative DIV.",
+)
+def q_ranking_ndcg_eval(spark, sf_dir):
+    oc = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").cast("long").alias("n_orders"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    base = (
+        cust.join(F.broadcast(oc), cust.c_custkey == oc.o_custkey, "left")
+        .select(
+            F.col("c_nationkey").cast("long").alias("nation_key"),
+            "c_custkey",
+            "c_acctbal",
+            F.least(F.coalesce(F.col("n_orders"), F.lit(0)), F.lit(5))
+            .cast("long")
+            .alias("rel"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    from pyspark.sql.window import Window as W
+
+    w_ret = W.partitionBy("nation_key").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    w_idl = W.partitionBy("nation_key").orderBy(F.col("rel").desc(), "c_custkey")
+    term = F.expr(_NDCG_TERM)
+    dcg = (
+        base.withColumn("rnk", F.row_number().over(w_ret).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .groupBy("nation_key")
+        .agg(F.sum(term).cast("long").alias("dcg_micro"))
+    )
+    idcg = (
+        base.withColumn("rnk", F.row_number().over(w_idl).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .groupBy("nation_key")
+        .agg(F.sum(term).cast("long").alias("idcg_micro"))
+    )
+    sizes = base.groupBy("nation_key").agg(
+        F.count("*").cast("long").alias("n_items")
+    )
+    return (
+        sizes.join(dcg, "nation_key")
+        .join(idcg, "nation_key")
+        .select(
+            "nation_key",
+            "n_items",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr(
+                "CAST(CASE WHEN idcg_micro = 0 THEN 0"
+                " ELSE dcg_micro * 1000 DIV idcg_micro END AS BIGINT)"
+            ).alias("ndcg_milli"),
+        )
+        .orderBy("nation_key")
+    )

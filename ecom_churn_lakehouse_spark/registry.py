@@ -81,6 +81,12 @@ NEW_IN_ROUND: list[str] = [
     "randomized_response_privacy",
     "pass_at_k_estimator",
     "kendall_tau_quantity_discount",
+    "campaign_budget_knapsack",
+    "ranking_ndcg_eval",
+    "stream_cms_maintenance",
+    "brown_forsythe_priority_spend",
+    "decision_split_gini_screen",
+    "two_proportion_ztest_returns",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",

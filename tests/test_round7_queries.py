@@ -234,3 +234,106 @@ def test_kendall_tau_bounds_and_tie_identities(spark):
         assert r["t0"] == r["n"] * (r["n"] - 1) // 2
         assert r["t1"] <= r["t0"] and r["t2"] <= r["t0"]
         assert r["c_pairs"] + r["d_pairs"] <= r["t0"] - max(r["t1"], r["t2"])
+
+
+def test_knapsack_budget_respected_and_greedy(spark):
+    """Spend never exceeds budget; the greedy prefix is contiguous in
+    ROI order, so utilization is high unless one item is huge."""
+    from ecom_churn_lakehouse_spark.queries.decision_queries import (
+        q_campaign_budget_knapsack,
+    )
+
+    r = q_campaign_budget_knapsack(spark, SF).collect()[0]
+    assert 0 < r["spent_micros"] <= r["budget_micros"]
+    assert r["n_selected"] > 0
+    assert r["captured_rev_micros"] > r["spent_micros"]  # ROI > 1 prefix
+    assert 0 < r["utilization_bp"] <= 10000
+
+
+def test_ndcg_bounds_and_ideal_dominates(spark):
+    """NDCG in [0, 1000]; the ideal ordering's DCG dominates the
+    retrieved ordering's by construction."""
+    from ecom_churn_lakehouse_spark.queries.search_queries import (
+        q_ranking_ndcg_eval,
+    )
+
+    rows = q_ranking_ndcg_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["idcg_micro"] >= r["dcg_micro"] >= 0
+        assert 0 <= r["ndcg_milli"] <= 1000
+
+
+def test_stream_cms_equals_batch_sketch(spark):
+    """The merged streaming CMS must reproduce the one-shot batch
+    sketch exactly for every probe token (mergeability is exact)."""
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        q_cms_heavy_hitters,
+        q_stream_cms_maintenance,
+    )
+
+    batch = {
+        r["token"]: (r["cms_estimate"], r["overshoot"])
+        for r in q_cms_heavy_hitters(spark, SF).collect()
+    }
+    stream = {
+        r["token"]: (r["cms_estimate"], r["overshoot"])
+        for r in q_stream_cms_maintenance(spark, SF).collect()
+    }
+    assert batch == stream
+    assert all(o >= 0 for _, o in stream.values())  # CMS is one-sided
+
+
+def test_brown_forsythe_components(spark):
+    """Group sizes partition N; F is non-negative; deviations sum to
+    non-negative integers."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_brown_forsythe_priority_spend,
+    )
+
+    r = q_brown_forsythe_priority_spend(spark, SF).collect()[0]
+    assert (
+        r["n_urgent"] + r["n_high"] + r["n_medium"] + r["n_notspec"] + r["n_low"]
+        == r["n"]
+    )
+    assert r["f_milli"] >= 0
+    assert min(r["s_urgent"], r["s_high"], r["s_medium"], r["s_notspec"], r["s_low"]) >= 0
+
+
+def test_gini_split_screen_invariants(spark):
+    """Cumulative counts are monotone, one best split is flagged, and
+    impurity stays in the binary-Gini envelope [0, 0.5]."""
+    from ecom_churn_lakehouse_spark.queries.decision_queries import (
+        q_decision_split_gini_screen,
+    )
+
+    rows = sorted(
+        q_decision_split_gini_screen(spark, SF).collect(),
+        key=lambda r: r["split_decile"],
+    )
+    assert len(rows) == 9
+    assert sum(1 for r in rows if r["is_best"]) >= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_left"] > prev["n_left"]
+        assert cur["pos_left"] >= prev["pos_left"]
+    for r in rows:
+        assert 0 <= r["weighted_gini_micro"] <= 500000
+        assert r["pos_left"] <= r["n_left"] and r["pos_right"] <= r["n_right"]
+
+
+def test_two_proportion_ztest_counts(spark):
+    """Success counts bounded by trials; z and RR finite and
+    self-consistent with the raw counts' direction."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_two_proportion_ztest_returns,
+    )
+
+    r = q_two_proportion_ztest_returns(spark, SF).collect()[0]
+    assert 0 <= r["x1"] <= r["n1"] and 0 <= r["x2"] <= r["n2"]
+    # z sign must match the rate difference direction
+    rate_diff = r["x1"] * r["n2"] - r["x2"] * r["n1"]
+    if rate_diff > 0:
+        assert r["z_milli"] >= 0
+    elif rate_diff < 0:
+        assert r["z_milli"] <= 0
+    assert r["risk_ratio_milli"] > 0
