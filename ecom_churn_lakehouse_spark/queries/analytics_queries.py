@@ -1480,3 +1480,360 @@ def q_null_safe_join_battery(spark, sf_dir):
         )
         .orderBy("order_id")
     )
+
+
+# --------------------------------------------- piecewise trend breakpoint
+
+#: Segment SSE from raw sums (one shared IEEE text; every input an
+#: exact integer or exact DECIMAL cast to double — products may exceed
+#: 2^53 but each float op is correctly rounded, so both engines agree
+#: bitwise). SSE = Syy - Sy^2/n - (Sxy - SxSy/n)^2 / (Sxx - Sx^2/n).
+_SEG_SSE = (
+    "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "   * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    "   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+)
+_SEG_SLOPE_MICRO = (
+    "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000000.0) AS BIGINT)"
+)
+
+_BREAKPOINT_SQL = f"""
+WITH daily AS (
+    SELECT CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS x,
+           CAST(o_orderdate AS DATE) AS d,
+           -- kilo-dollar grain: keeps SUM(y*y) exact in int64 (a
+           -- DECIMAL(38)->DOUBLE cast rounds DIFFERENTLY across
+           -- engines above 2^53, caught by the oracle at sf0.01; and
+           -- the dollar-grain Syy overflowed int64 at the 10x probe)
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100000 AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+),
+cands AS (
+    SELECT DISTINCT CAST(date_trunc('month', d) AS DATE) AS cand
+    FROM daily
+    WHERE CAST(date_trunc('month', d) AS DATE) > (SELECT MIN(d) FROM daily)
+),
+left_s AS (
+    SELECT c.cand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dd.x) AS BIGINT) AS sx,
+           CAST(SUM(dd.y) AS BIGINT) AS sy,
+           CAST(SUM(dd.x * dd.x) AS BIGINT) AS sxx,
+           CAST(SUM(dd.x * dd.y) AS BIGINT) AS sxy,
+           CAST(SUM(dd.y * dd.y) AS BIGINT) AS syy
+    FROM cands c JOIN daily dd ON dd.d < c.cand
+    GROUP BY c.cand
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily
+),
+sides AS (
+    SELECT cand, 'L' AS side, n, sx, sy, sxx, sxy, syy FROM left_s
+    UNION ALL
+    SELECT l.cand, 'R' AS side,
+           t.n - l.n, t.sx - l.sx, t.sy - l.sy, t.sxx - l.sxx,
+           t.sxy - l.sxy, t.syy - l.syy
+    FROM left_s l CROSS JOIN tot t
+),
+scored AS (
+    SELECT cand, side, n,
+           {_SEG_SSE} AS sse,
+           {_SEG_SLOPE_MICRO} AS slope_micro
+    FROM sides WHERE n >= 2
+),
+agg AS (
+    SELECT cand AS candidate_day,
+           CAST(MAX(CASE WHEN side = 'L' THEN n END) AS BIGINT) AS n_left,
+           CAST(MAX(CASE WHEN side = 'R' THEN n END) AS BIGINT) AS n_right,
+           CAST(FLOOR(SUM(sse)) AS BIGINT) AS sse_total_kd2,
+           CAST(MAX(CASE WHEN side = 'L' THEN slope_micro END) AS BIGINT)
+               AS slope_left_micro,
+           CAST(MAX(CASE WHEN side = 'R' THEN slope_micro END) AS BIGINT)
+               AS slope_right_micro
+    FROM scored GROUP BY cand
+    HAVING COUNT(*) = 2
+)
+SELECT candidate_day, n_left, n_right, sse_total_kd2,
+       slope_left_micro, slope_right_micro,
+       sse_total_kd2 = MIN(sse_total_kd2) OVER () AS is_best
+FROM agg ORDER BY candidate_day
+"""
+
+
+@register(
+    "piecewise_trend_breakpoint",
+    _BREAKPOINT_SQL,
+    doc="Piecewise-linear breakpoint search on daily revenue: fit "
+    "separate OLS lines left and right of every month-start "
+    "candidate and score total SSE — the segmented-regression "
+    "complement to revenue_cusum_changepoint (which detects LEVEL "
+    "shifts; this finds SLOPE breaks). Daily revenue is re-grained "
+    "to whole KILO-dollars so every raw sum (incl. Syy) stays an "
+    "exact int64 — the first spelling kept cents and carried Syy "
+    "in DECIMAL(38), whose cast to double rounds DIFFERENTLY "
+    "across engines above 2^53 (9 of 78 rows flipped by one ulp "
+    "at sf0.01), and the dollar-grain retry overflowed int64 Syy "
+    "at the 10x probe; int64->double is a single correctly-rounded "
+    "hardware conversion on both. Slopes are micro-kilodollars "
+    "(= milli-dollars) per day; SSE in whole kilodollar^2. Each side's SSE and slope are ONE shared "
+    "IEEE expression per row, the two-term SSE sum is a fixed-order "
+    "float add, output quantized to whole dollars^2. Scale: the fact "
+    "reduces to the day grain first (map-combinable), candidates "
+    "are CALENDAR-bounded (~1 per month), so the candidate x day "
+    "join is bounded by days*months regardless of fact size — the "
+    "same discipline as theil_sen's calendar-bounded pair frame.",
+)
+def q_piecewise_trend_breakpoint(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+            .cast("long")
+            .alias("x"),
+            F.to_date("o_orderdate").alias("d"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+    min_d = daily.agg(F.min("d").alias("min_d"))
+    cands = (
+        daily.select(F.trunc("d", "month").alias("cand"))
+        .distinct()
+        .crossJoin(F.broadcast(min_d))
+        .filter(F.col("cand") > F.col("min_d"))
+        .select("cand")
+    )
+    sums = [
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    ]
+    left_s = (
+        F.broadcast(cands)
+        .join(daily, daily.d < F.col("cand"))
+        .groupBy("cand")
+        .agg(*sums)
+    )
+    tot = daily.agg(*sums).select(
+        F.col("n").alias("tn"),
+        F.col("sx").alias("tsx"),
+        F.col("sy").alias("tsy"),
+        F.col("sxx").alias("tsxx"),
+        F.col("sxy").alias("tsxy"),
+        F.col("syy").alias("tsyy"),
+    )
+    right_s = left_s.crossJoin(F.broadcast(tot)).select(
+        "cand",
+        F.lit("R").alias("side"),
+        (F.col("tn") - F.col("n")).alias("n"),
+        (F.col("tsx") - F.col("sx")).alias("sx"),
+        (F.col("tsy") - F.col("sy")).alias("sy"),
+        (F.col("tsxx") - F.col("sxx")).alias("sxx"),
+        (F.col("tsxy") - F.col("sxy")).alias("sxy"),
+        (F.col("tsyy") - F.col("syy")).alias("syy"),
+    )
+    sides = left_s.select(
+        "cand", F.lit("L").alias("side"), "n", "sx", "sy", "sxx", "sxy", "syy"
+    ).unionByName(right_s)
+    scored = sides.filter(F.col("n") >= 2).select(
+        "cand",
+        "side",
+        "n",
+        F.expr(_SEG_SSE).alias("sse"),
+        F.expr(_SEG_SLOPE_MICRO).alias("slope_micro"),
+    )
+    agg = (
+        scored.groupBy(F.col("cand").alias("candidate_day"))
+        .agg(
+            F.max(F.when(F.col("side") == "L", F.col("n")))
+            .cast("long")
+            .alias("n_left"),
+            F.max(F.when(F.col("side") == "R", F.col("n")))
+            .cast("long")
+            .alias("n_right"),
+            F.expr("CAST(FLOOR(SUM(sse)) AS BIGINT)").alias(
+                "sse_total_kd2"
+            ),
+            F.max(F.when(F.col("side") == "L", F.col("slope_micro")))
+            .cast("long")
+            .alias("slope_left_micro"),
+            F.max(F.when(F.col("side") == "R", F.col("slope_micro")))
+            .cast("long")
+            .alias("slope_right_micro"),
+            F.count("*").alias("_sides"),
+        )
+        .filter(F.col("_sides") == 2)
+        .drop("_sides")
+    )
+    w_all = Window.partitionBy()
+    return agg.select(
+        "candidate_day",
+        "n_left",
+        "n_right",
+        "sse_total_kd2",
+        "slope_left_micro",
+        "slope_right_micro",
+        (
+            F.col("sse_total_kd2")
+            == F.min("sse_total_kd2").over(w_all)
+        ).alias("is_best"),
+    ).orderBy("candidate_day")
+
+
+# --------------------------------------------- Granger-style lead screen
+
+#: Layered shared-text float pipeline: every layer is plain +-*/ on
+#: columns from the previous layer (each op correctly rounded =>
+#: bit-identical cross-engine); distinct names per layer because
+#: DuckDB resolves lateral aliases and Spark does not (round-4 gotcha).
+_GRANGER_L1 = {
+    "c_aa": "CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_bb": "CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_ab": "CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_ay": "CAST(say AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_by": "CAST(sby AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_yy": "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+}
+_GRANGER_L2 = {
+    "sse_r": "c_yy - c_ay * c_ay / c_aa",
+    "b1": "(c_bb * c_ay - c_ab * c_by) / (c_aa * c_bb - c_ab * c_ab)",
+    "b2": "(c_aa * c_by - c_ab * c_ay) / (c_aa * c_bb - c_ab * c_ab)",
+}
+_GRANGER_L3 = {"sse_u": "c_yy - b1 * c_ay - b2 * c_by"}
+_GRANGER_OUT = {
+    "f_milli": "CAST(FLOOR((sse_r - sse_u) / (sse_u / (CAST(n AS DOUBLE) - 3.0))"
+    " * 1000.0) AS BIGINT)",
+    "r2_restricted_micro": "CAST(FLOOR((1.0 - sse_r / c_yy) * 1000000.0) AS BIGINT)",
+    "r2_full_micro": "CAST(FLOOR((1.0 - sse_u / c_yy) * 1000000.0) AS BIGINT)",
+}
+
+_GRANGER_SQL = f"""
+WITH series AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS y,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+lagged AS (
+    SELECT y,
+           LAG(y) OVER (ORDER BY d) AS a,
+           LAG(x) OVER (ORDER BY d) AS b
+    FROM series
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(a * a) AS BIGINT) AS saa,
+           CAST(SUM(b * b) AS BIGINT) AS sbb,
+           CAST(SUM(a * b) AS BIGINT) AS sab,
+           CAST(SUM(a * y) AS BIGINT) AS say,
+           CAST(SUM(b * y) AS BIGINT) AS sby,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM lagged WHERE a IS NOT NULL
+),
+l1 AS (SELECT n, say, sby, {", ".join(f"{v} AS {k}" for k, v in _GRANGER_L1.items())} FROM comp),
+l2 AS (SELECT n, c_yy, c_ay, c_by, {", ".join(f"{v} AS {k}" for k, v in _GRANGER_L2.items())} FROM l1),
+l3 AS (SELECT n, c_yy, sse_r, {_GRANGER_L3["sse_u"]} AS sse_u FROM l2)
+SELECT n,
+       {_GRANGER_OUT["f_milli"]} AS f_milli,
+       {_GRANGER_OUT["r2_restricted_micro"]} AS r2_restricted_micro,
+       {_GRANGER_OUT["r2_full_micro"]} AS r2_full_micro,
+       {_GRANGER_OUT["f_milli"]} > 3841 AS reject_at_05
+FROM l3
+"""
+
+
+@register(
+    "granger_causality_screen",
+    _GRANGER_SQL,
+    doc="Granger-style lead screen: does yesterday's CLICK volume "
+    "improve the prediction of today's PURCHASE volume beyond "
+    "yesterday's purchases alone? Nested OLS (y ~ y_lag vs "
+    "y ~ y_lag + x_lag) via the explicit 2x2 normal-equation solve; "
+    "F = (SSE_r - SSE_u)/(SSE_u/(n-3)), the one-lag Granger test. "
+    "Both series are exact integer daily counts from ONE fused "
+    "conditional agg (orders and events occupy disjoint date ranges "
+    "in this fixture, so the screen stays within the event log); "
+    "the float pipeline is LAYERED shared expressions — each layer "
+    "only +-*/ on the previous layer's columns, distinct names per "
+    "layer because DuckDB resolves lateral aliases and Spark does "
+    "not. Scale: one map-combinable day-grain agg, one lag window "
+    "over the CALENDAR-bounded day frame — fact size only moves "
+    "the agg, never the window.",
+)
+def q_granger_causality_screen(spark, sf_dir):
+    series = (
+        load_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("y"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    w = Window.orderBy("d")
+    lagged = series.select(
+        "y", F.lag("y").over(w).alias("a"), F.lag("x").over(w).alias("b")
+    ).filter(F.col("a").isNotNull())
+    comp = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("sa"),
+        F.sum("b").cast("long").alias("sb"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("a") * F.col("a")).cast("long").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("long").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("sab"),
+        F.sum(F.col("a") * F.col("y")).cast("long").alias("say"),
+        F.sum(F.col("b") * F.col("y")).cast("long").alias("sby"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    l1 = comp.select(
+        "n",
+        "say",
+        "sby",
+        *[F.expr(v).alias(k) for k, v in _GRANGER_L1.items()],
+    )
+    l2 = l1.select(
+        "n",
+        "c_yy",
+        "c_ay",
+        "c_by",
+        *[F.expr(v).alias(k) for k, v in _GRANGER_L2.items()],
+    )
+    l3 = l2.select(
+        "n", "c_yy", "sse_r", F.expr(_GRANGER_L3["sse_u"]).alias("sse_u")
+    )
+    return l3.select(
+        "n",
+        F.expr(_GRANGER_OUT["f_milli"]).alias("f_milli"),
+        F.expr(_GRANGER_OUT["r2_restricted_micro"]).alias("r2_restricted_micro"),
+        F.expr(_GRANGER_OUT["r2_full_micro"]).alias("r2_full_micro"),
+        (F.expr(_GRANGER_OUT["f_milli"]) > 3841).alias("reject_at_05"),
+    )

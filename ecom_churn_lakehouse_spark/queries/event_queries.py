@@ -1454,3 +1454,256 @@ def q_session_top_paths(spark, sf_dir):
         .alias("rk"),
     )
     return ranked.filter(F.col("rk") <= _PATH_TOP)
+
+
+# ------------------------------------------- Markov stationary event mix
+
+_MARKOV_ITERS = 3
+
+
+def _markov_sql() -> str:
+    # three fixed power-iteration steps, each a (k x k) join at the
+    # event-type grain; all mass arithmetic in exact integer milli
+    steps = []
+    prev = "pi0"
+    for it in range(1, _MARKOV_ITERS + 1):
+        steps.append(
+            f"pi{it} AS (\n"
+            f"    SELECT p.j AS event_type,\n"
+            f"           CAST(SUM(v.mass_milli * p.p_milli) // 1000 AS BIGINT)\n"
+            f"               AS mass_milli\n"
+            f"    FROM {prev} v JOIN pmat p ON p.i = v.event_type\n"
+            f"    GROUP BY p.j\n)"
+        )
+        prev = f"pi{it}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ordered WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+outdeg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS total FROM trans GROUP BY i),
+pmat AS (
+    SELECT t.i, t.j, CAST(t.c * 1000 // o.total AS BIGINT) AS p_milli
+    FROM trans t JOIN outdeg o ON o.i = t.i
+),
+types AS (SELECT DISTINCT i AS event_type FROM trans),
+pi0 AS (
+    SELECT event_type,
+           CAST(1000 // (SELECT COUNT(*) FROM types) AS BIGINT) AS mass_milli
+    FROM types
+),
+{steps_sql}
+SELECT t.event_type,
+       o.total AS out_transitions,
+       p0.mass_milli AS mass_milli_start,
+       COALESCE(pf.mass_milli, 0) AS mass_milli_iter{_MARKOV_ITERS}
+FROM types t
+JOIN outdeg o ON o.i = t.event_type
+JOIN pi0 p0 ON p0.event_type = t.event_type
+LEFT JOIN pi{_MARKOV_ITERS} pf ON pf.event_type = t.event_type
+ORDER BY t.event_type
+"""
+
+
+@register(
+    "markov_stationary_event_mix",
+    _markov_sql(),
+    doc="Stationary event-mix estimate: the user-journey transition "
+    "matrix (event_type_transitions' relation, row-normalized to "
+    "exact milli probabilities) powered three fixed iterations from "
+    "the uniform start — where user attention CONVERGES, not just "
+    "where single steps go. All mass arithmetic is exact integer "
+    "milli (mass*p // 1000 after the sum, so floor loss is one part "
+    "per step, identical on both engines); iteration count is fixed "
+    "so the plan is static. Scale: the fact reduces to the k x k "
+    "transition grain (k = |event types| ~ 5) after one per-user "
+    "lag window; each iteration is a 25-row join — cost at 100 TB "
+    "is the sessionization window, which every journey entry "
+    "already pays.",
+)
+def q_markov_stationary_event_mix(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("i"), F.col("event_type").alias("j"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("c").cast("long").alias("total"))
+    pmat = trans.join(outdeg, "i").select(
+        "i", "j", F.expr("CAST(c * 1000 DIV total AS BIGINT)").alias("p_milli")
+    )
+    types = trans.select(F.col("i").alias("event_type")).distinct()
+    k = types.agg(F.count("*").alias("k"))
+    pi = types.crossJoin(F.broadcast(k)).select(
+        "event_type", F.expr("CAST(1000 DIV k AS BIGINT)").alias("mass_milli")
+    )
+    pi0 = pi
+    for _ in range(_MARKOV_ITERS):
+        pi = (
+            pi.join(F.broadcast(pmat), pi.event_type == pmat.i)
+            .groupBy(F.col("j").alias("event_type"))
+            .agg(
+                F.expr("CAST(SUM(mass_milli * p_milli) DIV 1000 AS BIGINT)").alias(
+                    "mass_milli"
+                )
+            )
+        )
+    return (
+        types.join(outdeg, types.event_type == outdeg.i)
+        .join(pi0.withColumnRenamed("mass_milli", "mass_milli_start"), "event_type")
+        .join(
+            pi.withColumnRenamed("mass_milli", f"mass_milli_iter{_MARKOV_ITERS}"),
+            "event_type",
+            "left",
+        )
+        .select(
+            "event_type",
+            F.col("total").alias("out_transitions"),
+            "mass_milli_start",
+            F.coalesce(f"mass_milli_iter{_MARKOV_ITERS}", F.lit(0))
+            .cast("long")
+            .alias(f"mass_milli_iter{_MARKOV_ITERS}"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------------------------- streaming transition maintenance
+
+_TRANS_SQL = """
+WITH ordered AS (
+    SELECT event_type,
+           LAG(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+)
+SELECT prev_type AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS transitions
+FROM ordered WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY from_type, to_type
+"""
+
+
+@register(
+    "stream_transition_maintenance",
+    _TRANS_SQL,
+    doc="Streaming twin of the user-journey transition relation "
+    "(markov_stationary_event_mix's input): unlike KMV/CMS/checksum "
+    "twins, transition counts are NOT naively mergeable — the pair "
+    "that straddles two micro-batches exists in neither. Each batch "
+    "therefore (a) counts its intra-batch consecutive pairs, "
+    "(b) joins its per-user FIRST event against the persisted "
+    "per-user last-event state to emit the boundary transitions, and "
+    "(c) writes the updated state keyed by batch_id (so a replayed "
+    "batch re-derives from its predecessor's state instead of "
+    "double-advancing — the at-least-once discipline of the other "
+    "twins, applied to keyed state). The accumulated counts must "
+    "equal the one-shot batch relation exactly; the oracle is the "
+    "batch SQL. Scale: state is ONE ROW PER ACTIVE USER (type + "
+    "timestamp), the production shape of every sessionizing "
+    "stateful operator; per-batch work is one lag window over the "
+    "batch plus one state join.",
+)
+def q_stream_transition_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    ev = load_events(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    base = scratch_dir(prefix="stream_trans_")
+
+    # three ts-ordered chunks (streams deliver in event-time order here;
+    # out-of-order delivery is the watermark entries' subject)
+    b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    chunks = [
+        ev.filter(F.col("ts") < cuts[0]),
+        ev.filter((F.col("ts") >= cuts[0]) & (F.col("ts") < cuts[1])),
+        ev.filter(F.col("ts") >= cuts[1]),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        pair_dest = f"{base}/pairs/batch_id={batch_id}"
+        state_dest = f"{base}/state/batch_id={batch_id}"
+        if os.path.exists(pair_dest) and os.path.exists(state_dest):
+            return
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.row_number().over(w).alias("rn"),
+        )
+        intra = seq.filter(F.col("prev_type").isNotNull()).select(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        prev_state_dir = f"{base}/state/batch_id={batch_id - 1}"
+        if batch_id > 0 and os.path.exists(prev_state_dir):
+            prev_state = spark.read.parquet(prev_state_dir)
+            firsts = seq.filter(F.col("rn") == 1).select(
+                F.col("user_id").alias("fu"), F.col("event_type").alias("to_type")
+            )
+            boundary = firsts.join(
+                prev_state, prev_state.user_id == F.col("fu")
+            ).select(F.col("last_type").alias("from_type"), "to_type")
+            pairs = intra.unionByName(boundary)
+            carried = prev_state
+        else:
+            pairs = intra
+            carried = None
+        pairs.groupBy("from_type", "to_type").agg(
+            F.count("*").cast("long").alias("transitions")
+        ).write.mode("overwrite").parquet(pair_dest)
+        last = batch_df.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type")).alias("s")
+        ).select("user_id", F.col("s.event_type").alias("last_type"))
+        if carried is not None:
+            anti = carried.join(
+                last.select(F.col("user_id").alias("lu")),
+                carried.user_id == F.col("lu"),
+                "left_anti",
+            )
+            last = last.unionByName(anti)
+        last.write.mode("overwrite").parquet(state_dest)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        spark.read.parquet(f"{base}/pairs")
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("transitions").cast("long").alias("transitions"))
+        .orderBy("from_type", "to_type")
+    )

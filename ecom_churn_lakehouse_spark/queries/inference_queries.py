@@ -1833,7 +1833,7 @@ comp AS (
 )
 SELECT n, n_urgent, n_high, n_medium, n_notspec, n_low,
        s_urgent, s_high, s_medium, s_notspec, s_low,
-       CAST(q_dec AS VARCHAR) AS sum_z_sq,
+       CAST(q_dec AS STRING) AS sum_z_sq,
        {_BF_F_MILLI} AS f_milli,
        {_BF_F_MILLI} > 2372 AS reject_at_05
 FROM comp
@@ -1993,4 +1993,147 @@ def q_two_proportion_ztest_returns(spark, sf_dir):
         F.expr(_PZ_MILLI).alias("z_milli"),
         F.expr(_PZ_RR_MILLI).alias("risk_ratio_milli"),
         (F.abs(F.expr(_PZ_MILLI)) > 1960).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution-free median CI from order statistics.
+# --------------------------------------------------------------------------
+
+#: Normal-approximation binomial rank bounds for the median CI:
+#: lo = floor((n - z*sqrt(n))/2), hi = n + 1 - lo; z = 1.959964.
+#: sqrt is correctly rounded, so the ranks are identical cross-engine.
+_MCI_LO = (
+    "GREATEST(CAST(FLOOR((CAST(n AS DOUBLE)"
+    " - 1.959964 * sqrt(CAST(n AS DOUBLE))) / 2.0) AS BIGINT), 1)"
+)
+
+_MCI_SQL = f"""
+WITH tagged AS (
+    SELECT o_orderpriority AS prio,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+per_value AS (
+    SELECT prio, cents, CAST(COUNT(*) AS BIGINT) AS t
+    FROM tagged GROUP BY prio, cents
+),
+cum AS (
+    SELECT prio, cents, t,
+           CAST(SUM(t) OVER (PARTITION BY prio ORDER BY cents) - t AS BIGINT)
+               AS below,
+           CAST(SUM(t) OVER (PARTITION BY prio) AS BIGINT) AS n
+    FROM per_value
+),
+ranks AS (
+    SELECT prio, CAST(MAX(n) AS BIGINT) AS n,
+           {_MCI_LO.replace("n AS DOUBLE", "MAX(n) AS DOUBLE").replace("CAST(FLOOR", "CAST(FLOOR")} AS r_lo
+    FROM cum GROUP BY prio
+),
+ranks3 AS (
+    SELECT prio, n, r_lo,
+           CAST((n + 1) // 2 AS BIGINT) AS r_med,
+           n + 1 - r_lo AS r_hi
+    FROM ranks
+),
+unp AS (
+    SELECT prio, n, 'lo' AS which, r_lo AS r FROM ranks3
+    UNION ALL SELECT prio, n, 'med', r_med FROM ranks3
+    UNION ALL SELECT prio, n, 'hi', r_hi FROM ranks3
+),
+picked AS (
+    SELECT u.prio, u.n, u.which, c.cents
+    FROM unp u JOIN cum c
+      ON c.prio = u.prio AND c.below < u.r AND u.r <= c.below + c.t
+)
+SELECT prio AS priority, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN which = 'med' THEN cents END) AS BIGINT)
+           AS median_cents,
+       CAST(MAX(CASE WHEN which = 'lo' THEN cents END) AS BIGINT)
+           AS ci_lo_cents,
+       CAST(MAX(CASE WHEN which = 'hi' THEN cents END) AS BIGINT)
+           AS ci_hi_cents
+FROM picked GROUP BY prio ORDER BY prio
+"""
+
+
+@register(
+    "median_ci_order_statistic",
+    _MCI_SQL,
+    doc="Distribution-free 95% CI for the median spend per priority "
+    "via binomial order-statistic rank bounds (lo = "
+    "floor((n - 1.96*sqrt(n))/2), hi = n+1-lo) — no resampling, no "
+    "normality assumption: the exact-rank complement to "
+    "bootstrap_mean_ci's B-replica machinery at a tiny fraction of "
+    "its cost. Rank selection happens at the DISTINCT-VALUE grain "
+    "via cumulative counts (below < r <= below+t), never a per-row "
+    "sort — picking the r-th order statistic of 100 TB costs one "
+    "map-combinable value-grain agg plus one per-group cumsum, the "
+    "MWU discipline. The only float is the rank formula's sqrt "
+    "(correctly rounded, identical cross-engine).",
+)
+def q_median_ci_order_statistic(spark, sf_dir):
+    tagged = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    per_value = tagged.groupBy("prio", "cents").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    w_cum = Window.partitionBy("prio").orderBy("cents")
+    w_all = Window.partitionBy("prio")
+    cum = per_value.select(
+        "prio",
+        "cents",
+        "t",
+        (F.sum("t").over(w_cum) - F.col("t")).cast("long").alias("below"),
+        F.sum("t").over(w_all).cast("long").alias("n"),
+    ).localCheckpoint(eager=False)
+    ranks = cum.groupBy("prio").agg(
+        F.max("n").cast("long").alias("n"),
+    )
+    ranks3 = ranks.select(
+        "prio",
+        "n",
+        F.expr(_MCI_LO).alias("r_lo"),
+        F.expr("CAST((n + 1) DIV 2 AS BIGINT)").alias("r_med"),
+    ).withColumn("r_hi", F.col("n") + 1 - F.col("r_lo"))
+    unp = (
+        ranks3.select("prio", "n", F.lit("lo").alias("which"), F.col("r_lo").alias("r"))
+        .unionByName(
+            ranks3.select(
+                "prio", "n", F.lit("med").alias("which"), F.col("r_med").alias("r")
+            )
+        )
+        .unionByName(
+            ranks3.select(
+                "prio", "n", F.lit("hi").alias("which"), F.col("r_hi").alias("r")
+            )
+        )
+    )
+    picked = F.broadcast(
+        unp.withColumnRenamed("prio", "uprio")
+    ).join(
+        cum.select("prio", "cents", "t", "below"),
+        (F.col("prio") == F.col("uprio"))
+        & (F.col("below") < F.col("r"))
+        & (F.col("r") <= F.col("below") + F.col("t")),
+    )
+    return (
+        picked.groupBy(F.col("uprio").alias("priority"))
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.max(F.when(F.col("which") == "med", F.col("cents")))
+            .cast("long")
+            .alias("median_cents"),
+            F.max(F.when(F.col("which") == "lo", F.col("cents")))
+            .cast("long")
+            .alias("ci_lo_cents"),
+            F.max(F.when(F.col("which") == "hi", F.col("cents")))
+            .cast("long")
+            .alias("ci_hi_cents"),
+        )
+        .orderBy("priority")
     )

@@ -813,3 +813,115 @@ def q_abc_inventory_classes(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+# ------------------------------------------------ Apriori 3-itemsets
+
+_TRIPLES_MIN_SUPPORT = 2
+_TRIPLES_TOPN = 25
+
+_TRIPLES_SQL = f"""
+WITH items AS (
+    SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+triples AS (
+    SELECT a.pk AS item_a, b.pk AS item_b, c.pk AS item_c,
+           CAST(COUNT(*) AS BIGINT) AS support_abc
+    FROM items a
+    JOIN items b ON b.ok = a.ok AND b.pk > a.pk
+    JOIN items c ON c.ok = a.ok AND c.pk > b.pk
+    GROUP BY a.pk, b.pk, c.pk
+    HAVING COUNT(*) >= {_TRIPLES_MIN_SUPPORT}
+),
+pairs AS (
+    SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+    FROM items a JOIN items b ON b.ok = a.ok AND b.pk > a.pk
+    GROUP BY a.pk, b.pk
+)
+SELECT t.item_a, t.item_b, t.item_c, t.support_abc,
+       ab.cab AS support_ab, ac.cab AS support_ac, bc.cab AS support_bc
+FROM triples t
+JOIN pairs ab ON ab.pa = t.item_a AND ab.pb = t.item_b
+JOIN pairs ac ON ac.pa = t.item_a AND ac.pb = t.item_c
+JOIN pairs bc ON bc.pa = t.item_b AND bc.pb = t.item_c
+ORDER BY t.support_abc DESC, t.item_a, t.item_b, t.item_c
+LIMIT {_TRIPLES_TOPN}
+"""
+
+
+@register(
+    "apriori_triple_itemsets",
+    _TRIPLES_SQL,
+    doc=f"Frequent 3-itemsets (support >= {_TRIPLES_MIN_SUPPORT}) with "
+    "their three pairwise supports — the k=3 Apriori step above "
+    "basket_rules_support_confidence's pair rules. The anti-monotone "
+    "property support_abc <= min(pairwise) is surfaced as columns "
+    "and pinned in tests. Enumeration is keyed on the BASKET "
+    "(orderkey) with strict item ordering, so each triple is built "
+    "once and work is sum(basket_size^3)/6 — bounded because real "
+    "basket sizes are bounded (TPC-H <= 7 lines); for unbounded "
+    "baskets the classic Apriori prune (only extend FREQUENT pairs) "
+    "drops in as a semi-join on the pair relation before the third "
+    "leg, trading a join for the cubic term. Scale: everything is "
+    "equi-keyed on orderkey; the triple frame is support-filtered "
+    "map-side before the global top-25 sort-limit.",
+)
+def q_apriori_triple_itemsets(spark, sf_dir):
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    a = items.select("ok", F.col("pk").alias("item_a"))
+    b = items.select(F.col("ok").alias("okb"), F.col("pk").alias("item_b"))
+    c = items.select(F.col("ok").alias("okc"), F.col("pk").alias("item_c"))
+    triples = (
+        a.join(b, (F.col("okb") == F.col("ok")) & (F.col("item_b") > F.col("item_a")))
+        .join(c, (F.col("okc") == F.col("ok")) & (F.col("item_c") > F.col("item_b")))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("long").alias("support_abc"))
+        .filter(F.col("support_abc") >= _TRIPLES_MIN_SUPPORT)
+    )
+    pa = items.select(F.col("ok").alias("okp"), F.col("pk").alias("pa"))
+    pb = items.select(F.col("ok").alias("okq"), F.col("pk").alias("pb"))
+    pairs = (
+        pa.join(pb, (F.col("okq") == F.col("okp")) & (F.col("pb") > F.col("pa")))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").cast("long").alias("cab"))
+        .localCheckpoint(eager=False)
+    )
+    ab = pairs.select(
+        F.col("pa").alias("aa"), F.col("pb").alias("ab"), F.col("cab").alias("support_ab")
+    )
+    ac = pairs.select(
+        F.col("pa").alias("ca"), F.col("pb").alias("cc"), F.col("cab").alias("support_ac")
+    )
+    bc = pairs.select(
+        F.col("pa").alias("ba"), F.col("pb").alias("bb"), F.col("cab").alias("support_bc")
+    )
+    return (
+        triples.join(
+            ab,
+            (F.col("aa") == F.col("item_a")) & (F.col("ab") == F.col("item_b")),
+        )
+        .join(
+            ac,
+            (F.col("ca") == F.col("item_a")) & (F.col("cc") == F.col("item_c")),
+        )
+        .join(
+            bc,
+            (F.col("ba") == F.col("item_b")) & (F.col("bb") == F.col("item_c")),
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "item_c",
+            "support_abc",
+            "support_ab",
+            "support_ac",
+            "support_bc",
+        )
+        .orderBy(F.col("support_abc").desc(), "item_a", "item_b", "item_c")
+        .limit(_TRIPLES_TOPN)
+    )

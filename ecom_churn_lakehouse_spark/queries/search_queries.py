@@ -347,3 +347,151 @@ def q_ranking_ndcg_eval(spark, sf_dir):
         )
         .orderBy("nation_key")
     )
+
+
+# ------------------------------------------- popularity recommender eval
+
+_POPREC_TOPN = 20
+_POPREC_KS = (1, 5, 10, 20)
+
+
+def _poprec_sql() -> str:
+    from ecom_churn_lakehouse_spark.registry import AS_OF
+
+    ks = ", ".join(f"(CAST({k} AS BIGINT))" for k in _POPREC_KS)
+    return f"""
+WITH train_orders AS (
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE CAST(o_orderdate AS DATE) <= DATE '{AS_OF}'
+),
+pop AS (
+    SELECT l.l_partkey AS pk,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l JOIN train_orders t ON t.o_orderkey = l.l_orderkey
+    GROUP BY l.l_partkey
+),
+topn AS (
+    SELECT pk, CAST(ROW_NUMBER() OVER (ORDER BY n_orders DESC, pk) AS BIGINT)
+               AS rnk
+    FROM pop QUALIFY rnk <= {_POPREC_TOPN}
+),
+test_pick AS (
+    SELECT o_custkey AS cust, MIN(o_orderkey) AS test_ok
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders WHERE CAST(o_orderdate AS DATE) > DATE '{AS_OF}'
+    ) WHERE rn = 1 GROUP BY o_custkey
+),
+eligible AS (
+    SELECT p.cust, p.test_ok FROM test_pick p
+    WHERE EXISTS (SELECT 1 FROM train_orders t WHERE t.o_custkey = p.cust)
+),
+user_best AS (
+    SELECT e.cust, MIN(tn.rnk) AS best_rnk
+    FROM eligible e
+    JOIN lineitem l ON l.l_orderkey = e.test_ok
+    LEFT JOIN topn tn ON tn.pk = l.l_partkey
+    GROUP BY e.cust
+)
+SELECT ks.k,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN best_rnk IS NOT NULL AND best_rnk <= ks.k
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN best_rnk IS NOT NULL AND best_rnk <= ks.k
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+           AS hit_rate_ppm
+FROM user_best CROSS JOIN (VALUES {ks}) AS ks(k)
+GROUP BY ks.k ORDER BY ks.k
+"""
+
+
+@register(
+    "popularity_recommender_recall",
+    _poprec_sql(),
+    doc=f"Cold-start recommender baseline eval: recommend the global "
+    f"top-{_POPREC_TOPN} parts by pre-cutoff order frequency, score "
+    "hit-rate@k on each returning customer's FIRST post-cutoff "
+    "basket — the popularity baseline every recommender must beat, "
+    "with a leakage-safe temporal split (train strictly <= as-of, "
+    "test strictly after; the temporal_train_val_split discipline). "
+    "Per user only the BEST matched rank is kept, so hit@k for all "
+    "four k values reads off one integer column; rates in exact "
+    "ppm. Scale: popularity is one map-combinable distinct-count "
+    "agg + a global top-20 sort-limit; the eval joins each test "
+    "basket against the BROADCAST top-20 — no fact-fact shuffle "
+    "beyond the test-basket lineitem probe.",
+)
+def q_popularity_recommender_recall(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    from ecom_churn_lakehouse_spark.registry import AS_OF
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    train_orders = orders.filter(
+        F.to_date("o_orderdate") <= F.lit(AS_OF).cast("date")
+    ).select("o_orderkey", "o_custkey")
+    pop = (
+        li.join(
+            train_orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("n_orders"))
+    )
+    topn = (
+        pop.withColumn(
+            "rnk",
+            F.row_number()
+            .over(W.orderBy(F.col("n_orders").desc(), "pk"))
+            .cast("long"),
+        )
+        .filter(F.col("rnk") <= _POPREC_TOPN)
+        .select("pk", "rnk")
+    )
+    post = orders.filter(
+        F.to_date("o_orderdate") > F.lit(AS_OF).cast("date")
+    ).select("o_custkey", "o_orderkey", "o_orderdate")
+    test_pick = (
+        post.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.min("o_orderkey").alias("test_ok"))
+    )
+    eligible = test_pick.join(
+        train_orders.select(F.col("o_custkey").alias("tc")).distinct(),
+        test_pick.cust == F.col("tc"),
+        "left_semi",
+    )
+    user_best = (
+        eligible.join(li, li.l_orderkey == eligible.test_ok)
+        .join(F.broadcast(topn), li.l_partkey == topn.pk, "left")
+        .groupBy("cust")
+        .agg(F.min("rnk").alias("best_rnk"))
+    )
+    ks = F.explode(
+        F.array(*[F.lit(k).cast("long") for k in _POPREC_KS])
+    ).alias("k")
+    hit = F.when(
+        F.col("best_rnk").isNotNull() & (F.col("best_rnk") <= F.col("k")), 1
+    ).otherwise(0)
+    return (
+        user_best.select("best_rnk", ks)
+        .groupBy("k")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum(hit).cast("long").alias("n_hits"),
+            F.expr(
+                "CAST(SUM(CASE WHEN best_rnk IS NOT NULL AND best_rnk <= k"
+                " THEN 1 ELSE 0 END) * 1000000 DIV COUNT(*) AS BIGINT)"
+            ).alias("hit_rate_ppm"),
+        )
+        .orderBy("k")
+    )

@@ -65,6 +65,11 @@ _TWINS = [
     "mannwhitney_u_quantity",       # cumulative-rank windows + DECIMAL(38,0) + shared sqrt expr
     "spearman_price_quantity_by_brand",  # doubled-average-rank windows per brand
     "simpsons_paradox_screen",      # signed DECIMAL numerators + global window sums
+    # round-7 qualifying additions
+    "kruskal_wallis_priority_spend",   # 5-way pivot agg + rank window + shared IEEE H
+    "two_proportion_ztest_returns",    # fused conditional counts + shared pooled-z expr
+    "brown_forsythe_priority_spend",   # percentile_disc WITHIN GROUP + fused pivot agg
+    "granger_causality_screen",        # layered shared-text float pipeline over LAG window
 ]
 
 

