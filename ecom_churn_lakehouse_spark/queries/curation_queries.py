@@ -1342,3 +1342,244 @@ def _bind_manifest_oracle():
 
 
 _bind_manifest_oracle()
+
+
+# --------------------------------------- quality-filter operating curve
+
+_QFC_THRESHOLDS = (0, 50_000, 100_000, 200_000, 400_000, 1_000_000)
+
+
+def _qfc_sql() -> str:
+    taus = ", ".join(f"(CAST({t} AS BIGINT))" for t in _QFC_THRESHOLDS)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+per_doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN d.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+    FROM toks t JOIN df d ON d.token = t.token
+    GROUP BY t.doc_id
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           CAST(n_rare * 1000000 // n_tokens AS BIGINT) AS rare_ppm
+    FROM per_doc
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM scored
+)
+SELECT ts.tau,
+       CAST(SUM(CASE WHEN s.rare_ppm <= ts.tau THEN 1 ELSE 0 END) AS BIGINT)
+           AS kept_docs,
+       CAST(SUM(CASE WHEN s.rare_ppm <= ts.tau THEN s.n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens,
+       CAST(SUM(CASE WHEN s.rare_ppm <= ts.tau THEN 1 ELSE 0 END) * 1000000
+            // (SELECT n_docs FROM tot) AS BIGINT) AS kept_docs_ppm,
+       CAST(SUM(CASE WHEN s.rare_ppm <= ts.tau THEN s.n_tokens ELSE 0 END)
+            * 1000000 // (SELECT n_tokens FROM tot) AS BIGINT)
+           AS kept_tokens_ppm
+FROM scored s CROSS JOIN (VALUES {taus}) AS ts(tau)
+GROUP BY ts.tau ORDER BY ts.tau
+"""
+
+
+@register(
+    "quality_filter_threshold_curve",
+    _qfc_sql(),
+    doc="Quality-filter operating curve: per candidate threshold on "
+    "the rare-token ratio (tokens with corpus frequency <= 2, exact "
+    "ppm per doc — the integer-exact proxy for the LM-likelihood "
+    "filter unigram_lm_doc_scores computes in floats), report how "
+    "many documents and how many TOKENS survive — the keep-rate vs "
+    "budget trade every corpus-cleaning decision is actually about "
+    "(docs and tokens diverge because gibberish docs are short). "
+    "Same two-pass shape as the LM scorer: vocab counts, broadcast "
+    "join-back, one doc-grain agg, then a 6-way literal threshold "
+    "fan-out at the doc grain. Scale: vocabulary fits broadcast "
+    "after a min-count floor; the curve adds zero passes over the "
+    "token stream.",
+)
+def q_quality_filter_threshold_curve(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    df_counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    per_doc = (
+        toks.join(F.broadcast(df_counts), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    scored = per_doc.select(
+        "n_tokens",
+        F.expr("CAST(n_rare * 1000000 DIV n_tokens AS BIGINT)").alias("rare_ppm"),
+    ).localCheckpoint(eager=False)
+    tot = scored.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t).cast("long") for t in _QFC_THRESHOLDS])
+    ).alias("tau")
+    kept = F.when(F.col("rare_ppm") <= F.col("tau"), 1).otherwise(0)
+    kept_toks = F.when(F.col("rare_ppm") <= F.col("tau"), F.col("n_tokens")).otherwise(
+        0
+    )
+    return (
+        scored.select("n_tokens", "rare_ppm", taus)
+        .groupBy("tau")
+        .agg(
+            F.sum(kept).cast("long").alias("kept_docs"),
+            F.sum(kept_toks).cast("long").alias("kept_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau",
+            "kept_docs",
+            "kept_tokens",
+            F.expr("CAST(kept_docs * 1000000 DIV n_docs AS BIGINT)").alias(
+                "kept_docs_ppm"
+            ),
+            F.expr("CAST(kept_tokens * 1000000 DIV tot_tokens AS BIGINT)").alias(
+                "kept_tokens_ppm"
+            ),
+        )
+        .orderBy("tau")
+    )
+
+
+# ------------------------------------------- shard source-balance audit
+
+_SHARDS = 8
+
+#: Per-cell Pearson term from exact ints (obs, shard_n, src_n, n),
+#: floor-quantized to micro at the CELL, then integer-summed per
+#: shard — float accumulation order can never matter.
+_SHARD_CELL_CHI2_MICRO = (
+    "CAST(FLOOR("
+    "(CAST(obs AS DOUBLE)"
+    " - CAST(shard_n AS DOUBLE) * CAST(src_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(obs AS DOUBLE)"
+    "    - CAST(shard_n AS DOUBLE) * CAST(src_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(shard_n AS DOUBLE) * CAST(src_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+
+def _shard_balance_sql() -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("doc_id", "shard:", _SHARDS)
+    return f"""
+WITH assigned AS (
+    SELECT source, CAST({hb} AS BIGINT) AS shard FROM documents
+),
+cells0 AS (
+    SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS obs
+    FROM assigned GROUP BY shard, source
+),
+shards AS (SELECT DISTINCT shard FROM assigned),
+sources AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS src_n
+            FROM assigned GROUP BY source),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned),
+shard_sizes AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS shard_n
+                FROM assigned GROUP BY shard),
+cells AS (
+    SELECT sh.shard, so.source, so.src_n, ss.shard_n, t.n,
+           COALESCE(c.obs, 0) AS obs
+    FROM shards sh
+    CROSS JOIN sources so
+    CROSS JOIN tot t
+    JOIN shard_sizes ss ON ss.shard = sh.shard
+    LEFT JOIN cells0 c ON c.shard = sh.shard AND c.source = so.source
+)
+SELECT shard,
+       CAST(MAX(shard_n) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN obs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sources_present,
+       CAST(SUM({_SHARD_CELL_CHI2_MICRO}) AS BIGINT) AS chi2_micro,
+       CAST(SUM({_SHARD_CELL_CHI2_MICRO}) AS BIGINT) > 30143000
+           AS imbalanced_at_05
+FROM cells GROUP BY shard ORDER BY shard
+"""
+
+
+@register(
+    "shard_source_balance_audit",
+    _shard_balance_sql(),
+    doc=f"Training-shard mixing audit: documents hash into {_SHARDS} "
+    "shards (the deterministic epoch-shuffle assignment) and each "
+    "shard's source distribution is chi-square-tested against the "
+    "corpus mix — a shard that over-samples one source gives the "
+    "model correlated gradient batches, the failure "
+    "curriculum_shard_ordering deliberately engineers and this "
+    "audit guards against for the default shuffle. The (shard x "
+    "source) spine is dense (empty cells count, expected > 0), "
+    "each Pearson term is floor-quantized micro at the cell from "
+    "exact ints, then integer-summed (df=19, crit 30.143). Scale: "
+    "one scan-local hash, three map-combinable aggs, a "
+    f"{_SHARDS}x20 spine — nothing grows with the corpus but the "
+    "first agg.",
+)
+def q_shard_source_balance_audit(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    assigned = load_table(spark, sf_dir, "documents").select(
+        "source", hash_bucket(F.col("doc_id"), "shard:", mod=_SHARDS).alias("shard")
+    ).localCheckpoint(eager=False)
+    cells0 = assigned.groupBy("shard", "source").agg(
+        F.count("*").cast("long").alias("obs")
+    )
+    shards = assigned.select("shard").distinct()
+    sources = assigned.groupBy("source").agg(
+        F.count("*").cast("long").alias("src_n")
+    )
+    tot = assigned.agg(F.count("*").cast("long").alias("n"))
+    shard_sizes = assigned.groupBy("shard").agg(
+        F.count("*").cast("long").alias("shard_n")
+    )
+    cells = (
+        shards.crossJoin(F.broadcast(sources))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(shard_sizes), "shard")
+        .join(F.broadcast(cells0), ["shard", "source"], "left")
+        .select(
+            "shard",
+            "src_n",
+            "shard_n",
+            "n",
+            F.coalesce("obs", F.lit(0)).cast("long").alias("obs"),
+        )
+    )
+    return (
+        cells.groupBy("shard")
+        .agg(
+            F.max("shard_n").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("obs") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("sources_present"),
+            F.sum(F.expr(_SHARD_CELL_CHI2_MICRO)).cast("long").alias("chi2_micro"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "sources_present",
+            "chi2_micro",
+            (F.col("chi2_micro") > 30143000).alias("imbalanced_at_05"),
+        )
+        .orderBy("shard")
+    )

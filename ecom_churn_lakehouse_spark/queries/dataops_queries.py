@@ -1281,3 +1281,149 @@ def q_file_compaction_plan(spark, sf_dir):
         )
         .orderBy("month", "bin_id")
     )
+
+
+# ----------------------------------------------------- sort-key advisor
+
+_SKA_GROUP_ROWS = 1000
+
+#: Reference workload: one selective predicate per candidate column.
+_SKA_PREDS = {
+    "date_range": ("odate", "DATE '1995-03-01'", "DATE '1995-03-31'"),
+    "key_range": ("okey", "1000", "4000"),
+    "price_range": ("cents", "30000000", "35000000"),
+}
+
+_SKA_SQL = f"""
+WITH base AS (
+    SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE) AS odate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+layouts AS (
+    SELECT 'sort_date' AS sort_key,
+           CAST((ROW_NUMBER() OVER (ORDER BY odate, okey) - 1)
+                // {_SKA_GROUP_ROWS} AS BIGINT) AS grp,
+           okey, odate, cents
+    FROM base
+    UNION ALL
+    SELECT 'sort_key',
+           CAST((ROW_NUMBER() OVER (ORDER BY okey) - 1)
+                // {_SKA_GROUP_ROWS} AS BIGINT), okey, odate, cents
+    FROM base
+    UNION ALL
+    SELECT 'sort_price',
+           CAST((ROW_NUMBER() OVER (ORDER BY cents, okey) - 1)
+                // {_SKA_GROUP_ROWS} AS BIGINT), okey, odate, cents
+    FROM base
+),
+zones AS (
+    SELECT sort_key, grp,
+           MIN(odate) AS lo_d, MAX(odate) AS hi_d,
+           MIN(okey) AS lo_k, MAX(okey) AS hi_k,
+           MIN(cents) AS lo_c, MAX(cents) AS hi_c
+    FROM layouts GROUP BY sort_key, grp
+),
+hits AS (
+    SELECT sort_key, 'date_range' AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN hi_d >= DATE '1995-03-01'
+                          AND lo_d <= DATE '1995-03-31'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS groups_hit
+    FROM zones GROUP BY sort_key
+    UNION ALL
+    SELECT sort_key, 'key_range', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN hi_k >= 1000 AND lo_k <= 4000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM zones GROUP BY sort_key
+    UNION ALL
+    SELECT sort_key, 'price_range', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN hi_c >= 30000000 AND lo_c <= 35000000
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM zones GROUP BY sort_key
+)
+SELECT sort_key, predicate, n_groups, groups_hit,
+       CAST((n_groups - groups_hit) * 1000000 // n_groups AS BIGINT)
+           AS prune_ppm
+FROM hits ORDER BY sort_key, predicate
+"""
+
+
+@register(
+    "sort_key_advisor",
+    _SKA_SQL,
+    doc="Sort-key selection advisor: simulate row-group zone maps "
+    "under each CANDIDATE sort order (date / key / price) and score "
+    "every candidate against a three-predicate reference workload — "
+    "the decision zone_map_pruning_audit (one predicate, fixed "
+    "layouts) leaves open: which column should the table actually "
+    "be sorted on, given the whole workload? Each candidate prunes "
+    "its own column near-perfectly and the others barely — the "
+    "advisor output makes the trade-off a table instead of a "
+    "belief. One fact pass per layout (range-partitionable sorts), "
+    "zones reduce to |groups| rows, all ratios exact ppm. At 100 "
+    "TB the same relation computes from parquet footer min/max "
+    "stats without touching data at all (S3 LIST + footers).",
+)
+def q_sort_key_advisor(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    layouts = None
+    for name, order in (
+        ("sort_date", [F.col("odate"), F.col("okey")]),
+        ("sort_key", [F.col("okey")]),
+        ("sort_price", [F.col("cents"), F.col("okey")]),
+    ):
+        lay = base.select(
+            F.lit(name).alias("sort_key"),
+            F.floor(
+                (F.row_number().over(Window.orderBy(*order)) - 1) / _SKA_GROUP_ROWS
+            )
+            .cast("long")
+            .alias("grp"),
+            "okey",
+            "odate",
+            "cents",
+        )
+        layouts = lay if layouts is None else layouts.unionByName(lay)
+    zones = layouts.groupBy("sort_key", "grp").agg(
+        F.min("odate").alias("lo_d"),
+        F.max("odate").alias("hi_d"),
+        F.min("okey").alias("lo_k"),
+        F.max("okey").alias("hi_k"),
+        F.min("cents").alias("lo_c"),
+        F.max("cents").alias("hi_c"),
+    ).localCheckpoint(eager=False)
+    preds = [
+        (
+            "date_range",
+            (F.col("hi_d") >= F.lit("1995-03-01").cast("date"))
+            & (F.col("lo_d") <= F.lit("1995-03-31").cast("date")),
+        ),
+        ("key_range", (F.col("hi_k") >= 1000) & (F.col("lo_k") <= 4000)),
+        (
+            "price_range",
+            (F.col("hi_c") >= 30000000) & (F.col("lo_c") <= 35000000),
+        ),
+    ]
+    hits = None
+    for pname, cond in preds:
+        h = zones.groupBy("sort_key").agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias("groups_hit"),
+        ).select("sort_key", F.lit(pname).alias("predicate"), "n_groups", "groups_hit")
+        hits = h if hits is None else hits.unionByName(h)
+    return hits.select(
+        "sort_key",
+        "predicate",
+        "n_groups",
+        "groups_hit",
+        F.expr(
+            "CAST((n_groups - groups_hit) * 1000000 DIV n_groups AS BIGINT)"
+        ).alias("prune_ppm"),
+    ).orderBy("sort_key", "predicate")

@@ -2137,3 +2137,442 @@ def q_median_ci_order_statistic(spark, sf_dir):
         )
         .orderBy("priority")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-matching average treatment effect on the treated (ATT).
+# --------------------------------------------------------------------------
+
+#: Per-cell ATT numerator (sum_t*n_c - n_t*sum_c), exact int64, turned
+#: into a signed per-cell milli term with the explicit-sign floor
+#: CASE, then integer-summed — the quantization point is the CELL, so
+#: the estimator is deterministic and the floor loss is bounded by
+#: one milli-cent per cell.
+_ATT_CELL_MILLI = (
+    "CASE WHEN (sum_t * n_c - n_t * sum_c) >= 0"
+    " THEN ((sum_t * n_c - n_t * sum_c) * 1000) {div} n_c"
+    " ELSE -((-(sum_t * n_c - n_t * sum_c) * 1000) {div} n_c)"
+    "      - (CASE WHEN (-(sum_t * n_c - n_t * sum_c) * 1000) % n_c > 0"
+    "              THEN 1 ELSE 0 END)"
+    " END"
+)
+
+_ATT_SQL = f"""
+WITH tagged AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+           p.p_type LIKE 'PROMO%' AS treated,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+cells AS (
+    SELECT brand, q,
+           CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(SUM(CASE WHEN treated THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_t,
+           CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN treated THEN 0 ELSE cents END) AS BIGINT)
+               AS sum_c
+    FROM tagged GROUP BY brand, q
+),
+matched AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_matched,
+           CAST(SUM(n_t) AS BIGINT) AS n_treated_matched,
+           CAST(SUM({_ATT_CELL_MILLI.format(div="//")}) AS BIGINT)
+               AS att_num_milli
+    FROM matched
+),
+unmatched AS (
+    SELECT CAST(COALESCE(SUM(n_t), 0) AS BIGINT) AS n_treated_unmatched
+    FROM cells WHERE n_t > 0 AND n_c = 0
+)
+SELECT c.n_cells_matched, c.n_treated_matched, u.n_treated_unmatched,
+       CAST(c.att_num_milli AS BIGINT) AS att_num_milli,
+       CAST(CASE WHEN c.att_num_milli >= 0
+                 THEN c.att_num_milli // c.n_treated_matched
+                 ELSE -((-c.att_num_milli) // c.n_treated_matched)
+                      - (CASE WHEN (-c.att_num_milli) % c.n_treated_matched > 0
+                              THEN 1 ELSE 0 END)
+            END AS BIGINT) AS att_milli_cents
+FROM comp c CROSS JOIN unmatched u
+"""
+
+
+@register(
+    "exact_matching_att",
+    _ATT_SQL,
+    doc="Exact-matching causal estimate: the average treatment effect "
+    "on the treated of PROMO parts on line price, matching each "
+    "treated line to control lines in the SAME (brand, quantity) "
+    "cell — the confounder-adjusted complement to "
+    "two_proportion_ztest_returns' raw comparison and promo_did_"
+    "uplift's time-based identification. Per-cell mean differences "
+    "are cross-multiplied exact ints quantized to signed milli-cents "
+    "at the cell (explicit-sign floor CASE — theil_sen's idiom), "
+    "then weighted by treated count via plain integer sums; "
+    "unmatched treated lines (cells with no control) are counted, "
+    "not silently dropped. Scale: the fact reduces to the bounded "
+    "(brand x quantity) cell grain in one map-combinable agg — "
+    "matching at 100 TB is one grouped aggregate, never a row join.",
+)
+def q_exact_matching_att(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", F.col("p_type").like("PROMO%").alias("treated")
+    )
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cells = tagged.groupBy(F.col("p_brand").alias("brand"), "q").agg(
+        F.sum(F.when(F.col("treated"), 1).otherwise(0)).cast("long").alias("n_t"),
+        F.sum(F.when(F.col("treated"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1)).cast("long").alias("n_c"),
+        F.sum(F.when(F.col("treated"), F.lit(0)).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("sum_c"),
+    ).localCheckpoint(eager=False)
+    matched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    comp = matched.agg(
+        F.count("*").cast("long").alias("n_cells_matched"),
+        F.sum("n_t").cast("long").alias("n_treated_matched"),
+        F.sum(F.expr(_ATT_CELL_MILLI.format(div="DIV")))
+        .cast("long")
+        .alias("att_num_milli"),
+    )
+    unmatched = cells.filter((F.col("n_t") > 0) & (F.col("n_c") == 0)).agg(
+        F.coalesce(F.sum("n_t"), F.lit(0)).cast("long").alias("n_treated_unmatched")
+    )
+    return comp.crossJoin(F.broadcast(unmatched)).select(
+        "n_cells_matched",
+        "n_treated_matched",
+        "n_treated_unmatched",
+        "att_num_milli",
+        F.expr(
+            "CAST(CASE WHEN att_num_milli >= 0"
+            " THEN att_num_milli DIV n_treated_matched"
+            " ELSE -((-att_num_milli) DIV n_treated_matched)"
+            "      - (CASE WHEN (-att_num_milli) % n_treated_matched > 0"
+            "              THEN 1 ELSE 0 END)"
+            " END AS BIGINT)"
+        ).alias("att_milli_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per order).
+# --------------------------------------------------------------------------
+
+#: Var(Y/N per-entity ratio-of-sums) by the delta method:
+#:   r = sum_y/sum_n,  se^2 = (Syy - 2r*Syn + r^2*Snn) / (n * nbar^2)
+#: with Syy/Syn/Snn the CENTERED second moments of the per-entity
+#: (y_i, n_i) pairs and nbar = sum_n/n. Layered shared-text floats
+#: (distinct names per layer — the lateral-alias gotcha).
+_DM_L1 = {
+    "r": "CAST(sy AS DOUBLE) / CAST(sn AS DOUBLE)",
+    "nbar": "CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_yy": "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_yn": "CAST(syn AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_nn": "CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)",
+}
+_DM_OUT = {
+    "ratio_milli": "CAST(FLOOR(r * 1000.0) AS BIGINT)",
+    "se_milli": (
+        "CAST(FLOOR(sqrt((c_yy - 2.0 * r * c_yn + r * r * c_nn)"
+        " / (CAST(n AS DOUBLE) - 1.0))"
+        " / (sqrt(CAST(n AS DOUBLE)) * nbar) * 1000.0) AS BIGINT)"
+    ),
+}
+
+_DM_SQL = f"""
+WITH per_cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100 AS BIGINT) AS y,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY o_custkey
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(cnt) AS BIGINT) AS sn,
+           CAST(SUM(y * y) AS BIGINT) AS syy,
+           CAST(SUM(y * cnt) AS BIGINT) AS syn,
+           CAST(SUM(cnt * cnt) AS BIGINT) AS snn
+    FROM per_cust
+),
+l1 AS (SELECT n, sy, sn, {", ".join(f"{v} AS {k}" for k, v in _DM_L1.items())} FROM comp)
+SELECT n, sy AS total_dollars, sn AS total_orders,
+       {_DM_OUT["ratio_milli"]} AS ratio_milli,
+       {_DM_OUT["se_milli"]} AS se_milli,
+       {_DM_OUT["ratio_milli"]} - 1960 * {_DM_OUT["se_milli"]} // 1000
+           AS ci_lo_milli_approx,
+       {_DM_OUT["ratio_milli"]} + 1960 * {_DM_OUT["se_milli"]} // 1000
+           AS ci_hi_milli_approx
+FROM l1
+"""
+
+
+@register(
+    "ratio_metric_delta_ci",
+    _DM_SQL,
+    doc="Delta-method CI for a ratio-of-sums metric (dollars per "
+    "order, customers as the randomization unit) — THE standard "
+    "machinery for experiment metrics whose numerator and "
+    "denominator are both random (naive per-row variance is wrong "
+    "because orders cluster within customers). Per-customer pairs "
+    "reduce to six exact int64 sums at the dollar grain; the variance expression is a layered shared-text float "
+    "pipeline (each op correctly rounded), milli-floored; the CI "
+    "endpoints are integer arithmetic on the floored stats. "
+    "Completes the experimentation tier next to bootstrap_ab_diff_"
+    "ci (resampling), cuped_adjusted_spend (variance reduction), "
+    "split_srm_check (validity) and two_proportion_ztest_returns "
+    "(proportions). Scale: one map-combinable entity agg to one "
+    "row; y*y stays int64 while per-customer dollars < 3e9.",
+)
+def q_ratio_metric_delta_ci(spark, sf_dir):
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("y"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    comp = per_cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum("cnt").cast("long").alias("sn"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("y") * F.col("cnt")).cast("long").alias("syn"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("snn"),
+    )
+    l1 = comp.select(
+        "n", "sy", "sn", *[F.expr(v).alias(k) for k, v in _DM_L1.items()]
+    )
+    return l1.select(
+        "n",
+        F.col("sy").alias("total_dollars"),
+        F.col("sn").alias("total_orders"),
+        F.expr(_DM_OUT["ratio_milli"]).alias("ratio_milli"),
+        F.expr(_DM_OUT["se_milli"]).alias("se_milli"),
+        F.expr(
+            f'{_DM_OUT["ratio_milli"]} - 1960 * {_DM_OUT["se_milli"]} DIV 1000'
+        ).alias("ci_lo_milli_approx"),
+        F.expr(
+            f'{_DM_OUT["ratio_milli"]} + 1960 * {_DM_OUT["se_milli"]} DIV 1000'
+        ).alias("ci_hi_milli_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Experiment power: minimum detectable effect for the spend metric.
+# --------------------------------------------------------------------------
+
+#: MDE = (z_{alpha/2} + z_{beta}) * sqrt(var * (1/n1 + 1/n2)) with
+#: 1.959964 + 0.841621 for 95% confidence / 80% power. Layered
+#: shared-text floats from exact int64 sums (dollar grain).
+_MDE_L1 = {
+    "var_d": (
+        "(CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) - 1.0)"
+    ),
+}
+_MDE_OUT = (
+    "CAST(FLOOR(2.801585 * sqrt(var_d"
+    " * (1.0 / (CAST(n AS DOUBLE) * {w1}) + 1.0 / (CAST(n AS DOUBLE) * {w2})))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_MDE_SQL = f"""
+WITH per_cust AS (
+    SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100 AS BIGINT) AS y
+    FROM orders GROUP BY o_custkey
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM per_cust
+),
+l1 AS (SELECT n, sy, {_MDE_L1["var_d"]} AS var_d FROM comp)
+SELECT n, sy AS total_dollars,
+       CAST(FLOOR(sqrt(var_d) * 1000.0) AS BIGINT) AS sd_milli_dollars,
+       {_MDE_OUT.format(w1="0.5", w2="0.5")} AS mde_50_50_milli,
+       {_MDE_OUT.format(w1="0.9", w2="0.1")} AS mde_90_10_milli,
+       CAST(FLOOR({_MDE_OUT.format(w1="0.5", w2="0.5")} * 1000000.0
+            / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000.0))
+            AS BIGINT) AS mde_50_50_rel_ppm
+FROM l1
+"""
+
+
+@register(
+    "experiment_power_mde",
+    _MDE_SQL,
+    doc="Pre-experiment power analysis: the minimum detectable effect "
+    "on per-customer spend at 95% confidence / 80% power, for a "
+    "50/50 and a 90/10 split of the current population — the "
+    "'should we even run this test' number that gates every "
+    "experiment, and the quantified argument for 50/50 over "
+    "unbalanced splits (the 90/10 MDE is ~1.67x larger). Variance "
+    "comes from exact int64 dollar-grain sums; z-constants are "
+    "shared literals; two layered float expressions, milli-floored, "
+    "plus the relative MDE in ppm of the mean. Completes the "
+    "experimentation tier with ratio_metric_delta_ci / "
+    "split_srm_check / bootstrap_ab_diff_ci / cuped_adjusted_spend. "
+    "Scale: one entity agg to one row.",
+)
+def q_experiment_power_mde(spark, sf_dir):
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100 AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    comp = per_cust.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    l1 = comp.select("n", "sy", F.expr(_MDE_L1["var_d"]).alias("var_d"))
+    return l1.select(
+        "n",
+        F.col("sy").alias("total_dollars"),
+        F.expr("CAST(FLOOR(sqrt(var_d) * 1000.0) AS BIGINT)").alias(
+            "sd_milli_dollars"
+        ),
+        F.expr(_MDE_OUT.format(w1="0.5", w2="0.5")).alias("mde_50_50_milli"),
+        F.expr(_MDE_OUT.format(w1="0.9", w2="0.1")).alias("mde_90_10_milli"),
+        F.expr(
+            f'CAST(FLOOR({_MDE_OUT.format(w1="0.5", w2="0.5")} * 1000000.0'
+            " / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) * 1000.0))"
+            " AS BIGINT)"
+        ).alias("mde_50_50_rel_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Mediation decomposition: discount -> quantity -> line revenue.
+# --------------------------------------------------------------------------
+
+#: Baron-Kenny product-of-coefficients with the OLS identity
+#: total = direct + indirect surfaced as a check column. Layered
+#: shared-text floats from exact int64 sums.
+_MED_L1 = {
+    "c_xx": "CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_xm": "CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_xy": "CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_mm": "CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE)",
+    "c_my": "CAST(smy AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)",
+}
+_MED_L2 = {
+    "a_slope": "c_xm / c_xx",
+    "b_slope": "(c_xx * c_my - c_xm * c_xy) / (c_xx * c_mm - c_xm * c_xm)",
+    "c_direct": "(c_mm * c_xy - c_xm * c_my) / (c_xx * c_mm - c_xm * c_xm)",
+    "c_total": "c_xy / c_xx",
+}
+
+_MED_SQL = f"""
+WITH base AS (
+    SELECT CAST(CAST(l_discount AS DECIMAL(18,3)) * 1000 AS BIGINT) AS x,
+           CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT) AS m,
+           CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS BIGINT) AS y
+    FROM lineitem
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(m) AS BIGINT) AS sm,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(x * m) AS BIGINT) AS sxm,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(m * m) AS BIGINT) AS smm,
+           CAST(SUM(m * y) AS BIGINT) AS smy
+    FROM base
+),
+l1 AS (SELECT n, {", ".join(f"{v} AS {k}" for k, v in _MED_L1.items())} FROM comp),
+l2 AS (SELECT n, {", ".join(f"{v} AS {k}" for k, v in _MED_L2.items())} FROM l1)
+SELECT n,
+       CAST(FLOOR(a_slope * 1000000.0) AS BIGINT) AS a_micro,
+       CAST(FLOOR(b_slope * 1000000.0) AS BIGINT) AS b_micro,
+       CAST(FLOOR(c_total * 1000000.0) AS BIGINT) AS total_micro,
+       CAST(FLOOR(c_direct * 1000000.0) AS BIGINT) AS direct_micro,
+       CAST(FLOOR(a_slope * b_slope * 1000000.0) AS BIGINT) AS indirect_micro,
+       ABS(c_total - (c_direct + a_slope * b_slope)) < 1e-6 AS identity_holds
+FROM l2
+"""
+
+
+@register(
+    "discount_quantity_mediation",
+    _MED_SQL,
+    doc="Mediation decomposition (Baron-Kenny product of "
+    "coefficients): how much of the discount->line-revenue effect "
+    "flows THROUGH quantity (indirect a*b) vs directly "
+    "(price-controlling-quantity), with the exact OLS identity "
+    "total = direct + indirect surfaced as a check column — the "
+    "mechanism question sitting behind "
+    "brand_discount_elasticity_components' single regression. "
+    "Nine exact int64 sums at scan grain (revenue re-grained to "
+    "dollars), the same layered shared-text float pipeline as "
+    "granger_causality_screen, all five slopes micro-floored. "
+    "Scale: one fused map-combinable agg to one row; x*y products "
+    "stay int64 to ~1e14 rows.",
+)
+def q_discount_quantity_mediation(spark, sf_dir):
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(CAST(l_discount AS DECIMAL(18,3)) * 1000 AS BIGINT)").alias(
+            "x"
+        ),
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("m"),
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    comp = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("m").cast("long").alias("sm"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("m")).cast("long").alias("sxm"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("m") * F.col("m")).cast("long").alias("smm"),
+        F.sum(F.col("m") * F.col("y")).cast("long").alias("smy"),
+    )
+    l1 = comp.select("n", *[F.expr(v).alias(k) for k, v in _MED_L1.items()])
+    l2 = l1.select("n", *[F.expr(v).alias(k) for k, v in _MED_L2.items()])
+    return l2.select(
+        "n",
+        F.expr("CAST(FLOOR(a_slope * 1000000.0) AS BIGINT)").alias("a_micro"),
+        F.expr("CAST(FLOOR(b_slope * 1000000.0) AS BIGINT)").alias("b_micro"),
+        F.expr("CAST(FLOOR(c_total * 1000000.0) AS BIGINT)").alias("total_micro"),
+        F.expr("CAST(FLOOR(c_direct * 1000000.0) AS BIGINT)").alias(
+            "direct_micro"
+        ),
+        F.expr("CAST(FLOOR(a_slope * b_slope * 1000000.0) AS BIGINT)").alias(
+            "indirect_micro"
+        ),
+        F.expr(
+            "ABS(c_total - (c_direct + a_slope * b_slope)) < 1e-6"
+        ).alias("identity_holds"),
+    )

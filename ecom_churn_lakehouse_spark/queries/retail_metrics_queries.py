@@ -925,3 +925,102 @@ def q_apriori_triple_itemsets(spark, sf_dir):
         .orderBy(F.col("support_abc").desc(), "item_a", "item_b", "item_c")
         .limit(_TRIPLES_TOPN)
     )
+
+
+# ------------------------------------------------ HHI market concentration
+
+#: HHI in ppm from exact int64 sums; kilo-dollar grain keeps rev^2
+#: inside int64 (the piecewise-breakpoint lesson: DECIMAL->DOUBLE
+#: casts diverge across engines above 2^53, int64->double does not).
+_HHI_PPM = (
+    "CAST(FLOOR(CAST(sumsq AS DOUBLE)"
+    " / (CAST(total_kd AS DOUBLE) * CAST(total_kd AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_HHI_SQL = f"""
+WITH cells AS (
+    SELECT c.c_mktsegment AS segment, p.p_brand AS brand,
+           CAST(SUM(CAST(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+                // 1000000000 AS BIGINT) AS rev_kd
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY c.c_mktsegment, p.p_brand
+),
+seg AS (
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_brands,
+           CAST(SUM(rev_kd) AS BIGINT) AS total_kd,
+           CAST(SUM(rev_kd * rev_kd) AS BIGINT) AS sumsq,
+           CAST(MAX(rev_kd) AS BIGINT) AS max_kd
+    FROM cells GROUP BY segment
+)
+SELECT segment, n_brands, total_kd,
+       {_HHI_PPM} AS hhi_ppm,
+       CAST(max_kd * 10000 // total_kd AS BIGINT) AS top_brand_share_bp
+FROM seg ORDER BY segment
+"""
+
+
+@register(
+    "market_hhi_by_segment",
+    _HHI_SQL,
+    doc="Herfindahl-Hirschman concentration index of brand revenue "
+    "within each market segment — the antitrust-standard scalar "
+    "(sum of squared shares; 1e6/n_brands = perfectly even, 1e6 = "
+    "monopoly) completing the concentration family next to "
+    "revenue_gini_by_nation (inequality) and concentrated_suppliers "
+    "(threshold screen). Revenue re-grains to exact kilo-dollars so "
+    "rev^2 sums stay int64 (DECIMAL->DOUBLE casts diverge across "
+    "engines above 2^53 — the piecewise-breakpoint lesson, applied "
+    "preemptively here); HHI is one shared IEEE expression over two "
+    "int64s. Scale: one fact pass to the (segment x brand) cell "
+    "grain, then a 5-row rollup; the two dim joins broadcast.",
+)
+def q_market_hhi_by_segment(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        (
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,6)")
+            .cast("decimal(24,6)")
+            * 1000000
+        )
+        .cast("long")
+        .alias("micros"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("p_brand").alias("brand")
+        )
+        .agg(
+            F.expr("CAST(SUM(micros) DIV 1000000000 AS BIGINT)").alias("rev_kd")
+        )
+    )
+    seg = cells.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_brands"),
+        F.sum("rev_kd").cast("long").alias("total_kd"),
+        F.sum(F.col("rev_kd") * F.col("rev_kd")).cast("long").alias("sumsq"),
+        F.max("rev_kd").cast("long").alias("max_kd"),
+    )
+    return seg.select(
+        "segment",
+        "n_brands",
+        "total_kd",
+        F.expr(_HHI_PPM).alias("hhi_ppm"),
+        F.expr("CAST(max_kd * 10000 DIV total_kd AS BIGINT)").alias(
+            "top_brand_share_bp"
+        ),
+    ).orderBy("segment")

@@ -695,3 +695,84 @@ def q_horvitz_thompson_total(spark, sf_dir):
         .cast("long")
         .alias("abs_err_ppm"),
     )
+
+
+# ------------------------------------------------ sample-ratio mismatch
+
+#: Pearson chi-square for the 80/10/10 assignment against its design
+#: weights, one shared IEEE expression from exact integer counts.
+#: Expected counts use the exact design fractions (permyriad weights
+#: over HASH_MOD buckets: 8000/1000/1000 of 10000).
+_SRM_CHI2_MILLI = (
+    "CAST(FLOOR(("
+    "(CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 0.8)"
+    " * (CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 0.8)"
+    " / (CAST(n AS DOUBLE) * 0.8)"
+    " + (CAST(n_val AS DOUBLE) - CAST(n AS DOUBLE) * 0.1)"
+    "   * (CAST(n_val AS DOUBLE) - CAST(n AS DOUBLE) * 0.1)"
+    "   / (CAST(n AS DOUBLE) * 0.1)"
+    " + (CAST(n_test AS DOUBLE) - CAST(n AS DOUBLE) * 0.1)"
+    "   * (CAST(n_test AS DOUBLE) - CAST(n AS DOUBLE) * 0.1)"
+    "   / (CAST(n AS DOUBLE) * 0.1)"
+    ") * 1000.0) AS BIGINT)"
+)
+
+_SRM_SQL = f"""
+WITH hb AS (
+    SELECT {_hb_sql("split:", "c_custkey")} AS b FROM customer
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN b < 8000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+           CAST(SUM(CASE WHEN b >= 8000 AND b < 9000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val,
+           CAST(SUM(CASE WHEN b >= 9000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+    FROM hb
+)
+SELECT n, n_train, n_val, n_test,
+       {_SRM_CHI2_MILLI} AS chi2_milli,
+       {_SRM_CHI2_MILLI} > 5991 AS srm_detected
+FROM comp
+"""
+
+
+@register(
+    "split_srm_check",
+    _SRM_SQL,
+    doc="Sample-ratio-mismatch check on the 80/10/10 customer split: "
+    "Pearson chi-square of the observed assignment counts against "
+    "the design weights (df=2, critical 5.991) — the guardrail every "
+    "experiment pipeline runs BEFORE reading treatment effects, "
+    "because a biased splitter invalidates everything downstream "
+    "(and a hash splitter drifting from its weights means key-space "
+    "pathology). Counts come from the same md5 bucket spelling as "
+    "customer_split (one scan, one fused agg); the only float is "
+    "one shared IEEE expression, milli-floored. Scale: pure-count "
+    "shape, unchanged at any fact size.",
+)
+def q_split_srm_check(spark, sf_dir):
+    hb = load_table(spark, sf_dir, "customer").select(
+        hash_bucket(F.col("c_custkey"), "split:").alias("b")
+    )
+    comp = hb.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("b") < 8000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when((F.col("b") >= 8000) & (F.col("b") < 9000), 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("b") >= 9000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    return comp.select(
+        "n",
+        "n_train",
+        "n_val",
+        "n_test",
+        F.expr(_SRM_CHI2_MILLI).alias("chi2_milli"),
+        (F.expr(_SRM_CHI2_MILLI) > 5991).alias("srm_detected"),
+    )

@@ -94,6 +94,15 @@ NEW_IN_ROUND: list[str] = [
     "median_ci_order_statistic",
     "stream_transition_maintenance",
     "popularity_recommender_recall",
+    "sort_key_advisor",
+    "quality_filter_threshold_curve",
+    "split_srm_check",
+    "exact_matching_att",
+    "ratio_metric_delta_ci",
+    "market_hhi_by_segment",
+    "shard_source_balance_audit",
+    "experiment_power_mde",
+    "discount_quantity_mediation",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

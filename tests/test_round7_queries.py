@@ -484,3 +484,161 @@ def test_popularity_recall_monotone_in_k(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_users"]
         assert r["hit_rate_ppm"] == r["n_hits"] * 1_000_000 // r["n_users"]
+
+
+def test_sort_key_advisor_diagonal_dominates(spark):
+    """Each candidate sort key must prune its own predicate at least
+    as well as any other candidate does."""
+    from ecom_churn_lakehouse_spark.queries.dataops_queries import (
+        q_sort_key_advisor,
+    )
+
+    rows = q_sort_key_advisor(spark, SF).collect()
+    p = {(r["sort_key"], r["predicate"]): r["prune_ppm"] for r in rows}
+    assert len(p) == 9
+    own = {
+        "sort_date": "date_range",
+        "sort_key": "key_range",
+        "sort_price": "price_range",
+    }
+    for sk, pred in own.items():
+        for other_sk in own:
+            assert p[(sk, pred)] >= p[(other_sk, pred)]
+
+
+def test_quality_curve_monotone(spark):
+    """Kept docs/tokens are monotone in the threshold; tau=1e6 keeps
+    everything."""
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_quality_filter_threshold_curve,
+    )
+
+    rows = sorted(
+        q_quality_filter_threshold_curve(spark, SF).collect(),
+        key=lambda r: r["tau"],
+    )
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["kept_docs"] >= prev["kept_docs"]
+        assert cur["kept_tokens"] >= prev["kept_tokens"]
+    assert rows[-1]["kept_docs_ppm"] == 1_000_000
+    assert rows[-1]["kept_tokens_ppm"] == 1_000_000
+
+
+def test_srm_counts_match_split_operator(spark):
+    """The SRM check must count exactly what customer_split assigns."""
+    from ecom_churn_lakehouse_spark.queries.sampling_queries import (
+        q_customer_split,
+        q_split_srm_check,
+    )
+
+    srm = q_split_srm_check(spark, SF).collect()[0]
+    split_counts = {
+        r["split"]: r["cnt"]
+        for r in q_customer_split(spark, SF)
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert srm["n_train"] == split_counts.get("train", 0)
+    assert srm["n_val"] == split_counts.get("val", 0)
+    assert srm["n_test"] == split_counts.get("test", 0)
+    assert srm["n"] == sum(split_counts.values())
+    assert srm["chi2_milli"] >= 0
+
+
+def test_att_accounting(spark):
+    """Matched + unmatched treated partition all treated lines; the
+    per-treated ATT is the numerator divided by matched count."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_exact_matching_att,
+    )
+
+    r = q_exact_matching_att(spark, SF).collect()[0]
+    n_treated = duckdb.connect().execute(f"""
+        SELECT COUNT(*) FROM '{SF}/lineitem.parquet' l
+        JOIN '{SF}/part.parquet' p ON p.p_partkey = l.l_partkey
+        WHERE p.p_type LIKE 'PROMO%'
+    """).fetchone()[0]
+    assert r["n_treated_matched"] + r["n_treated_unmatched"] == n_treated
+    assert r["n_cells_matched"] > 0
+    expect = r["att_num_milli"] // r["n_treated_matched"]
+    if r["att_num_milli"] >= 0:
+        assert r["att_milli_cents"] == expect
+    else:
+        assert r["att_milli_cents"] in (expect, expect)  # floor semantics
+
+
+def test_delta_ci_brackets_ratio(spark):
+    """CI must bracket the point estimate with positive width."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_ratio_metric_delta_ci,
+    )
+
+    r = q_ratio_metric_delta_ci(spark, SF).collect()[0]
+    assert r["se_milli"] > 0
+    assert r["ci_lo_milli_approx"] < r["ratio_milli"] < r["ci_hi_milli_approx"]
+    # point estimate consistent with the raw totals
+    assert r["ratio_milli"] == r["total_dollars"] * 1000 // r["total_orders"]
+
+
+def test_hhi_bounds(spark):
+    """HHI in [1e6/n_brands - slack, 1e6]; top share consistent."""
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        q_market_hhi_by_segment,
+    )
+
+    rows = q_market_hhi_by_segment(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_brands"] > 0
+        lower = 1_000_000 // r["n_brands"] - 2  # floor slack
+        assert lower <= r["hhi_ppm"] <= 1_000_000
+        assert 0 < r["top_brand_share_bp"] <= 10000
+
+
+def test_shard_balance_partitions_corpus(spark):
+    """Shard sizes must partition the corpus; every source has
+    positive expectation in every shard."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_shard_source_balance_audit,
+    )
+
+    rows = q_shard_source_balance_audit(spark, SF).collect()
+    n_docs = duckdb.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["chi2_micro"] >= 0
+        assert 0 < r["sources_present"] <= 20
+
+
+def test_mde_scales_with_imbalance(spark):
+    """90/10 MDE must exceed 50/50 MDE (harmonic-mean penalty)."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_experiment_power_mde,
+    )
+
+    r = q_experiment_power_mde(spark, SF).collect()[0]
+    assert r["mde_90_10_milli"] > r["mde_50_50_milli"] > 0
+    assert r["sd_milli_dollars"] > 0
+    # the 90/10 penalty is sqrt((1/.9+1/.1)/(1/.5+1/.5)) ~ 1.667
+    ratio = r["mde_90_10_milli"] / r["mde_50_50_milli"]
+    assert 1.60 < ratio < 1.73
+
+
+def test_mediation_identity(spark):
+    """OLS identity: total = direct + indirect (exactly in algebra,
+    surfaced as a float-tolerance check column)."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_discount_quantity_mediation,
+    )
+
+    r = q_discount_quantity_mediation(spark, SF).collect()[0]
+    assert r["identity_holds"]
+    assert abs(r["total_micro"] - (r["direct_micro"] + r["indirect_micro"])) <= 2
