@@ -1837,3 +1837,113 @@ def q_granger_causality_screen(spark, sf_dir):
         F.expr(_GRANGER_OUT["r2_full_micro"]).alias("r2_full_micro"),
         (F.expr(_GRANGER_OUT["f_milli"]) > 3841).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------- seasonality strength
+
+#: Variance explained by a calendar component: 1 - SS_resid/SS_total
+#: where the component predictor is the per-bucket (month / weekday)
+#: mean. SS identities from exact int64 sums at the kilo-dollar
+#: grain: SS_explained = SUM_b floor(s_b^2/n_b) - floor(S^2/N), each
+#: term integer-floored (deterministic), ratio in exact ppm.
+_SEASONALITY_SQL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) // 100000 AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily
+),
+comp AS (
+    SELECT 'month_of_year' AS component,
+           CAST(month(d) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(y) AS BIGINT) AS s_b
+    FROM daily GROUP BY month(d)
+    UNION ALL
+    SELECT 'day_of_week',
+           CAST(dayofweek(d) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(y) AS BIGINT)
+    FROM daily GROUP BY dayofweek(d)
+),
+explained AS (
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(s_b * s_b // n_b) AS BIGINT) AS bucket_ss
+    FROM comp GROUP BY component
+)
+SELECT e.component, e.n_buckets, t.n AS n_days,
+       CAST((e.bucket_ss - t.s * t.s // t.n) * 1000000
+            // (t.syy - t.s * t.s // t.n) AS BIGINT) AS strength_ppm
+FROM explained e CROSS JOIN tot t
+ORDER BY e.component
+"""
+
+
+@register(
+    "seasonality_strength_decomposition",
+    _SEASONALITY_SQL,
+    doc="Seasonality strength per calendar component: the share of "
+    "daily-revenue variance explained by month-of-year and by "
+    "day-of-week bucket means (the eta-squared of a one-way "
+    "calendar ANOVA) — the scalar that says whether "
+    "dow_seasonality_profile's pattern is signal or noise, and "
+    "which calendar feature a forecasting model should receive "
+    "first. Kilo-dollar day grain keeps every sum-of-squares exact "
+    "int64; SS_explained uses the per-bucket s^2//n identity with "
+    "INTEGER flooring per bucket (deterministic, bias < 1 unit per "
+    "bucket); the final ratio is non-negative integer DIV in ppm. "
+    "NOTE dayofweek: both engines are Sunday=1 on DATE inputs "
+    "(pinned by the dow entry's round-5 fixture). Scale: one "
+    "map-combinable day-grain agg, then 12-row and 7-row "
+    "aggregates.",
+)
+def q_seasonality_strength_decomposition(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    comp = None
+    for name, bucket in (
+        ("month_of_year", F.month("d")),
+        ("day_of_week", F.dayofweek("d")),
+    ):
+        c = daily.groupBy(bucket.cast("long").alias("bucket")).agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("y").cast("long").alias("s_b"),
+        ).select(F.lit(name).alias("component"), "bucket", "n_b", "s_b")
+        comp = c if comp is None else comp.unionByName(c)
+    explained = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_buckets"),
+        F.sum(F.expr("s_b * s_b DIV n_b")).cast("long").alias("bucket_ss"),
+    )
+    return (
+        explained.crossJoin(F.broadcast(tot))
+        .select(
+            "component",
+            "n_buckets",
+            F.col("n").alias("n_days"),
+            F.expr(
+                "CAST((bucket_ss - s * s DIV n) * 1000000"
+                " DIV (syy - s * s DIV n) AS BIGINT)"
+            ).alias("strength_ppm"),
+        )
+        .orderBy("component")
+    )

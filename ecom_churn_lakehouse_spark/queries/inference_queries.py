@@ -2576,3 +2576,179 @@ def q_discount_quantity_mediation(spark, sf_dir):
             "ABS(c_total - (c_direct + a_slope * b_slope)) < 1e-6"
         ).alias("identity_holds"),
     )
+
+
+# --------------------------------------------------------------------------
+# Split-conformal prediction intervals for order value.
+# --------------------------------------------------------------------------
+
+#: Split conformal: fit a trivial per-segment mean predictor on the
+#: proper-training half, take the ceil((n_cal+1)*0.95)-th smallest
+#: absolute residual on the calibration quarter as the interval
+#: half-width, then MEASURE coverage on the held-out test quarter.
+#: Everything is exact integers: hash split, cent residuals,
+#: order-statistic selection at the distinct-value grain.
+
+
+def _conformal_sql() -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    hb = hash_bucket_sql("o.o_orderkey", "conf:", 4)
+    return f"""
+WITH base AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+           CAST({hb} AS BIGINT) AS fold
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+predictor AS (
+    SELECT segment,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pred_cents
+    FROM base WHERE fold < 2 GROUP BY segment
+),
+cal AS (
+    SELECT b.segment, CAST(abs(b.cents - p.pred_cents) AS BIGINT) AS r
+    FROM base b JOIN predictor p ON p.segment = b.segment
+    WHERE b.fold = 2
+),
+cal_n AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_cal
+          FROM cal GROUP BY segment),
+per_value AS (
+    SELECT segment, r, CAST(COUNT(*) AS BIGINT) AS t FROM cal
+    GROUP BY segment, r
+),
+cum AS (
+    SELECT segment, r, t,
+           CAST(SUM(t) OVER (PARTITION BY segment ORDER BY r) - t AS BIGINT)
+               AS below
+    FROM per_value
+),
+qhat AS (
+    SELECT c.segment, MIN(c.r) AS q_cents
+    FROM cum c JOIN cal_n n ON n.segment = c.segment
+    WHERE c.below + c.t >= CAST(CEIL((n.n_cal + 1) * 0.95) AS BIGINT)
+    GROUP BY c.segment
+),
+test AS (
+    SELECT b.segment,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN abs(b.cents - p.pred_cents) <= q.q_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS covered
+    FROM base b
+    JOIN predictor p ON p.segment = b.segment
+    JOIN qhat q ON q.segment = b.segment
+    WHERE b.fold = 3
+    GROUP BY b.segment
+)
+SELECT t.segment, n.n_cal, t.n_test,
+       p.pred_cents, q.q_cents AS halfwidth_cents,
+       t.covered,
+       CAST(t.covered * 1000000 // t.n_test AS BIGINT) AS coverage_ppm
+FROM test t
+JOIN cal_n n ON n.segment = t.segment
+JOIN predictor p ON p.segment = t.segment
+JOIN qhat q ON q.segment = t.segment
+ORDER BY t.segment
+"""
+
+
+@register(
+    "conformal_spend_intervals",
+    _conformal_sql(),
+    doc="Split-conformal prediction intervals: a per-segment mean "
+    "predictor fit on half the orders, the 95% conformal quantile "
+    "of absolute calibration residuals as the interval half-width, "
+    "and the finite-sample coverage guarantee VERIFIED on a "
+    "held-out quarter — distribution-free uncertainty for any "
+    "point predictor, the deployment-grade alternative to the "
+    "normal-theory CIs elsewhere in this tier. Folds come from the "
+    "shared md5 bucket; the conformal quantile is the "
+    "ceil((n+1)*0.95)-th order statistic selected at the "
+    "distinct-residual grain (below+t >= rank — the MWU "
+    "discipline); coverage is exact ppm. Scale: one fused scan, "
+    "per-segment grouped aggs, one per-segment value-grain "
+    "cumsum — no row sort, no fact join beyond the broadcast "
+    "predictor.",
+)
+def q_conformal_spend_intervals(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        hash_bucket(F.col("o_orderkey"), "conf:", mod=4).alias("fold"),
+    ).localCheckpoint(eager=False)
+    predictor = (
+        base.filter(F.col("fold") < 2)
+        .groupBy("segment")
+        .agg(F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("pred_cents"))
+    )
+    cal = (
+        base.filter(F.col("fold") == 2)
+        .join(F.broadcast(predictor), "segment")
+        .select(
+            "segment",
+            F.abs(F.col("cents") - F.col("pred_cents")).cast("long").alias("r"),
+        )
+    )
+    cal_n = cal.groupBy("segment").agg(F.count("*").cast("long").alias("n_cal"))
+    per_value = cal.groupBy("segment", "r").agg(
+        F.count("*").cast("long").alias("t")
+    )
+    w = Window.partitionBy("segment").orderBy("r")
+    cum = per_value.select(
+        "segment",
+        "r",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).cast("long").alias("below"),
+    )
+    qhat = (
+        cum.join(F.broadcast(cal_n), "segment")
+        .filter(
+            F.col("below") + F.col("t")
+            >= F.expr("CAST(CEIL((n_cal + 1) * 0.95) AS BIGINT)")
+        )
+        .groupBy("segment")
+        .agg(F.min("r").alias("q_cents"))
+    )
+    test = (
+        base.filter(F.col("fold") == 3)
+        .join(F.broadcast(predictor), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred_cents")) <= F.col("q_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(cal_n), "segment")
+        .join(F.broadcast(predictor), "segment")
+        .join(F.broadcast(qhat), "segment")
+        .select(
+            "segment",
+            "n_cal",
+            "n_test",
+            "pred_cents",
+            F.col("q_cents").alias("halfwidth_cents"),
+            "covered",
+            F.expr("CAST(covered * 1000000 DIV n_test AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -1024,3 +1024,74 @@ def q_market_hhi_by_segment(spark, sf_dir):
             "top_brand_share_bp"
         ),
     ).orderBy("segment")
+
+
+# ------------------------------------------------ newsvendor stock levels
+
+#: Service levels evaluated: 50% (median), 90%, and the newsvendor
+#: critical fractile cu/(cu+co) = 80% for unit margin 4x holding cost.
+_NV_LEVELS = ((50, "q50_units"), (80, "q_critical_units"), (90, "q90_units"))
+
+_NV_SQL = f"""
+WITH daily AS (
+    SELECT p.p_brand AS brand, CAST(l.l_shipdate AS DATE) AS d,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS BIGINT) AS units
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, CAST(l.l_shipdate AS DATE)
+)
+SELECT brand,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(units) // COUNT(*) AS BIGINT) AS mean_units,
+       {", ".join(
+           f"CAST(percentile_disc(0.{lvl:02d}) WITHIN GROUP (ORDER BY units)"
+           f" AS BIGINT) AS {name}" for lvl, name in _NV_LEVELS)},
+       CAST(percentile_disc(0.80) WITHIN GROUP (ORDER BY units) AS BIGINT)
+           - CAST(SUM(units) // COUNT(*) AS BIGINT) AS safety_stock_units
+FROM daily GROUP BY brand ORDER BY brand
+"""
+
+
+@register(
+    "newsvendor_stock_levels",
+    _NV_SQL,
+    doc="Newsvendor stocking levels per brand: exact daily-demand "
+    "quantiles at 50/80/90% service levels (the 80% row is the "
+    "critical fractile cu/(cu+co) for a 4:1 margin-to-holding-cost "
+    "ratio — the newsvendor-optimal order-up-to point) plus the "
+    "implied safety stock over mean demand. Demand reduces to the "
+    "(brand x day) grain in one map-combinable agg; quantiles are "
+    "percentile_disc (cross-engine exact per the round-5 boundary "
+    "fixtures) over the CALENDAR-bounded daily frame — stocking "
+    "policy at 100 TB costs one fact pass, and the quantile input "
+    "never exceeds brands x days rows.",
+)
+def q_newsvendor_stock_levels(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.to_date("l_shipdate").alias("d"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("qty"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "d")
+        .agg(F.sum("qty").cast("long").alias("units"))
+    )
+    q = lambda lvl: F.expr(  # noqa: E731
+        f"CAST(percentile_disc(0.{lvl:02d}) WITHIN GROUP (ORDER BY units)"
+        " AS BIGINT)"
+    )
+    return (
+        daily.groupBy("brand")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.expr("CAST(SUM(units) DIV COUNT(*) AS BIGINT)").alias("mean_units"),
+            q(50).alias("q50_units"),
+            q(80).alias("q_critical_units"),
+            q(90).alias("q90_units"),
+            (q(80) - F.expr("CAST(SUM(units) DIV COUNT(*) AS BIGINT)")).alias(
+                "safety_stock_units"
+            ),
+        )
+        .orderBy("brand")
+    )

@@ -103,6 +103,9 @@ NEW_IN_ROUND: list[str] = [
     "shard_source_balance_audit",
     "experiment_power_mde",
     "discount_quantity_mediation",
+    "conformal_spend_intervals",
+    "seasonality_strength_decomposition",
+    "newsvendor_stock_levels",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

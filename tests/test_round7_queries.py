@@ -642,3 +642,53 @@ def test_mediation_identity(spark):
     r = q_discount_quantity_mediation(spark, SF).collect()[0]
     assert r["identity_holds"]
     assert abs(r["total_micro"] - (r["direct_micro"] + r["indirect_micro"])) <= 2
+
+
+def test_conformal_coverage_guarantee(spark):
+    """Split conformal guarantees coverage >= 95% in expectation;
+    with finite test sets allow a small margin below."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_conformal_spend_intervals,
+    )
+
+    rows = q_conformal_spend_intervals(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["halfwidth_cents"] > 0
+        assert r["covered"] <= r["n_test"]
+        # 95% nominal; binomial noise at sf0.001 test sizes
+        assert r["coverage_ppm"] >= 850_000
+
+
+def test_seasonality_strength_bounds(spark):
+    """Variance explained is a proportion in [0, 1e6]; month has at
+    most 12 buckets, dow at most 7."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_seasonality_strength_decomposition,
+    )
+
+    rows = {
+        r["component"]: r
+        for r in q_seasonality_strength_decomposition(spark, SF).collect()
+    }
+    assert set(rows) == {"month_of_year", "day_of_week"}
+    assert rows["month_of_year"]["n_buckets"] <= 12
+    assert rows["day_of_week"]["n_buckets"] <= 7
+    for r in rows.values():
+        assert 0 <= r["strength_ppm"] <= 1_000_000
+
+
+def test_newsvendor_quantile_ordering(spark):
+    """Service-level quantiles must be monotone and the critical
+    fractile must sit between the median and the 90% level."""
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        q_newsvendor_stock_levels,
+    )
+
+    rows = q_newsvendor_stock_levels(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["q50_units"] <= r["q_critical_units"] <= r["q90_units"]
+        assert (
+            r["safety_stock_units"] == r["q_critical_units"] - r["mean_units"]
+        )
