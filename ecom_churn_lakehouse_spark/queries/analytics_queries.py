@@ -1947,3 +1947,130 @@ def q_seasonality_strength_decomposition(spark, sf_dir):
         )
         .orderBy("component")
     )
+
+
+# --------------------------------------------- retention decay fit
+
+#: OLS of per-point integer-quantized ln(retention) on cohort age.
+#: Each point's log is floored to micro BEFORE the sums (float
+#: accumulation never matters); the slope is one shared IEEE
+#: expression over five exact int64 sums.
+_RDF_SLOPE_MICRO = (
+    "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxl AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sl AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)"
+)
+
+_RDF_SQL = """
+WITH om AS (
+    SELECT o_custkey,
+           CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)
+               AS ym
+    FROM orders
+),
+coh AS (SELECT o_custkey, CAST(MIN(ym) AS BIGINT) AS cym FROM om
+        GROUP BY o_custkey),
+sz AS (SELECT cym, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM coh
+       GROUP BY cym),
+active AS (
+    SELECT c.cym, CAST(o.ym - c.cym AS BIGINT) AS age,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+    FROM om o JOIN coh c ON c.o_custkey = o.o_custkey
+    WHERE o.ym - c.cym BETWEEN 1 AND 12
+    GROUP BY c.cym, o.ym - c.cym
+),
+points AS (
+    SELECT CAST(a.cym // 12 AS BIGINT) AS cohort_year,
+           a.age,
+           CAST(a.n_active * 1000000 // s.cohort_size AS BIGINT) AS ret_ppm,
+           CAST(FLOOR(ln(CAST(a.n_active AS DOUBLE)
+                         / CAST(s.cohort_size AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS l_micro
+    FROM active a JOIN sz s ON s.cym = a.cym
+),
+fit AS (
+    SELECT cohort_year,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(age) AS BIGINT) AS sx,
+           CAST(SUM(age * age) AS BIGINT) AS sxx,
+           CAST(SUM(l_micro) AS BIGINT) AS sl,
+           CAST(SUM(age * l_micro) AS BIGINT) AS sxl,
+           CAST(SUM(ret_ppm) // COUNT(*) AS BIGINT) AS mean_ret_ppm
+    FROM points GROUP BY cohort_year
+)
+SELECT cohort_year, n AS n_points, mean_ret_ppm,
+       {slope} AS decay_micro_per_month,
+       CAST(CASE WHEN {slope} < 0
+                 THEN FLOOR(693147.0 / CAST(-({slope}) AS DOUBLE) * 30.0)
+                 ELSE -1 END AS BIGINT) AS half_life_days
+FROM fit WHERE n >= 3 ORDER BY cohort_year
+""".format(slope=_RDF_SLOPE_MICRO)
+
+
+@register(
+    "retention_decay_fit",
+    _RDF_SQL,
+    doc="Exponential retention-decay fit per acquisition cohort year: "
+    "OLS of log monthly retention on cohort age (months 1-12) gives "
+    "the decay rate and the implied half-life in days — the scalar "
+    "that turns cohort_retention's triangle into a comparable "
+    "number per vintage. Retention ratios are exact ppm; each "
+    "point's log is floor-quantized to micro BEFORE the integer "
+    "sums; the slope is one shared IEEE expression over five int64 "
+    "sums (half-life = ln2/rate, -1 sentinel for non-decaying "
+    "fits). Scale: one per-customer MIN, one (cohort x age) "
+    "distinct-count agg, then a <=12-point fit per cohort year.",
+)
+def q_retention_decay_fit(spark, sf_dir):
+    om = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+        .cast("long")
+        .alias("ym"),
+    )
+    coh = om.groupBy("o_custkey").agg(F.min("ym").cast("long").alias("cym"))
+    sz = coh.groupBy("cym").agg(F.count("*").cast("long").alias("cohort_size"))
+    active = (
+        om.join(coh, "o_custkey")
+        .filter((F.col("ym") - F.col("cym")).between(1, 12))
+        .groupBy("cym", (F.col("ym") - F.col("cym")).alias("age"))
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_active"))
+    )
+    points = active.join(F.broadcast(sz), "cym").select(
+        F.expr("CAST(cym DIV 12 AS BIGINT)").alias("cohort_year"),
+        F.col("age").cast("long").alias("age"),
+        F.expr("CAST(n_active * 1000000 DIV cohort_size AS BIGINT)").alias(
+            "ret_ppm"
+        ),
+        F.expr(
+            "CAST(FLOOR(ln(CAST(n_active AS DOUBLE)"
+            " / CAST(cohort_size AS DOUBLE)) * 1000000.0) AS BIGINT)"
+        ).alias("l_micro"),
+    )
+    fit = points.groupBy("cohort_year").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("age").cast("long").alias("sx"),
+        F.sum(F.col("age") * F.col("age")).cast("long").alias("sxx"),
+        F.sum("l_micro").cast("long").alias("sl"),
+        F.sum(F.col("age") * F.col("l_micro")).cast("long").alias("sxl"),
+        F.expr("CAST(SUM(ret_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_ret_ppm"
+        ),
+    )
+    return (
+        fit.filter(F.col("n") >= 3)
+        .select(
+            "cohort_year",
+            F.col("n").alias("n_points"),
+            "mean_ret_ppm",
+            F.expr(_RDF_SLOPE_MICRO).alias("decay_micro_per_month"),
+            F.expr(
+                f"CAST(CASE WHEN {_RDF_SLOPE_MICRO} < 0"
+                f" THEN FLOOR(693147.0 / CAST(-({_RDF_SLOPE_MICRO}) AS DOUBLE)"
+                " * 30.0)"
+                " ELSE -1 END AS BIGINT)"
+            ).alias("half_life_days"),
+        )
+        .orderBy("cohort_year")
+    )

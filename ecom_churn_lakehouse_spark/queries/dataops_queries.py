@@ -1427,3 +1427,139 @@ def q_sort_key_advisor(spark, sf_dir):
             "CAST((n_groups - groups_hit) * 1000000 DIV n_groups AS BIGINT)"
         ).alias("prune_ppm"),
     ).orderBy("sort_key", "predicate")
+
+
+# ------------------------------------------- two-pass exact percentile
+
+_TPP_BIN_CENTS = 1_000_000  # $10k coarse bins
+_TPP_LEVELS = ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents"))
+
+
+def _tpp_sql() -> str:
+    pct_cols = []
+    for lvl, name in _TPP_LEVELS:
+        pct_cols.append(
+            f"(SELECT CAST(MIN(cents) AS BIGINT) FROM ranked r, tot t\n"
+            f"  WHERE r.below + r.cnt >= (t.n * {lvl} + 99) // 100) AS {name}"
+        )
+    return f"""
+WITH base AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+-- pass 1: coarse histogram (bin width ${_TPP_BIN_CENTS // 100})
+bins AS (
+    SELECT cents // {_TPP_BIN_CENTS} AS bin, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY cents // {_TPP_BIN_CENTS}
+),
+bin_cum AS (
+    SELECT bin, c,
+           CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT) AS below_bin
+    FROM bins
+),
+-- pass 2: exact value-grain counts WITHIN candidate bins only
+cand_bins AS (
+    SELECT DISTINCT b.bin, b.below_bin FROM bin_cum b, tot t
+    WHERE EXISTS (
+        SELECT 1 FROM (VALUES {", ".join(f"({lvl})" for lvl, _ in _TPP_LEVELS)})
+            AS ls(lvl)
+        WHERE (t.n * ls.lvl + 99) // 100 > b.below_bin
+          AND (t.n * ls.lvl + 99) // 100 <= b.below_bin + b.c
+    )
+),
+ranked AS (
+    SELECT v.cents,
+           CAST(cb.below_bin + SUM(v.cnt) OVER (
+               PARTITION BY v.bin ORDER BY v.cents) - v.cnt AS BIGINT) AS below,
+           v.cnt
+    FROM (
+        SELECT cents // {_TPP_BIN_CENTS} AS bin, cents,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM base
+        WHERE cents // {_TPP_BIN_CENTS} IN (SELECT bin FROM cand_bins)
+        GROUP BY cents // {_TPP_BIN_CENTS}, cents
+    ) v JOIN cand_bins cb ON cb.bin = v.bin
+)
+SELECT (SELECT n FROM tot) AS n,
+       CAST((SELECT COUNT(*) FROM cand_bins) AS BIGINT) AS bins_scanned_pass2,
+       {", ".join(pct_cols)}
+"""
+
+
+@register(
+    "two_pass_exact_percentile",
+    _tpp_sql(),
+    doc="EXACT p50/p95/p99 of order value without a global sort: "
+    "pass 1 builds a coarse value histogram (map-combinable), the "
+    "driver-side rank arithmetic identifies which bin holds each "
+    "target rank, pass 2 re-scans ONLY those bins at the exact "
+    "value grain and picks the order statistic by cumulative count "
+    "— the standard way an exact extreme percentile is computed "
+    "over 100 TB (two pushdown-filtered scans and two small "
+    "shuffles beat one full sort by orders of magnitude; "
+    "percentile_disc's ObjectHashAggregate buffers the whole "
+    "column). The nth-rank convention is ceil(n*p/100) — matching "
+    "percentile_disc, asserted in tests. bins_scanned_pass2 is the "
+    "efficiency witness (3 targets -> <= 3 bins of the ~100-bin "
+    "histogram).",
+)
+def q_two_pass_exact_percentile(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=False)
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    bins = base.groupBy(
+        (F.col("cents") / _TPP_BIN_CENTS).cast("long").alias("bin")
+    ).agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy("bin")
+    bin_cum = bins.select(
+        "bin", "c", (F.sum("c").over(w) - F.col("c")).cast("long").alias("below_bin")
+    )
+    lvls = F.explode(
+        F.array(*[F.lit(lvl).cast("long") for lvl, _ in _TPP_LEVELS])
+    ).alias("lvl")
+    cand_bins = (
+        bin_cum.crossJoin(F.broadcast(tot))
+        .select("bin", "below_bin", "c", "n", lvls)
+        .filter(
+            (F.expr("(n * lvl + 99) DIV 100") > F.col("below_bin"))
+            & (F.expr("(n * lvl + 99) DIV 100") <= F.col("below_bin") + F.col("c"))
+        )
+        .select("bin", "below_bin")
+        .distinct()
+    )
+    vals = (
+        base.withColumn("bin", (F.col("cents") / _TPP_BIN_CENTS).cast("long"))
+        .join(F.broadcast(cand_bins), "bin")
+        .groupBy("bin", "below_bin", "cents")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w2 = Window.partitionBy("bin").orderBy("cents")
+    ranked = vals.select(
+        "cents",
+        (F.col("below_bin") + F.sum("cnt").over(w2) - F.col("cnt"))
+        .cast("long")
+        .alias("below"),
+        "cnt",
+    ).localCheckpoint(eager=False)
+    out_cols = [F.col("n")]
+    n_cand = cand_bins.agg(
+        F.count("*").cast("long").alias("bins_scanned_pass2")
+    )
+    res = tot.crossJoin(F.broadcast(n_cand))
+    for lvl, name in _TPP_LEVELS:
+        pick = (
+            ranked.crossJoin(F.broadcast(tot.select(F.col("n").alias("nn"))))
+            .filter(
+                F.col("below") + F.col("cnt")
+                >= F.expr(f"(nn * {lvl} + 99) DIV 100")
+            )
+            .agg(F.min("cents").cast("long").alias(name))
+        )
+        res = res.crossJoin(F.broadcast(pick))
+    return res.select(
+        "n", "bins_scanned_pass2", *[name for _, name in _TPP_LEVELS]
+    )

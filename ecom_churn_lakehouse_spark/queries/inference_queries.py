@@ -2752,3 +2752,228 @@ def q_conformal_spend_intervals(spark, sf_dir):
         )
         .orderBy("segment")
     )
+
+
+# --------------------------------------------------------------------------
+# Hill tail-index estimator on order values.
+# --------------------------------------------------------------------------
+
+_HILL_K = 100
+
+_HILL_SQL = f"""
+WITH ranked AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (ORDER BY CAST(o_totalprice AS DECIMAL(18,2))
+                              DESC, o_orderkey) AS rnk
+    FROM orders
+),
+topk AS (SELECT cents, rnk FROM ranked WHERE rnk <= {_HILL_K + 1}),
+ref AS (SELECT cents AS ref_cents FROM topk WHERE rnk = {_HILL_K + 1}),
+terms AS (
+    SELECT CAST(FLOOR(ln(CAST(t.cents AS DOUBLE)
+                         / CAST(r.ref_cents AS DOUBLE)) * 1000000.0)
+                AS BIGINT) AS log_micro
+    FROM topk t CROSS JOIN ref r
+    WHERE t.rnk <= {_HILL_K}
+)
+SELECT CAST({_HILL_K} AS BIGINT) AS k,
+       (SELECT CAST(ref_cents AS BIGINT) FROM ref) AS threshold_cents,
+       CAST(SUM(log_micro) AS BIGINT) AS sum_log_micro,
+       CAST({_HILL_K * 1000000000} // SUM(log_micro) AS BIGINT)
+           AS hill_alpha_milli
+FROM terms
+"""
+
+
+@register(
+    "spend_tail_hill_estimator",
+    _HILL_SQL,
+    doc=f"Hill tail-index estimator: alpha = k / SUM ln(x_i/x_(k+1)) "
+    f"over the top-{_HILL_K} order values — the standard heavy-tail "
+    "exponent that says whether extreme orders follow a power law "
+    "(alpha < 2: infinite variance, winsorize before any mean-based "
+    "metric) — the quantitative justification for "
+    "winsorized_spend_stats sitting next to pareto_frontier_orders "
+    "and revenue_gini_by_nation. Top-(k+1) selection is a "
+    "TakeOrderedAndProject (per-partition top-k, k-sized driver "
+    "merge — no global sort); each log term is floor-quantized "
+    "micro from two exact ints BEFORE the integer sum (float "
+    "accumulation order never matters); alpha is one non-negative "
+    "integer DIV in milli. Scale: the only data-sized cost is the "
+    "scan feeding top-k.",
+)
+def q_spend_tail_hill_estimator(spark, sf_dir):
+    ranked = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+        F.col("o_orderkey"),
+    )
+    topk = (
+        ranked.orderBy(F.col("cents").desc(), "o_orderkey")
+        .limit(_HILL_K + 1)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cents").desc(), "o_orderkey")
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ref = topk.filter(F.col("rnk") == _HILL_K + 1).select(
+        F.col("cents").alias("ref_cents")
+    )
+    terms = (
+        topk.filter(F.col("rnk") <= _HILL_K)
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.expr(
+                "CAST(FLOOR(ln(CAST(cents AS DOUBLE)"
+                " / CAST(ref_cents AS DOUBLE)) * 1000000.0) AS BIGINT)"
+            ).alias("log_micro")
+        )
+    )
+    agg = terms.agg(F.sum("log_micro").cast("long").alias("sum_log_micro"))
+    return agg.crossJoin(F.broadcast(ref)).select(
+        F.lit(_HILL_K).cast("long").alias("k"),
+        F.col("ref_cents").cast("long").alias("threshold_cents"),
+        "sum_log_micro",
+        F.expr(
+            f"CAST({_HILL_K * 1000000000} DIV sum_log_micro AS BIGINT)"
+        ).alias("hill_alpha_milli"),
+    )
+
+
+# --------------------------------------------------------------------------
+# James-Stein / empirical-Bayes shrinkage of per-brand price means.
+# --------------------------------------------------------------------------
+
+#: Method-of-moments EB normal model: lambda_b = s2w/(s2w + n_b*tau2),
+#: tau2 = max(var(means) - s2w*mean(1/n_b), 0). Every order-dependent
+#: sum is integer-quantized per brand BEFORE aggregation (ws_floor,
+#: m_milli, h_nano); the per-brand shrinkage is one shared IEEE
+#: expression over those exact ints.
+_JS_LAMBDA = (
+    "((CAST(q_tot AS DOUBLE) - CAST(sum_ws AS DOUBLE))"
+    " / (CAST(n_tot AS DOUBLE) - CAST(b_tot AS DOUBLE)))"
+    " / (((CAST(q_tot AS DOUBLE) - CAST(sum_ws AS DOUBLE))"
+    "     / (CAST(n_tot AS DOUBLE) - CAST(b_tot AS DOUBLE)))"
+    "    + CAST(n_b AS DOUBLE)"
+    "      * GREATEST((CAST(sum_m2 AS DOUBLE)"
+    "                  - CAST(sum_m AS DOUBLE) * CAST(sum_m AS DOUBLE)"
+    "                    / CAST(b_tot AS DOUBLE))"
+    "                 / (CAST(b_tot AS DOUBLE) - 1.0) / 1000000.0"
+    "                 - ((CAST(q_tot AS DOUBLE) - CAST(sum_ws AS DOUBLE))"
+    "                    / (CAST(n_tot AS DOUBLE) - CAST(b_tot AS DOUBLE)))"
+    "                   * CAST(sum_h AS DOUBLE) / 1000000000.0"
+    "                   / CAST(b_tot AS DOUBLE), 0.0))"
+)
+_JS_SHRUNK_MILLI = (
+    f"CAST(FLOOR((CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)"
+    f" + (1.0 - {_JS_LAMBDA})"
+    f"   * (CAST(m_milli AS DOUBLE) / 1000.0"
+    f"      - CAST(s_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)))"
+    f" * 1000.0) AS BIGINT)"
+)
+
+_JS_SQL = f"""
+WITH base AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                // 100 AS BIGINT) AS x
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(x) * 1000 // COUNT(*) AS BIGINT) AS m_milli,
+           CAST(FLOOR(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS ws_floor,
+           CAST(1000000000 // COUNT(*) AS BIGINT) AS h_nano
+    FROM base GROUP BY brand
+),
+scalars AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+           CAST(SUM(x) AS BIGINT) AS s_tot,
+           CAST(SUM(x * x) AS BIGINT) AS q_tot
+    FROM base
+),
+bscalars AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS b_tot,
+           CAST(SUM(ws_floor) AS BIGINT) AS sum_ws,
+           CAST(SUM(m_milli) AS BIGINT) AS sum_m,
+           CAST(SUM(m_milli * m_milli) AS BIGINT) AS sum_m2,
+           CAST(SUM(h_nano) AS BIGINT) AS sum_h
+    FROM per_brand
+)
+SELECT p.brand, p.n_b, p.m_milli AS mean_milli,
+       CAST(FLOOR({_JS_LAMBDA} * 1000000.0) AS BIGINT) AS lambda_ppm,
+       {_JS_SHRUNK_MILLI} AS shrunk_milli
+FROM per_brand p CROSS JOIN scalars CROSS JOIN bscalars
+ORDER BY p.brand
+"""
+
+
+@register(
+    "james_stein_brand_means",
+    _JS_SQL,
+    doc="James-Stein / empirical-Bayes shrinkage of per-brand mean "
+    "line price toward the grand mean, with the shrinkage weight "
+    "lambda_b = s2w/(s2w + n_b*tau2) estimated from the data by "
+    "method of moments — the small-area estimator that beats raw "
+    "group means in total squared error whenever groups >= 3 "
+    "(Stein's paradox), and the data-driven upgrade of "
+    "target_encoding_brand's FIXED smoothing constant. Dollar "
+    "grain; every order-dependent float sum is integer-quantized "
+    "per brand first (floor(s^2/n), milli-means, nano-reciprocals) "
+    "so aggregation order never matters; shrinkage is one shared "
+    "IEEE expression per brand row. Scale: one fact pass to the "
+    "25-brand grain, everything after runs on 25 rows.",
+)
+def q_james_stein_brand_means(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"), "x"
+    )
+    per_brand = base.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_b"),
+        F.expr("CAST(SUM(x) * 1000 DIV COUNT(*) AS BIGINT)").alias("m_milli"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)"
+            " / COUNT(*)) AS BIGINT)"
+        ).alias("ws_floor"),
+        F.expr("CAST(1000000000 DIV COUNT(*) AS BIGINT)").alias("h_nano"),
+    )
+    scalars = base.agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.sum("x").cast("long").alias("s_tot"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_tot"),
+    )
+    bscalars = per_brand.agg(
+        F.count("*").cast("long").alias("b_tot"),
+        F.sum("ws_floor").cast("long").alias("sum_ws"),
+        F.sum("m_milli").cast("long").alias("sum_m"),
+        F.sum(F.col("m_milli") * F.col("m_milli")).cast("long").alias("sum_m2"),
+        F.sum("h_nano").cast("long").alias("sum_h"),
+    )
+    return (
+        per_brand.crossJoin(F.broadcast(scalars))
+        .crossJoin(F.broadcast(bscalars))
+        .select(
+            "brand",
+            "n_b",
+            F.col("m_milli").alias("mean_milli"),
+            F.expr(f"CAST(FLOOR({_JS_LAMBDA} * 1000000.0) AS BIGINT)").alias(
+                "lambda_ppm"
+            ),
+            F.expr(_JS_SHRUNK_MILLI).alias("shrunk_milli"),
+        )
+        .orderBy("brand")
+    )

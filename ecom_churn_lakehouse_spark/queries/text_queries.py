@@ -1690,3 +1690,266 @@ def q_bpe_compression_curve(spark, sf_dir):
         seg = _bpe_apply(seg, m).localCheckpoint(eager=False)
         out = out.unionByName(_point(seg, it))
     return out.orderBy("n_merges")
+
+
+# --------------------------------------------- chunk boundary cohesion
+
+_CBC_CHUNK = 32
+
+_CBC_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '\S+')) AS token,
+           generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+    FROM documents
+),
+assigned AS (
+    SELECT DISTINCT doc_id,
+           CAST((pos - 1) // {_CBC_CHUNK} AS BIGINT) AS chunk_id,
+           token
+    FROM toks
+),
+sizes AS (
+    SELECT doc_id, chunk_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM assigned GROUP BY doc_id, chunk_id
+),
+inter AS (
+    SELECT a.doc_id, a.chunk_id AS left_chunk,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM assigned a
+    JOIN assigned b
+      ON b.doc_id = a.doc_id AND b.chunk_id = a.chunk_id + 1
+         AND b.token = a.token
+    GROUP BY a.doc_id, a.chunk_id
+),
+boundaries AS (
+    SELECT sa.doc_id,
+           CAST(COALESCE(i.n_inter, 0) * 1000000
+                // (sa.n_distinct + sb.n_distinct - COALESCE(i.n_inter, 0))
+                AS BIGINT) AS cohesion_ppm
+    FROM sizes sa
+    JOIN sizes sb ON sb.doc_id = sa.doc_id
+                 AND sb.chunk_id = sa.chunk_id + 1
+    LEFT JOIN inter i ON i.doc_id = sa.doc_id
+                     AND i.left_chunk = sa.chunk_id
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_boundaries,
+       CAST(SUM(cohesion_ppm) // COUNT(*) AS BIGINT) AS mean_cohesion_ppm,
+       CAST(MIN(cohesion_ppm) AS BIGINT) AS min_cohesion_ppm,
+       CAST(SUM(CASE WHEN cohesion_ppm < 50000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_weak_boundaries
+FROM boundaries GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "chunk_boundary_cohesion",
+    _CBC_SQL,
+    doc=f"Chunk-boundary cohesion audit: fixed {_CBC_CHUNK}-token "
+    "chunks per document, distinct-token Jaccard between every "
+    "adjacent chunk pair — the TextTiling-style signal behind "
+    "semantic chunking for RAG: a LOW-cohesion boundary is a good "
+    "split point, a high-cohesion one cuts a topic in half (and "
+    "doc_chunks' fixed stride cuts blindly). Everything is "
+    "set-cardinality integer arithmetic at the (doc, chunk, "
+    "distinct-token) grain; the adjacent-pair join is equi-keyed "
+    "on (doc, chunk+1) so each boundary is built once. Scale: "
+    "work is proportional to total distinct chunk-tokens — one "
+    "shuffle on doc_id, no cross-document pairs anywhere.",
+)
+def q_chunk_boundary_cohesion(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("pos0", "token"),
+    )
+    assigned = toks.select(
+        "doc_id",
+        (F.col("pos0") / _CBC_CHUNK).cast("long").alias("chunk_id"),
+        "token",
+    ).distinct()
+    sizes = assigned.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").cast("long").alias("n_distinct")
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("da"), F.col("chunk_id").alias("ca"), "token"
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("db"), F.col("chunk_id").alias("cb"),
+        F.col("token").alias("tb"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("db") == F.col("da"))
+            & (F.col("cb") == F.col("ca") + 1)
+            & (F.col("tb") == F.col("token")),
+        )
+        .groupBy(F.col("da").alias("doc_id"), F.col("ca").alias("left_chunk"))
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        "doc_id", F.col("chunk_id").alias("left_chunk"),
+        F.col("n_distinct").alias("na"),
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"),
+        (F.col("chunk_id") - 1).alias("left_b"),
+        F.col("n_distinct").alias("nb"),
+    )
+    boundaries = (
+        sa.join(
+            sb,
+            (F.col("doc_b") == F.col("doc_id"))
+            & (F.col("left_b") == F.col("left_chunk")),
+        )
+        .join(inter, ["doc_id", "left_chunk"], "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(COALESCE(n_inter, 0) * 1000000"
+                " DIV (na + nb - COALESCE(n_inter, 0)) AS BIGINT)"
+            ).alias("cohesion_ppm"),
+        )
+    )
+    return (
+        boundaries.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_boundaries"),
+            F.expr("CAST(SUM(cohesion_ppm) DIV COUNT(*) AS BIGINT)").alias(
+                "mean_cohesion_ppm"
+            ),
+            F.min("cohesion_ppm").cast("long").alias("min_cohesion_ppm"),
+            F.sum(F.when(F.col("cohesion_ppm") < 50000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_weak_boundaries"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------- LLR signature terms
+
+_LLR_TOPK = 10
+
+#: Dunning log-likelihood ratio of the 2x2 (token x source)
+#: contingency: 2 * sum cell*ln(cell) - margins + N ln N, with
+#: 0*ln(0) = 0 via CASE. One shared expression per cell from exact
+#: integer counts; floor-quantized micro.
+_XLNX = "(CASE WHEN {x} > 0 THEN CAST({x} AS DOUBLE) * ln(CAST({x} AS DOUBLE)) ELSE 0.0 END)"
+_LLR_MICRO = (
+    "CAST(FLOOR(2.0 * ("
+    + _XLNX.format(x="a") + " + " + _XLNX.format(x="b")
+    + " + " + _XLNX.format(x="c") + " + " + _XLNX.format(x="d")
+    + " - " + _XLNX.format(x="a + b") + " - " + _XLNX.format(x="a + c")
+    + " - " + _XLNX.format(x="b + d") + " - " + _XLNX.format(x="c + d")
+    + " + " + _XLNX.format(x="a + b + c + d")
+    + ") * 1000000.0) AS BIGINT)"
+)
+
+_LLR_SQL = rf"""
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+cells AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS k FROM toks
+    GROUP BY source, token
+),
+src_tot AS (SELECT source, CAST(SUM(k) AS BIGINT) AS n1 FROM cells
+            GROUP BY source),
+tok_tot AS (SELECT token, CAST(SUM(k) AS BIGINT) AS kt FROM cells
+            GROUP BY token),
+grand AS (SELECT CAST(SUM(k) AS BIGINT) AS nn FROM cells),
+scored AS (
+    SELECT c.source, c.token,
+           c.k AS a,
+           t.kt - c.k AS b,
+           s.n1 - c.k AS c,
+           g.nn - s.n1 - (t.kt - c.k) AS d
+    FROM cells c
+    JOIN src_tot s ON s.source = c.source
+    JOIN tok_tot t ON t.token = c.token
+    CROSS JOIN grand g
+),
+llr AS (
+    SELECT source, token, a AS k_in_source,
+           {_LLR_MICRO} AS llr_micro
+    FROM scored
+),
+ranked AS (
+    SELECT source, token, k_in_source, llr_micro,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY llr_micro DESC, token) AS rnk
+    FROM llr
+)
+SELECT source, CAST(rnk AS BIGINT) AS rnk, token, k_in_source, llr_micro
+FROM ranked WHERE rnk <= {_LLR_TOPK}
+ORDER BY source, rnk
+"""
+
+
+@register(
+    "source_signature_terms_llr",
+    _LLR_SQL,
+    doc=f"Signature terms per source by Dunning log-likelihood ratio: "
+    f"the top-{_LLR_TOPK} tokens whose frequency in a source is most "
+    "surprising against the rest of the corpus (the Lin/Hovy "
+    "topic-signature method) — the per-SOURCE distinctiveness view "
+    "that tfidf_top_terms (per-doc) and token_pmi_bigrams "
+    "(per-pair) don't give, and the standard first look at what "
+    "makes a crawl source different. The 2x2 contingency per "
+    "(source, token) comes from exact integer marginals; the LLR "
+    "is ONE shared x*ln(x) expression per cell (0 ln 0 = 0 via "
+    "CASE), floor-quantized micro; top-k per source by integer "
+    "rank. Scale: everything runs at the (source x vocab) cell "
+    "grain after one token pass — the rank window partitions by "
+    "source.",
+)
+def q_source_signature_terms_llr(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    cells = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("k")
+    ).localCheckpoint(eager=False)
+    src_tot = cells.groupBy("source").agg(F.sum("k").cast("long").alias("n1"))
+    tok_tot = cells.groupBy("token").agg(F.sum("k").cast("long").alias("kt"))
+    grand = cells.agg(F.sum("k").cast("long").alias("nn"))
+    scored = (
+        cells.join(F.broadcast(src_tot), "source")
+        .join(tok_tot, "token")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "token",
+            F.col("k").alias("a"),
+            (F.col("kt") - F.col("k")).alias("b"),
+            (F.col("n1") - F.col("k")).alias("c"),
+            (F.col("nn") - F.col("n1") - (F.col("kt") - F.col("k"))).alias("d"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    llr = scored.select(
+        "source",
+        "token",
+        F.col("a").alias("k_in_source"),
+        F.expr(_LLR_MICRO).alias("llr_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("llr_micro").desc(), "token"
+    )
+    return (
+        llr.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _LLR_TOPK)
+        .select("source", "rnk", "token", "k_in_source", "llr_micro")
+        .orderBy("source", "rnk")
+    )

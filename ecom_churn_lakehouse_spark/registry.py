@@ -106,6 +106,12 @@ NEW_IN_ROUND: list[str] = [
     "conformal_spend_intervals",
     "seasonality_strength_decomposition",
     "newsvendor_stock_levels",
+    "chunk_boundary_cohesion",
+    "spend_tail_hill_estimator",
+    "james_stein_brand_means",
+    "two_pass_exact_percentile",
+    "retention_decay_fit",
+    "source_signature_terms_llr",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -692,3 +692,107 @@ def test_newsvendor_quantile_ordering(spark):
         assert (
             r["safety_stock_units"] == r["q_critical_units"] - r["mean_units"]
         )
+
+
+def test_chunk_cohesion_bounds(spark):
+    """Jaccard cohesion in [0, 1e6]; docs with one chunk emit no
+    boundary rows; weak count bounded by boundary count."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_chunk_boundary_cohesion,
+    )
+
+    rows = q_chunk_boundary_cohesion(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_boundaries"] >= 1
+        assert 0 <= r["min_cohesion_ppm"] <= r["mean_cohesion_ppm"] <= 1_000_000
+        assert 0 <= r["n_weak_boundaries"] <= r["n_boundaries"]
+
+
+def test_hill_alpha_positive(spark):
+    """Top-k values all exceed the threshold, so the log sum and
+    alpha are strictly positive."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_spend_tail_hill_estimator,
+    )
+
+    r = q_spend_tail_hill_estimator(spark, SF).collect()[0]
+    assert r["k"] == 100
+    assert r["sum_log_micro"] > 0
+    assert r["hill_alpha_milli"] > 0
+    assert r["threshold_cents"] > 0
+
+
+def test_james_stein_contracts_toward_grand(spark):
+    """Every shrunk mean lies between the raw brand mean and the
+    grand mean (inclusive), and lambda is a proper weight."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_james_stein_brand_means,
+    )
+
+    rows = q_james_stein_brand_means(spark, SF).collect()
+    assert len(rows) == 25
+    total_n = sum(r["n_b"] for r in rows)
+    grand_milli = sum(r["n_b"] * r["mean_milli"] for r in rows) / total_n
+    for r in rows:
+        assert 0 <= r["lambda_ppm"] <= 1_000_000
+        lo = min(r["mean_milli"], grand_milli) - 2
+        hi = max(r["mean_milli"], grand_milli) + 2
+        assert lo <= r["shrunk_milli"] <= hi
+
+
+def test_two_pass_percentile_equals_percentile_disc(spark):
+    """The two-pass exact selection must equal percentile_disc at all
+    three levels, and pass 2 must scan at most 3 of the coarse bins."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.dataops_queries import (
+        q_two_pass_exact_percentile,
+    )
+
+    r = q_two_pass_exact_percentile(spark, SF).collect()[0]
+    want = duckdb.connect().execute(f"""
+        SELECT quantile_disc(cents, 0.50), quantile_disc(cents, 0.95),
+               quantile_disc(cents, 0.99)
+        FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                  AS cents FROM '{SF}/orders.parquet')
+    """).fetchone()
+    assert (r["p50_cents"], r["p95_cents"], r["p99_cents"]) == want
+    assert 1 <= r["bins_scanned_pass2"] <= 3
+
+
+def test_retention_decay_negative_and_halflife(spark):
+    """Retention decays: slopes should be <= 0 for real cohorts, and
+    any decaying fit implies a positive half-life."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_retention_decay_fit,
+    )
+
+    rows = q_retention_decay_fit(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["n_points"] >= 3
+        assert 0 < r["mean_ret_ppm"] <= 1_000_000
+        if r["decay_micro_per_month"] < 0:
+            assert r["half_life_days"] > 0
+        else:
+            assert r["half_life_days"] == -1
+
+
+def test_llr_signature_positive_and_ranked(spark):
+    """Top signature terms have positive LLR, k>0, rank 1..10 per
+    source."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_source_signature_terms_llr,
+    )
+
+    rows = q_source_signature_terms_llr(spark, SF).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert r["k_in_source"] > 0
+    for src, rs in by_src.items():
+        ranks = sorted(x["rnk"] for x in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        top = min(rs, key=lambda x: x["rnk"])
+        assert top["llr_micro"] >= max(x["llr_micro"] for x in rs) - 1
