@@ -606,3 +606,115 @@ def q_categorical_topn_encoding(spark, sf_dir):
         F.count("*").cast("long").alias("n_source_categories"),
         F.expr("CAST(SUM(n) * 1000000 DIV MAX(total) AS BIGINT)").alias("coverage_ppm"),
     )
+
+
+# ------------------------------------------- near-zero-variance screen
+
+#: caret-style thresholds: flag when top/second frequency ratio
+#: exceeds 19 AND distinct share is under 10%.
+_NZV_FEATURES_SQL = {
+    "segment": "c_mktsegment",
+    "nation": "CAST(c_nationkey AS STRING)",
+    "balance_sign": (
+        "CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal = 0 THEN 'zero'"
+        " ELSE 'pos' END"
+    ),
+    "is_high_balance": "CASE WHEN c_acctbal > 9900 THEN 'y' ELSE 'n' END",
+}
+
+
+def _nzv_sql() -> str:
+    parts = []
+    for fname, expr in _NZV_FEATURES_SQL.items():
+        parts.append(f"""
+SELECT '{fname}' AS feature, n, n_distinct, top_freq, second_freq FROM (
+    SELECT CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_freq,
+           CAST(COALESCE(MAX(CASE WHEN rnk = 2 THEN c END), 0) AS BIGINT)
+               AS second_freq
+    FROM (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, v) AS rnk
+        FROM (SELECT {expr} AS v, CAST(COUNT(*) AS BIGINT) AS c
+              FROM customer GROUP BY 1)
+    )
+)""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH per_feature AS ({union})
+SELECT feature, n, n_distinct, top_freq, second_freq,
+       CAST(CASE WHEN second_freq = 0 THEN 1000000
+                 ELSE top_freq * 1000 // second_freq END AS BIGINT)
+           AS freq_ratio_milli,
+       CAST(n_distinct * 1000000 // n AS BIGINT) AS distinct_ppm,
+       (CASE WHEN second_freq = 0 THEN 1000000
+             ELSE top_freq * 1000 // second_freq END) > 19000
+           AND n_distinct * 1000000 // n < 100000 AS near_zero_variance
+FROM per_feature ORDER BY feature
+"""
+
+
+@register(
+    "near_zero_variance_screen",
+    _nzv_sql(),
+    doc="Near-zero-variance feature screen (the caret preprocessing "
+    "rule): per candidate feature, the top/second value-frequency "
+    "ratio and the distinct share, flagging features that are "
+    "almost constant (ratio > 19 AND distinct share < 10%) — these "
+    "destabilize cross-validation folds and waste encoder width, "
+    "and every feature pipeline screens them before "
+    "target_encoding/hashed_feature_cross run. One grouped count "
+    "per feature (map-combinable), a 2-row rank on the VALUE "
+    "frame, exact integer ratios. The planted 'is_high_balance' "
+    "indicator demonstrates a flagged feature. Scale: per feature "
+    "one scan-grain agg to the value domain; the screen is "
+    "embarrassingly parallel across features.",
+)
+def q_near_zero_variance_screen(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    out = None
+    for fname, expr in _NZV_FEATURES_SQL.items():
+        vals = cust.select(F.expr(expr).alias("v")).groupBy("v").agg(
+            F.count("*").cast("long").alias("c")
+        )
+        ranked = vals.withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.col("c").desc(), "v"))
+        )
+        agg = ranked.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_distinct"),
+            F.max("c").cast("long").alias("top_freq"),
+            F.coalesce(
+                F.max(F.when(F.col("rnk") == 2, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("second_freq"),
+        ).select(
+            F.lit(fname).alias("feature"),
+            "n",
+            "n_distinct",
+            "top_freq",
+            "second_freq",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.select(
+        "feature",
+        "n",
+        "n_distinct",
+        "top_freq",
+        "second_freq",
+        F.expr(
+            "CAST(CASE WHEN second_freq = 0 THEN 1000000"
+            " ELSE top_freq * 1000 DIV second_freq END AS BIGINT)"
+        ).alias("freq_ratio_milli"),
+        F.expr("CAST(n_distinct * 1000000 DIV n AS BIGINT)").alias(
+            "distinct_ppm"
+        ),
+        F.expr(
+            "(CASE WHEN second_freq = 0 THEN 1000000"
+            " ELSE top_freq * 1000 DIV second_freq END) > 19000"
+            " AND n_distinct * 1000000 DIV n < 100000"
+        ).alias("near_zero_variance"),
+    ).orderBy("feature")

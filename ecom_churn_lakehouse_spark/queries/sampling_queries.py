@@ -776,3 +776,152 @@ def q_split_srm_check(spark, sf_dir):
         F.expr(_SRM_CHI2_MILLI).alias("chi2_milli"),
         (F.expr(_SRM_CHI2_MILLI) > 5991).alias("srm_detected"),
     )
+
+
+# ------------------------------------------------ IPF raking weights
+
+_IPF_ITERS = 2  # row+column sweeps
+
+
+def _ipf_sql() -> str:
+    hb = _hb_sql("rake:", "c.c_custkey")
+    steps = []
+    prev = "w0"
+    for it in range(1, _IPF_ITERS + 1):
+        steps.append(
+            f"""row{it} AS (
+    SELECT w.segment, w.region, w.c,
+           CAST(w.weight_milli * m.pop_seg * 1000
+                // SUM(w.c * w.weight_milli) OVER (PARTITION BY w.segment)
+                AS BIGINT) AS weight_milli
+    FROM {prev} w JOIN seg_m m ON m.segment = w.segment
+),
+col{it} AS (
+    SELECT w.segment, w.region, w.c,
+           CAST(w.weight_milli * m.pop_reg * 1000
+                // SUM(w.c * w.weight_milli) OVER (PARTITION BY w.region)
+                AS BIGINT) AS weight_milli
+    FROM row{it} w JOIN reg_m m ON m.region = w.region
+)"""
+        )
+        prev = f"col{it}"
+    steps_sql = ",\n".join(steps)
+    return f"""
+WITH pop AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(r.r_regionkey AS BIGINT) AS region,
+           c.c_custkey,
+           {hb} AS hb
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+),
+seg_m AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS pop_seg FROM pop
+          GROUP BY segment),
+reg_m AS (SELECT region, CAST(COUNT(*) AS BIGINT) AS pop_reg FROM pop
+          GROUP BY region),
+samp AS (
+    SELECT segment, region, CAST(COUNT(*) AS BIGINT) AS c
+    FROM pop WHERE hb < 1000 GROUP BY segment, region
+),
+tots AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pop) AS n_pop,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM samp) AS n_samp
+),
+w0 AS (
+    SELECT s.segment, s.region, s.c,
+           CAST(t.n_pop * 1000 // t.n_samp AS BIGINT) AS weight_milli
+    FROM samp s CROSS JOIN tots t
+),
+{steps_sql}
+SELECT w.segment, w.region, w.c AS sample_cnt,
+       w.weight_milli,
+       CAST(w.c * w.weight_milli AS BIGINT) AS weighted_milli
+FROM col{_IPF_ITERS} w
+ORDER BY w.segment, w.region
+"""
+
+
+@register(
+    "ipf_raking_weights",
+    _ipf_sql(),
+    doc=f"Survey raking (iterative proportional fitting): a 10% "
+    "deterministic customer sample is re-weighted over "
+    f"{_IPF_ITERS} row+column sweeps so its weighted (segment x "
+    "region) margins match the POPULATION margins — the standard "
+    "post-stratification machinery for de-biasing any sampled "
+    "panel before estimating from it (the multivariate upgrade of "
+    "neyman_allocation's design-time weights). All weight "
+    "arithmetic is exact integer milli: each sweep multiplies by "
+    "pop_margin*1000 DIV weighted_margin where the weighted margin "
+    "is an integer window sum over the 25-cell frame. Scale: one "
+    "scan for margins + sample counts; every sweep runs on the "
+    "bounded cell frame — raking 100 TB costs the margins scan.",
+)
+def q_ipf_raking_weights(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    pop = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_regionkey").cast("long").alias("region"),
+            hash_bucket(F.col("c_custkey"), "rake:").alias("hb"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    seg_m = pop.groupBy("segment").agg(F.count("*").cast("long").alias("pop_seg"))
+    reg_m = pop.groupBy("region").agg(F.count("*").cast("long").alias("pop_reg"))
+    samp = (
+        pop.filter(F.col("hb") < 1000)
+        .groupBy("segment", "region")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    n_pop = pop.agg(F.count("*").cast("long").alias("n_pop"))
+    n_samp = samp.agg(F.sum("c").cast("long").alias("n_samp"))
+    w = (
+        samp.crossJoin(F.broadcast(n_pop))
+        .crossJoin(F.broadcast(n_samp))
+        .select(
+            "segment",
+            "region",
+            "c",
+            F.expr("CAST(n_pop * 1000 DIV n_samp AS BIGINT)").alias(
+                "weight_milli"
+            ),
+        )
+    )
+    for _ in range(_IPF_ITERS):
+        w_seg = Window.partitionBy("segment")
+        w = w.join(F.broadcast(seg_m), "segment").select(
+            "segment",
+            "region",
+            "c",
+            F.expr(
+                "CAST(weight_milli * pop_seg * 1000"
+                " DIV SUM(c * weight_milli) OVER (PARTITION BY segment)"
+                " AS BIGINT)"
+            ).alias("weight_milli"),
+        )
+        w_reg = Window.partitionBy("region")
+        w = w.join(F.broadcast(reg_m), "region").select(
+            "segment",
+            "region",
+            "c",
+            F.expr(
+                "CAST(weight_milli * pop_reg * 1000"
+                " DIV SUM(c * weight_milli) OVER (PARTITION BY region)"
+                " AS BIGINT)"
+            ).alias("weight_milli"),
+        )
+    return w.select(
+        "segment",
+        "region",
+        F.col("c").alias("sample_cnt"),
+        "weight_milli",
+        (F.col("c") * F.col("weight_milli")).cast("long").alias("weighted_milli"),
+    ).orderBy("segment", "region")

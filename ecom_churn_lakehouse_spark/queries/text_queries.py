@@ -1953,3 +1953,144 @@ def q_source_signature_terms_llr(spark, sf_dir):
         .select("source", "rnk", "token", "k_in_source", "llr_micro")
         .orderBy("source", "rnk")
     )
+
+
+# --------------------------------------------- RAKE keyphrase extraction
+
+#: Deterministic stopword list for phrase segmentation (the fixture
+#: vocabulary is synthetic; the MECHANISM is what the operator pins).
+_RAKE_STOPWORDS = (
+    "the a an and or of to in is are was were be been with for on at by "
+    "from as it this that these those"
+).split()
+_RAKE_TOPK = 20
+_RAKE_MAX_PHRASE = 4
+
+
+def _rake_sql() -> str:
+    stops = ", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)
+    return rf"""
+WITH toks AS (
+    SELECT doc_id,
+           lower(unnest(regexp_extract_all(text, '\S+'))) AS token,
+           generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+    FROM documents
+),
+marked AS (
+    SELECT doc_id, token, pos,
+           CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END AS is_stop
+    FROM toks
+),
+segmented AS (
+    SELECT doc_id, token, pos, is_stop,
+           CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos)
+                AS BIGINT) AS phrase_id
+    FROM marked
+),
+phrase_words AS (
+    SELECT doc_id, phrase_id, token, pos FROM segmented WHERE is_stop = 0
+),
+phrase_sizes AS (
+    SELECT doc_id, phrase_id, CAST(COUNT(*) AS BIGINT) AS plen
+    FROM phrase_words GROUP BY doc_id, phrase_id
+),
+word_stats AS (
+    SELECT w.token,
+           CAST(COUNT(*) AS BIGINT) AS freq,
+           CAST(SUM(s.plen) AS BIGINT) AS degree
+    FROM phrase_words w
+    JOIN phrase_sizes s ON s.doc_id = w.doc_id AND s.phrase_id = w.phrase_id
+    WHERE s.plen <= {_RAKE_MAX_PHRASE}
+    GROUP BY w.token
+),
+phrases AS (
+    SELECT w.doc_id, w.phrase_id,
+           string_agg(w.token, ' ' ORDER BY w.pos) AS phrase,
+           CAST(SUM(ws.degree * 1000 // ws.freq) AS BIGINT) AS score_milli
+    FROM phrase_words w
+    JOIN phrase_sizes s ON s.doc_id = w.doc_id AND s.phrase_id = w.phrase_id
+    JOIN word_stats ws ON ws.token = w.token
+    WHERE s.plen <= {_RAKE_MAX_PHRASE}
+    GROUP BY w.doc_id, w.phrase_id
+),
+dedup AS (
+    SELECT phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MAX(score_milli) AS BIGINT) AS score_milli
+    FROM phrases GROUP BY phrase
+)
+SELECT phrase, n_occurrences, score_milli
+FROM dedup
+ORDER BY score_milli DESC, phrase
+LIMIT {_RAKE_TOPK}
+"""
+
+
+@register(
+    "rake_keyphrases",
+    _rake_sql(),
+    doc=f"RAKE keyphrase extraction: split each document into "
+    "candidate phrases at stopword boundaries, score every content "
+    "word by degree/frequency over co-occurring phrase members, and "
+    "score a phrase as the sum of its words — the classic "
+    "unsupervised keyphrase method, corpus top-{_RAKE_TOPK}. Phrase "
+    "segmentation is a cumulative stopword-count window per doc "
+    "(no regex backtracking); word scores are exact milli via "
+    "degree*1000 DIV freq quantized per WORD before the phrase "
+    "sum; phrase text is an ORDER BY position string_agg (the "
+    "sort_array/string_agg determinism idiom). Scale: one token "
+    "pass, one per-doc window, then vocabulary- and phrase-grain "
+    "aggregates; the phrase-length cap bounds the degree join.",
+)
+def q_rake_keyphrases(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("pos0", "raw"),
+    ).select(
+        "doc_id", F.lower(F.col("raw")).alias("token"), (F.col("pos0") + 1).alias("pos")
+    )
+    marked = toks.withColumn(
+        "is_stop",
+        F.when(F.col("token").isin(*_RAKE_STOPWORDS), 1).otherwise(0),
+    )
+    w_seg = Window.partitionBy("doc_id").orderBy("pos")
+    segmented = marked.withColumn(
+        "phrase_id", F.sum("is_stop").over(w_seg).cast("long")
+    )
+    phrase_words = segmented.filter(F.col("is_stop") == 0).select(
+        "doc_id", "phrase_id", "token", "pos"
+    ).localCheckpoint(eager=False)
+    phrase_sizes = phrase_words.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").cast("long").alias("plen")
+    )
+    bounded = phrase_words.join(
+        phrase_sizes.filter(F.col("plen") <= _RAKE_MAX_PHRASE),
+        ["doc_id", "phrase_id"],
+    )
+    word_stats = bounded.groupBy("token").agg(
+        F.count("*").cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    phrases = (
+        bounded.join(F.broadcast(word_stats), "token")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, token))),"
+                " s -> s.token), ' ')"
+            ).alias("phrase"),
+            F.sum(F.expr("degree * 1000 DIV freq")).cast("long").alias(
+                "score_milli"
+            ),
+        )
+    )
+    dedup = phrases.groupBy("phrase").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.max("score_milli").cast("long").alias("score_milli"),
+    )
+    return dedup.orderBy(F.col("score_milli").desc(), "phrase").limit(_RAKE_TOPK)

@@ -112,6 +112,9 @@ NEW_IN_ROUND: list[str] = [
     "two_pass_exact_percentile",
     "retention_decay_fit",
     "source_signature_terms_llr",
+    "rake_keyphrases",
+    "ipf_raking_weights",
+    "near_zero_variance_screen",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

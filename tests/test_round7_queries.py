@@ -796,3 +796,67 @@ def test_llr_signature_positive_and_ranked(spark):
         assert ranks == list(range(1, len(rs) + 1))
         top = min(rs, key=lambda x: x["rnk"])
         assert top["llr_micro"] >= max(x["llr_micro"] for x in rs) - 1
+
+
+def test_rake_phrases_bounded_and_scored(spark):
+    """Phrases contain no stopwords, respect the length cap, and
+    scores are positive."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        _RAKE_MAX_PHRASE,
+        _RAKE_STOPWORDS,
+        q_rake_keyphrases,
+    )
+
+    rows = q_rake_keyphrases(spark, SF).collect()
+    assert rows
+    stops = set(_RAKE_STOPWORDS)
+    for r in rows:
+        words = r["phrase"].split()
+        assert 1 <= len(words) <= _RAKE_MAX_PHRASE
+        assert not (set(words) & stops)
+        assert r["score_milli"] > 0
+        assert r["n_occurrences"] >= 1
+
+
+def test_ipf_margins_converge(spark):
+    """After two sweeps the weighted REGION margins (the last sweep)
+    match population margins to within integer-floor slack."""
+    import duckdb
+
+    from ecom_churn_lakehouse_spark.queries.sampling_queries import (
+        q_ipf_raking_weights,
+    )
+
+    rows = q_ipf_raking_weights(spark, SF).collect()
+    assert rows
+    pop = {
+        int(k): v
+        for k, v in duckdb.connect().execute(f"""
+            SELECT n.n_regionkey, COUNT(*)
+            FROM '{SF}/customer.parquet' c
+            JOIN '{SF}/nation.parquet' n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_regionkey
+        """).fetchall()
+    }
+    by_region = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0) + r["weighted_milli"]
+    for region, wsum in by_region.items():
+        target = pop[region] * 1000
+        # integer floors lose < 1 milli per cell per sweep
+        assert abs(wsum - target) <= 1000 * len(rows)
+
+
+def test_nzv_flags_planted_feature(spark):
+    """The planted near-constant indicator must be flagged; the
+    5-value segment must not be."""
+    from ecom_churn_lakehouse_spark.queries.feature_queries import (
+        q_near_zero_variance_screen,
+    )
+
+    rows = {r["feature"]: r for r in q_near_zero_variance_screen(spark, SF).collect()}
+    assert rows["is_high_balance"]["near_zero_variance"]
+    assert not rows["segment"]["near_zero_variance"]
+    for r in rows.values():
+        assert r["top_freq"] >= r["second_freq"]
+        assert r["n_distinct"] <= r["n"]
