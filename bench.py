@@ -24,6 +24,31 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 7 (second wave) ----
+    "horvitz_thompson_total",
+    "kruskal_wallis_priority_spend",
+    "abc_inventory_classes",
+    "kendall_tau_quantity_discount",
+    "pass_at_k_estimator",
+    "randomized_response_privacy",
+    "campaign_budget_knapsack",
+    "ranking_ndcg_eval",
+    "stream_cms_maintenance",
+    "piecewise_trend_breakpoint",
+    "apriori_triple_itemsets",
+    "median_ci_order_statistic",
+    "stream_transition_maintenance",
+    "popularity_recommender_recall",
+    "sort_key_advisor",
+    "quality_filter_threshold_curve",
+    "exact_matching_att",
+    "conformal_spend_intervals",
+    "chunk_boundary_cohesion",
+    "two_pass_exact_percentile",
+    "source_signature_terms_llr",
+    "rake_keyphrases",
+    "ipf_raking_weights",
+    "james_stein_brand_means",
     # ---- round 7 ----
     "repeated_span_exact_dedup",
     "incremental_span_dedup",
