@@ -1563,3 +1563,80 @@ def q_two_pass_exact_percentile(spark, sf_dir):
     return res.select(
         "n", "bins_scanned_pass2", *[name for _, name in _TPP_LEVELS]
     )
+
+
+# ------------------------------------------- capture-recapture estimate
+
+_CR_RATE = 1500  # permyriad: two independent 15% samples
+
+
+def _cr_sql() -> str:
+    h1 = hash_bucket_sql("o_custkey", "cap1:", 10000)
+    h2 = hash_bucket_sql("o_custkey", "cap2:", 10000)
+    return f"""
+WITH buyers AS (SELECT DISTINCT o_custkey FROM orders),
+marked AS (
+    SELECT o_custkey,
+           CASE WHEN {h1} < {_CR_RATE} THEN 1 ELSE 0 END AS s1,
+           CASE WHEN {h2} < {_CR_RATE} THEN 1 ELSE 0 END AS s2
+    FROM buyers
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(s1) AS BIGINT) AS n1,
+           CAST(SUM(s2) AS BIGINT) AS n2,
+           CAST(SUM(s1 * s2) AS BIGINT) AS m
+    FROM marked
+)
+SELECT n_true, n1, n2, m,
+       CAST((n1 + 1) * (n2 + 1) // (m + 1) - 1 AS BIGINT) AS chapman_estimate,
+       CAST(abs((n1 + 1) * (n2 + 1) // (m + 1) - 1 - n_true) * 1000000
+            // n_true AS BIGINT) AS abs_err_ppm
+FROM comp
+"""
+
+
+@register(
+    "capture_recapture_estimate",
+    _cr_sql(),
+    doc="Capture-recapture population estimation (Chapman's "
+    "bias-corrected Lincoln-Petersen): two INDEPENDENT deterministic "
+    "15% samples of distinct buyers, the overlap m, and the "
+    "estimate (n1+1)(n2+1)/(m+1)-1 next to the true count — the "
+    "survey-statistics answer to 'how many distinct entities exist' "
+    "when only samples are affordable, complementing the KMV sketch "
+    "(which needs a full pass) with a two-sample design that needs "
+    "none. Pure integer arithmetic end to end (the estimator "
+    "itself is an integer floor); the two marks are scan-local "
+    "salted hashes, so the oracle reproduces the overlap exactly. "
+    "Scale: one distinct + one fused agg; nothing else.",
+)
+def q_capture_recapture_estimate(spark, sf_dir):
+    buyers = load_table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    marked = buyers.select(
+        F.when(hash_bucket(F.col("o_custkey"), "cap1:") < _CR_RATE, 1)
+        .otherwise(0)
+        .alias("s1"),
+        F.when(hash_bucket(F.col("o_custkey"), "cap2:") < _CR_RATE, 1)
+        .otherwise(0)
+        .alias("s2"),
+    )
+    comp = marked.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m"),
+    )
+    return comp.select(
+        "n_true",
+        "n1",
+        "n2",
+        "m",
+        F.expr("CAST((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 AS BIGINT)").alias(
+            "chapman_estimate"
+        ),
+        F.expr(
+            "CAST(abs((n1 + 1) * (n2 + 1) DIV (m + 1) - 1 - n_true) * 1000000"
+            " DIV n_true AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    )

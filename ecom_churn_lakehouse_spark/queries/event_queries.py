@@ -1707,3 +1707,104 @@ def q_stream_transition_maintenance(spark, sf_dir):
         .agg(F.sum("transitions").cast("long").alias("transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+# ------------------------------------------- SPRT conversion monitor
+
+#: Wald SPRT of H0: purchase share = 0.30 vs H1: 0.35 at
+#: alpha = beta = 0.05. The per-observation log-likelihood ratios are
+#: PRECOMPUTED integer micro constants (ln(p1/p0), ln((1-p1)/(1-p0)))
+#: so the whole trajectory is exact integer arithmetic — the
+#: sequential test as a cumulative-sum window, no floats at all.
+_SPRT_L1 = 154151     # round(ln(0.35/0.30) * 1e6)
+_SPRT_L0 = -74108     # round(ln(0.65/0.70) * 1e6)
+_SPRT_BOUND = 2944439  # round(ln(0.95/0.05) * 1e6)
+
+_SPRT_SQL = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+traj AS (
+    SELECT d, x, n,
+           CAST(x * {_SPRT_L1} + (n - x) * ({_SPRT_L0}) AS BIGINT)
+               AS llr_micro,
+           CAST(SUM(x * {_SPRT_L1} + (n - x) * ({_SPRT_L0}))
+                OVER (ORDER BY d) AS BIGINT) AS cum_llr_micro
+    FROM daily
+)
+SELECT d AS day, x AS purchases, n AS events, llr_micro, cum_llr_micro,
+       CASE WHEN cum_llr_micro >= {_SPRT_BOUND} THEN 'accept_h1'
+            WHEN cum_llr_micro <= -{_SPRT_BOUND} THEN 'accept_h0'
+            ELSE 'continue' END AS state,
+       CASE WHEN abs(cum_llr_micro) >= {_SPRT_BOUND}
+                 AND MIN(CASE WHEN abs(cum_llr_micro) >= {_SPRT_BOUND}
+                              THEN d END) OVER () = d
+            THEN TRUE ELSE FALSE END AS first_decision
+FROM traj ORDER BY day
+"""
+
+
+@register(
+    "sprt_conversion_monitor",
+    _SPRT_SQL,
+    doc="Wald sequential probability ratio test on the daily purchase "
+    "share (H0 30% vs H1 35%, alpha=beta=0.05): the always-valid "
+    "monitoring shape that stops an experiment the DAY the evidence "
+    "crosses a boundary instead of waiting for a fixed horizon — "
+    "the sequential complement to the fixed-n machinery "
+    "(two_proportion_ztest_returns, experiment_power_mde). The "
+    "per-observation log-likelihood increments are precomputed "
+    "integer micro constants, so the entire trajectory — daily "
+    "increments, the cumulative LLR, both boundaries, the first "
+    "crossing — is EXACT integer arithmetic with zero runtime "
+    "floats. Scale: the fact reduces to the calendar day grain in "
+    "one map-combinable agg; the trajectory window runs over days.",
+)
+def q_sprt_conversion_monitor(spark, sf_dir):
+    daily = (
+        load_events(spark, sf_dir)
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    llr = (
+        F.col("x") * _SPRT_L1 + (F.col("n") - F.col("x")) * _SPRT_L0
+    ).cast("long")
+    w = Window.orderBy("d")
+    w_all = Window.partitionBy()
+    traj = daily.select(
+        F.col("d").alias("day"),
+        F.col("x").alias("purchases"),
+        F.col("n").alias("events"),
+        llr.alias("llr_micro"),
+        F.sum(llr).over(w).cast("long").alias("cum_llr_micro"),
+    )
+    crossed_day = F.min(
+        F.when(F.abs(F.col("cum_llr_micro")) >= _SPRT_BOUND, F.col("day"))
+    ).over(w_all)
+    return traj.select(
+        "day",
+        "purchases",
+        "events",
+        "llr_micro",
+        "cum_llr_micro",
+        F.when(F.col("cum_llr_micro") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("cum_llr_micro") <= -_SPRT_BOUND, "accept_h0")
+        .otherwise("continue")
+        .alias("state"),
+        F.when(
+            (F.abs(F.col("cum_llr_micro")) >= _SPRT_BOUND)
+            & (crossed_day == F.col("day")),
+            True,
+        )
+        .otherwise(False)
+        .alias("first_decision"),
+    ).orderBy("day")

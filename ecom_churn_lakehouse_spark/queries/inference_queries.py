@@ -2977,3 +2977,84 @@ def q_james_stein_brand_means(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Armitage trend test: return rate across ordered priorities.
+# --------------------------------------------------------------------------
+
+#: CA trend z with scores w = 1..5 over the ordered priority groups:
+#:   T = SUM w_i*x_i - pbar * SUM w_i*n_i
+#:   Var = pbar*(1-pbar) * (SUM w_i^2 n_i - (SUM w_i n_i)^2 / N)
+#: pbar = X/N. One shared IEEE expression over six exact int64 sums.
+_CA_Z_MILLI = (
+    "CAST(FLOOR((CAST(swx AS DOUBLE)"
+    " - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) * CAST(swn AS DOUBLE))"
+    " / sqrt(CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)"
+    "        * (1.0 - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    "        * (CAST(swwn AS DOUBLE)"
+    "           - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE)"
+    "             / CAST(n_tot AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_CA_SQL = f"""
+WITH tagged AS (
+    SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS w,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tot,
+           CAST(SUM(ret) AS BIGINT) AS x_tot,
+           CAST(SUM(w * ret) AS BIGINT) AS swx,
+           CAST(SUM(w) AS BIGINT) AS swn,
+           CAST(SUM(w * w) AS BIGINT) AS swwn
+    FROM tagged
+)
+SELECT n_tot, x_tot, swx, swn, swwn,
+       {_CA_Z_MILLI} AS z_milli,
+       abs({_CA_Z_MILLI}) > 1960 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "cochran_armitage_trend_test",
+    _CA_SQL,
+    doc="Cochran-Armitage trend test: does the lineitem return rate "
+    "trend MONOTONICALLY across the five ordered priorities "
+    "(scores 1..5 parsed from the priority label)? The "
+    "ordered-categories test that promo_chisq_independence cannot "
+    "express (chi-square ignores order, burning power against a "
+    "monotone alternative). Five exact int64 sums from one fused "
+    "agg; the trend z is one shared IEEE expression, milli-floored. "
+    "Scale: one equi-join on the fact shuffle key plus one "
+    "map-combinable agg to a single row.",
+)
+def q_cochran_armitage_trend_test(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).cast("long").alias("w"),
+    )
+    tagged = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    comp = tagged.agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.sum("ret").cast("long").alias("x_tot"),
+        F.sum(F.col("w") * F.col("ret")).cast("long").alias("swx"),
+        F.sum("w").cast("long").alias("swn"),
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("swwn"),
+    )
+    return comp.select(
+        "n_tot",
+        "x_tot",
+        "swx",
+        "swn",
+        "swwn",
+        F.expr(_CA_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_CA_Z_MILLI)) > 1960).alias("reject_at_05"),
+    )

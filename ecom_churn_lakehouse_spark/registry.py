@@ -115,6 +115,9 @@ NEW_IN_ROUND: list[str] = [
     "rake_keyphrases",
     "ipf_raking_weights",
     "near_zero_variance_screen",
+    "cochran_armitage_trend_test",
+    "capture_recapture_estimate",
+    "sprt_conversion_monitor",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

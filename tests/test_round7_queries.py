@@ -860,3 +860,58 @@ def test_nzv_flags_planted_feature(spark):
     for r in rows.values():
         assert r["top_freq"] >= r["second_freq"]
         assert r["n_distinct"] <= r["n"]
+
+
+def test_cochran_armitage_components(spark):
+    """Weighted sums bounded by their maxima; z finite."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_cochran_armitage_trend_test,
+    )
+
+    r = q_cochran_armitage_trend_test(spark, SF).collect()[0]
+    assert 0 < r["x_tot"] < r["n_tot"]
+    assert r["swx"] <= 5 * r["x_tot"]
+    assert r["swn"] <= 5 * r["n_tot"]
+    assert r["swwn"] <= 25 * r["n_tot"]
+
+
+def test_capture_recapture_reasonable(spark):
+    """Chapman estimate within a sane band of truth for 15% samples,
+    and overlap bounded by both sample sizes."""
+    from ecom_churn_lakehouse_spark.queries.dataops_queries import (
+        q_capture_recapture_estimate,
+    )
+
+    r = q_capture_recapture_estimate(spark, SF).collect()[0]
+    assert 0 <= r["m"] <= min(r["n1"], r["n2"])
+    assert r["chapman_estimate"] > 0
+    # 15% x 15% of a 100-buyer population is noisy; just sanity-band it
+    assert r["n_true"] // 5 <= r["chapman_estimate"] <= r["n_true"] * 5
+
+
+def test_sprt_trajectory_consistency(spark):
+    """Cumulative LLR telescopes the daily increments; at most one
+    first_decision; state matches the boundary arithmetic."""
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        _SPRT_BOUND,
+        q_sprt_conversion_monitor,
+    )
+
+    rows = sorted(
+        q_sprt_conversion_monitor(spark, SF).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    run = 0
+    firsts = 0
+    for r in rows:
+        run += r["llr_micro"]
+        assert r["cum_llr_micro"] == run
+        if r["first_decision"]:
+            firsts += 1
+        if r["cum_llr_micro"] >= _SPRT_BOUND:
+            assert r["state"] == "accept_h1"
+        elif r["cum_llr_micro"] <= -_SPRT_BOUND:
+            assert r["state"] == "accept_h0"
+        else:
+            assert r["state"] == "continue"
+    assert firsts <= 1
