@@ -2074,3 +2074,107 @@ def q_retention_decay_fit(spark, sf_dir):
         )
         .orderBy("cohort_year")
     )
+
+
+# --------------------------------------------- Page-Hinkley drift
+
+_PH_DELTA_KD = 5  # insensitivity band, kilo-dollars
+_PH_LAMBDA_KD_MICRO = 200 * 1000000  # alarm threshold (200 k$ cumulative)
+
+#: Per-day PH increment x_t - mean_t - delta with mean_t = S_t/t the
+#: RUNNING mean, quantized micro per day from exact ints (the
+#: division is the only non-integer op and it happens inside a
+#: per-row shared expression), then integer-cumsummed.
+_PH_TERM_MICRO = (
+    "CAST(FLOOR((CAST(y AS DOUBLE)"
+    " - CAST(s_run AS DOUBLE) / CAST(t AS DOUBLE)"
+    f" - {_PH_DELTA_KD}.0) * 1000000.0) AS BIGINT)"
+)
+
+_PH_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100000 AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+),
+run AS (
+    SELECT d, y,
+           CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+           CAST(SUM(y) OVER (ORDER BY d) AS BIGINT) AS s_run
+    FROM daily
+),
+terms AS (
+    SELECT d, y, t, {_PH_TERM_MICRO} AS term_micro FROM run
+),
+cums AS (
+    SELECT d, CAST(SUM(term_micro) OVER (ORDER BY d) AS BIGINT) AS m_micro
+    FROM terms
+),
+traj AS (
+    SELECT d, m_micro,
+           CAST(MIN(m_micro) OVER (ORDER BY d) AS BIGINT) AS m_min_micro
+    FROM cums
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(m_micro - m_min_micro) AS BIGINT) AS ph_max_micro,
+       CAST(SUM(CASE WHEN m_micro - m_min_micro > {_PH_LAMBDA_KD_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+       CAST(MIN(CASE WHEN m_micro - m_min_micro > {_PH_LAMBDA_KD_MICRO}
+                     THEN d END) AS DATE) AS first_alarm_day
+FROM traj
+"""
+
+
+@register(
+    "page_hinkley_drift",
+    _PH_SQL,
+    doc="Page-Hinkley upward-drift detector on daily revenue: the "
+    "cumulative deviation from the SELF-REFERENTIAL running mean "
+    "(minus an insensitivity band) tracked against its running "
+    "minimum — unlike revenue_cusum_changepoint, which needs a "
+    "known reference level, PH adapts its baseline as it goes, "
+    "which is why it is the standard concept-drift monitor for "
+    "model-input streams. Each day's increment quantizes to micro "
+    "inside one shared per-row expression (running sums are exact "
+    "kilo-dollar ints); the PH statistic and its running minimum "
+    "are integer window aggregates; alarms are integer compares. "
+    "Scale: one map-combinable day-grain agg, then calendar-bounded "
+    "windows.",
+)
+def q_page_hinkley_drift(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    w = Window.orderBy("d")
+    run = daily.select(
+        "d",
+        "y",
+        F.row_number().over(w).cast("long").alias("t"),
+        F.sum("y").over(w).cast("long").alias("s_run"),
+    )
+    terms = run.select("d", F.expr(_PH_TERM_MICRO).alias("term_micro"))
+    traj = terms.select(
+        "d",
+        F.sum("term_micro").over(w).cast("long").alias("m_micro"),
+    ).select(
+        "d",
+        "m_micro",
+        F.min("m_micro").over(w).cast("long").alias("m_min_micro"),
+    )
+    alarm = F.col("m_micro") - F.col("m_min_micro") > _PH_LAMBDA_KD_MICRO
+    return traj.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.col("m_micro") - F.col("m_min_micro"))
+        .cast("long")
+        .alias("ph_max_micro"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
+        F.min(F.when(alarm, F.col("d"))).cast("date").alias("first_alarm_day"),
+    )

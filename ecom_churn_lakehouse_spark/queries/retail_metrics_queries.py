@@ -1095,3 +1095,97 @@ def q_newsvendor_stock_levels(spark, sf_dir):
         )
         .orderBy("brand")
     )
+
+
+# ------------------------------------------------ Lorenz curve deciles
+
+_LORENZ_SQL = """
+WITH cust AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT cents,
+           CAST(NTILE(10) OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS decile
+    FROM cust
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+per_decile AS (
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS decile_cents
+    FROM ranked GROUP BY decile
+)
+SELECT d.decile, d.n_customers, d.decile_cents,
+       CAST(SUM(d.decile_cents) OVER (ORDER BY d.decile) * 10000
+            // t.total_cents AS BIGINT) AS cum_share_bp,
+       CAST(SUM(d.n_customers) OVER (ORDER BY d.decile) * 10000
+            // t.n AS BIGINT) AS cum_pop_bp
+FROM per_decile d CROSS JOIN tot t
+ORDER BY d.decile
+"""
+
+
+@register(
+    "lorenz_curve_deciles",
+    _LORENZ_SQL,
+    doc="Lorenz curve at the customer-spend decile grain: cumulative "
+    "revenue share vs cumulative population share for customers "
+    "ordered poorest-first — the CURVE whose enclosed area "
+    "revenue_gini_by_nation reduces to a scalar, and the relation "
+    "behind every 'top X% of customers hold Y%' statement "
+    "(customer_value_deciles ranks the other way and reports "
+    "per-bucket stats, not the cumulative inequality profile). "
+    "Exact cents; shares in exact basis points via non-negative "
+    "DIV; cum_share*10000 stays int64 to ~9e14 total cents. "
+    "Scale: entity agg, one global ntile (range-partitionable), "
+    "then 10-row windows.",
+)
+def q_lorenz_curve_deciles(spark, sf_dir):
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    ranked = cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    tot = ranked.agg(
+        F.sum("cents").cast("long").alias("total_cents"),
+        F.count("*").cast("long").alias("n"),
+    )
+    per_decile = ranked.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("decile_cents"),
+    )
+    w = Window.orderBy("decile")
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.expr(
+                "CAST(SUM(decile_cents) OVER (ORDER BY decile) * 10000"
+                " DIV total_cents AS BIGINT)"
+            ).alias("cum_share_bp"),
+            F.expr(
+                "CAST(SUM(n_customers) OVER (ORDER BY decile) * 10000"
+                " DIV n AS BIGINT)"
+            ).alias("cum_pop_bp"),
+        )
+        .orderBy("decile")
+    )

@@ -2094,3 +2094,87 @@ def q_rake_keyphrases(spark, sf_dir):
         F.max("score_milli").cast("long").alias("score_milli"),
     )
     return dedup.orderBy(F.col("score_milli").desc(), "phrase").limit(_RAKE_TOPK)
+
+
+# --------------------------------------------- Yule's K vocab richness
+
+_YULE_SQL = r"""
+WITH toks AS (
+    SELECT source, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+freqs AS (
+    SELECT source, token, CAST(COUNT(*) AS BIGINT) AS f FROM toks
+    GROUP BY source, token
+),
+spectrum AS (
+    SELECT source, f, CAST(COUNT(*) AS BIGINT) AS v_f
+    FROM freqs GROUP BY source, f
+),
+comp AS (
+    SELECT source,
+           CAST(SUM(f * v_f) AS BIGINT) AS n_tokens,
+           CAST(SUM(v_f) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN f = 1 THEN v_f ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(f * f * v_f) AS BIGINT) AS m2
+    FROM spectrum GROUP BY source
+)
+SELECT source, n_tokens, vocab, hapax,
+       CAST(hapax * 1000000 // vocab AS BIGINT) AS hapax_share_ppm,
+       CAST(CAST(m2 - n_tokens AS HUGEINT) * 10000000000
+            // (CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT)
+           AS yule_k_deci
+FROM comp ORDER BY source
+"""
+
+
+@register(
+    "vocab_yule_k",
+    _YULE_SQL,
+    doc="Vocabulary richness per source: Yule's K = 1e4 * "
+    "(SUM f^2*V_f - N) / N^2 from the frequency SPECTRUM (how many "
+    "types occur f times) plus the hapax-legomena share — K is "
+    "length-invariant where type/token ratios are not, which makes "
+    "it the right cross-source repetitiveness comparator next to "
+    "token_zipf_constant (rank law) and doc_token_entropy "
+    "(per-doc). Everything is exact integer arithmetic on the "
+    "spectrum grain; the N^2 denominator runs in HUGEINT/DECIMAL "
+    "on the 20-row frame (deci-K units: 10*K). Scale: tokens -> "
+    "(source, token) counts -> (source, f) spectrum, each "
+    "map-combinable; the spectrum is tiny by Heaps' law.",
+)
+def q_vocab_yule_k(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    freqs = toks.groupBy("source", "token").agg(
+        F.count("*").cast("long").alias("f")
+    )
+    spectrum = freqs.groupBy("source", "f").agg(
+        F.count("*").cast("long").alias("v_f")
+    )
+    comp = spectrum.groupBy("source").agg(
+        F.sum(F.col("f") * F.col("v_f")).cast("long").alias("n_tokens"),
+        F.sum("v_f").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("f") == 1, F.col("v_f")).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.col("f") * F.col("f") * F.col("v_f")).cast("long").alias("m2"),
+    )
+    return comp.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.expr("CAST(hapax * 1000000 DIV vocab AS BIGINT)").alias(
+            "hapax_share_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(m2 - n_tokens AS DECIMAL(38,0)) * 10000000000"
+            " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
+        ).alias("yule_k_deci"),
+    ).orderBy("source")

@@ -118,6 +118,9 @@ NEW_IN_ROUND: list[str] = [
     "cochran_armitage_trend_test",
     "capture_recapture_estimate",
     "sprt_conversion_monitor",
+    "page_hinkley_drift",
+    "lorenz_curve_deciles",
+    "vocab_yule_k",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -915,3 +915,50 @@ def test_sprt_trajectory_consistency(spark):
         else:
             assert r["state"] == "continue"
     assert firsts <= 1
+
+
+def test_page_hinkley_nonnegative_statistic(spark):
+    """PH max is >= 0 by construction (m - running min); alarms only
+    with a positive statistic."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_page_hinkley_drift,
+    )
+
+    r = q_page_hinkley_drift(spark, SF).collect()[0]
+    assert r["ph_max_micro"] >= 0
+    assert 0 <= r["n_alarm_days"] <= r["n_days"]
+    if r["n_alarm_days"] > 0:
+        assert r["first_alarm_day"] is not None
+
+
+def test_lorenz_curve_convex_and_terminal(spark):
+    """Cumulative shares are monotone, end at 100%, and the curve
+    lies below the diagonal (inequality)."""
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        q_lorenz_curve_deciles,
+    )
+
+    rows = sorted(
+        q_lorenz_curve_deciles(spark, SF).collect(), key=lambda r: r["decile"]
+    )
+    assert len(rows) == 10
+    assert rows[-1]["cum_share_bp"] in (9999, 10000)
+    assert rows[-1]["cum_pop_bp"] == 10000
+    prev = 0
+    for r in rows:
+        assert r["cum_share_bp"] >= prev
+        prev = r["cum_share_bp"]
+        assert r["cum_share_bp"] <= r["cum_pop_bp"]  # below the diagonal
+
+
+def test_yule_k_identities(spark):
+    """Spectrum identities: hapax <= vocab <= tokens; K positive for
+    any corpus with repeats."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import q_vocab_yule_k
+
+    rows = q_vocab_yule_k(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
+        assert 0 <= r["hapax_share_ppm"] <= 1_000_000
+        assert r["yule_k_deci"] >= 0
