@@ -885,3 +885,132 @@ def q_threshold_sweep_pr_curve(spark, sf_dir):
             "f1_ppm"
         ),
     )
+
+
+# ------------------------------------------- Weibull hazard shape
+
+#: Weibull probability-plot regression: y = ln(-ln(S(g))) on
+#: x = ln(g) over the distinct-gap grid; the slope is the Weibull
+#: shape k (k < 1: decreasing hazard — long-idle customers reorder
+#: LESS; k > 1: aging-in). Both coordinates quantize to micro per
+#: GRID POINT from exact integer (cum, n) before the OLS sums.
+_WEIB_X = "CAST(FLOOR(ln(CAST(gap AS DOUBLE)) * 1000000.0) AS BIGINT)"
+_WEIB_Y = (
+    "CAST(FLOOR(ln(-ln(CAST(n_gaps - cum AS DOUBLE)"
+    " / CAST(n_gaps AS DOUBLE))) * 1000000.0) AS BIGINT)"
+)
+_WEIB_SLOPE_MILLI = (
+    "CAST(FLOOR((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * 1000.0) AS BIGINT)"
+)
+
+_WEIB_SQL = f"""
+WITH seq AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders
+),
+gaps AS (
+    SELECT CAST(date_diff('day',
+               LAG(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey),
+               d) AS BIGINT) AS gap
+    FROM seq
+),
+valid AS (SELECT gap FROM gaps WHERE gap IS NOT NULL AND gap >= 1),
+per_gap AS (
+    SELECT gap, CAST(COUNT(*) AS BIGINT) AS c FROM valid GROUP BY gap
+),
+cum_t AS (
+    SELECT gap,
+           CAST(SUM(c) OVER (ORDER BY gap) AS BIGINT) AS cum,
+           CAST(SUM(c) OVER () AS BIGINT) AS n_gaps
+    FROM per_gap
+),
+points AS (
+    SELECT {_WEIB_X} AS x_micro, {_WEIB_Y} AS y_micro
+    FROM cum_t WHERE cum < n_gaps
+),
+fit AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(x_micro) AS BIGINT) AS sx,
+           CAST(SUM(y_micro) AS BIGINT) AS sy,
+           CAST(SUM(CAST(x_micro AS HUGEINT) * x_micro) AS VARCHAR) AS sxx_s,
+           CAST(SUM(CAST(x_micro AS HUGEINT) * x_micro) AS DOUBLE) AS sxx_d,
+           CAST(SUM(CAST(x_micro AS HUGEINT) * y_micro) AS DOUBLE) AS sxy_d
+    FROM points
+),
+named AS (
+    SELECT np, sx, sy, sxx_d AS sxx, sxy_d AS sxy,
+           (SELECT CAST(MAX(n_gaps) AS BIGINT) FROM cum_t) AS n_gaps
+    FROM fit
+)
+SELECT n_gaps, np AS n_grid_points,
+       {_WEIB_SLOPE_MILLI} AS weibull_shape_milli,
+       {_WEIB_SLOPE_MILLI} < 1000 AS decreasing_hazard
+FROM named
+"""
+
+
+@register(
+    "interevent_weibull_shape",
+    _WEIB_SQL,
+    doc="Weibull shape of the inter-order gap distribution via the "
+    "probability-plot regression ln(-ln S(g)) ~ ln g over the "
+    "distinct-gap grid — THE parametric answer to 'does reorder "
+    "propensity age in or age out' that churn_hazard_table shows "
+    "non-parametrically (shape < 1 = decreasing hazard = long-idle "
+    "customers are progressively less likely to return, the "
+    "standard churn-risk justification). Survival comes from exact "
+    "integer cumulative counts; each plot coordinate quantizes to "
+    "micro per grid point; the OLS sums are exact ints (the x^2 "
+    "products accumulate in HUGEINT/DECIMAL and reach the final "
+    "shared expression as deterministically-rounded doubles). "
+    "Scale: gaps come from one per-customer lag window; everything "
+    "after runs at the distinct-gap grid (<= max gap days rows).",
+)
+def q_interevent_weibull_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    seq = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = seq.select(
+        F.datediff(F.col("d"), F.lag("d").over(w)).cast("long").alias("gap")
+    )
+    valid = gaps.filter(F.col("gap") >= 1)
+    per_gap = valid.groupBy("gap").agg(F.count("*").cast("long").alias("c"))
+    w_cum = Window.orderBy("gap")
+    w_all = Window.partitionBy()
+    cum_t = per_gap.select(
+        "gap",
+        F.sum("c").over(w_cum).cast("long").alias("cum"),
+        F.sum("c").over(w_all).cast("long").alias("n_gaps"),
+    ).localCheckpoint(eager=False)
+    points = cum_t.filter(F.col("cum") < F.col("n_gaps")).select(
+        F.expr(_WEIB_X).alias("x_micro"), F.expr(_WEIB_Y).alias("y_micro")
+    )
+    fit = points.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x_micro").cast("long").alias("sx"),
+        F.sum("y_micro").cast("long").alias("sy"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)") * F.col("x_micro"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x_micro").cast("decimal(38,0)") * F.col("y_micro"))
+        .cast("decimal(38,0)")
+        .cast("double")
+        .alias("sxy"),
+    )
+    n_gaps = cum_t.agg(F.max("n_gaps").cast("long").alias("n_gaps"))
+    named = fit.crossJoin(F.broadcast(n_gaps))
+    return named.select(
+        "n_gaps",
+        F.col("np").alias("n_grid_points"),
+        F.expr(_WEIB_SLOPE_MILLI).alias("weibull_shape_milli"),
+        (F.expr(_WEIB_SLOPE_MILLI) < 1000).alias("decreasing_hazard"),
+    )

@@ -495,3 +495,109 @@ def q_popularity_recommender_recall(spark, sf_dir):
         )
         .orderBy("k")
     )
+
+
+# ------------------------------------------- boolean inverted-index search
+
+_BQS_SQL = r"""
+WITH toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+df AS (
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rnk
+    FROM toks GROUP BY token
+),
+q AS (SELECT token, rnk FROM df WHERE rnk <= 4),
+flags AS (
+    SELECT t.doc_id,
+           CAST(MAX(CASE WHEN q.rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+           CAST(MAX(CASE WHEN q.rnk = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+           CAST(MAX(CASE WHEN q.rnk = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+           CAST(MAX(CASE WHEN q.rnk = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4
+    FROM toks t JOIN q ON q.token = t.token
+    GROUP BY t.doc_id
+),
+matched AS (
+    SELECT doc_id,
+           h1 = 1 AND h2 = 1 AS clause_and,
+           h3 = 1 AND h4 = 0 AS clause_andnot
+    FROM flags
+)
+SELECT doc_id,
+       clause_and, clause_andnot,
+       CASE WHEN clause_and AND clause_andnot THEN 'both'
+            WHEN clause_and THEN 'and' ELSE 'andnot' END AS matched_via
+FROM matched
+WHERE clause_and OR clause_andnot
+ORDER BY doc_id
+"""
+
+
+@register(
+    "boolean_query_search",
+    _BQS_SQL,
+    doc="Boolean retrieval over the inverted-index relation: documents "
+    "matching (t1 AND t2) OR (t3 AND NOT t4), where t1..t4 are the "
+    "corpus's top-4 tokens by document frequency (self-contained "
+    "deterministic query terms) — the AND/OR/NOT set semantics of a "
+    "search engine expressed as grouped membership flags, which is "
+    "exactly how a posting-list engine evaluates them "
+    "(intersection/union/difference on sorted doc lists). "
+    "Complements the SCORING retrieval family (doc_bm25_scores, "
+    "rrf_hybrid_retrieval) with exact-match semantics. Scale: the "
+    "distinct (doc, token) relation joins the BROADCAST 4-term "
+    "query, then one per-doc flag pivot — cost is the posting "
+    "lists of the query terms, never the corpus.",
+)
+def q_boolean_query_search(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    ).distinct()
+    df_counts = toks.groupBy("token").agg(F.count("*").alias("n_docs"))
+    q = (
+        df_counts.withColumn(
+            "rnk",
+            F.row_number().over(Window.orderBy(F.col("n_docs").desc(), "token")),
+        )
+        .filter(F.col("rnk") <= 4)
+        .select("token", "rnk")
+    )
+    flags = (
+        toks.join(F.broadcast(q), "token")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("rnk") == i, 1).otherwise(0))
+                .cast("long")
+                .alias(f"h{i}")
+                for i in (1, 2, 3, 4)
+            ]
+        )
+    )
+    matched = flags.select(
+        "doc_id",
+        ((F.col("h1") == 1) & (F.col("h2") == 1)).alias("clause_and"),
+        ((F.col("h3") == 1) & (F.col("h4") == 0)).alias("clause_andnot"),
+    )
+    return (
+        matched.filter(F.col("clause_and") | F.col("clause_andnot"))
+        .select(
+            "doc_id",
+            "clause_and",
+            "clause_andnot",
+            F.when(F.col("clause_and") & F.col("clause_andnot"), "both")
+            .when(F.col("clause_and"), "and")
+            .otherwise("andnot")
+            .alias("matched_via"),
+        )
+        .orderBy("doc_id")
+    )

@@ -121,6 +121,9 @@ NEW_IN_ROUND: list[str] = [
     "page_hinkley_drift",
     "lorenz_curve_deciles",
     "vocab_yule_k",
+    "wasserstein_spend_distance",
+    "interevent_weibull_shape",
+    "boolean_query_search",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -962,3 +962,48 @@ def test_yule_k_identities(spark):
         assert r["hapax"] <= r["vocab"] <= r["n_tokens"]
         assert 0 <= r["hapax_share_ppm"] <= 1_000_000
         assert r["yule_k_deci"] >= 0
+
+
+def test_wasserstein_bounded_by_mean_gap(spark):
+    """W1 between distributions on a common support is bounded by the
+    support range; numerator/denominator consistency holds."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_wasserstein_spend_distance,
+    )
+
+    r = q_wasserstein_spend_distance(spark, SF).collect()[0]
+    assert r["n1"] > 0 and r["n2"] > 0
+    assert r["w1_cents"] >= 0
+    assert int(r["area_numerator"]) // (r["n1"] * r["n2"]) == r["w1_cents"]
+
+
+def test_weibull_shape_positive(spark):
+    """The probability-plot slope is positive for any real gap
+    distribution (survival decreases in g)."""
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_interevent_weibull_shape,
+    )
+
+    r = q_interevent_weibull_shape(spark, SF).collect()[0]
+    assert r["n_gaps"] > 0
+    assert r["n_grid_points"] >= 3
+    assert r["weibull_shape_milli"] > 0
+
+
+def test_boolean_search_clause_semantics(spark):
+    """Every returned doc satisfies at least one clause; matched_via
+    is consistent with the clause flags."""
+    from ecom_churn_lakehouse_spark.queries.search_queries import (
+        q_boolean_query_search,
+    )
+
+    rows = q_boolean_query_search(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["clause_and"] or r["clause_andnot"]
+        if r["clause_and"] and r["clause_andnot"]:
+            assert r["matched_via"] == "both"
+        elif r["clause_and"]:
+            assert r["matched_via"] == "and"
+        else:
+            assert r["matched_via"] == "andnot"
