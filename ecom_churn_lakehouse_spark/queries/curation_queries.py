@@ -1583,3 +1583,126 @@ def q_shard_source_balance_audit(spark, sf_dir):
         )
         .orderBy("shard")
     )
+
+
+# ------------------------------------------- rater agreement (Fleiss)
+
+#: kappa = (Pbar - Pe) / (1 - Pe) for 3 binary raters per doc:
+#: per-doc agreement numerator v(v-1) + (3-v)(2-v) (v = pass votes),
+#: Pbar = sum/ (N*6); Pe = p^2 + (1-p)^2, p = V/(3N). One shared
+#: IEEE expression over three exact int64 sums.
+_KAPPA_MILLI = (
+    "CAST(FLOOR(("
+    "CAST(agree_num AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 6.0)"
+    " - (CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    "   * (CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    " - (1.0 - CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    "   * (1.0 - CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    ") / (1.0"
+    " - (CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    "   * (CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    " - (1.0 - CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    "   * (1.0 - CAST(votes AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 3.0))"
+    ") * 1000.0) AS BIGINT)"
+)
+
+_KAPPA_SQL = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
+    FROM documents
+),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY token),
+per_doc AS (
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT t.token) AS BIGINT) AS n_distinct,
+           CAST(SUM(CASE WHEN d.c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+    FROM toks t JOIN df d ON d.token = t.token
+    GROUP BY t.doc_id
+),
+rated AS (
+    SELECT doc_id,
+           CAST((CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END)
+              + (CASE WHEN n_rare * 1000000 // n_tokens < 200000
+                      THEN 1 ELSE 0 END)
+              + (CASE WHEN n_distinct * 2 > n_tokens THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+    FROM per_doc
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(v) AS BIGINT) AS votes,
+           CAST(SUM(v * (v - 1) + (3 - v) * (2 - v)) AS BIGINT) AS agree_num,
+           CAST(SUM(CASE WHEN v IN (0, 3) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unanimous
+    FROM rated
+)
+SELECT n_docs, votes, agree_num, n_unanimous,
+       {_KAPPA_MILLI} AS fleiss_kappa_milli
+FROM comp
+"""
+
+
+@register(
+    "quality_rater_agreement_kappa",
+    _KAPPA_SQL,
+    doc="Fleiss' kappa across three deterministic quality 'raters' "
+    "(length, rare-token ratio, lexical diversity) voting pass/fail "
+    "per document — the inter-annotator-agreement statistic every "
+    "labeling pipeline reports, here measuring whether cheap "
+    "quality heuristics actually agree on which documents are bad "
+    "(low kappa means the corpus_curation signals are measuring "
+    "different things and a composite rule is fragile). Per-doc "
+    "agreement numerators are exact integers v(v-1)+(3-v)(2-v); "
+    "kappa is ONE shared IEEE expression over three int64 sums, "
+    "milli-floored. Scale: rides the same vocab join-back as "
+    "quality_filter_threshold_curve; the kappa itself is one "
+    "single-row agg.",
+)
+def q_quality_rater_agreement_kappa(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)
+        ).alias("token"),
+    )
+    df_counts = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    per_doc = (
+        toks.join(F.broadcast(df_counts), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.countDistinct("token").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
+    v = (
+        F.when(F.col("n_tokens") >= 40, 1).otherwise(0)
+        + F.when(
+            F.expr("n_rare * 1000000 DIV n_tokens") < 200000, 1
+        ).otherwise(0)
+        + F.when(F.col("n_distinct") * 2 > F.col("n_tokens"), 1).otherwise(0)
+    ).cast("long")
+    rated = per_doc.select(v.alias("v"))
+    comp = rated.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("v").cast("long").alias("votes"),
+        F.sum(
+            F.col("v") * (F.col("v") - 1) + (3 - F.col("v")) * (2 - F.col("v"))
+        )
+        .cast("long")
+        .alias("agree_num"),
+        F.sum(F.when(F.col("v").isin(0, 3), 1).otherwise(0))
+        .cast("long")
+        .alias("n_unanimous"),
+    )
+    return comp.select(
+        "n_docs",
+        "votes",
+        "agree_num",
+        "n_unanimous",
+        F.expr(_KAPPA_MILLI).alias("fleiss_kappa_milli"),
+    )

@@ -718,3 +718,156 @@ def q_near_zero_variance_screen(spark, sf_dir):
             " AND n_distinct * 1000000 DIV n < 100000"
         ).alias("near_zero_variance"),
     ).orderBy("feature")
+
+
+# ------------------------------------------- Cramér's V association
+
+#: V = sqrt(chi2 / (N * (min(r,c) - 1))); chi2 accumulated from
+#: per-cell Pearson terms floor-quantized micro (exact int inputs),
+#: so only the final sqrt is float.
+_CRAMER_CELL_MICRO = (
+    "CAST(FLOOR("
+    "(CAST(obs AS DOUBLE)"
+    " - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * (CAST(obs AS DOUBLE)"
+    "    - CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+_CRAMER_V_MILLI = (
+    "CAST(FLOOR(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0"
+    " / (CAST(n AS DOUBLE) * (CAST(LEAST(n_rows, n_cols) AS DOUBLE) - 1.0)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+def _cramer_pair_sql(pair: str, a_expr: str, b_expr: str, src: str) -> str:
+    return f"""
+SELECT '{pair}' AS pair, a, b, CAST(COUNT(*) AS BIGINT) AS obs
+FROM (SELECT {a_expr} AS a, {b_expr} AS b FROM {src})
+GROUP BY a, b"""
+
+
+_CRAMER_SQL = f"""
+WITH cells AS (
+    {_cramer_pair_sql("segment_x_region",
+                      "c.c_mktsegment", "CAST(n.n_regionkey AS BIGINT)",
+                      "customer c JOIN nation n ON n.n_nationkey = c.c_nationkey")}
+    UNION ALL
+    {_cramer_pair_sql("segment_x_priority",
+                      "c.c_mktsegment", "o.o_orderpriority",
+                      "orders o JOIN customer c ON c.c_custkey = o.o_custkey")}
+    UNION ALL
+    {_cramer_pair_sql("priority_x_status",
+                      "o.o_orderpriority", "o.o_orderstatus", "orders o")}
+),
+margins AS (
+    SELECT c.pair, c.a, c.b, c.obs,
+           SUM(c.obs) OVER (PARTITION BY c.pair, c.a) AS row_n,
+           SUM(c.obs) OVER (PARTITION BY c.pair, c.b) AS col_n,
+           SUM(c.obs) OVER (PARTITION BY c.pair) AS n
+    FROM cells c
+),
+terms AS (
+    SELECT pair, n, {_CRAMER_CELL_MICRO} AS cell_micro FROM margins
+),
+dims AS (
+    SELECT pair,
+           CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols
+    FROM cells GROUP BY pair
+),
+agg AS (
+    SELECT t.pair, CAST(MAX(t.n) AS BIGINT) AS n,
+           CAST(SUM(t.cell_micro) AS BIGINT) AS chi2_micro
+    FROM terms t GROUP BY t.pair
+)
+SELECT a.pair, a.n, d.n_rows, d.n_cols, a.chi2_micro,
+       {_CRAMER_V_MILLI} AS cramers_v_milli
+FROM agg a JOIN dims d ON d.pair = a.pair
+ORDER BY a.pair
+"""
+
+
+@register(
+    "cramers_v_matrix",
+    _CRAMER_SQL,
+    doc="Cramér's V association strength for three categorical column "
+    "pairs (segment x region, segment x priority, priority x "
+    "status) — the normalized-to-[0,1] effect size that "
+    "promo_chisq_independence's raw chi-square is not, and the "
+    "standard first screen for redundant categorical features "
+    "before encoding. Dense margins come from window sums over the "
+    "cell frame; each Pearson term floor-quantizes to micro from "
+    "exact ints before the integer chi-square sum; V is one shared "
+    "sqrt. Scale: each pair reduces to its bounded contingency "
+    "cells map-combinably — association mining at 100 TB is one "
+    "grouped agg per pair.",
+)
+def q_cramers_v_matrix(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    p1 = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            F.col("c_mktsegment").alias("a"),
+            F.col("n_regionkey").cast("long").cast("string").alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .select(F.lit("segment_x_region").alias("pair"), "a", "b", "obs")
+    )
+    p2 = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .select(F.col("c_mktsegment").alias("a"), F.col("o_orderpriority").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .select(F.lit("segment_x_priority").alias("pair"), "a", "b", "obs")
+    )
+    p3 = (
+        orders.select(
+            F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("obs"))
+        .select(F.lit("priority_x_status").alias("pair"), "a", "b", "obs")
+    )
+    cells = p1.unionByName(p2).unionByName(p3).localCheckpoint(eager=False)
+    margins = cells.select(
+        "pair",
+        "a",
+        "b",
+        "obs",
+        F.sum("obs").over(Window.partitionBy("pair", "a")).alias("row_n"),
+        F.sum("obs").over(Window.partitionBy("pair", "b")).alias("col_n"),
+        F.sum("obs").over(Window.partitionBy("pair")).alias("n"),
+    )
+    terms = margins.select(
+        "pair", "n", F.expr(_CRAMER_CELL_MICRO).alias("cell_micro")
+    )
+    dims = cells.groupBy("pair").agg(
+        F.countDistinct("a").cast("long").alias("n_rows"),
+        F.countDistinct("b").cast("long").alias("n_cols"),
+    )
+    agg = terms.groupBy("pair").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum("cell_micro").cast("long").alias("chi2_micro"),
+    )
+    return (
+        agg.join(dims, "pair")
+        .select(
+            "pair",
+            "n",
+            "n_rows",
+            "n_cols",
+            "chi2_micro",
+            F.expr(_CRAMER_V_MILLI).alias("cramers_v_milli"),
+        )
+        .orderBy("pair")
+    )

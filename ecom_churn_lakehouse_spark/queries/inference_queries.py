@@ -3164,3 +3164,144 @@ def q_wasserstein_spend_distance(spark, sf_dir):
             " DIV (CAST(MAX(n1) AS DECIMAL(38,0)) * MAX(n2)) AS BIGINT)"
         ).alias("w1_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Holm step-down multiple-testing screen over per-brand return rates.
+# --------------------------------------------------------------------------
+
+#: Two-sided z critical values at alpha/(m-k+1), alpha=0.05, m=25,
+#: precomputed via the stdlib inverse normal and embedded as integer
+#: milli literals — no runtime distribution functions anywhere.
+_HOLM_THRESHOLDS_MILLI = (
+    3090, 3078, 3065, 3052, 3038, 3023, 3008, 2991, 2974, 2955, 2935,
+    2914, 2891, 2865, 2838, 2807, 2773, 2734, 2690, 2638, 2576, 2498,
+    2394, 2241, 1960,
+)
+
+#: Brand-vs-rest pooled two-proportion z (same algebra as
+#: two_proportion_ztest_returns) over exact integer counts.
+_HOLM_Z_MILLI = (
+    "CAST(FLOOR((CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    " - CAST(x_tot - x_b AS DOUBLE) / CAST(n_tot - n_b AS DOUBLE))"
+    " / sqrt((CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    "        * (1.0 - CAST(x_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))"
+    "        * (1.0 / CAST(n_b AS DOUBLE)"
+    "           + 1.0 / CAST(n_tot - n_b AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+def _holm_threshold_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {k + 1} THEN {t}"
+        for k, t in enumerate(_HOLM_THRESHOLDS_MILLI)
+    )
+    return f"CASE {rank_col} {whens} ELSE 1960 END"
+
+
+_HOLM_SQL = f"""
+WITH tagged AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(ret) AS BIGINT) AS x_b
+    FROM tagged GROUP BY brand
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_tot,
+               CAST(SUM(x_b) AS BIGINT) AS x_tot FROM per_brand),
+scored AS (
+    SELECT b.brand, b.n_b, b.x_b,
+           {_HOLM_Z_MILLI} AS z_milli
+    FROM per_brand b CROSS JOIN tot
+),
+ranked AS (
+    SELECT brand, n_b, x_b, z_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY abs(z_milli) DESC, brand)
+                AS BIGINT) AS rnk
+    FROM scored
+),
+stepped AS (
+    SELECT brand, n_b, x_b, z_milli, rnk,
+           CAST({_holm_threshold_case("rnk")} AS BIGINT) AS threshold_milli,
+           CASE WHEN abs(z_milli) >= {_holm_threshold_case("rnk")}
+                THEN 1 ELSE 0 END AS raw_pass
+    FROM ranked
+)
+SELECT brand, n_b, x_b, z_milli, rnk, threshold_milli,
+       raw_pass = 1 AS raw_pass,
+       MIN(raw_pass) OVER (ORDER BY rnk) = 1 AS holm_reject
+FROM stepped ORDER BY rnk
+"""
+
+
+@register(
+    "holm_stepdown_brand_screen",
+    _HOLM_SQL,
+    doc="Holm step-down multiple-testing screen: 25 brand-vs-rest "
+    "return-rate z tests ranked by |z|, each compared to its "
+    "rank-specific critical value (alpha/(m-k+1), two-sided 0.05), "
+    "rejections granted only while EVERY earlier rank also passed "
+    "(the step-down prefix rule as a running MIN window) — "
+    "familywise-error control for the pick-the-outlier-brand "
+    "question that a per-test 1.96 cut silently inflates 25-fold. "
+    "Critical values are precomputed inverse-normal integer milli "
+    "LITERALS (stdlib NormalDist at authoring time — zero runtime "
+    "distribution functions); counts and the prefix rule are exact "
+    "integers; each z is one shared IEEE expression. Scale: one "
+    "broadcast dim join + brand-grain agg; the screen runs on 25 "
+    "rows.",
+)
+def q_holm_stepdown_brand_screen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("ret").cast("long").alias("x_b"),
+        )
+    )
+    tot = per_brand.agg(
+        F.sum("n_b").cast("long").alias("n_tot"),
+        F.sum("x_b").cast("long").alias("x_tot"),
+    )
+    scored = per_brand.crossJoin(F.broadcast(tot)).select(
+        "brand", "n_b", "x_b", F.expr(_HOLM_Z_MILLI).alias("z_milli")
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z_milli")).desc(), "brand"))
+        .cast("long"),
+    )
+    thr = _holm_threshold_case("rnk")
+    stepped = ranked.select(
+        "brand",
+        "n_b",
+        "x_b",
+        "z_milli",
+        "rnk",
+        F.expr(f"CAST({thr} AS BIGINT)").alias("threshold_milli"),
+        F.expr(
+            f"CASE WHEN abs(z_milli) >= {thr} THEN 1 ELSE 0 END"
+        ).alias("raw_pass_i"),
+    )
+    w = Window.orderBy("rnk")
+    return stepped.select(
+        "brand",
+        "n_b",
+        "x_b",
+        "z_milli",
+        "rnk",
+        "threshold_milli",
+        (F.col("raw_pass_i") == 1).alias("raw_pass"),
+        (F.min("raw_pass_i").over(w) == 1).alias("holm_reject"),
+    ).orderBy("rnk")

@@ -124,6 +124,9 @@ NEW_IN_ROUND: list[str] = [
     "wasserstein_spend_distance",
     "interevent_weibull_shape",
     "boolean_query_search",
+    "cramers_v_matrix",
+    "quality_rater_agreement_kappa",
+    "holm_stepdown_brand_screen",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -1007,3 +1007,59 @@ def test_boolean_search_clause_semantics(spark):
             assert r["matched_via"] == "and"
         else:
             assert r["matched_via"] == "andnot"
+
+
+def test_cramers_v_bounds(spark):
+    """V in [0, 1000] milli; dims match the known domains."""
+    from ecom_churn_lakehouse_spark.queries.feature_queries import (
+        q_cramers_v_matrix,
+    )
+
+    rows = {r["pair"]: r for r in q_cramers_v_matrix(spark, SF).collect()}
+    assert set(rows) == {
+        "segment_x_region", "segment_x_priority", "priority_x_status"
+    }
+    assert rows["segment_x_region"]["n_rows"] == 5
+    assert rows["segment_x_region"]["n_cols"] == 5
+    for r in rows.values():
+        assert 0 <= r["cramers_v_milli"] <= 1000
+
+
+def test_kappa_bounds_and_unanimity(spark):
+    """Fleiss kappa <= 1000 milli; unanimous docs bounded by total;
+    agreement numerator consistent with its per-doc maximum 6."""
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_quality_rater_agreement_kappa,
+    )
+
+    r = q_quality_rater_agreement_kappa(spark, SF).collect()[0]
+    assert r["fleiss_kappa_milli"] <= 1000
+    assert 0 <= r["n_unanimous"] <= r["n_docs"]
+    assert r["agree_num"] <= 6 * r["n_docs"]
+    assert 0 <= r["votes"] <= 3 * r["n_docs"]
+
+
+def test_holm_stepdown_prefix_rule(spark):
+    """Rejections form a prefix of the |z| ranking; thresholds are
+    monotone decreasing in rank; every Holm rejection also passes
+    its raw threshold."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_holm_stepdown_brand_screen,
+    )
+
+    rows = sorted(
+        q_holm_stepdown_brand_screen(spark, SF).collect(), key=lambda r: r["rnk"]
+    )
+    assert len(rows) == 25
+    seen_fail = False
+    prev_thr = None
+    for r in rows:
+        if prev_thr is not None:
+            assert r["threshold_milli"] <= prev_thr
+        prev_thr = r["threshold_milli"]
+        if not r["raw_pass"]:
+            seen_fail = True
+        if seen_fail:
+            assert not r["holm_reject"]
+        if r["holm_reject"]:
+            assert r["raw_pass"]
