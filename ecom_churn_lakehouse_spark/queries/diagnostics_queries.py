@@ -417,3 +417,109 @@ def q_benford_digit_audit(spark, sf_dir):
             .alias("abs_delta_ppm"),
         )
     )
+
+
+# ------------------------------------------- header/detail reconciliation
+
+_RECON_SQL = """
+WITH detail AS (
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DECIMAL(24,6)) AS calc
+    FROM lineitem GROUP BY l_orderkey
+),
+-- diff at the exact 6-decimal micro grain: DECIMAL subtraction is
+-- exact and *1e6 makes it INTEGRAL, so the bigint cast never rounds
+-- (DuckDB rounds fractional casts where Spark truncates — avoided
+-- entirely by quantizing on an integral value)
+diffs AS (
+    SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS header_cents,
+           CAST(abs((CAST(o.o_totalprice AS DECIMAL(18,2)) - d.calc)
+                    * 1000000) AS BIGINT) AS abs_diff_micro
+    FROM orders o JOIN detail d ON d.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN abs_diff_micro = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+       CAST(SUM(CASE WHEN abs_diff_micro <= header_cents * 100
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1pct,
+       CAST(SUM(abs_diff_micro) // COUNT(*) AS BIGINT)
+           AS mean_abs_diff_micro,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_diff_micro)
+            AS BIGINT) AS p50_abs_diff_micro,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY abs_diff_micro)
+            AS BIGINT) AS p95_abs_diff_micro,
+       CAST(MAX(abs_diff_micro) AS BIGINT) AS max_abs_diff_micro
+FROM diffs
+"""
+
+
+@register(
+    "order_total_reconciliation",
+    _RECON_SQL,
+    doc="Header-vs-detail reconciliation: every order's header total "
+    "against the recomputed sum of its lines "
+    "(price*(1-disc)*(1+tax)), with the discrepancy DISTRIBUTION "
+    "(exact-match count, within-1%, mean/median/p95/max absolute "
+    "difference in exact 6-decimal micros) — the finance-grade check "
+    "that referential_integrity_audit (key existence) and "
+    "duplicate_key_audit (grain) do not cover; this fixture's "
+    "generator does NOT honor the invariant, which is precisely "
+    "what the operator exists to surface. Line charges carry six "
+    "decimals losslessly and reduce per order map-combinably; all "
+    "diff stats are exact integer cents (percentile_disc at the "
+    "order grain). Scale: one fact agg + one equi-join on the "
+    "natural shuffle key.",
+)
+def q_order_total_reconciliation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    detail = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(18,6)")
+        )
+        .cast("decimal(24,6)")
+        .alias("calc")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("header")
+    )
+    diffs = orders.join(detail, orders.o_orderkey == detail.l_orderkey).select(
+        F.expr("CAST(header * 100 AS BIGINT)").alias("header_cents"),
+        F.expr("CAST(abs((header - calc) * 1000000) AS BIGINT)").alias(
+            "abs_diff_micro"
+        ),
+    )
+    return diffs.agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("abs_diff_micro") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(
+            F.when(
+                F.col("abs_diff_micro") <= F.col("header_cents") * 100, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_within_1pct"),
+        F.expr("CAST(SUM(abs_diff_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_abs_diff_micro"
+        ),
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs_diff_micro)"
+            " AS BIGINT)"
+        ).alias("p50_abs_diff_micro"),
+        F.expr(
+            "CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY abs_diff_micro)"
+            " AS BIGINT)"
+        ).alias("p95_abs_diff_micro"),
+        F.max("abs_diff_micro").cast("long").alias("max_abs_diff_micro"),
+    )

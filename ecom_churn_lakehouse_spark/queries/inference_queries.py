@@ -3305,3 +3305,135 @@ def q_holm_stepdown_brand_screen(spark, sf_dir):
         (F.col("raw_pass_i") == 1).alias("raw_pass"),
         (F.min("raw_pass_i").over(w) == 1).alias("holm_reject"),
     ).orderBy("rnk")
+
+
+# --------------------------------------------------------------------------
+# Tukey HSD post-hoc pairwise comparisons across priorities.
+# --------------------------------------------------------------------------
+
+#: q_crit(k=5, df=inf, .05) = 3.858 (studentized range, authoring-time
+#: constant). Threshold = q * sqrt(MSE/2 * (1/n_i + 1/n_j)); MSE from
+#: the within-group SS assembled exactly (floor(s^2/n) per group, the
+#: james_stein idiom). Mean diffs are exact integer milli-dollars.
+_TUKEY_THRESH_MILLI = (
+    "CAST(FLOOR(3.858 * sqrt("
+    "(CAST(q_tot AS DOUBLE) - CAST(sum_ws AS DOUBLE))"
+    " / (CAST(n_tot AS DOUBLE) - 5.0) / 2.0"
+    " * (1.0 / CAST(n_i AS DOUBLE) + 1.0 / CAST(n_j AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_TUKEY_SQL = f"""
+WITH base AS (
+    SELECT o_orderpriority AS prio,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                // 100 AS BIGINT) AS x
+    FROM orders
+),
+per_group AS (
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(x) AS BIGINT) AS s_g,
+           CAST(FLOOR(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)
+                      / COUNT(*)) AS BIGINT) AS ws_floor
+    FROM base GROUP BY prio
+),
+scalars AS (
+    SELECT CAST(SUM(n_g) AS BIGINT) AS n_tot,
+           CAST(SUM(ws_floor) AS BIGINT) AS sum_ws
+    FROM per_group
+),
+q_scalar AS (
+    SELECT CAST(SUM(x * x) AS BIGINT) AS q_tot FROM base
+),
+pairs AS (
+    SELECT a.prio AS prio_i, b.prio AS prio_j,
+           a.n_g AS n_i, b.n_g AS n_j,
+           CAST(abs(a.s_g * 1000 // a.n_g - b.s_g * 1000 // b.n_g)
+                AS BIGINT) AS mean_diff_milli,
+           s.n_tot, s.sum_ws, q.q_tot
+    FROM per_group a
+    JOIN per_group b ON b.prio > a.prio
+    CROSS JOIN scalars s CROSS JOIN q_scalar q
+)
+SELECT prio_i, prio_j, n_i, n_j, mean_diff_milli,
+       {_TUKEY_THRESH_MILLI} AS hsd_threshold_milli,
+       mean_diff_milli > {_TUKEY_THRESH_MILLI} AS significant
+FROM pairs ORDER BY prio_i, prio_j
+"""
+
+
+@register(
+    "tukey_hsd_priority_pairs",
+    _TUKEY_SQL,
+    doc="Tukey HSD post-hoc comparisons: all 10 priority pairs' mean "
+    "spend differences against the studentized-range threshold — "
+    "the which-groups-differ answer that the omnibus tests "
+    "(kruskal_wallis / brown_forsythe) deliberately do not give, "
+    "with the familywise error held at 5% across the 10 "
+    "comparisons. Means diff in exact integer milli-dollars (exact "
+    "s*1000 DIV n per group); MSE assembles from exact sums with "
+    "per-group floor(s^2/n); q_crit is an authoring-time constant; "
+    "one shared IEEE expression per pair. Scale: one fused "
+    "scan-grain agg to 5 rows; the pair join is 10 rows.",
+)
+def q_tukey_hsd_priority_pairs(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    per_group = base.groupBy("prio").agg(
+        F.count("*").cast("long").alias("n_g"),
+        F.sum("x").cast("long").alias("s_g"),
+        F.expr(
+            "CAST(FLOOR(CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)"
+            " / COUNT(*)) AS BIGINT)"
+        ).alias("ws_floor"),
+    ).localCheckpoint(eager=False)
+    scalars = per_group.agg(
+        F.sum("n_g").cast("long").alias("n_tot"),
+        F.sum("ws_floor").cast("long").alias("sum_ws"),
+    )
+    q_scalar = base.agg(
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("q_tot")
+    )
+    a = per_group.select(
+        F.col("prio").alias("prio_i"),
+        F.col("n_g").alias("n_i"),
+        F.col("s_g").alias("s_i"),
+    )
+    b = per_group.select(
+        F.col("prio").alias("prio_j"),
+        F.col("n_g").alias("n_j"),
+        F.col("s_g").alias("s_j"),
+    )
+    pairs = (
+        a.join(F.broadcast(b), F.col("prio_j") > F.col("prio_i"))
+        .crossJoin(F.broadcast(scalars))
+        .crossJoin(F.broadcast(q_scalar))
+        .select(
+            "prio_i",
+            "prio_j",
+            "n_i",
+            "n_j",
+            F.expr(
+                "CAST(abs(s_i * 1000 DIV n_i - s_j * 1000 DIV n_j) AS BIGINT)"
+            ).alias("mean_diff_milli"),
+            "n_tot",
+            "sum_ws",
+            "q_tot",
+        )
+    )
+    return pairs.select(
+        "prio_i",
+        "prio_j",
+        "n_i",
+        "n_j",
+        "mean_diff_milli",
+        F.expr(_TUKEY_THRESH_MILLI).alias("hsd_threshold_milli"),
+        (F.col("mean_diff_milli") > F.expr(_TUKEY_THRESH_MILLI)).alias(
+            "significant"
+        ),
+    ).orderBy("prio_i", "prio_j")

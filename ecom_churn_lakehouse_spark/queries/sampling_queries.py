@@ -925,3 +925,102 @@ def q_ipf_raking_weights(spark, sf_dir):
         "weight_milli",
         (F.col("c") * F.col("weight_milli")).cast("long").alias("weighted_milli"),
     ).orderBy("segment", "region")
+
+
+# ------------------------------------------------ monetary-unit sampling
+
+_MUS_TARGET = 200  # target selections -> interval J = total // 200
+
+_MUS_SQL = """
+WITH base AS (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM base),
+j AS (SELECT CAST(total_cents // 200 AS BIGINT) AS interval_j FROM tot),
+cum AS (
+    SELECT b.o_orderkey, b.cents,
+           CAST(SUM(b.cents) OVER (ORDER BY b.o_orderkey) AS BIGINT) AS c
+    FROM base b
+),
+selected AS (
+    SELECT cum.o_orderkey, cum.cents, j.interval_j
+    FROM cum CROSS JOIN j
+    WHERE cum.c // j.interval_j > (cum.c - cum.cents) // j.interval_j
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_pop,
+       (SELECT total_cents FROM tot) AS total_cents,
+       (SELECT interval_j FROM j) AS interval_j,
+       CAST(COUNT(*) AS BIGINT) AS n_selected,
+       CAST(SUM(cents) AS BIGINT) AS selected_cents,
+       CAST(SUM(CASE WHEN cents >= interval_j THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_certainty_stratum,
+       CAST(SUM(cents) * 10000 // (SELECT total_cents FROM tot) AS BIGINT)
+           AS value_coverage_bp
+FROM selected
+"""
+
+
+@register(
+    "monetary_unit_sample",
+    _MUS_SQL,
+    doc="Monetary-unit sampling (the financial-audit standard): every "
+    "CENT is a sampling unit, orders are selected when their "
+    "cumulative-cents interval spans a multiple of the sampling "
+    "interval J = total/200 — selection probability proportional to "
+    "value with zero randomness (systematic, origin 0), and every "
+    "order worth >= J is selected with certainty (the certainty "
+    "stratum auditors carve out, surfaced as a column). "
+    "Complements horvitz_thompson_total (Poisson PPS) with the "
+    "systematic-PPS design whose sample size is FIXED by "
+    "construction. Pure integer arithmetic; the cumulative window "
+    "is a range-partitionable running sum over the key order. "
+    "Scale: one scan + one global cumsum; selection is a row-local "
+    "integer predicate.",
+)
+def q_monetary_unit_sample(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    tot = base.agg(F.sum("cents").cast("long").alias("total_cents"))
+    j = tot.select(
+        "total_cents",
+        F.expr("CAST(total_cents DIV 200 AS BIGINT)").alias("interval_j"),
+    )
+    cum = base.select(
+        "cents",
+        F.sum("cents").over(Window.orderBy("o_orderkey")).cast("long").alias("c"),
+    )
+    selected = cum.crossJoin(F.broadcast(j)).filter(
+        F.expr("c DIV interval_j > (c - cents) DIV interval_j")
+    )
+    n_pop = base.agg(F.count("*").cast("long").alias("n_pop"))
+    return (
+        selected.agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("cents").cast("long").alias("selected_cents"),
+            F.sum(F.when(F.col("cents") >= F.col("interval_j"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_certainty_stratum"),
+            F.max("total_cents").cast("long").alias("total_cents"),
+            F.max("interval_j").cast("long").alias("interval_j"),
+        )
+        .crossJoin(F.broadcast(n_pop))
+        .select(
+            "n_pop",
+            "total_cents",
+            "interval_j",
+            "n_selected",
+            "selected_cents",
+            "n_certainty_stratum",
+            F.expr(
+                "CAST(selected_cents * 10000 DIV total_cents AS BIGINT)"
+            ).alias("value_coverage_bp"),
+        )
+    )

@@ -127,6 +127,9 @@ NEW_IN_ROUND: list[str] = [
     "cramers_v_matrix",
     "quality_rater_agreement_kappa",
     "holm_stepdown_brand_screen",
+    "order_total_reconciliation",
+    "tukey_hsd_priority_pairs",
+    "monetary_unit_sample",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -1063,3 +1063,51 @@ def test_holm_stepdown_prefix_rule(spark):
             assert not r["holm_reject"]
         if r["holm_reject"]:
             assert r["raw_pass"]
+
+
+def test_reconciliation_accounting(spark):
+    """Stats ordered p50 <= p95 <= max; exact matches consistent."""
+    from ecom_churn_lakehouse_spark.queries.diagnostics_queries import (
+        q_order_total_reconciliation,
+    )
+
+    r = q_order_total_reconciliation(spark, SF).collect()[0]
+    assert r["n_exact"] <= r["n_within_1pct"] <= r["n_orders"]
+    assert (
+        r["p50_abs_diff_micro"]
+        <= r["p95_abs_diff_micro"]
+        <= r["max_abs_diff_micro"]
+    )
+
+
+def test_tukey_pairs_complete(spark):
+    """All C(5,2)=10 ordered pairs present, thresholds positive, and
+    significance is exactly the threshold comparison."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_tukey_hsd_priority_pairs,
+    )
+
+    rows = q_tukey_hsd_priority_pairs(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["prio_i"] < r["prio_j"]
+        assert r["hsd_threshold_milli"] > 0
+        assert r["significant"] == (
+            r["mean_diff_milli"] > r["hsd_threshold_milli"]
+        )
+
+
+def test_mus_selection_properties(spark):
+    """Fixed-size-by-construction sample: n_selected within 1 of the
+    target; every certainty-stratum order is selected; value
+    coverage far exceeds the count fraction (PPS)."""
+    from ecom_churn_lakehouse_spark.queries.sampling_queries import (
+        q_monetary_unit_sample,
+    )
+
+    r = q_monetary_unit_sample(spark, SF).collect()[0]
+    assert 195 <= r["n_selected"] <= 201
+    assert r["selected_cents"] <= r["total_cents"]
+    assert r["n_certainty_stratum"] <= r["n_selected"]
+    # PPS: 200 of n_pop orders should cover far more than 200/n_pop of value
+    assert r["value_coverage_bp"] * r["n_pop"] > 10000 * r["n_selected"]
