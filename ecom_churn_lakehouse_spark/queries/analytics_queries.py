@@ -2178,3 +2178,126 @@ def q_page_hinkley_drift(spark, sf_dir):
         F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
         F.min(F.when(alarm, F.col("d"))).cast("date").alias("first_alarm_day"),
     )
+
+
+# ----------------------------------- streaming Page-Hinkley maintenance
+
+
+@register(
+    "stream_page_hinkley_maintenance",
+    _PH_SQL,
+    doc="Streaming twin of page_hinkley_drift with SCALAR state: "
+    "unlike the mergeable-sketch twins (KMV/CMS) and the keyed-state "
+    "twin (transitions), PH is an ORDER-DEPENDENT recursion — each "
+    "batch resumes from exactly four carried integers (day count t, "
+    "running sum S, statistic m, running min of m) and replays only "
+    "its own days against those offsets; the per-day quantization "
+    "point (micro-floor inside the shared expression) is identical "
+    "to the batch entry, so the reconstructed trajectory is "
+    "bit-equal and the oracle is the batch SQL verbatim. State "
+    "writes are keyed by batch_id (replay-safe re-derivation, the "
+    "transition twin's discipline). Scale: O(1) state, per-batch "
+    "work = one day-grain agg + one window over the batch's days — "
+    "the cheapest possible streaming drift monitor.",
+)
+def q_stream_page_hinkley_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+    from ecom_churn_lakehouse_spark.sources import load_table as _lt
+
+    orders = _lt(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    base = scratch_dir(prefix="stream_ph_")
+
+    b = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    ).collect()[0]
+    lo, hi = b["lo"], b["hi"]
+    span = (hi - lo) / 3
+    cuts = [lo + span, lo + 2 * span]
+    chunks = [
+        orders.filter(F.col("o_orderdate") < cuts[0]),
+        orders.filter(
+            (F.col("o_orderdate") >= cuts[0]) & (F.col("o_orderdate") < cuts[1])
+        ),
+        orders.filter(F.col("o_orderdate") >= cuts[1]),
+    ]
+    for chunk in chunks:
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        traj_dest = f"{base}/traj/batch_id={batch_id}"
+        state_dest = f"{base}/state/batch_id={batch_id}"
+        if os.path.exists(traj_dest) and os.path.exists(state_dest):
+            return
+        prev_dir = f"{base}/state/batch_id={batch_id - 1}"
+        if batch_id > 0 and os.path.exists(prev_dir):
+            st = spark.read.parquet(prev_dir).collect()[0]
+            t0, s0, m0, min0 = (
+                st["t"], st["s_run"], st["m_micro"], st["m_min_micro"]
+            )
+        else:
+            t0, s0, m0, min0 = 0, 0, 0, None
+        daily = batch_df.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        w = Window.orderBy("d")
+        run = daily.select(
+            "d",
+            "y",
+            (F.row_number().over(w).cast("long") + F.lit(t0)).alias("t"),
+            (F.sum("y").over(w).cast("long") + F.lit(s0)).alias("s_run"),
+        )
+        terms = run.select("d", "t", "s_run", F.expr(_PH_TERM_MICRO).alias("term"))
+        cums = terms.select(
+            "d",
+            "t",
+            "s_run",
+            (F.sum("term").over(w).cast("long") + F.lit(m0)).alias("m_micro"),
+        )
+        batch_min = F.min("m_micro").over(w).cast("long")
+        traj = cums.select(
+            "d",
+            "t",
+            "s_run",
+            "m_micro",
+            (
+                F.least(batch_min, F.lit(min0).cast("long"))
+                if min0 is not None
+                else batch_min
+            ).alias("m_min_micro"),
+        )
+        traj.write.mode("overwrite").parquet(traj_dest)
+        last = traj.orderBy(F.col("d").desc()).limit(1).select(
+            "t", "s_run", "m_micro", "m_min_micro"
+        )
+        last.write.mode("overwrite").parquet(state_dest)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    traj = spark.read.parquet(f"{base}/traj")
+    alarm = F.col("m_micro") - F.col("m_min_micro") > _PH_LAMBDA_KD_MICRO
+    return traj.agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.max(F.col("m_micro") - F.col("m_min_micro"))
+        .cast("long")
+        .alias("ph_max_micro"),
+        F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
+        F.min(F.when(alarm, F.col("d"))).cast("date").alias("first_alarm_day"),
+    )

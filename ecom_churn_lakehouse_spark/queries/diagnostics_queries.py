@@ -523,3 +523,92 @@ def q_order_total_reconciliation(spark, sf_dir):
         ).alias("p95_abs_diff_micro"),
         F.max("abs_diff_micro").cast("long").alias("max_abs_diff_micro"),
     )
+
+
+# ------------------------------------------- process capability (Cp/Cpk)
+
+#: Spec limits for order-to-ship latency: LSL 1 day, USL 90 days.
+#: Cp = (USL-LSL)/(6 sigma); Cpk = min(USL-mean, mean-LSL)/(3 sigma);
+#: sigma from exact integer day sums, shared IEEE expressions.
+_CPK_SIGMA = (
+    "sqrt((CAST(sdd AS DOUBLE)"
+    " - CAST(sd_ AS DOUBLE) * CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) - 1.0))"
+)
+_CPK_CP_MILLI = (
+    f"CAST(FLOOR(89.0 / (6.0 * {_CPK_SIGMA}) * 1000.0) AS BIGINT)"
+)
+_CPK_CPK_MILLI = (
+    f"CAST(FLOOR(LEAST(90.0 - CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE),"
+    f" CAST(sd_ AS DOUBLE) / CAST(n AS DOUBLE) - 1.0)"
+    f" / (3.0 * {_CPK_SIGMA}) * 1000.0) AS BIGINT)"
+)
+
+_CPK_SQL = f"""
+WITH lat AS (
+    SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS d
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(d) AS BIGINT) AS sd_,
+           CAST(SUM(d * d) AS BIGINT) AS sdd,
+           CAST(SUM(CASE WHEN d < 1 OR d > 90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_spec
+    FROM lat
+)
+SELECT n, sd_ AS sum_days, n_out_of_spec,
+       CAST(n_out_of_spec * 1000000 // n AS BIGINT) AS out_of_spec_ppm,
+       {_CPK_CP_MILLI} AS cp_milli,
+       {_CPK_CPK_MILLI} AS cpk_milli
+FROM comp
+"""
+
+
+@register(
+    "ship_delay_process_capability",
+    _CPK_SQL,
+    doc="Process capability of order-to-ship latency against a "
+    "[1, 90]-day spec: Cp (spread capability) and Cpk "
+    "(centering-adjusted — the one customers feel) plus the "
+    "directly-measured out-of-spec ppm — the manufacturing-grade "
+    "SLA lens that ship_delay_percentiles' quantiles don't give "
+    "(Cpk < 1.0 means the process WILL breach spec at scale even "
+    "if today's sample looks fine). Latency is exact integer days "
+    "(calendar date_diff on both engines); variance assembles from "
+    "exact int64 sums; both indices are shared IEEE expressions, "
+    "milli-floored. Scale: one equi-join + one fused agg to a "
+    "single row.",
+)
+def q_ship_delay_process_capability(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lat = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("d")
+    )
+    comp = lat.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd_"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.when((F.col("d") < 1) | (F.col("d") > 90), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_spec"),
+    )
+    return comp.select(
+        "n",
+        F.col("sd_").alias("sum_days"),
+        "n_out_of_spec",
+        F.expr("CAST(n_out_of_spec * 1000000 DIV n AS BIGINT)").alias(
+            "out_of_spec_ppm"
+        ),
+        F.expr(_CPK_CP_MILLI).alias("cp_milli"),
+        F.expr(_CPK_CPK_MILLI).alias("cpk_milli"),
+    )

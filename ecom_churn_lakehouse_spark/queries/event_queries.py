@@ -1808,3 +1808,99 @@ def q_sprt_conversion_monitor(spark, sf_dir):
         .otherwise(False)
         .alias("first_decision"),
     ).orderBy("day")
+
+
+# ------------------------------------------- session gap sensitivity
+
+_SGS_GAPS_S = (300, 900, 1800, 3600, 7200)
+
+_SGS_SQL = f"""
+WITH seq AS (
+    SELECT user_id,
+           CAST(epoch(ts) AS BIGINT) AS t,
+           CAST(epoch(ts) AS BIGINT)
+             - LAG(CAST(epoch(ts) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+    FROM events
+),
+flags AS (
+    SELECT user_id, gap_s,
+           {", ".join(
+               f"CASE WHEN gap_s IS NULL OR gap_s > {g} THEN 1 ELSE 0 END"
+               f" AS brk_{g}" for g in _SGS_GAPS_S)}
+    FROM seq
+)
+SELECT g.gap_seconds,
+       CAST(SUM(CASE g.gap_seconds
+           {" ".join(f"WHEN {g} THEN brk_{g}" for g in _SGS_GAPS_S)}
+           END) AS BIGINT) AS n_sessions,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM seq) AS n_events,
+       CAST((SELECT COUNT(*) FROM seq) * 1000
+            // SUM(CASE g.gap_seconds
+                {" ".join(f"WHEN {g} THEN brk_{g}" for g in _SGS_GAPS_S)}
+                END) AS BIGINT) AS mean_events_per_session_milli
+FROM flags CROSS JOIN (VALUES {", ".join(f"(CAST({g} AS BIGINT))" for g in _SGS_GAPS_S)})
+    AS g(gap_seconds)
+GROUP BY g.gap_seconds ORDER BY g.gap_seconds
+"""
+
+
+@register(
+    "session_gap_sensitivity_curve",
+    _SGS_SQL,
+    doc="Sessionization-threshold sensitivity: session counts and "
+    "mean session length under five inactivity gaps (5m..2h) from "
+    "ONE pass over the per-user event sequence — the operating "
+    "curve that justifies event_sessions' fixed 30-minute gap "
+    "instead of inheriting it as folklore (the elbow where session "
+    "counts stabilize is the right threshold; epoch-seconds "
+    "arithmetic per the round-6 date_diff gotcha). A session break "
+    "is a row-local integer predicate per threshold, so the curve "
+    "costs one lag window regardless of how many thresholds are "
+    "evaluated. Exact integer counts and milli ratios.",
+)
+def q_session_gap_sensitivity_curve(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp("ts").cast("long")
+    seq = ev.select(
+        "user_id",
+        t.alias("t"),
+        (t - F.lag(t).over(w)).alias("gap_s"),
+    ).localCheckpoint(eager=False)
+    flags = seq.select(
+        *[
+            F.when(F.col("gap_s").isNull() | (F.col("gap_s") > g), 1)
+            .otherwise(0)
+            .alias(f"brk_{g}")
+            for g in _SGS_GAPS_S
+        ]
+    )
+    n_events = seq.agg(F.count("*").cast("long").alias("n_events"))
+    long = flags.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(g).cast("long").alias("gap_seconds"),
+                        F.col(f"brk_{g}").alias("brk"),
+                    )
+                    for g in _SGS_GAPS_S
+                ]
+            )
+        ).alias("s")
+    ).select("s.gap_seconds", "s.brk")
+    return (
+        long.groupBy("gap_seconds")
+        .agg(F.sum("brk").cast("long").alias("n_sessions"))
+        .crossJoin(F.broadcast(n_events))
+        .select(
+            "gap_seconds",
+            "n_sessions",
+            "n_events",
+            F.expr(
+                "CAST(n_events * 1000 DIV n_sessions AS BIGINT)"
+            ).alias("mean_events_per_session_milli"),
+        )
+        .orderBy("gap_seconds")
+    )

@@ -130,6 +130,9 @@ NEW_IN_ROUND: list[str] = [
     "order_total_reconciliation",
     "tukey_hsd_priority_pairs",
     "monetary_unit_sample",
+    "session_gap_sensitivity_curve",
+    "ship_delay_process_capability",
+    "stream_page_hinkley_maintenance",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -1111,3 +1111,46 @@ def test_mus_selection_properties(spark):
     assert r["n_certainty_stratum"] <= r["n_selected"]
     # PPS: 200 of n_pop orders should cover far more than 200/n_pop of value
     assert r["value_coverage_bp"] * r["n_pop"] > 10000 * r["n_selected"]
+
+
+def test_session_gap_curve_monotone(spark):
+    """Larger inactivity gaps can only merge sessions: counts are
+    monotone non-increasing in the gap."""
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_session_gap_sensitivity_curve,
+    )
+
+    rows = sorted(
+        q_session_gap_sensitivity_curve(spark, SF).collect(),
+        key=lambda r: r["gap_seconds"],
+    )
+    assert len(rows) == 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_sessions"] <= prev["n_sessions"]
+        assert cur["n_events"] == prev["n_events"]
+    for r in rows:
+        assert r["n_sessions"] >= 1
+
+
+def test_cpk_le_cp(spark):
+    """Cpk <= Cp always (centering can only hurt)."""
+    from ecom_churn_lakehouse_spark.queries.diagnostics_queries import (
+        q_ship_delay_process_capability,
+    )
+
+    r = q_ship_delay_process_capability(spark, SF).collect()[0]
+    assert r["cpk_milli"] <= r["cp_milli"]
+    assert 0 <= r["out_of_spec_ppm"] <= 1_000_000
+
+
+def test_stream_ph_equals_batch(spark):
+    """The scalar-state streaming PH reconstruction must equal the
+    one-shot batch statistic exactly."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_page_hinkley_drift,
+        q_stream_page_hinkley_maintenance,
+    )
+
+    batch = q_page_hinkley_drift(spark, SF).collect()[0].asDict()
+    stream = q_stream_page_hinkley_maintenance(spark, SF).collect()[0].asDict()
+    assert batch == stream
