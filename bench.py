@@ -24,6 +24,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 7 (third wave) ----
+    "cochran_armitage_trend_test",
+    "capture_recapture_estimate",
+    "sprt_conversion_monitor",
+    "page_hinkley_drift",
+    "lorenz_curve_deciles",
+    "vocab_yule_k",
+    "wasserstein_spend_distance",
+    "interevent_weibull_shape",
+    "boolean_query_search",
+    "cramers_v_matrix",
+    "quality_rater_agreement_kappa",
+    "holm_stepdown_brand_screen",
+    "order_total_reconciliation",
+    "tukey_hsd_priority_pairs",
+    "monetary_unit_sample",
+    "session_gap_sensitivity_curve",
+    "ship_delay_process_capability",
+    "stream_page_hinkley_maintenance",
     # ---- round 7 (second wave) ----
     "horvitz_thompson_total",
     "kruskal_wallis_priority_spend",

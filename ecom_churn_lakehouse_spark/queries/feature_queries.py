@@ -751,7 +751,7 @@ GROUP BY a, b"""
 _CRAMER_SQL = f"""
 WITH cells AS (
     {_cramer_pair_sql("segment_x_region",
-                      "c.c_mktsegment", "CAST(n.n_regionkey AS BIGINT)",
+                      "c.c_mktsegment", "CAST(n.n_regionkey AS STRING)",
                       "customer c JOIN nation n ON n.n_nationkey = c.c_nationkey")}
     UNION ALL
     {_cramer_pair_sql("segment_x_priority",

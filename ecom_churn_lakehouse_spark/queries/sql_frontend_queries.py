@@ -70,6 +70,9 @@ _TWINS = [
     "two_proportion_ztest_returns",    # fused conditional counts + shared pooled-z expr
     "brown_forsythe_priority_spend",   # percentile_disc WITHIN GROUP + fused pivot agg
     "granger_causality_screen",        # layered shared-text float pipeline over LAG window
+    "cochran_armitage_trend_test",     # substring scores + fused trend-z agg
+    "sprt_conversion_monitor",         # all-integer sequential trajectory windows
+    "cramers_v_matrix",                # window margins + micro-quantized Pearson cells
 ]
 
 

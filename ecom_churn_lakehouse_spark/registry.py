@@ -133,6 +133,9 @@ NEW_IN_ROUND: list[str] = [
     "session_gap_sensitivity_curve",
     "ship_delay_process_capability",
     "stream_page_hinkley_maintenance",
+    "sql_cochran_armitage_trend_test",
+    "sql_sprt_conversion_monitor",
+    "sql_cramers_v_matrix",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",
