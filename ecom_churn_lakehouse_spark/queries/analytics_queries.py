@@ -2301,3 +2301,123 @@ def q_stream_page_hinkley_maintenance(spark, sf_dir):
         F.sum(F.when(alarm, 1).otherwise(0)).cast("long").alias("n_alarm_days"),
         F.min(F.when(alarm, F.col("d"))).cast("date").alias("first_alarm_day"),
     )
+
+
+# --------------------------------------------- VaR backtest (Kupiec POF)
+
+#: LR_pof = 2[(n-x) ln((1-phat)/(1-p)) + x ln(phat/p)], p = 0.05,
+#: phat = x/n. One shared IEEE expression over two exact ints, with
+#: x=0 and x=n guarded by CASE (0 ln 0 = 0). chi2_{1,.05} = 3.841.
+_KUPIEC_LR_MILLI = (
+    "CAST(FLOOR(2.0 * ("
+    "CAST(n_test - x AS DOUBLE)"
+    " * (CASE WHEN x = n_test THEN 0.0"
+    "         ELSE ln((1.0 - CAST(x AS DOUBLE) / CAST(n_test AS DOUBLE))"
+    "                 / 0.95) END)"
+    " + CAST(x AS DOUBLE)"
+    "   * (CASE WHEN x = 0 THEN 0.0"
+    "           ELSE ln(CAST(x AS DOUBLE) / CAST(n_test AS DOUBLE) / 0.05)"
+    "      END)"
+    ") * 1000.0) AS BIGINT)"
+)
+
+_KUPIEC_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100000 AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+),
+bounds AS (
+    SELECT MIN(d) AS lo,
+           MIN(d) + CAST((date_diff('day', MIN(d), MAX(d)) // 2)
+                         AS BIGINT) * INTERVAL 1 DAY AS mid
+    FROM daily
+),
+cal AS (SELECT y FROM daily, bounds WHERE d < mid),
+var_q AS (
+    SELECT CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY y) AS BIGINT)
+        AS var_kd
+    FROM cal
+),
+test AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN daily.y < v.var_kd THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM daily, bounds, var_q v WHERE d >= mid
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cal) AS n_cal,
+       (SELECT var_kd FROM var_q) AS var_kd,
+       n_test, x AS n_violations,
+       CAST(n_test * 50 AS BIGINT) AS expected_violations_milli,
+       {_KUPIEC_LR_MILLI} AS lr_milli,
+       {_KUPIEC_LR_MILLI} > 3841 AS reject_at_05
+FROM test
+"""
+
+
+@register(
+    "var_backtest_kupiec",
+    _KUPIEC_SQL,
+    doc="Kupiec proportion-of-failures backtest: a 5% revenue VaR is "
+    "calibrated on the first half of the calendar (exact "
+    "percentile_disc), violations are counted on the second half, "
+    "and the POF likelihood ratio tests whether the violation rate "
+    "matches the nominal 5% — the regulatory-standard check that a "
+    "risk threshold still means what it claims out of sample "
+    "(revenue_max_drawdown's forward-looking sibling). The split "
+    "point is exact date arithmetic; the LR is one shared IEEE "
+    "expression over two integers with 0*ln(0) CASE guards; "
+    "chi2_{{1,.05}} = 3.841. Scale: one day-grain agg; calibration "
+    "and test are scan-local date filters.",
+)
+def q_var_backtest_kupiec(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = daily.agg(
+        F.expr(
+            "date_add(MIN(d), CAST(datediff(MAX(d), MIN(d)) DIV 2 AS INT))"
+        ).alias("mid")
+    )
+    with_mid = daily.crossJoin(F.broadcast(bounds))
+    cal = with_mid.filter(F.col("d") < F.col("mid"))
+    var_q = cal.agg(
+        F.expr(
+            "CAST(percentile_disc(0.05) WITHIN GROUP (ORDER BY y) AS BIGINT)"
+        ).alias("var_kd")
+    )
+    n_cal = cal.agg(F.count("*").cast("long").alias("n_cal"))
+    test = (
+        with_mid.filter(F.col("d") >= F.col("mid"))
+        .crossJoin(F.broadcast(var_q))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum(F.when(F.col("y") < F.col("var_kd"), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    return (
+        test.crossJoin(F.broadcast(n_cal))
+        .crossJoin(F.broadcast(var_q))
+        .select(
+            "n_cal",
+            "var_kd",
+            "n_test",
+            F.col("x").alias("n_violations"),
+            (F.col("n_test") * 50).cast("long").alias(
+                "expected_violations_milli"
+            ),
+            F.expr(_KUPIEC_LR_MILLI).alias("lr_milli"),
+            (F.expr(_KUPIEC_LR_MILLI) > 3841).alias("reject_at_05"),
+        )
+    )

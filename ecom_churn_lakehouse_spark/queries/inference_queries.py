@@ -3437,3 +3437,264 @@ def q_tukey_hsd_priority_pairs(spark, sf_dir):
             "significant"
         ),
     ).orderBy("prio_i", "prio_j")
+
+
+# --------------------------------------------------------------------------
+# Benjamini-Hochberg FDR screen (step-UP twin of the Holm step-down).
+# --------------------------------------------------------------------------
+
+#: z criticals at alpha*k/m (two-sided, alpha=.05, m=25), authoring-
+#: time inverse-normal literals. BH rejects ranks 1..k* where k* is
+#: the LARGEST rank whose |z| clears its own threshold — a running
+#: MAX over the reversed rank order.
+_BH_THRESHOLDS_MILLI = (
+    3090, 2878, 2748, 2652, 2576, 2512, 2457, 2409, 2366, 2326, 2290,
+    2257, 2226, 2197, 2170, 2144, 2120, 2097, 2075, 2054, 2034, 2014,
+    1995, 1977, 1960,
+)
+
+
+def _bh_threshold_case(rank_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {k + 1} THEN {t}" for k, t in enumerate(_BH_THRESHOLDS_MILLI)
+    )
+    return f"CASE {rank_col} {whens} ELSE 1960 END"
+
+
+_BH_SQL = f"""
+WITH tagged AS (
+    SELECT p.p_brand AS brand,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+per_brand AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(ret) AS BIGINT) AS x_b
+    FROM tagged GROUP BY brand
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n_tot,
+               CAST(SUM(x_b) AS BIGINT) AS x_tot FROM per_brand),
+scored AS (
+    SELECT b.brand, b.n_b, b.x_b, {_HOLM_Z_MILLI} AS z_milli
+    FROM per_brand b CROSS JOIN tot
+),
+ranked AS (
+    SELECT brand, z_milli,
+           CAST(ROW_NUMBER() OVER (ORDER BY abs(z_milli) DESC, brand)
+                AS BIGINT) AS rnk
+    FROM scored
+),
+stepped AS (
+    SELECT brand, z_milli, rnk,
+           CAST({_bh_threshold_case("rnk")} AS BIGINT) AS threshold_milli,
+           CASE WHEN abs(z_milli) >= {_bh_threshold_case("rnk")}
+                THEN rnk ELSE 0 END AS pass_rnk
+    FROM ranked
+),
+kstar AS (SELECT CAST(MAX(pass_rnk) AS BIGINT) AS k_star FROM stepped)
+SELECT s.brand, s.z_milli, s.rnk, s.threshold_milli,
+       s.pass_rnk = s.rnk AS raw_pass,
+       s.rnk <= k.k_star AS bh_reject,
+       k.k_star
+FROM stepped s CROSS JOIN kstar k
+ORDER BY s.rnk
+"""
+
+
+@register(
+    "bh_fdr_brand_screen",
+    _BH_SQL,
+    doc="Benjamini-Hochberg FDR screen over the same 25 brand-vs-rest "
+    "return-rate tests as holm_stepdown_brand_screen — the step-UP "
+    "procedure that controls the false-DISCOVERY rate instead of "
+    "the familywise error, rejecting every rank up to the largest "
+    "one that clears its own alpha*k/m threshold (so BH always "
+    "rejects a superset of Holm, pinned in tests). Critical values "
+    "are authoring-time inverse-normal integer literals; k* is one "
+    "integer MAX; everything else is exact counts and one shared z "
+    "expression. The Holm/BH pair is the screening duo every "
+    "many-metrics dashboard needs. Scale: brand-grain, 25 rows.",
+)
+def q_bh_fdr_brand_screen(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_brand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").cast("long").alias("n_b"),
+            F.sum("ret").cast("long").alias("x_b"),
+        )
+    )
+    tot = per_brand.agg(
+        F.sum("n_b").cast("long").alias("n_tot"),
+        F.sum("x_b").cast("long").alias("x_tot"),
+    )
+    scored = per_brand.crossJoin(F.broadcast(tot)).select(
+        "brand", F.expr(_HOLM_Z_MILLI).alias("z_milli")
+    )
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z_milli")).desc(), "brand"))
+        .cast("long"),
+    )
+    thr = _bh_threshold_case("rnk")
+    stepped = ranked.select(
+        "brand",
+        "z_milli",
+        "rnk",
+        F.expr(f"CAST({thr} AS BIGINT)").alias("threshold_milli"),
+        F.expr(
+            f"CASE WHEN abs(z_milli) >= {thr} THEN rnk ELSE 0 END"
+        ).alias("pass_rnk"),
+    )
+    kstar = stepped.agg(F.max("pass_rnk").cast("long").alias("k_star"))
+    return (
+        stepped.crossJoin(F.broadcast(kstar))
+        .select(
+            "brand",
+            "z_milli",
+            "rnk",
+            "threshold_milli",
+            (F.col("pass_rnk") == F.col("rnk")).alias("raw_pass"),
+            (F.col("rnk") <= F.col("k_star")).alias("bh_reject"),
+            "k_star",
+        )
+        .orderBy("rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# DKW confidence band for the spend ECDF.
+# --------------------------------------------------------------------------
+
+#: Dvoretzky-Kiefer-Wolfowitz: sup|F_n - F| <= eps with prob 1-alpha,
+#: eps = sqrt(ln(2/alpha)/(2n)). sqrt(ln(2/0.05)/2) = 1.358102
+#: embedded as an authoring-time constant, so eps needs only one
+#: runtime sqrt.
+_DKW_EPS_PPM = "CAST(FLOOR(1358102.0 / sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+
+_DKW_SQL = f"""
+WITH base AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+    FROM orders
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base),
+-- DuckDB quantile parameters must be constants: nine explicit
+-- aggregates, unpivoted (mirrors the Spark shape exactly)
+wide AS (
+    SELECT CAST(percentile_disc(0.1) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v100,
+           CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v200,
+           CAST(percentile_disc(0.3) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v300,
+           CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v400,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v500,
+           CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v600,
+           CAST(percentile_disc(0.7) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v700,
+           CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v800,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS v900
+    FROM base
+),
+deciles AS (
+    SELECT CAST(100 AS BIGINT) AS p_milli, v100 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(200 AS BIGINT) AS p_milli, v200 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(300 AS BIGINT) AS p_milli, v300 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(400 AS BIGINT) AS p_milli, v400 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(500 AS BIGINT) AS p_milli, v500 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(600 AS BIGINT) AS p_milli, v600 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(700 AS BIGINT) AS p_milli, v700 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(800 AS BIGINT) AS p_milli, v800 AS value_cents FROM wide
+    UNION ALL
+    SELECT CAST(900 AS BIGINT) AS p_milli, v900 AS value_cents FROM wide
+),
+ecdf AS (
+    SELECT d.p_milli, d.value_cents, t.n,
+           CAST((SELECT COUNT(*) FROM base b WHERE b.cents <= d.value_cents)
+                * 1000000 // t.n AS BIGINT) AS ecdf_ppm
+    FROM deciles d CROSS JOIN tot t
+)
+SELECT p_milli, value_cents, n, ecdf_ppm,
+       {_DKW_EPS_PPM} AS eps_ppm,
+       GREATEST(ecdf_ppm - {_DKW_EPS_PPM}, 0) AS band_lo_ppm,
+       LEAST(ecdf_ppm + {_DKW_EPS_PPM}, 1000000) AS band_hi_ppm
+FROM ecdf ORDER BY p_milli
+"""
+
+
+@register(
+    "ecdf_dkw_band",
+    _DKW_SQL,
+    doc="DKW confidence band for the order-value ECDF at the nine "
+    "deciles: the UNIFORM sup-norm guarantee sup|F_n - F| <= "
+    "sqrt(ln(2/alpha)/(2n)) that turns an empirical CDF into a "
+    "simultaneous confidence statement — the distribution-level "
+    "uncertainty companion to median_ci_order_statistic (one "
+    "quantile) and spend_ks_test (two samples). Decile values are "
+    "exact percentile_disc picks; each ECDF evaluation is an exact "
+    "integer count ratio; the DKW constant is authoring-time so "
+    "epsilon costs one runtime sqrt. Scale: one scan for the "
+    "quantiles + per-decile count probes that at cluster scale "
+    "fold into the same value-grain cumulative frame the MWU "
+    "family shares.",
+)
+def q_ecdf_dkw_band(spark, sf_dir):
+    base = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "cents"
+        )
+    ).localCheckpoint(eager=False)
+    tot = base.agg(F.count("*").cast("long").alias("n"))
+    dec_aggs = [
+        F.expr(
+            f"CAST(percentile_disc({p} / 1000.0) WITHIN GROUP (ORDER BY cents)"
+            " AS BIGINT)"
+        ).alias(f"v{p}")
+        for p in range(100, 1000, 100)
+    ]
+    wide = base.agg(*dec_aggs)
+    deciles = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).cast("long").alias("p_milli"),
+                        F.col(f"v{p}").alias("value_cents"),
+                    )
+                    for p in range(100, 1000, 100)
+                ]
+            )
+        ).alias("s")
+    ).select("s.p_milli", "s.value_cents")
+    counts = (
+        base.crossJoin(F.broadcast(deciles))
+        .filter(F.col("cents") <= F.col("value_cents"))
+        .groupBy("p_milli", "value_cents")
+        .agg(F.count("*").cast("long").alias("n_le"))
+    )
+    ecdf = counts.crossJoin(F.broadcast(tot)).select(
+        "p_milli",
+        "value_cents",
+        "n",
+        F.expr("CAST(n_le * 1000000 DIV n AS BIGINT)").alias("ecdf_ppm"),
+    )
+    return ecdf.select(
+        "p_milli",
+        "value_cents",
+        "n",
+        "ecdf_ppm",
+        F.expr(_DKW_EPS_PPM).alias("eps_ppm"),
+        F.expr(f"GREATEST(ecdf_ppm - {_DKW_EPS_PPM}, 0)").alias("band_lo_ppm"),
+        F.expr(f"LEAST(ecdf_ppm + {_DKW_EPS_PPM}, 1000000)").alias(
+            "band_hi_ppm"
+        ),
+    ).orderBy("p_milli")

@@ -136,6 +136,9 @@ NEW_IN_ROUND: list[str] = [
     "sql_cochran_armitage_trend_test",
     "sql_sprt_conversion_monitor",
     "sql_cramers_v_matrix",
+    "bh_fdr_brand_screen",
+    "var_backtest_kupiec",
+    "ecdf_dkw_band",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

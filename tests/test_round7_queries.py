@@ -1154,3 +1154,51 @@ def test_stream_ph_equals_batch(spark):
     batch = q_page_hinkley_drift(spark, SF).collect()[0].asDict()
     stream = q_stream_page_hinkley_maintenance(spark, SF).collect()[0].asDict()
     assert batch == stream
+
+
+def test_bh_rejects_superset_of_holm(spark):
+    """BH (FDR) always rejects at least what Holm (FWER) rejects, and
+    rejections are exactly ranks 1..k_star."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_bh_fdr_brand_screen,
+        q_holm_stepdown_brand_screen,
+    )
+
+    bh = {r["brand"]: r for r in q_bh_fdr_brand_screen(spark, SF).collect()}
+    holm = {
+        r["brand"]: r["holm_reject"]
+        for r in q_holm_stepdown_brand_screen(spark, SF).collect()
+    }
+    for brand, r in bh.items():
+        if holm[brand]:
+            assert r["bh_reject"]
+        assert r["bh_reject"] == (r["rnk"] <= r["k_star"])
+
+
+def test_kupiec_counts_consistent(spark):
+    """Violations bounded by test days; LR non-negative."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_var_backtest_kupiec,
+    )
+
+    r = q_var_backtest_kupiec(spark, SF).collect()[0]
+    assert 0 <= r["n_violations"] <= r["n_test"]
+    assert r["lr_milli"] >= 0
+    assert r["n_cal"] > 0 and r["var_kd"] > 0
+
+
+def test_dkw_band_contains_ecdf_and_monotone(spark):
+    """Bands clamp to [0, 1e6], contain the point estimate, and the
+    ECDF is monotone across deciles with F(decile p) >= p."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_ecdf_dkw_band,
+    )
+
+    rows = sorted(q_ecdf_dkw_band(spark, SF).collect(), key=lambda r: r["p_milli"])
+    assert len(rows) == 9
+    prev = -1
+    for r in rows:
+        assert 0 <= r["band_lo_ppm"] <= r["ecdf_ppm"] <= r["band_hi_ppm"] <= 1_000_000
+        assert r["ecdf_ppm"] >= r["p_milli"] * 1000  # disc pick includes the mass
+        assert r["ecdf_ppm"] >= prev
+        prev = r["ecdf_ppm"]
