@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # ---- round 7 (third wave) ----
+    "bh_fdr_brand_screen",
+    "var_backtest_kupiec",
+    "ecdf_dkw_band",
     "cochran_armitage_trend_test",
     "capture_recapture_estimate",
     "sprt_conversion_monitor",
