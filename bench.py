@@ -25,6 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # ---- round 7 (third wave) ----
+    "mann_kendall_trend",
+    "friedman_test_brand_months",
+    "ljung_box_test",
     "bh_fdr_brand_screen",
     "var_backtest_kupiec",
     "ecdf_dkw_band",

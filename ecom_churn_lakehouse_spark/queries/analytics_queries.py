@@ -2421,3 +2421,141 @@ def q_var_backtest_kupiec(spark, sf_dir):
             (F.expr(_KUPIEC_LR_MILLI) > 3841).alias("reject_at_05"),
         )
     )
+
+
+# --------------------------------------------- Ljung-Box portmanteau
+
+_LB_MAX_LAG = 5
+
+#: r_k = num_k / num_0 with num_k = SUM y_t y_(t-k) - ybar*(sh+st)
+#: + (n-k)*ybar^2, every input an exact int64 (kilo-dollar grain);
+#: each lag's Q contribution floor-quantizes to nano BEFORE the
+#: integer sum (fixed-order independence), then one integer finish.
+_LB_TERM_NANO = (
+    "CAST(FLOOR("
+    "((CAST(sxy AS DOUBLE)"
+    "  - (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))"
+    "    * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  + CAST(cnt AS DOUBLE) * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / (CAST(syy AS DOUBLE)"
+    "    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " * ((CAST(sxy AS DOUBLE)"
+    "  - (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))"
+    "    * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE))"
+    "  + CAST(cnt AS DOUBLE) * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE))"
+    "    * (CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / (CAST(syy AS DOUBLE)"
+    "    - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / CAST(n - k AS DOUBLE) * 1000000000.0) AS BIGINT)"
+)
+
+_LB_SQL = f"""
+WITH daily AS (
+    SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                // 100000 AS BIGINT) AS y,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate) AS BIGINT) AS t
+    FROM orders GROUP BY o_orderdate
+),
+gstats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS s_all,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM daily
+),
+per_lag AS (
+    SELECT ks.k,
+           CAST(SUM(a.y * b.y) AS BIGINT) AS sxy,
+           CAST(SUM(a.y) AS BIGINT) AS sh,
+           CAST(SUM(b.y) AS BIGINT) AS st,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (VALUES {", ".join(f"(CAST({k} AS BIGINT))" for k in range(1, _LB_MAX_LAG + 1))})
+        AS ks(k)
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.t = a.t - ks.k
+    GROUP BY ks.k
+),
+terms AS (
+    SELECT p.k, {_LB_TERM_NANO} AS term_nano
+    FROM per_lag p CROSS JOIN gstats
+)
+SELECT (SELECT n FROM gstats) AS n_days,
+       CAST({_LB_MAX_LAG} AS BIGINT) AS max_lag,
+       CAST(SUM(term_nano) AS BIGINT) AS sum_term_nano,
+       CAST((SELECT n * (n + 2) FROM gstats) * SUM(term_nano) // 1000000
+            AS BIGINT) AS q_milli,
+       CAST((SELECT n * (n + 2) FROM gstats) * SUM(term_nano) // 1000000
+            AS BIGINT) > 11070 AS reject_at_05
+FROM terms
+"""
+
+
+@register(
+    "ljung_box_test",
+    _LB_SQL,
+    doc=f"Ljung-Box portmanteau test at lags 1..{_LB_MAX_LAG} on daily "
+    "revenue: is the series white noise, or does autocorrelation at "
+    "ANY early lag survive (chi2 df=5, crit 11.07)? The formal test "
+    "behind revenue_autocorr_components' point estimates — the "
+    "gate a forecasting residual must pass. Lagged cross-products "
+    "come from equi-joins on the day index (exact kilo-dollar "
+    "ints); each lag's r_k^2/(n-k) contribution floor-quantizes to "
+    "nano from one shared IEEE expression before the integer sum; "
+    "the n(n+2) finish is pure int64. Scale: day-grain; five "
+    "calendar-bounded self-joins.",
+)
+def q_ljung_box_test(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderdate")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) DIV 100000 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            "y",
+            F.row_number().over(Window.orderBy("o_orderdate")).cast("long").alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    glob = daily.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s_all"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    ks = spark.range(1, _LB_MAX_LAG + 1).select(F.col("id").alias("k"))
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    per_lag = (
+        F.broadcast(ks)
+        .join(a, F.lit(True))
+        .join(b, F.col("tb") == F.col("ta") - F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("ya") * F.col("yb")).cast("long").alias("sxy"),
+            F.sum("ya").cast("long").alias("sh"),
+            F.sum("yb").cast("long").alias("st"),
+            F.count("*").cast("long").alias("cnt"),
+        )
+    )
+    terms = per_lag.crossJoin(F.broadcast(glob)).select(
+        "k", F.expr(_LB_TERM_NANO).alias("term_nano"), "n"
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.lit(_LB_MAX_LAG).cast("long").alias("max_lag"),
+        F.sum("term_nano").cast("long").alias("sum_term_nano"),
+        F.expr(
+            "CAST(MAX(n) * (MAX(n) + 2) * SUM(term_nano) DIV 1000000"
+            " AS BIGINT)"
+        ).alias("q_milli"),
+        (
+            F.expr(
+                "CAST(MAX(n) * (MAX(n) + 2) * SUM(term_nano) DIV 1000000"
+                " AS BIGINT)"
+            )
+            > 11070
+        ).alias("reject_at_05"),
+    )

@@ -3698,3 +3698,205 @@ def q_ecdf_dkw_band(spark, sf_dir):
             "band_hi_ppm"
         ),
     ).orderBy("p_milli")
+
+
+# --------------------------------------------------------------------------
+# Mann-Kendall trend test on daily revenue (theil_sen's test twin).
+# --------------------------------------------------------------------------
+
+#: S = SUM sign(y_j - y_i) over i<j day pairs (calendar-bounded, the
+#: theil_sen pair frame); Var(S) = n(n-1)(2n+5)/18 ignoring ties
+#: (cents-grain daily revenue has none); z = (S -+ 1)/sqrt(Var).
+_MK_Z_MILLI = (
+    "CAST(FLOOR((CAST(s_stat AS DOUBLE)"
+    " - CAST(CASE WHEN s_stat > 0 THEN 1"
+    "             WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))"
+    " / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)"
+    "        * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 18.0)"
+    " * 1000.0) AS BIGINT)"
+)
+
+_MK_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS y
+    FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+    SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+    FROM daily a JOIN daily b ON b.d > a.d
+),
+comp AS (
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           CAST(SUM(sg) AS BIGINT) AS s_stat,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+)
+SELECT n_days, n_pairs, s_stat,
+       {_MK_Z_MILLI} AS z_milli,
+       abs({_MK_Z_MILLI}) > 1960 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "mann_kendall_trend",
+    _MK_SQL,
+    doc="Mann-Kendall trend test on daily revenue: the sign-only pair "
+    "statistic S whose significance TEST pairs with "
+    "theil_sen_daily_revenue_trend's slope ESTIMATE (same "
+    "calendar-bounded pair frame; monotone-trend detection immune "
+    "to outliers and any monotone transform). S and the pair count "
+    "are exact integers; the continuity-corrected z is one shared "
+    "IEEE expression (the tie term of Var(S) is zero at the exact-"
+    "cents day grain). Scale: the |days|^2 pair frame is CALENDAR-"
+    "bounded, never data-bounded — the fact reduces to the day "
+    "grain map-combinably first.",
+)
+def q_mann_kendall_trend(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(F.col("d").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("db") > F.col("da")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sg")
+    )
+    n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
+    comp = pairs.agg(
+        F.sum("sg").cast("long").alias("s_stat"),
+        F.count("*").cast("long").alias("n_pairs"),
+    ).crossJoin(F.broadcast(n_days))
+    return comp.select(
+        "n_days",
+        "n_pairs",
+        "s_stat",
+        F.expr(_MK_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_MK_Z_MILLI)) > 1960).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Friedman blocked-rank test: brand revenue ranked within each month.
+# --------------------------------------------------------------------------
+
+#: chi2_F = 12/(b*k*(k+1)) * SUM_j R_j^2 - 3*b*(k+1); ranks are
+#: row_number within each month block ordered by exact-cents revenue
+#: with a deterministic brand tiebreak (cents-grain ties are
+#: practically impossible and the tiebreak is identical cross-engine,
+#: documented rather than tie-averaged). df = k-1 = 24, crit 36.415.
+_FRIEDMAN_MILLI = (
+    "CAST(FLOOR((12.0 / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE)"
+    " * (CAST(k AS DOUBLE) + 1.0)) * CAST(sum_r2 AS DOUBLE)"
+    " - 3.0 * CAST(b AS DOUBLE) * (CAST(k AS DOUBLE) + 1.0))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_FRIEDMAN_SQL = f"""
+WITH cells AS (
+    SELECT p.p_brand AS brand,
+           CAST(year(l.l_shipdate) * 12 + month(l.l_shipdate) AS BIGINT) AS ym,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand, year(l.l_shipdate) * 12 + month(l.l_shipdate)
+),
+complete_months AS (
+    SELECT ym FROM cells GROUP BY ym
+    HAVING COUNT(*) = (SELECT COUNT(DISTINCT brand) FROM cells)
+),
+ranked AS (
+    SELECT c.brand, c.ym,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.ym
+                ORDER BY c.cents, c.brand) AS BIGINT) AS r
+    FROM cells c JOIN complete_months m ON m.ym = c.ym
+),
+rsums AS (
+    SELECT brand, CAST(SUM(r) AS BIGINT) AS r_j FROM ranked GROUP BY brand
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST((SELECT COUNT(*) FROM complete_months) AS BIGINT) AS b,
+           CAST(SUM(r_j * r_j) AS BIGINT) AS sum_r2
+    FROM rsums
+)
+SELECT k AS n_brands, b AS n_blocks, sum_r2,
+       {_FRIEDMAN_MILLI} AS friedman_chi2_milli,
+       {_FRIEDMAN_MILLI} > 36415 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "friedman_test_brand_months",
+    _FRIEDMAN_SQL,
+    doc="Friedman blocked-rank test: do the 25 brands keep the same "
+    "revenue ORDERING month after month, or does the ranking "
+    "reshuffle? The repeated-measures companion to "
+    "kruskal_wallis_priority_spend (independent groups): months are "
+    "blocks, brands are treatments, only COMPLETE blocks enter "
+    "(every brand present — the balanced-design requirement, "
+    "enforced by a HAVING gate). Ranks are within-block row_numbers "
+    "over exact-cents revenue with a deterministic tiebreak; "
+    "chi2_F is one shared IEEE expression over three int64 sums "
+    "(df=24, crit 36.415). Scale: the fact reduces to the bounded "
+    "(brand x month) cell grain; the rank window partitions by "
+    "month over <= 25 rows each.",
+)
+def q_friedman_test_brand_months(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ym"),
+        F.expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").alias(
+            "c"
+        ),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "ym")
+        .agg(F.sum("c").cast("long").alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    nbr = cells.agg(F.countDistinct("brand").alias("k_all"))
+    complete = (
+        cells.groupBy("ym")
+        .agg(F.count("*").alias("nb"))
+        .crossJoin(F.broadcast(nbr))
+        .filter(F.col("nb") == F.col("k_all"))
+        .select("ym")
+    )
+    ranked = cells.join(F.broadcast(complete), "ym").select(
+        "brand",
+        F.row_number()
+        .over(Window.partitionBy("ym").orderBy("cents", "brand"))
+        .cast("long")
+        .alias("r"),
+    )
+    rsums = ranked.groupBy("brand").agg(F.sum("r").cast("long").alias("r_j"))
+    b_cnt = complete.agg(F.count("*").cast("long").alias("b"))
+    comp = rsums.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.col("r_j") * F.col("r_j")).cast("long").alias("sum_r2"),
+    ).crossJoin(F.broadcast(b_cnt))
+    return comp.select(
+        F.col("k").alias("n_brands"),
+        F.col("b").alias("n_blocks"),
+        "sum_r2",
+        F.expr(_FRIEDMAN_MILLI).alias("friedman_chi2_milli"),
+        (F.expr(_FRIEDMAN_MILLI) > 36415).alias("reject_at_05"),
+    )

@@ -139,6 +139,9 @@ NEW_IN_ROUND: list[str] = [
     "bh_fdr_brand_screen",
     "var_backtest_kupiec",
     "ecdf_dkw_band",
+    "mann_kendall_trend",
+    "friedman_test_brand_months",
+    "ljung_box_test",
     "sql_kruskal_wallis_priority_spend",
     "sql_two_proportion_ztest_returns",
     "sql_brown_forsythe_priority_spend",

@@ -1202,3 +1202,42 @@ def test_dkw_band_contains_ecdf_and_monotone(spark):
         assert r["ecdf_ppm"] >= r["p_milli"] * 1000  # disc pick includes the mass
         assert r["ecdf_ppm"] >= prev
         prev = r["ecdf_ppm"]
+
+
+def test_mann_kendall_pair_accounting(spark):
+    """Pair count is n(n-1)/2 over days; |S| bounded by pair count."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_mann_kendall_trend,
+    )
+
+    r = q_mann_kendall_trend(spark, SF).collect()[0]
+    assert r["n_pairs"] == r["n_days"] * (r["n_days"] - 1) // 2
+    assert abs(r["s_stat"]) <= r["n_pairs"]
+
+
+def test_friedman_rank_telescope(spark):
+    """Rank sums over complete blocks telescope: sum of R_j equals
+    b*k*(k+1)/2, so sum_r2 >= that bound's Cauchy-Schwarz minimum."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_friedman_test_brand_months,
+    )
+
+    r = q_friedman_test_brand_months(spark, SF).collect()[0]
+    k, b = r["n_brands"], r["n_blocks"]
+    assert k == 25 and b > 0
+    total_ranks = b * k * (k + 1) // 2
+    # Cauchy-Schwarz: sum R_j^2 >= (sum R_j)^2 / k
+    assert r["sum_r2"] >= total_ranks * total_ranks // k
+    assert r["friedman_chi2_milli"] >= 0
+
+
+def test_ljung_box_nonnegative(spark):
+    """Q is a sum of squares scaled positively: non-negative, and the
+    nano term sum is bounded by max_lag * 1e9 (each r^2/(n-k) < 1)."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_ljung_box_test,
+    )
+
+    r = q_ljung_box_test(spark, SF).collect()[0]
+    assert r["q_milli"] >= 0
+    assert 0 <= r["sum_term_nano"] <= r["max_lag"] * 1_000_000_000
