@@ -761,15 +761,27 @@ WITH cells AS (
     {_cramer_pair_sql("priority_x_status",
                       "o.o_orderpriority", "o.o_orderstatus", "orders o")}
 ),
-margins AS (
-    SELECT c.pair, c.a, c.b, c.obs,
-           SUM(c.obs) OVER (PARTITION BY c.pair, c.a) AS row_n,
-           SUM(c.obs) OVER (PARTITION BY c.pair, c.b) AS col_n,
-           SUM(c.obs) OVER (PARTITION BY c.pair) AS n
-    FROM cells c
+row_m AS (
+    SELECT pair, a, CAST(SUM(obs) AS BIGINT) AS row_n
+    FROM cells GROUP BY pair, a
+),
+col_m AS (
+    SELECT pair, b, CAST(SUM(obs) AS BIGINT) AS col_n
+    FROM cells GROUP BY pair, b
+),
+tot AS (
+    SELECT pair, CAST(SUM(obs) AS BIGINT) AS n FROM cells GROUP BY pair
+),
+dense AS (
+    SELECT r.pair, r.a, c.b, r.row_n, c.col_n, t.n,
+           CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs
+    FROM row_m r
+    JOIN col_m c ON c.pair = r.pair
+    JOIN tot t ON t.pair = r.pair
+    LEFT JOIN cells o ON o.pair = r.pair AND o.a = r.a AND o.b = c.b
 ),
 terms AS (
-    SELECT pair, n, {_CRAMER_CELL_MICRO} AS cell_micro FROM margins
+    SELECT pair, n, {_CRAMER_CELL_MICRO} AS cell_micro FROM dense
 ),
 dims AS (
     SELECT pair,
@@ -797,16 +809,18 @@ ORDER BY a.pair
     "status) — the normalized-to-[0,1] effect size that "
     "promo_chisq_independence's raw chi-square is not, and the "
     "standard first screen for redundant categorical features "
-    "before encoding. Dense margins come from window sums over the "
-    "cell frame; each Pearson term floor-quantizes to micro from "
+    "before encoding. The contingency table is DENSIFIED with a "
+    "rows-cross-cols spine per pair (COALESCE(obs,0)) so empty "
+    "cells still contribute their Pearson term E_ij — omitting "
+    "them understates chi2 identically in both engines, which is "
+    "exactly the class of shared-wrong the oracle cannot catch "
+    "(r7 advice fix); each term floor-quantizes to micro from "
     "exact ints before the integer chi-square sum; V is one shared "
     "sqrt. Scale: each pair reduces to its bounded contingency "
-    "cells map-combinably — association mining at 100 TB is one "
-    "grouped agg per pair.",
+    "cells map-combinably — the spine is |levels_a|x|levels_b|, "
+    "categorical-cardinality bounded, never data bounded.",
 )
 def q_cramers_v_matrix(spark, sf_dir):
-    from pyspark.sql.window import Window
-
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_regionkey"
@@ -839,16 +853,28 @@ def q_cramers_v_matrix(spark, sf_dir):
         .select(F.lit("priority_x_status").alias("pair"), "a", "b", "obs")
     )
     cells = p1.unionByName(p2).unionByName(p3).localCheckpoint(eager=False)
-    margins = cells.select(
-        "pair",
-        "a",
-        "b",
-        "obs",
-        F.sum("obs").over(Window.partitionBy("pair", "a")).alias("row_n"),
-        F.sum("obs").over(Window.partitionBy("pair", "b")).alias("col_n"),
-        F.sum("obs").over(Window.partitionBy("pair")).alias("n"),
+    row_m = cells.groupBy("pair", "a").agg(
+        F.sum("obs").cast("long").alias("row_n")
     )
-    terms = margins.select(
+    col_m = cells.groupBy("pair", "b").agg(
+        F.sum("obs").cast("long").alias("col_n")
+    )
+    tot = cells.groupBy("pair").agg(F.sum("obs").cast("long").alias("n"))
+    dense = (
+        row_m.join(F.broadcast(col_m), "pair")
+        .join(F.broadcast(tot), "pair")
+        .join(F.broadcast(cells), ["pair", "a", "b"], "left")
+        .select(
+            "pair",
+            "a",
+            "b",
+            "row_n",
+            "col_n",
+            "n",
+            F.coalesce(F.col("obs"), F.lit(0)).cast("long").alias("obs"),
+        )
+    )
+    terms = dense.select(
         "pair", "n", F.expr(_CRAMER_CELL_MICRO).alias("cell_micro")
     )
     dims = cells.groupBy("pair").agg(

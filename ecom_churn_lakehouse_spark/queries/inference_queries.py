@@ -662,7 +662,7 @@ SELECT n1, n2,
        CAST(u1_x2_dec AS STRING) AS u1_x2,
        CAST(tie_cubes_dec AS STRING) AS tie_cubes,
        {_MWU_Z_MILLI} AS z_milli,
-       abs({_MWU_Z_MILLI}) > 1960 AS reject_at_05
+       abs({_MWU_Z_MILLI}) > 1959 AS reject_at_05
 FROM stat
 """
 
@@ -732,7 +732,7 @@ def q_mannwhitney_u_quantity(spark, sf_dir):
         F.col("u1_x2_dec").cast("string").alias("u1_x2"),
         F.col("tie_cubes_dec").cast("string").alias("tie_cubes"),
         F.expr(_MWU_Z_MILLI).alias("z_milli"),
-        (F.abs(F.expr(_MWU_Z_MILLI)) > 1960).alias("reject_at_05"),
+        (F.abs(F.expr(_MWU_Z_MILLI)) > 1959).alias("reject_at_05"),
     )
 
 
@@ -1526,7 +1526,7 @@ comp AS (
 SELECT n, n_urgent, n_high, n_medium, n_notspec, n_low,
        r2_urgent, r2_high, r2_medium, r2_notspec, r2_low, tie_cubes,
        {_KW_H_MILLI} AS h_milli,
-       {_KW_H_MILLI} > 9488 AS reject_at_05
+       {_KW_H_MILLI} > 9487 AS reject_at_05
 FROM comp
 """
 
@@ -1541,8 +1541,9 @@ FROM comp
     "SUM c_jv*(2*below+t+1) are EXACT integers at the distinct-value "
     "grain, as is the t^3-t tie term; the only float is one shared "
     "IEEE expression whose five per-group terms are summed in fixed "
-    "textual order, then floor-quantized to milli (chi2_{{df=4,.05}} "
-    "critical 9.488 -> reject_at_05). Scale: the fact reduces to the "
+    "textual order, then floor-quantized to milli; the floored h_milli "
+    "compares against the FLOORED critical (9.48773 -> 9487) so both "
+    "sides share one quantization convention (r7 advice fix). Scale: the fact reduces to the "
     "distinct-cents grain in one map-combinable agg before the single "
     "rank window; r2_j <= N(N+1) stays under int64 to ~3e9 orders, "
     "past which spend re-grains to dollar buckets first (same move "
@@ -1607,7 +1608,7 @@ def q_kruskal_wallis_priority_spend(spark, sf_dir):
         "r2_low",
         "tie_cubes",
         F.expr(_KW_H_MILLI).alias("h_milli"),
-        (F.expr(_KW_H_MILLI) > 9488).alias("reject_at_05"),
+        (F.expr(_KW_H_MILLI) > 9487).alias("reject_at_05"),
     )
 
 
@@ -1835,7 +1836,7 @@ SELECT n, n_urgent, n_high, n_medium, n_notspec, n_low,
        s_urgent, s_high, s_medium, s_notspec, s_low,
        CAST(q_dec AS STRING) AS sum_z_sq,
        {_BF_F_MILLI} AS f_milli,
-       {_BF_F_MILLI} > 2372 AS reject_at_05
+       {_BF_F_MILLI} > 2371 AS reject_at_05
 FROM comp
 """
 
@@ -1852,7 +1853,8 @@ FROM comp
     "cents, S_j and Q accumulate exactly (Q in DECIMAL(38), "
     "surfaced as VARCHAR); the only float is one shared IEEE "
     "expression with fixed term order, floor-milli "
-    "(F_{{4,inf,.05}} = 2.372 -> reject_at_05). Scale: one "
+    "(F_{{4,inf,.05}} = 2.37193, floored-milli compare f_milli > 2371 "
+    "matching the floored statistic). Scale: one "
     "map-combinable median per group (5 groups), one broadcast "
     "join back, one grouped pivot agg — no window over the fact; "
     "S_j stays under int64 to ~1e11 orders of cent-scale "
@@ -1909,7 +1911,7 @@ def q_brown_forsythe_priority_spend(spark, sf_dir):
         "s_low",
         F.col("q_dec").cast("string").alias("sum_z_sq"),
         F.expr(_BF_F_MILLI).alias("f_milli"),
-        (F.expr(_BF_F_MILLI) > 2372).alias("reject_at_05"),
+        (F.expr(_BF_F_MILLI) > 2371).alias("reject_at_05"),
     )
 
 
@@ -1948,7 +1950,7 @@ comp AS (
 SELECT n1, x1, n2, x2,
        {_PZ_MILLI} AS z_milli,
        {_PZ_RR_MILLI} AS risk_ratio_milli,
-       abs({_PZ_MILLI}) > 1960 AS reject_at_05
+       abs({_PZ_MILLI}) > 1959 AS reject_at_05
 FROM comp
 """
 
@@ -1992,7 +1994,7 @@ def q_two_proportion_ztest_returns(spark, sf_dir):
         "x2",
         F.expr(_PZ_MILLI).alias("z_milli"),
         F.expr(_PZ_RR_MILLI).alias("risk_ratio_milli"),
-        (F.abs(F.expr(_PZ_MILLI)) > 1960).alias("reject_at_05"),
+        (F.abs(F.expr(_PZ_MILLI)) > 1959).alias("reject_at_05"),
     )
 
 
@@ -3014,7 +3016,7 @@ comp AS (
 )
 SELECT n_tot, x_tot, swx, swn, swwn,
        {_CA_Z_MILLI} AS z_milli,
-       abs({_CA_Z_MILLI}) > 1960 AS reject_at_05
+       abs({_CA_Z_MILLI}) > 1959 AS reject_at_05
 FROM comp
 """
 
@@ -3056,7 +3058,7 @@ def q_cochran_armitage_trend_test(spark, sf_dir):
         "swn",
         "swwn",
         F.expr(_CA_Z_MILLI).alias("z_milli"),
-        (F.abs(F.expr(_CA_Z_MILLI)) > 1960).alias("reject_at_05"),
+        (F.abs(F.expr(_CA_Z_MILLI)) > 1959).alias("reject_at_05"),
     )
 
 
@@ -3192,12 +3194,20 @@ _HOLM_Z_MILLI = (
 )
 
 
-def _holm_threshold_case(rank_col: str) -> str:
+def _holm_threshold_case(rank_col: str, m_col: str = "m_tests") -> str:
+    """Rank->critical-value lookup GUARDED by the family size the
+    literals were computed for: if the observed test count ever
+    drifts from m=25 the threshold comes out NULL (rejections fail
+    closed and the NULL is loud in the output / oracle hash) instead
+    of silently degrading to the unadjusted 1.96 (r7 advice fix)."""
     whens = " ".join(
         f"WHEN {k + 1} THEN {t}"
         for k, t in enumerate(_HOLM_THRESHOLDS_MILLI)
     )
-    return f"CASE {rank_col} {whens} ELSE 1960 END"
+    return (
+        f"CASE WHEN {m_col} = {len(_HOLM_THRESHOLDS_MILLI)}"
+        f" THEN CASE {rank_col} {whens} END END"
+    )
 
 
 _HOLM_SQL = f"""
@@ -3221,17 +3231,18 @@ scored AS (
 ranked AS (
     SELECT brand, n_b, x_b, z_milli,
            CAST(ROW_NUMBER() OVER (ORDER BY abs(z_milli) DESC, brand)
-                AS BIGINT) AS rnk
+                AS BIGINT) AS rnk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_brand) AS m_tests
     FROM scored
 ),
 stepped AS (
-    SELECT brand, n_b, x_b, z_milli, rnk,
+    SELECT brand, n_b, x_b, z_milli, rnk, m_tests,
            CAST({_holm_threshold_case("rnk")} AS BIGINT) AS threshold_milli,
            CASE WHEN abs(z_milli) >= {_holm_threshold_case("rnk")}
                 THEN 1 ELSE 0 END AS raw_pass
     FROM ranked
 )
-SELECT brand, n_b, x_b, z_milli, rnk, threshold_milli,
+SELECT brand, n_b, x_b, z_milli, rnk, m_tests, threshold_milli,
        raw_pass = 1 AS raw_pass,
        MIN(raw_pass) OVER (ORDER BY rnk) = 1 AS holm_reject
 FROM stepped ORDER BY rnk
@@ -3250,7 +3261,9 @@ FROM stepped ORDER BY rnk
     "question that a per-test 1.96 cut silently inflates 25-fold. "
     "Critical values are precomputed inverse-normal integer milli "
     "LITERALS (stdlib NormalDist at authoring time — zero runtime "
-    "distribution functions); counts and the prefix rule are exact "
+    "distribution functions) GUARDED by the observed family size "
+    "(m_tests <> 25 -> NULL thresholds, fail-closed, never a "
+    "silent 1.96 fallback — r7 advice fix); counts and the prefix rule are exact "
     "integers; each z is one shared IEEE expression. Scale: one "
     "broadcast dim join + brand-grain agg; the screen runs on 25 "
     "rows.",
@@ -3276,7 +3289,8 @@ def q_holm_stepdown_brand_screen(spark, sf_dir):
     scored = per_brand.crossJoin(F.broadcast(tot)).select(
         "brand", "n_b", "x_b", F.expr(_HOLM_Z_MILLI).alias("z_milli")
     )
-    ranked = scored.withColumn(
+    m = per_brand.agg(F.count("*").cast("long").alias("m_tests"))
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn(
         "rnk",
         F.row_number()
         .over(Window.orderBy(F.abs(F.col("z_milli")).desc(), "brand"))
@@ -3289,6 +3303,7 @@ def q_holm_stepdown_brand_screen(spark, sf_dir):
         "x_b",
         "z_milli",
         "rnk",
+        "m_tests",
         F.expr(f"CAST({thr} AS BIGINT)").alias("threshold_milli"),
         F.expr(
             f"CASE WHEN abs(z_milli) >= {thr} THEN 1 ELSE 0 END"
@@ -3301,6 +3316,7 @@ def q_holm_stepdown_brand_screen(spark, sf_dir):
         "x_b",
         "z_milli",
         "rnk",
+        "m_tests",
         "threshold_milli",
         (F.col("raw_pass_i") == 1).alias("raw_pass"),
         (F.min("raw_pass_i").over(w) == 1).alias("holm_reject"),
@@ -3454,11 +3470,15 @@ _BH_THRESHOLDS_MILLI = (
 )
 
 
-def _bh_threshold_case(rank_col: str) -> str:
+def _bh_threshold_case(rank_col: str, m_col: str = "m_tests") -> str:
+    """Same family-size guard as ``_holm_threshold_case``."""
     whens = " ".join(
         f"WHEN {k + 1} THEN {t}" for k, t in enumerate(_BH_THRESHOLDS_MILLI)
     )
-    return f"CASE {rank_col} {whens} ELSE 1960 END"
+    return (
+        f"CASE WHEN {m_col} = {len(_BH_THRESHOLDS_MILLI)}"
+        f" THEN CASE {rank_col} {whens} END END"
+    )
 
 
 _BH_SQL = f"""
@@ -3481,18 +3501,19 @@ scored AS (
 ranked AS (
     SELECT brand, z_milli,
            CAST(ROW_NUMBER() OVER (ORDER BY abs(z_milli) DESC, brand)
-                AS BIGINT) AS rnk
+                AS BIGINT) AS rnk,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_brand) AS m_tests
     FROM scored
 ),
 stepped AS (
-    SELECT brand, z_milli, rnk,
+    SELECT brand, z_milli, rnk, m_tests,
            CAST({_bh_threshold_case("rnk")} AS BIGINT) AS threshold_milli,
            CASE WHEN abs(z_milli) >= {_bh_threshold_case("rnk")}
                 THEN rnk ELSE 0 END AS pass_rnk
     FROM ranked
 ),
 kstar AS (SELECT CAST(MAX(pass_rnk) AS BIGINT) AS k_star FROM stepped)
-SELECT s.brand, s.z_milli, s.rnk, s.threshold_milli,
+SELECT s.brand, s.z_milli, s.rnk, s.m_tests, s.threshold_milli,
        s.pass_rnk = s.rnk AS raw_pass,
        s.rnk <= k.k_star AS bh_reject,
        k.k_star
@@ -3510,7 +3531,9 @@ ORDER BY s.rnk
     "the familywise error, rejecting every rank up to the largest "
     "one that clears its own alpha*k/m threshold (so BH always "
     "rejects a superset of Holm, pinned in tests). Critical values "
-    "are authoring-time inverse-normal integer literals; k* is one "
+    "are authoring-time inverse-normal integer literals GUARDED by "
+    "the observed family size (m_tests <> 25 -> NULL thresholds, "
+    "fail-closed, never a silent 1.96 fallback); k* is one "
     "integer MAX; everything else is exact counts and one shared z "
     "expression. The Holm/BH pair is the screening duo every "
     "many-metrics dashboard needs. Scale: brand-grain, 25 rows.",
@@ -3536,7 +3559,8 @@ def q_bh_fdr_brand_screen(spark, sf_dir):
     scored = per_brand.crossJoin(F.broadcast(tot)).select(
         "brand", F.expr(_HOLM_Z_MILLI).alias("z_milli")
     )
-    ranked = scored.withColumn(
+    m = per_brand.agg(F.count("*").cast("long").alias("m_tests"))
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn(
         "rnk",
         F.row_number()
         .over(Window.orderBy(F.abs(F.col("z_milli")).desc(), "brand"))
@@ -3547,6 +3571,7 @@ def q_bh_fdr_brand_screen(spark, sf_dir):
         "brand",
         "z_milli",
         "rnk",
+        "m_tests",
         F.expr(f"CAST({thr} AS BIGINT)").alias("threshold_milli"),
         F.expr(
             f"CASE WHEN abs(z_milli) >= {thr} THEN rnk ELSE 0 END"
@@ -3559,6 +3584,7 @@ def q_bh_fdr_brand_screen(spark, sf_dir):
             "brand",
             "z_milli",
             "rnk",
+            "m_tests",
             "threshold_milli",
             (F.col("pass_rnk") == F.col("rnk")).alias("raw_pass"),
             (F.col("rnk") <= F.col("k_star")).alias("bh_reject"),
@@ -3705,14 +3731,17 @@ def q_ecdf_dkw_band(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 #: S = SUM sign(y_j - y_i) over i<j day pairs (calendar-bounded, the
-#: theil_sen pair frame); Var(S) = n(n-1)(2n+5)/18 ignoring ties
-#: (cents-grain daily revenue has none); z = (S -+ 1)/sqrt(Var).
+#: theil_sen pair frame); Var(S) = [n(n-1)(2n+5) - SUM t(t-1)(2t+5)]/18
+#: with the tie term over tied daily-revenue value groups — exact
+#: integers on both sides (t=1 groups contribute zero, so no filter
+#: is needed); z = (S -+ 1)/sqrt(Var).
 _MK_Z_MILLI = (
     "CAST(FLOOR((CAST(s_stat AS DOUBLE)"
     " - CAST(CASE WHEN s_stat > 0 THEN 1"
     "             WHEN s_stat < 0 THEN -1 ELSE 0 END AS DOUBLE))"
-    " / sqrt(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)"
-    "        * (2.0 * CAST(n_days AS DOUBLE) + 5.0) / 18.0)"
+    " / sqrt((CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) - 1.0)"
+    "         * (2.0 * CAST(n_days AS DOUBLE) + 5.0)"
+    "         - CAST(tie_term AS DOUBLE)) / 18.0)"
     " * 1000.0) AS BIGINT)"
 )
 
@@ -3727,15 +3756,21 @@ pairs AS (
     SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
     FROM daily a JOIN daily b ON b.d > a.d
 ),
+ties AS (
+    SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY y)
+),
 comp AS (
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
            CAST(SUM(sg) AS BIGINT) AS s_stat,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (SELECT tie_term FROM ties) AS tie_term
     FROM pairs
 )
-SELECT n_days, n_pairs, s_stat,
+SELECT n_days, n_pairs, s_stat, tie_term,
        {_MK_Z_MILLI} AS z_milli,
-       abs({_MK_Z_MILLI}) > 1960 AS reject_at_05
+       abs({_MK_Z_MILLI}) > 1959 AS reject_at_05
 FROM comp
 """
 
@@ -3747,12 +3782,13 @@ FROM comp
     "statistic S whose significance TEST pairs with "
     "theil_sen_daily_revenue_trend's slope ESTIMATE (same "
     "calendar-bounded pair frame; monotone-trend detection immune "
-    "to outliers and any monotone transform). S and the pair count "
-    "are exact integers; the continuity-corrected z is one shared "
-    "IEEE expression (the tie term of Var(S) is zero at the exact-"
-    "cents day grain). Scale: the |days|^2 pair frame is CALENDAR-"
-    "bounded, never data-bounded — the fact reduces to the day "
-    "grain map-combinably first.",
+    "to outliers and any monotone transform). S, the pair count, and "
+    "the Var(S) tie correction SUM t(t-1)(2t+5) over tied daily-value "
+    "groups (surfaced as tie_term — zero when cents-grain days never "
+    "tie, exact when they do; r7 advice fix) are exact integers; the "
+    "continuity-corrected z is one shared IEEE expression. Scale: "
+    "the |days|^2 pair frame is CALENDAR-bounded, never data-bounded "
+    "— the fact reduces to the day grain map-combinably first.",
 )
 def q_mann_kendall_trend(spark, sf_dir):
     daily = (
@@ -3775,16 +3811,32 @@ def q_mann_kendall_trend(spark, sf_dir):
         .alias("sg")
     )
     n_days = daily.agg(F.count("*").cast("long").alias("n_days"))
-    comp = pairs.agg(
-        F.sum("sg").cast("long").alias("s_stat"),
-        F.count("*").cast("long").alias("n_pairs"),
-    ).crossJoin(F.broadcast(n_days))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    comp = (
+        pairs.agg(
+            F.sum("sg").cast("long").alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+        .crossJoin(F.broadcast(n_days))
+        .crossJoin(F.broadcast(ties))
+    )
     return comp.select(
         "n_days",
         "n_pairs",
         "s_stat",
+        "tie_term",
         F.expr(_MK_Z_MILLI).alias("z_milli"),
-        (F.abs(F.expr(_MK_Z_MILLI)) > 1960).alias("reject_at_05"),
+        (F.abs(F.expr(_MK_Z_MILLI)) > 1959).alias("reject_at_05"),
     )
 
 

@@ -2033,7 +2033,7 @@ LIMIT {_RAKE_TOPK}
     "candidate phrases at stopword boundaries, score every content "
     "word by degree/frequency over co-occurring phrase members, and "
     "score a phrase as the sum of its words — the classic "
-    "unsupervised keyphrase method, corpus top-{_RAKE_TOPK}. Phrase "
+    f"unsupervised keyphrase method, corpus top-{_RAKE_TOPK}. Phrase "
     "segmentation is a cumulative stopword-count window per doc "
     "(no regex backtracking); word scores are exact milli via "
     "degree*1000 DIV freq quantized per WORD before the phrase "
