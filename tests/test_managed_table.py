@@ -328,3 +328,97 @@ def test_backend_is_recorded(capsys):
         "delta" if HAVE_DELTA else "head-pointer-parquet"
     )
     print(f"\nmanaged-table backend under test: {ManagedTable.BACKEND}")
+
+
+# ----------------------- multi-writer optimistic concurrency (r7 dir. #4)
+
+
+def test_cas_claim_is_exclusive(spark, tmp_path):
+    """The put-if-absent commit file is the CAS: a second claim on the
+    same sequence number must fail without touching anything."""
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    seq = t._commit_seq()
+    s1 = t._stage(spark.createDataFrame([Row(k="a", v=2)]), None)
+    s2 = t._stage(spark.createDataFrame([Row(k="a", v=3)]), None)
+    assert t._try_publish(s1, seq + 1) is True
+    assert t._try_publish(s2, seq + 1) is False  # conflict detected
+    t._abandon_staged(s2)
+    assert {r["v"] for r in t.read().collect()} == {2}
+    assert t._commit_seq() == seq + 1
+
+
+def test_concurrent_merges_serializable_no_lost_update(spark, tmp_path):
+    """Two threads race MERGEs against the same table (overlapping AND
+    disjoint keys). The loser must detect the conflict, re-read the
+    winner's snapshot and re-apply — so BOTH writers' disjoint upserts
+    survive (no lost update) and the overlap keys belong entirely to
+    one writer (serializable, not interleaved)."""
+    import threading
+
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(k=i, val=0, who="base") for i in range(10)]
+        )
+    )
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def writer(name, keys):
+        try:
+            src = spark.createDataFrame(
+                [Row(k=k, val=1, who=name) for k in keys]
+            )
+            barrier.wait(timeout=30)
+            t.merge(src)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append((name, exc))
+
+    th1 = threading.Thread(target=writer, args=("w1", [0, 1, 2, 3, 4]))
+    th2 = threading.Thread(target=writer, args=("w2", [3, 4, 5, 6, 7]))
+    th1.start(); th2.start()
+    th1.join(120); th2.join(120)
+    assert not errors, errors
+    rows = {r["k"]: r for r in t.read().collect()}
+    assert set(rows) == set(range(10))
+    # disjoint upserts of BOTH writers landed — no lost update
+    assert all(rows[k]["who"] == "w1" for k in (0, 1, 2))
+    assert all(rows[k]["who"] == "w2" for k in (5, 6, 7))
+    assert all(rows[k]["who"] == "base" for k in (8, 9))
+    # overlap keys: one writer owns both (serializable order, not a mix)
+    assert rows[3]["who"] == rows[4]["who"]
+    assert rows[3]["who"] in {"w1", "w2"}
+    # the log recorded three distinct committed sequences
+    assert t._commit_seq() == 2
+
+
+def test_append_racing_append_keeps_both(spark, tmp_path):
+    import threading
+
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k=-1, v=0)]))
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def appender(lo):
+        try:
+            src = spark.createDataFrame(
+                [Row(k=lo + i, v=1) for i in range(3)]
+            )
+            barrier.wait(timeout=30)
+            t.append(src)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    ths = [
+        threading.Thread(target=appender, args=(0,)),
+        threading.Thread(target=appender, args=(100,)),
+    ]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join(120)
+    assert not errors, errors
+    ks = sorted(r["k"] for r in t.read().collect())
+    assert ks == [-1, 0, 1, 2, 100, 101, 102]
