@@ -1337,7 +1337,7 @@ def _bind_manifest_oracle():
     ).replace("{LM1}", str(_SPAN_L - 1))
     e = _reg._REGISTRY["curation_keep_manifest"]
     _reg._REGISTRY["curation_keep_manifest"] = type(e)(
-        fn=e.fn, oracle=sql, doc=e.doc
+        fn=e.fn, oracle=sql, doc=e.doc, bounded_frame=e.bounded_frame
     )
 
 

@@ -30,14 +30,118 @@ class Entry:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    #: REQUIRED for any entry whose physical plan contains a
+    #: partition-less Window (single-partition sort): a short statement
+    #: of why the windowed frame is bounded independently of corpus
+    #: size (e.g. "calendar^2 day pairs", "B=32 replica rows",
+    #: "25-brand dimension"). tools/audit_plans.py flags any
+    #: undeclared occurrence as a plan smell, and
+    #: tests/test_plan_smells.py asserts it for NEW_IN_ROUND — the
+    #: boundedness argument is a checked invariant, not prose
+    #: (VERDICT r7 directive #3).
+    bounded_frame: str | None = None
 
+
+#: Checked boundedness declarations (VERDICT r7 directive #3): every
+#: entry whose physical plan contains a partition-less Window operator
+#: must state here (or via the ``register(bounded_frame=...)`` kwarg)
+#: why the windowed frame is bounded independently of corpus size, or
+#: what the documented approximate scale path is. ``tools/
+#: audit_plans.py`` flags any plan-detected global window with no
+#: declaration (and any stale declaration with no window);
+#: ``tests/test_plan_smells.py`` asserts the invariant over
+#: ``NEW_IN_ROUND``.
+BOUNDED_FRAMES: dict[str, str] = {
+    # calendar-bounded day/tenure grains (~2.4k rows at any SF)
+    "churn_hazard_table": "tenure-day grain, calendar-bounded",
+    "theil_sen_daily_revenue_trend": "calendar^2 day-pair frame (~2.9M rows at any SF)",
+    "granger_causality_screen": "calendar-bounded day frame",
+    "sql_granger_causality_screen": "calendar-bounded day frame (SQL front twin)",
+    "page_hinkley_drift": "calendar-bounded day frame",
+    "revenue_cusum_changepoint": "calendar-bounded day frame",
+    "revenue_max_drawdown": "ship-day grain (~2.5k rows at any SF)",
+    "piecewise_trend_breakpoint": "calendar-bounded day x month-candidate frame",
+    "sprt_conversion_monitor": "calendar-bounded day trajectory",
+    "sql_sprt_conversion_monitor": "calendar-bounded day trajectory (SQL front twin)",
+    "event_rate_spike_flags": "calendar-bounded hour frame",
+    "kmv_distinct_curve": "k-minima sketch frame (mergeable; TakeOrderedAndProject)",
+    "stream_kmv_maintenance": "k-minima sketch frame (batch-twin shape)",
+    "cms_heavy_hitters": "CMS sketch cells + top-20 probe frame",
+    "stream_cms_maintenance": "CMS sketch cells + top-20 probe frame (batch twin)",
+    # distinct-value / price-domain grains (saturate at the finite
+    # cents/quantity domain; range-partitionable like the deciles path)
+    "kruskal_wallis_priority_spend": "distinct-cents rank grain (price-domain-saturating)",
+    "sql_kruskal_wallis_priority_spend": "distinct-cents rank grain (SQL front twin)",
+    "mannwhitney_u_quantity": "distinct-quantity rank grain (50 values)",
+    "sql_mannwhitney_u_quantity": "distinct-quantity rank grain (SQL front twin)",
+    "spend_ks_test": "distinct-cents prefix-sum grain (price-domain-saturating)",
+    "wasserstein_spend_distance": "distinct-cents cumulative grain (price-domain-saturating)",
+    "two_pass_exact_percentile": "~100-bin histogram frame (pass 2 scans <= 3 bins)",
+    "equidepth_histogram_stats": "deciles pattern: range-partitionable global sort, then bucket frame",
+    "feature_auc_screen": "distinct-feature-value rank grain (feature-cardinality-sized)",
+    "model_eval_metrics": "distinct-score rank grain (value-domain-sized)",
+    # small-dimension frames (brands=25, nations=25, priorities=5, ...)
+    "holm_stepdown_brand_screen": "25-brand family grain",
+    "bh_fdr_brand_screen": "25-brand family grain",
+    "bradley_terry_brand_strengths": "25-brand strength frame (3 fixed MM iterations)",
+    "simpsons_paradox_screen": "|brands| pooled-component frame",
+    "sql_simpsons_paradox_screen": "|brands| pooled-component frame (SQL front twin)",
+    "promo_chisq_independence": "6-cell contingency frame",
+    "sql_promo_chisq_independence": "6-cell contingency frame (SQL front twin)",
+    "nation_revenue_share": "|nations| aggregated frame",
+    "largest_remainder_allocation": "25-row nation aggregate",
+    "neyman_allocation": "25-row stratum frame",
+    "tcloseness_audit": "quasi-identifier cells x 5-value sensitive domain",
+    "categorical_topn_encoding": "|categories| count frame, top-N cut",
+    "near_zero_variance_screen": "per-feature value-domain frame",
+    "column_encoding_advisor": "bucket-summary frame (n/8192 rows, boundary-merged)",
+    "zone_map_pruning_audit": "|zone| summary rows, 3-row rollup",
+    # dimension-table cumsums (part dimension ~fact/7000; scale path =
+    # range-partitioned sort, documented in abc_inventory_classes)
+    "abc_inventory_classes": "part-dimension revenue cumsum (range-partitioned sort at scale)",
+    "campaign_budget_knapsack": "part-dimension ranked cumsum (abc_inventory_classes shape)",
+    "pareto_frontier_orders": "aggregated candidate frame; semi-join back, no fact window",
+    # B-replica / fixed-battery frames
+    "bootstrap_mean_ci": "B=32 bootstrap replica frame",
+    "bootstrap_ab_diff_ci": "B=32 bootstrap replica frame",
+    "boolean_query_search": "posting lists of a fixed 4-term query battery",
+    "rrf_hybrid_retrieval": "per-modality top-k fusion frame (index-bounded at scale)",
+    "popularity_recommender_recall": "global top-20 sort-limit (TakeOrderedAndProject)",
+    "copurchase_link_prediction": "degree-cut strong-edge wedge frame (scale-invariant selectivity)",
+    "session_top_paths": "path-string count grain, top-k sort-limit",
+    "token_zipf_constant": "vocabulary-sized count frame",
+    "curation_keep_manifest": "corpus-stats scalar window (one row) + span-bucketed signals",
+    "monetary_unit_sample": "single global cumsum over the audited population (MUS requires the total order; PPS-systematic selection is row-local after it)",
+    # exactness-mandated global NTILE/rank over the customer/order
+    # frame; documented approximate scale path = broadcast
+    # approx_percentile cut-points (customer_value_deciles_scalable)
+    "customer_value_deciles": "exactness-mandated NTILE; approx cut-point scale path documented",
+    "churn_gains_table": "decile cut then 10-row windows; approx cut-point scale path",
+    "decision_split_gini_screen": "global ntile to 10-row decile grain; range-partitionable",
+    "lorenz_curve_deciles": "entity agg then global ntile; 10-row windows",
+    "threshold_sweep_pr_curve": "NTILE cut frame, then 10-row windows",
+    "order_value_quartile_stats": "exactness-forced global sort; approx cut-point path documented",
+    "rfm_segmentation": "three rankings share one global sort; approx cut-point path",
+    "spend_quantile_transform": "exactness baseline; broadcast-cutoff serving path documented",
+    "temporal_train_val_split": "single time-ordered split boundary (one global rank over the snapshot grain; boundary is a broadcast scalar at scale)",
+}
 
 _REGISTRY: dict[str, Entry] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    bounded_frame: str | None = None,
+):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = Entry(fn=fn, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Entry(
+            fn=fn,
+            oracle=oracle,
+            doc=doc,
+            bounded_frame=bounded_frame or BOUNDED_FRAMES.get(name),
+        )
         return fn
 
     return deco
@@ -49,237 +153,236 @@ def register(name: str, oracle: str | None, doc: str = ""):
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
-    # ---- round 7: directive-fix / previously-flagged entries FIRST ----
-    # (VERDICT r6 rule: entries named in the previous round's "What's
-    # wrong"/watch list go at the very front so the driver's 50-entry
-    # front sample re-verifies them before any new work.)
-    "churn_hazard_table",        # red r4+r5; fix landed r6, needs a driver row
-    "simpsons_paradox_screen",   # r6 watch: K=10 probe 14.83 — BIGINT-partials fix this round
-    "kmv_set_overlap_estimate",  # r6 watch: loaded-host 1x probe — re-probed idle this round
-    # ---- round 7: new entries ----
-    "repeated_span_exact_dedup",
-    "image_perceptual_hashes",
-    "image_phash_neardup_pairs",
-    "mcnemar_paired_test",
-    "chunk_stitch_overlap_pairs",
-    "bpe_merge_learning",
-    "file_compaction_plan",
-    "incremental_span_dedup",
-    "curation_keep_manifest",
-    "stream_phash_dedup_maintenance",
-    "kanon_generalization_ladder",
-    "basket_rules_support_confidence",
-    "span_dedup_savings_curve",
-    "bpe_compression_curve",
-    "order_count_overdispersion",
-    "mutual_knn_graph",
-    "array_setop_battery",
-    "theil_sen_daily_revenue_trend",
-    "horvitz_thompson_total",
+    # ---- round 8 front-50: the driver samples these (VERDICT r7
+    # directive #1 — drain the never-driver-sampled backlog).
+    # (a) entries CHANGED by the r7 ADVICE fixes (floored criticals,
+    #     MK tie term, Holm/BH family-size guard, cramers spine,
+    #     rake doc) — directive fixes lead the sample even where a
+    #     prior-round driver row exists (KW/MWU/BF/two-prop):
+    "cramers_v_matrix",
+    "mann_kendall_trend",
     "kruskal_wallis_priority_spend",
-    "abc_inventory_classes",
-    "randomized_response_privacy",
-    "pass_at_k_estimator",
-    "kendall_tau_quantity_discount",
-    "campaign_budget_knapsack",
-    "ranking_ndcg_eval",
-    "stream_cms_maintenance",
+    "sql_kruskal_wallis_priority_spend",
+    "mannwhitney_u_quantity",
     "brown_forsythe_priority_spend",
-    "decision_split_gini_screen",
+    "sql_brown_forsythe_priority_spend",
     "two_proportion_ztest_returns",
-    "markov_stationary_event_mix",
-    "piecewise_trend_breakpoint",
-    "granger_causality_screen",
-    "apriori_triple_itemsets",
-    "median_ci_order_statistic",
-    "stream_transition_maintenance",
-    "popularity_recommender_recall",
-    "sort_key_advisor",
-    "quality_filter_threshold_curve",
-    "split_srm_check",
-    "exact_matching_att",
-    "ratio_metric_delta_ci",
-    "market_hhi_by_segment",
-    "shard_source_balance_audit",
-    "experiment_power_mde",
-    "discount_quantity_mediation",
-    "conformal_spend_intervals",
-    "seasonality_strength_decomposition",
-    "newsvendor_stock_levels",
-    "chunk_boundary_cohesion",
+    "cochran_armitage_trend_test",
+    "holm_stepdown_brand_screen",
+    "bh_fdr_brand_screen",
+    "rake_keyphrases",
+    # (b) new round-8 operators:
+    "bradley_terry_brand_strengths",
+    "image_nn_resize_pixels",
+    "semdedup_keep_manifest",
+    "semdedup_savings_by_source",
+    # (c) never-driver-sampled backlog, highest hash-risk first
+    #     (float/ROUND/DECIMAL oracle surfaces):
+    "churn_feature_correlation",
+    "lineitem_stats_profile",
+    "decayed_customer_spend",
+    "kmeans_two_rounds",
+    "sql_significant_parts",
+    "var_backtest_kupiec",
+    "embedding_dim_variance_screen",
+    "audio_decode_stats",
+    "unigram_lm_doc_scores",
     "spend_tail_hill_estimator",
     "james_stein_brand_means",
-    "two_pass_exact_percentile",
-    "retention_decay_fit",
-    "source_signature_terms_llr",
-    "rake_keyphrases",
-    "ipf_raking_weights",
-    "near_zero_variance_screen",
-    "cochran_armitage_trend_test",
-    "capture_recapture_estimate",
-    "sprt_conversion_monitor",
     "page_hinkley_drift",
+    "interevent_weibull_shape",
+    "tukey_hsd_priority_pairs",
+    "stream_page_hinkley_maintenance",
+    "ecdf_dkw_band",
+    "friedman_test_brand_months",
+    "ljung_box_test",
+    "lsh_capped_neardup_pairs",
+    "dedup_savings_by_source",
+    "ann_ivfpq_topk",
+    "neardup_cluster_chain_audit",
+    "benchmark_contamination",
+    "neardup_degree_hist",
+    "incremental_dedup_new_docs",
+    "minhash_estimate_error",
+    "supplier_return_wilson",
+    "order_value_psi_drift",
+    "key_skew_profile",
+    "timed_conversion_funnel",
+    "stream_sliding_6h",
+    "event_type_transitions",
+    "segment_churn_encoding",
+    "promo_revenue_share",
+    # ---- backlog beyond the sample window: the remaining
+    # never-driver-sampled entries in risk order; next rounds
+    # promote the next ~50 until drained (~3 rounds).
+    "doc_bm25_scores",
+    "token_pmi_bigrams",
+    "idle_rich_customers",
+    "order_value_histogram",
+    "label_centroid_confusion",
+    "ann_recall_eval",
+    "ann_multiprobe_topk",
+    "ann_ivf_nprobe_topk",
+    "hard_negative_pairs",
+    "hard_negative_pairs_ann",
+    "hard_negative_recall_eval",
+    "embedding_int8_quantization",
+    "matryoshka_recall_eval",
+    "small_lot_part_revenue",
+    "token_doc_freq",
+    "doc_token_entropy",
+    "doc_novelty",
+    "corpus_curation_funnel",
+    "vocab_oov_rate",
+    "national_market_share",
+    "group_kfold_balance",
+    "target_encoding_brand",
+    "semantic_dedup_pairs",
+    "sql_pricing_summary",
+    "sql_promo_revenue_share",
+    "sql_small_lot_part_revenue",
+    "sql_national_market_share",
+    "stream_dedup_replay_daily",
+    "orders_grouping_sets",
+    "segment_spend_extremes",
+    "episode_cumulative_spend",
+    "sql_orders_summary",
+    "sql_top_parts_per_brand",
+    "stream_enriched_daily",
+    "nation_trade_flows",
+    "brand_band_revenue",
+    "price_outlier_orders",
+    "peak_revenue_months",
+    "forecast_revenue_change",
+    "product_profit_by_nation",
+    "concentrated_suppliers",
+    "sql_revenue_by_nation",
+    "sql_top_revenue_orders",
+    "sql_returned_revenue_by_customer",
+    "sql_large_basket_customers",
+    "sql_nation_trade_flows",
+    "sql_peak_revenue_months",
+    "sql_forecast_revenue_change",
+    "sql_product_profit_by_nation",
+    "sql_concentrated_suppliers",
+    "image_decode_stats",
+    "video_frame_stats",
+    "image_patch_stats",
+    "retention_decay_fit",
+    "quality_rater_agreement_kappa",
+    "ship_delay_process_capability",
+    "sql_cochran_armitage_trend_test",
+    "sql_cramers_v_matrix",
+    "sql_two_proportion_ztest_returns",
+    "sql_granger_causality_screen",
+    "join_cardinality_estimate",
+    "promo_chisq_independence",
+    "acctbal_variance_components",
+    "knn_label_consensus",
+    "rrf_hybrid_retrieval",
+    "ann_nprobe_recall_curve",
+    "stateful_user_profiles",
+    "sql_high_value_share",
+    "seasonality_strength_decomposition",
+    "newsvendor_stock_levels",
+    "two_pass_exact_percentile",
+    "source_signature_terms_llr",
     "lorenz_curve_deciles",
     "vocab_yule_k",
     "wasserstein_spend_distance",
-    "interevent_weibull_shape",
-    "boolean_query_search",
-    "cramers_v_matrix",
-    "quality_rater_agreement_kappa",
-    "holm_stepdown_brand_screen",
     "order_total_reconciliation",
-    "tukey_hsd_priority_pairs",
     "monetary_unit_sample",
-    "session_gap_sensitivity_curve",
-    "ship_delay_process_capability",
-    "stream_page_hinkley_maintenance",
-    "sql_cochran_armitage_trend_test",
-    "sql_sprt_conversion_monitor",
-    "sql_cramers_v_matrix",
-    "bh_fdr_brand_screen",
-    "var_backtest_kupiec",
-    "ecdf_dkw_band",
-    "mann_kendall_trend",
-    "friedman_test_brand_months",
-    "ljung_box_test",
-    "sql_kruskal_wallis_priority_spend",
-    "sql_two_proportion_ztest_returns",
-    "sql_brown_forsythe_priority_spend",
-    "sql_granger_causality_screen",
-    # ---- round 6 ----
-    "mannwhitney_u_quantity",
-    "token_spell_variants",
-    "zone_map_pruning_audit",
-    "kmv_distinct_curve",
-    "copurchase_link_prediction",
-    "revenue_autocorr_components",
-    "equidepth_histogram_stats",
-    "churn_gains_table",
-    "kcore_peeling_rounds",
-    "rolling_median_daily_revenue",
-    "promo_did_uplift",
-    "stream_kmv_maintenance",
-    "sql_mannwhitney_u_quantity",
-    "sql_spearman_price_quantity_by_brand",
-    "sql_simpsons_paradox_screen",
-    "event_value_ohlc_hourly",
-    "shapley_channel_attribution",
-    "session_top_paths",
-    "incremental_join_maintenance",
-    "spell_blocking_quality_eval",
-    "threshold_sweep_pr_curve",
-    "bootstrap_ab_diff_ci",
-    "embedding_density_clusters",
-    "spearman_price_quantity_by_brand",
-    "copurchase_community_modularity",
-    "spend_ks_test",
-    "categorical_topn_encoding",
-    "shuffle_partition_advisor",
-    "fim_span_stats",
-    "ann_topk_diversity_filter",
-    "prefix_cache_savings",
-    "event_cooldown_dedup",
-    "event_rate_spike_flags",
-    "embedding_drift_by_dim",
-    "orc_roundtrip_integrity",
-    "neyman_allocation",
-    "sql_brand_discount_elasticity_components",
-    "golden_record_consolidation",
-    "ann_filtered_topk",
-    "scd2_asof_fact_join",
-    "zorder_layout_audit",
-    "brand_discount_elasticity_components",
-    "sql_join_cardinality_estimate",
-    "sql_promo_chisq_independence",
-    "stream_checksum_maintenance",
-    "chunk_dedup_savings",
-    "neardup_split_leakage",
-    "pareto_frontier_orders",
-    "containment_neardup_pairs",
-    "bloom_filter_fp_audit",
-    "column_encoding_advisor",
-    "join_cardinality_estimate",
-    "table_checksum_by_segment",
-    "snapshot_table_diff",
-    "tcloseness_audit",
-    "promo_chisq_independence",
     "bootstrap_mean_ci",
-    "acctbal_variance_components",
-    "functional_dependency_audit",
-    "ldiversity_audit",
     "unit_value_index_decomposition",
     "cohort_ltv_curve",
-    "order_interval_overlap_pairs",
-    "ann_hamming_mih_topk",
-    "knn_label_consensus",
-    "token_zipf_constant",
-    "cms_heavy_hitters",
     "largest_remainder_allocation",
-    "user_activity_streaks",
+    "embedding_pq_codes",
+    "installment_split_battery",
+    "aqp_sampled_revenue",
+    "revenue_gini_by_nation",
+    "video_scene_cuts",
+    "array_function_battery",
+    "weighted_order_sample_wor",
+    "table_checksum_by_segment",
+    "snapshot_table_diff",
     "revenue_max_drawdown",
     "weighted_median_price",
-    "lsh_capped_neardup_pairs",
-    "rank_function_battery",
     "revenue_cusum_changepoint",
-    "dedup_savings_by_source",
-    "rrf_hybrid_retrieval",
     "incremental_agg_maintenance",
-    "embedding_dim_variance_screen",
-    "dup_inflation_curve",
-    "out_of_order_depth",
-    "multi_touch_attribution",
-    "user_erasure_audit",
-    "skipgram_cooccurrence",
     "stream_agg_maintenance",
-    "embedding_pq_codes",
-    "ann_ivfpq_topk",
-    "partition_layout_advisor",
-    "expanding_window_folds",
-    "benford_digit_audit",
-    "installment_split_battery",
     "schema_evolution_union",
-    "sql_user_erasure_audit",
-    "sql_expanding_window_folds",
     "sql_incremental_agg_maintenance",
     "csv_roundtrip_integrity",
     "json_roundtrip_integrity",
-    "aqp_sampled_revenue",
-    "ann_nprobe_recall_curve",
     "winsorized_spend_stats",
     "rfm_segmentation",
-    "neardup_cluster_chain_audit",
+    "asof_forward_tolerance",
+    "orders_table_profile",
+    "order_value_mad_outliers",
+    "copurchase_reachability",
+    "chunk_boundary_cohesion",
+    "ipf_raking_weights",
+    "near_zero_variance_screen",
+    "capture_recapture_estimate",
+    "session_gap_sensitivity_curve",
+    "containment_neardup_pairs",
+    "bloom_filter_fp_audit",
+    "column_encoding_advisor",
+    "tcloseness_audit",
+    "rank_function_battery",
+    "out_of_order_depth",
+    "multi_touch_attribution",
+    "partition_layout_advisor",
+    "benford_digit_audit",
+    "event_sessions_capped",
+    "copurchase_pagerank",
+    "sprt_conversion_monitor",
+    "boolean_query_search",
+    "sql_sprt_conversion_monitor",
+    "functional_dependency_audit",
+    "ldiversity_audit",
+    "order_interval_overlap_pairs",
+    "ann_hamming_mih_topk",
+    "token_zipf_constant",
+    "cms_heavy_hitters",
+    "user_activity_streaks",
+    "dup_inflation_curve",
+    "user_erasure_audit",
+    "skipgram_cooccurrence",
+    "expanding_window_folds",
+    "sql_user_erasure_audit",
+    "sql_expanding_window_folds",
     "ship_delay_percentiles",
-    "revenue_gini_by_nation",
-    "event_value_twap",
-    "stream_scd2_dimension",
-    "doc_min_bigram_prob",
-    "bucketed_colocated_join",
-    # ---- round 5 (kept until CORRECTNESS_r06 confirms) ----
-    "scd2_priority_history",
-    "boolean_agg_battery",
-    "percentile_disc_battery",
-    "tokenizer_truncation_audit",
-    "embedding_power_iteration",
-    "image_channel_histogram",
-    "sql_scd2_priority_history",
-    "source_mixture_token_allocation",
-    "curriculum_shard_ordering",
-    "dataset_datasheet_by_source",
-    "isotonic_calibration",
-    "spend_quantile_transform",
-    "lang_id_confusion",
-    "null_ordering_battery",
-    "neardup_threshold_curve",
-    "packing_efficiency_report",
-    "lsh_bucket_occupancy",
-    "dau_wau_stickiness",
-    "hourly_value_interpolated",
-    # changed in round 5 (float-free oracle surfaces / exact-int fixes)
-    "cross_source_neardup_matrix",
-    "vocab_growth_checkpoints",
-    "per_nation_order_sample",
-    "audio_activity_windows",
-    "corpus_curation",
+    "boilerplate_paragraph_detection",
+    "rolling_7d_active_users",
+    "next_purchase_after_click",
+    "event_props_struct",
+    "session_peak_concurrency",
+    "status_unpivot_by_year",
+    "segment_modal_priority",
+    "stream_session_windows",
+    "skewsafe_user_enrichment",
+    "last_purchase_ffill",
+    "merge_upsert_state",
+    "version_change_feed",
+    "scalar_function_battery",
+    "regex_function_battery",
+    "temporal_train_val_split",
+    "user_item_negative_samples",
+    "priority_line_counts",
+    "customer_order_count_dist",
+    "returned_order_priorities",
+    "cheapest_part_per_brand",
+    "bpe_merge_candidates",
+    "part_supplier_count",
+    "split_leakage_audit",
+    "sql_sole_blame_suppliers",
+    "sql_priority_line_counts",
+    "sql_customers_without_orders",
+    "sql_parts_in_heavy_lineitems",
+    "sql_returned_order_priorities",
+    "sql_lapsed_customers",
+    "sql_part_supplier_count",
 ]
 
 

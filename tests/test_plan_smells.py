@@ -48,3 +48,16 @@ def test_new_entry_plan_has_no_smells(spark, name):
         f"{name}: row-at-a-time Python (BatchEvalPython/ArrowEvalPython) "
         "in plan"
     )
+    declared = registry._REGISTRY[name].bounded_frame
+    if a["global_windows"]:
+        assert declared, (
+            f"{name}: plan contains {a['global_windows']} partition-less "
+            "Window operator(s) but the registry entry declares no "
+            "bounded_frame — state why the windowed frame is bounded "
+            "independently of corpus size (VERDICT r7 directive #3)"
+        )
+    else:
+        assert not declared, (
+            f"{name}: bounded_frame declared but the plan has no "
+            "partition-less Window — stale declaration"
+        )

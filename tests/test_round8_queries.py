@@ -297,3 +297,56 @@ def test_semdedup_savings_precedence(spark):
         assert dropped <= r["total_tokens"]
         assert r["removable_ppm"] == dropped * 1_000_000 // r["total_tokens"]
         assert r["exact_drop_docs"] + r["semantic_drop_docs"] <= r["n_docs"]
+
+
+# ------------------------------------------- bounded-frame declarations
+
+
+def test_bounded_frames_reference_real_entries():
+    """Every BOUNDED_FRAMES key must name a registered entry (no dead
+    declarations), and the global-window detector must classify the
+    four window shapes correctly."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from ecom_churn_lakehouse_spark import registry
+    from ecom_churn_lakehouse_spark.registry import BOUNDED_FRAMES
+
+    qs = registry.queries()
+    dead = [k for k in BOUNDED_FRAMES if k not in qs]
+    assert not dead, f"BOUNDED_FRAMES keys with no entry: {dead}"
+
+
+def test_unpartitioned_window_detector_shapes(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.audit_plans import unpartitioned_windows
+
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    def n_global(frame):
+        return unpartitioned_windows(
+            frame._jdf.queryExecution().explainString(mode)
+        )
+
+    assert n_global(
+        df.select(F.row_number().over(Window.orderBy("id")).alias("r"))
+    ) == 1
+    assert n_global(
+        df.select(
+            F.row_number().over(Window.partitionBy("g").orderBy("id")).alias("r")
+        )
+    ) == 0
+    assert n_global(
+        df.select(F.count("*").over(Window.partitionBy("g")).alias("c"))
+    ) == 0
+    assert n_global(
+        df.select(F.count("*").over(Window.partitionBy()).alias("c"))
+    ) == 1

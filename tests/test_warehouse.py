@@ -137,22 +137,59 @@ def test_new_in_round_names_exist():
     assert head == [n for n in registry.NEW_IN_ROUND if n in qs]
 
 
+#: Entries changed by this round's directive/advice fixes. These may
+#: legitimately re-enter the driver front sample even when a prior
+#: round already recorded a green row for them (the ONLY allowed
+#: resamples under the r7 directive-#1 rotation discipline).
+DIRECTIVE_FIXES_R8 = [
+    "cramers_v_matrix",
+    "mann_kendall_trend",
+    "kruskal_wallis_priority_spend",
+    "sql_kruskal_wallis_priority_spend",
+    "mannwhitney_u_quantity",
+    "brown_forsythe_priority_spend",
+    "sql_brown_forsythe_priority_spend",
+    "two_proportion_ztest_returns",
+    "cochran_armitage_trend_test",
+    "holm_stepdown_brand_screen",
+    "bh_fdr_brand_screen",
+    "rake_keyphrases",
+]
+
+
 def test_previously_flagged_entries_lead_sample():
-    """VERDICT r6 directive #1: any entry named red/weak/watch in the
-    PREVIOUS round's verdict must sit inside the driver's 50-entry
-    front sample until a driver CORRECTNESS row confirms it green.
-    Update this list each round from VERDICT.md's "What's wrong" and
-    watch items."""
+    """VERDICT r6/r7 directive #1: entries named red/weak/watch in the
+    previous round's verdict, plus entries CHANGED by advice fixes,
+    must sit inside the driver's 50-entry front sample until a driver
+    CORRECTNESS row confirms them green. Update each round."""
     from ecom_churn_lakehouse_spark import registry
 
-    flagged_last_round = [
-        "churn_hazard_table",  # red r4+r5, fix landed r6 w/o driver row
-        "simpsons_paradox_screen",  # r6 probe watch item
-        "kmv_set_overlap_estimate",  # r6 probe watch item
-    ]
     front = list(registry.queries())[:50]
-    missing = [n for n in flagged_last_round if n not in front]
+    missing = [n for n in DIRECTIVE_FIXES_R8 if n not in front]
     assert not missing, f"flagged entries not in driver front sample: {missing}"
+
+
+def test_front_sample_is_first_time_or_directive_fix():
+    """VERDICT r7 directive #1: the driver front-50 must spend its
+    budget on NEVER-driver-sampled entries — an entry with a green
+    CORRECTNESS row from a prior round may only reappear as a
+    directive fix (listed above)."""
+    import glob
+    import json
+
+    from ecom_churn_lakehouse_spark import registry
+
+    sampled: set[str] = set()
+    for f in sorted(glob.glob("CORRECTNESS_r0*.json")):
+        sampled.update(json.load(open(f)).keys())
+    front = list(registry.queries())[:50]
+    offenders = [
+        n for n in front if n in sampled and n not in DIRECTIVE_FIXES_R8
+    ]
+    assert not offenders, (
+        "front-50 wastes driver budget on already-sampled entries "
+        f"(not directive fixes): {offenders}"
+    )
 
 
 def test_pav_blocks_unit():

@@ -19,6 +19,54 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 
+def unpartitioned_windows(plan: str) -> int:
+    """Count Window operators with NO partition spec (single-partition
+    sort). In formatted explain a Window node's Arguments line carries
+    three top-level bracket groups when partitioned
+    (``[exprs], [partition], [order]``) and only two when global.
+    Entries whose plans contain one MUST declare ``bounded_frame`` in
+    the registry (VERDICT r7 directive #3)."""
+    n = 0
+    for seg in plan.split("\n\n"):
+        head = seg.split("\n", 1)[0]
+        if not re.search(r"\(\d+\) Window(GroupLimit)?$", head.strip()):
+            continue
+        if "WindowGroupLimit" in head:
+            continue  # group-limit nodes carry the parent Window's spec
+        m = re.search(r"^Arguments: (.*)$", seg, re.M)
+        if not m:
+            continue
+        groups: list[str] = []
+        depth = 0
+        buf: list[str] = []
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    buf = []
+                depth += 1
+                if depth == 1:
+                    continue
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append("".join(buf))
+                    continue
+            if depth >= 1:
+                buf.append(ch)
+        # shapes: [exprs],[part],[order] = partitioned+ordered;
+        # [exprs],[part-cols] = partitioned, no order;
+        # [exprs],[order ASC/DESC] = GLOBAL ordered;
+        # [exprs] = OVER () global unordered.
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and not re.search(
+            r" (ASC|DESC)( NULLS (FIRST|LAST))?", groups[1]
+        ):
+            continue  # partitioned, unordered
+        n += 1
+    return n
+
+
 def audit(plan: str) -> dict:
     return {
         "scans": plan.count("Scan parquet"),
@@ -32,6 +80,7 @@ def audit(plan: str) -> dict:
         "python": plan.count("BatchEvalPython") + plan.count("ArrowEvalPython"),
         "expand": plan.count("Expand"),
         "window_limit": plan.count("WindowGroupLimit"),
+        "global_windows": unpartitioned_windows(plan),
     }
 
 
@@ -46,8 +95,9 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
 
+    entries = registry._REGISTRY
     smells = 0
-    print(f"{'query':32} scans pushed bhj smj bnlj cart exch wsc py")
+    print(f"{'query':32} scans pushed bhj smj bnlj cart exch wsc py gw")
     for name, fn in registry.queries().items():
         if only and name not in only:
             continue
@@ -65,6 +115,11 @@ def main() -> int:
             flags.append("CARTESIAN")
         if a["python"]:
             flags.append("PYTHON-IN-PLAN")
+        declared = entries[name].bounded_frame if name in entries else None
+        if a["global_windows"] and not declared:
+            flags.append("UNDECLARED-GLOBAL-WINDOW")
+        if declared and not a["global_windows"]:
+            flags.append("STALE-BOUNDED-FRAME-DECL")
         # NOTE: 'wsc' column is informational only — AQE-wrapped plans
         # (anything with an exchange) only materialize WholeStageCodegen
         # nodes at runtime, so its absence pre-execution is not a smell.
@@ -73,7 +128,7 @@ def main() -> int:
             f"{name:32} {a['scans']//2:5} {a['pushed']//2:6} {a['bhj']//2:3} "
             f"{a['smj']//2:3} {a['bnlj']//2:4} {a['cartesian']//2:4} "
             f"{a['exchanges']:4} {'y' if a['codegen'] else 'N':3} "
-            f"{a['python']//2:2} {' '.join(flags)}"
+            f"{a['python']//2:2} {a['global_windows']:2} {' '.join(flags)}"
         )
     print(f"\n{smells} queries with smells")
     return 1 if smells else 0
