@@ -24,6 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 8 ----
+    "bradley_terry_brand_strengths",
+    "semdedup_keep_manifest",
+    "semdedup_savings_by_source",
+    "image_nn_resize_pixels",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",

@@ -104,3 +104,34 @@ def _register_twins() -> None:
 
 
 _register_twins()
+
+
+# Round-8 addition: the Bradley-Terry MM iteration chain through the
+# SQL front. The text is shared up to the two spellings ANSI leaves
+# dialect-specific — the wide-integer type (DECIMAL(38,0) vs HUGEINT)
+# and the integer-division operator (DIV vs //); both sides are
+# generated from ONE template (queries/decision_queries.py::_bt_sql),
+# so the twin still pins parser -> analyzer -> Catalyst on a 20-CTE
+# chained-iteration shape with window normalization.
+def _register_bt_twin() -> None:
+    from ecom_churn_lakehouse_spark.queries.decision_queries import _bt_sql
+
+    @register(
+        "sql_bradley_terry_brand_strengths",
+        _bt_sql("duck"),
+        doc="SQL front door twin of `bradley_terry_brand_strengths`: "
+        "the SAME template-generated SQL (engine-split only in the "
+        "wide-int type and integer-division operator) evaluated by "
+        "spark.sql over the cataloged views and by the DuckDB "
+        "oracle — proves the parser/analyzer path on the unrolled "
+        "3-iteration MM CTE chain and that the SQL front agrees "
+        "with the DataFrame entry.",
+        bounded_frame="25-brand strength frame (3 fixed MM iterations)",
+    )
+    def _bt_twin(spark, sf_dir):
+        from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+        return run_sql(spark, sf_dir, _bt_sql("spark"))
+
+
+_register_bt_twin()

@@ -176,6 +176,7 @@ NEW_IN_ROUND: list[str] = [
     "image_nn_resize_pixels",
     "semdedup_keep_manifest",
     "semdedup_savings_by_source",
+    "sql_bradley_terry_brand_strengths",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",
