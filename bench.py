@@ -29,6 +29,10 @@ HEADLINE = [
     "semdedup_keep_manifest",
     "semdedup_savings_by_source",
     "image_nn_resize_pixels",
+    "wilcoxon_signed_rank_spend",
+    "cochran_q_yearly_activity",
+    "mrr_retrieval_eval",
+    "heaps_law_fit",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",

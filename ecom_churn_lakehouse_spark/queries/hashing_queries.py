@@ -1347,3 +1347,133 @@ def q_semdedup_savings_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Mean-reciprocal-rank retrieval eval over banded-LSH candidates.
+# --------------------------------------------------------------------------
+
+_MRR_SQL = f"""
+WITH {_CODES_SQL},
+vecs AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS ev FROM embeddings
+),
+mq AS (SELECT * FROM bands WHERE vec_id % 50 = 0),
+mcand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+    FROM mq q JOIN bands c ON q.b = c.b AND q.band_val = c.band_val
+    WHERE q.vec_id <> c.vec_id
+),
+mscored AS (
+    SELECT cd.query_id, cd.neighbor_id,
+           qv.label AS qlabel, cv.label AS clabel,
+           {_COS.format(a="qv.ev", b="cv.ev")} AS sim
+    FROM mcand cd
+    JOIN vecs qv ON cd.query_id = qv.vec_id
+    JOIN vecs cv ON cd.neighbor_id = cv.vec_id
+),
+mtopk AS (
+    SELECT query_id, qlabel, clabel,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+    FROM mscored
+),
+hits AS (
+    SELECT query_id,
+           MIN(CASE WHEN clabel = qlabel AND rn <= 10 THEN rn END)
+               AS first_rel
+    FROM mtopk GROUP BY query_id
+)
+SELECT query_id,
+       CAST(COALESCE(first_rel, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN first_rel IS NULL THEN 0
+                 ELSE 1000000 // first_rel END AS BIGINT) AS rr_micro
+FROM hits
+ORDER BY query_id
+"""
+
+
+@register(
+    "mrr_retrieval_eval",
+    _MRR_SQL,
+    doc="Mean-reciprocal-rank retrieval eval: for every 50th vector as "
+    "a query, exact-cosine-rank its banded-LSH candidates and report "
+    "the rank of the first same-label neighbor within the top-10 — "
+    "the navigational-search metric completing the eval tier next to "
+    "ranking_ndcg_eval (graded gains) and ann_recall_eval (set "
+    "overlap). Reciprocal ranks are exact integer micro "
+    "(1000000 // rank; rank 0 for no hit), so the corpus MRR is "
+    "reproducible integer arithmetic downstream. Scale: the query "
+    "side is a fixed 2% sample; candidates stay band-bucket-local "
+    "(never all-pairs); per-query ranking windows are "
+    "candidate-sized.",
+)
+def q_mrr_retrieval_eval(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    bands = _spark_bands(_spark_codes(spark, sf_dir))
+    q = bands.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "b", "band_val"
+    )
+    cand = (
+        q.join(
+            bands.select(
+                F.col("vec_id").alias("neighbor_id"), "b", "band_val"
+            ),
+            ["b", "band_val"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        to_double_array(F.col("embedding")).alias("__qv"),
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("clabel"),
+        to_double_array(F.col("embedding")).alias("__cv"),
+    )
+    scored = (
+        cand.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qlabel",
+            "clabel",
+            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+        )
+    )
+    topk = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("__sim").desc(), "neighbor_id"
+            )
+        ),
+    )
+    hits = topk.groupBy("query_id").agg(
+        F.min(
+            F.when(
+                (F.col("clabel") == F.col("qlabel")) & (F.col("rn") <= 10),
+                F.col("rn"),
+            )
+        ).alias("first_rel")
+    )
+    return hits.select(
+        "query_id",
+        F.coalesce(F.col("first_rel"), F.lit(0)).cast("long").alias(
+            "first_rel_rank"
+        ),
+        F.expr(
+            "CAST(CASE WHEN first_rel IS NULL THEN 0"
+            " ELSE 1000000 DIV first_rel END AS BIGINT)"
+        ).alias("rr_micro"),
+    ).orderBy("query_id")

@@ -3952,3 +3952,232 @@ def q_friedman_test_brand_months(spark, sf_dir):
         F.expr(_FRIEDMAN_MILLI).alias("friedman_chi2_milli"),
         (F.expr(_FRIEDMAN_MILLI) > 36415).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Wilcoxon signed-rank test: paired 1996-vs-1997 customer spend.
+# --------------------------------------------------------------------------
+
+#: z from the DOUBLED positive-rank sum W2 = 2*W+ (exact integers at
+#: the distinct-|d| grain, the MWU doubled-rank discipline):
+#: E[W2] = n(n+1)/2, Var(W2) = (2n(n+1)(2n+1) - SUM(t^3-t))/12.
+_WSR_Z_MILLI = (
+    "CAST(FLOOR((CAST(w2_pos AS DOUBLE)"
+    " - CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) / 2.0)"
+    " / sqrt((2.0 * CAST(n_pairs AS DOUBLE)"
+    "         * (CAST(n_pairs AS DOUBLE) + 1.0)"
+    "         * (2.0 * CAST(n_pairs AS DOUBLE) + 1.0)"
+    "         - CAST(tie_cubes AS DOUBLE)) / 12.0)"
+    " * 1000.0) AS BIGINT)"
+)
+
+_WSR_SQL = f"""
+WITH yearly AS (
+    SELECT o_custkey AS cust,
+           CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS yr,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) IN (1996, 1997)
+    GROUP BY o_custkey, EXTRACT(YEAR FROM CAST(o_orderdate AS DATE))
+),
+paired AS (
+    SELECT a.cust, b.cents - a.cents AS d
+    FROM yearly a
+    JOIN yearly b ON b.cust = a.cust AND b.yr = 1997
+    WHERE a.yr = 1996
+),
+nz AS (
+    SELECT abs(d) AS ad, CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+    FROM paired WHERE d <> 0
+),
+per_value AS (
+    SELECT ad, CAST(SUM(pos) AS BIGINT) AS pos_c,
+           CAST(COUNT(*) AS BIGINT) AS t
+    FROM nz GROUP BY ad
+),
+cum AS (
+    SELECT ad, pos_c, t,
+           CAST(SUM(t) OVER (ORDER BY ad) - t AS BIGINT) AS below
+    FROM per_value
+),
+comp AS (
+    SELECT CAST(SUM(t) AS BIGINT) AS n_pairs,
+           CAST(SUM(pos_c * (2 * below + t + 1)) AS BIGINT) AS w2_pos,
+           CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cubes
+    FROM cum
+)
+SELECT n_pairs, w2_pos, tie_cubes,
+       {_WSR_Z_MILLI} AS z_milli,
+       abs({_WSR_Z_MILLI}) > 1959 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "wilcoxon_signed_rank_spend",
+    _WSR_SQL,
+    doc="Wilcoxon signed-rank test on PAIRED customer spend (1996 vs "
+    "1997, same customer both years; zero differences dropped per the "
+    "standard convention): did spend shift year-over-year, judged "
+    "robustly on within-customer differences? Completes the "
+    "nonparametric family — MWU compares two INDEPENDENT cohorts, "
+    "Friedman k related blocks, this the classic paired two-sample. "
+    "Doubled positive-rank sum W2 = SUM pos_c*(2*below+t+1) and the "
+    "t^3-t tie term are EXACT integers at the distinct-|d|-cents "
+    "grain; the only float is one shared IEEE z with Var(W2) = "
+    "(2n(n+1)(2n+1) - tie_cubes)/12, floor-milli vs the floored "
+    "critical 1959. Scale: one year-filtered map-combinable agg, one "
+    "self-join at the customer grain, then the rank window over the "
+    "distinct-|difference| frame only.",
+    bounded_frame="distinct-|d|-cents rank grain (price-domain-saturating)",
+)
+def q_wilcoxon_signed_rank_spend(spark, sf_dir):
+    yearly = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("yr", F.year("o_orderdate").cast("long"))
+        .filter(F.col("yr").isin(1996, 1997))
+        .groupBy(F.col("o_custkey").alias("cust"), "yr")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    a = yearly.filter(F.col("yr") == 1996).select(
+        "cust", F.col("cents").alias("c96")
+    )
+    b = yearly.filter(F.col("yr") == 1997).select(
+        "cust", F.col("cents").alias("c97")
+    )
+    nz = (
+        a.join(b, "cust")
+        .select((F.col("c97") - F.col("c96")).alias("d"))
+        .filter(F.col("d") != 0)
+        .select(
+            F.abs("d").alias("ad"),
+            F.when(F.col("d") > 0, 1).otherwise(0).alias("pos"),
+        )
+    )
+    per_value = nz.groupBy("ad").agg(
+        F.sum("pos").cast("long").alias("pos_c"),
+        F.count("*").cast("long").alias("t"),
+    )
+    cum = per_value.select(
+        "ad",
+        "pos_c",
+        "t",
+        (F.sum("t").over(Window.orderBy("ad")) - F.col("t"))
+        .cast("long")
+        .alias("below"),
+    )
+    comp = cum.agg(
+        F.sum("t").cast("long").alias("n_pairs"),
+        F.sum(F.expr("pos_c * (2 * below + t + 1)")).cast("long").alias(
+            "w2_pos"
+        ),
+        F.sum(F.expr("t * t * t - t")).cast("long").alias("tie_cubes"),
+    )
+    return comp.select(
+        "n_pairs",
+        "w2_pos",
+        "tie_cubes",
+        F.expr(_WSR_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_WSR_Z_MILLI)) > 1959).alias("reject_at_05"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cochran's Q: did the customer base's propensity to order change
+# across 1996/1997/1998? (k=3 related binary treatments per customer.)
+# --------------------------------------------------------------------------
+
+#: Q = (k-1)(k*SUM C_j^2 - T^2) / (k*T - SUM R_i^2) with T = SUM C_j —
+#: the k-treatment generalization of McNemar, and FULLY integer
+#: (constant rows R in {0,k} contribute nothing, so no row filter is
+#: needed). chi2 df=2 floored critical 5991.
+_CQ_MILLI = (
+    "CAST(2 * (3 * (c_1996 * c_1996 + c_1997 * c_1997 + c_1998 * c_1998)"
+    " - (c_1996 + c_1997 + c_1998) * (c_1996 + c_1997 + c_1998)) * 1000"
+    " // (3 * (c_1996 + c_1997 + c_1998) - sum_r2) AS BIGINT)"
+)
+
+_CQ_SQL = f"""
+WITH flags AS (
+    SELECT c.c_custkey AS cust,
+           MAX(CASE WHEN EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+                        = 1996 THEN 1 ELSE 0 END) AS f96,
+           MAX(CASE WHEN EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+                        = 1997 THEN 1 ELSE 0 END) AS f97,
+           MAX(CASE WHEN EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+                        = 1998 THEN 1 ELSE 0 END) AS f98
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(f96) AS BIGINT) AS c_1996,
+           CAST(SUM(f97) AS BIGINT) AS c_1997,
+           CAST(SUM(f98) AS BIGINT) AS c_1998,
+           CAST(SUM((f96 + f97 + f98) * (f96 + f97 + f98)) AS BIGINT)
+               AS sum_r2
+    FROM flags
+)
+SELECT n_customers, c_1996, c_1997, c_1998, sum_r2,
+       {_CQ_MILLI} AS q_milli,
+       {_CQ_MILLI} > 5991 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "cochran_q_yearly_activity",
+    _CQ_SQL,
+    doc="Cochran's Q test over k=3 related binary treatments (did each "
+    "customer order in 1996 / 1997 / 1998?): the k-group "
+    "generalization of mcnemar_paired_test for marginal-propensity "
+    "shift across matched periods. ZERO floats anywhere: Q reduces "
+    "algebraically to (k-1)(k*SUM C_j^2 - T^2)/(k*T - SUM R_i^2) — "
+    "exact int64 counts, one integer division, floored critical "
+    "5991 (chi2 df=2). Constant rows (R_i in {{0,k}}) provably "
+    "cancel from both numerator sides, so no row filter is needed. "
+    "Scale: one left-join + fused per-customer flag agg, "
+    "map-combinable to a single row; C^2 products stay under int64 "
+    "to ~5e8 active customers, past which counts re-grain to "
+    "kilo-customers first.",
+)
+def q_cochran_q_yearly_activity(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    flags = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.max(F.when(F.col("yr") == 1996, 1).otherwise(0)).alias("f96"),
+            F.max(F.when(F.col("yr") == 1997, 1).otherwise(0)).alias("f97"),
+            F.max(F.when(F.col("yr") == 1998, 1).otherwise(0)).alias("f98"),
+        )
+    )
+    comp = flags.agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.sum("f96").cast("long").alias("c_1996"),
+        F.sum("f97").cast("long").alias("c_1997"),
+        F.sum("f98").cast("long").alias("c_1998"),
+        F.sum(F.expr("(f96 + f97 + f98) * (f96 + f97 + f98)"))
+        .cast("long")
+        .alias("sum_r2"),
+    )
+    q = _CQ_MILLI.replace("//", "DIV")
+    return comp.select(
+        "n_customers",
+        "c_1996",
+        "c_1997",
+        "c_1998",
+        "sum_r2",
+        F.expr(q).alias("q_milli"),
+        (F.expr(q) > 5991).alias("reject_at_05"),
+    )

@@ -874,8 +874,7 @@ def q_vocab_oov_rate(spark, sf_dir):
 
 _HEAPS_BUCKETS = 10
 
-_HEAPS_SQL = rf"""
-WITH toks AS (
+_HEAPS_CTES = rf"""toks AS (
     SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token
     FROM documents
 ),
@@ -905,7 +904,9 @@ vocab_per_bucket AS (
            CAST(COUNT(*) AS BIGINT) AS new_types
     FROM first_seen f
     GROUP BY 1
-)
+)"""
+
+_HEAPS_TAIL = """
 SELECT p.bucket AS bucket,
        CAST(SUM(p2.n_docs) AS BIGINT) AS cum_docs,
        CAST(SUM(p2.n_tokens) AS BIGINT) AS cum_tokens,
@@ -916,6 +917,8 @@ LEFT JOIN vocab_per_bucket v ON v.bucket = p2.bucket
 GROUP BY p.bucket
 ORDER BY bucket
 """
+
+_HEAPS_SQL = f"WITH {_HEAPS_CTES}{_HEAPS_TAIL}"
 
 
 @register(
@@ -2178,3 +2181,83 @@ def q_vocab_yule_k(spark, sf_dir):
             " DIV (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)"
         ).alias("yule_k_deci"),
     ).orderBy("source")
+
+
+# ---------------------- Heaps-law exponent fit over the checkpoints
+
+#: log-log OLS over the 10 checkpoint points, the Weibull-plot
+#: discipline: both coordinates floor-quantize to micro from exact
+#: integers BEFORE the OLS sums, so sx/sy/sxy/sxx are exact int64 and
+#: the slope/intercept are each ONE shared IEEE expression.
+_HEAPS_X = "CAST(FLOOR(ln(CAST(cum_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)"
+_HEAPS_Y = "CAST(FLOOR(ln(CAST(cum_vocab AS DOUBLE)) * 1000000.0) AS BIGINT)"
+_HEAPS_BETA_RAW = (
+    "((CAST(np AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(np AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+)
+_HEAPS_BETA_MILLI = f"CAST(FLOOR({_HEAPS_BETA_RAW} * 1000.0) AS BIGINT)"
+_HEAPS_LNK_MICRO = (
+    f"CAST(FLOOR((CAST(sy AS DOUBLE) - {_HEAPS_BETA_RAW}"
+    " * CAST(sx AS DOUBLE)) / CAST(np AS DOUBLE)) AS BIGINT)"
+)
+
+_HEAPS_FIT_SQL = f"""
+WITH {_HEAPS_CTES},
+ckpt AS ({_HEAPS_TAIL}),
+pts AS (
+    SELECT {_HEAPS_X} AS x, {_HEAPS_Y} AS y FROM ckpt
+),
+sums AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS np,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts
+)
+SELECT np, sx, sy, sxy, sxx,
+       {_HEAPS_BETA_MILLI} AS beta_milli,
+       {_HEAPS_LNK_MICRO} AS lnk_micro
+FROM sums
+"""
+
+
+@register(
+    "heaps_law_fit",
+    _HEAPS_FIT_SQL,
+    doc="Heaps-law exponent fit: log-log OLS over "
+    "vocab_growth_checkpoints' 10 (cum_tokens, cum_vocab) points "
+    "yields V ~ K*n^beta — beta_milli ~500-800 is natural text, "
+    "beta near 0 means vocabulary saturation (more data buys no "
+    "coverage), near 1000 flags template/id-heavy corpora. The "
+    "scalar the growth-curve entry's table asks the reader to "
+    "eyeball, fitted exactly: both log coordinates floor-quantize "
+    "to micro from exact integer counts BEFORE the OLS sums (the "
+    "interevent_weibull_shape plot discipline), so only the final "
+    "slope/intercept are shared IEEE expressions. Scale: the fit "
+    "runs on the 10-row checkpoint frame; the checkpoints remain "
+    "one first-occurrence min-aggregate over the token explode.",
+)
+def q_heaps_law_fit(spark, sf_dir):
+    ckpt = q_vocab_growth_checkpoints(spark, sf_dir)
+    pts = ckpt.select(
+        F.expr(_HEAPS_X).alias("x"), F.expr(_HEAPS_Y).alias("y")
+    )
+    sums = pts.agg(
+        F.count("*").cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    return sums.select(
+        "np",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(_HEAPS_BETA_MILLI).alias("beta_milli"),
+        F.expr(_HEAPS_LNK_MICRO).alias("lnk_micro"),
+    )

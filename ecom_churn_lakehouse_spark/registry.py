@@ -177,6 +177,10 @@ NEW_IN_ROUND: list[str] = [
     "semdedup_keep_manifest",
     "semdedup_savings_by_source",
     "sql_bradley_terry_brand_strengths",
+    "wilcoxon_signed_rank_spend",
+    "cochran_q_yearly_activity",
+    "mrr_retrieval_eval",
+    "heaps_law_fit",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",

@@ -350,3 +350,122 @@ def test_unpartitioned_window_detector_shapes(spark):
     assert n_global(
         df.select(F.count("*").over(Window.partitionBy()).alias("c"))
     ) == 1
+
+
+# ------------------------------------------- round-8 second-wave entries
+
+
+def test_wilcoxon_signed_rank_planted():
+    """Planted pairs: diffs +10, +20, -30, +40 (cents). Ranks of |d|:
+    10->1, 20->2, 30->3, 40->4; W+ = 1+2+4 = 7, W2 = 14."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import _WSR_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW orders AS
+        SELECT * FROM (VALUES
+            (1, DATE '1996-03-01', CAST(1.00 AS DOUBLE)),
+            (1, DATE '1997-03-01', CAST(1.10 AS DOUBLE)),
+            (2, DATE '1996-03-01', CAST(1.00 AS DOUBLE)),
+            (2, DATE '1997-03-01', CAST(1.20 AS DOUBLE)),
+            (3, DATE '1996-03-01', CAST(1.00 AS DOUBLE)),
+            (3, DATE '1997-03-01', CAST(0.70 AS DOUBLE)),
+            (4, DATE '1996-03-01', CAST(1.00 AS DOUBLE)),
+            (4, DATE '1997-03-01', CAST(1.40 AS DOUBLE))
+        ) AS t(o_custkey, o_orderdate, o_totalprice)
+        """
+    )
+    rel = con.sql(_WSR_SQL)
+    r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
+    assert r["n_pairs"] == 4
+    assert r["w2_pos"] == 2 * (1 + 2 + 4)
+    assert r["tie_cubes"] == 0
+    import math
+
+    var_w2 = (2 * 4 * 5 * 9 - 0) / 12.0
+    assert r["z_milli"] == math.floor((14 - 10) / math.sqrt(var_w2) * 1000)
+
+
+def test_cochran_q_planted():
+    """3 customers: A orders all years, B only 1996, C never (k=3).
+    C_j = (2,1,1), R = (3,1,0); Q = 2*(3*6-16)/(3*4-10) = 4/2 = 2."""
+    from ecom_churn_lakehouse_spark.queries.inference_queries import _CQ_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        """
+        CREATE VIEW customer AS SELECT * FROM (VALUES (1), (2), (3))
+            AS t(c_custkey)
+        """
+    )
+    con.execute(
+        """
+        CREATE VIEW orders AS SELECT * FROM (VALUES
+            (1, DATE '1996-01-01'), (1, DATE '1997-01-01'),
+            (1, DATE '1998-01-01'), (2, DATE '1996-06-01')
+        ) AS t(o_custkey, o_orderdate)
+        """
+    )
+    rel = con.sql(_CQ_SQL)
+    r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
+    assert (r["c_1996"], r["c_1997"], r["c_1998"]) == (2, 1, 1)
+    assert r["sum_r2"] == 9 + 1 + 0
+    assert r["q_milli"] == 2000
+    assert not r["reject_at_05"]
+
+
+def test_mrr_rr_values(spark):
+    from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        q_mrr_retrieval_eval,
+    )
+
+    rows = q_mrr_retrieval_eval(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["first_rel_rank"] == 0:
+            assert r["rr_micro"] == 0
+        else:
+            assert r["rr_micro"] == 1_000_000 // r["first_rel_rank"]
+            assert 1 <= r["first_rel_rank"] <= 10
+
+
+def test_heaps_fit_saturated_fixture(spark):
+    """The synthetic corpus draws from a FIXED 31-token vocabulary, so
+    every checkpoint has cum_vocab = 31 — the fit must read exact
+    saturation (beta = 0), which is precisely the signal the entry
+    exists to surface."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_heaps_law_fit,
+    )
+
+    r = q_heaps_law_fit(spark, SF).collect()[0]
+    assert r["np"] == 10
+    assert r["beta_milli"] == 0
+    assert r["lnk_micro"] > 0
+
+
+def test_heaps_fit_growing_corpus_planted():
+    """A corpus whose vocabulary genuinely grows must fit a Heaps
+    exponent strictly inside (0, 1)."""
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        _HEAPS_FIT_SQL,
+    )
+
+    con = duckdb.connect()
+    # doc i contributes i+1 brand-new types plus 20 common filler
+    # tokens -> vocab grows sublinearly in tokens
+    rows = []
+    for i in range(20):
+        # one new type per doc over quadratically-growing token mass
+        # -> V ~ sqrt(T), beta ~ 0.5
+        filler = " ".join("the" for _ in range(i + 1))
+        rows.append(f"({i}, 'w{i} {filler}')")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, text)"
+    )
+    rel = con.sql(_HEAPS_FIT_SQL)
+    r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
+    assert 0 < r["beta_milli"] < 1000
