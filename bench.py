@@ -33,6 +33,8 @@ HEADLINE = [
     "cochran_q_yearly_activity",
     "mrr_retrieval_eval",
     "heaps_law_fit",
+    "kaplan_meier_repeat_purchase",
+    "logrank_segment_survival_test",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",

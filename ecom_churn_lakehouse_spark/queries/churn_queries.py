@@ -1014,3 +1014,317 @@ def q_interevent_weibull_shape(spark, sf_dir):
         F.expr(_WEIB_SLOPE_MILLI).alias("weibull_shape_milli"),
         (F.expr(_WEIB_SLOPE_MILLI) < 1000).alias("decreasing_hazard"),
     )
+
+
+# ------------------------------- survival analysis: KM + log-rank
+
+#: Censoring horizon = the fixture's last order date + 1 (all
+#: durations observable; single-order customers censor here).
+_SURV_CENSOR = "1998-08-03"
+
+#: Shared time-to-second-order spans: duration (days) from a
+#: customer's first order to their second (event) or to the censor
+#: date (censored), at the customer grain.
+_SPANS_CTES = f"""
+firsts AS (
+    SELECT o_custkey AS cust, MIN(CAST(o_orderdate AS DATE)) AS d1
+    FROM orders GROUP BY o_custkey
+),
+seconds AS (
+    SELECT o.o_custkey AS cust, MIN(CAST(o.o_orderdate AS DATE)) AS d2
+    FROM orders o JOIN firsts f
+      ON f.cust = o.o_custkey AND CAST(o.o_orderdate AS DATE) > f.d1
+    GROUP BY o.o_custkey
+),
+spans AS (
+    SELECT f.cust,
+           CAST(CASE WHEN s.cust IS NULL
+                THEN date_diff('day', f.d1, DATE '{_SURV_CENSOR}')
+                ELSE date_diff('day', f.d1, s.d2) END AS BIGINT) AS dur,
+           CAST(CASE WHEN s.cust IS NULL THEN 0 ELSE 1 END AS BIGINT)
+               AS ev
+    FROM firsts f LEFT JOIN seconds s ON s.cust = f.cust
+)"""
+
+#: Per-event-time KM log-step: ln(1 - d/n) floor-quantized to micro
+#: from exact integer (d, n) BEFORE the cumulative sum — the
+#: float-sum-order discipline; the survival curve is surfaced in the
+#: exact-integer LOG domain (logS_micro), never as a float product.
+_KM_TERM_MICRO = (
+    "CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_KM_SQL = f"""
+WITH {_SPANS_CTES},
+durdist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(ev) AS BIGINT) AS d
+    FROM spans GROUP BY dur
+),
+cum AS (
+    SELECT dur, c, d,
+           CAST(SUM(c) OVER (ORDER BY dur) - c AS BIGINT) AS below,
+           CAST((SELECT SUM(c) FROM durdist) AS BIGINT) AS n_total
+    FROM durdist
+),
+km AS (
+    SELECT dur AS t, d, n_total - below AS n_risk
+    FROM cum WHERE d > 0 AND d < n_total - below
+)
+SELECT t, d, n_risk,
+       {_KM_TERM_MICRO} AS step_micro,
+       CAST(SUM({_KM_TERM_MICRO}) OVER (ORDER BY t) AS BIGINT)
+           AS log_surv_micro
+FROM km
+ORDER BY t
+"""
+
+
+@register(
+    "kaplan_meier_repeat_purchase",
+    _KM_SQL,
+    doc="Kaplan-Meier survival curve for time-to-second-order (the "
+    "repeat-purchase conversion every retention team models; "
+    "single-order customers right-censor at the fixture horizon "
+    f"{_SURV_CENSOR}): per event time the risk set n, events d, and "
+    "the product-limit estimate carried in the EXACT-INTEGER log "
+    "domain — each step ln(1-d/n) floor-quantizes to micro from "
+    "exact integer counts BEFORE the cumulative sum, so no float "
+    "product/sum order can diverge cross-engine (a terminal S=0 "
+    "step, where d exhausts the risk set, is excluded by "
+    "construction in the log domain). Complements churn_hazard_table "
+    "(discrete per-day hazard) with the canonical survival "
+    "estimator. Scale: spans reduce map-combinably to the customer "
+    "grain, then to the distinct-duration grain — the ordered window "
+    "runs over CALENDAR-bounded durations (<= dataset day span), "
+    "never customers.",
+    bounded_frame="calendar-bounded distinct-duration grain (<= dataset day span)",
+)
+def q_kaplan_meier_repeat_purchase(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    firsts = orders.groupBy("cust").agg(F.min("od").alias("d1"))
+    seconds = (
+        orders.join(firsts, "cust")
+        .filter(F.col("od") > F.col("d1"))
+        .groupBy("cust")
+        .agg(F.min("od").alias("d2"))
+    )
+    spans = firsts.join(seconds, "cust", "left").select(
+        "cust",
+        F.when(
+            F.col("d2").isNull(),
+            F.datediff(F.lit(_SURV_CENSOR).cast("date"), F.col("d1")),
+        )
+        .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("d2").isNull(), 0).otherwise(1).cast("long").alias("ev"),
+    )
+    durdist = spans.groupBy("dur").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    n_total = durdist.agg(F.sum("c").cast("long").alias("n_total"))
+    cum = durdist.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "c",
+        "d",
+        "n_total",
+        (F.sum("c").over(Window.orderBy("dur")) - F.col("c"))
+        .cast("long")
+        .alias("below"),
+    )
+    km = cum.filter(
+        (F.col("d") > 0) & (F.col("d") < F.col("n_total") - F.col("below"))
+    ).select(
+        F.col("dur").alias("t"),
+        "d",
+        (F.col("n_total") - F.col("below")).alias("n_risk"),
+    )
+    return km.select(
+        "t",
+        "d",
+        "n_risk",
+        F.expr(_KM_TERM_MICRO).alias("step_micro"),
+        F.sum(F.expr(_KM_TERM_MICRO))
+        .over(Window.orderBy("t"))
+        .cast("long")
+        .alias("log_surv_micro"),
+    ).orderBy("t")
+
+
+#: Log-rank per-time terms, each floor-quantized micro from exact
+#: integers: O-E contribution (d1 - d*n1/n) and hypergeometric
+#: variance d*(n1/n)*(n2/n)*(n-d)/(n-1).
+_LR_OE_MICRO = (
+    "CAST(FLOOR((CAST(d1 AS DOUBLE)"
+    " - CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n_risk AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+_LR_V_MICRO = (
+    "CAST(FLOOR(CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE)"
+    " * (CAST(n_risk AS DOUBLE) - CAST(n1 AS DOUBLE))"
+    " * (CAST(n_risk AS DOUBLE) - CAST(d AS DOUBLE))"
+    " / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)"
+    "    * (CAST(n_risk AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)"
+)
+_LR_Z_MILLI = (
+    "CAST(FLOOR(CAST(sum_oe_micro AS DOUBLE)"
+    " / sqrt(CAST(sum_v_micro AS DOUBLE) * 1000000.0)"
+    " * 1000.0) AS BIGINT)"
+)
+
+_LOGRANK_SQL = f"""
+WITH {_SPANS_CTES},
+tagged AS (
+    SELECT s.dur, s.ev,
+           CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+    FROM spans s JOIN customer c ON c.c_custkey = s.cust
+),
+durdist AS (
+    SELECT dur,
+           CAST(COUNT(*) AS BIGINT) AS c,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(SUM(g1) AS BIGINT) AS c1,
+           CAST(SUM(ev * g1) AS BIGINT) AS d1
+    FROM tagged GROUP BY dur
+),
+cum AS (
+    SELECT dur, c, d, c1, d1,
+           CAST(SUM(c) OVER (ORDER BY dur) - c AS BIGINT) AS below,
+           CAST(SUM(c1) OVER (ORDER BY dur) - c1 AS BIGINT) AS below1,
+           CAST((SELECT SUM(c) FROM durdist) AS BIGINT) AS n_total,
+           CAST((SELECT SUM(c1) FROM durdist) AS BIGINT) AS n1_total
+    FROM durdist
+),
+terms AS (
+    SELECT dur, d, d1,
+           n_total - below AS n_risk,
+           n1_total - below1 AS n1
+    FROM cum WHERE d > 0 AND n_total - below > 1
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_event_times,
+           CAST(SUM(d) AS BIGINT) AS total_events,
+           CAST(SUM(d1) AS BIGINT) AS events_g1,
+           CAST(SUM({_LR_OE_MICRO}) AS BIGINT) AS sum_oe_micro,
+           CAST(SUM({_LR_V_MICRO}) AS BIGINT) AS sum_v_micro
+    FROM terms
+)
+SELECT n_event_times, total_events, events_g1, sum_oe_micro, sum_v_micro,
+       {_LR_Z_MILLI} AS z_milli,
+       abs({_LR_Z_MILLI}) > 1959 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "logrank_segment_survival_test",
+    _LOGRANK_SQL,
+    doc="Log-rank test: does the BUILDING segment's time-to-second-"
+    "order survival differ from everyone else's? The standard "
+    "two-group survival comparison completing the KM estimator "
+    "(kaplan_meier_repeat_purchase) — censoring-aware, computed at "
+    "the same distinct-duration risk-set grain. Each event time's "
+    "O-E contribution d1 - d*n1/n and hypergeometric variance "
+    "d*n1*n2*(n-d)/(n^2(n-1)) floor-quantize to micro from exact "
+    "integer risk-set counts BEFORE the sums (the float-sum-order "
+    "discipline); z is one shared IEEE expression over the two "
+    "exact integer sums, floored-milli vs the floored critical "
+    "1959. Scale: customer-grain spans + one broadcast dim join, "
+    "then calendar-bounded duration windows.",
+    bounded_frame="calendar-bounded distinct-duration grain (<= dataset day span)",
+)
+def q_logrank_segment_survival_test(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    firsts = orders.groupBy("cust").agg(F.min("od").alias("d1"))
+    seconds = (
+        orders.join(firsts, "cust")
+        .filter(F.col("od") > F.col("d1"))
+        .groupBy("cust")
+        .agg(F.min("od").alias("d2"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1)
+        .otherwise(0)
+        .alias("g1"),
+    )
+    spans = (
+        firsts.join(seconds, "cust", "left")
+        .join(F.broadcast(cust), "cust")
+        .select(
+            F.when(
+                F.col("d2").isNull(),
+                F.datediff(F.lit(_SURV_CENSOR).cast("date"), F.col("d1")),
+            )
+            .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+            .cast("long")
+            .alias("dur"),
+            F.when(F.col("d2").isNull(), 0)
+            .otherwise(1)
+            .cast("long")
+            .alias("ev"),
+            "g1",
+        )
+    )
+    durdist = spans.groupBy("dur").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+        F.sum("g1").cast("long").alias("c1"),
+        F.sum(F.expr("ev * g1")).cast("long").alias("d1"),
+    )
+    tot = durdist.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.sum("c1").cast("long").alias("n1_total"),
+    )
+    w = Window.orderBy("dur")
+    cum = durdist.crossJoin(F.broadcast(tot)).select(
+        "dur",
+        "d",
+        "d1",
+        "n_total",
+        "n1_total",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("below"),
+        (F.sum("c1").over(w) - F.col("c1")).cast("long").alias("below1"),
+    )
+    terms = cum.filter(
+        (F.col("d") > 0) & (F.col("n_total") - F.col("below") > 1)
+    ).select(
+        "d",
+        "d1",
+        (F.col("n_total") - F.col("below")).alias("n_risk"),
+        (F.col("n1_total") - F.col("below1")).alias("n1"),
+    )
+    comp = terms.agg(
+        F.count("*").cast("long").alias("n_event_times"),
+        F.sum("d").cast("long").alias("total_events"),
+        F.sum("d1").cast("long").alias("events_g1"),
+        F.sum(F.expr(_LR_OE_MICRO)).cast("long").alias("sum_oe_micro"),
+        F.sum(F.expr(_LR_V_MICRO)).cast("long").alias("sum_v_micro"),
+    )
+    return comp.select(
+        "n_event_times",
+        "total_events",
+        "events_g1",
+        "sum_oe_micro",
+        "sum_v_micro",
+        F.expr(_LR_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_LR_Z_MILLI)) > 1959).alias("reject_at_05"),
+    )

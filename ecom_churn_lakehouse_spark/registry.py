@@ -181,6 +181,8 @@ NEW_IN_ROUND: list[str] = [
     "cochran_q_yearly_activity",
     "mrr_retrieval_eval",
     "heaps_law_fit",
+    "kaplan_meier_repeat_purchase",
+    "logrank_segment_survival_test",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",

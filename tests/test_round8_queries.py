@@ -469,3 +469,82 @@ def test_heaps_fit_growing_corpus_planted():
     rel = con.sql(_HEAPS_FIT_SQL)
     r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
     assert 0 < r["beta_milli"] < 1000
+
+
+# ------------------------------------------------------------- survival
+
+
+def _planted_survival_views(con):
+    con.execute(
+        """
+        CREATE VIEW orders AS SELECT * FROM (VALUES
+            (1, DATE '1998-01-01'), (1, DATE '1998-01-11'),
+            (2, DATE '1998-01-01'), (2, DATE '1998-01-21'),
+            (3, DATE '1998-01-01'),
+            (4, DATE '1998-01-01'), (4, DATE '1998-01-11')
+        ) AS t(o_custkey, o_orderdate)
+        """
+    )
+    con.execute(
+        """
+        CREATE VIEW customer AS SELECT * FROM (VALUES
+            (1, 'BUILDING'), (2, 'MACHINERY'), (3, 'MACHINERY'),
+            (4, 'BUILDING')
+        ) AS t(c_custkey, c_mktsegment)
+        """
+    )
+
+
+def test_kaplan_meier_planted():
+    """Durations: 10 (2 events), 20 (1 event), censor (1). Risk sets:
+    t=10 n=4 d=2 -> step ln(.5); t=20 n=2 d=1 -> step ln(.5)."""
+    import math
+
+    from ecom_churn_lakehouse_spark.queries.churn_queries import _KM_SQL
+
+    con = duckdb.connect()
+    _planted_survival_views(con)
+    rows = con.sql(_KM_SQL).df().to_dict("records")
+    assert [(r["t"], r["d"], r["n_risk"]) for r in rows] == [
+        (10, 2, 4),
+        (20, 1, 2),
+    ]
+    step = math.floor(math.log(0.5) * 1_000_000)
+    assert rows[0]["step_micro"] == step
+    assert rows[0]["log_surv_micro"] == step
+    assert rows[1]["log_surv_micro"] == 2 * step
+
+
+def test_logrank_planted():
+    """g1 = {1,4}: t=10 gives O-E = 2 - 2*2/4 = 1, V = 1/3; t=20
+    contributes nothing (n1 = 0). z = 1e6/sqrt(1/3 * 1e12)."""
+    import math
+
+    from ecom_churn_lakehouse_spark.queries.churn_queries import _LOGRANK_SQL
+
+    con = duckdb.connect()
+    _planted_survival_views(con)
+    rel = con.sql(_LOGRANK_SQL)
+    r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
+    assert r["n_event_times"] == 2
+    assert r["total_events"] == 3 and r["events_g1"] == 2
+    assert r["sum_oe_micro"] == 1_000_000
+    assert r["sum_v_micro"] == 333_333
+    assert r["z_milli"] == math.floor(
+        1_000_000 / math.sqrt(333_333 * 1_000_000.0) * 1000
+    )
+
+
+def test_km_monotone_on_fixture(spark):
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_kaplan_meier_repeat_purchase,
+    )
+
+    rows = q_kaplan_meier_repeat_purchase(spark, SF).collect()
+    assert rows
+    prev = 0
+    for r in sorted(rows, key=lambda r: r["t"]):
+        assert r["step_micro"] < 0  # every event step decreases S
+        assert r["log_surv_micro"] <= prev
+        assert 0 < r["d"] < r["n_risk"]
+        prev = r["log_surv_micro"]
