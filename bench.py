@@ -35,6 +35,8 @@ HEADLINE = [
     "heaps_law_fit",
     "kaplan_meier_repeat_purchase",
     "logrank_segment_survival_test",
+    "cuped_variance_reduction",
+    "bloom_filter_size_advisor",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",

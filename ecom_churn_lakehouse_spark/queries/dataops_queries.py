@@ -1640,3 +1640,110 @@ def q_capture_recapture_estimate(spark, sf_dir):
             " DIV n_true AS BIGINT)"
         ).alias("abs_err_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter sizing advisor for runtime-filter / semi-join pushdown keys.
+# --------------------------------------------------------------------------
+
+#: m = ceil(n * -ln(p)/ln(2)^2), k = round(m/n * ln 2) — the ln
+#: constants are AUTHORING-TIME micro literals (stdlib math at write
+#: time), so the whole advisor is exact integer arithmetic: zero
+#: runtime transcendentals (the SPRT/Holm discipline).
+_BLOOM_FPP_MICRO = (("fpp_1pct", 9_585_058), ("fpp_0p1pct", 14_377_588))
+_LN2_MICRO = 693_147
+
+_BLOOM_KEYS = (
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _bloom_sql() -> str:
+    branches = []
+    for tbl, col in _BLOOM_KEYS:
+        branches.append(
+            f"SELECT '{tbl}.{col}' AS key_col,"
+            f" CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv FROM {tbl}"
+        )
+    fpp_rows = ", ".join(
+        f"('{name}', CAST({c} AS BIGINT))" for name, c in _BLOOM_FPP_MICRO
+    )
+    return f"""
+WITH ndvs AS (
+    {" UNION ALL ".join(branches)}
+),
+targets AS (
+    SELECT * FROM (VALUES {fpp_rows}) AS t(fpp, c_micro)
+),
+sized AS (
+    SELECT n.key_col, n.ndv, t.fpp,
+           CAST((n.ndv * t.c_micro + 999999) // 1000000 AS BIGINT) AS m_bits
+    FROM ndvs n CROSS JOIN targets t
+)
+SELECT key_col, ndv, fpp, m_bits,
+       CAST((m_bits + 7) // 8 AS BIGINT) AS m_bytes,
+       CAST((m_bits * {_LN2_MICRO} + ndv * 500000) // (ndv * 1000000)
+            AS BIGINT) AS k_hashes
+FROM sized
+ORDER BY key_col, fpp
+"""
+
+
+@register(
+    "bloom_filter_size_advisor",
+    _bloom_sql(),
+    doc="Bloom-filter sizing advisor for the join keys a runtime "
+    "filter / semi-join pushdown would build filters over (the "
+    "spark.sql.optimizer bloom conf this engine enables in "
+    "session.py): per key column the exact NDV, and for two target "
+    "false-positive rates the required bits m = ceil(-n ln p / "
+    "ln^2 2) and optimal hash count k = round(m/n ln 2) — with the "
+    "ln constants embedded as authoring-time micro literals, so "
+    "sizing is EXACT integer arithmetic end-to-end (zero runtime "
+    "transcendentals; rounds half-up via the +n*500000 trick on "
+    "non-negative operands). Completes the physical-design advisor "
+    "family (sort_key_advisor, partition_layout_advisor, "
+    "column_encoding_advisor). Scale: one COUNT(DISTINCT) per "
+    "candidate key — map-combinable partial distincts; the advisor "
+    "frame is |keys| x |targets| rows.",
+)
+def q_bloom_filter_size_advisor(spark, sf_dir):
+    ndv_frames = []
+    for tbl, col in _BLOOM_KEYS:
+        ndv_frames.append(
+            load_table(spark, sf_dir, tbl).agg(
+                F.lit(f"{tbl}.{col}").alias("key_col"),
+                F.countDistinct(col).cast("long").alias("ndv"),
+            )
+        )
+    ndvs = ndv_frames[0]
+    for f in ndv_frames[1:]:
+        ndvs = ndvs.unionByName(f)
+    targets = None
+    for name, c in _BLOOM_FPP_MICRO:
+        row = ndvs.sparkSession.range(1).select(
+            F.lit(name).alias("fpp"), F.lit(c).cast("long").alias("c_micro")
+        )
+        targets = row if targets is None else targets.unionByName(row)
+    sized = ndvs.crossJoin(F.broadcast(targets)).select(
+        "key_col",
+        "ndv",
+        "fpp",
+        F.expr("CAST((ndv * c_micro + 999999) DIV 1000000 AS BIGINT)").alias(
+            "m_bits"
+        ),
+    )
+    return sized.select(
+        "key_col",
+        "ndv",
+        "fpp",
+        "m_bits",
+        F.expr("CAST((m_bits + 7) DIV 8 AS BIGINT)").alias("m_bytes"),
+        F.expr(
+            f"CAST((m_bits * {_LN2_MICRO} + ndv * 500000)"
+            " DIV (ndv * 1000000) AS BIGINT)"
+        ).alias("k_hashes"),
+    ).orderBy("key_col", "fpp")

@@ -72,11 +72,17 @@ _TWINS = [
     "granger_causality_screen",        # layered shared-text float pipeline over LAG window
     "cochran_armitage_trend_test",     # substring scores + fused trend-z agg
     "sprt_conversion_monitor",         # all-integer sequential trajectory windows
-    "cramers_v_matrix",                # window margins + micro-quantized Pearson cells
+    "cramers_v_matrix",                # dense-spine joins + micro-quantized Pearson cells
+    # round-8 qualifying additions
+    "wilcoxon_signed_rank_spend",      # paired-diff doubled-rank window + shared z
 ]
 
 
 def _make_twin(base_name: str, text: str) -> None:
+    # the twin evaluates the same logical plan, so it inherits the
+    # base entry's bounded-global-window declaration (if any)
+    base_bounded = _REGISTRY[base_name].bounded_frame
+
     @register(
         f"sql_{base_name}",
         text,
@@ -86,6 +92,7 @@ def _make_twin(base_name: str, text: str) -> None:
         "by the DuckDB oracle — proves the parser/analyzer path on "
         "this shape and that the SQL front agrees with the DataFrame "
         "entry (both match the same oracle).",
+        bounded_frame=base_bounded,
     )
     def _twin(spark, sf_dir, _text=text):
         from ecom_churn_lakehouse_spark.sources.catalog import run_sql

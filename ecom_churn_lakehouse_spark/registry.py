@@ -183,6 +183,9 @@ NEW_IN_ROUND: list[str] = [
     "heaps_law_fit",
     "kaplan_meier_repeat_purchase",
     "logrank_segment_survival_test",
+    "cuped_variance_reduction",
+    "bloom_filter_size_advisor",
+    "sql_wilcoxon_signed_rank_spend",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",
