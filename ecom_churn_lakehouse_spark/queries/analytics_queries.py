@@ -2720,3 +2720,132 @@ def q_cuped_variance_reduction(spark, sf_dir):
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "stream_cuped_maintenance",
+    _cuped_sql(),
+    doc="Streaming twin of cuped_variance_reduction, demonstrating WHY "
+    "the maintenance grain matters: the CUPED moment sums (sxx, sxy, "
+    "syy) are NOT row-mergeable — a customer's orders span batches, "
+    "and x^2 of a partial year is not a partial of x^2 — so each "
+    "foreachBatch writes batch_id-keyed partials at the CUSTOMER "
+    "grain (cust, x_partial, y_partial; the keyed-state class of the "
+    "streaming taxonomy), skipped if already present for replay "
+    "safety. The served view merges partials to the customer grain "
+    "FIRST, then computes arms/theta/rho^2 exactly as the batch "
+    "entry; the oracle is the batch SQL verbatim, so convergence "
+    "must be bit-exact regardless of batch boundaries. Scale: "
+    "per-batch shuffle is bounded by the batch's distinct customers; "
+    "the moment finish runs on the merged customer frame once per "
+    "read.",
+)
+def q_stream_cuped_maintenance(spark, sf_dir):
+    import os
+
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    dollars = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+    )
+
+    def customer_partial(df):
+        return (
+            df.withColumn("yr", F.year("o_orderdate"))
+            .groupBy(F.col("o_custkey").alias("cust"))
+            .agg(
+                F.sum(F.when(F.col("yr") == 1996, dollars).otherwise(0))
+                .cast("long")
+                .alias("x"),
+                F.sum(F.when(F.col("yr") == 1997, dollars).otherwise(0))
+                .cast("long")
+                .alias("y"),
+            )
+        )
+
+    base = scratch_dir(prefix="stream_cuped_")
+    for lo, hi in (
+        (None, "1996-07-01"),
+        ("1996-07-01", "1997-07-01"),
+        ("1997-07-01", None),
+    ):
+        chunk = orders
+        if lo:
+            chunk = chunk.filter(F.col("o_orderdate") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("o_orderdate") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            customer_partial(batch_df).write.mode("overwrite").parquet(dest)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    yearly = (
+        spark.read.parquet(f"{base}/partials")
+        .drop("batch_id")
+        .groupBy("cust")
+        .agg(
+            F.sum("x").cast("long").alias("x"),
+            F.sum("y").cast("long").alias("y"),
+        )
+    )
+    assigned = yearly.select(
+        F.when(hash_bucket(F.col("cust"), "cuped:") < 5000, "treat")
+        .otherwise("control")
+        .alias("arm"),
+        "x",
+        "y",
+    ).localCheckpoint(eager=False)
+    per_arm = assigned.groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    pooled = assigned.agg(
+        F.count("*").cast("long").alias("n_tot"),
+        F.sum("x").cast("long").alias("sx_tot"),
+        F.sum("y").cast("long").alias("sy_tot"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    adj = (
+        _CUPED_ADJ_MEAN_MILLI
+        .replace("CAST(sy AS DOUBLE)", "CAST(a.sy AS DOUBLE)")
+        .replace("CAST(n AS DOUBLE)", "CAST(a.n AS DOUBLE)")
+        .replace("CAST(sx AS DOUBLE)", "CAST(a.sx AS DOUBLE)")
+    )
+    return (
+        per_arm.alias("a")
+        .crossJoin(F.broadcast(pooled))
+        .select(
+            "arm",
+            "n",
+            "sx",
+            "sy",
+            F.expr("CAST(sy * 1000 DIV n AS BIGINT)").alias("raw_mean_milli"),
+            F.expr(adj).alias("adj_mean_milli"),
+            F.expr(_CUPED_THETA_MICRO).alias("theta_micro"),
+            F.expr(_CUPED_RED_PPM).alias("var_reduction_ppm"),
+        )
+        .orderBy("arm")
+    )

@@ -186,6 +186,7 @@ NEW_IN_ROUND: list[str] = [
     "cuped_variance_reduction",
     "bloom_filter_size_advisor",
     "sql_wilcoxon_signed_rank_spend",
+    "stream_cuped_maintenance",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",

@@ -599,3 +599,22 @@ def test_bloom_advisor_closed_form(spark):
         ) // (r["ndv"] * 1_000_000)
         # k for 1% fpp is ~7, for 0.1% ~10 — sanity-band the constants
         assert 5 <= r["k_hashes"] <= 12
+
+
+def test_stream_cuped_equals_batch(spark):
+    """The streaming customer-grain maintenance must converge to the
+    one-shot batch CUPED relation bit-exactly."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_cuped_variance_reduction,
+        q_stream_cuped_maintenance,
+    )
+
+    batch = sorted(
+        (r.asDict() for r in q_cuped_variance_reduction(spark, SF).collect()),
+        key=lambda r: r["arm"],
+    )
+    stream = sorted(
+        (r.asDict() for r in q_stream_cuped_maintenance(spark, SF).collect()),
+        key=lambda r: r["arm"],
+    )
+    assert stream == batch
