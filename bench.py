@@ -37,6 +37,7 @@ HEADLINE = [
     "logrank_segment_survival_test",
     "cuped_variance_reduction",
     "bloom_filter_size_advisor",
+    "stream_cuped_maintenance",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",
