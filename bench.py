@@ -38,6 +38,8 @@ HEADLINE = [
     "cuped_variance_reduction",
     "bloom_filter_size_advisor",
     "stream_cuped_maintenance",
+    "cmh_promo_return_by_nation",
+    "ngram_bloom_contamination_probe",
     # ---- round 7 (third wave) ----
     "mann_kendall_trend",
     "friedman_test_brand_months",

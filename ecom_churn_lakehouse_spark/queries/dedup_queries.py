@@ -1953,3 +1953,184 @@ def q_span_dedup_savings_curve(spark, sf_dir):
         )
         .orderBy("span_len")
     )
+
+
+# --------------------- bloom-filtered decontamination (the scale path)
+
+#: Fixed filter geometry: 2^16 bits (1024 x 64-bit words), k=2 salted
+#: md5-prefix hash functions (the shared hash_bucket idiom). At the
+#: fixture's bench 8-gram cardinality this sits far below 1 bit/key
+#: occupancy; bloom_filter_size_advisor is the sizing calculator for
+#: real corpora.
+_BLOOMC_BITS = 65_536
+_BLOOMC_SALTS = ("bloomA:", "bloomB:")
+
+
+def _bloomc_sql() -> str:
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket_sql
+
+    h = {
+        s: hash_bucket_sql("shingle", s, _BLOOMC_BITS) for s in _BLOOMC_SALTS
+    }
+    return f"""
+WITH {_CORPUS_SQL.strip()},
+sh8 AS ({_ngram_sql_8("corpus")}),
+bench AS (
+    SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 10 = 0 AND doc_id < 100000
+),
+train AS (
+    SELECT doc_id, shingle FROM sh8
+    WHERE NOT (doc_id % 10 = 0 AND doc_id < 100000)
+),
+bench_bits AS (
+    SELECT h // 63 AS w,
+           CAST(bit_or(1::BIGINT << CAST(h % 63 AS INTEGER)) AS BIGINT)
+               AS bits
+    FROM (
+        SELECT {h["bloomA:"]} AS h FROM bench
+        UNION ALL
+        SELECT {h["bloomB:"]} AS h FROM bench
+    ) GROUP BY h // 63
+),
+probed AS (
+    SELECT t.doc_id, t.shingle,
+           {h["bloomA:"]} AS h1, {h["bloomB:"]} AS h2
+    FROM train t
+),
+checked AS (
+    SELECT p.doc_id, p.shingle,
+           CASE WHEN b1.bits IS NOT NULL
+                 AND (b1.bits >> CAST(p.h1 % 63 AS INTEGER)) & 1 = 1
+                 AND b2.bits IS NOT NULL
+                 AND (b2.bits >> CAST(p.h2 % 63 AS INTEGER)) & 1 = 1
+                THEN 1 ELSE 0 END AS bloom_hit
+    FROM probed p
+    LEFT JOIN bench_bits b1 ON b1.w = p.h1 // 63
+    LEFT JOIN bench_bits b2 ON b2.w = p.h2 // 63
+),
+exact AS (
+    SELECT DISTINCT t.doc_id, t.shingle
+    FROM train t JOIN bench b ON b.shingle = t.shingle
+),
+joined AS (
+    SELECT c.doc_id, c.bloom_hit,
+           CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+    FROM checked c
+    LEFT JOIN exact e ON e.doc_id = c.doc_id AND e.shingle = c.shingle
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS ngrams_probed,
+       CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+       CAST(SUM(exact_hit) AS BIGINT) AS exact_hits,
+       CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+       CAST(SUM(CASE WHEN exact_hit = 1 AND bloom_hit = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives,
+       CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1 ELSE 0 END)
+            * 1000000
+            // GREATEST(COUNT(*) - SUM(exact_hit), 1) AS BIGINT)
+           AS observed_fpp_ppm
+FROM joined
+"""
+
+
+@register(
+    "ngram_bloom_contamination_probe",
+    _bloomc_sql(),
+    doc="Bloom-filtered benchmark decontamination — the SCALE PATH for "
+    "benchmark_contamination: the bench 8-gram set compresses into a "
+    f"{_BLOOMC_BITS}-bit filter (k=2 salted md5-prefix hashes, the "
+    "shared hash_bucket idiom; ~1040 broadcastable 63-bit words — "
+    "the sign bit stays unused so 1<<b never overflows SIGNED int64 "
+    "in either engine (probe-caught: DuckDB errors on 1::BIGINT << 63) — built "
+    "with an integer bit_or aggregate), every training 8-gram probes "
+    "two bits, and the exact string join runs alongside to ACCOUNT "
+    "for the trade: false_negatives must be 0 (Bloom guarantee — a "
+    "hash-compared output column, not an assumption) and the "
+    "observed false-positive ppm prices the candidate-then-verify "
+    "pipeline a 100 TB decontam pass would run (probe with the "
+    "filter at scan speed, exact-verify only the hits). All integer "
+    "arithmetic. Scale: the filter is corpus-size-INDEPENDENT "
+    "(sized by bloom_filter_size_advisor); the probe is two "
+    "broadcast word-lookups per shingle — no shuffle of the corpus "
+    "at all.",
+)
+def q_ngram_bloom_contamination_probe(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.operators.sampling import hash_bucket
+
+    arr8 = doc_shingle_arrays(derived_corpus(spark, sf_dir), n=8).localCheckpoint(
+        eager=False
+    )
+    is_bench = (F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 100000)
+    bench = (
+        arr8.filter(is_bench)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hashes = None
+    for salt in _BLOOMC_SALTS:
+        hcol = bench.select(
+            hash_bucket(F.col("shingle"), salt, _BLOOMC_BITS).alias("h")
+        )
+        hashes = hcol if hashes is None else hashes.unionByName(hcol)
+    bench_bits = (
+        hashes.select(
+            F.expr("h DIV 63").alias("w"),
+            F.expr("shiftleft(1L, CAST(h % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.expr("CAST(bit_or(bit) AS BIGINT)").alias("bits"))
+    )
+    train = arr8.filter(~is_bench).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    probed = train.select(
+        "doc_id",
+        "shingle",
+        hash_bucket(F.col("shingle"), "bloomA:", _BLOOMC_BITS).alias("h1"),
+        hash_bucket(F.col("shingle"), "bloomB:", _BLOOMC_BITS).alias("h2"),
+    )
+    b1 = bench_bits.select(
+        F.col("w").alias("w1"), F.col("bits").alias("bits1")
+    )
+    b2 = bench_bits.select(
+        F.col("w").alias("w2"), F.col("bits").alias("bits2")
+    )
+    checked = (
+        probed.join(F.broadcast(b1), F.expr("w1 = h1 DIV 63"), "left")
+        .join(F.broadcast(b2), F.expr("w2 = h2 DIV 63"), "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.expr(
+                "CASE WHEN bits1 IS NOT NULL"
+                " AND (shiftright(bits1, CAST(h1 % 63 AS INT)) & 1) = 1"
+                " AND bits2 IS NOT NULL"
+                " AND (shiftright(bits2, CAST(h2 % 63 AS INT)) & 1) = 1"
+                " THEN 1 ELSE 0 END"
+            ).alias("bloom_hit"),
+        )
+    )
+    exact = (
+        train.join(F.broadcast(bench), "shingle", "left_semi")
+        .select("doc_id", "shingle")
+        .distinct()
+        .withColumn("exact_hit", F.lit(1))
+    )
+    joined = checked.join(exact, ["doc_id", "shingle"], "left").select(
+        "bloom_hit", F.coalesce("exact_hit", F.lit(0)).alias("exact_hit")
+    )
+    return joined.agg(
+        F.count("*").cast("long").alias("ngrams_probed"),
+        F.sum("bloom_hit").cast("long").alias("bloom_hits"),
+        F.sum("exact_hit").cast("long").alias("exact_hits"),
+        F.sum(F.expr("CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1"
+                     " ELSE 0 END")).cast("long").alias("false_positives"),
+        F.sum(F.expr("CASE WHEN exact_hit = 1 AND bloom_hit = 0 THEN 1"
+                     " ELSE 0 END")).cast("long").alias("false_negatives"),
+        F.expr(
+            "CAST(SUM(CASE WHEN bloom_hit = 1 AND exact_hit = 0 THEN 1"
+            " ELSE 0 END) * 1000000"
+            " DIV GREATEST(COUNT(*) - SUM(exact_hit), 1) AS BIGINT)"
+        ).alias("observed_fpp_ppm"),
+    )

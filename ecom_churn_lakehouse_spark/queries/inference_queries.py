@@ -4181,3 +4181,139 @@ def q_cochran_q_yearly_activity(spark, sf_dir):
         F.expr(q).alias("q_milli"),
         (F.expr(q) > 5991).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cochran-Mantel-Haenszel: promo-vs-return association controlling for
+# supplier nation — the FORMAL test behind simpsons_paradox_screen.
+# --------------------------------------------------------------------------
+
+#: Per-stratum O-E and hypergeometric variance, each floor-quantized
+#: micro from exact int64 margins BEFORE the cross-strata sums.
+_CMH_OE_MICRO = (
+    "CAST(FLOOR((CAST(a AS DOUBLE)"
+    " - CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+_CMH_V_MICRO = (
+    "CAST(FLOOR(CAST(n1 AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(n1 AS DOUBLE))"
+    " * CAST(m1 AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(m1 AS DOUBLE))"
+    " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)"
+    "    * (CAST(nn AS DOUBLE) - 1.0)) * 1000000.0) AS BIGINT)"
+)
+_CMH_AD_MICRO = (
+    "CAST(FLOOR(CAST(a AS DOUBLE)"
+    " * (CAST(nn AS DOUBLE) - CAST(n1 AS DOUBLE) - CAST(m1 AS DOUBLE)"
+    "    + CAST(a AS DOUBLE)) / CAST(nn AS DOUBLE) * 1000000.0) AS BIGINT)"
+)
+_CMH_BC_MICRO = (
+    "CAST(FLOOR((CAST(n1 AS DOUBLE) - CAST(a AS DOUBLE))"
+    " * (CAST(m1 AS DOUBLE) - CAST(a AS DOUBLE))"
+    " / CAST(nn AS DOUBLE) * 1000000.0) AS BIGINT)"
+)
+#: Continuity-corrected CMH chi2 (df=1) in milli: the floored statistic
+#: compares against the FLOORED critical 3841.
+_CMH_MILLI = (
+    "CAST(FLOOR("
+    "GREATEST(abs(CAST(sum_oe_micro AS DOUBLE)) - 500000.0, 0.0)"
+    " * GREATEST(abs(CAST(sum_oe_micro AS DOUBLE)) - 500000.0, 0.0)"
+    " / (CAST(sum_v_micro AS DOUBLE) * 1000000.0)"
+    " * 1000.0) AS BIGINT)"
+)
+
+_CMH_SQL = f"""
+WITH tagged AS (
+    SELECT n.n_name AS stratum,
+           CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo,
+           CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+),
+strata AS (
+    SELECT stratum,
+           CAST(SUM(promo * ret) AS BIGINT) AS a,
+           CAST(SUM(promo) AS BIGINT) AS n1,
+           CAST(SUM(ret) AS BIGINT) AS m1,
+           CAST(COUNT(*) AS BIGINT) AS nn
+    FROM tagged GROUP BY stratum
+),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+           CAST(SUM(a) AS BIGINT) AS sum_a,
+           CAST(SUM({_CMH_OE_MICRO}) AS BIGINT) AS sum_oe_micro,
+           CAST(SUM({_CMH_V_MICRO}) AS BIGINT) AS sum_v_micro,
+           CAST(SUM({_CMH_AD_MICRO}) AS BIGINT) AS sum_ad_micro,
+           CAST(SUM({_CMH_BC_MICRO}) AS BIGINT) AS sum_bc_micro
+    FROM strata WHERE nn > 1
+)
+SELECT n_strata, sum_a, sum_oe_micro, sum_v_micro,
+       CAST(sum_ad_micro * 1000 // sum_bc_micro AS BIGINT) AS or_mh_milli,
+       {_CMH_MILLI} AS cmh_milli,
+       {_CMH_MILLI} > 3841 AS reject_at_05
+FROM comp
+"""
+
+
+@register(
+    "cmh_promo_return_by_nation",
+    _CMH_SQL,
+    doc="Cochran-Mantel-Haenszel test: are PROMO parts returned at a "
+    "different rate, CONTROLLING for supplier nation? The formal "
+    "stratified 2x2 test behind simpsons_paradox_screen — a pooled "
+    "two-proportion z can flip sign under confounding; CMH sums "
+    "per-stratum O-E against per-stratum hypergeometric variances, "
+    "plus the Mantel-Haenszel common odds ratio (ad/N, bc/N sums). "
+    "Every per-stratum term floor-quantizes to micro from exact "
+    "int64 margins BEFORE the cross-strata sums; the continuity-"
+    "corrected chi2 (df=1) is one shared IEEE expression, floored "
+    "milli vs the floored critical 3841; OR_MH is a non-negative "
+    "integer division. Scale: two broadcast dim joins + one fused "
+    "map-combinable agg to 25 stratum rows.",
+)
+def q_cmh_promo_return_by_nation(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ret"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").like("PROMO%"), 1).otherwise(0).alias("promo"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("stratum")
+    )
+    tagged = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    strata = tagged.groupBy("stratum").agg(
+        F.sum(F.expr("promo * ret")).cast("long").alias("a"),
+        F.sum("promo").cast("long").alias("n1"),
+        F.sum("ret").cast("long").alias("m1"),
+        F.count("*").cast("long").alias("nn"),
+    )
+    comp = strata.filter(F.col("nn") > 1).agg(
+        F.count("*").cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("sum_a"),
+        F.sum(F.expr(_CMH_OE_MICRO)).cast("long").alias("sum_oe_micro"),
+        F.sum(F.expr(_CMH_V_MICRO)).cast("long").alias("sum_v_micro"),
+        F.sum(F.expr(_CMH_AD_MICRO)).cast("long").alias("sum_ad_micro"),
+        F.sum(F.expr(_CMH_BC_MICRO)).cast("long").alias("sum_bc_micro"),
+    )
+    return comp.select(
+        "n_strata",
+        "sum_a",
+        "sum_oe_micro",
+        "sum_v_micro",
+        F.expr(
+            "CAST(sum_ad_micro * 1000 DIV sum_bc_micro AS BIGINT)"
+        ).alias("or_mh_milli"),
+        F.expr(_CMH_MILLI).alias("cmh_milli"),
+        (F.expr(_CMH_MILLI) > 3841).alias("reject_at_05"),
+    )

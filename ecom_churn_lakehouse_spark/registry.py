@@ -187,6 +187,8 @@ NEW_IN_ROUND: list[str] = [
     "bloom_filter_size_advisor",
     "sql_wilcoxon_signed_rank_spend",
     "stream_cuped_maintenance",
+    "cmh_promo_return_by_nation",
+    "ngram_bloom_contamination_probe",
     # (c) never-driver-sampled backlog, highest hash-risk first
     #     (float/ROUND/DECIMAL oracle surfaces):
     "churn_feature_correlation",

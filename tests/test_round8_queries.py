@@ -618,3 +618,67 @@ def test_stream_cuped_equals_batch(spark):
         key=lambda r: r["arm"],
     )
     assert stream == batch
+
+
+# ---------------------------------------------------- CMH / bloom probe
+
+
+def test_cmh_planted_two_strata():
+    """Stratum A: a=2, n1=4, m1=3, N=8 (O-E=0.5, V=240/448); stratum
+    B: a=3, n1=3, m1=3, N=6 (O-E=1.5, V=81/180). Hand-check the
+    micro-quantized sums, the continuity-corrected chi2, and OR_MH."""
+    import math
+
+    from ecom_churn_lakehouse_spark.queries.inference_queries import _CMH_SQL
+
+    con = duckdb.connect()
+    rows = []
+    # (suppkey 1 -> nation A, 2 -> nation B); partkey 1 promo, 2 not
+    def add(supp, promo, ret, k):
+        for _ in range(k):
+            rows.append((1 if promo else 2, supp, "R" if ret else "N"))
+
+    add(1, 1, 1, 2); add(1, 1, 0, 2); add(1, 0, 1, 1); add(1, 0, 0, 3)
+    add(2, 1, 1, 3); add(2, 0, 0, 3)
+    vals = ", ".join(f"({p}, {s}, '{r}')" for p, s, r in rows)
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM (VALUES {vals})"
+        " AS t(l_partkey, l_suppkey, l_returnflag)"
+    )
+    con.execute(
+        "CREATE VIEW part AS SELECT * FROM (VALUES (1, 'PROMO BRUSHED'),"
+        " (2, 'STANDARD')) AS t(p_partkey, p_type)"
+    )
+    con.execute(
+        "CREATE VIEW supplier AS SELECT * FROM (VALUES (1, 10), (2, 20))"
+        " AS t(s_suppkey, s_nationkey)"
+    )
+    con.execute(
+        "CREATE VIEW nation AS SELECT * FROM (VALUES (10, 'ALGERIA'),"
+        " (20, 'BRAZIL')) AS t(n_nationkey, n_name)"
+    )
+    rel = con.sql(_CMH_SQL)
+    r = dict(zip([d[0] for d in rel.description], rel.fetchone()))
+    assert r["n_strata"] == 2 and r["sum_a"] == 5
+    assert r["sum_oe_micro"] == 500_000 + 1_500_000
+    v1 = math.floor(4 * 4 * 3 * 5 / (64 * 7) * 1e6)
+    v2 = math.floor(3 * 3 * 3 * 3 / (36 * 5) * 1e6)
+    assert r["sum_v_micro"] == v1 + v2
+    assert r["or_mh_milli"] == (750_000 + 1_500_000) * 1000 // 250_000
+    expect = math.floor(
+        (2.0 - 0.5) ** 2 / ((v1 + v2) * 1e6) * 1e12 * 1000
+    )
+    assert r["cmh_milli"] == expect
+
+
+def test_bloom_probe_no_false_negatives(spark):
+    """Bloom guarantee: every exact hit is a bloom hit; FP ppm bounded
+    well below the k=2 filter's theoretical envelope at this load."""
+    from ecom_churn_lakehouse_spark.queries.dedup_queries import (
+        q_ngram_bloom_contamination_probe,
+    )
+
+    r = q_ngram_bloom_contamination_probe(spark, SF).collect()[0]
+    assert r["false_negatives"] == 0
+    assert r["bloom_hits"] >= r["exact_hits"] > 0
+    assert r["observed_fpp_ppm"] < 100_000  # <10% at fixture occupancy
