@@ -1156,9 +1156,9 @@ WITH marked AS (
     SELECT event_type,
            CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
                                    ORDER BY ts, event_id) IS NULL
-                     OR CAST(epoch(ts) AS BIGINT)
-                        - CAST(epoch(LAG(ts) OVER (PARTITION BY user_id, event_type
-                                                   ORDER BY ts, event_id))
+                     OR CAST(floor(epoch(ts)) AS BIGINT)
+                        - CAST(floor(epoch(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                                         ORDER BY ts, event_id)))
                                AS BIGINT) >= {_COOLDOWN_MIN} * 60
                 THEN 1 ELSE 0 END AS kept
     FROM events
@@ -1817,9 +1817,9 @@ _SGS_GAPS_S = (300, 900, 1800, 3600, 7200)
 _SGS_SQL = f"""
 WITH seq AS (
     SELECT user_id,
-           CAST(epoch(ts) AS BIGINT) AS t,
-           CAST(epoch(ts) AS BIGINT)
-             - LAG(CAST(epoch(ts) AS BIGINT))
+           CAST(floor(epoch(ts)) AS BIGINT) AS t,
+           CAST(floor(epoch(ts)) AS BIGINT)
+             - LAG(CAST(floor(epoch(ts)) AS BIGINT))
                OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
     FROM events
 ),
@@ -1854,7 +1854,10 @@ GROUP BY g.gap_seconds ORDER BY g.gap_seconds
     "curve that justifies event_sessions' fixed 30-minute gap "
     "instead of inheriting it as folklore (the elbow where session "
     "counts stabilize is the right threshold; epoch-seconds "
-    "arithmetic per the round-6 date_diff gotcha). A session break "
+    "arithmetic per the round-6 date_diff gotcha, with the oracle's "
+    "fractional epoch FLOORED before the BIGINT cast — DuckDB's "
+    "double->int cast ROUNDS while unix_timestamp truncates, an "
+    "off-by-one caught by the round-8 sf0.1 backlog sweep). A session break "
     "is a row-local integer predicate per threshold, so the curve "
     "costs one lag window regardless of how many thresholds are "
     "evaluated. Exact integer counts and milli ratios.",

@@ -153,6 +153,11 @@ def register(
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
+    # round-8 late fix (sf0.1 backlog sweep catch): DuckDB's
+    # double->BIGINT cast ROUNDS fractional epochs while Spark
+    # unix_timestamp truncates — both gap oracles now floor first.
+    "session_gap_sensitivity_curve",
+    "event_cooldown_dedup",
     # ---- round 8 front-50: the driver samples these (VERDICT r7
     # directive #1 — drain the never-driver-sampled backlog).
     # (a) entries CHANGED by the r7 ADVICE fixes (floored criticals,
@@ -337,7 +342,6 @@ NEW_IN_ROUND: list[str] = [
     "ipf_raking_weights",
     "near_zero_variance_screen",
     "capture_recapture_estimate",
-    "session_gap_sensitivity_curve",
     "containment_neardup_pairs",
     "bloom_filter_fp_audit",
     "column_encoding_advisor",

@@ -682,3 +682,22 @@ def test_bloom_probe_no_false_negatives(spark):
     assert r["false_negatives"] == 0
     assert r["bloom_hits"] >= r["exact_hits"] > 0
     assert r["observed_fpp_ppm"] < 100_000  # <10% at fixture occupancy
+
+
+# ----------------------------------------- epoch flooring convention
+
+
+def test_gap_oracles_floor_fractional_epochs():
+    """DuckDB CAST(double AS BIGINT) rounds; Spark unix_timestamp
+    truncates. Every gap oracle must floor epoch() before the cast
+    (sf0.1 catch: session_gap_sensitivity_curve off-by-one)."""
+    import re
+    from pathlib import Path
+
+    src = Path(
+        "ecom_churn_lakehouse_spark/queries/event_queries.py"
+    ).read_text()
+    # no bare CAST(epoch(...) AS BIGINT) without floor may remain
+    assert not re.search(r"CAST\(epoch\(", src), (
+        "bare CAST(epoch(..) AS BIGINT) found — wrap with floor()"
+    )

@@ -142,6 +142,8 @@ def test_new_in_round_names_exist():
 #: round already recorded a green row for them (the ONLY allowed
 #: resamples under the r7 directive-#1 rotation discipline).
 DIRECTIVE_FIXES_R8 = [
+    "session_gap_sensitivity_curve",  # sf0.1 epoch-rounding fix
+    "event_cooldown_dedup",           # same fix (previously sampled r<=7)
     "cramers_v_matrix",
     "mann_kendall_trend",
     "kruskal_wallis_priority_spend",
