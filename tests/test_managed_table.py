@@ -422,3 +422,166 @@ def test_append_racing_append_keeps_both(spark, tmp_path):
     assert not errors, errors
     ks = sorted(r["k"] for r in t.read().collect())
     assert ks == [-1, 0, 1, 2, 100, 101, 102]
+
+
+# ------------------------------------------ r8 ADVICE OCC hardening
+
+
+def test_abandoned_empty_claim_does_not_block_table(spark, tmp_path):
+    """r8 ADVICE #2: a pre-fix writer that crashed between creating its
+    commit file and writing the version name left an EMPTY claim at the
+    top sequence. Readers must fall back to the highest RESOLVABLE
+    commit instead of spinning-and-raising forever, and new writers
+    must keep committing (claiming past the dangling seq)."""
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    seq = t._commit_seq()
+    # simulate the crashed pre-fix writer: empty claim at seq+1
+    crash = os.path.join(str(tmp_path / "t"), "_commits", f"{seq + 1:08d}.commit")
+    open(crash, "w").close()
+    assert {r["v"] for r in t._read_committed().collect()} == {1}
+    t.merge(spark.createDataFrame([Row(k="a", v=2)]))  # claims seq+2
+    assert {r["v"] for r in t.read().collect()} == {2}
+    assert t._commit_seq() == seq + 2
+
+
+def test_claim_file_is_never_observed_empty(spark, tmp_path):
+    """The commit claim is an os.link of a fully-written temp file —
+    content is in place atomically with the claim itself."""
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=2)]))
+    cdir = os.path.join(str(tmp_path / "t"), "_commits")
+    for fn in os.listdir(cdir):
+        with open(os.path.join(cdir, fn)) as f:
+            name = f.read().strip()
+        assert name.startswith("v-"), (fn, name)
+
+
+def test_delayed_head_swap_cannot_regress_or_destroy(spark, tmp_path):
+    """r8 ADVICE #3: a delayed winner of seq N whose _swap_head runs
+    AFTER seq N+1 committed must neither regress HEAD to N nor rmtree
+    N+1's committed snapshot (keep set and swap order both derive from
+    the commit log, not from HEAD)."""
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))  # seq 0
+    t.merge(spark.createDataFrame([Row(k="a", v=2)]))      # seq 1
+    old_version = None
+    cdir = os.path.join(str(tmp_path / "t"), "_commits")
+    with open(os.path.join(cdir, "00000000.commit")) as f:
+        old_version = f.read().strip()
+    newest = os.path.basename(t._head_dir())
+    # replay the delayed swap of the OLD commit
+    t._swap_head(old_version)
+    assert os.path.basename(t._head_dir()) == newest  # no regression
+    assert os.path.isdir(os.path.join(str(tmp_path / "t"), newest))
+    assert {r["v"] for r in t.read().collect()} == {2}
+
+
+def test_merge_gated_reads_seq_before_snapshot(spark, tmp_path):
+    """r8 ADVICE #1: merge_gated must capture base_seq BEFORE resolving
+    its base snapshot. A commit interleaved inside the snapshot read
+    then forces a CAS conflict + retry, so both merges survive."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="base", v=0)]))
+    other = ManagedTable(spark, path, keys=["k"])
+    fired = {"done": False}
+    real_read = t._read_committed
+
+    def read_with_interleaved_commit():
+        base = real_read()
+        base.count()  # materialize BEFORE the interleaved commit lands
+        if not fired["done"]:
+            fired["done"] = True
+            other.merge(spark.createDataFrame([Row(k="intruder", v=9)]))
+        return real_read()
+
+    t._read_committed = read_with_interleaved_commit
+    checks = [{"name": "v_not_null", "type": "not_null",
+               "columns": ["v"], "severity": "critical"}]
+    report = t.merge_gated(
+        spark.createDataFrame([Row(k="mine", v=1)]), checks
+    )
+    assert report.ok
+    out = {r["k"]: r["v"] for r in t.read().collect()}
+    # NO lost update: the interleaved merge and the gated merge both land
+    assert out == {"base": 0, "intruder": 9, "mine": 1}
+
+
+# ------------------------------------------ r8 directive #6: delta log
+
+
+def test_delta_log_mirrors_every_commit(spark, tmp_path):
+    """Directive #6 golden: each commit writes a Delta-protocol action
+    file; replaying protocol/metaData/add/remove reconstructs exactly
+    the live snapshot (paths, schema, partition columns)."""
+    import pyspark.sql.types as T
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=10), Row(k="c", v=3)]))
+    t.merge(spark.createDataFrame([Row(k="d", v=4)]))
+    ldir = os.path.join(path, "_delta_log")
+    logs = sorted(f for f in os.listdir(ldir) if f.endswith(".json"))
+    assert logs == [f"{i:020d}.json" for i in range(3)]
+    # version 0 carries protocol + metaData
+    import json as _json
+    with open(os.path.join(ldir, logs[0])) as f:
+        acts0 = [_json.loads(line) for line in f if line.strip()]
+    assert any("protocol" in a for a in acts0)
+    meta0 = [a["metaData"] for a in acts0 if "metaData" in a]
+    assert meta0 and meta0[0]["format"]["provider"] == "parquet"
+    # full replay == live state
+    meta, active = t.delta_log_state()
+    schema = T.StructType.fromJson(_json.loads(meta["schemaString"]))
+    assert set(schema.fieldNames()) == {"k", "v"}
+    live = {os.path.relpath(f.replace("file:", ""), path)
+            for f in t.read().inputFiles()}
+    assert set(active) == live
+    # reading exactly the active files reproduces the table
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(
+            *[os.path.join(path, p) for p in sorted(active)]
+        ).collect()
+    }
+    assert got == {"a": 10, "b": 2, "c": 3, "d": 4}
+
+
+def test_delta_log_partitioned_add_actions(spark, tmp_path):
+    """Partitioned snapshots record partitionValues per add action and
+    the metaData's partitionColumns."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"])
+    t.overwrite(
+        spark.createDataFrame(
+            [Row(k="a", part="x", v=1), Row(k="b", part="y", v=2)]
+        ),
+        partition_by=["part"],
+    )
+    meta, active = t.delta_log_state()
+    assert meta["partitionColumns"] == ["part"]
+    pvals = sorted(a["partitionValues"].get("part") for a in active.values())
+    assert pvals == ["x", "y"]
+    for a in active.values():
+        assert a["size"] > 0 and a["dataChange"] is True
+
+
+def test_delta_log_replay_matches_time_travel(spark, tmp_path):
+    """Replaying the log up to version N reconstructs the SAME file set
+    the retained snapshot for commit N holds (the emulation's
+    versionAsOf)."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=2)]))
+    _, active_v0 = t.delta_log_state(0)
+    prev_version = [v for v in t.versions()
+                    if v != os.path.basename(t._head_dir())]
+    assert len(prev_version) == 1
+    old = {r["v"] for r in spark.read.parquet(
+        *[os.path.join(path, p) for p in active_v0]).collect()}
+    assert old == {1}
+    assert {r["v"] for r in t.read(prev_version[0]).collect()} == {1}
