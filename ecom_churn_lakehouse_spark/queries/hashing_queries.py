@@ -1129,6 +1129,15 @@ def _spark_mutual_edges(spark, sf_dir):
             cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
         )
     )
+    return _mutual_edges_from_scored(scored)
+
+
+def _mutual_edges_from_scored(scored):
+    """Rank-dependent SemDeDup finish over a scored candidate frame
+    (query_id, neighbor_id, __sim): top-5 per query, MUTUAL semi-join,
+    u < v canonicalization, floor-micro weights. Shared by the batch
+    relation and the streaming maintenance twin so parity is
+    structural, not coincidental."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("neighbor_id")
     )
@@ -1156,11 +1165,20 @@ def _spark_mutual_edges(spark, sf_dir):
 def _spark_semdedup_manifest(spark, sf_dir):
     """Manifest frame (vec_id, cluster_id, cluster_size, n_edges,
     centrality_micro, pick) — the Spark twin of the ``manifest`` CTE."""
+    return _manifest_from_medges(
+        _spark_mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
+    )
+
+
+def _manifest_from_medges(medges):
+    """Cluster + keeper election over a mutual-edge frame
+    (u, v, sim_micro): bounded min-label connected components,
+    exact-integer centrality, one window election per cluster. Shared
+    batch/stream finish (see _mutual_edges_from_scored)."""
     from ecom_churn_lakehouse_spark.operators.connected_components import (
         connected_components,
     )
 
-    medges = _spark_mutual_edges(spark, sf_dir).localCheckpoint(eager=False)
     adj = medges.select("u", "v", "sim_micro").unionByName(
         medges.select(
             F.col("v").alias("u"), F.col("u").alias("v"), "sim_micro"
@@ -1347,6 +1365,175 @@ def q_semdedup_savings_by_source(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming SemDeDup maintenance: incremental graph state (r8 dir. #4).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "stream_semdedup_maintenance",
+    _SEMDEDUP_MANIFEST_SQL,
+    doc="Streaming twin of semdedup_keep_manifest — the INCREMENTAL-"
+    "GRAPH-STATE class that completes the streaming-state taxonomy "
+    "(mergeable sketch / keyed state / scalar state / graph state). "
+    "Key insight: banded-LSH CANDIDATE DISCOVERY is monotone — an "
+    "unordered pair collides iff its band values match, which never "
+    "changes as more vectors arrive — so each foreachBatch (a) "
+    "upserts the batch's band signatures into the bucket state and "
+    "(b) joins ONLY the batch's bands against the accumulated bucket "
+    "state, scoring exact cosines for the newly visible pairs (the "
+    "later endpoint discovers the pair exactly once: new-old and "
+    "new-new, never old-old). Both writes are batch_id-keyed partials "
+    "skipped when already present — the reference's idempotent keyed "
+    "upsert publish discipline (orders_bronze_to_silver.py:184-195) "
+    "in streaming form. The RANK-DEPENDENT finish (top-5 per query, "
+    "mutual filter, bounded CC, keeper election) is not incrementally "
+    "mergeable — a new arrival can evict an old top-5 edge — so it "
+    "runs on the maintained pair store at serve time via the SAME "
+    "code path as the batch entry (_mutual_edges_from_scored + "
+    "_manifest_from_medges); the oracle is the batch manifest SQL "
+    "verbatim, so convergence must be bit-exact regardless of batch "
+    "boundaries. Scale: per-batch work is |batch bands| x bucket "
+    "occupancy (never all-pairs, never a full recompute); the pair "
+    "store grows like the batch relation's candidate set (banded, "
+    "~O(N)); the serve finish is the batch finish.",
+)
+def q_stream_semdedup_maintenance(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = scratch_dir(prefix="stream_semdedup_")
+    # three deterministic arrival waves (vec_id mod 3)
+    for m in (0, 1, 2):
+        emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{base}/src")
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: _semdedup_apply_batch(spark, base, bdf, bid)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _semdedup_serve_manifest(spark, base)
+
+
+def _semdedup_bands_of(df):
+    """Band signatures (vec_id, b, band_val) of an embedding frame —
+    the incrementally-upsertable half of the SemDeDup graph state."""
+    codes = df.select(
+        "vec_id",
+        F.expr(_word_expr(0)).cast("long").alias("w0"),
+        F.expr(_word_expr(1)).cast("long").alias("w1"),
+    )
+    return _spark_bands(codes).select("vec_id", "b", "band_val")
+
+
+def _semdedup_apply_batch(spark, base, batch_df, batch_id):
+    """One foreachBatch step of the SemDeDup graph-state maintenance:
+    upsert the batch's band signatures + vectors into the bucket
+    state, then score exact cosines for the pairs this batch makes
+    newly visible (batch bands x ACCUMULATED bands — the later
+    endpoint discovers each unordered pair exactly once). Every write
+    is a batch_id-keyed partial skipped when already present (replay
+    safety: the idempotent keyed-upsert publish discipline)."""
+    import os
+
+    from ecom_churn_lakehouse_spark.functions.vectors import (
+        cosine_similarity,
+        to_double_array,
+    )
+
+    if batch_df.isEmpty():
+        return
+    bands_dest = f"{base}/bands/batch_id={batch_id}"
+    pairs_dest = f"{base}/pairs/batch_id={batch_id}"
+    if not os.path.exists(bands_dest):
+        _semdedup_bands_of(batch_df).write.mode("overwrite").parquet(
+            bands_dest
+        )
+    if not os.path.exists(pairs_dest):
+        # vector state partial (for cosine scoring of new pairs)
+        vecs_dest = f"{base}/vecs/batch_id={batch_id}"
+        if not os.path.exists(vecs_dest):
+            batch_df.select(
+                "vec_id",
+                to_double_array(F.col("embedding")).alias("ev"),
+            ).write.mode("overwrite").parquet(vecs_dest)
+        new_bands = _semdedup_bands_of(batch_df)
+        all_bands = spark.read.parquet(f"{base}/bands").select(
+            F.col("vec_id").alias("other_id"), "b", "band_val"
+        )
+        fresh = (
+            new_bands.join(all_bands, ["b", "band_val"])
+            .filter(F.col("vec_id") != F.col("other_id"))
+            .select(
+                F.least("vec_id", "other_id").alias("lo"),
+                F.greatest("vec_id", "other_id").alias("hi"),
+            )
+            .distinct()
+        )
+        vecs = spark.read.parquet(f"{base}/vecs").drop("batch_id")
+        scored = (
+            fresh.join(
+                vecs.select(
+                    F.col("vec_id").alias("lo"), F.col("ev").alias("__lv")
+                ),
+                "lo",
+            )
+            .join(
+                vecs.select(
+                    F.col("vec_id").alias("hi"), F.col("ev").alias("__hv")
+                ),
+                "hi",
+            )
+            .select(
+                "lo",
+                "hi",
+                cosine_similarity(F.col("__lv"), F.col("__hv")).alias("sim"),
+            )
+        )
+        scored.write.mode("overwrite").parquet(pairs_dest)
+
+
+def _semdedup_serve_manifest(spark, base):
+    """Rank-dependent serve-time finish over the maintained pair
+    store: SAME code path as the batch entry (_mutual_edges_from_scored
+    + _manifest_from_medges), so stream-vs-batch parity is structural.
+    """
+    pairs = spark.read.parquet(f"{base}/pairs").select("lo", "hi", "sim")
+    scored = pairs.select(
+        F.col("lo").alias("query_id"),
+        F.col("hi").alias("neighbor_id"),
+        F.col("sim").alias("__sim"),
+    ).unionByName(
+        pairs.select(
+            F.col("hi").alias("query_id"),
+            F.col("lo").alias("neighbor_id"),
+            F.col("sim").alias("__sim"),
+        )
+    )
+    manifest = _manifest_from_medges(
+        _mutual_edges_from_scored(scored).localCheckpoint(eager=False)
+    )
+    return manifest.select(
+        "vec_id",
+        "cluster_id",
+        "cluster_size",
+        "n_edges",
+        "centrality_micro",
+        (F.col("pick") == 1).alias("keep"),
+    ).orderBy("cluster_id", "vec_id")
 
 
 # --------------------------------------------------------------------------
