@@ -2849,3 +2849,112 @@ def q_stream_cuped_maintenance(spark, sf_dir):
         )
         .orderBy("arm")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: jackknife (leave-one-brand-out) influence on mean revenue.
+# --------------------------------------------------------------------------
+
+#: Revenue per line in EXACT micro-dollars: price quantizes to cents
+#: and discount to basis points SEPARATELY (each a single double ->
+#: DECIMAL rounding of a raw column — the canonical money
+#: quantization) and only THEN multiply: cents x keep-bp = exact
+#: micro-dollars. Quantizing the double product l_extendedprice *
+#: (1 - l_discount) directly diverges cross-engine (caught by the
+#: sf0.01 oracle on first spelling: half-boundary products round
+#: differently).
+_JACKKNIFE_SQL = """
+WITH rev AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           * (10000 - CAST(CAST(l.l_discount AS DECIMAL(18,4)) * 10000
+                      AS BIGINT)) AS micros
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+by_brand AS (
+    SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_i,
+           CAST(SUM(micros) AS BIGINT) AS s_i
+    FROM rev GROUP BY brand
+),
+tot AS (
+    SELECT CAST(SUM(n_i) AS BIGINT) AS n_tot,
+           CAST(SUM(s_i) AS BIGINT) AS s_tot
+    FROM by_brand
+)
+SELECT b.brand, b.n_i,
+       CAST(b.s_i // 1000000 AS BIGINT) AS brand_revenue_dollars,
+       CAST(t.s_tot // t.n_tot AS BIGINT) AS overall_mean_micros,
+       CAST((t.s_tot - b.s_i) // (t.n_tot - b.n_i) AS BIGINT)
+           AS loo_mean_micros,
+       CAST((t.s_tot - b.s_i) // (t.n_tot - b.n_i)
+            - t.s_tot // t.n_tot AS BIGINT) AS influence_micros
+FROM by_brand b CROSS JOIN tot t
+ORDER BY influence_micros, brand
+"""
+
+
+@register(
+    "jackknife_brand_revenue_influence",
+    _JACKKNIFE_SQL,
+    doc="Leave-one-brand-out jackknife influence on the mean line "
+    "revenue: for each brand, the overall mean recomputed WITHOUT "
+    "that brand's lines, from the SAME one-pass exact cents sums "
+    "(influence = loo_mean - overall_mean; a strongly negative "
+    "influence marks the brand propping the mean up — the "
+    "robustness screen behind 'is this aggregate one segment deep'). "
+    "Companions: james_stein_brand_means shrinks per-brand means, "
+    "this measures each brand's leverage on the pooled mean. All "
+    "exact integer micro-dollars — price quantizes to cents and "
+    "discount to basis points SEPARATELY before multiplying (the "
+    "double product diverges cross-engine; caught by the oracle on "
+    "first spelling) — and non-negative DIV throughout; the "
+    "jackknife is closed-form for the mean, no resampling. Scale: "
+    "one map-combinable brand agg + a broadcast 1-row total; 25-row "
+    "output; micro-dollar sums stay under int64 to ~1e7 lines per "
+    "brand, past which the grain drops to cents x percent.",
+)
+def q_jackknife_brand_revenue_influence(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " * (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000"
+            " AS BIGINT))"
+        ).alias("micros"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    rev = li.join(part, li.l_partkey == part.p_partkey).select(
+        "brand", "micros"
+    )
+    by_brand = rev.groupBy("brand").agg(
+        F.count("*").cast("long").alias("n_i"),
+        F.sum("micros").cast("long").alias("s_i"),
+    )
+    tot = by_brand.agg(
+        F.sum("n_i").cast("long").alias("n_tot"),
+        F.sum("s_i").cast("long").alias("s_tot"),
+    )
+    return (
+        by_brand.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_i",
+            F.expr("s_i DIV 1000000").cast("long").alias(
+                "brand_revenue_dollars"
+            ),
+            F.expr("s_tot DIV n_tot").cast("long").alias(
+                "overall_mean_micros"
+            ),
+            F.expr("(s_tot - s_i) DIV (n_tot - n_i)")
+            .cast("long")
+            .alias("loo_mean_micros"),
+            F.expr(
+                "(s_tot - s_i) DIV (n_tot - n_i) - s_tot DIV n_tot"
+            )
+            .cast("long")
+            .alias("influence_micros"),
+        )
+        .orderBy("influence_micros", "brand")
+    )

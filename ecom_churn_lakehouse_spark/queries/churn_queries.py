@@ -1328,3 +1328,112 @@ def q_logrank_segment_survival_test(spark, sf_dir):
         F.expr(_LR_Z_MILLI).alias("z_milli"),
         (F.abs(F.expr(_LR_Z_MILLI)) > 1959).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (round 9) — completes the survival
+# tier: KM (product-limit in exact-int log domain) + log-rank (group
+# comparison) + NA (cumulative hazard). NA's step d/n is RATIONAL, so
+# unlike KM no transcendental enters at all: each step quantizes as a
+# pure int64 division (d * 1e6 DIV n) before the ordered cumulative
+# sum — bit-exact by construction on both engines.
+# --------------------------------------------------------------------------
+
+_NA_SQL = f"""
+WITH {_SPANS_CTES},
+durdist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(ev) AS BIGINT) AS d
+    FROM spans GROUP BY dur
+),
+cum AS (
+    SELECT dur, c, d,
+           CAST(SUM(c) OVER (ORDER BY dur) - c AS BIGINT) AS below,
+           CAST((SELECT SUM(c) FROM durdist) AS BIGINT) AS n_total
+    FROM durdist
+),
+na AS (
+    SELECT dur AS t, d, n_total - below AS n_risk
+    FROM cum WHERE d > 0
+)
+SELECT t, d, n_risk,
+       CAST(d * 1000000 // n_risk AS BIGINT) AS step_micro,
+       CAST(SUM(d * 1000000 // n_risk) OVER (ORDER BY t) AS BIGINT)
+           AS cum_hazard_micro
+FROM na
+ORDER BY t
+"""
+
+
+@register(
+    "nelson_aalen_cumhaz",
+    _NA_SQL,
+    doc="Nelson-Aalen cumulative-hazard estimator for time-to-second-"
+    "order, completing the survival tier (kaplan_meier_repeat_purchase"
+    " = product-limit survival, logrank_segment_survival_test = group "
+    "test): per event time the risk set n, events d, the hazard "
+    "increment d/n as an EXACT int64 division (d*1e6 DIV n — "
+    "non-negative operands, so Spark DIV and DuckDB // agree), and "
+    "the running cumulative hazard. Unlike KM, no ln() enters: the "
+    "estimator is a sum of rationals, so the whole curve is exact "
+    "integer arithmetic end to end (the terminal d==n step is "
+    "well-defined here and included). Scale: identical to KM — spans "
+    "reduce map-combinably to the customer grain then the distinct-"
+    "duration grain; the ordered window runs over calendar-bounded "
+    "durations, never customers.",
+    bounded_frame="calendar-bounded distinct-duration grain (<= dataset day span)",
+)
+def q_nelson_aalen_cumhaz(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    firsts = orders.groupBy("cust").agg(F.min("od").alias("d1"))
+    seconds = (
+        orders.join(firsts, "cust")
+        .filter(F.col("od") > F.col("d1"))
+        .groupBy("cust")
+        .agg(F.min("od").alias("d2"))
+    )
+    spans = firsts.join(seconds, "cust", "left").select(
+        F.when(
+            F.col("d2").isNull(),
+            F.datediff(F.lit(_SURV_CENSOR).cast("date"), F.col("d1")),
+        )
+        .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("d2").isNull(), 0).otherwise(1).cast("long").alias("ev"),
+    )
+    durdist = spans.groupBy("dur").agg(
+        F.count("*").cast("long").alias("c"),
+        F.sum("ev").cast("long").alias("d"),
+    )
+    n_total = durdist.agg(F.sum("c").cast("long").alias("n_total"))
+    w = Window.orderBy("dur")
+    cum = durdist.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "c",
+        "d",
+        (F.sum("c").over(w) - F.col("c")).cast("long").alias("below"),
+        "n_total",
+    )
+    na = cum.filter(F.col("d") > 0).select(
+        F.col("dur").alias("t"),
+        "d",
+        (F.col("n_total") - F.col("below")).cast("long").alias("n_risk"),
+    )
+    step = F.expr("d * 1000000 DIV n_risk").cast("long")
+    return na.select(
+        "t",
+        "d",
+        "n_risk",
+        step.alias("step_micro"),
+        F.sum(step).over(Window.orderBy("t")).cast("long").alias(
+            "cum_hazard_micro"
+        ),
+    ).orderBy("t")

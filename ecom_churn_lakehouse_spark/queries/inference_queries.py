@@ -4317,3 +4317,214 @@ def q_cmh_promo_return_by_nation(spark, sf_dir):
         F.expr(_CMH_MILLI).alias("cmh_milli"),
         (F.expr(_CMH_MILLI) > 3841).alias("reject_at_05"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: Bayesian Beta-Binomial posterior per segment.
+# --------------------------------------------------------------------------
+
+#: Shared IEEE posterior-sd expression over exact integer (alpha,
+#: beta): sd = sqrt(a*b / ((a+b)^2 * (a+b+1))), floor-quantized micro.
+#: Products run in DOUBLE (exact int64 -> double conversions, one
+#: shared spelling both engines) because (a+b)^3 passes int64 at
+#: ~2M-customer segments; sqrt is correctly rounded per IEEE-754.
+_BETA_SD_MICRO = (
+    "CAST(FLOOR(sqrt((CAST(alpha AS DOUBLE) * CAST(beta AS DOUBLE))"
+    " / ((CAST(alpha AS DOUBLE) + CAST(beta AS DOUBLE))"
+    "    * (CAST(alpha AS DOUBLE) + CAST(beta AS DOUBLE))"
+    "    * (CAST(alpha AS DOUBLE) + CAST(beta AS DOUBLE) + 1.0)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_BETA_POSTERIOR_SQL = f"""
+WITH per_cust AS (
+    SELECT c.c_mktsegment AS segment,
+           CASE WHEN COUNT(o.o_orderkey) >= 2 THEN 1 ELSE 0 END AS conv
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+),
+seg AS (
+    SELECT segment,
+           CAST(1 + SUM(conv) AS BIGINT) AS alpha,
+           CAST(1 + COUNT(*) - SUM(conv) AS BIGINT) AS beta
+    FROM per_cust GROUP BY segment
+)
+SELECT segment, alpha, beta,
+       CAST(alpha * 1000000 // (alpha + beta) AS BIGINT)
+           AS posterior_mean_ppm,
+       {_BETA_SD_MICRO} AS posterior_sd_micro,
+       CAST(alpha * 1000000 // (alpha + beta)
+            - 1959 * {_BETA_SD_MICRO} // 1000 AS BIGINT) AS ci95_low_ppm,
+       CAST(alpha * 1000000 // (alpha + beta)
+            + 1959 * {_BETA_SD_MICRO} // 1000 AS BIGINT) AS ci95_high_ppm
+FROM seg
+ORDER BY segment
+"""
+
+
+@register(
+    "beta_posterior_conversion",
+    _BETA_POSTERIOR_SQL,
+    doc="Bayesian Beta-Binomial posterior for the repeat-purchase "
+    "conversion rate per market segment — the Bayesian companion to "
+    "two_proportion_ztest_returns (frequentist) and "
+    "cuped_variance_reduction (variance reduction): uniform Beta(1,1)"
+    " prior + binomial likelihood gives EXACT integer posterior "
+    "params (alpha = 1 + converters, beta = 1 + non-converters), the "
+    "posterior mean as exact ppm integer division, the posterior sd "
+    "via ONE shared IEEE double expression (floor-micro), and a "
+    "normal-approx 95% credible band from the floored z=1959-milli "
+    "critical (the repo's floored-critical convention). Scale: one "
+    "customer-grain left-join agg (map-combinable) then a 5-row "
+    "segment frame; every compared column is BIGINT.",
+)
+def q_beta_posterior_conversion(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.when(F.count("o_orderkey") >= 2, 1).otherwise(0).alias("conv")
+        )
+    )
+    seg = per_cust.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        (1 + F.sum("conv")).cast("long").alias("alpha"),
+        (1 + F.count("*") - F.sum("conv")).cast("long").alias("beta"),
+    )
+    mean_ppm = F.expr("alpha * 1000000 DIV (alpha + beta)").cast("long")
+    sd_micro = F.expr(_BETA_SD_MICRO)
+    return seg.select(
+        "segment",
+        "alpha",
+        "beta",
+        mean_ppm.alias("posterior_mean_ppm"),
+        sd_micro.alias("posterior_sd_micro"),
+        (mean_ppm - F.expr(f"1959 * {_BETA_SD_MICRO} DIV 1000"))
+        .cast("long")
+        .alias("ci95_low_ppm"),
+        (mean_ppm + F.expr(f"1959 * {_BETA_SD_MICRO} DIV 1000"))
+        .cast("long")
+        .alias("ci95_high_ppm"),
+    ).orderBy("segment")
+
+
+# --------------------------------------------------------------------------
+# Round 9: Cohen's d standardized effect size (urgent vs low priority).
+# --------------------------------------------------------------------------
+
+#: Shared IEEE Cohen's d from exact dollar-grain int64 moment sums:
+#: pooled variance from per-arm (n, s, ss), d = (m1-m2)/s_pooled,
+#: floor-quantized milli. Same overflow bound as CUPED: dollar-grain
+#: ss stays under int64 to ~1.5e7 orders; past that, re-grain to
+#: kilo-dollars (documented knob).
+_COHENS_D_MILLI = (
+    "CAST(FLOOR((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt(((CAST(ss1 AS DOUBLE)"
+    "          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    "            / CAST(n1 AS DOUBLE))"
+    "         + (CAST(ss2 AS DOUBLE)"
+    "            - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    "              / CAST(n2 AS DOUBLE)))"
+    "        / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 2.0))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_COHENS_D_SQL = f"""
+WITH dollars AS (
+    SELECT o_orderpriority AS prio,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               // 100 AS x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+arms AS (
+    SELECT CAST(SUM(CASE WHEN prio = '1-URGENT' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN prio = '1-URGENT' THEN x ELSE 0 END)
+               AS BIGINT) AS s1,
+           CAST(SUM(CASE WHEN prio = '1-URGENT' THEN x * x ELSE 0 END)
+               AS BIGINT) AS ss1,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n2,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN x ELSE 0 END)
+               AS BIGINT) AS s2,
+           CAST(SUM(CASE WHEN prio = '5-LOW' THEN x * x ELSE 0 END)
+               AS BIGINT) AS ss2
+    FROM dollars
+)
+SELECT n1, s1, n2, s2,
+       CAST(s1 * 1000 // n1 AS BIGINT) AS mean1_milli,
+       CAST(s2 * 1000 // n2 AS BIGINT) AS mean2_milli,
+       {_COHENS_D_MILLI} AS cohens_d_milli,
+       ABS({_COHENS_D_MILLI}) >= 200 AS at_least_small_effect
+FROM arms
+"""
+
+
+@register(
+    "cohens_d_priority_spend",
+    _COHENS_D_SQL,
+    doc="Cohen's d standardized effect size for urgent-vs-low order "
+    "spend — the EFFECT-SIZE readout the test battery lacked "
+    "(kruskal_wallis/mannwhitney/brown_forsythe answer 'is there a "
+    "difference', d answers 'how big in sd units'; |d|>=0.2 is "
+    "Cohen's small-effect floor, compared in exact milli): exact "
+    "dollar-grain int64 moment sums (the CUPED grain discipline) "
+    "fused in ONE map-combinable conditional aggregate, then one "
+    "shared IEEE expression for pooled sd + d (int64 -> double "
+    "conversions are single correctly-rounded ops; sqrt is correctly "
+    "rounded). Scale: a scan-local agg to a 1-row frame; ss stays "
+    "under int64 to ~1.5e7 orders, then re-grain to kilo-dollars.",
+)
+def q_cohens_d_priority_spend(spark, sf_dir):
+    x = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100"
+    )
+    dollars = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(F.col("o_orderpriority").alias("prio"), x.alias("x"))
+    )
+    arms = dollars.agg(
+        F.sum(F.when(F.col("prio") == "1-URGENT", 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("prio") == "1-URGENT", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.when(
+                F.col("prio") == "1-URGENT", F.expr("x * x")
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("ss1"),
+        F.sum(F.when(F.col("prio") == "5-LOW", 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("prio") == "5-LOW", F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("s2"),
+        F.sum(
+            F.when(F.col("prio") == "5-LOW", F.expr("x * x")).otherwise(0)
+        )
+        .cast("long")
+        .alias("ss2"),
+    )
+    d = F.expr(_COHENS_D_MILLI)
+    return arms.select(
+        "n1",
+        "s1",
+        "n2",
+        "s2",
+        F.expr("s1 * 1000 DIV n1").cast("long").alias("mean1_milli"),
+        F.expr("s2 * 1000 DIV n2").cast("long").alias("mean2_milli"),
+        d.alias("cohens_d_milli"),
+        (F.abs(d) >= 200).alias("at_least_small_effect"),
+    )

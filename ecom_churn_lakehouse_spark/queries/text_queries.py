@@ -2261,3 +2261,59 @@ def q_heaps_law_fit(spark, sf_dir):
         F.expr(_HEAPS_BETA_MILLI).alias("beta_milli"),
         F.expr(_HEAPS_LNK_MICRO).alias("lnk_micro"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9: per-source document-length distribution profile.
+# --------------------------------------------------------------------------
+
+_DOC_LEN_PCT_SQL = f"""
+WITH toks AS (
+    SELECT source, {_C_TOK} AS n_tokens FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(quantile_disc(n_tokens, 0.25) AS BIGINT) AS p25_tokens,
+       CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) AS p50_tokens,
+       CAST(quantile_disc(n_tokens, 0.75) AS BIGINT) AS p75_tokens,
+       CAST(quantile_disc(n_tokens, 0.95) AS BIGINT) AS p95_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM toks GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "doc_length_percentiles_by_source",
+    _DOC_LEN_PCT_SQL,
+    doc="Per-source token-length distribution (p25/p50/p75/p95 via "
+    "percentile_disc — actual integer data values, so the whole "
+    "surface is exact) — the curation readout that sizes context "
+    "windows, packing targets, and truncation budgets per source "
+    "BEFORE mixing (companions: packing_efficiency_report consumes "
+    "the packing target this profiles; source_mixture_token_"
+    "allocation consumes the totals). Scale: the whitespace token "
+    "count is scan-local; percentile_disc is one sort-based agg per "
+    "source group.",
+)
+def q_doc_length_percentiles_by_source(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    agg = [F.count("*").cast("long").alias("n_docs")]
+    for p, name in (
+        (0.25, "p25_tokens"),
+        (0.5, "p50_tokens"),
+        (0.75, "p75_tokens"),
+        (0.95, "p95_tokens"),
+    ):
+        agg.append(
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY n_tokens)"
+            )
+            .cast("long")
+            .alias(name)
+        )
+    agg.append(F.min("n_tokens").cast("long").alias("min_tokens"))
+    agg.append(F.max("n_tokens").cast("long").alias("max_tokens"))
+    return docs.groupBy("source").agg(*agg).orderBy("source")

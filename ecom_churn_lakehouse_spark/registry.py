@@ -153,68 +153,25 @@ def register(
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
-    # round-8 late fix (sf0.1 backlog sweep catch): DuckDB's
-    # double->BIGINT cast ROUNDS fractional epochs while Spark
-    # unix_timestamp truncates — both gap oracles now floor first.
-    "session_gap_sensitivity_curve",
-    "event_cooldown_dedup",
-    # ---- round 8 front-50: the driver samples these (VERDICT r7
-    # directive #1 — drain the never-driver-sampled backlog).
-    # (a) entries CHANGED by the r7 ADVICE fixes (floored criticals,
-    #     MK tie term, Holm/BH family-size guard, cramers spine,
-    #     rake doc) — directive fixes lead the sample even where a
-    #     prior-round driver row exists (KW/MWU/BF/two-prop):
-    "cramers_v_matrix",
-    "mann_kendall_trend",
-    "kruskal_wallis_priority_spend",
-    "sql_kruskal_wallis_priority_spend",
-    "mannwhitney_u_quantity",
-    "brown_forsythe_priority_spend",
-    "sql_brown_forsythe_priority_spend",
-    "two_proportion_ztest_returns",
-    "cochran_armitage_trend_test",
-    "holm_stepdown_brand_screen",
-    "bh_fdr_brand_screen",
-    "rake_keyphrases",
-    # (b) new round-8 operators:
-    "bradley_terry_brand_strengths",
-    "image_nn_resize_pixels",
-    "semdedup_keep_manifest",
-    "semdedup_savings_by_source",
-    "sql_bradley_terry_brand_strengths",
-    "wilcoxon_signed_rank_spend",
-    "cochran_q_yearly_activity",
-    "mrr_retrieval_eval",
-    "heaps_law_fit",
-    "kaplan_meier_repeat_purchase",
-    "logrank_segment_survival_test",
-    "cuped_variance_reduction",
-    "bloom_filter_size_advisor",
-    "sql_wilcoxon_signed_rank_spend",
-    "stream_cuped_maintenance",
-    "cmh_promo_return_by_nation",
-    "ngram_bloom_contamination_probe",
-    # (c) never-driver-sampled backlog, highest hash-risk first
-    #     (float/ROUND/DECIMAL oracle surfaces):
-    "churn_feature_correlation",
-    "lineitem_stats_profile",
-    "decayed_customer_spend",
-    "kmeans_two_rounds",
-    "sql_significant_parts",
-    "var_backtest_kupiec",
-    "embedding_dim_variance_screen",
-    "audio_decode_stats",
-    "unigram_lm_doc_scores",
-    "spend_tail_hill_estimator",
-    "james_stein_brand_means",
-    "page_hinkley_drift",
-    "interevent_weibull_shape",
-    "tukey_hsd_priority_pairs",
-    "stream_page_hinkley_maintenance",
-    "ecdf_dkw_band",
-    "friedman_test_brand_months",
-    "ljung_box_test",
-    "lsh_capped_neardup_pairs",
+    # ---- round-9 front-50 (VERDICT r8 directive #2: drain the
+    # never-driver-sampled backlog; all entries below are first-time
+    # except none — the two directive fixes are themselves unsampled).
+    # (a) entries CHANGED this round: the r8 ADVICE OCC fixes + the
+    #     delta-log protocol emulation touch sources/managed_table.py,
+    #     which backs these two entries:
+    "merge_upsert_state",
+    "version_change_feed",
+    # (b) new round-9 operators:
+    "stream_semdedup_maintenance",
+    "nelson_aalen_cumhaz",
+    "beta_posterior_conversion",
+    "cohens_d_priority_spend",
+    "jackknife_brand_revenue_influence",
+    "doc_length_percentiles_by_source",
+    # (c) never-driver-sampled backlog, in the standing risk
+    #     order (float/ROUND/DECIMAL oracle surfaces first;
+    #     the tail beyond the 50-entry sample window is the
+    #     queue for rounds 10+, ~3 rounds to drain):
     "dedup_savings_by_source",
     "ann_ivfpq_topk",
     "neardup_cluster_chain_audit",
@@ -230,9 +187,6 @@ NEW_IN_ROUND: list[str] = [
     "event_type_transitions",
     "segment_churn_encoding",
     "promo_revenue_share",
-    # ---- backlog beyond the sample window: the remaining
-    # never-driver-sampled entries in risk order; next rounds
-    # promote the next ~50 until drained (~3 rounds).
     "doc_bm25_scores",
     "token_pmi_bigrams",
     "idle_rich_customers",
@@ -380,8 +334,6 @@ NEW_IN_ROUND: list[str] = [
     "stream_session_windows",
     "skewsafe_user_enrichment",
     "last_purchase_ffill",
-    "merge_upsert_state",
-    "version_change_feed",
     "scalar_function_battery",
     "regex_function_battery",
     "temporal_train_val_split",
@@ -400,6 +352,7 @@ NEW_IN_ROUND: list[str] = [
     "sql_returned_order_priorities",
     "sql_lapsed_customers",
     "sql_part_supplier_count",
+    "image_resize_feature_pipeline",
 ]
 
 

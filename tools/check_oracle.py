@@ -230,11 +230,19 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark side raised\n{traceback.format_exc()}")
             failures += 1
-            results[name] = {"status": "FAIL", "err": "spark side raised"}
+            results[name] = {
+                "status": "FAIL",
+                "err": "spark side raised",
+                "secs": round(time.time() - t0, 2),
+            }
             continue
         if name not in oracles:
             print(f"ok?   {name}: no oracle (rows-only) rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
-            results[name] = {"status": "rows_only", "spark_rows": len(spark_pdf)}
+            results[name] = {
+                "status": "rows_only",
+                "spark_rows": len(spark_pdf),
+                "secs": round(time.time() - t0, 2),
+            }
             continue
         try:
             rel = con.sql(oracles[name])
@@ -243,7 +251,11 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: oracle SQL raised\n{traceback.format_exc()}")
             failures += 1
-            results[name] = {"status": "FAIL", "err": "oracle SQL raised"}
+            results[name] = {
+                "status": "FAIL",
+                "err": "oracle SQL raised",
+                "secs": round(time.time() - t0, 2),
+            }
             continue
         problems = schema_family_problems(sdf.schema.fields, duck_types)
         problems += compare(name, spark_pdf, duck_pdf)
@@ -257,6 +269,7 @@ def main() -> int:
                 "spark_rows": len(spark_pdf),
                 "oracle_rows": len(duck_pdf),
                 "problems": problems,
+                "secs": round(time.time() - t0, 2),
             }
         else:
             print(f"OK    {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
@@ -264,6 +277,7 @@ def main() -> int:
                 "status": "OK",
                 "spark_rows": len(spark_pdf),
                 "oracle_rows": len(duck_pdf),
+                "secs": round(time.time() - t0, 2),
             }
     print(f"\n{failures} failures")
     if json_out:
