@@ -24,6 +24,13 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 9 ----
+    "stream_semdedup_maintenance",
+    "nelson_aalen_cumhaz",
+    "beta_posterior_conversion",
+    "cohens_d_priority_spend",
+    "jackknife_brand_revenue_influence",
+    "doc_length_percentiles_by_source",
     # ---- round 8 ----
     "bradley_terry_brand_strengths",
     "semdedup_keep_manifest",
