@@ -392,6 +392,68 @@ class ManagedTable:
                         active.pop(action["remove"]["path"], None)
         return meta, active
 
+    def read_via_delta_log(self, upto_version: int | None = None) -> DataFrame:
+        """Read the table THROUGH the Delta transaction log — resolve
+        the active file set by log replay (``delta_log_state``) and
+        scan exactly those parquet files, the way a real Delta reader
+        does. With ``upto_version`` this is log-replay time travel.
+        Exists so the log mirror is load-bearing, not decorative: the
+        golden tests assert read_via_delta_log() ≡ read()."""
+        if HAVE_DELTA:
+            reader = self.spark.read.format("delta")
+            if upto_version is not None:
+                reader = reader.option("versionAsOf", str(upto_version))
+            return reader.load(self.path)
+        meta, active = self.delta_log_state(upto_version)
+        if meta is None or not active:
+            raise FileNotFoundError(
+                f"no delta log (or empty table) at {self.path}"
+            )
+        return self.spark.read.parquet(
+            *[os.path.join(self.path, p) for p in sorted(active)]
+        )
+
+    def history(self) -> list[dict]:
+        """Commit history, newest first — the DESCRIBE HISTORY
+        analogue: one dict per commit with version, timestamp,
+        operation, and operationParameters from the log's commitInfo
+        actions."""
+        if HAVE_DELTA:
+            from delta.tables import DeltaTable  # type: ignore
+
+            return [
+                r.asDict()
+                for r in DeltaTable.forPath(self.spark, self.path)
+                .history()
+                .collect()
+            ]
+        ldir = os.path.join(self.path, "_delta_log")
+        out: list[dict] = []
+        if not os.path.isdir(ldir):
+            return out
+        for fn in sorted(os.listdir(ldir), reverse=True):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(ldir, fn)) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    action = json.loads(line)
+                    if "commitInfo" in action:
+                        info = action["commitInfo"]
+                        out.append(
+                            {
+                                "version": int(fn.split(".")[0]),
+                                "timestamp": info.get("timestamp"),
+                                "operation": info.get("operation"),
+                                "operationParameters": info.get(
+                                    "operationParameters", {}
+                                ),
+                            }
+                        )
+                        break
+        return out
+
     def _write_delta_log(
         self,
         version: int,

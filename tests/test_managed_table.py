@@ -585,3 +585,28 @@ def test_delta_log_replay_matches_time_travel(spark, tmp_path):
         *[os.path.join(path, p) for p in active_v0]).collect()}
     assert old == {1}
     assert {r["v"] for r in t.read(prev_version[0]).collect()} == {1}
+
+
+def test_read_via_delta_log_matches_read(spark, tmp_path):
+    """The delta-log mirror is load-bearing: resolving the active file
+    set by log replay and scanning exactly those files reproduces the
+    table, including after MERGE rewrites."""
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=10), Row(k="c", v=3)]))
+    via_log = {r["k"]: r["v"] for r in t.read_via_delta_log().collect()}
+    via_head = {r["k"]: r["v"] for r in t.read().collect()}
+    assert via_log == via_head == {"a": 10, "b": 2, "c": 3}
+    # log-replay time travel to version 0
+    v0 = {r["k"]: r["v"] for r in t.read_via_delta_log(0).collect()}
+    assert v0 == {"a": 1, "b": 2}
+
+
+def test_history_lists_commits_newest_first(spark, tmp_path):
+    t = ManagedTable(spark, str(tmp_path / "t"), keys=["k"])
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))
+    t.merge(spark.createDataFrame([Row(k="a", v=2)]))
+    h = t.history()
+    assert [e["version"] for e in h] == [1, 0]
+    assert all(e["operation"] == "WRITE" for e in h)
+    assert all(isinstance(e["timestamp"], int) for e in h)
