@@ -85,3 +85,115 @@ def test_semdedup_pair_discovery_is_exactly_once(spark, tmp_path):
     total = pairs.count()
     distinct = pairs.select("lo", "hi").distinct().count()
     assert total == distinct > 0
+
+
+# ------------------------------------------------ round-9 invariants
+
+
+def test_nelson_aalen_invariants(spark):
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_nelson_aalen_cumhaz,
+    )
+
+    rows = q_nelson_aalen_cumhaz(spark, SF).collect()
+    assert rows
+    cum = 0
+    prev_t, prev_risk = -1, None
+    for r in rows:
+        assert r["t"] > prev_t  # strictly increasing event times
+        assert 1 <= r["d"] <= r["n_risk"]
+        # step is the exact integer division
+        assert r["step_micro"] == r["d"] * 1_000_000 // r["n_risk"]
+        cum += r["step_micro"]
+        assert r["cum_hazard_micro"] == cum  # exact prefix sum
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk  # risk set shrinks
+        prev_t, prev_risk = r["t"], r["n_risk"]
+
+
+def test_beta_posterior_invariants(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_beta_posterior_conversion,
+    )
+
+    rows = q_beta_posterior_conversion(spark, SF).collect()
+    assert len(rows) == 5  # five market segments
+    for r in rows:
+        assert r["alpha"] >= 1 and r["beta"] >= 1
+        n = r["alpha"] + r["beta"]
+        assert r["posterior_mean_ppm"] == r["alpha"] * 1_000_000 // n
+        assert r["ci95_low_ppm"] <= r["posterior_mean_ppm"] <= r["ci95_high_ppm"]
+        assert 0 < r["posterior_sd_micro"] < 500_000  # sd < 0.5 always
+
+
+def test_jackknife_influences_reconstruct_total(spark):
+    """Closed-form consistency: every loo mean recomputes from the
+    published brand sums, and influence signs track brand mean vs
+    overall mean."""
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_jackknife_brand_revenue_influence,
+    )
+
+    rows = q_jackknife_brand_revenue_influence(spark, SF).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r["loo_mean_micros"] == r["overall_mean_micros"] + r["influence_micros"]
+        # a brand with above-average mean must pull the mean DOWN when
+        # removed (negative influence) and vice versa (integer-floor
+        # slack of 1 tolerated)
+        brand_mean = r["brand_revenue_dollars"] * 1_000_000 // r["n_i"]
+        if r["influence_micros"] < -1:
+            assert brand_mean >= r["overall_mean_micros"] // 1  # sanity
+
+
+def test_cohens_d_matches_numpy(spark):
+    """Hand-check the standardized effect size against a NumPy
+    recomputation from the same exact dollar grain."""
+    import numpy as np
+
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_cohens_d_priority_spend,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r = q_cohens_d_priority_spend(spark, SF).collect()[0]
+    pdf = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            "o_orderpriority",
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+                " DIV 100"
+            ).alias("x"),
+        )
+        .toPandas()
+    )
+    a = pdf[pdf.o_orderpriority == "1-URGENT"].x.to_numpy(dtype=float)
+    b = pdf[pdf.o_orderpriority == "5-LOW"].x.to_numpy(dtype=float)
+    sp = np.sqrt(
+        ((a.size - 1) * a.var(ddof=1) + (b.size - 1) * b.var(ddof=1))
+        / (a.size + b.size - 2)
+    )
+    d = (a.mean() - b.mean()) / sp
+    assert abs(r["cohens_d_milli"] - int(np.floor(d * 1000))) <= 1
+
+
+def test_doc_length_percentiles_ordered(spark):
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_doc_length_percentiles_by_source,
+    )
+
+    rows = q_doc_length_percentiles_by_source(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["min_tokens"]
+            <= r["p25_tokens"]
+            <= r["p50_tokens"]
+            <= r["p75_tokens"]
+            <= r["p95_tokens"]
+            <= r["max_tokens"]
+        )
+        assert r["n_docs"] > 0
