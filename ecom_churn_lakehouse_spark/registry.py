@@ -161,6 +161,9 @@ NEW_IN_ROUND: list[str] = [
     #     which backs these two entries:
     "merge_upsert_state",
     "version_change_feed",
+    # materially changed this round (sf0.1-sweep catch: fixed
+    # min-support went vacuous; oracle CTE materialization):
+    "apriori_triple_itemsets",
     # (b) new round-9 operators:
     "stream_semdedup_maintenance",
     "nelson_aalen_cumhaz",

@@ -414,7 +414,11 @@ def test_apriori_antimonotone(spark):
         assert r["support_abc"] <= min(
             r["support_ab"], r["support_ac"], r["support_bc"]
         )
-        assert r["support_abc"] >= 2
+        assert r["support_abc"] >= 1
+    # top-N cut: results are the N highest-support triples (the last
+    # kept support bounds everything kept)
+    supports = [r["support_abc"] for r in rows]
+    assert supports == sorted(supports, reverse=True)
 
 
 def test_median_ci_ordering(spark):

@@ -156,6 +156,11 @@ DIRECTIVE_FIXES_R9 = [
     # sources/managed_table.py, which backs these two entries:
     "merge_upsert_state",
     "version_change_feed",
+    # materially changed this round: fixed min-support 2 went vacuous
+    # at sf0.1 (round-9 full-sweep catch) -> top-N-by-support cut; the
+    # oracle's pairs CTE also gained MATERIALIZED (DuckDB re-inlining
+    # pathology, 187 s -> 1.6 s):
+    "apriori_triple_itemsets",
 ]
 
 DIRECTIVE_FIXES_R8 = [
