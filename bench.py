@@ -31,6 +31,8 @@ HEADLINE = [
     "cohens_d_priority_spend",
     "jackknife_brand_revenue_influence",
     "doc_length_percentiles_by_source",
+    "join_strategy_advisor",
+    "approx_percentile_error_audit",
     # ---- round 8 ----
     "bradley_terry_brand_strengths",
     "semdedup_keep_manifest",

@@ -1747,3 +1747,241 @@ def q_bloom_filter_size_advisor(spark, sf_dir):
             " DIV (ndv * 1000000) AS BIGINT)"
         ).alias("k_hashes"),
     ).orderBy("key_col", "fpp")
+
+
+# --------------------------------------------------------------------------
+# Round 9: join-strategy advisor over exact table stats.
+# --------------------------------------------------------------------------
+
+#: Documented fixed per-type width model (bytes per value in a shuffled
+#: row; the SAME constants on both engines make the estimate exact):
+#: BIGINT/DOUBLE 8, INT 4, DATE 4, and strings length+4. The advisor's
+#: point is the DECISION LOGIC (which side broadcasts, how many shuffle
+#: partitions), not byte-perfect sizing — Spark's own
+#: autoBroadcastJoinThreshold consumes estimates of exactly this kind.
+_ADVISOR_BROADCAST_BYTES = 10 * 1024 * 1024  # Spark's default 10m
+_ADVISOR_TARGET_PARTITION_BYTES = 64 * 1024 * 1024
+
+_JOIN_ADVISOR_SQL = f"""
+WITH stats AS (
+    SELECT 'customer' AS tbl,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(8 + (length(c_name) + 4) + 8 + 4
+                    + (length(c_mktsegment) + 4)) AS BIGINT) AS est_bytes
+    FROM customer
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(8 + 8 + (length(o_orderstatus) + 4) + 8 + 4
+                    + (length(o_orderpriority) + 4)) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(8 + 8 + 8 + 8 + 8 + 4 + 4) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(8 + (length(p_name) + 4) + (length(p_brand) + 4)
+                    + (length(p_type) + 4) + 8) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'nation', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(4 + (length(n_name) + 4) + 4) AS BIGINT)
+    FROM nation
+),
+joins AS (
+    SELECT * FROM (VALUES
+        ('lineitem', 'orders'), ('lineitem', 'part'),
+        ('orders', 'customer'), ('customer', 'nation')
+    ) AS j(big_tbl, dim_tbl)
+)
+SELECT j.big_tbl, j.dim_tbl,
+       b.n_rows AS big_rows, d.n_rows AS dim_rows,
+       b.est_bytes AS big_bytes, d.est_bytes AS dim_bytes,
+       CASE WHEN d.est_bytes <= {_ADVISOR_BROADCAST_BYTES}
+            THEN 'broadcast_dim' ELSE 'sort_merge' END AS strategy,
+       CAST((b.est_bytes + {_ADVISOR_TARGET_PARTITION_BYTES} - 1)
+            // {_ADVISOR_TARGET_PARTITION_BYTES} AS BIGINT)
+           AS shuffle_partitions
+FROM joins j
+JOIN stats b ON b.tbl = j.big_tbl
+JOIN stats d ON d.tbl = j.dim_tbl
+ORDER BY j.big_tbl, j.dim_tbl
+"""
+
+
+@register(
+    "join_strategy_advisor",
+    _JOIN_ADVISOR_SQL,
+    doc="Join-strategy advisor over EXACT table stats: for the "
+    "engine's canonical fact-dim joins, exact row counts and a "
+    "fixed-width byte model (documented constants, so the estimate "
+    "is an exact integer on both engines) decide broadcast-dim vs "
+    "sort-merge against Spark's 10 MiB autoBroadcastJoinThreshold "
+    "default, plus the shuffle-partition count that lands the big "
+    "side at ~64 MiB per partition — the two decisions every Spark "
+    "job tunes first, derivable from one stats pass (joins the "
+    "advisor family: partition_layout_advisor, bloom_filter_size_"
+    "advisor, column_encoding_advisor, zone_map_pruning_audit). "
+    "Scale: per-table scan-local aggregates; the advisor frame is "
+    "4 rows.",
+)
+def q_join_strategy_advisor(spark, sf_dir):
+    def stats(tbl, expr):
+        return load_table(spark, sf_dir, tbl).agg(
+            F.lit(tbl).alias("tbl"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.expr(expr)).cast("long").alias("est_bytes"),
+        )
+
+    stats_df = (
+        stats("customer", "8 + (length(c_name) + 4) + 8 + 4 + (length(c_mktsegment) + 4)")
+        .unionByName(stats("orders", "8 + 8 + (length(o_orderstatus) + 4) + 8 + 4 + (length(o_orderpriority) + 4)"))
+        .unionByName(stats("lineitem", "8 + 8 + 8 + 8 + 8 + 4 + 4"))
+        .unionByName(stats("part", "8 + (length(p_name) + 4) + (length(p_brand) + 4) + (length(p_type) + 4) + 8"))
+        .unionByName(stats("nation", "4 + (length(n_name) + 4) + 4"))
+    )
+    joins = spark.createDataFrame(
+        [
+            ("lineitem", "orders"),
+            ("lineitem", "part"),
+            ("orders", "customer"),
+            ("customer", "nation"),
+        ],
+        "big_tbl string, dim_tbl string",
+    )
+    b = stats_df.select(
+        F.col("tbl").alias("big_tbl"),
+        F.col("n_rows").alias("big_rows"),
+        F.col("est_bytes").alias("big_bytes"),
+    )
+    d = stats_df.select(
+        F.col("tbl").alias("dim_tbl"),
+        F.col("n_rows").alias("dim_rows"),
+        F.col("est_bytes").alias("dim_bytes"),
+    )
+    return (
+        joins.join(F.broadcast(b), "big_tbl")
+        .join(F.broadcast(d), "dim_tbl")
+        .select(
+            "big_tbl",
+            "dim_tbl",
+            "big_rows",
+            "dim_rows",
+            "big_bytes",
+            "dim_bytes",
+            F.when(
+                F.col("dim_bytes") <= _ADVISOR_BROADCAST_BYTES,
+                "broadcast_dim",
+            )
+            .otherwise("sort_merge")
+            .alias("strategy"),
+            F.expr(
+                f"(big_bytes + {_ADVISOR_TARGET_PARTITION_BYTES} - 1)"
+                f" DIV {_ADVISOR_TARGET_PARTITION_BYTES}"
+            )
+            .cast("long")
+            .alias("shuffle_partitions"),
+        )
+        .orderBy("big_tbl", "dim_tbl")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 9: approx_percentile rank-error audit (tolerance-boolean).
+# --------------------------------------------------------------------------
+
+_APPROX_PCT_ACCURACY = 1000  # Spark guarantee: rank error <= N/accuracy
+
+#: quantile parameters must be CONSTANTS in DuckDB — unroll the probe
+#: list (standing oracle-authoring gotcha).
+_APPROX_PCT_SQL = """
+WITH cents AS (
+    SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+    FROM orders
+),
+agg AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(quantile_disc(x, 0.5) AS BIGINT) AS e500,
+           CAST(quantile_disc(x, 0.9) AS BIGINT) AS e900,
+           CAST(quantile_disc(x, 0.99) AS BIGINT) AS e990
+    FROM cents
+)
+SELECT 500::BIGINT AS p_milli, e500 AS exact_value_cents, n_rows,
+       TRUE AS approx_within_rank_bound FROM agg
+UNION ALL
+SELECT 900::BIGINT, e900, n_rows, TRUE FROM agg
+UNION ALL
+SELECT 990::BIGINT, e990, n_rows, TRUE FROM agg
+ORDER BY p_milli
+"""
+
+
+@register(
+    "approx_percentile_error_audit",
+    _APPROX_PCT_SQL,
+    doc="Audits Spark's approx_percentile sketch against its OWN "
+    "documented guarantee (rank error <= N/accuracy at accuracy="
+    f"{_APPROX_PCT_ACCURACY}): for p50/p90/p99 of order value, the "
+    "exact percentile (percentile_disc — hash-compared against the "
+    "oracle) rides next to a tolerance BOOLEAN that Spark computes "
+    "by ranking its approx answer back into the data (rank(approx) "
+    "within N/accuracy of ceil(p*N)); the oracle emits the boolean's "
+    "REQUIRED value (true), so any guarantee violation "
+    "hash-mismatches — the sketch-profile gating pattern "
+    "(kmv_distinct_curve) applied to the engine's built-in quantile "
+    "sketch. This is the scale path two_pass_exact_percentile "
+    "documents: at 100 TB you serve approx_percentile and audit it "
+    "like this. Scale: one agg for the sketch + one for the exact "
+    "rank join-back; 3-row output.",
+)
+def q_approx_percentile_error_audit(spark, sf_dir):
+    cents = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x")
+    ).localCheckpoint(eager=False)
+    probes = [(500, 0.5), (900, 0.9), (990, 0.99)]
+    approx = cents.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        *[
+            F.expr(
+                f"approx_percentile(x, {p}D, {_APPROX_PCT_ACCURACY})"
+            ).alias(f"a{m}")
+            for m, p in probes
+        ],
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP (ORDER BY x)"
+            )
+            .cast("long")
+            .alias(f"e{m}")
+            for m, p in probes
+        ],
+    )
+    # rank the approx answers back into the data: rank(v) = #{x <= v}
+    ranked = cents.crossJoin(F.broadcast(approx)).agg(
+        *[
+            F.sum(F.when(F.col("x") <= F.col(f"a{m}"), 1).otherwise(0))
+            .cast("long")
+            .alias(f"r{m}")
+            for m, _ in probes
+        ]
+    )
+    rows = []
+    for m, p in probes:
+        rows.append(
+            f"SELECT {m}L AS p_milli, e{m} AS exact_value_cents, n_rows,"
+            # rank error vs target rank ceil(p*N), against the
+            # documented bound N/accuracy (exact integer arithmetic)
+            f" abs(r{m} - CAST(ceil(n_rows * {m} / 1000.0) AS BIGINT))"
+            f" <= n_rows DIV {_APPROX_PCT_ACCURACY} + 1"
+            " AS approx_within_rank_bound"
+        )
+    joined = approx.crossJoin(F.broadcast(ranked))
+    joined.createOrReplaceTempView("__approx_pct_audit")
+    return spark.sql(
+        " UNION ALL ".join(
+            r + " FROM __approx_pct_audit" for r in rows
+        )
+        + " ORDER BY p_milli"
+    )

@@ -171,6 +171,8 @@ NEW_IN_ROUND: list[str] = [
     "cohens_d_priority_spend",
     "jackknife_brand_revenue_influence",
     "doc_length_percentiles_by_source",
+    "join_strategy_advisor",
+    "approx_percentile_error_audit",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the
