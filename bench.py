@@ -33,6 +33,9 @@ HEADLINE = [
     "doc_length_percentiles_by_source",
     "join_strategy_advisor",
     "approx_percentile_error_audit",
+    "rfm_segment_migration",
+    "uplift_qini_deciles",
+    "mase_seasonal_naive_backtest",
     # ---- round 8 ----
     "bradley_terry_brand_strengths",
     "semdedup_keep_manifest",

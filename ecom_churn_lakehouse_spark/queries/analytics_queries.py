@@ -2958,3 +2958,102 @@ def q_jackknife_brand_revenue_influence(spark, sf_dir):
         )
         .orderBy("influence_micros", "brand")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 (second wave): MASE backtest of the seasonal-naive forecast.
+# --------------------------------------------------------------------------
+
+_MASE_SQL = """
+WITH monthly AS (
+    SELECT CAST(EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) * 12
+                + EXTRACT(MONTH FROM CAST(o_orderdate AS DATE)) - 1
+           AS BIGINT) AS midx,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT m.midx, m.rev_cents,
+           n.rev_cents AS naive_pred,
+           s.rev_cents AS seasonal_pred
+    FROM monthly m
+    JOIN monthly n ON n.midx = m.midx - 1
+    JOIN monthly s ON s.midx = m.midx - 12
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_months_scored,
+       CAST(SUM(ABS(rev_cents - naive_pred)) // COUNT(*) AS BIGINT)
+           AS mae_naive_cents,
+       CAST(SUM(ABS(rev_cents - seasonal_pred)) // COUNT(*) AS BIGINT)
+           AS mae_seasonal_cents,
+       CAST((SUM(ABS(rev_cents - seasonal_pred)) // COUNT(*)) * 1000000
+            // (SUM(ABS(rev_cents - naive_pred)) // COUNT(*)) AS BIGINT)
+           AS mase_ppm
+FROM scored
+"""
+
+
+@register(
+    "mase_seasonal_naive_backtest",
+    _MASE_SQL,
+    doc="MASE backtest of the seasonal-naive forecaster on monthly "
+    "revenue: for every month with both a previous month and a "
+    "same-month-last-year, score |actual - naive(t-1)| and "
+    "|actual - seasonal(t-12)| in exact cents and report MASE = "
+    "MAE(seasonal) / MAE(naive) as exact ppm (all non-negative int64 "
+    "sums and DIVs; ABS of exact integer differences). MASE < 1e6 "
+    "ppm means seasonality beats persistence — the scale-free "
+    "forecast-quality gate that complements forecast_revenue_change "
+    "(point estimate) and seasonality_strength_decomposition "
+    "(variance split). Lags are JOINS on the integer month index, "
+    "not windows — no global sort anywhere. The ppm ratio divides the "
+    "per-month MAEs (not the raw sums) so mae*1e6 stays under int64 "
+    "to ~1e11-cent monthly MAE; past that the grain drops to dollars. Scale: one "
+    "map-combinable month agg (calendar-bounded frame), then "
+    "two self-joins on ~80 rows.",
+)
+def q_mase_seasonal_naive_backtest(spark, sf_dir):
+    monthly = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .cast("long")
+            .alias("midx")
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    naive = monthly.select(
+        (F.col("midx") + 1).alias("midx"),
+        F.col("rev_cents").alias("naive_pred"),
+    )
+    seasonal = monthly.select(
+        (F.col("midx") + 12).alias("midx"),
+        F.col("rev_cents").alias("seasonal_pred"),
+    )
+    scored = monthly.join(naive, "midx").join(seasonal, "midx")
+    return scored.agg(
+        F.count("*").cast("long").alias("n_months_scored"),
+        F.expr(
+            "CAST(SUM(ABS(rev_cents - naive_pred)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mae_naive_cents"),
+        F.expr(
+            "CAST(SUM(ABS(rev_cents - seasonal_pred)) DIV COUNT(*)"
+            " AS BIGINT)"
+        ).alias("mae_seasonal_cents"),
+        F.expr(
+            "CAST((SUM(ABS(rev_cents - seasonal_pred)) DIV COUNT(*))"
+            " * 1000000"
+            " DIV (SUM(ABS(rev_cents - naive_pred)) DIV COUNT(*))"
+            " AS BIGINT)"
+        ).alias("mase_ppm"),
+    )

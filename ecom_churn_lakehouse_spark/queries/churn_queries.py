@@ -1437,3 +1437,95 @@ def q_nelson_aalen_cumhaz(spark, sf_dir):
             "cum_hazard_micro"
         ),
     ).orderBy("t")
+
+
+# --------------------------------------------------------------------------
+# Round 9 (second wave): RFM segment migration matrix between two
+# snapshot dates — the churn-adjacent transition readout every
+# lifecycle team tracks (who moved active -> cold between quarters).
+# --------------------------------------------------------------------------
+
+_RFM_MIG_AS_OF_A = "1996-12-31"
+_RFM_MIG_AS_OF_B = AS_OF  # 1997-06-30
+
+#: Recency buckets in days (inclusive upper edges), identical CASE on
+#: both engines over exact integer datediffs.
+_RFM_MIG_BUCKET = (
+    "CASE WHEN rec <= 90 THEN 'active' WHEN rec <= 180 THEN 'warm'"
+    " WHEN rec <= 365 THEN 'cold' ELSE 'dormant' END"
+)
+
+_RFM_MIG_SQL = f"""
+WITH at_a AS (
+    SELECT o_custkey AS cust,
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                     DATE '{_RFM_MIG_AS_OF_A}') AS rec
+    FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '{_RFM_MIG_AS_OF_A}'
+    GROUP BY o_custkey
+),
+at_b AS (
+    SELECT o_custkey AS cust,
+           date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                     DATE '{_RFM_MIG_AS_OF_B}') AS rec
+    FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '{_RFM_MIG_AS_OF_B}'
+    GROUP BY o_custkey
+),
+seg_a AS (SELECT cust, {_RFM_MIG_BUCKET} AS seg FROM at_a),
+seg_b AS (SELECT cust, {_RFM_MIG_BUCKET} AS seg FROM at_b)
+SELECT COALESCE(a.seg, 'new') AS segment_from,
+       b.seg AS segment_to,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM seg_b b LEFT JOIN seg_a a ON a.cust = b.cust
+GROUP BY COALESCE(a.seg, 'new'), b.seg
+ORDER BY segment_from, segment_to
+"""
+
+
+@register(
+    "rfm_segment_migration",
+    _RFM_MIG_SQL,
+    doc=f"Recency-segment migration matrix between two snapshot dates "
+    f"({_RFM_MIG_AS_OF_A} -> {_RFM_MIG_AS_OF_B}): every customer "
+    "active by the later date is bucketed (active <=90d, warm <=180, "
+    "cold <=365, dormant beyond) at BOTH point-in-time cuts — the "
+    "reference's as-of filter discipline (P7, customer_features_daily"
+    ".py:129) applied twice — and counted per (from, to) cell, with "
+    "customers absent at the earlier date entering as 'new'. The "
+    "transition matrix is the lifecycle readout behind churn_labels: "
+    "the off-diagonal mass IS the churn flow. All exact integer "
+    "datediffs and counts. Scale: two map-combinable customer-grain "
+    "aggs + one customer-keyed join; output is a <=20-cell matrix.",
+)
+def q_rfm_segment_migration(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+
+    def seg_at(as_of):
+        return (
+            orders.filter(F.col("od") <= F.lit(as_of).cast("date"))
+            .groupBy("cust")
+            .agg(
+                F.datediff(F.lit(as_of).cast("date"), F.max("od")).alias(
+                    "rec"
+                )
+            )
+            .select("cust", F.expr(_RFM_MIG_BUCKET).alias("seg"))
+        )
+
+    a = seg_at(_RFM_MIG_AS_OF_A).withColumnRenamed("seg", "seg_a")
+    b = seg_at(_RFM_MIG_AS_OF_B).withColumnRenamed("seg", "seg_b")
+    return (
+        b.join(a, "cust", "left")
+        .groupBy(
+            F.coalesce(F.col("seg_a"), F.lit("new")).alias("segment_from"),
+            F.col("seg_b").alias("segment_to"),
+        )
+        .agg(F.count("*").cast("long").alias("n_customers"))
+        .orderBy("segment_from", "segment_to")
+    )

@@ -136,6 +136,23 @@ def register(
     bounded_frame: str | None = None,
 ):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # Refuse silent name collisions: a second module registering
+        # an existing name would quietly REPLACE the first entry (and
+        # its oracle), so an author adding "a new operator" could
+        # instead overwrite a long-green one — caught live in round 9
+        # when a second dau_wau_stickiness shadowed the round-5 entry.
+        # Same function re-registering (module re-imported under a
+        # second path, e.g. by a test) stays legal.
+        prev = _REGISTRY.get(name)
+        if prev is not None and getattr(
+            prev.fn, "__qualname__", None
+        ) != getattr(fn, "__qualname__", None):
+            raise ValueError(
+                f"registry name collision: {name!r} is already "
+                f"registered by {prev.fn.__module__}."
+                f"{prev.fn.__qualname__}; refusing to replace it with "
+                f"{fn.__module__}.{fn.__qualname__}"
+            )
         _REGISTRY[name] = Entry(
             fn=fn,
             oracle=oracle,
@@ -173,6 +190,9 @@ NEW_IN_ROUND: list[str] = [
     "doc_length_percentiles_by_source",
     "join_strategy_advisor",
     "approx_percentile_error_audit",
+    "rfm_segment_migration",
+    "uplift_qini_deciles",
+    "mase_seasonal_naive_backtest",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

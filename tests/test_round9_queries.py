@@ -197,3 +197,19 @@ def test_doc_length_percentiles_ordered(spark):
             <= r["max_tokens"]
         )
         assert r["n_docs"] > 0
+
+
+def test_register_refuses_name_collision():
+    """A second module registering an existing name must fail loudly
+    instead of silently replacing the first entry (live round-9
+    catch: a duplicate dau_wau_stickiness shadowed the round-5 one)."""
+    import pytest
+
+    from ecom_churn_lakehouse_spark import registry
+
+    registry.queries()  # ensure loaded
+
+    with pytest.raises(ValueError, match="name collision"):
+        @registry.register("dau_wau_stickiness", None)
+        def impostor(spark, sf_dir):  # pragma: no cover
+            raise AssertionError
