@@ -36,6 +36,8 @@ HEADLINE = [
     "rfm_segment_migration",
     "uplift_qini_deciles",
     "mase_seasonal_naive_backtest",
+    "stream_survival_spans_maintenance",
+    "runs_test_daily_revenue",
     # ---- round 8 ----
     "bradley_terry_brand_strengths",
     "semdedup_keep_manifest",

@@ -3057,3 +3057,128 @@ def q_mase_seasonal_naive_backtest(spark, sf_dir):
             " AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 (third wave): Wald-Wolfowitz runs test on daily revenue.
+# --------------------------------------------------------------------------
+
+#: Shared IEEE z from exact integer (r, n1, n2): mu = 2*n1*n2/n + 1,
+#: var = 2*n1*n2*(2*n1*n2 - n) / (n^2 * (n-1)). FLOOR (not DIV) on the
+#: signed result — FLOOR floors toward -inf identically on both
+#: engines.
+_RUNS_Z_MILLI = (
+    "CAST(FLOOR((CAST(r AS DOUBLE)"
+    " - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "    / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1.0))"
+    " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "        * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "           - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))"
+    "        / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))"
+    "           * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_RUNS_TEST_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS rev
+    FROM orders GROUP BY 1
+),
+med AS (
+    SELECT CAST(quantile_disc(rev, 0.5) AS BIGINT) AS m FROM daily
+),
+signed_days AS (
+    SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS s
+    FROM daily, med WHERE rev <> m
+),
+runs AS (
+    SELECT s, LAG(s) OVER (ORDER BY day) AS prev_s FROM signed_days
+),
+stats AS (
+    SELECT CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                        THEN 1 ELSE 0 END) AS BIGINT) AS r,
+           CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n2
+    FROM runs
+)
+SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+       {_RUNS_Z_MILLI} AS z_milli,
+       ABS({_RUNS_Z_MILLI}) > 1959 AS reject_randomness_at_05
+FROM stats
+"""
+
+
+@register(
+    "runs_test_daily_revenue",
+    _RUNS_TEST_SQL,
+    doc="Wald-Wolfowitz runs test for randomness of the daily-revenue "
+    "sequence around its median: days sign as above/below the exact "
+    "median (percentile_disc on exact cents; exact-median days "
+    "excluded per convention), the run count comes from one lag over "
+    "the calendar-bounded day frame, and the normal-approximation z "
+    "is ONE shared IEEE expression over exact integer (runs, n1, n2) "
+    "with the floored 1959-milli critical. Complements "
+    "mann_kendall_trend (monotone trend) and ljung_box_test "
+    "(autocorrelation) with the classic randomness-of-signs test — "
+    "too few runs = clustering/regime, too many = oscillation. "
+    "Scale: one map-combinable day agg; the ordered window runs on "
+    "the ~2.4k-day calendar frame.",
+    bounded_frame="calendar-bounded day frame",
+)
+def q_runs_test_daily_revenue(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    med = daily.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY rev)")
+        .cast("long")
+        .alias("m")
+    )
+    signed_days = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select(
+            "day", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    runs = signed_days.select(
+        "s", F.lag("s").over(Window.orderBy("day")).alias("prev_s")
+    )
+    stats = runs.agg(
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull()
+                    & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("r"),
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(F.expr("1 - s")).cast("long").alias("n2"),
+    )
+    z = F.expr(_RUNS_Z_MILLI)
+    return stats.select(
+        F.col("r").alias("n_runs"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        z.alias("z_milli"),
+        (F.abs(z) > 1959).alias("reject_randomness_at_05"),
+    )

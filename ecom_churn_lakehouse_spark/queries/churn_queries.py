@@ -1384,7 +1384,6 @@ ORDER BY t
 )
 def q_nelson_aalen_cumhaz(spark, sf_dir):
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     from ecom_churn_lakehouse_spark.sources import load_table
 
@@ -1409,6 +1408,16 @@ def q_nelson_aalen_cumhaz(spark, sf_dir):
         .alias("dur"),
         F.when(F.col("d2").isNull(), 0).otherwise(1).cast("long").alias("ev"),
     )
+    return _na_curve_from_spans(spans)
+
+
+def _na_curve_from_spans(spans):
+    """Nelson-Aalen finish over a (dur, ev) span frame — shared by the
+    batch entry and the streaming spans-maintenance twin so parity is
+    structural."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     durdist = spans.groupBy("dur").agg(
         F.count("*").cast("long").alias("c"),
         F.sum("ev").cast("long").alias("d"),
@@ -1529,3 +1538,124 @@ def q_rfm_segment_migration(spark, sf_dir):
         .agg(F.count("*").cast("long").alias("n_customers"))
         .orderBy("segment_from", "segment_to")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 (third wave): streaming survival-spans maintenance —
+# ORDER-STATISTIC keyed state. The NA/KM span (first order date,
+# second order date) is NOT a plain keyed min: the second-smallest
+# DISTINCT date of a union is not the min of per-batch seconds. But
+# the TWO smallest distinct dates ARE mergeable: the overall pair is
+# always contained in the union of per-batch two-smallest pairs (any
+# batch date below the overall second equals the overall first), so
+# each batch keeps at most 2 rows per customer and the serve pass
+# re-ranks the union.
+# --------------------------------------------------------------------------
+
+
+def _survival_two_smallest(df):
+    """Per customer the (<=2) smallest DISTINCT order dates of ``df``
+    — the mergeable order-statistic partial."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    dd = df.select("cust", "od").distinct()
+    w = Window.partitionBy("cust").orderBy("od")
+    return (
+        dd.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("cust", "od")
+    )
+
+
+@register(
+    "stream_survival_spans_maintenance",
+    _NA_SQL,
+    doc="Streaming twin of nelson_aalen_cumhaz demonstrating the "
+    "ORDER-STATISTIC keyed-state class: the survival span needs each "
+    "customer's first AND second distinct order dates, and the "
+    "second-smallest of a union is not the min of per-batch seconds "
+    "— but the TWO smallest distinct dates are a mergeable partial "
+    "(any batch date below the overall second must equal the overall "
+    "first, so the overall pair is contained in the union of "
+    "per-batch pairs; proof in the module comment). Each foreachBatch "
+    "writes batch_id-keyed <=2-rows-per-customer partials (skipped "
+    "when present — replay-safe); the serve pass re-ranks the union "
+    "and runs the SAME Nelson-Aalen finish as the batch entry "
+    "(_na_curve_from_spans), oracle = the batch SQL verbatim. "
+    "Scale: per-batch state is bounded at 2 rows per active "
+    "customer; the serve re-rank shuffles only the maintained "
+    "partial store, never raw orders.",
+    bounded_frame="calendar-bounded distinct-duration grain (<= dataset day span)",
+)
+def q_stream_survival_spans_maintenance(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ecom_churn_lakehouse_spark.scratch import scratch_dir
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust"),
+        F.to_date("o_orderdate").alias("od"),
+    )
+    base = scratch_dir(prefix="stream_survival_")
+    for lo, hi in (
+        (None, "1996-01-01"),
+        ("1996-01-01", "1998-01-01"),
+        ("1998-01-01", None),
+    ):
+        chunk = orders
+        if lo:
+            chunk = chunk.filter(F.col("od") >= lo)
+        if hi:
+            chunk = chunk.filter(F.col("od") < hi)
+        chunk.coalesce(1).write.mode("append").parquet(f"{base}/src")
+
+    def _apply(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        dest = f"{base}/partials/batch_id={batch_id}"
+        if not os.path.exists(dest):
+            _survival_two_smallest(batch_df).write.mode(
+                "overwrite"
+            ).parquet(dest)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/src")
+    )
+    q = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = _survival_two_smallest(
+        spark.read.parquet(f"{base}/partials").select("cust", "od")
+    )
+    w = Window.partitionBy("cust").orderBy("od")
+    wide = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .groupBy("cust")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("od"))).alias("d1"),
+            F.min(F.when(F.col("rn") == 2, F.col("od"))).alias("d2"),
+        )
+    )
+    spans = wide.select(
+        F.when(
+            F.col("d2").isNull(),
+            F.datediff(F.lit(_SURV_CENSOR).cast("date"), F.col("d1")),
+        )
+        .otherwise(F.datediff(F.col("d2"), F.col("d1")))
+        .cast("long")
+        .alias("dur"),
+        F.when(F.col("d2").isNull(), 0).otherwise(1).cast("long").alias("ev"),
+    )
+    return _na_curve_from_spans(spans)

@@ -193,6 +193,8 @@ NEW_IN_ROUND: list[str] = [
     "rfm_segment_migration",
     "uplift_qini_deciles",
     "mase_seasonal_naive_backtest",
+    "stream_survival_spans_maintenance",
+    "runs_test_daily_revenue",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

@@ -213,3 +213,56 @@ def test_register_refuses_name_collision():
         @registry.register("dau_wau_stickiness", None)
         def impostor(spark, sf_dir):  # pragma: no cover
             raise AssertionError
+
+
+def test_stream_survival_spans_equals_batch(spark):
+    """The order-statistic keyed state (two smallest distinct dates
+    per customer) must converge to the batch Nelson-Aalen curve
+    bit-exactly."""
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_nelson_aalen_cumhaz,
+        q_stream_survival_spans_maintenance,
+    )
+
+    batch = [r.asDict() for r in q_nelson_aalen_cumhaz(spark, SF).collect()]
+    stream = [
+        r.asDict()
+        for r in q_stream_survival_spans_maintenance(spark, SF).collect()
+    ]
+    assert stream == batch
+    assert batch
+
+
+def test_two_smallest_partial_is_mergeable(spark):
+    """The mergeability proof, checked: re-ranking the union of
+    per-batch two-smallest pairs recovers the global two smallest
+    distinct dates under an adversarial split (a batch holding ONLY
+    dates between the global first and second)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        _survival_two_smallest,
+    )
+
+    rows = [
+        # cust 1: global d1=2020-01-01 (batch A), d2=2020-01-05 (batch B);
+        # batch B also holds 2020-01-01 (duplicate of d1) + later noise
+        Row(cust=1, od="2020-01-01", b=0),
+        Row(cust=1, od="2020-03-01", b=0),
+        Row(cust=1, od="2020-01-01", b=1),
+        Row(cust=1, od="2020-01-05", b=1),
+        Row(cust=1, od="2020-02-01", b=1),
+    ]
+    df = spark.createDataFrame(rows).select(
+        "cust", F.to_date("od").alias("od"), "b"
+    )
+    parts = [
+        _survival_two_smallest(df.filter(F.col("b") == i).drop("b"))
+        for i in (0, 1)
+    ]
+    union = parts[0].unionByName(parts[1])
+    merged = sorted(
+        str(r["od"]) for r in _survival_two_smallest(union).collect()
+    )
+    assert merged == ["2020-01-01", "2020-01-05"]
