@@ -3182,3 +3182,133 @@ def q_runs_test_daily_revenue(spark, sf_dir):
         z.alias("z_milli"),
         (F.abs(z) > 1959).alias("reject_randomness_at_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: (augmented-)Dickey-Fuller unit-root screen.
+# ---------------------------------------------------------------------------
+
+#: DF regression  dy_t = alpha + gamma*y_{t-1} + e_t  in closed form
+#: from exact dollar-grain int64 moment sums: gamma = Sxy/Sxx over
+#: centered sums, t = gamma/se(gamma), se^2 = (SSE/(n-2))/Sxx,
+#: SSE = Syy - gamma*Sxy. Everything up to the sums is exact int64;
+#: the final expressions are ONE shared IEEE spelling on both
+#: engines, floor-quantized. Critical: DF tau_mu(0.05) = -2.86
+#: (constant, no trend; asymptotic row of the Dickey-Fuller table),
+#: floored-milli compare t_milli < -2860.
+_ADF_GAMMA_MICRO = (
+    "CAST(FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * 1000000.0) AS BIGINT)"
+)
+_ADF_T_MILLI = (
+    "CAST(FLOOR(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    " / sqrt((((CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+    "             / CAST(n AS DOUBLE))"
+    "          - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    "             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))"
+    "            * (CAST(sxy AS DOUBLE)"
+    "               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+    "                 / CAST(n AS DOUBLE)))"
+    "         / (CAST(n AS DOUBLE) - 2.0))"
+    "        / (CAST(sxx AS DOUBLE)"
+    "           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    "             / CAST(n AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_ADF_SQL = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) // 100000 AS y
+    FROM orders GROUP BY o_orderdate
+),
+lagged AS (
+    SELECT a.y AS x, b.y - a.y AS dy
+    FROM daily a JOIN daily b ON b.d = a.d + 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(dy) AS BIGINT) AS sy,
+           CAST(SUM(x * dy) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(dy * dy) AS BIGINT) AS syy
+    FROM lagged
+)
+SELECT n, sx, sy, sxy, sxx, syy,
+       {_ADF_GAMMA_MICRO} AS gamma_micro,
+       {_ADF_T_MILLI} AS t_milli,
+       {_ADF_T_MILLI} < -2860 AS stationary_at_05
+FROM s
+"""
+
+
+@register(
+    "adf_unit_root_screen",
+    _ADF_SQL,
+    doc="Dickey-Fuller unit-root screen on daily revenue — the "
+    "stationarity gate the time-series battery lacked (mann_kendall "
+    "answers 'is there a monotone trend', ljung_box 'is there "
+    "autocorrelation', runs_test 'are the signs random'; DF answers "
+    "'does a shock persist', the property that decides differencing "
+    "before any forecast): regress dy_t on y_{t-1} with intercept, "
+    "closed form from SIX exact dollar-grain int64 moment sums fused "
+    "in one aggregate, then one shared-IEEE expression each for "
+    "gamma and its t-ratio, compared against the asymptotic "
+    "Dickey-Fuller tau_mu critical (-2.86, floored milli — the DF "
+    "distribution, NOT Student t, which is the classic misuse). "
+    "Consecutive-day lag pairs come from a date self-join (b.d = "
+    "a.d + 1 day) on the calendar-bounded daily frame: no window "
+    "anywhere, gaps simply drop pairs. Scale: one scan-local "
+    "group-by to the day grain, one bounded self-join, one 1-row "
+    "reduce; KILO-dollar grain keeps sxx under int64 to ~sf500 daily "
+    "revenue (gamma is scale-invariant, so the coarser grain costs "
+    "only ~1e-4 relative resolution; past that, re-grain again — "
+    "the cohens_d discipline).",
+)
+def q_adf_unit_root_screen(spark, sf_dir):
+    cents = F.expr(
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS BIGINT) DIV 100000"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(cents.alias("y"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    lagged = a.join(
+        b, F.col("b.d") == F.date_add(F.col("a.d"), 1)
+    ).select(
+        F.col("a.y").alias("x"), (F.col("b.y") - F.col("a.y")).alias("dy")
+    )
+    s = lagged.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.expr("x * dy")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("long").alias("syy"),
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        "syy",
+        F.expr(_ADF_GAMMA_MICRO).alias("gamma_micro"),
+        F.expr(_ADF_T_MILLI).alias("t_milli"),
+        (F.expr(_ADF_T_MILLI) < -2860).alias("stationary_at_05"),
+    )

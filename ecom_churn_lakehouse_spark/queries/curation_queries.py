@@ -1706,3 +1706,267 @@ def q_quality_rater_agreement_kappa(spark, sf_dir):
         "n_unanimous",
         F.expr(_KAPPA_MILLI).alias("fleiss_kappa_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: Gopher-style rule-based quality filter battery.
+# ---------------------------------------------------------------------------
+
+#: Rule thresholds, tuned to discriminate on the fixture corpus while
+#: staying per-document scale-invariant (a doc's pass/fail never
+#: depends on corpus size, so none of the rules can go vacuous as
+#: data grows — the apriori lesson). Published-pipeline analogues:
+#: Gopher (Rae et al. 2021, Table A1) / Dolma / FineWeb keep rules.
+_GQ_MIN_TOKENS = 25
+_GQ_MAX_TOKENS = 90
+_GQ_MEAN_LEN_LO = 4  # mean word length in [4, 6], cross-multiplied
+_GQ_MEAN_LEN_HI = 6
+_GQ_MIN_STOPWORDS = 2
+_GQ_MAX_TOKEN_LEN = 7
+_GQ_SINGLE_CHAR_PPM = 100_000  # <=10% one-char tokens
+
+_GQ_SQL = f"""
+WITH t AS (
+    SELECT doc_id, source,
+           regexp_split_to_array(trim(text), '\\s+') AS toks,
+           CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT)
+               AS sum_len,
+           CAST(length(regexp_extract_all(
+               text, '\\b(the|a|and|of|to|in)\\b')) AS BIGINT) AS n_stop
+    FROM documents
+),
+m AS (
+    SELECT doc_id, source, sum_len, n_stop,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(list_max(list_transform(toks, x -> length(x))) AS BIGINT)
+               AS max_tok_len,
+           CAST(len(list_filter(toks, x -> length(x) = 1)) AS BIGINT)
+               AS n_single
+    FROM t
+)
+SELECT doc_id, source, n_tokens, sum_len, n_stop, n_distinct,
+       max_tok_len, n_single,
+       (n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS})
+           AS rule_word_count,
+       (sum_len >= {_GQ_MEAN_LEN_LO} * n_tokens
+        AND sum_len <= {_GQ_MEAN_LEN_HI} * n_tokens) AS rule_mean_word_len,
+       (n_stop >= {_GQ_MIN_STOPWORDS}) AS rule_stopwords,
+       (n_distinct * 2 >= n_tokens) AS rule_distinct_ratio,
+       (max_tok_len <= {_GQ_MAX_TOKEN_LEN}) AS rule_max_word_len,
+       (n_single * 1000000 <= {_GQ_SINGLE_CHAR_PPM} * n_tokens)
+           AS rule_single_char,
+       (CASE WHEN n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS}
+             THEN 1 ELSE 0 END
+        + CASE WHEN sum_len >= {_GQ_MEAN_LEN_LO} * n_tokens
+               AND sum_len <= {_GQ_MEAN_LEN_HI} * n_tokens
+               THEN 1 ELSE 0 END
+        + CASE WHEN n_stop >= {_GQ_MIN_STOPWORDS} THEN 1 ELSE 0 END
+        + CASE WHEN n_distinct * 2 >= n_tokens THEN 1 ELSE 0 END
+        + CASE WHEN max_tok_len <= {_GQ_MAX_TOKEN_LEN} THEN 1 ELSE 0 END
+        + CASE WHEN n_single * 1000000 <= {_GQ_SINGLE_CHAR_PPM} * n_tokens
+               THEN 1 ELSE 0 END) AS n_rules_passed,
+       (n_tokens BETWEEN {_GQ_MIN_TOKENS} AND {_GQ_MAX_TOKENS}
+        AND sum_len >= {_GQ_MEAN_LEN_LO} * n_tokens
+        AND sum_len <= {_GQ_MEAN_LEN_HI} * n_tokens
+        AND n_stop >= {_GQ_MIN_STOPWORDS}
+        AND n_distinct * 2 >= n_tokens
+        AND max_tok_len <= {_GQ_MAX_TOKEN_LEN}
+        AND n_single * 1000000 <= {_GQ_SINGLE_CHAR_PPM} * n_tokens)
+           AS keep
+FROM m
+"""
+
+
+@register(
+    "gopher_quality_rules",
+    _GQ_SQL,
+    doc="Gopher-style rule-based quality filter battery (Rae et al. "
+    "2021 Table A1 / Dolma / FineWeb keep rules, adapted to the "
+    "fixture's punctuation-free corpus): six per-document rules — "
+    "word-count bounds, mean-word-length bounds (exact via "
+    "cross-multiplication, no division), minimum stopword count, "
+    "distinct-token ratio, maximum word length, and single-char "
+    "token fraction (exact ppm integer compare) — each emitted as "
+    "its own flag plus the rule-vote count and the conjunctive keep "
+    "decision, so a curation run can audit WHICH rule kills a "
+    "document, not just that one did (the per-rule attribution "
+    "FineWeb publishes). Complements doc_quality (soft composite "
+    "score) with the hard-gate spelling. All integer/boolean "
+    "arithmetic on scan-local array expressions: zero shuffle, zero "
+    "float, whole-stage codegen end-to-end; every rule is "
+    "per-document scale-invariant so no threshold can go vacuous as "
+    "the corpus grows.",
+)
+def q_gopher_quality_rules(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    base = docs.select(
+        "doc_id",
+        "source",
+        toks.alias("toks"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+        .cast("long")
+        .alias("sum_len"),
+        F.regexp_count(F.col("text"), F.lit(r"\b(the|a|and|of|to|in)\b"))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    m = base.select(
+        "doc_id",
+        "source",
+        "sum_len",
+        "n_stop",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.array_max(F.transform("toks", F.length))
+        .cast("long")
+        .alias("max_tok_len"),
+        F.size(F.filter("toks", lambda t: F.length(t) == 1))
+        .cast("long")
+        .alias("n_single"),
+    )
+    r_wc = F.col("n_tokens").between(_GQ_MIN_TOKENS, _GQ_MAX_TOKENS)
+    r_mwl = (F.col("sum_len") >= _GQ_MEAN_LEN_LO * F.col("n_tokens")) & (
+        F.col("sum_len") <= _GQ_MEAN_LEN_HI * F.col("n_tokens")
+    )
+    r_stop = F.col("n_stop") >= _GQ_MIN_STOPWORDS
+    r_dist = F.col("n_distinct") * 2 >= F.col("n_tokens")
+    r_maxl = F.col("max_tok_len") <= _GQ_MAX_TOKEN_LEN
+    r_single = (
+        F.col("n_single") * 1_000_000
+        <= _GQ_SINGLE_CHAR_PPM * F.col("n_tokens")
+    )
+    votes = sum(
+        F.when(r, 1).otherwise(0)
+        for r in (r_wc, r_mwl, r_stop, r_dist, r_maxl, r_single)
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "sum_len",
+        "n_stop",
+        "n_distinct",
+        "max_tok_len",
+        "n_single",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_stop.alias("rule_stopwords"),
+        r_dist.alias("rule_distinct_ratio"),
+        r_maxl.alias("rule_max_word_len"),
+        r_single.alias("rule_single_char"),
+        votes.cast("long").alias("n_rules_passed"),
+        (r_wc & r_mwl & r_stop & r_dist & r_maxl & r_single).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: temperature-based source mixture reweighting.
+# ---------------------------------------------------------------------------
+
+#: Integer sqrt via floor(sqrt(double)) with a +/-1 adjustment: for
+#: int64 inputs the double sqrt is correctly rounded but floor() can
+#: land one off at perfect-square boundaries; the two correction
+#: terms make the result the EXACT floor(sqrt(n)) in both engines.
+_ISQRT = (
+    "(CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    " - CASE WHEN CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    "          * CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) > {n}"
+    "        THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "          * (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "          <= {n}"
+    "        THEN 1 ELSE 0 END)"
+)
+
+_TEMP_MIX_SQL = f"""
+WITH avail AS (
+    SELECT source,
+           CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT)
+               AS avail_tokens
+    FROM documents GROUP BY source
+),
+rooted AS (
+    SELECT source, avail_tokens,
+           {_ISQRT.format(n='avail_tokens')} AS isqrt_tokens
+    FROM avail
+),
+tot AS (
+    SELECT CAST(SUM(avail_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(SUM(isqrt_tokens) AS BIGINT) AS root_denom,
+           CAST(COUNT(*) AS BIGINT) AS n_sources
+    FROM rooted
+)
+SELECT r.source, r.avail_tokens, r.isqrt_tokens,
+       CAST(r.isqrt_tokens * 1000000 // t.root_denom AS BIGINT)
+           AS weight_ppm,
+       CAST(r.avail_tokens * 1000000 // t.corpus_tokens AS BIGINT)
+           AS prop_ppm,
+       CAST(1000000 // t.n_sources AS BIGINT) AS flat_ppm,
+       (r.isqrt_tokens * t.corpus_tokens
+        > r.avail_tokens * t.root_denom) AS upweighted
+FROM rooted r, tot t
+ORDER BY r.source
+"""
+
+
+@register(
+    "mixture_temperature_allocation",
+    _TEMP_MIX_SQL,
+    doc="Temperature-based source mixture reweighting (the "
+    "multilingual sampling-temperature scheme of mBERT/XLM-R/mT5: "
+    "w_i proportional to n_i^tau): at tau=1/2 the power is an integer "
+    "sqrt, computed EXACTLY via floor(sqrt(double)) plus a two-term "
+    "boundary correction (sqrt is correctly rounded, the correction "
+    "makes floor exact at perfect squares), so the whole allocation "
+    "stays integer — temperature weight, proportional (tau=1) weight, "
+    "and flat (tau=0) weight all in exact ppm, plus the upweighted "
+    "flag from an exact cross-multiplied comparison (isqrt_i*SUM(n) > "
+    "n_i*SUM(isqrt) <=> temperature upweights source i, i.e. the "
+    "source is below corpus-average size — the low-resource boost "
+    "that is the scheme's entire point). Complements "
+    "source_mixture_token_allocation (config-ramp weights): this "
+    "entry DERIVES the weights from the data. One scan-local "
+    "aggregate to a 20-row frame + one broadcast of the 1-row "
+    "totals: no shuffle beyond the group-by, no float in any "
+    "emitted value.",
+)
+def q_mixture_temperature_allocation(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        F.sum(token_count_col(F.col("text"))).cast("long").alias(
+            "avail_tokens"
+        )
+    )
+    rooted = avail.select(
+        "source",
+        "avail_tokens",
+        F.expr(_ISQRT.format(n="avail_tokens")).cast("long").alias(
+            "isqrt_tokens"
+        ),
+    )
+    tot = rooted.agg(
+        F.sum("avail_tokens").cast("long").alias("corpus_tokens"),
+        F.sum("isqrt_tokens").cast("long").alias("root_denom"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    j = rooted.join(F.broadcast(tot))
+    return j.select(
+        "source",
+        "avail_tokens",
+        "isqrt_tokens",
+        F.expr("isqrt_tokens * 1000000 DIV root_denom")
+        .cast("long")
+        .alias("weight_ppm"),
+        F.expr("avail_tokens * 1000000 DIV corpus_tokens")
+        .cast("long")
+        .alias("prop_ppm"),
+        F.expr("1000000 DIV n_sources").cast("long").alias("flat_ppm"),
+        (
+            F.col("isqrt_tokens") * F.col("corpus_tokens")
+            > F.col("avail_tokens") * F.col("root_denom")
+        ).alias("upweighted"),
+    ).orderBy("source")

@@ -578,3 +578,95 @@ def q_randomized_response_privacy(spark, sf_dir):
             "abs_err_milli"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: differential-privacy release budget advisor.
+# ---------------------------------------------------------------------------
+
+#: (eps_milli, Laplace scale b = 1/eps as an exact integer) grid —
+#: rational epsilons only, so the mechanism calibration stays integer.
+_DP_EPS_GRID = [(100, 10), (500, 2), (1000, 1)]
+
+#: Count-release threshold tau = 1 + ceil(b * ln(1/(2*delta))) for
+#: (eps, delta)-thresholding of small counts (the Google/Wilson 2020
+#: "differentially private SQL" partition-selection bound shape),
+#: delta = 1e-6. ln(1/(2e-6)) = ln(500000) is precomputed HERE in
+#: Python and inlined as an integer micro literal, so neither engine
+#: ever evaluates a transcendental: tau = 1 + ceil(b * 13.122363...)
+#: = 1 + (b * 13122364 + 999999) // 1000000 in exact int64.
+_DP_LN_MICRO = 13_122_364  # ceil(ln(500000) * 1e6)
+
+_DP_ROWS = ", ".join(f"({e}, {b})" for e, b in _DP_EPS_GRID)
+
+_DP_SQL = f"""
+WITH seg AS (
+    SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+),
+grid(eps_milli, scale_b) AS (VALUES {_DP_ROWS})
+SELECT s.segment, s.n,
+       CAST(g.eps_milli AS BIGINT) AS eps_milli,
+       CAST(g.scale_b AS BIGINT) AS scale_b,
+       CAST(g.scale_b * 1000000 // s.n AS BIGINT) AS rel_err_ppm,
+       CAST(s.n // g.scale_b AS BIGINT) AS snr,
+       CAST(1 + (g.scale_b * {_DP_LN_MICRO} + 999999) // 1000000 AS BIGINT)
+           AS tau_threshold,
+       (s.n > 1 + (g.scale_b * {_DP_LN_MICRO} + 999999) // 1000000)
+           AS passes_threshold,
+       (g.scale_b * 1000000 <= 10000 * s.n) AS publishable_1pct
+FROM seg s CROSS JOIN grid g
+ORDER BY s.segment, eps_milli
+"""
+
+
+@register(
+    "dp_laplace_release_advisor",
+    _DP_SQL,
+    doc="Differential-privacy release advisor for the per-segment "
+    "customer histogram: for each segment count and each rational "
+    "epsilon in {0.1, 0.5, 1.0}, emit the Laplace mechanism's "
+    "calibration (scale b = sensitivity/eps = 1/eps, an exact "
+    "integer for rational eps), the expected relative error in "
+    "exact ppm (E|Laplace(b)| = b), the signal-to-noise ratio, the "
+    "(eps, delta=1e-6) small-count release threshold tau = 1 + "
+    "ceil(b*ln(1/(2 delta))) (the partition-selection bound of "
+    "Wilson et al. 2020, 'Differentially Private SQL'), and the "
+    "publish verdicts — the table a governance reviewer reads to "
+    "pick the cheapest epsilon that still clears utility. The one "
+    "transcendental (ln of a delta literal) is precomputed in the "
+    "query TEXT as an integer micro constant, so both engines run "
+    "pure int64 arithmetic: bit-exact by construction, and the "
+    "advisor composes with the k-anonymity/t-closeness ladder as "
+    "the formal-privacy rung. Scale: one scan-local count group-by "
+    "to a 5-row frame crossed with a 3-row literal grid.",
+)
+def q_dp_laplace_release_advisor(spark, sf_dir):
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    grid = seg.sparkSession.createDataFrame(
+        _DP_EPS_GRID, "eps_milli INT, scale_b INT"
+    )
+    tau = F.expr(f"1 + (scale_b * {_DP_LN_MICRO} + 999999) DIV 1000000")
+    return (
+        seg.crossJoin(F.broadcast(grid))
+        .select(
+            "segment",
+            "n",
+            F.col("eps_milli").cast("long"),
+            F.col("scale_b").cast("long"),
+            F.expr("scale_b * 1000000 DIV n").cast("long").alias(
+                "rel_err_ppm"
+            ),
+            F.expr("n DIV scale_b").cast("long").alias("snr"),
+            tau.cast("long").alias("tau_threshold"),
+            (F.col("n") > tau).alias("passes_threshold"),
+            (F.col("scale_b") * 1_000_000 <= 10_000 * F.col("n")).alias(
+                "publishable_1pct"
+            ),
+        )
+        .orderBy("segment", "eps_milli")
+    )

@@ -625,3 +625,126 @@ def q_kcore_peeling_rounds(spark, sf_dir):
         .cast("int")
         .alias("removed_in_round"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: degree assortativity of the co-purchase graph.
+# ---------------------------------------------------------------------------
+
+#: Newman's degree assortativity r = Pearson correlation of
+#: (deg(src), deg(dst)) over the directed edge list (the both-
+#: orientations convention for an undirected graph). Exact int64
+#: moment sums; one shared-IEEE expression for r, floored milli.
+_ASSORT_R_MILLI = (
+    "CAST(FLOOR((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    "            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    "         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    "        * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)"
+    "           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+_ASSORT_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+    SELECT a.l_partkey AS src, b.l_partkey AS dst
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= {_MIN_COOCCUR}
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src),
+ed AS (
+    SELECT ds.d AS dx, dd.d AS dy
+    FROM edges e
+    JOIN deg ds ON e.src = ds.node
+    JOIN deg dd ON e.dst = dd.node
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS m,
+           CAST(SUM(dx) AS BIGINT) AS sx,
+           CAST(SUM(dy) AS BIGINT) AS sy,
+           CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+           CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+           CAST(SUM(dy * dy) AS BIGINT) AS syy,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes
+    FROM ed
+)
+SELECT n_nodes, m AS n_directed_edges, sx, sxy, sxx,
+       {_ASSORT_R_MILLI} AS assortativity_milli,
+       {_ASSORT_R_MILLI} < 0 AS disassortative
+FROM s
+"""
+
+
+@register(
+    "copurchase_degree_assortativity",
+    _ASSORT_SQL,
+    doc="Newman degree assortativity of the co-purchase part graph — "
+    "the one-scalar structural readout the graph tier lacked "
+    "(pagerank ranks nodes, modularity scores a partition, k-core "
+    "finds the dense core; assortativity says whether hubs link to "
+    "hubs, r>0, or to leaves, r<0 — retail co-purchase graphs are "
+    "canonically disassortative, popular staples attach to niche "
+    "long-tail parts): Pearson correlation of endpoint degrees over "
+    "the directed edge list (both-orientations convention), exact "
+    "int64 moment sums fused in one aggregate, one shared-IEEE "
+    "spelling for r floored to milli. Scale: edges/degrees are the "
+    "pagerank frames (co-occurrence >= 2 threshold keeps the edge "
+    "list near-linear in baskets); two broadcast-able degree joins + "
+    "one 1-row reduce — no window, no iteration.",
+)
+def q_copurchase_degree_assortativity(spark, sf_dir):
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= _MIN_COOCCUR)
+        .select("src", "dst")
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "src"), on="src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed("d", "dy"),
+            on="dst",
+        )
+        .select("dx", "dy")
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    s = ed.agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.expr("dx * dy")).cast("long").alias("sxy"),
+        F.sum(F.expr("dx * dx")).cast("long").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("long").alias("syy"),
+    ).join(F.broadcast(n_nodes))
+    return s.select(
+        "n_nodes",
+        F.col("m").alias("n_directed_edges"),
+        "sx",
+        "sxy",
+        "sxx",
+        F.expr(_ASSORT_R_MILLI).alias("assortativity_milli"),
+        (F.expr(_ASSORT_R_MILLI) < 0).alias("disassortative"),
+    )
