@@ -3312,3 +3312,131 @@ def q_adf_unit_root_screen(spark, sf_dir):
         F.expr(_ADF_T_MILLI).alias("t_milli"),
         (F.expr(_ADF_T_MILLI) < -2860).alias("stationary_at_05"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: Lo-MacKinlay variance-ratio random-walk test.
+# ---------------------------------------------------------------------------
+
+_VR_QS = [2, 4, 8]
+
+#: VR(q) = Var(y_t - y_{t-q}) / (q * Var(y_t - y_{t-1})) from exact
+#: kilodollar-grain int64 moment sums (n, s, ss) per lag; z under the
+#: homoskedastic null uses phi(q) = 2(2q-1)(q-1)/(3q). One shared
+#: IEEE spelling per output, floored milli.
+_VR_VAR = (
+    "(CAST(ss{tag} AS DOUBLE) / CAST(n{tag} AS DOUBLE)"
+    " - (CAST(s{tag} AS DOUBLE) / CAST(n{tag} AS DOUBLE))"
+    "   * (CAST(s{tag} AS DOUBLE) / CAST(n{tag} AS DOUBLE)))"
+)
+_VR_RATIO = (
+    f"({_VR_VAR.format(tag='q')}"
+    f" / (CAST(q AS DOUBLE) * {_VR_VAR.format(tag='1')}))"
+)
+_VR_MILLI = f"CAST(FLOOR({_VR_RATIO} * 1000.0) AS BIGINT)"
+_VR_Z_MILLI = (
+    f"CAST(FLOOR(({_VR_RATIO} - 1.0)"
+    " * sqrt(CAST(nq AS DOUBLE))"
+    " / sqrt(2.0 * (2.0 * CAST(q AS DOUBLE) - 1.0)"
+    "        * (CAST(q AS DOUBLE) - 1.0) / (3.0 * CAST(q AS DOUBLE)))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+def _vr_sql() -> str:
+    lags = []
+    for q in _VR_QS:
+        lags.append(f"""
+l{q} AS (
+    SELECT {q} AS q,
+           CAST(COUNT(*) AS BIGINT) AS nq,
+           CAST(SUM(b.y - a.y) AS BIGINT) AS sq,
+           CAST(SUM((b.y - a.y) * (b.y - a.y)) AS BIGINT) AS ssq
+    FROM daily a JOIN daily b ON b.d = a.d + {q}
+)""")
+    return f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) // 100000 AS y
+    FROM orders GROUP BY o_orderdate
+),
+l1 AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+           CAST(SUM(b.y - a.y) AS BIGINT) AS s1,
+           CAST(SUM((b.y - a.y) * (b.y - a.y)) AS BIGINT) AS ss1
+    FROM daily a JOIN daily b ON b.d = a.d + 1
+),{",".join(lags)},
+allq AS (
+    {" UNION ALL ".join(f"SELECT * FROM l{q}" for q in _VR_QS)}
+)
+SELECT q, n1, nq, sq AS s_q, ssq AS ss_q,
+       {_VR_MILLI} AS vr_milli,
+       {_VR_Z_MILLI} AS z_milli,
+       abs({_VR_Z_MILLI}) > 1959 AS reject_rw_at_05
+FROM allq CROSS JOIN l1
+ORDER BY q
+"""
+
+
+@register(
+    "variance_ratio_random_walk",
+    _vr_sql(),
+    doc="Lo-MacKinlay variance-ratio test on daily revenue — the "
+    "random-walk diagnostic that complements adf_unit_root_screen "
+    "(ADF asks 'is there a unit root'; VR asks 'do q-day increments "
+    "accumulate variance like independent steps', the property that "
+    "separates mean-reverting from trending from white series; "
+    "VR<1 = mean reversion, VR>1 = momentum): for q in {2,4,8}, "
+    "q-day increments come from date self-joins (b.d = a.d + q, no "
+    "window, gaps drop pairs), variances from exact kilodollar-grain "
+    "int64 moment sums fused per lag, and VR(q) plus the "
+    "homoskedastic-null z (phi(q) = 2(2q-1)(q-1)/(3q)) are single "
+    "shared-IEEE expressions floored to milli, compared against the "
+    "1.959 normal critical. Scale: one day-grain group-by then "
+    "three bounded self-joins on a ~2.4k-row calendar frame; "
+    "kilodollar grain keeps ss under int64 to ~sf500 (the ADF "
+    "discipline).",
+)
+def q_variance_ratio_random_walk(spark, sf_dir):
+    cents = F.expr(
+        "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))"
+        " AS BIGINT) DIV 100000"
+    )
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(cents.alias("y"))
+    )
+
+    def lag_sums(q, tag):
+        a, b = daily.alias("a"), daily.alias("b")
+        diff = F.col("b.y") - F.col("a.y")
+        return (
+            a.join(b, F.col("b.d") == F.date_add(F.col("a.d"), q))
+            .agg(
+                F.count("*").cast("long").alias(f"n{tag}"),
+                F.sum(diff).cast("long").alias(f"s{tag}"),
+                F.sum(diff * diff).cast("long").alias(f"ss{tag}"),
+            )
+        )
+
+    l1 = lag_sums(1, "1")
+    parts = []
+    for q in _VR_QS:
+        lq = lag_sums(q, "q").withColumn("q", F.lit(q).cast("int"))
+        parts.append(lq)
+    allq = parts[0]
+    for p in parts[1:]:
+        allq = allq.unionByName(p)
+    j = allq.crossJoin(F.broadcast(l1))
+    return j.select(
+        "q",
+        "n1",
+        "nq",
+        F.col("sq").alias("s_q"),
+        F.col("ssq").alias("ss_q"),
+        F.expr(_VR_MILLI).alias("vr_milli"),
+        F.expr(_VR_Z_MILLI).alias("z_milli"),
+        (F.abs(F.expr(_VR_Z_MILLI)) > 1959).alias("reject_rw_at_05"),
+    ).orderBy("q")
