@@ -1907,3 +1907,112 @@ def q_session_gap_sensitivity_curve(spark, sf_dir):
         )
         .orderBy("gap_seconds")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: entropy rate of the event-type Markov chain.
+# ---------------------------------------------------------------------------
+
+#: Per-cell contribution (c_ij/C) * ln(c_i/c_ij) quantized to
+#: DECIMAL(28,12) BEFORE the sum (the AP-sum discipline: decimal
+#: accumulation is exact and order-free, so partial-aggregation
+#: order can't perturb a bit). The ln of a ratio of exact int64
+#: counts is the one libm surface, identical spelling both engines.
+_ENTROPY_TERM = (
+    "CAST(CAST(c AS DOUBLE) / CAST(ctot AS DOUBLE)"
+    " * ln(CAST(ci AS DOUBLE) / CAST(c AS DOUBLE)) AS DECIMAL(28,12))"
+)
+
+_ENTROPY_SQL = f"""
+WITH ordered AS (
+    SELECT event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ordered WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+),
+outdeg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS ci FROM trans GROUP BY i),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ctot,
+               CAST(COUNT(DISTINCT i) AS BIGINT) AS k
+        FROM trans),
+cells AS (
+    SELECT t.c, o.ci, x.ctot, x.k
+    FROM trans t JOIN outdeg o ON o.i = t.i CROSS JOIN tot x
+),
+s AS (
+    SELECT CAST(SUM({_ENTROPY_TERM}) AS DOUBLE) AS h_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           MAX(ctot) AS n_transitions, MAX(k) AS k
+    FROM cells
+)
+SELECT n_transitions, n_cells, k,
+       CAST(FLOOR(h_nats * 1000000.0) AS BIGINT) AS entropy_rate_micro,
+       CAST(FLOOR(h_nats / ln(CAST(k AS DOUBLE)) * 1000.0) AS BIGINT)
+           AS normalized_milli
+FROM s
+"""
+
+
+@register(
+    "markov_entropy_rate",
+    _ENTROPY_SQL,
+    doc="Empirical entropy rate of the user-journey event-type Markov "
+    "chain: H = sum_ij (c_ij/C) ln(c_i/c_ij) over the transition "
+    "counts — the single scalar that says how PREDICTABLE the next "
+    "event is given the current one (0 = deterministic journeys, "
+    "ln k = uniform chaos; the normalized column is H/ln(k) in "
+    "milli). Complements markov_stationary_event_mix (where "
+    "attention converges) and event_type_transitions (which steps "
+    "dominate) with the information-theoretic readout; weighting by "
+    "empirical row mass c_i/C equals the stationary weighting when "
+    "the chain is ergodic-sampled, and keeps every input an exact "
+    "int64 count. Float discipline: each cell's term is ONE shared "
+    "ln-of-count-ratio expression quantized to DECIMAL(28,12) "
+    "per-term before summing (the model_eval_metrics AP-sum rule), "
+    "so the aggregate is order-free and bit-stable at any "
+    "parallelism. Scale: one per-user lag window (the cost every "
+    "journey entry pays) reducing to a k x k cell frame; everything "
+    "downstream is a ~25-row computation.",
+)
+def q_markov_entropy_rate(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("i"), F.col("event_type").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("c").cast("long").alias("ci"))
+    tot = trans.agg(
+        F.sum("c").cast("long").alias("ctot"),
+        F.countDistinct("i").cast("long").alias("k"),
+    )
+    cells = trans.join(outdeg, on="i").crossJoin(F.broadcast(tot)).select(
+        "c", "ci", "ctot", "k"
+    )
+    s = cells.agg(
+        F.sum(F.expr(_ENTROPY_TERM)).cast("double").alias("h_nats"),
+        F.count("*").cast("long").alias("n_cells"),
+        F.max("ctot").alias("n_transitions"),
+        F.max("k").alias("k"),
+    )
+    return s.select(
+        "n_transitions",
+        "n_cells",
+        "k",
+        F.floor(F.col("h_nats") * 1000000.0).cast("long").alias(
+            "entropy_rate_micro"
+        ),
+        F.expr(
+            "CAST(FLOOR(h_nats / ln(CAST(k AS DOUBLE)) * 1000.0) AS BIGINT)"
+        ).alias("normalized_milli"),
+    )

@@ -4662,3 +4662,157 @@ def q_uplift_qini_deciles(spark, sf_dir):
             " - conv_c_cum * 1000000 DIV n_c_cum AS BIGINT)"
         ).alias("uplift_cum_ppm"),
     ).orderBy("decile")
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: O'Brien-Fleming group-sequential monitor.
+# --------------------------------------------------------------------------
+
+#: Classic O'Brien-Fleming two-sided group-sequential z-boundaries for
+#: K=4 equally-spaced looks at overall alpha=0.05 (Jennison & Turnbull
+#: table 2.3: 4.049, 2.863, 2.337, 2.024) — precomputed literals in
+#: floored milli, so neither engine evaluates a quantile function.
+_OBF_BOUNDS_MILLI = [(1, 4049), (2, 2863), (3, 2337), (4, 2024)]
+#: H0 purchase share p0 = 0.30; p0*(1-p0) = 0.21 exactly.
+_OBF_P0_PCT = 30
+
+_OBF_Z_MILLI = (
+    "CAST(FLOOR((CAST(100 * x_cum - {p0} * n_cum AS DOUBLE) / 100.0)"
+    " / sqrt(CAST(n_cum AS DOUBLE) * {pq} / 10000.0)"
+    " * 1000.0) AS BIGINT)"
+).format(p0=_OBF_P0_PCT, pq=_OBF_P0_PCT * (100 - _OBF_P0_PCT))
+
+_OBF_ROWS = ", ".join(f"({k}, {b})" for k, b in _OBF_BOUNDS_MILLI)
+
+_OBF_SQL = f"""
+WITH ev AS (
+    SELECT CAST(ts AS DATE) AS d,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+    FROM events
+),
+bounds_d AS (
+    SELECT MIN(d) AS d_lo, MAX(d) AS d_hi FROM ev
+),
+looked AS (
+    SELECT LEAST(CAST((d - d_lo) AS BIGINT) * 4
+                 // GREATEST(CAST((d_hi - d_lo) AS BIGINT) + 1, 1) + 1, 4)
+               AS look,
+           is_p
+    FROM ev CROSS JOIN bounds_d
+),
+per_look AS (
+    SELECT look, CAST(COUNT(*) AS BIGINT) AS n_k,
+           CAST(SUM(is_p) AS BIGINT) AS x_k
+    FROM looked GROUP BY look
+),
+cum AS (
+    SELECT a.look,
+           CAST(SUM(b.n_k) AS BIGINT) AS n_cum,
+           CAST(SUM(b.x_k) AS BIGINT) AS x_cum
+    FROM per_look a JOIN per_look b ON b.look <= a.look
+    GROUP BY a.look
+),
+grid(look, bound_milli) AS (VALUES {_OBF_ROWS}),
+z AS (
+    SELECT c.look, c.n_cum, c.x_cum,
+           CAST(g.bound_milli AS BIGINT) AS bound_milli,
+           {_OBF_Z_MILLI} AS z_milli
+    FROM cum c JOIN grid g ON g.look = c.look
+)
+SELECT look, n_cum, x_cum, bound_milli, z_milli,
+       abs(z_milli) > bound_milli AS crossed,
+       (abs(z_milli) > bound_milli
+        AND (SELECT COALESCE(MIN(z2.look), 99) FROM z z2
+             WHERE abs(z2.z_milli) > z2.bound_milli) = look)
+           AS first_crossing
+FROM z
+ORDER BY look
+"""
+
+
+@register(
+    "group_sequential_obf_monitor",
+    _OBF_SQL,
+    doc="O'Brien-Fleming group-sequential monitor on the purchase "
+    "share (H0: 30%), K=4 equally-spaced looks over the event "
+    "calendar — the interim-analysis discipline between fixed-n "
+    "testing (two_proportion_ztest_returns) and fully-sequential "
+    "SPRT (sprt_conversion_monitor): spend almost no alpha early "
+    "(|z| > 4.049 at look 1) and close near the fixed-n critical "
+    "(2.024 at look 4), so a true effect stops the experiment early "
+    "while a null one keeps full final power. The OBF boundaries "
+    "are precomputed milli literals (Jennison & Turnbull Table "
+    "2.3), look assignment is pure integer date arithmetic, "
+    "cumulative counts come from a 4x4 self-join on the look frame "
+    "(no window), and the z per look is one shared-IEEE expression "
+    "over exact int64 counts with an integer numerator (100x - "
+    "30n)/100 so the centering never rounds. Scale: one scan-local "
+    "day-to-look reduce; everything after is a 4-row frame.",
+)
+def q_group_sequential_obf_monitor(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        F.to_date("ts").alias("d"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_p"
+        ),
+    )
+    bounds_d = ev.agg(F.min("d").alias("d_lo"), F.max("d").alias("d_hi"))
+    looked = ev.crossJoin(F.broadcast(bounds_d)).select(
+        F.least(
+            F.expr(
+                "CAST(datediff(d, d_lo) AS BIGINT) * 4"
+                " DIV GREATEST(CAST(datediff(d_hi, d_lo) AS BIGINT) + 1, 1)"
+                " + 1"
+            ),
+            F.lit(4).cast("long"),
+        ).alias("look"),
+        "is_p",
+    )
+    per_look = looked.groupBy("look").agg(
+        F.count("*").cast("long").alias("n_k"),
+        F.sum("is_p").cast("long").alias("x_k"),
+    )
+    a = per_look.alias("a")
+    b = per_look.alias("b")
+    cum = (
+        a.join(b, F.col("b.look") <= F.col("a.look"))
+        .groupBy(F.col("a.look").alias("look"))
+        .agg(
+            F.sum("b.n_k").cast("long").alias("n_cum"),
+            F.sum("b.x_k").cast("long").alias("x_cum"),
+        )
+    )
+    grid = spark.createDataFrame(
+        _OBF_BOUNDS_MILLI, "look INT, bound_milli INT"
+    ).select(F.col("look").cast("long"), "bound_milli")
+    z = cum.join(F.broadcast(grid), on="look").select(
+        "look",
+        "n_cum",
+        "x_cum",
+        F.col("bound_milli").cast("long"),
+        F.expr(_OBF_Z_MILLI).alias("z_milli"),
+    )
+    first = (
+        z.filter(F.abs(F.col("z_milli")) > F.col("bound_milli"))
+        .agg(F.coalesce(F.min("look"), F.lit(99)).alias("first_look"))
+    )
+    return (
+        z.crossJoin(F.broadcast(first))
+        .select(
+            "look",
+            "n_cum",
+            "x_cum",
+            "bound_milli",
+            "z_milli",
+            (F.abs(F.col("z_milli")) > F.col("bound_milli")).alias(
+                "crossed"
+            ),
+            (
+                (F.abs(F.col("z_milli")) > F.col("bound_milli"))
+                & (F.col("first_look") == F.col("look"))
+            ).alias("first_crossing"),
+        )
+        .orderBy("look")
+    )

@@ -75,6 +75,8 @@ _TWINS = [
     "cramers_v_matrix",                # dense-spine joins + micro-quantized Pearson cells
     # round-8 qualifying additions
     "wilcoxon_signed_rank_spend",      # paired-diff doubled-rank window + shared z
+    # round-9 qualifying additions
+    "copurchase_degree_assortativity", # self-join graph build + scalar subquery + shared r
 ]
 
 
