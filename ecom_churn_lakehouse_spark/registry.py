@@ -195,6 +195,19 @@ NEW_IN_ROUND: list[str] = [
     "mase_seasonal_naive_backtest",
     "stream_survival_spans_maintenance",
     "runs_test_daily_revenue",
+    # (b2) fourth-wave round-9 operators (added after the first
+    #      definitive FULLCHECK; all first-time):
+    "gopher_quality_rules",
+    "mixture_temperature_allocation",
+    "adf_unit_root_screen",
+    "variance_ratio_random_walk",
+    "copurchase_degree_assortativity",
+    "sql_copurchase_degree_assortativity",
+    "dp_laplace_release_advisor",
+    "embedding_grid_range_join",
+    "brier_murphy_decomposition",
+    "group_sequential_obf_monitor",
+    "markov_entropy_rate",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

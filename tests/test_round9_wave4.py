@@ -1,0 +1,359 @@
+"""Round-9 fourth-wave hand-checks: every new operator recomputed
+independently (NumPy / pure Python) from the same fixture at
+sf0.001, plus the structural invariants the oracles can't see
+(no-false-negative guarantees, decomposition identities, boundary
+uniqueness)."""
+
+import math
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs_pdf(spark):
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    return load_table(spark, SF, "documents").toPandas()
+
+
+def test_gopher_rules_match_python(spark):
+    """Per-document rule flags recomputed in pure Python."""
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_gopher_quality_rules,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_gopher_quality_rules(spark, SF).collect()
+    }
+    pdf = _docs_pdf(spark)
+    stop = {"the", "a", "and", "of", "to", "in"}
+    assert len(rows) == len(pdf)
+    for _, doc in pdf.iterrows():
+        toks = doc.text.split()
+        r = rows[doc.doc_id]
+        assert r["n_tokens"] == len(toks)
+        assert r["sum_len"] == sum(len(t) for t in toks)
+        assert r["n_stop"] == sum(1 for t in toks if t in stop)
+        assert r["n_distinct"] == len(set(toks))
+        assert r["max_tok_len"] == max(len(t) for t in toks)
+        assert r["n_single"] == sum(1 for t in toks if len(t) == 1)
+        flags = [
+            25 <= len(toks) <= 90,
+            4 * len(toks) <= r["sum_len"] <= 6 * len(toks),
+            r["n_stop"] >= 2,
+            r["n_distinct"] * 2 >= len(toks),
+            r["max_tok_len"] <= 7,
+            r["n_single"] * 1_000_000 <= 100_000 * len(toks),
+        ]
+        got = [
+            r["rule_word_count"],
+            r["rule_mean_word_len"],
+            r["rule_stopwords"],
+            r["rule_distinct_ratio"],
+            r["rule_max_word_len"],
+            r["rule_single_char"],
+        ]
+        assert got == flags, doc.doc_id
+        assert r["n_rules_passed"] == sum(flags)
+        assert r["keep"] == all(flags)
+
+
+def test_temperature_mixture_isqrt_and_flags(spark):
+    """isqrt must be the exact integer sqrt; upweighted must mean the
+    temperature weight exceeds the proportional one (in exact
+    rationals, not the floored ppm)."""
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        q_mixture_temperature_allocation,
+    )
+
+    rows = [
+        r.asDict()
+        for r in q_mixture_temperature_allocation(spark, SF).collect()
+    ]
+    assert rows
+    corpus = sum(r["avail_tokens"] for r in rows)
+    denom = sum(r["isqrt_tokens"] for r in rows)
+    for r in rows:
+        assert r["isqrt_tokens"] == math.isqrt(r["avail_tokens"])
+        assert r["weight_ppm"] == r["isqrt_tokens"] * 1_000_000 // denom
+        assert r["prop_ppm"] == r["avail_tokens"] * 1_000_000 // corpus
+        assert r["upweighted"] == (
+            r["isqrt_tokens"] * corpus > r["avail_tokens"] * denom
+        )
+    # temperature must compress the spread: every below-average source
+    # is upweighted, every above-average one downweighted
+    assert any(r["upweighted"] for r in rows)
+    assert any(not r["upweighted"] for r in rows)
+
+
+def _daily_revenue(spark, grain=100_000):
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    pdf = (
+        load_table(spark, SF, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                f" AS BIGINT)) AS BIGINT) DIV {grain}"
+            ).alias("y")
+        )
+        .toPandas()
+        .sort_values("d")
+        .reset_index(drop=True)
+    )
+    return pdf
+
+
+def test_adf_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_adf_unit_root_screen,
+    )
+
+    r = q_adf_unit_root_screen(spark, SF).collect()[0]
+    pdf = _daily_revenue(spark)
+    d = pdf.d.to_numpy()
+    y = pdf.y.to_numpy(dtype=np.int64)
+    nxt = {di: i for i, di in enumerate(d)}
+    import datetime
+
+    x, dy = [], []
+    for i, di in enumerate(d):
+        j = nxt.get(di + datetime.timedelta(days=1))
+        if j is not None:
+            x.append(y[i])
+            dy.append(y[j] - y[i])
+    x = np.array(x, dtype=float)
+    dy = np.array(dy, dtype=float)
+    n = len(x)
+    assert r["n"] == n
+    sxx = n * (x * x).sum() - x.sum() ** 2
+    gamma = (n * (x * dy).sum() - x.sum() * dy.sum()) / sxx
+    cx = (x * x).sum() - x.sum() ** 2 / n
+    cxy = (x * dy).sum() - x.sum() * dy.sum() / n
+    cyy = (dy * dy).sum() - dy.sum() ** 2 / n
+    sse = cyy - gamma * cxy
+    t = gamma / math.sqrt((sse / (n - 2)) / cx)
+    assert abs(r["gamma_micro"] - math.floor(gamma * 1e6)) <= 1
+    assert abs(r["t_milli"] - math.floor(t * 1000)) <= 1
+    assert r["stationary_at_05"] == (r["t_milli"] < -2860)
+
+
+def test_variance_ratio_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_variance_ratio_random_walk,
+    )
+
+    rows = {
+        r["q"]: r.asDict()
+        for r in q_variance_ratio_random_walk(spark, SF).collect()
+    }
+    assert sorted(rows) == [2, 4, 8]
+    pdf = _daily_revenue(spark)
+    import datetime
+
+    idx = {di: i for i, di in enumerate(pdf.d)}
+    y = pdf.y.to_numpy(dtype=float)
+
+    def var_of_lag(q):
+        diffs = []
+        for di, i in idx.items():
+            j = idx.get(di + datetime.timedelta(days=q))
+            if j is not None:
+                diffs.append(y[j] - y[i])
+        a = np.array(diffs)
+        return a.size, (a * a).mean() - a.mean() ** 2
+
+    n1, v1 = var_of_lag(1)
+    for q in (2, 4, 8):
+        nq, vq = var_of_lag(q)
+        vr = vq / (q * v1)
+        z = (vr - 1.0) * math.sqrt(nq) / math.sqrt(
+            2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)
+        )
+        assert rows[q]["nq"] == nq
+        assert abs(rows[q]["vr_milli"] - math.floor(vr * 1000)) <= 1
+        assert abs(rows[q]["z_milli"] - math.floor(z * 1000)) <= 1
+
+
+def test_assortativity_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.graph_queries import (
+        q_copurchase_degree_assortativity,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r = q_copurchase_degree_assortativity(spark, SF).collect()[0]
+    op = (
+        load_table(spark, SF, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(list)
+    for _, row in op.iterrows():
+        by_order[row.l_orderkey].append(row.l_partkey)
+    pair_counts = Counter()
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    pair_counts[(a, b)] += 1
+    edges = [p for p, c in pair_counts.items() if c >= 2]
+    deg = Counter(src for src, _ in edges)
+    dx = np.array([deg[a] for a, b in edges], dtype=float)
+    dy = np.array([deg[b] for a, b in edges], dtype=float)
+    m = len(edges)
+    num = m * (dx * dy).sum() - dx.sum() * dy.sum()
+    den = math.sqrt(
+        (m * (dx * dx).sum() - dx.sum() ** 2)
+        * (m * (dy * dy).sum() - dy.sum() ** 2)
+    )
+    assert r["n_directed_edges"] == m
+    assert r["n_nodes"] == len(deg)
+    assert abs(r["assortativity_milli"] - math.floor(num / den * 1000)) <= 1
+
+
+def test_dp_advisor_thresholds(spark):
+    from ecom_churn_lakehouse_spark.queries.governance_queries import (
+        q_dp_laplace_release_advisor,
+    )
+
+    rows = [
+        r.asDict() for r in q_dp_laplace_release_advisor(spark, SF).collect()
+    ]
+    assert rows and len(rows) % 3 == 0
+    ln_const = math.log(1.0 / (2.0 * 1e-6))
+    for r in rows:
+        b = r["scale_b"]
+        assert b == {100: 10, 500: 2, 1000: 1}[r["eps_milli"]]
+        assert r["rel_err_ppm"] == b * 1_000_000 // r["n"]
+        assert r["snr"] == r["n"] // b
+        assert r["tau_threshold"] == 1 + math.ceil(b * ln_const)
+        assert r["passes_threshold"] == (r["n"] > r["tau_threshold"])
+        # tighter epsilon (smaller) => larger scale => never easier
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["segment"], []).append(r)
+    for seg_rows in by_seg.values():
+        seg_rows.sort(key=lambda r: r["eps_milli"])
+        errs = [r["rel_err_ppm"] for r in seg_rows]
+        assert errs == sorted(errs, reverse=True)
+
+
+def test_grid_range_join_no_false_negatives(spark):
+    """The grid plan must find EXACTLY the brute-force pair set."""
+    from ecom_churn_lakehouse_spark.queries.similarity_queries import (
+        _GRID_EPS_MICRO,
+        _GRID_SHIFT,
+        q_embedding_grid_range_join,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["dist_sq"]
+        for r in q_embedding_grid_range_join(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    q = {
+        row.vec_id: (
+            math.floor(float(row.embedding[0]) * 1e6) + _GRID_SHIFT,
+            math.floor(float(row.embedding[1]) * 1e6) + _GRID_SHIFT,
+        )
+        for _, row in emb.iterrows()
+    }
+    ids = sorted(q)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = (q[a][0] - q[b][0]) ** 2 + (q[a][1] - q[b][1]) ** 2
+            if d <= _GRID_EPS_MICRO * _GRID_EPS_MICRO:
+                want[(a, b)] = d
+    assert got == want
+    assert want  # non-vacuous
+
+
+def test_brier_murphy_identity_and_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_brier_murphy_decomposition,
+    )
+
+    r = q_brier_murphy_decomposition(spark, SF).collect()[0]
+    # the two-step floored normalizations (DIV n then DIV n / n^2)
+    # each lose at most one unit of their intermediate grain, so the
+    # identity gap is bounded by ~2e6/N ppm — tight at scale, loose
+    # only on tiny fixtures
+    assert abs(r["identity_gap_ppm"]) <= 2_000_000 // r["n"] + 2
+    assert 0 <= r["reliability_ppm"]
+    assert 0 <= r["resolution_ppm"]
+    assert 0 < r["uncertainty_ppm"] <= 250_000  # y(1-y) <= 1/4
+    assert r["skillful"] == (r["resolution_ppm"] > r["reliability_ppm"])
+    assert r["n_bins"] >= 2
+    assert r["brier_ppm"] >= 0
+
+
+def test_obf_monitor_boundaries(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_group_sequential_obf_monitor,
+    )
+
+    rows = [
+        r.asDict()
+        for r in q_group_sequential_obf_monitor(spark, SF)
+        .orderBy("look")
+        .collect()
+    ]
+    assert [r["look"] for r in rows] == [1, 2, 3, 4]
+    assert [r["bound_milli"] for r in rows] == [4049, 2863, 2337, 2024]
+    # cumulative counts are monotone and end at the full population
+    ns = [r["n_cum"] for r in rows]
+    assert ns == sorted(ns)
+    # z recomputation
+    for r in rows:
+        z = ((r["x_cum"] - 0.30 * r["n_cum"]))
+        z = z / math.sqrt(r["n_cum"] * 0.21)
+        assert abs(r["z_milli"] - math.floor(z * 1000)) <= 1
+        assert r["crossed"] == (abs(r["z_milli"]) > r["bound_milli"])
+    # at most one first_crossing, and it is the earliest crossed look
+    firsts = [r["look"] for r in rows if r["first_crossing"]]
+    crossed = [r["look"] for r in rows if r["crossed"]]
+    if crossed:
+        assert firsts == [min(crossed)]
+    else:
+        assert firsts == []
+
+
+def test_markov_entropy_bounds_and_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_markov_entropy_rate,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    r = q_markov_entropy_rate(spark, SF).collect()[0]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pdf = (
+        load_events(spark, SF)
+        .select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "event_type")
+        .count()
+        .toPandas()
+    )
+    ctot = pdf["count"].sum()
+    ci = pdf.groupby("prev")["count"].sum().to_dict()
+    h = sum(
+        (row["count"] / ctot) * math.log(ci[row.prev] / row["count"])
+        for _, row in pdf.iterrows()
+    )
+    k = pdf.prev.nunique()
+    assert r["n_transitions"] == ctot
+    assert r["k"] == k
+    assert abs(r["entropy_rate_micro"] - math.floor(h * 1e6)) <= 2
+    assert 0 <= r["normalized_milli"] <= 1000
