@@ -1809,3 +1809,96 @@ def q_brier_murphy_decomposition(spark, sf_dir):
         (brier - (rel - res + unc)).cast("long").alias("identity_gap_ppm"),
         (res > rel).alias("skillful"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: restricted mean survival time (RMST).
+# ---------------------------------------------------------------------------
+
+#: S(t_{i-1}) * (t_i - t_{i-1}) quantized per-term to DECIMAL(28,12)
+#: BEFORE the sum (the AP-sum discipline): exp of the exact-integer
+#: log-domain KM state is the only libm surface, spelled identically
+#: on both engines.
+_RMST_TERM = (
+    "CAST(exp(CAST(prev_log AS DOUBLE) / 1000000.0)"
+    " * CAST(t - prev_t AS DOUBLE) AS DECIMAL(28,12))"
+)
+
+_RMST_SQL = f"""
+WITH {_SPANS_CTES},
+durdist AS (
+    SELECT dur, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(ev) AS BIGINT) AS d
+    FROM spans GROUP BY dur
+),
+cum AS (
+    SELECT dur, c, d,
+           CAST(SUM(c) OVER (ORDER BY dur) - c AS BIGINT) AS below,
+           CAST((SELECT SUM(c) FROM durdist) AS BIGINT) AS n_total
+    FROM durdist
+),
+km AS (
+    SELECT dur AS t, d, n_total - below AS n_risk
+    FROM cum WHERE d > 0 AND d < n_total - below
+),
+steps AS (
+    SELECT t,
+           CAST(SUM({_KM_TERM_MICRO}) OVER (ORDER BY t) AS BIGINT)
+               AS log_surv_micro
+    FROM km
+),
+lagged AS (
+    SELECT t,
+           COALESCE(LAG(t) OVER (ORDER BY t), 0) AS prev_t,
+           COALESCE(LAG(log_surv_micro) OVER (ORDER BY t), 0) AS prev_log
+    FROM steps
+)
+SELECT CAST(MAX(t) AS BIGINT) AS tau_days,
+       CAST(COUNT(*) AS BIGINT) AS n_steps,
+       CAST(FLOOR(CAST(SUM({_RMST_TERM}) AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS rmst_micro_days
+FROM lagged
+"""
+
+
+@register(
+    "rmst_repeat_purchase",
+    _RMST_SQL,
+    doc="Restricted mean survival time for time-to-second-order up to "
+    "tau = the last observed event time: the area under the "
+    "Kaplan-Meier curve, i.e. the expected number of days a new "
+    "customer stays single-order within the horizon — the one "
+    "SCALAR the survival tier (kaplan_meier = the curve, "
+    "nelson_aalen = cumulative hazard, logrank = comparison) "
+    "publishes to a dashboard, and the standard effect measure "
+    "when proportional hazards fails. Riemann terms "
+    "S(t_{i-1})*(t_i - t_{i-1}) use the KM state carried in the "
+    "exact-integer log domain; each term takes ONE exp() (identical "
+    "spelling both engines) and quantizes to DECIMAL(28,12) before "
+    "the sum, so the total is order-free (the AP-sum rule). Scale: "
+    "inherits the KM reduction — customer grain, then the "
+    "calendar-bounded distinct-duration frame; both windows run "
+    "over durations, never customers.",
+    bounded_frame="calendar-bounded distinct-duration grain (<= dataset day span)",
+)
+def q_rmst_repeat_purchase(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    km = q_kaplan_meier_repeat_purchase(spark, sf_dir).select(
+        "t", "log_surv_micro"
+    )
+    w = Window.orderBy("t")
+    lagged = km.select(
+        "t",
+        F.coalesce(F.lag("t").over(w), F.lit(0)).alias("prev_t"),
+        F.coalesce(F.lag("log_surv_micro").over(w), F.lit(0)).alias(
+            "prev_log"
+        ),
+    )
+    return lagged.agg(
+        F.max("t").cast("long").alias("tau_days"),
+        F.count("*").cast("long").alias("n_steps"),
+        F.floor(F.sum(F.expr(_RMST_TERM)).cast("double") * 1000000.0)
+        .cast("long")
+        .alias("rmst_micro_days"),
+    )

@@ -1367,3 +1367,118 @@ def q_bradley_terry_brand_strengths(spark, sf_dir):
         .cast("long")
         .alias("rnk"),
     ).orderBy("rnk")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: UCB1 bandit arm-allocation advisor.
+# ---------------------------------------------------------------------------
+
+#: UCB1 score = mean + sqrt(2 ln N / n_i) as one shared-IEEE
+#: expression over exact int64 (x, n, N), floored micro.
+_UCB_MICRO = (
+    "CAST(FLOOR((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)"
+    " + sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / CAST(n AS DOUBLE)))"
+    " * 1000000.0) AS BIGINT)"
+)
+
+_UCB_SQL = f"""
+WITH arms AS (
+    SELECT c.c_mktsegment AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS x
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+      ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM arms),
+scored AS (
+    SELECT arm, n, x,
+           CAST(x * 1000000 // n AS BIGINT) AS mean_ppm,
+           {_UCB_MICRO} AS ucb_micro
+    FROM arms CROSS JOIN tot
+),
+best AS (
+    SELECT MAX(ucb_micro) AS best_ucb FROM scored
+),
+ranked AS (
+    SELECT s.*, b.best_ucb,
+           (SELECT MIN(s2.arm) FROM scored s2 CROSS JOIN best b2
+            WHERE s2.ucb_micro = b2.best_ucb) AS best_arm
+    FROM scored s CROSS JOIN best b
+)
+SELECT arm, n, x, mean_ppm, ucb_micro,
+       (arm = best_arm) AS pull_next
+FROM ranked
+ORDER BY arm
+"""
+
+
+@register(
+    "ucb_arm_allocation",
+    _UCB_SQL,
+    doc="UCB1 bandit allocation over market segments (arm = segment, "
+    "pull = a customer acquired into it, reward = the customer "
+    "converts to >=1 order): per arm the exact conversion mean and "
+    "the optimism bonus sqrt(2 ln N / n_i), summed into the UCB1 "
+    "index (Auer et al. 2002) as ONE shared-IEEE expression over "
+    "exact int64 counts floored to micro, plus the deterministic "
+    "pull_next verdict (max index, lexicographic tie-break via a "
+    "scalar subquery, so the choice is a value, not an "
+    "implementation accident) — the exploration/exploitation "
+    "allocator the experimentation tier lacked: fixed-n tests "
+    "(two_proportion), sequential tests (SPRT, OBF) all SPLIT "
+    "traffic; the bandit DECIDES where the next unit goes. Scale: "
+    "one distinct-reduce + broadcast left-join to the customer "
+    "grain, then 5-row frames throughout.",
+)
+def q_ucb_arm_allocation(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    buyers = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+    )
+    arms = (
+        cust.join(
+            buyers.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+                "has_order", F.lit(1)
+            ),
+            on="c_custkey",
+            how="left",
+        )
+        .groupBy(F.col("c_mktsegment").alias("arm"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.coalesce(F.col("has_order"), F.lit(0)))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    tot = arms.agg(F.sum("n").cast("long").alias("n_total"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        "x",
+        F.expr("CAST(x * 1000000 DIV n AS BIGINT)").alias("mean_ppm"),
+        F.expr(_UCB_MICRO).alias("ucb_micro"),
+    )
+    best = scored.agg(F.max("ucb_micro").alias("best_ucb"))
+    best_arm = (
+        scored.crossJoin(F.broadcast(best))
+        .filter(F.col("ucb_micro") == F.col("best_ucb"))
+        .agg(F.min("arm").alias("best_arm"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(best_arm))
+        .select(
+            "arm",
+            "n",
+            "x",
+            "mean_ppm",
+            "ucb_micro",
+            (F.col("arm") == F.col("best_arm")).alias("pull_next"),
+        )
+        .orderBy("arm")
+    )

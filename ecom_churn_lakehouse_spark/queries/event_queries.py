@@ -2016,3 +2016,161 @@ def q_markov_entropy_rate(spark, sf_dir):
             "CAST(FLOOR(h_nats / ln(CAST(k AS DOUBLE)) * 1000.0) AS BIGINT)"
         ).alias("normalized_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: absorption probability (first passage to purchase).
+# ---------------------------------------------------------------------------
+
+_ABS_TARGET = "purchase"
+_ABS_STEPS = 3  # u3 = P(absorb within 3 transitions)
+
+
+def _absorption_sql() -> str:
+    # unrolled first-passage recursion in exact integer milli:
+    # u_{k+1}(i) = p_direct(i) + sum_{j != target} p(i,j) * u_k(j) // 1000
+    steps = []
+    prev = "u1"
+    for k in range(2, _ABS_STEPS + 1):
+        steps.append(
+            f"u{k} AS (\n"
+            f"    SELECT d.i,\n"
+            f"           CAST(d.direct_milli\n"
+            f"                + COALESCE(SUM(p.p_milli * u.u_milli), 0)"
+            f" // 1000 AS BIGINT) AS u_milli\n"
+            f"    FROM direct d\n"
+            f"    LEFT JOIN pmat p ON p.i = d.i AND p.j <> '{_ABS_TARGET}'\n"
+            f"    LEFT JOIN {prev} u ON u.i = p.j\n"
+            f"    GROUP BY d.i, d.direct_milli\n)"
+        )
+        prev = f"u{k}"
+    return f"""
+WITH ordered AS (
+    SELECT event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ordered
+    WHERE prev_type IS NOT NULL AND prev_type <> '{_ABS_TARGET}'
+    GROUP BY prev_type, event_type
+),
+outdeg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS total FROM trans GROUP BY i),
+pmat AS (
+    SELECT t.i, t.j, CAST(t.c * 1000 // o.total AS BIGINT) AS p_milli
+    FROM trans t JOIN outdeg o ON o.i = t.i
+),
+direct AS (
+    SELECT o.i, o.total,
+           CAST(COALESCE(MAX(CASE WHEN p.j = '{_ABS_TARGET}'
+                                  THEN p.p_milli END), 0) AS BIGINT)
+               AS direct_milli
+    FROM outdeg o LEFT JOIN pmat p ON p.i = o.i
+    GROUP BY o.i, o.total
+),
+u1 AS (SELECT i, direct_milli AS u_milli FROM direct),
+{",".join(steps)}
+SELECT d.i AS event_type, d.total AS out_transitions,
+       d.direct_milli AS absorb1_milli,
+       uf.u_milli AS absorb{_ABS_STEPS}_milli
+FROM direct d JOIN u{_ABS_STEPS} uf ON uf.i = d.i
+ORDER BY d.i
+"""
+
+
+@register(
+    "markov_absorption_conversion",
+    _absorption_sql(),
+    doc=f"First-passage absorption probability into '{_ABS_TARGET}': "
+    "for each non-target event type, the probability a journey "
+    "reaches a purchase within 1 and within "
+    f"{_ABS_STEPS} transitions — the absorbing-chain funnel metric "
+    "(fundamental-matrix semantics, computed as the unrolled "
+    "first-passage recursion u_(k+1) = p_direct + P_transient u_k "
+    "rather than a matrix inverse). Complements "
+    "markov_stationary_event_mix (long-run attention) and "
+    "markov_entropy_rate (predictability) with WHERE JOURNEYS "
+    "CONVERT. All mass arithmetic in exact integer milli (p_milli "
+    "floor-quantized once from exact counts; each update floors "
+    "once after the sum — the stationary-mix discipline), so the "
+    "recursion is bit-exact at any parallelism on both engines. "
+    "Scale: the per-user lag window reduces the fact to the k x k "
+    "transition grain; each unrolled step is a <=25-row join.",
+)
+def q_markov_absorption_conversion(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != _ABS_TARGET)
+        )
+        .groupBy(
+            F.col("prev_type").alias("i"), F.col("event_type").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("c").cast("long").alias("total"))
+    pmat = trans.join(outdeg, on="i").select(
+        "i",
+        "j",
+        F.expr("CAST(c * 1000 DIV total AS BIGINT)").alias("p_milli"),
+    )
+    direct = (
+        outdeg.join(pmat.withColumnRenamed("i", "pi"),
+                    outdeg.i == F.col("pi"), "left")
+        .groupBy("i", "total")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("j") == _ABS_TARGET, F.col("p_milli"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("direct_milli")
+        )
+    )
+    u = direct.select("i", F.col("direct_milli").alias("u_milli"))
+    trans_p = pmat.filter(F.col("j") != _ABS_TARGET)
+    for _ in range(2, _ABS_STEPS + 1):
+        u = (
+            direct.join(
+                trans_p.withColumnRenamed("i", "pi"),
+                direct.i == F.col("pi"),
+                "left",
+            )
+            .join(
+                u.select(
+                    F.col("i").alias("uj"), F.col("u_milli").alias("uv")
+                ),
+                F.col("j") == F.col("uj"),
+                "left",
+            )
+            .groupBy("i", "direct_milli")
+            .agg(
+                F.expr(
+                    "CAST(direct_milli"
+                    " + COALESCE(SUM(p_milli * uv), 0) DIV 1000"
+                    " AS BIGINT)"
+                ).alias("u_milli")
+            )
+            .select("i", "u_milli")
+        )
+    return (
+        direct.join(u.withColumnRenamed("u_milli", "uf"), on="i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("total").alias("out_transitions"),
+            F.col("direct_milli").alias("absorb1_milli"),
+            F.col("uf").alias(f"absorb{_ABS_STEPS}_milli"),
+        )
+        .orderBy("event_type")
+    )

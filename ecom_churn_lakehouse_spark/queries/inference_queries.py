@@ -4816,3 +4816,147 @@ def q_group_sequential_obf_monitor(spark, sf_dir):
         )
         .orderBy("look")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: inverse-propensity-weighted ATE (IPW).
+# --------------------------------------------------------------------------
+
+#: Per-cell IPW contributions in closed form: within a (brand, q)
+#: stratum the empirical propensity is n_t/n, so
+#: sum_treated y/p    = sum_t * n // n_t   and
+#: sum_control y/(1-p) = sum_c * n // n_c  — exact non-negative
+#: integer floor divisions at the cell (one cent of floor slack per
+#: cell), summed as plain int64.
+_IPW_SQL = """
+WITH tagged AS (
+    SELECT p.p_brand AS brand,
+           CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT) AS q,
+           p.p_type LIKE 'PROMO%' AS treated,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+cells AS (
+    SELECT brand, q,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+           CAST(SUM(CASE WHEN treated THEN cents ELSE 0 END) AS BIGINT)
+               AS sum_t,
+           CAST(SUM(CASE WHEN treated THEN 0 ELSE 1 END) AS BIGINT) AS n_c,
+           CAST(SUM(CASE WHEN treated THEN 0 ELSE cents END) AS BIGINT)
+               AS sum_c
+    FROM tagged GROUP BY brand, q
+),
+overlap AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0),
+comp AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_overlap,
+           CAST(SUM(n) AS BIGINT) AS n_lines_overlap,
+           CAST(SUM(sum_t * n // n_t) AS BIGINT) AS t_weighted_cents,
+           CAST(SUM(sum_c * n // n_c) AS BIGINT) AS c_weighted_cents
+    FROM overlap
+),
+degenerate AS (
+    SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_lines_degenerate
+    FROM cells WHERE n_t = 0 OR n_c = 0
+)
+SELECT n_cells_overlap, n_lines_overlap, n_lines_degenerate,
+       t_weighted_cents, c_weighted_cents,
+       CAST(CASE WHEN t_weighted_cents >= c_weighted_cents
+            THEN (t_weighted_cents - c_weighted_cents) * 10
+                 // n_lines_overlap
+            ELSE -((c_weighted_cents - t_weighted_cents) * 10
+                   // n_lines_overlap)
+                 - (CASE WHEN (c_weighted_cents - t_weighted_cents) * 10
+                              % n_lines_overlap > 0 THEN 1 ELSE 0 END)
+            END AS BIGINT) AS ipw_ate_millicents
+FROM comp CROSS JOIN degenerate
+"""
+
+
+@register(
+    "ipw_ate_promo",
+    _IPW_SQL,
+    doc="Inverse-propensity-weighted average treatment effect of "
+    "PROMO parts on line price — the WEIGHTING estimator that "
+    "completes the causal tier's identification trio (exact_"
+    "matching_att = matching, promo_did_uplift = time, cuped = "
+    "variance reduction): within each (brand, quantity) stratum the "
+    "empirical propensity is n_t/n, so the Horvitz-Thompson terms "
+    "collapse to the closed forms sum_t*n/n_t and sum_c*n/n_c — "
+    "exact non-negative int64 floor divisions at the cell (<= one "
+    "cent slack each), summed order-free; degenerate cells (no "
+    "overlap, where IPW weights are infinite) are COUNTED and "
+    "excluded, the positivity-violation bookkeeping an honest IPW "
+    "must surface. ATE lands in exact milli-cents; note ATE weights "
+    "every overlap line equally, vs the ATT entry's treated-only "
+    "weighting — the two differing is itself effect-heterogeneity "
+    "evidence. Scale: one map-combinable cell aggregate (bounded "
+    "brand x quantity grain), then 1-row frames; cell products stay "
+    "under int64 to ~sf100 (documented knob: re-grain to dollars).",
+)
+def q_ipw_ate_promo(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").startswith("PROMO").alias("treated"),
+    )
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cells = tagged.groupBy("brand", "q").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("treated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_t"),
+        F.sum(F.when(F.col("treated"), F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("sum_t"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_c"),
+        F.sum(F.when(F.col("treated"), 0).otherwise(F.col("cents")))
+        .cast("long")
+        .alias("sum_c"),
+    )
+    overlap = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    comp = overlap.agg(
+        F.count("*").cast("long").alias("n_cells_overlap"),
+        F.sum("n").cast("long").alias("n_lines_overlap"),
+        F.sum(F.expr("sum_t * n DIV n_t")).cast("long").alias(
+            "t_weighted_cents"
+        ),
+        F.sum(F.expr("sum_c * n DIV n_c")).cast("long").alias(
+            "c_weighted_cents"
+        ),
+    )
+    degenerate = (
+        cells.filter((F.col("n_t") == 0) | (F.col("n_c") == 0))
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("long")
+            .alias("n_lines_degenerate")
+        )
+    )
+    return comp.crossJoin(F.broadcast(degenerate)).select(
+        "n_cells_overlap",
+        "n_lines_overlap",
+        "n_lines_degenerate",
+        "t_weighted_cents",
+        "c_weighted_cents",
+        F.expr(
+            "CAST(CASE WHEN t_weighted_cents >= c_weighted_cents"
+            " THEN (t_weighted_cents - c_weighted_cents) * 10"
+            "      DIV n_lines_overlap"
+            " ELSE -((c_weighted_cents - t_weighted_cents) * 10"
+            "        DIV n_lines_overlap)"
+            "      - (CASE WHEN (c_weighted_cents - t_weighted_cents) * 10"
+            "               % n_lines_overlap > 0 THEN 1 ELSE 0 END)"
+            " END AS BIGINT)"
+        ).alias("ipw_ate_millicents"),
+    )
