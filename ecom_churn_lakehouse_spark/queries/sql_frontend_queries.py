@@ -77,6 +77,7 @@ _TWINS = [
     "wilcoxon_signed_rank_spend",      # paired-diff doubled-rank window + shared z
     # round-9 qualifying additions
     "copurchase_degree_assortativity", # self-join graph build + scalar subquery + shared r
+    "markov_entropy_rate",             # per-user LAG window + per-term DECIMAL ln sum
 ]
 
 

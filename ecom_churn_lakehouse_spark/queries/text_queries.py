@@ -2317,3 +2317,202 @@ def q_doc_length_percentiles_by_source(spark, sf_dir):
     agg.append(F.min("n_tokens").cast("long").alias("min_tokens"))
     agg.append(F.max("n_tokens").cast("long").alias("max_tokens"))
     return docs.groupBy("source").agg(*agg).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: MATTR moving-average type-token ratio.
+# --------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_MATTR_SQL = f"""
+WITH t AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+    FROM documents
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+           CASE WHEN len(toks) >= {_MATTR_W}
+                THEN CAST(list_sum(list_transform(
+                         range(1, len(toks) - {_MATTR_W} + 2),
+                         i -> len(list_distinct(
+                                  toks[i:i + {_MATTR_W} - 1]))))
+                     AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS win_type_sum
+    FROM t
+)
+SELECT doc_id, n_tokens, n_types, win_type_sum,
+       CASE WHEN n_tokens >= {_MATTR_W}
+            THEN CAST(win_type_sum * 1000000
+                      // ({_MATTR_W} * (n_tokens - {_MATTR_W} + 1))
+                 AS BIGINT)
+            ELSE CAST(n_types * 1000000 // n_tokens AS BIGINT)
+       END AS mattr_ppm
+FROM m
+"""
+
+
+@register(
+    "mattr_lexical_diversity",
+    _MATTR_SQL,
+    doc=f"MATTR lexical diversity (Covington & McFall 2010): the "
+    f"type-token ratio averaged over every sliding {_MATTR_W}-token "
+    "window, the length-invariant replacement for raw TTR (raw TTR "
+    "falls mechanically with document length, so comparing docs of "
+    "different sizes with it is the classic corpus-stats mistake; "
+    "vocab_yule_k fixes length-dependence via repeat-rate, MATTR "
+    "fixes it by windowing — the two standard spellings). Docs "
+    "shorter than the window fall back to plain TTR, flagged by "
+    "win_type_sum = 0. Entirely scan-local array arithmetic inside "
+    "the row (slice + distinct per window, integer ppm at the end): "
+    "zero shuffle, zero float, O(n_tokens x W) work per document — "
+    "linear in corpus bytes at fixed W. Window distinct counts stay "
+    "exact integers, so both engines agree bit-for-bit.",
+)
+def q_mattr_lexical_diversity(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    w = _MATTR_W
+    t = docs.select("doc_id", toks.alias("toks"))
+    win_sum = F.expr(
+        f"aggregate(transform(sequence(1, size(toks) - {w} + 1),"
+        f" i -> CAST(size(array_distinct(slice(toks, i, {w}))) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    m = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_types"),
+        F.when(F.size("toks") >= w, win_sum)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("win_type_sum"),
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "win_type_sum",
+        F.when(
+            F.col("n_tokens") >= w,
+            F.expr(
+                f"CAST(win_type_sum * 1000000"
+                f" DIV ({w} * (n_tokens - {w} + 1)) AS BIGINT)"
+            ),
+        )
+        .otherwise(F.expr("CAST(n_types * 1000000 DIV n_tokens AS BIGINT)"))
+        .cast("long")
+        .alias("mattr_ppm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: Jensen-Shannon vocabulary drift between source halves.
+# --------------------------------------------------------------------------
+
+#: Per-token JSD contribution, quantized to DECIMAL(28,12) per term
+#: before the sum (AP-sum discipline). pa = ca/na, pb = cb/nb,
+#: m = (pa+pb)/2; zero counts contribute zero to their own side
+#: (0 ln 0 = 0) via the CASE guards.
+_JSD_TERM = (
+    "CAST(0.5 * ("
+    " CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    "      * ln((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))"
+    "           / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    "               + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))"
+    "      ELSE 0.0 END"
+    " + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    "      * ln((CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))"
+    "           / ((CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)"
+    "               + CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0))"
+    "      ELSE 0.0 END"
+    ") AS DECIMAL(28,12))"
+)
+
+_JSD_SQL = f"""
+WITH toks AS (
+    SELECT CAST(substring(source, 4, 10) AS INTEGER) % 2 = 0 AS side_a,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+counts AS (
+    SELECT tok,
+           CAST(SUM(CASE WHEN side_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           CAST(SUM(CASE WHEN side_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+    FROM toks GROUP BY tok
+),
+tot AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+    FROM counts
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           MAX(t.na) AS na, MAX(t.nb) AS nb,
+           CAST(SUM({_JSD_TERM}) AS DOUBLE) AS jsd_nats
+    FROM counts CROSS JOIN tot t
+)
+SELECT n_vocab, na, nb,
+       CAST(FLOOR(jsd_nats * 1000000.0) AS BIGINT) AS jsd_micro,
+       CAST(FLOOR(jsd_nats / ln(2.0) * 1000.0) AS BIGINT)
+           AS jsd_normalized_milli
+FROM s
+"""
+
+
+@register(
+    "vocab_jsd_source_drift",
+    _JSD_SQL,
+    doc="Jensen-Shannon divergence between the unigram vocabulary "
+    "distributions of the even- and odd-numbered source halves — "
+    "the symmetric, bounded (<= ln 2) distribution-drift scalar for "
+    "CATEGORICAL distributions, complementing order_value_psi_drift "
+    "(binned-numeric PSI) and spend_ks_test / wasserstein (continuous "
+    "CDF distances): the monitoring readout a data-mixing pipeline "
+    "tracks to detect one source family drifting away from another "
+    "before retraining. Token counts reduce exactly; each token's "
+    "JSD contribution is ONE shared-IEEE expression (0 ln 0 = 0 "
+    "guarded by integer CASE) quantized per-term to DECIMAL(28,12) "
+    "before the order-free sum; the normalized column divides by "
+    "ln 2 into exact milli of the [0,1] scale. Scale: one "
+    "explode + token-grain reduce (the vocab frame), then a 1-row "
+    "summary — the token_doc_freq cost shape.",
+)
+def q_vocab_jsd_source_drift(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.substring("source", 4, 10).cast("int") % 2 == 0).alias(
+            "side_a"
+        ),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("side_a"), 0).otherwise(1))
+        .cast("long")
+        .alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    s = counts.crossJoin(F.broadcast(tot)).agg(
+        F.count("*").cast("long").alias("n_vocab"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(F.expr(_JSD_TERM)).cast("double").alias("jsd_nats"),
+    )
+    return s.select(
+        "n_vocab",
+        "na",
+        "nb",
+        F.floor(F.col("jsd_nats") * 1000000.0).cast("long").alias(
+            "jsd_micro"
+        ),
+        F.expr(
+            "CAST(FLOOR(jsd_nats / ln(2.0) * 1000.0) AS BIGINT)"
+        ).alias("jsd_normalized_milli"),
+    )

@@ -44,6 +44,8 @@ __all__ = ["ManagedTable"]
 
 _HEAD = "_HEAD"
 _COMMITS = "_commits"
+#: Delta-protocol checkpoint pointer file (literal name per spec).
+_LAST_CKPT = "_last_checkpoint"
 
 
 class ManagedTable:
@@ -55,10 +57,21 @@ class ManagedTable:
     #: states which backend the managed-table suite exercised.
     BACKEND = "delta" if HAVE_DELTA else "head-pointer-parquet"
 
-    def __init__(self, spark: SparkSession, path: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        keys: list[str],
+        checkpoint_interval: int = 10,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.keys = list(keys)
+        #: Delta-protocol checkpointing cadence: every Nth commit also
+        #: writes ``_delta_log/{v:020d}.checkpoint.parquet`` + the
+        #: ``_last_checkpoint`` pointer (protocol default 10), so log
+        #: replay is O(commits since checkpoint), not O(all commits).
+        self.checkpoint_interval = int(checkpoint_interval)
 
     # ------------------------------------------------------------ probes
 
@@ -373,10 +386,26 @@ class ManagedTable:
         active: dict[str, dict] = {}
         if not os.path.isdir(ldir):
             return meta, active
+        # Delta checkpointing: start replay from the newest checkpoint
+        # at or below the target version (protocol behavior — a reader
+        # consults _last_checkpoint, loads the parquet snapshot of the
+        # action state, and replays only the JSON commits after it).
+        ckpt_v = -1
+        for fn in os.listdir(ldir):
+            if fn.endswith(".checkpoint.parquet"):
+                v = int(fn.split(".")[0])
+                if (
+                    upto_version is None or v <= upto_version
+                ) and v > ckpt_v:
+                    ckpt_v = v
+        if ckpt_v >= 0:
+            meta, active = self._read_checkpoint(ckpt_v)
         for fn in sorted(os.listdir(ldir)):
-            if not fn.endswith(".json"):
+            if not fn.endswith(".json") or fn == _LAST_CKPT:
                 continue
             v = int(fn.split(".")[0])
+            if v <= ckpt_v:
+                continue
             if upto_version is not None and v > upto_version:
                 break
             with open(os.path.join(ldir, fn)) as f:
@@ -533,6 +562,158 @@ class ManagedTable:
             for a in actions:
                 f.write(json.dumps(a, separators=(",", ":")) + "\n")
         os.rename(tmp, os.path.join(ldir, f"{version:020d}.json"))
+        if (
+            self.checkpoint_interval > 0
+            and version > 0
+            and version % self.checkpoint_interval == 0
+        ):
+            self._write_checkpoint(version)
+
+    # Delta checkpoint parquet schema: one action per row, exactly one
+    # of the struct columns non-null — the protocol's checkpoint file
+    # shape (partitionValues as map<string,string>).
+    def _ckpt_schema(self):
+        import pyarrow as pa
+
+        return pa.schema(
+            [
+                pa.field(
+                    "protocol",
+                    pa.struct(
+                        [
+                            ("minReaderVersion", pa.int32()),
+                            ("minWriterVersion", pa.int32()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "metaData",
+                    pa.struct(
+                        [
+                            ("id", pa.string()),
+                            ("schemaString", pa.string()),
+                            ("partitionColumns", pa.list_(pa.string())),
+                            ("createdTime", pa.int64()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "add",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            (
+                                "partitionValues",
+                                pa.map_(pa.string(), pa.string()),
+                            ),
+                            ("size", pa.int64()),
+                            ("modificationTime", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+            ]
+        )
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Write ``{version:020d}.checkpoint.parquet`` (the replayed
+        action state as one parquet row per action) plus the
+        ``_last_checkpoint`` pointer — the protocol's log-compaction
+        step, making future replays O(commits since checkpoint)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ldir = os.path.join(self.path, "_delta_log")
+        meta, active = self.delta_log_state(version)
+        rows = [
+            {
+                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "metaData": None,
+                "add": None,
+            },
+            {
+                "protocol": None,
+                "metaData": {
+                    "id": meta["id"],
+                    "schemaString": meta["schemaString"],
+                    "partitionColumns": list(meta["partitionColumns"]),
+                    "createdTime": meta["createdTime"],
+                },
+                "add": None,
+            },
+        ]
+        for path in sorted(active):
+            a = active[path]
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": {
+                        "path": a["path"],
+                        "partitionValues": list(
+                            a.get("partitionValues", {}).items()
+                        ),
+                        "size": a["size"],
+                        "modificationTime": a["modificationTime"],
+                        "dataChange": a.get("dataChange", True),
+                    },
+                }
+            )
+        table = pa.Table.from_pylist(rows, schema=self._ckpt_schema())
+        tmp = os.path.join(ldir, f".tmp-ckpt-{uuid.uuid4().hex[:8]}")
+        pq.write_table(table, tmp)
+        os.rename(
+            tmp, os.path.join(ldir, f"{version:020d}.checkpoint.parquet")
+        )
+        ptr_tmp = os.path.join(ldir, f".tmp-ptr-{uuid.uuid4().hex[:8]}")
+        with open(ptr_tmp, "w") as f:
+            json.dump({"version": version, "size": len(rows)}, f)
+        os.rename(ptr_tmp, os.path.join(ldir, _LAST_CKPT))
+
+    def _read_checkpoint(
+        self, version: int
+    ) -> tuple[dict | None, dict[str, dict]]:
+        """Load a checkpoint parquet back into (metaData, active adds)
+        — the reader half of the protocol's checkpoint fast path."""
+        import pyarrow.parquet as pq
+
+        ldir = os.path.join(self.path, "_delta_log")
+        table = pq.read_table(
+            os.path.join(ldir, f"{version:020d}.checkpoint.parquet")
+        )
+        meta: dict | None = None
+        active: dict[str, dict] = {}
+        for row in table.to_pylist():
+            if row.get("metaData") is not None:
+                m = row["metaData"]
+                meta = {
+                    "id": m["id"],
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": m["schemaString"],
+                    "partitionColumns": list(m["partitionColumns"]),
+                    "configuration": {},
+                    "createdTime": m["createdTime"],
+                }
+            elif row.get("add") is not None:
+                a = row["add"]
+                active[a["path"]] = {
+                    "path": a["path"],
+                    "partitionValues": dict(a["partitionValues"] or []),
+                    "size": a["size"],
+                    "modificationTime": a["modificationTime"],
+                    "dataChange": a["dataChange"],
+                }
+        return meta, active
+
+    def last_checkpoint(self) -> dict | None:
+        """Contents of ``_last_checkpoint`` (or None before the first
+        checkpoint) — surfaced so tests and operators can assert the
+        protocol cadence."""
+        p = os.path.join(self.path, "_delta_log", _LAST_CKPT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
 
     def _occ_publish(
         self,
