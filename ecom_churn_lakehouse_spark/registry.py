@@ -208,6 +208,13 @@ NEW_IN_ROUND: list[str] = [
     "brier_murphy_decomposition",
     "group_sequential_obf_monitor",
     "markov_entropy_rate",
+    "sql_markov_entropy_rate",
+    "rmst_repeat_purchase",
+    "ucb_arm_allocation",
+    "ipw_ate_promo",
+    "markov_absorption_conversion",
+    "mattr_lexical_diversity",
+    "vocab_jsd_source_drift",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

@@ -357,3 +357,202 @@ def test_markov_entropy_bounds_and_numpy(spark):
     assert r["k"] == k
     assert abs(r["entropy_rate_micro"] - math.floor(h * 1e6)) <= 2
     assert 0 <= r["normalized_milli"] <= 1000
+
+
+# --------------------------------------------------------------------------
+# Wave-5 hand-checks.
+# --------------------------------------------------------------------------
+
+
+def test_rmst_matches_numpy_km_integral(spark):
+    """RMST recomputed as the Riemann sum over the KM curve."""
+    from ecom_churn_lakehouse_spark.queries.churn_queries import (
+        q_kaplan_meier_repeat_purchase,
+        q_rmst_repeat_purchase,
+    )
+
+    km = sorted(
+        (r["t"], r["log_surv_micro"])
+        for r in q_kaplan_meier_repeat_purchase(spark, SF).collect()
+    )
+    r = q_rmst_repeat_purchase(spark, SF).collect()[0]
+    assert r["tau_days"] == km[-1][0]
+    assert r["n_steps"] == len(km)
+    prev_t, prev_log, total = 0, 0, 0.0
+    for t, logs in km:
+        total += math.exp(prev_log / 1e6) * (t - prev_t)
+        prev_t, prev_log = t, logs
+    assert abs(r["rmst_micro_days"] - math.floor(total * 1e6)) <= len(km)
+    # RMST is bounded by tau and must exceed S-at-tau * tau
+    assert 0 < r["rmst_micro_days"] <= r["tau_days"] * 1_000_000
+
+
+def test_ucb_allocation_properties(spark):
+    from ecom_churn_lakehouse_spark.queries.decision_queries import (
+        q_ucb_arm_allocation,
+    )
+
+    rows = [r.asDict() for r in q_ucb_arm_allocation(spark, SF).collect()]
+    assert len(rows) == 5
+    n_total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert 0 <= r["x"] <= r["n"]
+        assert r["mean_ppm"] == r["x"] * 1_000_000 // r["n"]
+        ucb = r["x"] / r["n"] + math.sqrt(2 * math.log(n_total) / r["n"])
+        assert abs(r["ucb_micro"] - math.floor(ucb * 1e6)) <= 1
+        # optimism: the index strictly dominates the plain mean
+        assert r["ucb_micro"] > r["mean_ppm"]
+    chosen = [r for r in rows if r["pull_next"]]
+    assert len(chosen) == 1
+    assert chosen[0]["ucb_micro"] == max(r["ucb_micro"] for r in rows)
+
+
+def test_ipw_ate_matches_pandas(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_ipw_ate_promo,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r = q_ipw_ate_promo(spark, SF).collect()[0]
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, SF, "part").select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").startswith("PROMO").alias("treated"),
+    )
+    pdf = li.join(part, li.l_partkey == part.p_partkey).toPandas()
+    t_sum = c_sum = n_overlap = 0
+    n_degenerate = 0
+    for (_, _), g in pdf.groupby(["brand", "q"]):
+        n = len(g)
+        nt = int(g.treated.sum())
+        nc = n - nt
+        if nt == 0 or nc == 0:
+            n_degenerate += n
+            continue
+        n_overlap += n
+        t_sum += int(g[g.treated].cents.sum()) * n // nt
+        c_sum += int(g[~g.treated].cents.sum()) * n // nc
+    assert r["n_lines_overlap"] == n_overlap
+    assert r["n_lines_degenerate"] == n_degenerate
+    assert r["t_weighted_cents"] == t_sum
+    assert r["c_weighted_cents"] == c_sum
+    import math as _m
+
+    want = _m.floor((t_sum - c_sum) * 10 / n_overlap)
+    assert r["ipw_ate_millicents"] == want
+
+
+def test_markov_absorption_recursion(spark):
+    """u3 recomputed with exact integer milli recursion in Python."""
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_markov_absorption_conversion,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["event_type"]: r.asDict()
+        for r in q_markov_absorption_conversion(spark, SF).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pdf = (
+        load_events(spark, SF)
+        .select("event_type", F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") != "purchase"))
+        .groupBy("prev", "event_type")
+        .count()
+        .toPandas()
+    )
+    ci = pdf.groupby("prev")["count"].sum().to_dict()
+    p = {
+        (row.prev, row.event_type): row["count"] * 1000 // ci[row.prev]
+        for _, row in pdf.iterrows()
+    }
+    direct = {i: p.get((i, "purchase"), 0) for i in ci}
+    u = dict(direct)
+    for _ in range(2):
+        u = {
+            i: direct[i]
+            + sum(
+                p[(i, j)] * u.get(j, 0)
+                for (pi, j) in p
+                if pi == i and j != "purchase"
+            )
+            // 1000
+            for i in ci
+        }
+    for i in ci:
+        assert rows[i]["absorb1_milli"] == direct[i]
+        assert rows[i]["absorb3_milli"] == u[i]
+        # more steps can only help
+        assert rows[i]["absorb3_milli"] >= rows[i]["absorb1_milli"]
+
+
+def test_mattr_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        _MATTR_W,
+        q_mattr_lexical_diversity,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_mattr_lexical_diversity(spark, SF).collect()
+    }
+    pdf = _docs_pdf(spark)
+    assert len(rows) == len(pdf)
+    for _, doc in pdf.iterrows():
+        toks = doc.text.split()
+        r = rows[doc.doc_id]
+        n = len(toks)
+        if n >= _MATTR_W:
+            wins = [
+                len(set(toks[i : i + _MATTR_W]))
+                for i in range(n - _MATTR_W + 1)
+            ]
+            assert r["win_type_sum"] == sum(wins)
+            want = sum(wins) * 1_000_000 // (_MATTR_W * len(wins))
+        else:
+            assert r["win_type_sum"] == 0
+            want = len(set(toks)) * 1_000_000 // n
+        assert r["mattr_ppm"] == want
+        assert 0 < r["mattr_ppm"] <= 1_000_000
+
+
+def test_jsd_bounds_and_python(spark):
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_vocab_jsd_source_drift,
+    )
+
+    r = q_vocab_jsd_source_drift(spark, SF).collect()[0]
+    pdf = _docs_pdf(spark)
+    from collections import Counter
+
+    ca, cb = Counter(), Counter()
+    for _, doc in pdf.iterrows():
+        side_a = int(doc.source[3:]) % 2 == 0
+        (ca if side_a else cb).update(doc.text.split())
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    jsd = 0.0
+    for t in vocab:
+        pa, pb = ca[t] / na, cb[t] / nb
+        m = (pa + pb) / 2
+        if pa > 0:
+            jsd += 0.5 * pa * math.log(pa / m)
+        if pb > 0:
+            jsd += 0.5 * pb * math.log(pb / m)
+    assert r["n_vocab"] == len(vocab)
+    assert r["na"] == na and r["nb"] == nb
+    assert abs(r["jsd_micro"] - math.floor(jsd * 1e6)) <= 2
+    # JSD is bounded by ln 2
+    assert 0 <= r["jsd_micro"] <= math.ceil(math.log(2) * 1e6)
+    assert 0 <= r["jsd_normalized_milli"] <= 1000
