@@ -3440,3 +3440,138 @@ def q_variance_ratio_random_walk(spark, sf_dir):
         F.expr(_VR_Z_MILLI).alias("z_milli"),
         (F.abs(F.expr(_VR_Z_MILLI)) > 1959).alias("reject_rw_at_05"),
     ).orderBy("q")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: pinball-loss quantile-forecast backtest.
+# ---------------------------------------------------------------------------
+
+#: tau grid as exact (numerator, denominator=10) pairs so every
+#: pinball term is integer: L*10 = tau10*(y-q) if y>=q else
+#: (10-tau10)*(q-y). Units: deci-(dollar-grain) loss.
+_PINBALL_TAUS = [5, 9]
+
+
+def _pinball_sql() -> str:
+    tau_rows = ", ".join(f"({t})" for t in _PINBALL_TAUS)
+    return f"""
+WITH daily AS (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS
+                BIGINT)) AS BIGINT) // 100 AS y
+    FROM orders GROUP BY 1, 2
+),
+fc AS (
+    SELECT m,
+           CAST(quantile_disc(y, 0.5) AS BIGINT) AS q50,
+           CAST(quantile_disc(y, 0.9) AS BIGINT) AS q90
+    FROM daily GROUP BY m
+),
+taus(tau10) AS (VALUES {tau_rows}),
+evald AS (
+    SELECT t.tau10, d.y,
+           CASE WHEN t.tau10 = 5 THEN f.q50 ELSE f.q90 END AS q
+    FROM daily d
+    JOIN fc f ON d.m = f.m + INTERVAL 1 MONTH
+    CROSS JOIN taus t
+)
+SELECT CAST(tau10 AS BIGINT) AS tau10,
+       CAST(COUNT(*) AS BIGINT) AS n_days_eval,
+       CAST(SUM(CASE WHEN y >= q THEN tau10 * (y - q)
+                     ELSE (10 - tau10) * (q - y) END) AS BIGINT)
+           AS pinball_deci_total,
+       CAST(SUM(CASE WHEN y >= q THEN tau10 * (y - q)
+                     ELSE (10 - tau10) * (q - y) END)
+            // COUNT(*) AS BIGINT) AS pinball_deci_per_day,
+       CAST(SUM(CASE WHEN y <= q THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS coverage_ppm
+FROM evald
+GROUP BY tau10
+ORDER BY tau10
+"""
+
+
+@register(
+    "pinball_loss_quantile_backtest",
+    _pinball_sql(),
+    doc="Pinball (quantile) loss backtest of a seasonal quantile "
+    "forecaster: each month's daily-revenue P50/P90 (exact "
+    "percentile_disc data values in dollar grain) forecast the NEXT "
+    "month's days, scored with the tau-asymmetric pinball loss — "
+    "the proper scoring rule for quantile forecasts and the "
+    "evaluation MASE (point forecasts) cannot give: whether the "
+    "P90 is a calibrated P90 at all (read coverage_ppm against "
+    "900000). Taus are exact tenths so every loss term is pure "
+    "int64 (x10 deci units, no float anywhere); month-over-month "
+    "pairing is a date_trunc self-join, no window. Scale: one "
+    "day-grain reduce, a ~80-row monthly quantile frame, and a "
+    "bounded month join — the MASE cost shape; per-group "
+    "percentile_disc is the only sort, over days within a month.",
+)
+def q_pinball_loss_quantile_backtest(spark, sf_dir):
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+                "m"
+            ),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)) AS BIGINT) DIV 100"
+            ).alias("y")
+        )
+    )
+    fc = daily.groupBy("m").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)")
+        .cast("long")
+        .alias("q50"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY y)")
+        .cast("long")
+        .alias("q90"),
+    )
+    taus = daily.sparkSession.createDataFrame(
+        [(t,) for t in _PINBALL_TAUS], "tau10 INT"
+    )
+    evald = (
+        daily.join(
+            fc.select(
+                F.add_months(F.col("m"), 1).alias("m"),
+                "q50",
+                "q90",
+            ),
+            on="m",
+        )
+        .crossJoin(F.broadcast(taus))
+        .select(
+            "tau10",
+            "y",
+            F.when(F.col("tau10") == 5, F.col("q50"))
+            .otherwise(F.col("q90"))
+            .alias("q"),
+        )
+    )
+    loss = F.expr(
+        "CASE WHEN y >= q THEN tau10 * (y - q)"
+        " ELSE (10 - tau10) * (q - y) END"
+    )
+    return (
+        evald.groupBy(F.col("tau10").cast("long").alias("tau10"))
+        .agg(
+            F.count("*").cast("long").alias("n_days_eval"),
+            F.sum(loss).cast("long").alias("pinball_deci_total"),
+            F.expr(
+                "CAST(SUM(CASE WHEN y >= q THEN tau10 * (y - q)"
+                " ELSE (10 - tau10) * (q - y) END)"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("pinball_deci_per_day"),
+            F.expr(
+                "CAST(SUM(CASE WHEN y <= q THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*) AS BIGINT)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("tau10")
+    )

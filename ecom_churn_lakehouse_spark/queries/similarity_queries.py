@@ -2428,3 +2428,126 @@ def q_embedding_grid_range_join(spark, sf_dir):
             "dist_sq",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: simplified silhouette over label centroids.
+# ---------------------------------------------------------------------------
+
+#: Simplified silhouette s = (sqrt(b) - sqrt(a)) / max(sqrt(a),
+#: sqrt(b)) from the own-centroid (a) and nearest-other-centroid (b)
+#: squared distances — one shared-IEEE spelling, floored milli.
+_SIL_MILLI = (
+    "CAST(FLOOR((sqrt(b) - sqrt(a))"
+    " / GREATEST(sqrt(a), sqrt(b)) * 1000.0) AS BIGINT)"
+)
+
+_SILHOUETTE_SQL = f"""
+WITH ex AS (
+    SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+),
+cent AS (
+    SELECT label AS c_label, pos,
+           CAST(SUM(CAST(v AS DECIMAL(20,9))) AS DOUBLE) / COUNT(*) AS c
+    FROM ex GROUP BY label, pos
+),
+cent_arr AS (
+    SELECT c_label, list(c ORDER BY pos) AS centroid
+    FROM cent GROUP BY c_label
+),
+dists AS (
+    SELECT e.vec_id, e.label, c.c_label,
+           list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))) AS d
+    FROM embeddings e, cent_arr c
+),
+ab AS (
+    SELECT vec_id, label,
+           MAX(CASE WHEN c_label = label THEN d END) AS a,
+           MIN(CASE WHEN c_label <> label THEN d END) AS b
+    FROM dists GROUP BY vec_id, label
+),
+scored AS (
+    SELECT label, {_SIL_MILLI} AS s_milli FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(s_milli) AS BIGINT) AS s_sum_milli,
+       CAST(SUM(CASE WHEN s_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_well_placed,
+       CAST(SUM(CASE WHEN s_milli < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_misplaced
+FROM scored GROUP BY label ORDER BY label
+"""
+
+
+@register(
+    "label_silhouette_screen",
+    _SILHOUETTE_SQL,
+    doc="Simplified silhouette over the label clustering (Hruschka et "
+    "al.'s centroid-based silhouette — a(i)/b(i) against centroids "
+    "instead of all-pairs member distances, which is what makes the "
+    "metric LINEAR in points instead of quadratic and is the "
+    "standard large-scale spelling): per label the silhouette mass "
+    "(sum of per-point floored-milli scores; the mean is "
+    "s_sum/n in exact integers on the reader's side), the "
+    "well-placed count, and the misplaced count (s < 0 <=> the "
+    "point sits closer to another label's centroid — the same "
+    "points label_centroid_confusion counts off-diagonal, now "
+    "graded by HOW badly). Completes the clustering tier with its "
+    "quality metric (kmeans_two_rounds builds clusters, "
+    "embedding_density_clusters finds them, this SCORES them). "
+    "Exactness: DECIMAL-exact centroids, array-order-deterministic "
+    "distance folds, one shared-IEEE silhouette spelling per point "
+    "floored to milli, then pure integer aggregation. Scale: k "
+    "broadcast centroids x N points — one scan, no shuffle beyond "
+    "the k x dim centroid reduce.",
+)
+def q_label_silhouette_screen(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = to_double_array(F.col("embedding"))
+    ex = emb.select("label", F.posexplode(v).alias("pos", "v"))
+    cent = ex.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        (
+            F.sum(F.col("v").cast("decimal(20,9)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cent_arr = cent.groupBy("c_label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda x: x.getField("c"),
+        ).alias("centroid")
+    )
+    diff_sq = F.zip_with(v, F.col("centroid"), lambda a, b: (a - b) * (a - b))
+    dists = emb.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "label",
+        "c_label",
+        F.aggregate(diff_sq, F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("c_label") == F.col("label"), F.col("d"))
+        ).alias("a"),
+        F.min(
+            F.when(F.col("c_label") != F.col("label"), F.col("d"))
+        ).alias("b"),
+    )
+    scored = ab.select("label", F.expr(_SIL_MILLI).alias("s_milli"))
+    return (
+        scored.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("s_milli").cast("long").alias("s_sum_milli"),
+            F.sum(F.when(F.col("s_milli") >= 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_well_placed"),
+            F.sum(F.when(F.col("s_milli") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_misplaced"),
+        )
+        .orderBy("label")
+    )

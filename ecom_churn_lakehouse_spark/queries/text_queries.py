@@ -2516,3 +2516,137 @@ def q_vocab_jsd_source_drift(spark, sf_dir):
             "CAST(FLOOR(jsd_nats / ln(2.0) * 1000.0) AS BIGINT)"
         ).alias("jsd_normalized_milli"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: TextRank keyword ranking (weighted PageRank
+# over the token co-occurrence graph).
+# --------------------------------------------------------------------------
+
+_TR_SCALE = 1_000_000_000_000  # fixed-point 1e12 (the pagerank scale)
+_TR_BASE_NUM = 150_000_000_000  # 0.15 * scale
+_TR_ITER = 3
+
+
+def _textrank_sql() -> str:
+    head = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+    FROM documents
+),
+adj AS (
+    SELECT t[i] AS a, t[i + 1] AS b
+    FROM toks, unnest(range(1, len(t))) AS u(i)
+),
+edges AS (
+    SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w
+    FROM (SELECT a, b FROM adj UNION ALL SELECT b AS a, a AS b FROM adj)
+    GROUP BY a, b
+),
+wout AS (SELECT a, CAST(SUM(w) AS BIGINT) AS wtot FROM edges GROUP BY a),
+nodes AS (SELECT a AS node FROM wout),
+nn AS (SELECT CAST({_TR_BASE_NUM} // COUNT(*) AS BIGINT) AS base
+       FROM nodes),
+p0 AS (SELECT node, CAST({_TR_SCALE} AS BIGINT) AS v FROM nodes)"""
+    steps = []
+    for k in range(1, _TR_ITER + 1):
+        steps.append(f"""
+p{k} AS (
+    SELECT e.b AS node,
+           CAST((SELECT base FROM nn)
+                + (85 * SUM(p.v * e.w // wo.wtot)) // 100 AS BIGINT) AS v
+    FROM p{k - 1} p
+    JOIN wout wo ON wo.a = p.node
+    JOIN edges e ON e.a = p.node
+    GROUP BY e.b
+)""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+SELECT n.node AS token, wo.wtot AS cooccurrence_mass,
+       pf.v AS textrank_fp
+FROM nodes n
+JOIN wout wo ON wo.a = n.node
+JOIN p{_TR_ITER} pf ON pf.node = n.node
+ORDER BY token
+"""
+    )
+
+
+@register(
+    "textrank_keywords",
+    _textrank_sql(),
+    doc=f"TextRank keyword ranking (Mihalcea & Tarau 2004): weighted "
+    f"PageRank ({_TR_ITER} iterations, damping 0.85) over the "
+    "corpus token co-occurrence graph — adjacent-token edges "
+    "generated SCAN-LOCALLY inside each row (position-indexed array "
+    "access, no token self-join), symmetrized, weighted by "
+    "co-occurrence count. The graph-centrality complement to the "
+    "frequency family (tfidf_top_terms, RAKE, LLR signatures): a "
+    "token ranks high when its NEIGHBORS rank high, not merely when "
+    "it is common. All rank arithmetic is fixed-point integer at "
+    "the pagerank scale (per-edge v*w DIV wtot floors once per "
+    "term), so three compounded iterations stay bit-exact across "
+    "engines and aggregation orders; the oracle unrolls the same "
+    "iterations as chained CTEs. Scale: edges bound by corpus "
+    "adjacency (linear in tokens), rank frames bound by VOCABULARY; "
+    "each iteration is one join + one shuffle on the vocab grain.",
+)
+def q_textrank_keywords(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    adj = docs.select(toks.alias("t")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(element_at(t, i) AS a,"
+                "             element_at(t, i + 1) AS b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    sym = adj.unionByName(
+        adj.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    edges = (
+        sym.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wout = edges.groupBy("a").agg(F.sum("w").cast("long").alias("wtot"))
+    nodes = wout.select(F.col("a").alias("node"))
+    nn = nodes.agg(
+        F.expr(f"CAST({_TR_BASE_NUM} DIV COUNT(*) AS BIGINT)").alias("base")
+    )
+    p = nodes.select("node", F.lit(_TR_SCALE).cast("long").alias("v"))
+    for _ in range(_TR_ITER):
+        p = (
+            p.join(wout, p.node == wout.a)
+            .join(
+                edges.select(
+                    F.col("a").alias("ea"),
+                    F.col("b").alias("eb"),
+                    "w",
+                ),
+                F.col("node") == F.col("ea"),
+            )
+            .crossJoin(F.broadcast(nn))
+            .groupBy(F.col("eb").alias("node"))
+            .agg(
+                F.expr(
+                    "CAST(MAX(base)"
+                    " + (85 * SUM(v * w DIV wtot)) DIV 100 AS BIGINT)"
+                ).alias("v")
+            )
+        )
+    return (
+        nodes.join(wout, nodes.node == wout.a)
+        .join(p.withColumnRenamed("v", "textrank_fp"), on="node")
+        .select(
+            F.col("node").alias("token"),
+            F.col("wtot").alias("cooccurrence_mass"),
+            "textrank_fp",
+        )
+        .orderBy("token")
+    )
