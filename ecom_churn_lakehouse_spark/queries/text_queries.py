@@ -2650,3 +2650,100 @@ def q_textrank_keywords(spark, sf_dir):
         )
         .orderBy("token")
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: Church-Gale term burstiness profile.
+# --------------------------------------------------------------------------
+
+_BURST_TOP_DF = 20
+
+_BURSTINESS_SQL = f"""
+WITH tf AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+    FROM documents
+),
+per_doc AS (
+    SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tf GROUP BY tok, doc_id
+),
+ndocs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+stats AS (
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT) AS cf,
+           CAST(SUM(c * c) AS BIGINT) AS cf2
+    FROM per_doc GROUP BY tok
+),
+top AS (
+    SELECT s.tok, s.df, s.cf, s.cf2, nd.n
+    FROM stats s CROSS JOIN ndocs nd
+    ORDER BY s.df DESC, s.tok
+    LIMIT {_BURST_TOP_DF}
+)
+SELECT tok AS token, df, cf,
+       CAST(cf * 1000 // df AS BIGINT) AS burstiness_milli,
+       CAST((n * cf2 - cf * cf) * 1000 // (cf * n) AS BIGINT)
+           AS vmr_milli,
+       n * cf2 - cf * cf > n * cf AS overdispersed
+FROM top
+ORDER BY df DESC, tok
+"""
+
+
+@register(
+    "term_burstiness_profile",
+    _BURSTINESS_SQL,
+    doc=f"Church-Gale term burstiness for the top-{_BURST_TOP_DF} "
+    "document-frequency terms: burstiness = cf/df (mean occurrences "
+    "per CONTAINING document — Church & Gale 1995's observation "
+    "that content words recur within documents while function "
+    "words spread evenly), the corpus-wide variance-to-mean ratio "
+    "of per-document counts (VMR > 1 = overdispersed vs Poisson, "
+    "computed over ALL documents including zeros via the n*cf2 "
+    "identity var = (n*cf2 - cf^2)/n^2), and the exact "
+    "overdispersion verdict from the cleared-denominator integer "
+    "comparison VMR > 1 <=> n*cf2 - cf^2 > n*cf (exact counts, "
+    "zero float). The "
+    "distributional complement to token_zipf_constant (rank law) "
+    "and doc_token_entropy (within-doc): WHERE repetition lives "
+    "across documents — the signal that separates topical terms "
+    "from glue. Scale: one explode to the (token, doc) grain, one "
+    "token-grain reduce, a top-K head.",
+)
+def q_term_burstiness_profile(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok"),
+    )
+    per_doc = tf.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    ndocs = docs.agg(F.count("*").cast("long").alias("n"))
+    stats = per_doc.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sum("c").cast("long").alias("cf"),
+        F.sum(F.expr("c * c")).cast("long").alias("cf2"),
+    )
+    top = (
+        stats.crossJoin(F.broadcast(ndocs))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(_BURST_TOP_DF)
+    )
+    return top.select(
+        F.col("tok").alias("token"),
+        "df",
+        "cf",
+        F.expr("CAST(cf * 1000 DIV df AS BIGINT)").alias(
+            "burstiness_milli"
+        ),
+        F.expr(
+            "CAST((n * cf2 - cf * cf) * 1000 DIV (cf * n) AS BIGINT)"
+        ).alias("vmr_milli"),
+        (
+            F.col("n") * F.col("cf2") - F.col("cf") * F.col("cf")
+            > F.col("n") * F.col("cf")
+        ).alias("overdispersed"),
+    ).orderBy(F.col("df").desc(), "token")

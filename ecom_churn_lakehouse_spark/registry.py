@@ -215,6 +215,10 @@ NEW_IN_ROUND: list[str] = [
     "markov_absorption_conversion",
     "mattr_lexical_diversity",
     "vocab_jsd_source_drift",
+    "label_silhouette_screen",
+    "textrank_keywords",
+    "pinball_loss_quantile_backtest",
+    "term_burstiness_profile",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

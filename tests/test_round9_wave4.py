@@ -556,3 +556,165 @@ def test_jsd_bounds_and_python(spark):
     # JSD is bounded by ln 2
     assert 0 <= r["jsd_micro"] <= math.ceil(math.log(2) * 1e6)
     assert 0 <= r["jsd_normalized_milli"] <= 1000
+
+
+# --------------------------------------------------------------------------
+# Wave-6 hand-checks.
+# --------------------------------------------------------------------------
+
+
+def test_silhouette_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.similarity_queries import (
+        q_label_silhouette_screen,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    rows = {
+        r["label"]: r.asDict()
+        for r in q_label_silhouette_screen(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    vecs = np.stack(emb.embedding.map(lambda v: np.asarray(v, dtype=float)))
+    labels = emb.label.to_numpy()
+    cents = {}
+    for lab in np.unique(labels):
+        sel = vecs[labels == lab]
+        # DECIMAL(20,9)-quantized accumulation like the engine
+        acc = np.floor(np.round(sel * 1e9)).sum(axis=0) / 1e9
+        cents[lab] = acc / sel.shape[0]
+    sums = {lab: [0, 0, 0] for lab in cents}  # s_sum, well, mis
+    for v, lab in zip(vecs, labels):
+        d = {cl: float(((v - c) ** 2).sum()) for cl, c in cents.items()}
+        a = d[lab]
+        b = min(dv for cl, dv in d.items() if cl != lab)
+        s = (math.sqrt(b) - math.sqrt(a)) / max(
+            math.sqrt(a), math.sqrt(b)
+        )
+        sm = math.floor(s * 1000)
+        sums[lab][0] += sm
+        sums[lab][1 if sm >= 0 else 2] += 1
+    for lab, (ssum, well, mis) in sums.items():
+        r = rows[lab]
+        assert r["n_well_placed"] == well
+        assert r["n_misplaced"] == mis
+        # per-point floor can differ by 1 at exact boundaries under
+        # numpy-vs-engine accumulation; allow 1 per point
+        assert abs(r["s_sum_milli"] - ssum) <= r["n_vectors"]
+
+
+def test_textrank_iterations_match_python(spark):
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        _TR_BASE_NUM,
+        _TR_ITER,
+        _TR_SCALE,
+        q_textrank_keywords,
+    )
+
+    rows = {
+        r["token"]: r.asDict()
+        for r in q_textrank_keywords(spark, SF).collect()
+    }
+    pdf = _docs_pdf(spark)
+    from collections import Counter
+
+    w = Counter()
+    for _, doc in pdf.iterrows():
+        toks = doc.text.split()
+        for a, b in zip(toks, toks[1:]):
+            w[(a, b)] += 1
+            w[(b, a)] += 1
+    wtot = Counter()
+    for (a, b), c in w.items():
+        wtot[a] += c
+    base = _TR_BASE_NUM // len(wtot)
+    p = {v: _TR_SCALE for v in wtot}
+    for _ in range(_TR_ITER):
+        nxt = {}
+        for (a, b), c in w.items():
+            nxt[b] = nxt.get(b, 0) + p[a] * c // wtot[a]
+        p = {v: base + 85 * m // 100 for v, m in nxt.items()}
+    assert set(rows) == set(wtot)
+    for v in wtot:
+        assert rows[v]["cooccurrence_mass"] == wtot[v]
+        assert rows[v]["textrank_fp"] == p[v], v
+    # mass conservation sanity: ranks stay positive and bounded
+    assert all(0 < r["textrank_fp"] < 10 * _TR_SCALE for r in rows.values())
+
+
+def test_pinball_backtest_matches_pandas(spark):
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_pinball_loss_quantile_backtest,
+    )
+
+    rows = {
+        r["tau10"]: r.asDict()
+        for r in q_pinball_loss_quantile_backtest(spark, SF).collect()
+    }
+    pdf = _daily_revenue(spark, grain=100)
+    pdf["m"] = pdf.d.map(lambda d: (d.year, d.month))
+    months = sorted(pdf.m.unique())
+    qs = {}
+    for m, g in pdf.groupby("m"):
+        ys = sorted(g.y)
+        # quantile_disc: smallest value with cume_dist >= tau
+        qs[m] = {
+            t: ys[max(0, math.ceil(t * len(ys)) - 1)] for t in (0.5, 0.9)
+        }
+    import datetime
+
+    def next_month(m):
+        y, mo = m
+        return (y + (mo == 12), mo % 12 + 1)
+
+    for tau10, tau in ((5, 0.5), (9, 0.9)):
+        total = n = cov = 0
+        for m in months:
+            pm = (m[0] - (m[1] == 1), (m[1] - 2) % 12 + 1)
+            if pm not in qs:
+                continue
+            q = qs[pm][tau]
+            for y in pdf[pdf.m == m].y:
+                n += 1
+                total += (
+                    tau10 * (y - q) if y >= q else (10 - tau10) * (q - y)
+                )
+                cov += y <= q
+        r = rows[tau10]
+        assert r["n_days_eval"] == n
+        assert r["pinball_deci_total"] == total
+        assert r["coverage_ppm"] == cov * 1_000_000 // n
+    # the P90 must cover more often than the P50
+    assert rows[9]["coverage_ppm"] > rows[5]["coverage_ppm"]
+
+
+def test_burstiness_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.text_queries import (
+        q_term_burstiness_profile,
+    )
+
+    rows = [
+        r.asDict() for r in q_term_burstiness_profile(spark, SF).collect()
+    ]
+    pdf = _docs_pdf(spark)
+    from collections import Counter, defaultdict
+
+    per_doc = defaultdict(Counter)
+    for _, doc in pdf.iterrows():
+        per_doc[doc.doc_id].update(doc.text.split())
+    n = len(pdf)
+    df, cf, cf2 = Counter(), Counter(), Counter()
+    for counts in per_doc.values():
+        for t, c in counts.items():
+            df[t] += 1
+            cf[t] += c
+            cf2[t] += c * c
+    want = sorted(df, key=lambda t: (-df[t], t))[: len(rows)]
+    assert [r["token"] for r in rows] == want
+    for r in rows:
+        t = r["token"]
+        assert r["df"] == df[t] and r["cf"] == cf[t]
+        assert r["burstiness_milli"] == cf[t] * 1000 // df[t]
+        assert (
+            r["vmr_milli"] == (n * cf2[t] - cf[t] ** 2) * 1000 // (cf[t] * n)
+        )
+        assert r["overdispersed"] == (n * cf2[t] - cf[t] ** 2 > n * cf[t])
