@@ -315,6 +315,27 @@ HEADLINE = [
     "threshold_sweep_pr_curve",
     "bootstrap_ab_diff_ci",
     "embedding_density_clusters",
+    # round-9 fourth-to-sixth-wave additions
+    "gopher_quality_rules",
+    "mixture_temperature_allocation",
+    "adf_unit_root_screen",
+    "variance_ratio_random_walk",
+    "copurchase_degree_assortativity",
+    "dp_laplace_release_advisor",
+    "embedding_grid_range_join",
+    "brier_murphy_decomposition",
+    "group_sequential_obf_monitor",
+    "markov_entropy_rate",
+    "rmst_repeat_purchase",
+    "ucb_arm_allocation",
+    "ipw_ate_promo",
+    "markov_absorption_conversion",
+    "mattr_lexical_diversity",
+    "vocab_jsd_source_drift",
+    "label_silhouette_screen",
+    "textrank_keywords",
+    "pinball_loss_quantile_backtest",
+    "term_burstiness_profile",
 ]
 
 
