@@ -4960,3 +4960,129 @@ def q_ipw_ate_promo(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("ipw_ate_millicents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: VanderWeele E-value for unmeasured confounding.
+# --------------------------------------------------------------------------
+
+#: RR oriented away from the null (>= 1): RR* = max(RR, 1/RR), one
+#: shared-IEEE expression from exact counts.
+_EV_RRSTAR = (
+    "GREATEST((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)),"
+    " (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    " / (CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)))"
+)
+_EV_POINT_MILLI = (
+    f"CAST(FLOOR(({_EV_RRSTAR}"
+    f" + sqrt({_EV_RRSTAR} * ({_EV_RRSTAR} - 1.0))) * 1000.0) AS BIGINT)"
+)
+#: 95% CI of ln RR: ln(RR) -/+ 1.96 * sqrt(1/x1 - 1/n1 + 1/x0 - 1/n0).
+_EV_SE = (
+    "sqrt(1.0 / CAST(x1 AS DOUBLE) - 1.0 / CAST(n1 AS DOUBLE)"
+    " + 1.0 / CAST(x0 AS DOUBLE) - 1.0 / CAST(n0 AS DOUBLE))"
+)
+_EV_LNRR = (
+    "ln((CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE))"
+    " / (CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE)))"
+)
+#: CI limit closer to the null, oriented like RR*: exp(|ln RR| - 1.96 se)
+#: (<= 1 means the CI crosses the null and the CI E-value is 1).
+_EV_CI_NEAR = f"exp(abs({_EV_LNRR}) - 1.96 * {_EV_SE})"
+_EV_CI_MILLI = (
+    f"CAST(CASE WHEN {_EV_CI_NEAR} <= 1.0 THEN 1000"
+    f" ELSE FLOOR(({_EV_CI_NEAR}"
+    f" + sqrt({_EV_CI_NEAR} * ({_EV_CI_NEAR} - 1.0))) * 1000.0)"
+    " END AS BIGINT)"
+)
+
+_EVALUE_SQL = f"""
+WITH arms AS (
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x1,
+           CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN p.p_type NOT LIKE 'PROMO%'
+                         AND l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS x0,
+           CAST(SUM(CASE WHEN p.p_type NOT LIKE 'PROMO%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n0
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT x1, n1, x0, n0,
+       CAST(x1 * 1000000 // n1 AS BIGINT) AS p1_ppm,
+       CAST(x0 * 1000000 // n0 AS BIGINT) AS p0_ppm,
+       CAST(FLOOR({_EV_RRSTAR} * 1000.0) AS BIGINT) AS rr_star_milli,
+       {_EV_POINT_MILLI} AS evalue_point_milli,
+       {_EV_CI_MILLI} AS evalue_ci_milli,
+       {_EV_CI_MILLI} > 1000 AS robust_to_some_confounding
+FROM arms
+"""
+
+
+@register(
+    "evalue_confounding_bound",
+    _EVALUE_SQL,
+    doc="VanderWeele-Ding E-value for the PROMO-vs-return association: "
+    "the minimum strength of association (risk-ratio scale) an "
+    "UNMEASURED confounder would need with both treatment and "
+    "outcome to explain the observed risk ratio away — the "
+    "sensitivity analysis that belongs beside every observational "
+    "estimate this tier produces (matching, IPW, DiD all assume no "
+    "unmeasured confounding; the E-value quantifies how wrong that "
+    "can be before the conclusion flips). Point E-value RR* + "
+    "sqrt(RR*(RR*-1)) on the null-oriented ratio, plus the CI "
+    "E-value on the 95% limit nearer the null (1, i.e. milli 1000, "
+    "when the CI crosses the null — then NO confounding is needed). "
+    "Exact int64 arm counts fused in one conditional aggregate; the "
+    "ratio/ln/exp/sqrt chain is one shared-IEEE spelling per "
+    "output, floored milli. Scale: one scan-local reduce to a "
+    "1-row frame over the broadcast part join.",
+)
+def q_evalue_confounding_bound(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("is_promo")
+    )
+    arms = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        F.sum(
+            F.when(
+                F.col("is_promo") & (F.col("l_returnflag") == "R"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x1"),
+        F.sum(F.when(F.col("is_promo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(
+                ~F.col("is_promo") & (F.col("l_returnflag") == "R"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x0"),
+        F.sum(F.when(~F.col("is_promo"), 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    return arms.select(
+        "x1",
+        "n1",
+        "x0",
+        "n0",
+        F.expr("CAST(x1 * 1000000 DIV n1 AS BIGINT)").alias("p1_ppm"),
+        F.expr("CAST(x0 * 1000000 DIV n0 AS BIGINT)").alias("p0_ppm"),
+        F.expr(f"CAST(FLOOR({_EV_RRSTAR} * 1000.0) AS BIGINT)").alias(
+            "rr_star_milli"
+        ),
+        F.expr(_EV_POINT_MILLI).alias("evalue_point_milli"),
+        F.expr(_EV_CI_MILLI).alias("evalue_ci_milli"),
+        (F.expr(_EV_CI_MILLI) > 1000).alias(
+            "robust_to_some_confounding"
+        ),
+    )

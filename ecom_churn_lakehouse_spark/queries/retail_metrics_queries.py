@@ -1202,3 +1202,122 @@ def q_lorenz_curve_deciles(spark, sf_dir):
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: EOQ (economic order quantity) stock policy.
+# ---------------------------------------------------------------------------
+
+_EOQ_ORDER_COST = 50  # S: fixed cost per replenishment order
+_EOQ_HOLD_COST = 2    # H: holding cost per unit-year
+#: Exact integer sqrt: floor(sqrt(double)) with the two-term boundary
+#: correction (the mixture_temperature_allocation isqrt idiom).
+_EOQ_ISQRT = (
+    "(CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    " - CASE WHEN CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT)"
+    "          * CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) > {n}"
+    "        THEN 1 ELSE 0 END"
+    " + CASE WHEN (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "          * (CAST(FLOOR(SQRT(CAST({n} AS DOUBLE))) AS BIGINT) + 1)"
+    "          <= {n}"
+    "        THEN 1 ELSE 0 END)"
+)
+_EOQ_ARG = (
+    f"(2 * d_annual * {_EOQ_ORDER_COST} // {_EOQ_HOLD_COST})"
+)
+_EOQ_UNITS = _EOQ_ISQRT.format(n=_EOQ_ARG)
+
+_EOQ_SQL = f"""
+WITH span AS (
+    SELECT CAST(date_diff('day', MIN(CAST(o_orderdate AS DATE)),
+                          MAX(CAST(o_orderdate AS DATE))) + 1 AS BIGINT)
+               AS span_days
+    FROM orders
+),
+demand AS (
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS BIGINT))
+                AS BIGINT) AS qty_total
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY p.p_brand
+),
+annual AS (
+    SELECT brand, qty_total,
+           CAST(qty_total * 365 // span_days AS BIGINT) AS d_annual
+    FROM demand CROSS JOIN span
+)
+SELECT brand, qty_total, d_annual,
+       CAST({_EOQ_UNITS} AS BIGINT) AS eoq_units,
+       CAST(d_annual // GREATEST({_EOQ_UNITS}, 1) AS BIGINT)
+           AS orders_per_year,
+       CAST(365 * {_EOQ_UNITS} // GREATEST(d_annual, 1) AS BIGINT)
+           AS cycle_days
+FROM annual
+ORDER BY brand
+"""
+
+
+@register(
+    "eoq_stock_policy",
+    _EOQ_SQL,
+    doc=f"Economic order quantity per brand (Harris-Wilson EOQ = "
+    f"sqrt(2DS/H), S={_EOQ_ORDER_COST} order cost, "
+    f"H={_EOQ_HOLD_COST} unit-year holding cost): annualized demand "
+    "from exact quantity sums over the fixture's exact day span, "
+    "then the EOQ via the exact INTEGER sqrt (floor(sqrt) + "
+    "two-term boundary correction — the isqrt idiom), plus the "
+    "derived replenishment cadence (orders/year, cycle days) in "
+    "pure integer division. The deterministic-demand classic "
+    "beside newsvendor_stock_levels' stochastic single-period "
+    "model: together they cover the two textbook inventory "
+    "policies. Zero float anywhere. Scale: one scan-local reduce "
+    "to the 25-brand grain + a 1-row span broadcast.",
+)
+def q_eoq_stock_policy(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    span = load_table(spark, sf_dir, "orders").agg(
+        (
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("span_days")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("q"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    demand = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("brand")
+        .agg(F.sum("q").cast("long").alias("qty_total"))
+    )
+    annual = demand.crossJoin(F.broadcast(span)).select(
+        "brand",
+        "qty_total",
+        F.expr("CAST(qty_total * 365 DIV span_days AS BIGINT)").alias(
+            "d_annual"
+        ),
+    )
+    eoq = _EOQ_UNITS.replace("//", "DIV")
+    return annual.select(
+        "brand",
+        "qty_total",
+        "d_annual",
+        F.expr(f"CAST({eoq} AS BIGINT)").alias("eoq_units"),
+        F.expr(f"CAST(d_annual DIV GREATEST({eoq}, 1) AS BIGINT)").alias(
+            "orders_per_year"
+        ),
+        F.expr(
+            f"CAST(365 * {eoq} DIV GREATEST(d_annual, 1) AS BIGINT)"
+        ).alias("cycle_days"),
+    ).orderBy("brand")

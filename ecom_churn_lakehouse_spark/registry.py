@@ -219,6 +219,8 @@ NEW_IN_ROUND: list[str] = [
     "textrank_keywords",
     "pinball_loss_quantile_backtest",
     "term_burstiness_profile",
+    "evalue_confounding_bound",
+    "eoq_stock_policy",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

@@ -718,3 +718,64 @@ def test_burstiness_matches_python(spark):
             r["vmr_milli"] == (n * cf2[t] - cf[t] ** 2) * 1000 // (cf[t] * n)
         )
         assert r["overdispersed"] == (n * cf2[t] - cf[t] ** 2 > n * cf[t])
+
+
+# --------------------------------------------------------------------------
+# Wave-7 hand-checks.
+# --------------------------------------------------------------------------
+
+
+def test_evalue_matches_formula(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_evalue_confounding_bound,
+    )
+
+    r = q_evalue_confounding_bound(spark, SF).collect()[0]
+    p1 = r["x1"] / r["n1"]
+    p0 = r["x0"] / r["n0"]
+    rr_star = max(p1 / p0, p0 / p1)
+    ev = rr_star + math.sqrt(rr_star * (rr_star - 1.0))
+    assert abs(r["rr_star_milli"] - math.floor(rr_star * 1000)) <= 1
+    assert abs(r["evalue_point_milli"] - math.floor(ev * 1000)) <= 1
+    se = math.sqrt(
+        1 / r["x1"] - 1 / r["n1"] + 1 / r["x0"] - 1 / r["n0"]
+    )
+    near = math.exp(abs(math.log(p1 / p0)) - 1.96 * se)
+    if near <= 1.0:
+        assert r["evalue_ci_milli"] == 1000
+    else:
+        ev_ci = near + math.sqrt(near * (near - 1.0))
+        assert abs(r["evalue_ci_milli"] - math.floor(ev_ci * 1000)) <= 1
+    # structural: E-value always >= RR* >= 1; CI E-value <= point E-value
+    assert r["evalue_point_milli"] >= r["rr_star_milli"] >= 1000
+    assert r["evalue_ci_milli"] <= r["evalue_point_milli"]
+    assert r["robust_to_some_confounding"] == (r["evalue_ci_milli"] > 1000)
+
+
+def test_eoq_matches_formula(spark):
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        _EOQ_HOLD_COST,
+        _EOQ_ORDER_COST,
+        q_eoq_stock_policy,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = [r.asDict() for r in q_eoq_stock_policy(spark, SF).collect()]
+    assert len(rows) == 25
+    span = load_table(spark, SF, "orders").agg(
+        (
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            )
+            + 1
+        ).alias("s")
+    ).collect()[0]["s"]
+    for r in rows:
+        d = r["qty_total"] * 365 // span
+        assert r["d_annual"] == d
+        eoq = math.isqrt(2 * d * _EOQ_ORDER_COST // _EOQ_HOLD_COST)
+        assert r["eoq_units"] == eoq
+        assert r["orders_per_year"] == d // max(eoq, 1)
+        assert r["cycle_days"] == 365 * eoq // max(d, 1)
