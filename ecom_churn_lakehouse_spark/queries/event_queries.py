@@ -2174,3 +2174,280 @@ def q_markov_absorption_conversion(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: Markov removal-effect attribution.
+# ---------------------------------------------------------------------------
+
+_REMOVAL_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def _removal_u_steps(tag: str, removed: str | None) -> str:
+    """Unrolled 3-step first-passage recursion, optionally with one
+    channel removed (its rows AND columns drop from the transient
+    part — journeys through it die, the standard removal-effect
+    semantics; transition probabilities stay as estimated)."""
+    not_removed_i = (
+        f" AND d.i <> '{removed}'" if removed is not None else ""
+    )
+    not_removed_j = (
+        f" AND p.j <> '{removed}'" if removed is not None else ""
+    )
+    steps = [
+        f"u1{tag} AS (SELECT i, direct_milli AS u_milli FROM direct d"
+        f" WHERE 1=1{not_removed_i.replace('d.i', 'i')})"
+    ]
+    prev = f"u1{tag}"
+    for k in (2, 3):
+        steps.append(
+            f"u{k}{tag} AS (\n"
+            f"    SELECT d.i,\n"
+            f"           CAST(d.direct_milli\n"
+            f"                + COALESCE(SUM(p.p_milli * u.u_milli), 0)"
+            f" // 1000 AS BIGINT) AS u_milli\n"
+            f"    FROM direct d\n"
+            f"    LEFT JOIN pmat p ON p.i = d.i"
+            f" AND p.j <> '{_ABS_TARGET}'{not_removed_j}\n"
+            f"    LEFT JOIN {prev} u ON u.i = p.j\n"
+            f"    WHERE 1=1{not_removed_i}\n"
+            f"    GROUP BY d.i, d.direct_milli\n)"
+        )
+        prev = f"u{k}{tag}"
+    return ",\n".join(steps)
+
+
+def _removal_v(tag: str, removed: str | None) -> str:
+    """Start-mix-weighted conversion value in exact milli; a removed
+    channel's starters contribute zero, purchase-first starters
+    contribute full mass."""
+    excl = f" AND s.s <> '{removed}'" if removed is not None else ""
+    return (
+        f"v{tag} AS (\n"
+        f"    SELECT CAST((COALESCE((SELECT SUM(s.n * u.u_milli)\n"
+        f"                  FROM starts s JOIN u3{tag} u ON u.i = s.s\n"
+        f"                  WHERE 1=1{excl}), 0)\n"
+        f"            + (SELECT COALESCE(SUM(n), 0) FROM starts\n"
+        f"               WHERE s = '{_ABS_TARGET}') * 1000)\n"
+        f"           // (SELECT SUM(n) FROM starts) AS BIGINT)"
+        f" AS v_milli\n)"
+    )
+
+
+def _removal_sql() -> str:
+    chans = _REMOVAL_CHANNELS
+    chan_ctes = []
+    for c in chans:
+        chan_ctes.append(_removal_u_steps(c, c))
+        chan_ctes.append(_removal_v(c, c))
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS channel, (SELECT v_milli FROM v{c})"
+        f" AS v_removed_milli" for c in chans
+    )
+    return f"""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type AS i, event_type AS j, CAST(COUNT(*) AS BIGINT) AS c
+    FROM ordered
+    WHERE prev_type IS NOT NULL AND prev_type <> '{_ABS_TARGET}'
+    GROUP BY prev_type, event_type
+),
+outdeg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS total FROM trans GROUP BY i),
+pmat AS (
+    SELECT t.i, t.j, CAST(t.c * 1000 // o.total AS BIGINT) AS p_milli
+    FROM trans t JOIN outdeg o ON o.i = t.i
+),
+direct AS (
+    SELECT o.i,
+           CAST(COALESCE(MAX(CASE WHEN p.j = '{_ABS_TARGET}'
+                                  THEN p.p_milli END), 0) AS BIGINT)
+               AS direct_milli
+    FROM outdeg o LEFT JOIN pmat p ON p.i = o.i
+    GROUP BY o.i
+),
+firsts AS (
+    SELECT user_id, event_type AS s
+    FROM ordered WHERE prev_type IS NULL
+),
+starts AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM firsts GROUP BY s
+),
+{_removal_u_steps('base', None)},
+{_removal_v('base', None)},
+{",".join(chan_ctes)},
+removed AS ({selects})
+SELECT r.channel,
+       (SELECT v_milli FROM vbase) AS v_base_milli,
+       r.v_removed_milli,
+       CAST(((SELECT v_milli FROM vbase) - r.v_removed_milli) * 1000
+            // GREATEST((SELECT v_milli FROM vbase), 1) AS BIGINT)
+           AS removal_effect_milli
+FROM removed r
+ORDER BY r.channel
+"""
+
+
+@register(
+    "markov_removal_attribution",
+    _removal_sql(),
+    doc="Markov removal-effect attribution (the Anderl et al. "
+    "data-driven attribution model): for each non-purchase channel, "
+    "recompute the start-mix-weighted 3-step conversion probability "
+    "with that channel REMOVED from the transient chain (journeys "
+    "through it die; transition probabilities stay as estimated) "
+    "and credit the channel with the relative conversion drop — the "
+    "counterfactual complement to shapley_channel_attribution "
+    "(cooperative-game credit on observed paths) and multi_touch_"
+    "attribution (positional heuristic): three attribution "
+    "doctrines, one engine. All arithmetic inherits the absorption "
+    "entry's exact integer-milli recursion (floor once per step), "
+    "start mix from the per-user first event, so every value is "
+    "bit-exact on both engines. Scale: the one per-user lag window "
+    "every journey entry pays, then k x k frames — the 4 removal "
+    "variants are 4 more <=25-row unrolled recursions, not 4 more "
+    "scans.",
+)
+def q_markov_removal_attribution(spark, sf_dir):
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).localCheckpoint(eager=False)
+    trans = (
+        ordered.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != _ABS_TARGET)
+        )
+        .groupBy(
+            F.col("prev_type").alias("i"), F.col("event_type").alias("j")
+        )
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    outdeg = trans.groupBy("i").agg(F.sum("c").cast("long").alias("total"))
+    pmat = trans.join(outdeg, on="i").select(
+        "i",
+        "j",
+        F.expr("CAST(c * 1000 DIV total AS BIGINT)").alias("p_milli"),
+    ).localCheckpoint(eager=False)
+    direct = (
+        outdeg.join(
+            pmat.withColumnRenamed("i", "pi"),
+            outdeg.i == F.col("pi"),
+            "left",
+        )
+        .groupBy("i")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("j") == _ABS_TARGET, F.col("p_milli"))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("direct_milli")
+        )
+        .localCheckpoint(eager=False)
+    )
+    starts = (
+        ordered.filter(F.col("prev_type").isNull())
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+
+    def u3(removed):
+        d = direct
+        p = pmat.filter(F.col("j") != _ABS_TARGET)
+        if removed is not None:
+            d = d.filter(F.col("i") != removed)
+            p = p.filter(F.col("j") != removed)
+        u = d.select("i", F.col("direct_milli").alias("u_milli"))
+        for _ in (2, 3):
+            u = (
+                d.join(
+                    p.withColumnRenamed("i", "pi"),
+                    d.i == F.col("pi"),
+                    "left",
+                )
+                .join(
+                    u.select(
+                        F.col("i").alias("uj"),
+                        F.col("u_milli").alias("uv"),
+                    ),
+                    F.col("j") == F.col("uj"),
+                    "left",
+                )
+                .groupBy("i", "direct_milli")
+                .agg(
+                    F.expr(
+                        "CAST(direct_milli"
+                        " + COALESCE(SUM(p_milli * uv), 0) DIV 1000"
+                        " AS BIGINT)"
+                    ).alias("u_milli")
+                )
+                .select("i", "u_milli")
+            )
+        return u
+
+    n_tot = starts.agg(F.sum("n").alias("nt"))
+    n_purch = starts.filter(F.col("s") == _ABS_TARGET).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("np")
+    )
+
+    def v_of(u, removed):
+        s = starts
+        if removed is not None:
+            s = s.filter(F.col("s") != removed)
+        mass = (
+            s.join(u, s.s == u.i)
+            .agg(
+                F.coalesce(F.sum(F.expr("n * u_milli")), F.lit(0)).alias(
+                    "m"
+                )
+            )
+        )
+        return (
+            mass.crossJoin(F.broadcast(n_purch))
+            .crossJoin(F.broadcast(n_tot))
+            .select(
+                F.expr("CAST((m + np * 1000) DIV nt AS BIGINT)").alias(
+                    "v_milli"
+                )
+            )
+        )
+
+    vbase = v_of(u3(None), None).withColumnRenamed(
+        "v_milli", "v_base_milli"
+    )
+    parts = []
+    for c in _REMOVAL_CHANNELS:
+        vc = v_of(u3(c), c).select(
+            F.lit(c).alias("channel"),
+            F.col("v_milli").alias("v_removed_milli"),
+        )
+        parts.append(vc)
+    removed = parts[0]
+    for p_ in parts[1:]:
+        removed = removed.unionByName(p_)
+    return (
+        removed.crossJoin(F.broadcast(vbase))
+        .select(
+            "channel",
+            "v_base_milli",
+            "v_removed_milli",
+            F.expr(
+                "CAST((v_base_milli - v_removed_milli) * 1000"
+                " DIV GREATEST(v_base_milli, 1) AS BIGINT)"
+            ).alias("removal_effect_milli"),
+        )
+        .orderBy("channel")
+    )

@@ -221,6 +221,7 @@ NEW_IN_ROUND: list[str] = [
     "term_burstiness_profile",
     "evalue_confounding_bound",
     "eoq_stock_policy",
+    "markov_removal_attribution",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

@@ -779,3 +779,75 @@ def test_eoq_matches_formula(spark):
         assert r["eoq_units"] == eoq
         assert r["orders_per_year"] == d // max(eoq, 1)
         assert r["cycle_days"] == 365 * eoq // max(d, 1)
+
+
+def test_markov_removal_attribution_python(spark):
+    """Removal effects recomputed with the same integer-milli
+    recursion in pure Python, including the start-mix weighting."""
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_markov_removal_attribution,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["channel"]: r.asDict()
+        for r in q_markov_removal_attribution(spark, SF).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pdf = (
+        load_events(spark, SF)
+        .select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
+        )
+        .toPandas()
+    )
+    trans = (
+        pdf[pdf.prev.notna() & (pdf.prev != "purchase")]
+        .groupby(["prev", "event_type"])
+        .size()
+    )
+    ci = trans.groupby("prev").sum().to_dict()
+    p = {
+        (i, j): c * 1000 // ci[i] for (i, j), c in trans.items()
+    }
+    direct = {i: p.get((i, "purchase"), 0) for i in ci}
+    starts = pdf[pdf.prev.isna()].event_type.value_counts().to_dict()
+    n_tot = sum(starts.values())
+
+    def u3(removed):
+        keys = [i for i in ci if i != removed]
+        u = {i: direct[i] for i in keys}
+        for _ in range(2):
+            u = {
+                i: direct[i]
+                + sum(
+                    p[(pi, j)] * u.get(j, 0)
+                    for (pi, j) in p
+                    if pi == i and j != "purchase" and j != removed
+                )
+                // 1000
+                for i in keys
+            }
+        return u
+
+    def v_of(u, removed):
+        m = sum(
+            n * u.get(s, 0)
+            for s, n in starts.items()
+            if s != removed and s != "purchase"
+        )
+        return (m + starts.get("purchase", 0) * 1000) // n_tot
+
+    vb = v_of(u3(None), None)
+    for c in ("click", "error", "signup", "view"):
+        vr = v_of(u3(c), c)
+        r = rows[c]
+        assert r["v_base_milli"] == vb
+        assert r["v_removed_milli"] == vr
+        assert r["removal_effect_milli"] == (vb - vr) * 1000 // max(vb, 1)
+        # removing a channel can never increase conversion
+        assert r["v_removed_milli"] <= r["v_base_milli"]
