@@ -2551,3 +2551,147 @@ def q_label_silhouette_screen(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: grid-based density outlier factor (LOF-style).
+# ---------------------------------------------------------------------------
+
+_DOF_SQL = f"""
+WITH pts AS (
+    SELECT vec_id,
+           {_GRID_Q.format(v='embedding', k=1)} AS qx,
+           {_GRID_Q.format(v='embedding', k=2)} AS qy
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS i, b.vec_id AS j
+    FROM pts a JOIN pts b
+      ON a.vec_id <> b.vec_id
+     AND (a.qx - b.qx) * (a.qx - b.qx)
+         + (a.qy - b.qy) * (a.qy - b.qy)
+         <= {_GRID_EPS_MICRO} * {_GRID_EPS_MICRO}
+),
+dens AS (
+    SELECT p.vec_id,
+           CAST(COALESCE(COUNT(e.j), 0) AS BIGINT) AS n_eps
+    FROM pts p LEFT JOIN pairs e ON e.i = p.vec_id
+    GROUP BY p.vec_id
+),
+scored AS (
+    SELECT d.vec_id, d.n_eps,
+           CAST(SUM(dn.n_eps) AS BIGINT) AS neighbor_density_sum
+    FROM dens d
+    JOIN pairs e ON e.i = d.vec_id
+    JOIN dens dn ON dn.vec_id = e.j
+    GROUP BY d.vec_id, d.n_eps
+)
+SELECT d.vec_id, d.n_eps,
+       s.neighbor_density_sum,
+       CAST(s.neighbor_density_sum * 1000
+            // (d.n_eps * d.n_eps) AS BIGINT) AS dof_milli,
+       (d.n_eps = 0) AS isolated,
+       (d.n_eps = 0 OR s.neighbor_density_sum * 2 > 3 * d.n_eps * d.n_eps)
+           AS outlier
+FROM dens d LEFT JOIN scored s ON s.vec_id = d.vec_id
+"""
+
+
+@register(
+    "grid_density_outlier_factor",
+    _DOF_SQL,
+    doc="LOF-style density outlier factor over the exact grid "
+    "epsilon-neighborhood (the Breunig-et-al idea — compare a "
+    "point's local density to its NEIGHBORS' density, so dense and "
+    "sparse regions are each judged locally — instantiated on the "
+    "epsilon-count density the fixed-grid join already certifies "
+    "exactly): dof = mean neighbor epsilon-count / own "
+    "epsilon-count, in exact integer milli (sum*1000 DIV n^2); "
+    "isolated points (no epsilon-neighbor) are flagged outright, "
+    "and the outlier verdict dof > 1.5 is a cleared-denominator "
+    "integer comparison (2*sum > 3*n^2). Pure integers end to end — "
+    "the quantized grid coordinates make even the distance filter "
+    "exact. Complements embedding_density_clusters (which keeps "
+    "dense structure) with the opposite readout: what density "
+    "leaves behind. Scale: inherits the grid join's cell-bounded "
+    "candidate posture plus two neighbor-grain reduces; never "
+    "all-pairs (the SQL spelling above is the oracle's brute-force "
+    "twin, the Spark plan goes through the 3x3 cell join).",
+)
+def q_grid_density_outlier_factor(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.expr(_GRID_Q_SPARK.format(v="embedding", k=1)).alias("qx"),
+        F.expr(_GRID_Q_SPARK.format(v="embedding", k=2)).alias("qy"),
+    )
+    home = pts.select(
+        "vec_id",
+        "qx",
+        "qy",
+        (F.col("qx") / _GRID_EPS_MICRO).cast("long").alias("cx"),
+        (F.col("qy") / _GRID_EPS_MICRO).cast("long").alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)],
+        "dx INT, dy INT",
+    )
+    probe = pts.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("j"),
+        F.col("qx").alias("qxb"),
+        F.col("qy").alias("qyb"),
+        ((F.col("qx") / _GRID_EPS_MICRO).cast("long") + F.col("dx")).alias(
+            "cx"
+        ),
+        ((F.col("qy") / _GRID_EPS_MICRO).cast("long") + F.col("dy")).alias(
+            "cy"
+        ),
+    )
+    dist_sq = (F.col("qx") - F.col("qxb")) * (
+        F.col("qx") - F.col("qxb")
+    ) + (F.col("qy") - F.col("qyb")) * (F.col("qy") - F.col("qyb"))
+    pairs = (
+        home.join(probe, on=["cx", "cy"])
+        .filter(
+            (F.col("vec_id") != F.col("j"))
+            & (dist_sq <= _GRID_EPS_MICRO * _GRID_EPS_MICRO)
+        )
+        .select(F.col("vec_id").alias("i"), "j")
+        .localCheckpoint(eager=False)
+    )
+    dens = (
+        pts.select("vec_id")
+        .join(pairs, pts.vec_id == pairs.i, "left")
+        .groupBy("vec_id")
+        .agg(F.count("j").cast("long").alias("n_eps"))
+    )
+    scored = (
+        dens.join(pairs, dens.vec_id == pairs.i)
+        .join(
+            dens.select(
+                F.col("vec_id").alias("jv"),
+                F.col("n_eps").alias("jn"),
+            ),
+            F.col("j") == F.col("jv"),
+        )
+        .groupBy("vec_id", "n_eps")
+        .agg(F.sum("jn").cast("long").alias("neighbor_density_sum"))
+        .select("vec_id", "neighbor_density_sum")
+    )
+    return dens.join(scored, on="vec_id", how="left").select(
+        "vec_id",
+        "n_eps",
+        "neighbor_density_sum",
+        F.expr(
+            "CAST(neighbor_density_sum * 1000 DIV (n_eps * n_eps)"
+            " AS BIGINT)"
+        ).alias("dof_milli"),
+        (F.col("n_eps") == 0).alias("isolated"),
+        (
+            (F.col("n_eps") == 0)
+            | (
+                F.col("neighbor_density_sum") * 2
+                > 3 * F.col("n_eps") * F.col("n_eps")
+            )
+        ).alias("outlier"),
+    )

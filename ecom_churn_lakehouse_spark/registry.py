@@ -222,6 +222,7 @@ NEW_IN_ROUND: list[str] = [
     "evalue_confounding_bound",
     "eoq_stock_policy",
     "markov_removal_attribution",
+    "grid_density_outlier_factor",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

@@ -851,3 +851,47 @@ def test_markov_removal_attribution_python(spark):
         assert r["removal_effect_milli"] == (vb - vr) * 1000 // max(vb, 1)
         # removing a channel can never increase conversion
         assert r["v_removed_milli"] <= r["v_base_milli"]
+
+
+def test_grid_dof_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.similarity_queries import (
+        _GRID_EPS_MICRO,
+        _GRID_SHIFT,
+        q_grid_density_outlier_factor,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    rows = {
+        r["vec_id"]: r.asDict()
+        for r in q_grid_density_outlier_factor(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").toPandas()
+    q = {
+        row.vec_id: (
+            math.floor(float(row.embedding[0]) * 1e6) + _GRID_SHIFT,
+            math.floor(float(row.embedding[1]) * 1e6) + _GRID_SHIFT,
+        )
+        for _, row in emb.iterrows()
+    }
+    nbrs = {i: [] for i in q}
+    ids = list(q)
+    for i in ids:
+        for j in ids:
+            if i != j:
+                d = (q[i][0] - q[j][0]) ** 2 + (q[i][1] - q[j][1]) ** 2
+                if d <= _GRID_EPS_MICRO * _GRID_EPS_MICRO:
+                    nbrs[i].append(j)
+    assert set(rows) == set(q)
+    for i in q:
+        n = len(nbrs[i])
+        r = rows[i]
+        assert r["n_eps"] == n
+        assert r["isolated"] == (n == 0)
+        if n == 0:
+            assert r["dof_milli"] is None
+            assert r["outlier"]
+        else:
+            ssum = sum(len(nbrs[j]) for j in nbrs[i])
+            assert r["neighbor_density_sum"] == ssum
+            assert r["dof_milli"] == ssum * 1000 // (n * n)
+            assert r["outlier"] == (ssum * 2 > 3 * n * n)
