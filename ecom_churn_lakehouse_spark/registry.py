@@ -223,6 +223,8 @@ NEW_IN_ROUND: list[str] = [
     "eoq_stock_policy",
     "markov_removal_attribution",
     "grid_density_outlier_factor",
+    "covariate_balance_smd",
+    "haar_energy_decomposition",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

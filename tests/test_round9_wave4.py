@@ -895,3 +895,78 @@ def test_grid_dof_matches_python(spark):
             assert r["neighbor_density_sum"] == ssum
             assert r["dof_milli"] == ssum * 1000 // (n * n)
             assert r["outlier"] == (ssum * 2 > 3 * n * n)
+
+
+def test_covariate_balance_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_covariate_balance_smd,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["covariate"]: r.asDict()
+        for r in q_covariate_balance_smd(spark, SF).collect()
+    }
+    assert sorted(rows) == ["discount_bp", "price_dollars", "quantity"]
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("decimal(18,2)").cast("long").alias(
+            "quantity"
+        ),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100"
+        ).alias("price_dollars"),
+        (F.col("l_discount").cast("decimal(18,4)") * 10000)
+        .cast("long")
+        .alias("discount_bp"),
+    )
+    part = load_table(spark, SF, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("treated")
+    )
+    pdf = li.join(part, li.l_partkey == part.p_partkey).toPandas()
+    for cov in rows:
+        t = pdf[pdf.treated][cov].to_numpy(dtype=float)
+        c = pdf[~pdf.treated][cov].to_numpy(dtype=float)
+        smd = (t.mean() - c.mean()) / math.sqrt(
+            (t.var() + c.var()) / 2.0
+        )
+        r = rows[cov]
+        assert r["n_t"] == t.size and r["n_c"] == c.size
+        assert abs(r["smd_milli"] - math.floor(smd * 1000)) <= 1
+        assert r["balanced_at_01"] == (abs(r["smd_milli"]) < 100)
+
+
+def test_haar_energy_matches_numpy(spark):
+    from ecom_churn_lakehouse_spark.queries.analytics_queries import (
+        q_haar_energy_decomposition,
+    )
+
+    rows = {
+        r["level"]: r.asDict()
+        for r in q_haar_energy_decomposition(spark, SF).collect()
+    }
+    assert sorted(rows) == [1, 2, 3, 4, 5]
+    pdf = _daily_revenue(spark)
+    day0 = pdf.d.min()
+    series = {}
+    for _, row in pdf.iterrows():
+        series[(row.d - day0).days] = int(row.y)
+    total = 0
+    for lv in (1, 2, 3, 4, 5):
+        half, block = 2 ** (lv - 1), 2**lv
+        from collections import defaultdict
+
+        dsum = defaultdict(int)
+        for idx, y in series.items():
+            dsum[idx // block] += y * (1 - 2 * ((idx // half) % 2))
+        energy = sum(v * v for v in dsum.values())
+        assert rows[lv]["n_blocks"] == len(dsum)
+        assert rows[lv]["energy"] == energy
+        total += energy
+    for lv in (1, 2, 3, 4, 5):
+        assert (
+            rows[lv]["energy_share_ppm"]
+            == rows[lv]["energy"] * 1_000_000 // max(total, 1)
+        )
