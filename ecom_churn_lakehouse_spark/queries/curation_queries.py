@@ -1970,3 +1970,120 @@ def q_mixture_temperature_allocation(spark, sf_dir):
             > F.col("avail_tokens") * F.col("root_denom")
         ).alias("upweighted"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: cross-source quantile normalization.
+# ---------------------------------------------------------------------------
+
+_QN_BUCKETS = 20  # ventile grid
+
+
+def _qn_sql() -> str:
+    pooled_cols = ",\n           ".join(
+        f"CAST(quantile_disc(n_tokens, {k}.0 / {_QN_BUCKETS}) AS BIGINT)"
+        f" AS q{k}"
+        for k in range(1, _QN_BUCKETS + 1)
+    )
+    bucket_case = " ".join(
+        f"WHEN b = {k} THEN q{k}" for k in range(1, _QN_BUCKETS + 1)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+ranked AS (
+    SELECT doc_id, source, n_tokens,
+           CAST(COUNT(*) OVER (PARTITION BY source
+                               ORDER BY n_tokens, doc_id) AS BIGINT) AS r,
+           CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+    FROM toks
+),
+pooled AS (
+    SELECT {pooled_cols}
+    FROM toks
+),
+mapped AS (
+    SELECT doc_id, source, n_tokens, r, n_src,
+           CAST((r * {_QN_BUCKETS} + n_src - 1) // n_src AS BIGINT) AS b
+    FROM ranked
+)
+SELECT m.doc_id, m.source, m.n_tokens,
+       m.b AS ventile,
+       CAST(CASE {bucket_case} END AS BIGINT) AS normalized_tokens
+FROM mapped m CROSS JOIN pooled
+"""
+
+
+@register(
+    "doc_length_quantile_normalization",
+    _qn_sql(),
+    doc=f"Cross-source quantile normalization of document length: "
+    "each document's within-source rank maps to its ventile "
+    f"(ceil(r*{_QN_BUCKETS}/n), exact ceiling division on "
+    "non-negative ints), and the normalized value is the POOLED "
+    "corpus's discrete quantile at that ventile — after this, every "
+    "source's length distribution is the pooled one (the "
+    "quantile-normalization recipe from microarray statistics, here "
+    "the mixing-prep step that stops a verbose source from "
+    "dominating token budgets while preserving within-source "
+    "ordering). Everything is exact integers: within-source ranks "
+    "from a PARTITIONED window (deterministic doc_id tie-break), "
+    "the pooled map is one aggregate of "
+    f"{_QN_BUCKETS} percentile_disc data values broadcast to every "
+    "row. Scale: the window partitions by source (parallel across "
+    "sources), the pooled grid is dimension-bounded; no global "
+    "sort, no float.",
+)
+def q_doc_length_quantile_normalization(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    from ecom_churn_lakehouse_spark.functions.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        token_count_col(F.col("text")).alias("n_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("n_tokens", "doc_id")
+    wp = W.partitionBy("source")
+    ranked = toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.count("*").over(w).cast("long").alias("r"),
+        F.count("*").over(wp).cast("long").alias("n_src"),
+    )
+    pooled = toks.agg(
+        *[
+            F.expr(
+                f"percentile_disc({k}.0 / {_QN_BUCKETS})"
+                " WITHIN GROUP (ORDER BY n_tokens)"
+            )
+            .cast("long")
+            .alias(f"q{k}")
+            for k in range(1, _QN_BUCKETS + 1)
+        ]
+    )
+    bucket_case = " ".join(
+        f"WHEN b = {k} THEN q{k}" for k in range(1, _QN_BUCKETS + 1)
+    )
+    mapped = ranked.withColumn(
+        "b",
+        F.expr(
+            f"CAST((r * {_QN_BUCKETS} + n_src - 1) DIV n_src AS BIGINT)"
+        ),
+    )
+    return mapped.crossJoin(F.broadcast(pooled)).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("b").alias("ventile"),
+        F.expr(f"CAST(CASE {bucket_case} END AS BIGINT)").alias(
+            "normalized_tokens"
+        ),
+    )

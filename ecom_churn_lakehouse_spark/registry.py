@@ -225,6 +225,7 @@ NEW_IN_ROUND: list[str] = [
     "grid_density_outlier_factor",
     "covariate_balance_smd",
     "haar_energy_decomposition",
+    "doc_length_quantile_normalization",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

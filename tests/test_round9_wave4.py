@@ -970,3 +970,36 @@ def test_haar_energy_matches_numpy(spark):
             rows[lv]["energy_share_ppm"]
             == rows[lv]["energy"] * 1_000_000 // max(total, 1)
         )
+
+
+def test_quantile_normalization_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.curation_queries import (
+        _QN_BUCKETS,
+        q_doc_length_quantile_normalization,
+    )
+
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in q_doc_length_quantile_normalization(spark, SF).collect()
+    }
+    pdf = _docs_pdf(spark)
+    pdf["n_tokens"] = pdf.text.map(lambda t: len(t.split()))
+    pooled = sorted(pdf.n_tokens)
+
+    def qdisc(tau):
+        return pooled[max(0, math.ceil(tau * len(pooled)) - 1)]
+
+    grid = {k: qdisc(k / _QN_BUCKETS) for k in range(1, _QN_BUCKETS + 1)}
+    for src, g in pdf.groupby("source"):
+        g = g.sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+        n = len(g)
+        for r0, (_, doc) in enumerate(g.iterrows(), start=1):
+            b = (r0 * _QN_BUCKETS + n - 1) // n
+            r = rows[doc.doc_id]
+            assert r["n_tokens"] == doc.n_tokens
+            assert r["ventile"] == b
+            assert r["normalized_tokens"] == grid[b], (src, doc.doc_id)
+    # after normalization every source's value multiset is drawn from
+    # the same pooled grid
+    vals = {r["normalized_tokens"] for r in rows.values()}
+    assert vals <= set(grid.values())
