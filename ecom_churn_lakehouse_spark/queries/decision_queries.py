@@ -1482,3 +1482,157 @@ def q_ucb_arm_allocation(spark, sf_dir):
         )
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: Theil inequality decomposition.
+# ---------------------------------------------------------------------------
+
+#: Per-customer Theil T term (x/X) * ln(x*N/X), quantized to
+#: DECIMAL(28,12) per term before the sum (AP-sum discipline);
+#: zero-spend customers contribute 0 (lim x->0 of x ln x).
+_THEIL_TERM = (
+    "CAST(CASE WHEN x > 0 THEN"
+    " (CAST(x AS DOUBLE) / CAST(xt AS DOUBLE))"
+    " * ln(CAST(x AS DOUBLE) * CAST(nt AS DOUBLE) / CAST(xt AS DOUBLE))"
+    " ELSE 0.0 END AS DECIMAL(28,12))"
+)
+#: Between-nation term (Xg/X) * ln((Xg/X)/(Ng/N)).
+_THEIL_BETWEEN_TERM = (
+    "CAST(CASE WHEN xg > 0 THEN"
+    " (CAST(xg AS DOUBLE) / CAST(xt AS DOUBLE))"
+    " * ln((CAST(xg AS DOUBLE) * CAST(nt AS DOUBLE))"
+    "      / (CAST(xt AS DOUBLE) * CAST(ng AS DOUBLE)))"
+    " ELSE 0.0 END AS DECIMAL(28,12))"
+)
+
+_THEIL_SQL = f"""
+WITH spend AS (
+    SELECT c.c_custkey, n.n_name AS nation,
+           CAST(COALESCE(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                * 100 AS BIGINT)), 0) AS BIGINT) // 100 AS x
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, n.n_name
+),
+tot AS (
+    SELECT CAST(SUM(x) AS BIGINT) AS xt, CAST(COUNT(*) AS BIGINT) AS nt
+    FROM spend
+),
+overall AS (
+    SELECT CAST(FLOOR(CAST(SUM({_THEIL_TERM}) AS DOUBLE) * 1000000.0)
+                AS BIGINT) AS theil_total_micro
+    FROM spend CROSS JOIN tot
+),
+groups AS (
+    SELECT nation, CAST(SUM(x) AS BIGINT) AS xg,
+           CAST(COUNT(*) AS BIGINT) AS ng
+    FROM spend GROUP BY nation
+),
+between_t AS (
+    SELECT CAST(FLOOR(CAST(SUM({_THEIL_BETWEEN_TERM}) AS DOUBLE)
+                * 1000000.0) AS BIGINT) AS theil_between_micro
+    FROM groups CROSS JOIN tot
+)
+SELECT t.nt AS n_customers,
+       (SELECT COUNT(*) FROM groups) AS n_nations,
+       o.theil_total_micro,
+       b.theil_between_micro,
+       o.theil_total_micro - b.theil_between_micro
+           AS theil_within_micro,
+       CAST(b.theil_between_micro * 1000
+            // GREATEST(o.theil_total_micro, 1) AS BIGINT)
+           AS between_share_milli
+FROM overall o CROSS JOIN between_t b CROSS JOIN tot t
+"""
+
+
+@register(
+    "theil_inequality_decomposition",
+    _THEIL_SQL,
+    doc="Theil T inequality index of customer spend, decomposed into "
+    "BETWEEN-nation and WITHIN-nation components — the reason Theil "
+    "exists beside the Gini (revenue_gini_by_nation ranks nations; "
+    "lorenz_curve_deciles draws the curve; neither can say how much "
+    "of total inequality is geography vs within-market spread, "
+    "because Gini does not decompose additively and Theil does: "
+    "T = T_between + sum_g (X_g/X) T_g, surfaced here as the exact "
+    "residual). Zero-spend customers enter with their 0 ln 0 = 0 "
+    "limit via an integer CASE. Each term is one shared-IEEE "
+    "ln-of-exact-ratio quantized per-term to DECIMAL(28,12) before "
+    "the order-free sum (the AP-sum rule); the between share lands "
+    "in exact milli. Scale: one customer-grain reduce (the spend "
+    "frame), one 25-nation reduce, 1-row frames after.",
+)
+def q_theil_inequality_decomposition(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    spend = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "nation")
+        .agg(
+            F.expr(
+                "CAST(COALESCE(SUM(cents), 0) AS BIGINT) DIV 100"
+            ).alias("x")
+        )
+    ).localCheckpoint(eager=False)
+    tot = spend.agg(
+        F.sum("x").cast("long").alias("xt"),
+        F.count("*").cast("long").alias("nt"),
+    )
+    overall = (
+        spend.crossJoin(F.broadcast(tot))
+        .agg(
+            F.floor(
+                F.sum(F.expr(_THEIL_TERM)).cast("double") * 1000000.0
+            )
+            .cast("long")
+            .alias("theil_total_micro")
+        )
+    )
+    groups = spend.groupBy("nation").agg(
+        F.sum("x").cast("long").alias("xg"),
+        F.count("*").cast("long").alias("ng"),
+    )
+    n_nations = groups.agg(F.count("*").cast("long").alias("n_nations"))
+    between = (
+        groups.crossJoin(F.broadcast(tot))
+        .agg(
+            F.floor(
+                F.sum(F.expr(_THEIL_BETWEEN_TERM)).cast("double")
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("theil_between_micro")
+        )
+    )
+    return (
+        overall.crossJoin(F.broadcast(between))
+        .crossJoin(F.broadcast(tot.select(F.col("nt").alias("n_customers"))))
+        .crossJoin(F.broadcast(n_nations))
+        .select(
+            "n_customers",
+            "n_nations",
+            "theil_total_micro",
+            "theil_between_micro",
+            (
+                F.col("theil_total_micro") - F.col("theil_between_micro")
+            ).alias("theil_within_micro"),
+            F.expr(
+                "CAST(theil_between_micro * 1000"
+                " DIV GREATEST(theil_total_micro, 1) AS BIGINT)"
+            ).alias("between_share_milli"),
+        )
+    )

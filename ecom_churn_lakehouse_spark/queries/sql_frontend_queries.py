@@ -145,3 +145,46 @@ def _register_bt_twin() -> None:
 
 
 _register_bt_twin()
+
+
+# Round-9 addition: twins for oracle texts that are dialect-portable
+# MODULO the integer-division operator — the same one-token
+# engine-split the Bradley-Terry twin established (`//` in DuckDB,
+# `DIV` in Spark; both are exact integer floor division on the
+# non-negative operands these texts use). The Spark side runs the
+# oracle text with `//` -> ` DIV ` substituted; everything else is
+# verbatim, so the twin still pins the parser/analyzer path on the
+# full CTE shape.
+_DIV_TWINS = [
+    "ucb_arm_allocation",          # scalar-subquery argmax + ln/sqrt
+    "ipw_ate_promo",               # signed-floor CASE + % remainder
+    # (brier_murphy_decomposition stays DataFrame-only: its features
+    # CTE uses DuckDB's date_diff('day', ...) spelling)
+]
+
+
+def _register_div_twins() -> None:
+    for name in _DIV_TWINS:
+        entry = _REGISTRY.get(name)
+        if entry is None or entry.oracle is None:  # pragma: no cover
+            raise RuntimeError(f"DIV twin base missing oracle: {name}")
+        text = entry.oracle
+
+        @register(
+            f"sql_{name}",
+            text,
+            doc=f"SQL front door twin of `{name}`: the oracle text with "
+            "the single dialect-specific token substituted (`//` -> "
+            "`DIV`, both exact integer floor division here) evaluated "
+            "by spark.sql over the cataloged views; the DuckDB oracle "
+            "runs the original verbatim — the Bradley-Terry "
+            "template-split discipline.",
+            bounded_frame=entry.bounded_frame,
+        )
+        def _twin(spark, sf_dir, _text=text):
+            from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+            return run_sql(spark, sf_dir, _text.replace("//", " DIV "))
+
+
+_register_div_twins()

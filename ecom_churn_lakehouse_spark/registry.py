@@ -226,6 +226,9 @@ NEW_IN_ROUND: list[str] = [
     "covariate_balance_smd",
     "haar_energy_decomposition",
     "doc_length_quantile_normalization",
+    "theil_inequality_decomposition",
+    "sql_ucb_arm_allocation",
+    "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk
     #     order (float/ROUND/DECIMAL oracle surfaces first;
     #     the tail beyond the 50-entry sample window is the

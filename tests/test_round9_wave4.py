@@ -1003,3 +1003,55 @@ def test_quantile_normalization_matches_python(spark):
     # the same pooled grid
     vals = {r["normalized_tokens"] for r in rows.values()}
     assert vals <= set(grid.values())
+
+
+def test_theil_decomposition_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.decision_queries import (
+        q_theil_inequality_decomposition,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r = q_theil_inequality_decomposition(spark, SF).collect()[0]
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, SF, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    pdf = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "nation")
+        .agg(
+            F.expr("CAST(COALESCE(SUM(cents), 0) AS BIGINT) DIV 100").alias(
+                "x"
+            )
+        )
+        .toPandas()
+    )
+    xt, nt = int(pdf.x.sum()), len(pdf)
+    total = sum(
+        (x / xt) * math.log(x * nt / xt) for x in pdf.x if x > 0
+    )
+    between = 0.0
+    for _, g in pdf.groupby("nation"):
+        xg, ng = int(g.x.sum()), len(g)
+        if xg > 0:
+            between += (xg / xt) * math.log((xg * nt) / (xt * ng))
+    assert r["n_customers"] == nt
+    assert abs(r["theil_total_micro"] - math.floor(total * 1e6)) <= 2
+    assert abs(r["theil_between_micro"] - math.floor(between * 1e6)) <= 2
+    # decomposition: within = total - between, and both are >= 0
+    assert (
+        r["theil_within_micro"]
+        == r["theil_total_micro"] - r["theil_between_micro"]
+    )
+    assert r["theil_total_micro"] >= r["theil_between_micro"] >= 0
+    assert 0 <= r["between_share_milli"] <= 1000
