@@ -1985,3 +1985,194 @@ def q_approx_percentile_error_audit(spark, sf_dir):
         )
         + " ORDER BY p_milli"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: consistent-hash resharding audit.
+# ---------------------------------------------------------------------------
+
+_CH_RING_MOD = 1 << 40  # ring positions in [0, 2^40)
+_CH_VNODES = 16         # virtual nodes per shard
+_CH_N_OLD = 8
+_CH_N_NEW = 9
+
+
+def _ch_ring_rows(n_shards: int) -> list[tuple[int, int]]:
+    return [
+        (s, r) for s in range(n_shards) for r in range(_CH_VNODES)
+    ]
+
+
+def _ch_sql() -> str:
+    def ring_values(n):
+        return ", ".join(
+            f"({s}, {r})" for s, r in _ch_ring_rows(n)
+        )
+
+    node_pos = hash_bucket_sql(
+        "'n' || CAST(s AS VARCHAR) || 'r' || CAST(r AS VARCHAR)",
+        "ring",
+        _CH_RING_MOD,
+    )
+    key_pos = hash_bucket_sql("doc_id", "ringkey", _CH_RING_MOD)
+    return f"""
+WITH keys AS (
+    SELECT doc_id, {key_pos} AS kpos FROM documents
+),
+ring8(s, r) AS (VALUES {ring_values(_CH_N_OLD)}),
+ring9(s, r) AS (VALUES {ring_values(_CH_N_NEW)}),
+nodes8 AS (SELECT s, {node_pos} AS npos FROM ring8),
+nodes9 AS (SELECT s, {node_pos} AS npos FROM ring9),
+own8 AS (
+    SELECT k.doc_id,
+           (min({{'d': (n.npos - k.kpos + {_CH_RING_MOD})
+                       % {_CH_RING_MOD}, 's': n.s}})).s AS shard8
+    FROM keys k CROSS JOIN nodes8 n
+    GROUP BY k.doc_id
+),
+own9 AS (
+    SELECT k.doc_id, k.kpos,
+           (min({{'d': (n.npos - k.kpos + {_CH_RING_MOD})
+                       % {_CH_RING_MOD}, 's': n.s}})).s AS shard9
+    FROM keys k CROSS JOIN nodes9 n
+    GROUP BY k.doc_id, k.kpos
+),
+joined AS (
+    SELECT o9.doc_id, o8.shard8, o9.shard9,
+           (o8.shard8 <> o9.shard9) AS moved_ring,
+           (o9.kpos % {_CH_N_OLD} <> o9.kpos % {_CH_N_NEW}) AS moved_mod
+    FROM own9 o9 JOIN own8 o8 ON o8.doc_id = o9.doc_id
+),
+totals AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN moved_ring THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_ring_ppm,
+           CAST(SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS moved_mod_ppm
+    FROM joined
+)
+SELECT CAST(j.shard9 AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS load_n9,
+       CAST(SUM(CASE WHEN j.shard8 = j.shard9 THEN 0 ELSE 1 END)
+            AS BIGINT) AS moved_in,
+       g.n_keys, g.moved_ring_ppm, g.moved_mod_ppm
+FROM joined j CROSS JOIN totals g
+GROUP BY j.shard9, g.n_keys, g.moved_ring_ppm, g.moved_mod_ppm
+ORDER BY shard
+"""
+
+
+@register(
+    "consistent_hash_resharding_audit",
+    _ch_sql(),
+    doc=f"Consistent-hashing reshard audit ({_CH_N_OLD} -> "
+    f"{_CH_N_NEW} shards, {_CH_VNODES} virtual nodes each, the "
+    "Karger ring): per new shard its load and how many keys moved "
+    "INTO it, plus the global moved fraction under the ring vs "
+    "under naive modulo sharding — the number that justifies the "
+    "ring (theory: ~1/9 of keys move on the ring, ~8/9 under mod; "
+    "read moved_ring_ppm against moved_mod_ppm). Ring and key "
+    "positions come from the repo's single portable md5-prefix hash "
+    "idiom (operators/sampling.py — the one spelling both engines "
+    "share), ownership is the min clockwise distance with a "
+    "deterministic (distance, shard) struct-min tie-break, and all "
+    "fractions are exact integer ppm. Scale: the ring is a "
+    f"{_CH_N_NEW * _CH_VNODES}-row broadcast; ownership is one "
+    "scan-local cross join to it + a key-grain argmin — no shuffle "
+    "beyond the final 9-row reduce. The data-placement primitive "
+    "behind every shard-rebalance plan the warehouse tier advises "
+    "on (file_compaction_plan, shuffle_partition_advisor).",
+)
+def q_consistent_hash_resharding_audit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    keys = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), "ringkey", _CH_RING_MOD).alias(
+            "kpos"
+        ),
+    )
+
+    def nodes(n):
+        ring = spark.createDataFrame(_ch_ring_rows(n), "s INT, r INT")
+        return ring.select(
+            "s",
+            hash_bucket(
+                F.concat(
+                    F.lit("n"),
+                    F.col("s").cast("string"),
+                    F.lit("r"),
+                    F.col("r").cast("string"),
+                ),
+                "ring",
+                _CH_RING_MOD,
+            ).alias("npos"),
+        )
+
+    def owners(n, out):
+        dist = (
+            F.col("npos") - F.col("kpos") + _CH_RING_MOD
+        ) % _CH_RING_MOD
+        return (
+            keys.crossJoin(F.broadcast(nodes(n)))
+            .groupBy("doc_id", "kpos")
+            .agg(
+                F.min(F.struct(dist.alias("d"), F.col("s").alias("s")))
+                .getField("s")
+                .alias(out)
+            )
+        )
+
+    joined = (
+        owners(_CH_N_NEW, "shard9")
+        .join(
+            owners(_CH_N_OLD, "shard8").select("doc_id", "shard8"),
+            on="doc_id",
+        )
+        .select(
+            "doc_id",
+            "shard8",
+            "shard9",
+            (F.col("shard8") != F.col("shard9")).alias("moved_ring"),
+            (
+                F.col("kpos") % _CH_N_OLD != F.col("kpos") % _CH_N_NEW
+            ).alias("moved_mod"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    glob = joined.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.expr(
+            "CAST(SUM(CASE WHEN moved_ring THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("moved_ring_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN moved_mod THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("moved_mod_ppm"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(glob))
+        .groupBy(
+            F.col("shard9").cast("long").alias("shard"),
+            "n_keys",
+            "moved_ring_ppm",
+            "moved_mod_ppm",
+        )
+        .agg(
+            F.count("*").cast("long").alias("load_n9"),
+            F.sum(
+                F.when(F.col("shard8") == F.col("shard9"), 0).otherwise(1)
+            )
+            .cast("long")
+            .alias("moved_in"),
+        )
+        .select(
+            "shard",
+            "load_n9",
+            "moved_in",
+            "n_keys",
+            "moved_ring_ppm",
+            "moved_mod_ppm",
+        )
+        .orderBy("shard")
+    )

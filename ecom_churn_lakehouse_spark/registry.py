@@ -227,6 +227,7 @@ NEW_IN_ROUND: list[str] = [
     "haar_energy_decomposition",
     "doc_length_quantile_normalization",
     "theil_inequality_decomposition",
+    "consistent_hash_resharding_audit",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk

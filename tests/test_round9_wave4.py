@@ -1055,3 +1055,29 @@ def test_theil_decomposition_matches_python(spark):
     )
     assert r["theil_total_micro"] >= r["theil_between_micro"] >= 0
     assert 0 <= r["between_share_milli"] <= 1000
+
+
+def test_consistent_hash_invariants(spark):
+    """The consistent-hashing contract: keys only ever move INTO the
+    new shard, the ring moves far fewer keys than modulo resharding,
+    and loads cover every shard."""
+    from ecom_churn_lakehouse_spark.queries.dataops_queries import (
+        _CH_N_NEW,
+        q_consistent_hash_resharding_audit,
+    )
+
+    rows = [
+        r.asDict()
+        for r in q_consistent_hash_resharding_audit(spark, SF).collect()
+    ]
+    assert [r["shard"] for r in rows] == list(range(_CH_N_NEW))
+    n_keys = rows[0]["n_keys"]
+    assert sum(r["load_n9"] for r in rows) == n_keys
+    # only the NEW shard receives movers
+    for r in rows[:-1]:
+        assert r["moved_in"] == 0
+    assert rows[-1]["moved_in"] == rows[-1]["load_n9"]
+    moved_total = sum(r["moved_in"] for r in rows)
+    assert rows[0]["moved_ring_ppm"] == moved_total * 1_000_000 // n_keys
+    # the ring must beat naive modulo by a wide margin
+    assert rows[0]["moved_ring_ppm"] * 3 < rows[0]["moved_mod_ppm"]
