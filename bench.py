@@ -336,6 +336,15 @@ HEADLINE = [
     "textrank_keywords",
     "pinball_loss_quantile_backtest",
     "term_burstiness_profile",
+    "evalue_confounding_bound",
+    "eoq_stock_policy",
+    "markov_removal_attribution",
+    "grid_density_outlier_factor",
+    "covariate_balance_smd",
+    "haar_energy_decomposition",
+    "doc_length_quantile_normalization",
+    "theil_inequality_decomposition",
+    "consistent_hash_resharding_audit",
 ]
 
 
