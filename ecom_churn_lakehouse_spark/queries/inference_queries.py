@@ -5224,3 +5224,110 @@ def q_covariate_balance_smd(spark, sf_dir):
         F.expr(_SMD_MILLI).alias("smd_milli"),
         (F.abs(F.expr(_SMD_MILLI)) < 100).alias("balanced_at_01"),
     ).orderBy("covariate")
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: quantile treatment effects (QTE).
+# --------------------------------------------------------------------------
+
+_QTE_TAUS = [25, 50, 75, 90]
+
+
+def _qte_sql() -> str:
+    tau_cols_t = ",\n           ".join(
+        f"CAST(quantile_disc(CASE WHEN treated THEN cents END,"
+        f" {t}.0 / 100) AS BIGINT) AS qt{t}"
+        for t in _QTE_TAUS
+    )
+    tau_cols_c = ",\n           ".join(
+        f"CAST(quantile_disc(CASE WHEN NOT treated THEN cents END,"
+        f" {t}.0 / 100) AS BIGINT) AS qc{t}"
+        for t in _QTE_TAUS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS tau_pct, qt{t} AS q_treated_cents,"
+        f" qc{t} AS q_control_cents, qt{t} - qc{t} AS qte_cents"
+        " FROM qs"
+        for t in _QTE_TAUS
+    )
+    return f"""
+WITH tagged AS (
+    SELECT p.p_type LIKE 'PROMO%' AS treated,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+qs AS (
+    SELECT {tau_cols_t},
+           {tau_cols_c}
+    FROM tagged
+)
+SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+       q_treated_cents, q_control_cents, qte_cents
+FROM ({rows})
+ORDER BY tau_pct
+"""
+
+
+@register(
+    "quantile_treatment_effects",
+    _qte_sql(),
+    doc="Quantile treatment effects of PROMO parts on line price at "
+    "the 25/50/75/90th percentiles — the DISTRIBUTIONAL causal "
+    "readout the mean-effect estimators can't give (ipw_ate_promo / "
+    "exact_matching_att say what happens on average; the QTE "
+    "profile says WHERE in the price distribution the effect lives "
+    "— a pure tail effect and a uniform shift have the same ATE and "
+    "opposite business meaning). Quantiles are exact "
+    "percentile_disc data values in int64 cents (conditional on the "
+    "arm via CASE inside the aggregate — one pass, no split scan), "
+    "so every QTE is an exact integer difference of observed "
+    "prices. Scale: one scan-local aggregate over the broadcast "
+    "part join to a 1-row frame; the per-arm sorts are the "
+    "percentile_disc machinery every percentile entry already "
+    "costs.",
+)
+def q_quantile_treatment_effects(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").like("PROMO%").alias("treated")
+    )
+    tagged = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    aggs = []
+    for t in _QTE_TAUS:
+        aggs.append(
+            F.expr(
+                f"percentile_disc({t}.0 / 100) WITHIN GROUP"
+                " (ORDER BY CASE WHEN treated THEN cents END)"
+            )
+            .cast("long")
+            .alias(f"qt{t}")
+        )
+        aggs.append(
+            F.expr(
+                f"percentile_disc({t}.0 / 100) WITHIN GROUP"
+                " (ORDER BY CASE WHEN NOT treated THEN cents END)"
+            )
+            .cast("long")
+            .alias(f"qc{t}")
+        )
+    qs = tagged.agg(*aggs)
+    parts = []
+    for t in _QTE_TAUS:
+        parts.append(
+            qs.select(
+                F.lit(t).cast("long").alias("tau_pct"),
+                F.col(f"qt{t}").alias("q_treated_cents"),
+                F.col(f"qc{t}").alias("q_control_cents"),
+                (F.col(f"qt{t}") - F.col(f"qc{t}")).alias("qte_cents"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out.orderBy("tau_pct")

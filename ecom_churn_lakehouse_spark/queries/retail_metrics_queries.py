@@ -1321,3 +1321,125 @@ def q_eoq_stock_policy(spark, sf_dir):
             f"CAST(365 * {eoq} DIV GREATEST(d_annual, 1) AS BIGINT)"
         ).alias("cycle_days"),
     ).orderBy("brand")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: period-over-period revenue bridge (contribution).
+# ---------------------------------------------------------------------------
+
+_BRIDGE_Y0 = 1996
+_BRIDGE_Y1 = 1997
+
+
+def _bridge_sql() -> str:
+    return f"""
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE)) AS INTEGER)
+               AS yr,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE EXTRACT(YEAR FROM CAST(o.o_orderdate AS DATE))
+          IN ({_BRIDGE_Y0}, {_BRIDGE_Y1})
+    GROUP BY 1, 2
+),
+wide AS (
+    SELECT segment,
+           CAST(SUM(CASE WHEN yr = {_BRIDGE_Y0} THEN n_orders ELSE 0 END)
+                AS BIGINT) AS n0,
+           CAST(SUM(CASE WHEN yr = {_BRIDGE_Y0} THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS r0,
+           CAST(SUM(CASE WHEN yr = {_BRIDGE_Y1} THEN n_orders ELSE 0 END)
+                AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN yr = {_BRIDGE_Y1} THEN rev_cents ELSE 0 END)
+                AS BIGINT) AS r1
+    FROM seg GROUP BY segment
+)
+SELECT segment, n0, n1, r0, r1,
+       r1 - r0 AS delta_cents,
+       CAST((n1 - n0) * (r0 // GREATEST(n0, 1)) AS BIGINT)
+           AS volume_effect_cents,
+       CAST(n1 * (r1 // GREATEST(n1, 1) - r0 // GREATEST(n0, 1))
+            AS BIGINT) AS rate_effect_cents,
+       CAST(r1 - r0
+            - (n1 - n0) * (r0 // GREATEST(n0, 1))
+            - n1 * (r1 // GREATEST(n1, 1) - r0 // GREATEST(n0, 1))
+            AS BIGINT) AS residual_cents
+FROM wide
+ORDER BY segment
+"""
+
+
+@register(
+    "revenue_delta_contribution",
+    _bridge_sql(),
+    doc=f"Period-over-period revenue bridge by market segment "
+    f"({_BRIDGE_Y0} -> {_BRIDGE_Y1}): each segment's revenue delta "
+    "split into a VOLUME effect (order-count change at the old "
+    "average ticket) and a RATE effect (average-ticket change at "
+    "the new volume) — the waterfall decomposition every revenue "
+    "review runs to answer 'did we sell more, or at higher "
+    "prices?'. The two effects use floor-divided average tickets, "
+    "so the (deterministic, few-cent) flooring remainder is "
+    "surfaced honestly as residual_cents instead of vanishing into "
+    "either effect — the decomposition identity delta = volume + "
+    "rate + residual holds EXACTLY in int64 cents by construction. "
+    "Complements unit_value_index_decomposition (corpus-level "
+    "Laspeyres/Paasche price-volume indexes) with the segment-grain "
+    "additive bridge. Scale: one scan-local (segment x year) "
+    "reduce; everything after is a 5-row frame.",
+)
+def q_revenue_delta_contribution(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ecom_churn_lakehouse_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    ).filter(F.col("yr").isin(_BRIDGE_Y0, _BRIDGE_Y1))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    seg = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).groupBy("segment").agg(
+        F.sum(F.when(F.col("yr") == _BRIDGE_Y0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(
+            F.when(F.col("yr") == _BRIDGE_Y0, F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("r0"),
+        F.sum(F.when(F.col("yr") == _BRIDGE_Y1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("yr") == _BRIDGE_Y1, F.col("cents")).otherwise(0)
+        )
+        .cast("long")
+        .alias("n1r"),
+    ).withColumnRenamed("n1r", "r1")
+    vol = F.expr("(n1 - n0) * (r0 DIV GREATEST(n0, 1))")
+    rate = F.expr(
+        "n1 * (r1 DIV GREATEST(n1, 1) - r0 DIV GREATEST(n0, 1))"
+    )
+    return seg.select(
+        "segment",
+        "n0",
+        "n1",
+        "r0",
+        "r1",
+        (F.col("r1") - F.col("r0")).alias("delta_cents"),
+        vol.cast("long").alias("volume_effect_cents"),
+        rate.cast("long").alias("rate_effect_cents"),
+        (F.col("r1") - F.col("r0") - vol - rate)
+        .cast("long")
+        .alias("residual_cents"),
+    ).orderBy("segment")

@@ -228,6 +228,8 @@ NEW_IN_ROUND: list[str] = [
     "doc_length_quantile_normalization",
     "theil_inequality_decomposition",
     "consistent_hash_resharding_audit",
+    "revenue_delta_contribution",
+    "quantile_treatment_effects",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk

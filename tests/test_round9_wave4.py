@@ -1081,3 +1081,88 @@ def test_consistent_hash_invariants(spark):
     assert rows[0]["moved_ring_ppm"] == moved_total * 1_000_000 // n_keys
     # the ring must beat naive modulo by a wide margin
     assert rows[0]["moved_ring_ppm"] * 3 < rows[0]["moved_mod_ppm"]
+
+
+def test_revenue_bridge_identity_and_pandas(spark):
+    from ecom_churn_lakehouse_spark.queries.retail_metrics_queries import (
+        _BRIDGE_Y0,
+        _BRIDGE_Y1,
+        q_revenue_delta_contribution,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = [
+        r.asDict()
+        for r in q_revenue_delta_contribution(spark, SF).collect()
+    ]
+    assert len(rows) == 5
+    orders = load_table(spark, SF, "orders").select(
+        "o_custkey",
+        F.year(F.col("o_orderdate").cast("date")).alias("yr"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cust = load_table(spark, SF, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    pdf = orders.join(cust, orders.o_custkey == cust.c_custkey).toPandas()
+    for r in rows:
+        g = pdf[pdf.segment == r["segment"]]
+        g0 = g[g.yr == _BRIDGE_Y0]
+        g1 = g[g.yr == _BRIDGE_Y1]
+        n0, r0 = len(g0), int(g0.cents.sum())
+        n1, r1 = len(g1), int(g1.cents.sum())
+        assert (r["n0"], r["r0"], r["n1"], r["r1"]) == (n0, r0, n1, r1)
+        vol = (n1 - n0) * (r0 // max(n0, 1))
+        rate = n1 * (r1 // max(n1, 1) - r0 // max(n0, 1))
+        assert r["volume_effect_cents"] == vol
+        assert r["rate_effect_cents"] == rate
+        # EXACT decomposition identity
+        assert (
+            r["delta_cents"]
+            == r["volume_effect_cents"]
+            + r["rate_effect_cents"]
+            + r["residual_cents"]
+        )
+        # the residual is floor slack only: bounded by the new count
+        assert abs(r["residual_cents"]) <= n1 + abs(n1 - n0)
+
+
+def test_qte_matches_pandas(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        _QTE_TAUS,
+        q_quantile_treatment_effects,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["tau_pct"]: r.asDict()
+        for r in q_quantile_treatment_effects(spark, SF).collect()
+    }
+    assert sorted(rows) == sorted(_QTE_TAUS)
+    li = load_table(spark, SF, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    part = load_table(spark, SF, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("treated")
+    )
+    pdf = li.join(part, li.l_partkey == part.p_partkey).toPandas()
+    t = sorted(pdf[pdf.treated].cents)
+    c = sorted(pdf[~pdf.treated].cents)
+
+    def qdisc(xs, tau):
+        return xs[max(0, math.ceil(tau * len(xs)) - 1)]
+
+    for tau in _QTE_TAUS:
+        r = rows[tau]
+        assert r["q_treated_cents"] == qdisc(t, tau / 100)
+        assert r["q_control_cents"] == qdisc(c, tau / 100)
+        assert (
+            r["qte_cents"] == r["q_treated_cents"] - r["q_control_cents"]
+        )
