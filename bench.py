@@ -345,6 +345,8 @@ HEADLINE = [
     "doc_length_quantile_normalization",
     "theil_inequality_decomposition",
     "consistent_hash_resharding_audit",
+    "revenue_delta_contribution",
+    "quantile_treatment_effects",
 ]
 
 
