@@ -5272,8 +5272,6 @@ ORDER BY tau_pct
 @register(
     "quantile_treatment_effects",
     _qte_sql(),
-    bounded_frame="2-arm windows over the distinct-cents value grain "
-    "(price domain, not population)",
     doc="Quantile treatment effects of PROMO parts on line price at "
     "the 25/50/75/90th percentiles — the DISTRIBUTIONAL causal "
     "readout the mean-effect estimators can't give (ipw_ate_promo / "
@@ -5287,7 +5285,9 @@ ORDER BY tau_pct
     "prices. Scale: ONE pass — the fact reduces to the (arm, "
     "distinct-value) grain, one partitioned cumulative window "
     "serves every tau simultaneously (cum*100 >= n*tau is the "
-    "exact integer ceil spelling of percentile_disc), vs 8 "
+    "exact integer ceil spelling of percentile_disc; the two "
+    "arm-partitioned windows run over the distinct-cents VALUE "
+    "grain, bounded by the price domain, not the population), vs 8 "
     "independent percentile sorts in the naive plan (measured 3x "
     "cheaper at sf0.1).",
 )
