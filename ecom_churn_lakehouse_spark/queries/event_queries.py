@@ -2451,3 +2451,276 @@ def q_markov_removal_attribution(spark, sf_dir):
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: SRE multi-window SLO burn-rate alerts.
+# ---------------------------------------------------------------------------
+
+#: Error budget: SLO target 75% non-error => budget fraction 25%.
+_SLO_BUDGET_PPM = 250_000
+_SLO_LONG_HOURS = 24
+
+_SLO_SQL = f"""
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hh,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY 1
+),
+windowed AS (
+    SELECT hh, n, n_err,
+           CAST(SUM(n) OVER (ORDER BY hh
+                ROWS BETWEEN {_SLO_LONG_HOURS - 1} PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS n_long,
+           CAST(SUM(n_err) OVER (ORDER BY hh
+                ROWS BETWEEN {_SLO_LONG_HOURS - 1} PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS err_long
+    FROM hourly
+)
+SELECT hh AS hour, n, n_err,
+       CAST(n_err * 1000000 // n AS BIGINT) AS short_err_ppm,
+       CAST(err_long * 1000000 // n_long AS BIGINT) AS long_err_ppm,
+       CAST(n_err * 1000000000 // (n * {_SLO_BUDGET_PPM}) AS BIGINT)
+           AS short_burn_milli,
+       CAST(err_long * 1000000000 // (n_long * {_SLO_BUDGET_PPM})
+            AS BIGINT) AS long_burn_milli,
+       (n_err * 1000000000 // (n * {_SLO_BUDGET_PPM}) > 2000
+        AND err_long * 1000000000 // (n_long * {_SLO_BUDGET_PPM}) > 2000)
+           AS page_alert,
+       (n_err * 1000000000 // (n * {_SLO_BUDGET_PPM}) > 1000
+        AND err_long * 1000000000 // (n_long * {_SLO_BUDGET_PPM}) > 1000)
+           AS ticket_alert
+FROM windowed
+ORDER BY hour
+"""
+
+
+@register(
+    "slo_burn_rate_alerts",
+    _SLO_SQL,
+    doc="Multi-window multi-burn-rate SLO alerting (the Google SRE "
+    "workbook policy) on the event error rate: per hour, the "
+    "SHORT-window (1 h) and LONG-window (trailing 24 h) burn rates "
+    "against a 25% error budget, and the two-tier verdicts — page "
+    "when BOTH windows burn > 2x (fast + sustained, the AND that "
+    "kills flapping), ticket when both > 1x. Burn rates are exact "
+    "integer milli (err*1e9 DIV (n*budget_ppm)); the trailing "
+    "window is a ROWS frame over the HOUR grain, so the ordered "
+    "window runs over calendar hours, never events. The ops-"
+    "monitoring complement to the statistical drift tier "
+    "(page_hinkley/cusum detect distribution change; burn-rate "
+    "alerts enforce a BUDGET). Scale: one scan-local hour reduce "
+    "then a bounded-frame window over the calendar.",
+    bounded_frame="calendar-bounded hour grain (24-row ROWS frame)",
+)
+def q_slo_burn_rate_alerts(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hh")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w = W.orderBy("hh").rowsBetween(-(_SLO_LONG_HOURS - 1), 0)
+    windowed = hourly.select(
+        "hh",
+        "n",
+        "n_err",
+        F.sum("n").over(w).cast("long").alias("n_long"),
+        F.sum("n_err").over(w).cast("long").alias("err_long"),
+    )
+    short_burn = F.expr(
+        f"n_err * 1000000000 DIV (n * {_SLO_BUDGET_PPM})"
+    )
+    long_burn = F.expr(
+        f"err_long * 1000000000 DIV (n_long * {_SLO_BUDGET_PPM})"
+    )
+    return windowed.select(
+        F.col("hh").alias("hour"),
+        "n",
+        "n_err",
+        F.expr("CAST(n_err * 1000000 DIV n AS BIGINT)").alias(
+            "short_err_ppm"
+        ),
+        F.expr("CAST(err_long * 1000000 DIV n_long AS BIGINT)").alias(
+            "long_err_ppm"
+        ),
+        short_burn.cast("long").alias("short_burn_milli"),
+        long_burn.cast("long").alias("long_burn_milli"),
+        ((short_burn > 2000) & (long_burn > 2000)).alias("page_alert"),
+        ((short_burn > 1000) & (long_burn > 1000)).alias("ticket_alert"),
+    ).orderBy("hour")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: Little's-law audit over session intervals.
+# ---------------------------------------------------------------------------
+
+_LITTLE_SESSIONS_CTES = """
+ordered_l AS (
+    SELECT user_id, ts,
+           CASE WHEN LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                ) IS NULL
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                   )) > 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_id
+    FROM ordered_l
+),
+sessions AS (
+    SELECT user_id, session_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS s_us,
+           CAST(epoch_us(MAX(ts)) + 1800 * 1000000 AS BIGINT) AS e_us
+    FROM numbered GROUP BY user_id, session_id
+)"""
+
+_LITTLE_SQL = f"""
+WITH {_LITTLE_SESSIONS_CTES},
+markers AS (
+    SELECT s_us AS t, 1 AS delta FROM sessions
+    UNION ALL
+    SELECT e_us AS t, -1 AS delta FROM sessions
+),
+swept AS (
+    SELECT t, delta,
+           CAST(SUM(delta) OVER (ORDER BY t, delta
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS conc,
+           CAST(LEAD(t) OVER (ORDER BY t, delta) - t AS BIGINT) AS gap_us
+    FROM markers
+),
+sums AS (
+    SELECT CAST((SELECT COUNT(*) FROM sessions) AS BIGINT) AS n_sessions,
+           CAST((SELECT SUM(e_us - s_us) FROM sessions) AS BIGINT)
+               AS total_duration_us,
+           CAST(SUM(conc * gap_us) AS BIGINT) AS integral_us,
+           CAST((SELECT MAX(e_us) - MIN(s_us) FROM sessions) AS BIGINT)
+               AS span_us
+    FROM swept WHERE gap_us IS NOT NULL
+)
+SELECT n_sessions, total_duration_us, integral_us, span_us,
+       (total_duration_us = integral_us) AS identity_holds,
+       CAST(n_sessions * 3600000000 * 1000 // span_us AS BIGINT)
+           AS lambda_per_hour_milli,
+       CAST(total_duration_us // n_sessions AS BIGINT) AS w_mean_us,
+       CAST(integral_us * 1000 // span_us AS BIGINT) AS l_mean_milli
+FROM sums
+"""
+
+
+@register(
+    "littles_law_audit",
+    _LITTLE_SQL,
+    doc="Little's law (L = lambda * W) audited EXACTLY on the session "
+    "intervals: the time integral of session concurrency (sweep-line "
+    "sum of concurrency x inter-marker gap, exact int64 "
+    "microseconds) must equal the sum of session durations to the "
+    "microsecond — the identity_holds column is the engine "
+    "cross-check (a sessionization bug, a marker-ordering slip, or "
+    "a lost interval breaks the equality), and the L / lambda / W "
+    "readouts (mean concurrency, arrival rate, mean duration) are "
+    "the capacity-planning triple the law relates. Sessionization "
+    "is the exact-microsecond gaps-and-islands spelling the session "
+    "tier shares; ends sort before starts at equal instants "
+    "(ORDER BY t, delta). Scale: per-user windows parallelize; the "
+    "global sweep is the one ordered pass — partition by day at "
+    "scale (the session_peak_concurrency layout), which this entry "
+    "keeps GLOBAL so the identity is corpus-exact rather than "
+    "per-partition.",
+    bounded_frame="global sweep over session markers — documented "
+    "approximate scale path: partition the sweep by day (the "
+    "session_peak_concurrency layout); kept global here so the "
+    "Little's-law identity is corpus-exact",
+)
+def q_littles_law_audit(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w_user = W.partitionBy("user_id").orderBy("ts")
+    marked = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w_user).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w_user))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = w_user.rowsBetween(W.unboundedPreceding, 0)
+    sessions = (
+        marked.withColumn("session_id", F.sum("new_session").over(w_cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.unix_micros(F.min("ts")).cast("long").alias("s_us"),
+            (F.unix_micros(F.max("ts")) + 1800 * 1_000_000)
+            .cast("long")
+            .alias("e_us"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    markers = sessions.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("e_us").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w_sweep = W.orderBy("t", "delta")
+    swept = markers.select(
+        "t",
+        "delta",
+        F.sum("delta")
+        .over(w_sweep.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("conc"),
+        (F.lead("t").over(w_sweep) - F.col("t"))
+        .cast("long")
+        .alias("gap_us"),
+    )
+    integral = swept.filter(F.col("gap_us").isNotNull()).agg(
+        F.sum(F.expr("conc * gap_us")).cast("long").alias("integral_us")
+    )
+    base = sessions.agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum(F.expr("e_us - s_us")).cast("long").alias(
+            "total_duration_us"
+        ),
+        (F.max("e_us") - F.min("s_us")).cast("long").alias("span_us"),
+    )
+    return base.crossJoin(F.broadcast(integral)).select(
+        "n_sessions",
+        "total_duration_us",
+        "integral_us",
+        "span_us",
+        (F.col("total_duration_us") == F.col("integral_us")).alias(
+            "identity_holds"
+        ),
+        F.expr(
+            "CAST(n_sessions * 3600000000 * 1000 DIV span_us AS BIGINT)"
+        ).alias("lambda_per_hour_milli"),
+        F.expr("CAST(total_duration_us DIV n_sessions AS BIGINT)").alias(
+            "w_mean_us"
+        ),
+        F.expr("CAST(integral_us * 1000 DIV span_us AS BIGINT)").alias(
+            "l_mean_milli"
+        ),
+    )

@@ -1002,3 +1002,70 @@ def q_scd2_asof_fact_join(spark, sf_dir):
         F.sum("price_cents").cast("long").alias("revenue_cents"),
         F.count_distinct("customer_id").cast("long").alias("n_customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: value-window function battery.
+# ---------------------------------------------------------------------------
+
+def _value_battery_sql(engine: str) -> str:
+    # The one token ANSI left dialect-specific here: DuckDB spells
+    # null-skipping INSIDE the call (FIRST_VALUE(x IGNORE NULLS)),
+    # Spark AFTER it (FIRST_VALUE(x) IGNORE NULLS). One template,
+    # engine-split on that token only (the Bradley-Terry discipline).
+    inner = " IGNORE NULLS" if engine == "duck" else ""
+    outer = " IGNORE NULLS" if engine == "spark" else ""
+    return _VALUE_BATTERY_TEMPLATE.format(IN_INNER=inner, IN_OUTER=outer)
+
+
+_VALUE_BATTERY_TEMPLATE = """
+SELECT o_orderpriority AS priority,
+       CAST(o_orderkey AS BIGINT) AS order_id,
+       CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS cheapest_id,
+       CAST(LAST_VALUE(o_orderkey) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS BIGINT) AS priciest_id,
+       CAST(NTH_VALUE(o_orderkey, 3) OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS BIGINT) AS third_cheapest_id,
+       CAST(LAG(o_orderkey, 2, -1) OVER w AS BIGINT) AS lag2_id,
+       CAST(LEAD(o_orderkey, 2, -1) OVER w AS BIGINT) AS lead2_id,
+       CAST(FIRST_VALUE(
+            CASE WHEN o_orderstatus = 'F' THEN o_orderkey END{IN_INNER}
+       ){IN_OUTER} OVER w AS BIGINT) AS first_finished_id
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+"""
+
+
+@register(
+    "value_window_battery",
+    _value_battery_sql("duck"),
+    doc="Value-window function battery per priority partition (the "
+    "companion to rank_function_battery's ranking surface): "
+    "FIRST_VALUE under the default frame, LAST_VALUE and NTH_VALUE "
+    "under an EXPLICIT full frame — the classic correctness pitfall "
+    "this battery exists to pin: the default RANGE frame ends at "
+    "CURRENT ROW, so an unframed LAST_VALUE is just the current "
+    "row and an unframed NTH_VALUE(3) is NULL for the first two "
+    "rows; both engines agree only when the frame is spelled out — "
+    "plus LAG/LEAD with explicit offset-2 and -1 defaults, and "
+    "FIRST_VALUE ... IGNORE NULLS over a CASE-nulled column (the "
+    "first FINISHED order by price, skipping others — the "
+    "null-skipping semantics a naive first_value silently gets "
+    "wrong; the IGNORE NULLS placement is the one engine-split "
+    "token — inside the call for the oracle, after it for Spark). "
+    "Deterministic total order via the (price, orderkey) "
+    "tie-break; one named WINDOW serves five of the six functions "
+    "(one shuffle + one sort). All values are key columns — exact "
+    "integers.",
+)
+def q_value_window_battery(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _value_battery_sql("spark"))

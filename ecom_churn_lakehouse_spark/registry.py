@@ -230,6 +230,9 @@ NEW_IN_ROUND: list[str] = [
     "consistent_hash_resharding_audit",
     "revenue_delta_contribution",
     "quantile_treatment_effects",
+    "slo_burn_rate_alerts",
+    "littles_law_audit",
+    "value_window_battery",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk

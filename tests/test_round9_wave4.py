@@ -1166,3 +1166,124 @@ def test_qte_matches_pandas(spark):
         assert (
             r["qte_cents"] == r["q_treated_cents"] - r["q_control_cents"]
         )
+
+
+def test_slo_burn_rates_match_pandas(spark):
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        _SLO_BUDGET_PPM,
+        _SLO_LONG_HOURS,
+        q_slo_burn_rate_alerts,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+    from pyspark.sql import functions as F
+
+    rows = [
+        r.asDict() for r in q_slo_burn_rate_alerts(spark, SF).collect()
+    ]
+    pdf = (
+        load_events(spark, SF)
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("hh"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("e"),
+        )
+        .orderBy("hh")
+        .toPandas()
+    )
+    assert len(rows) == len(pdf)
+    for i, r in enumerate(rows):
+        lo = max(0, i - (_SLO_LONG_HOURS - 1))
+        n_long = int(pdf.n[lo : i + 1].sum())
+        e_long = int(pdf.e[lo : i + 1].sum())
+        n, e = int(pdf.n[i]), int(pdf.e[i])
+        sb = e * 1_000_000_000 // (n * _SLO_BUDGET_PPM)
+        lb = e_long * 1_000_000_000 // (n_long * _SLO_BUDGET_PPM)
+        assert r["n"] == n and r["n_err"] == e
+        assert r["short_burn_milli"] == sb
+        assert r["long_burn_milli"] == lb
+        assert r["page_alert"] == (sb > 2000 and lb > 2000)
+        assert r["ticket_alert"] == (sb > 1000 and lb > 1000)
+    # a page implies a ticket (threshold nesting)
+    assert all(
+        r["ticket_alert"] for r in rows if r["page_alert"]
+    )
+
+
+def test_littles_law_identity_and_python(spark):
+    from ecom_churn_lakehouse_spark.queries.event_queries import (
+        q_littles_law_audit,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    r = q_littles_law_audit(spark, SF).collect()[0]
+    assert r["identity_holds"]
+    # recompute sessions + both sides in pure Python
+    pdf = load_events(spark, SF).select("user_id", "ts").toPandas()
+    pdf = pdf.sort_values(["user_id", "ts"])
+    sessions = []
+    for _, g in pdf.groupby("user_id"):
+        ts = [int(t.value // 1000) for t in g.ts]  # us
+        start = ts[0]
+        prev = ts[0]
+        for t in ts[1:]:
+            if t - prev > 1800 * 1_000_000:
+                sessions.append((start, prev + 1800 * 1_000_000))
+                start = t
+            prev = t
+        sessions.append((start, prev + 1800 * 1_000_000))
+    n = len(sessions)
+    dur = sum(e - s for s, e in sessions)
+    span = max(e for _, e in sessions) - min(s for s, _ in sessions)
+    assert r["n_sessions"] == n
+    assert r["total_duration_us"] == dur
+    assert r["span_us"] == span
+    assert r["integral_us"] == dur  # Little's law, exactly
+    assert r["w_mean_us"] == dur // n
+    assert r["l_mean_milli"] == dur * 1000 // span
+
+
+def test_value_window_battery_pitfalls(spark):
+    """The explicit-frame and IGNORE NULLS semantics recomputed in
+    pandas for one partition."""
+    from ecom_churn_lakehouse_spark.queries.warehouse_queries import (
+        q_value_window_battery,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    rows = [
+        r.asDict()
+        for r in q_value_window_battery(spark, SF).collect()
+        if r["priority"] == "1-URGENT"
+    ]
+    pdf = (
+        load_table(spark, SF, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .toPandas()
+        .sort_values(["o_totalprice", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    ids = list(pdf.o_orderkey)
+    finished = [
+        k for k, st in zip(pdf.o_orderkey, pdf.o_orderstatus) if st == "F"
+    ]
+    by_id = {r["order_id"]: r for r in rows}
+    assert set(by_id) == set(ids)
+    first_f_seen = None
+    for i, k in enumerate(ids):
+        r = by_id[k]
+        assert r["cheapest_id"] == ids[0]
+        assert r["priciest_id"] == ids[-1]
+        assert r["third_cheapest_id"] == ids[2]
+        assert r["lag2_id"] == (ids[i - 2] if i >= 2 else -1)
+        assert r["lead2_id"] == (
+            ids[i + 2] if i + 2 < len(ids) else -1
+        )
+        if first_f_seen is None and pdf.o_orderstatus[i] == "F":
+            first_f_seen = k
+        # default frame: first finished AT OR BEFORE current row
+        assert r["first_finished_id"] == first_f_seen
+    assert finished and first_f_seen is not None
