@@ -347,6 +347,9 @@ HEADLINE = [
     "consistent_hash_resharding_audit",
     "revenue_delta_contribution",
     "quantile_treatment_effects",
+    "slo_burn_rate_alerts",
+    "littles_law_audit",
+    "value_window_battery",
 ]
 
 
