@@ -1052,3 +1052,69 @@ def q_null_ordering_battery(spark, sf_dir):
             "first_key_nulls_last"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9 fourth wave: calendar-semantics battery (ISO week machinery).
+# ---------------------------------------------------------------------------
+
+
+def _calendar_battery_sql(engine: str) -> str:
+    # The two spellings ANSI leaves divergent, split per engine
+    # (everything else is verbatim-shared):
+    # - ISO day-of-week (Mon=1..Sun=7): DuckDB has isodow(); Spark's
+    #   native dayofweek() is Sun=1 and weekday() is Mon=0 — the
+    #   classic off-by-one pair this battery exists to pin.
+    # - days since epoch: DuckDB date subtraction yields an integer,
+    #   Spark needs datediff().
+    if engine == "duck":
+        iso_dow = "isodow(d)"
+        epoch_days = "(d - DATE '1970-01-01')"
+    else:
+        iso_dow = "weekday(d) + 1"
+        epoch_days = "datediff(d, DATE '1970-01-01')"
+    return f"""
+WITH dates AS (
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders
+)
+SELECT d,
+       CAST({iso_dow} AS INTEGER) AS iso_dow,
+       CAST(weekofyear(d) AS INTEGER) AS iso_week,
+       CAST(EXTRACT(YEAR FROM d) AS INTEGER) AS cal_year,
+       CAST(dayofyear(d) AS INTEGER) AS day_of_year,
+       CAST(quarter(d) AS INTEGER) AS qtr,
+       CAST({epoch_days} AS BIGINT) AS epoch_days,
+       CAST(EXTRACT(DAY FROM last_day(d)) AS INTEGER) AS month_len,
+       (weekofyear(d) >= 52 AND EXTRACT(MONTH FROM d) = 1)
+           AS iso_week_of_prior_year,
+       (weekofyear(d) = 1 AND EXTRACT(MONTH FROM d) = 12)
+           AS iso_week_of_next_year
+FROM dates
+ORDER BY d
+"""
+
+
+@register(
+    "calendar_battery",
+    _calendar_battery_sql("duck"),
+    doc="Calendar-semantics battery over the distinct order dates: "
+    "ISO day-of-week (Mon=1..Sun=7 — pinned via the engine-split "
+    "spelling isodow() vs weekday()+1, because Spark's native "
+    "dayofweek() is Sunday=1 and silently disagrees with DuckDB's "
+    "Sunday=0: the off-by-one every cross-engine date pipeline "
+    "hits), ISO week number, day-of-year, quarter, exact "
+    "days-since-epoch (the join-key normalization date pipelines "
+    "standardize on), month length via last_day, and the two ISO "
+    "year-boundary traps surfaced as flags — early-January dates "
+    "that belong to the PRIOR ISO year's week 52/53 and late-"
+    "December dates that belong to week 1 of the NEXT (both occur "
+    "in the fixture's 1992-1998 calendar, so the flags are "
+    "non-vacuous at every SF). All integer outputs; the frame is "
+    "the calendar-bounded distinct-date grain. Companion to "
+    "scalar_function_battery's date arithmetic: that pins "
+    "FUNCTIONS, this pins CALENDAR SEMANTICS.",
+)
+def q_calendar_battery(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources.catalog import run_sql
+
+    return run_sql(spark, sf_dir, _calendar_battery_sql("spark"))

@@ -233,6 +233,7 @@ NEW_IN_ROUND: list[str] = [
     "slo_burn_rate_alerts",
     "littles_law_audit",
     "value_window_battery",
+    "calendar_battery",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk

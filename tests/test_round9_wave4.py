@@ -1287,3 +1287,40 @@ def test_value_window_battery_pitfalls(spark):
         # default frame: first finished AT OR BEFORE current row
         assert r["first_finished_id"] == first_f_seen
     assert finished and first_f_seen is not None
+
+
+def test_calendar_battery_semantics(spark):
+    import datetime
+
+    from ecom_churn_lakehouse_spark.queries.relational_queries import (
+        q_calendar_battery,
+    )
+
+    rows = {
+        r["d"]: r.asDict() for r in q_calendar_battery(spark, SF).collect()
+    }
+    assert rows
+    epoch = datetime.date(1970, 1, 1)
+    n_prior = n_next = 0
+    for d, r in rows.items():
+        iso = d.isocalendar()
+        assert r["iso_dow"] == iso.weekday
+        assert r["iso_week"] == iso.week
+        assert r["cal_year"] == d.year
+        assert r["day_of_year"] == d.timetuple().tm_yday
+        assert r["qtr"] == (d.month - 1) // 3 + 1
+        assert r["epoch_days"] == (d - epoch).days
+        nxt = (d.replace(day=28) + datetime.timedelta(days=4)).replace(
+            day=1
+        )
+        assert r["month_len"] == (nxt - datetime.timedelta(days=1)).day
+        assert r["iso_week_of_prior_year"] == (
+            iso.week >= 52 and d.month == 1
+        )
+        assert r["iso_week_of_next_year"] == (
+            iso.week == 1 and d.month == 12
+        )
+        n_prior += r["iso_week_of_prior_year"]
+        n_next += r["iso_week_of_next_year"]
+    # both boundary traps must actually occur in the fixture calendar
+    assert n_prior > 0 and n_next > 0
