@@ -350,6 +350,7 @@ HEADLINE = [
     "slo_burn_rate_alerts",
     "littles_law_audit",
     "value_window_battery",
+    "calendar_battery",
 ]
 
 
