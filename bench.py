@@ -351,6 +351,7 @@ HEADLINE = [
     "littles_law_audit",
     "value_window_battery",
     "calendar_battery",
+    "dow_uniformity_gof",
 ]
 
 

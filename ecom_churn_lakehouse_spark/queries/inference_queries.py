@@ -5349,3 +5349,69 @@ def q_quantile_treatment_effects(spark, sf_dir):
     for p_ in parts[1:]:
         out = out.unionByName(p_)
     return out.orderBy("tau_pct")
+
+
+# --------------------------------------------------------------------------
+# Round 9 fourth wave: one-sample chi-square goodness-of-fit (DOW mix).
+# --------------------------------------------------------------------------
+
+#: chi2 against the uniform 7-day null collapses to the exact rational
+#: (7 * sum(O_i^2) - N^2) / N — non-negative integers end to end.
+_GOF_SQL = """
+WITH dow AS (
+    SELECT isodow(CAST(ts AS DATE)) AS dw, CAST(COUNT(*) AS BIGINT) AS o
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(o) AS BIGINT) AS n,
+           CAST(SUM(o * o) AS BIGINT) AS so2,
+           CAST(MAX(o) AS BIGINT) AS o_max,
+           CAST(MIN(o) AS BIGINT) AS o_min
+    FROM dow
+)
+SELECT k, n, o_min, o_max,
+       CAST((7 * so2 - n * n) * 1000 // n AS BIGINT) AS chi2_milli,
+       (7 * so2 - n * n) * 1000 // n > 12591 AS reject_uniform_at_05
+FROM s
+"""
+
+
+@register(
+    "dow_uniformity_gof",
+    _GOF_SQL,
+    doc="One-sample chi-square goodness-of-fit of the event "
+    "day-of-week mix against the uniform null — the GOF shape the "
+    "test battery lacked (promo_chisq_independence tests "
+    "INDEPENDENCE of two categoricals; this tests one categorical "
+    "against a SPECIFIED distribution, the weekly-seasonality "
+    "yes/no a dow profile chart only eyeballs). Against uniform "
+    "the statistic collapses algebraically to (7*sum(O^2) - N^2)/N "
+    "— exact non-negative int64 end to end, floored milli, compared "
+    "to the df=6 critical 12.59159 floored (12591). ISO day "
+    "numbering on both engines (isodow vs weekday+1, the "
+    "calendar_battery split). Scale: one scan-local 7-row reduce.",
+)
+def q_dow_uniformity_gof(spark, sf_dir):
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    ev = load_events(spark, sf_dir)
+    dow = ev.groupBy(
+        (F.weekday(F.col("ts").cast("date")) + 1).alias("dw")
+    ).agg(F.count("*").cast("long").alias("o"))
+    s = dow.agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum("o").cast("long").alias("n"),
+        F.sum(F.expr("o * o")).cast("long").alias("so2"),
+        F.max("o").cast("long").alias("o_max"),
+        F.min("o").cast("long").alias("o_min"),
+    )
+    chi2 = F.expr("(7 * so2 - n * n) * 1000 DIV n")
+    return s.select(
+        "k",
+        "n",
+        "o_min",
+        "o_max",
+        chi2.cast("long").alias("chi2_milli"),
+        (chi2 > 12591).alias("reject_uniform_at_05"),
+    )

@@ -234,6 +234,7 @@ NEW_IN_ROUND: list[str] = [
     "littles_law_audit",
     "value_window_battery",
     "calendar_battery",
+    "dow_uniformity_gof",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
     # (c) never-driver-sampled backlog, in the standing risk

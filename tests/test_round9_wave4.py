@@ -1324,3 +1324,27 @@ def test_calendar_battery_semantics(spark):
         n_next += r["iso_week_of_next_year"]
     # both boundary traps must actually occur in the fixture calendar
     assert n_prior > 0 and n_next > 0
+
+
+def test_dow_gof_matches_python(spark):
+    from ecom_churn_lakehouse_spark.queries.inference_queries import (
+        q_dow_uniformity_gof,
+    )
+    from ecom_churn_lakehouse_spark.sources import load_events
+
+    r = q_dow_uniformity_gof(spark, SF).collect()[0]
+    pdf = load_events(spark, SF).select("ts").toPandas()
+    counts = pdf.ts.dt.date.map(lambda d: d.isoweekday()).value_counts()
+    n = int(counts.sum())
+    so2 = int((counts**2).sum())
+    assert r["k"] == len(counts)
+    assert r["n"] == n
+    assert r["o_min"] == int(counts.min())
+    assert r["o_max"] == int(counts.max())
+    chi2_milli = (7 * so2 - n * n) * 1000 // n
+    assert r["chi2_milli"] == chi2_milli
+    # identity with the textbook spelling sum((O-E)^2/E)
+    e = n / 7
+    chi2 = sum((c - e) ** 2 / e for c in counts)
+    assert abs(chi2_milli - math.floor(chi2 * 1000)) <= 1
+    assert r["reject_uniform_at_05"] == (chi2_milli > 12591)
