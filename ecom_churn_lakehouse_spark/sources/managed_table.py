@@ -375,29 +375,41 @@ class ManagedTable:
         return adds
 
     def delta_log_state(
-        self, upto_version: int | None = None
+        self,
+        upto_version: int | None = None,
+        use_checkpoint: bool | None = None,
     ) -> tuple[dict | None, dict[str, dict]]:
         """Replay ``_delta_log`` → (last metaData action, active add
         actions by path) — the snapshot-reconstruction half of the
         Delta protocol (what a Delta reader computes before scanning).
+
+        ``use_checkpoint`` defaults to ``checkpoint_interval > 0``, so
+        an instance configured with interval<=0 is checkpoint-free on
+        the READ path too, not just the write path (r9 ADVICE #2: a
+        raw-JSON replay control must not silently read through a
+        checkpoint some other writer left behind). Pass explicitly to
+        override either way.
         """
         ldir = os.path.join(self.path, "_delta_log")
         meta: dict | None = None
         active: dict[str, dict] = {}
         if not os.path.isdir(ldir):
             return meta, active
+        if use_checkpoint is None:
+            use_checkpoint = self.checkpoint_interval > 0
         # Delta checkpointing: start replay from the newest checkpoint
         # at or below the target version (protocol behavior — a reader
         # consults _last_checkpoint, loads the parquet snapshot of the
         # action state, and replays only the JSON commits after it).
         ckpt_v = -1
-        for fn in os.listdir(ldir):
-            if fn.endswith(".checkpoint.parquet"):
-                v = int(fn.split(".")[0])
-                if (
-                    upto_version is None or v <= upto_version
-                ) and v > ckpt_v:
-                    ckpt_v = v
+        if use_checkpoint:
+            for fn in os.listdir(ldir):
+                if fn.endswith(".checkpoint.parquet"):
+                    v = int(fn.split(".")[0])
+                    if (
+                        upto_version is None or v <= upto_version
+                    ) and v > ckpt_v:
+                        ckpt_v = v
         if ckpt_v >= 0:
             meta, active = self._read_checkpoint(ckpt_v)
         for fn in sorted(os.listdir(ldir)):
@@ -567,11 +579,29 @@ class ManagedTable:
             and version > 0
             and version % self.checkpoint_interval == 0
         ):
-            self._write_checkpoint(version)
+            # Checkpointing is a read-path optimization only: a failed
+            # checkpoint (pyarrow import/IO error) must never abort an
+            # already-durable commit — the JSON action file is written
+            # and the seq is claimed; skipping the checkpoint merely
+            # costs replay time (r9 ADVICE #3).
+            try:
+                self._write_checkpoint(version)
+            except Exception as exc:  # pragma: no cover - env-specific
+                print(
+                    "managed_table: checkpoint write skipped for "
+                    f"v{version} ({type(exc).__name__}: {exc}); commit "
+                    "is durable, replay falls back to JSON log"
+                )
 
     # Delta checkpoint parquet schema: one action per row, exactly one
     # of the struct columns non-null — the protocol's checkpoint file
-    # shape (partitionValues as map<string,string>).
+    # shape (partitionValues as map<string,string>). The remove/txn
+    # columns are always all-null in our snapshots (a checkpoint only
+    # carries LIVE state; removes matter for incremental readers and
+    # txn for idempotent streaming writers), but strict Delta clients
+    # (delta-rs, delta-spark) expect the columns to exist and the
+    # metaData struct to carry format/name/description/configuration —
+    # r9 ADVICE #1.
     def _ckpt_schema(self):
         import pyarrow as pa
 
@@ -591,8 +621,28 @@ class ManagedTable:
                     pa.struct(
                         [
                             ("id", pa.string()),
+                            ("name", pa.string()),
+                            ("description", pa.string()),
+                            (
+                                "format",
+                                pa.struct(
+                                    [
+                                        ("provider", pa.string()),
+                                        (
+                                            "options",
+                                            pa.map_(
+                                                pa.string(), pa.string()
+                                            ),
+                                        ),
+                                    ]
+                                ),
+                            ),
                             ("schemaString", pa.string()),
                             ("partitionColumns", pa.list_(pa.string())),
+                            (
+                                "configuration",
+                                pa.map_(pa.string(), pa.string()),
+                            ),
                             ("createdTime", pa.int64()),
                         ]
                     ),
@@ -612,6 +662,26 @@ class ManagedTable:
                         ]
                     ),
                 ),
+                pa.field(
+                    "remove",
+                    pa.struct(
+                        [
+                            ("path", pa.string()),
+                            ("deletionTimestamp", pa.int64()),
+                            ("dataChange", pa.bool_()),
+                        ]
+                    ),
+                ),
+                pa.field(
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
+                            ("lastUpdated", pa.int64()),
+                        ]
+                    ),
+                ),
             ]
         )
 
@@ -625,21 +695,34 @@ class ManagedTable:
 
         ldir = os.path.join(self.path, "_delta_log")
         meta, active = self.delta_log_state(version)
+        nulls = {"add": None, "remove": None, "txn": None}
+        fmt = meta.get("format") or {"provider": "parquet", "options": {}}
         rows = [
             {
                 "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
                 "metaData": None,
-                "add": None,
+                **nulls,
             },
             {
                 "protocol": None,
                 "metaData": {
                     "id": meta["id"],
+                    "name": meta.get("name"),
+                    "description": meta.get("description"),
+                    "format": {
+                        "provider": fmt.get("provider", "parquet"),
+                        "options": list(
+                            (fmt.get("options") or {}).items()
+                        ),
+                    },
                     "schemaString": meta["schemaString"],
                     "partitionColumns": list(meta["partitionColumns"]),
+                    "configuration": list(
+                        (meta.get("configuration") or {}).items()
+                    ),
                     "createdTime": meta["createdTime"],
                 },
-                "add": None,
+                **nulls,
             },
         ]
         for path in sorted(active):
@@ -648,6 +731,7 @@ class ManagedTable:
                 {
                     "protocol": None,
                     "metaData": None,
+                    **nulls,
                     "add": {
                         "path": a["path"],
                         "partitionValues": list(
@@ -669,6 +753,23 @@ class ManagedTable:
         with open(ptr_tmp, "w") as f:
             json.dump({"version": version, "size": len(rows)}, f)
         os.rename(ptr_tmp, os.path.join(ldir, _LAST_CKPT))
+        # Keep only the 2 newest checkpoints (mirror of the
+        # keep-last-16 commit-log policy): older ones are fully
+        # superseded, and the _delta_log JSON commits are retained in
+        # full, so a replay target below the retained checkpoint window
+        # still reconstructs via raw-JSON replay from zero. r9 ADVICE
+        # #4 — without this the log accretes one checkpoint per
+        # interval for the table's lifetime.
+        ckpts = sorted(
+            fn
+            for fn in os.listdir(ldir)
+            if fn.endswith(".checkpoint.parquet")
+        )
+        for fn in ckpts[:-2]:
+            try:
+                os.remove(os.path.join(ldir, fn))
+            except OSError:
+                pass
 
     def _read_checkpoint(
         self, version: int
@@ -686,12 +787,16 @@ class ManagedTable:
         for row in table.to_pylist():
             if row.get("metaData") is not None:
                 m = row["metaData"]
+                fmt = m.get("format") or {}
                 meta = {
                     "id": m["id"],
-                    "format": {"provider": "parquet", "options": {}},
+                    "format": {
+                        "provider": fmt.get("provider") or "parquet",
+                        "options": dict(fmt.get("options") or []),
+                    },
                     "schemaString": m["schemaString"],
                     "partitionColumns": list(m["partitionColumns"]),
-                    "configuration": {},
+                    "configuration": dict(m.get("configuration") or []),
                     "createdTime": m["createdTime"],
                 }
             elif row.get("add") is not None:

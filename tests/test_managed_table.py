@@ -681,3 +681,127 @@ def test_checkpoint_time_travel_consistency(spark, tmp_path):
     assert active_ck == active_js
     assert meta_ck["schemaString"] == meta_js["schemaString"]
     assert meta_ck["partitionColumns"] == meta_js["partitionColumns"]
+
+
+def test_checkpoint_schema_has_full_delta_action_columns(spark, tmp_path):
+    """r9 ADVICE #1: strict Delta clients (delta-rs / delta-spark)
+    reconstruct metaData from the checkpoint and expect the protocol's
+    full column set — remove/txn action columns present (all-null in a
+    snapshot checkpoint) and metaData carrying format / configuration /
+    name / description, not just id+schema."""
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"], checkpoint_interval=2)
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))          # v0
+    t.merge(spark.createDataFrame([Row(k="b", v=2)]))              # v1
+    t.merge(spark.createDataFrame([Row(k="c", v=3)]))              # v2 ckpt
+    ck = os.path.join(path, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    table = pq.read_table(ck)
+    names = set(table.schema.names)
+    assert {"protocol", "metaData", "add", "remove", "txn"} <= names
+    md_fields = {
+        f.name for f in table.schema.field("metaData").type
+    }
+    assert {
+        "id", "name", "description", "format", "schemaString",
+        "partitionColumns", "configuration", "createdTime",
+    } <= md_fields
+    rows = table.to_pylist()
+    # snapshot checkpoints carry live state only: remove/txn all-null
+    assert all(r["remove"] is None and r["txn"] is None for r in rows)
+    md = next(r["metaData"] for r in rows if r["metaData"] is not None)
+    assert md["format"]["provider"] == "parquet"
+    # and the round-trip reader uses the stored format, not a default
+    meta, active = t._read_checkpoint(2)
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["configuration"] == {}
+    assert len(active) >= 1
+
+
+def test_interval_zero_reader_is_genuinely_checkpoint_free(
+    spark, tmp_path
+):
+    """r9 ADVICE #2: checkpoint_interval<=0 must disable checkpoint
+    READING too, so a raw-JSON control replay never compares a
+    checkpoint to itself. Proof: corrupt the checkpoint file on disk —
+    the interval=0 reader still reconstructs the exact state (it never
+    opens the checkpoint), while a checkpoint-consulting reader would
+    crash."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"], checkpoint_interval=2)
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))          # v0
+    t.merge(spark.createDataFrame([Row(k="b", v=2)]))              # v1
+    t.merge(spark.createDataFrame([Row(k="a", v=9)]))              # v2 ckpt
+    ck = os.path.join(path, "_delta_log", f"{2:020d}.checkpoint.parquet")
+    with open(ck, "wb") as f:
+        f.write(b"not parquet")
+    raw = ManagedTable(spark, path, keys=["k"], checkpoint_interval=0)
+    meta, active = raw.delta_log_state(2)
+    assert meta is not None and len(active) >= 1
+    got = {
+        r["k"]: r["v"] for r in raw.read_via_delta_log(2).collect()
+    }
+    assert got == {"a": 9, "b": 2}
+    # the checkpoint-consulting path, by contrast, does open the file
+    with pytest.raises(Exception):
+        t.delta_log_state(2)
+    # explicit override beats the instance default in both directions
+    meta2, active2 = t.delta_log_state(2, use_checkpoint=False)
+    assert active2 == active
+
+
+def test_failed_checkpoint_write_does_not_abort_commit(
+    spark, tmp_path, monkeypatch
+):
+    """r9 ADVICE #3: the checkpoint is a read-path optimization — a
+    crash inside _write_checkpoint must not abort the publish (the
+    JSON commit is already durable); HEAD still advances and the data
+    is readable."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"], checkpoint_interval=1)
+
+    def boom(version):
+        raise OSError("disk full while writing checkpoint")
+
+    monkeypatch.setattr(t, "_write_checkpoint", boom)
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))          # v0
+    t.merge(spark.createDataFrame([Row(k="b", v=2)]))       # v1: boom
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": 1, "b": 2}
+    # no checkpoint materialized, log replay still exact
+    ldir = os.path.join(path, "_delta_log")
+    assert not any(
+        fn.endswith(".checkpoint.parquet") for fn in os.listdir(ldir)
+    )
+    got_log = {r["k"]: r["v"] for r in t.read_via_delta_log().collect()}
+    assert got_log == got
+
+
+def test_old_checkpoints_are_pruned_keep_last_two(spark, tmp_path):
+    """r9 ADVICE #4: _delta_log retains only the 2 newest checkpoint
+    parquets (older ones are superseded; raw JSON replay from zero
+    still covers any earlier time-travel target)."""
+    path = str(tmp_path / "t")
+    t = ManagedTable(spark, path, keys=["k"], checkpoint_interval=1)
+    t.overwrite(spark.createDataFrame([Row(k="a", v=1)]))          # v0
+    for i in range(1, 6):                                     # v1..v5
+        t.merge(spark.createDataFrame([Row(k=f"k{i}", v=i)]))
+    ldir = os.path.join(path, "_delta_log")
+    ckpts = sorted(
+        fn for fn in os.listdir(ldir)
+        if fn.endswith(".checkpoint.parquet")
+    )
+    assert ckpts == [
+        f"{4:020d}.checkpoint.parquet",
+        f"{5:020d}.checkpoint.parquet",
+    ]
+    assert t.last_checkpoint()["version"] == 5
+    # time travel BELOW the oldest retained checkpoint still resolves
+    # via raw JSON replay from zero (state-level only: v2's data files
+    # are vacuumed under keep-last-2 snapshot retention, exactly like
+    # a Delta VACUUM past the retention window)
+    meta2, active2 = t.delta_log_state(2)
+    assert meta2 is not None and len(active2) >= 1
+    meta2_raw, active2_raw = t.delta_log_state(2, use_checkpoint=False)
+    assert active2 == active2_raw
