@@ -223,6 +223,12 @@ def main() -> int:
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # Per-engine timing split (VERDICT r9 directive #2): `secs` is
+        # the total wall time (back-compat), `spark_secs` covers plan
+        # build + execution + toPandas on the Spark side, `oracle_secs`
+        # covers the DuckDB parse + execute + df() — so a FULLCHECK
+        # timing regression can be attributed to the engine that moved
+        # (e.g. tcloseness_audit: 14.3 s total was ~13.5 s DuckDB).
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -234,16 +240,22 @@ def main() -> int:
                 "status": "FAIL",
                 "err": "spark side raised",
                 "secs": round(time.time() - t0, 2),
+                "spark_secs": round(time.time() - t0, 2),
+                "oracle_secs": 0.0,
             }
             continue
+        spark_secs = round(time.time() - t0, 2)
         if name not in oracles:
             print(f"ok?   {name}: no oracle (rows-only) rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
             results[name] = {
                 "status": "rows_only",
                 "spark_rows": len(spark_pdf),
                 "secs": round(time.time() - t0, 2),
+                "spark_secs": spark_secs,
+                "oracle_secs": 0.0,
             }
             continue
+        t1 = time.time()
         try:
             rel = con.sql(oracles[name])
             duck_types = list(zip(rel.columns, [str(t) for t in rel.types]))
@@ -255,13 +267,19 @@ def main() -> int:
                 "status": "FAIL",
                 "err": "oracle SQL raised",
                 "secs": round(time.time() - t0, 2),
+                "spark_secs": spark_secs,
+                "oracle_secs": round(time.time() - t1, 2),
             }
             continue
+        oracle_secs = round(time.time() - t1, 2)
         problems = schema_family_problems(sdf.schema.fields, duck_types)
         problems += compare(name, spark_pdf, duck_pdf)
         if problems:
             failures += 1
-            print(f"FAIL  {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            print(
+                f"FAIL  {name} rows={len(spark_pdf)} "
+                f"[{time.time()-t0:.1f}s spark={spark_secs} duck={oracle_secs}]"
+            )
             for p in problems:
                 print(f"      {p}")
             results[name] = {
@@ -270,14 +288,21 @@ def main() -> int:
                 "oracle_rows": len(duck_pdf),
                 "problems": problems,
                 "secs": round(time.time() - t0, 2),
+                "spark_secs": spark_secs,
+                "oracle_secs": oracle_secs,
             }
         else:
-            print(f"OK    {name} rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            print(
+                f"OK    {name} rows={len(spark_pdf)} "
+                f"[{time.time()-t0:.1f}s spark={spark_secs} duck={oracle_secs}]"
+            )
             results[name] = {
                 "status": "OK",
                 "spark_rows": len(spark_pdf),
                 "oracle_rows": len(duck_pdf),
                 "secs": round(time.time() - t0, 2),
+                "spark_secs": spark_secs,
+                "oracle_secs": oracle_secs,
             }
     print(f"\n{failures} failures")
     if json_out:
