@@ -141,13 +141,31 @@ def q_copurchase_pagerank(spark, sf_dir):
 
 _REACH_MAX_HOPS = 3
 
-# Density-relative edge cut (the Q11 lesson applied to graphs): a
-# fixed ">= 2 co-occurrences" threshold densifies as the fact table
-# grows (every pair's count scales with order volume), and 3-hop
-# UNION ALL path enumeration then explodes — measured: Spark's 1M
-# recursion row limit exceeded at the 10x probe. Cutting at
-# 1.5x the MEAN pair co-occurrence keeps "strong edge" selectivity
-# (and therefore path counts) roughly scale-invariant.
+# Density-ADAPTIVE edge cut, round-10 revision (VERDICT r9 directive
+# #7). History: a fixed ">= 2 co-occurrences" threshold densifies as
+# the fact table grows and 3-hop UNION ALL path enumeration explodes
+# (measured: Spark's 1M recursion row limit at the 10x probe); the
+# r5-r9 fix cut at 1.5x the MEAN pair co-occurrence, which bounds the
+# recursion but COLLAPSES the other way — TPC-H co-purchase counts
+# dilute toward 1 as SF grows (measured on pair_counts: mean 1.32 /
+# max 5 at sf0.001 -> mean 1.003 / max 3 at sf0.1), the >= 2 cut
+# keeps a sub-percolation 0.36 avg degree at sf0.1, and the BFS
+# output shrank 255 -> 12 rows (the one COLLAPSED vacuousness flag).
+# A GLOBAL cnt-quantile cannot fix this: the count domain is a
+# handful of small integers with massive tie blocks, so every
+# reasonable quantile lands back on t=2. The scale-stable cut is
+# PER-NODE top-k by co-occurrence strength (ROW_NUMBER partitioned by
+# src, ties broken by dst) — the standard kNN-graph construction:
+# out-degree is exactly <= k at every SF, so path enumeration from
+# one seed is bounded by k + k^2 + k^3 rows regardless of corpus
+# size, and the reachable set stays non-vacuous at every grain.
+_REACH_TOP_K = 6
+
+#: Mean-relative cut retained for the NON-recursive graph entries
+#: (link prediction, jaccard neighbors): their outputs aggregate over
+#: the whole edge set rather than BFS-ing from one seed, so the
+#: thinning edge set at scale changes VALUES but does not disconnect
+#: an output into vacuousness the way the seed walk did.
 _REACH_MEAN_MULT = 1.5
 
 _REACHABILITY_SQL = f"""
@@ -160,17 +178,19 @@ pair_counts AS (
       ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     GROUP BY a.l_partkey, b.l_partkey
 ),
-thr AS (
-    SELECT GREATEST({_MIN_COOCCUR},
-                    CAST(CEIL({_REACH_MEAN_MULT} * AVG(cnt)) AS BIGINT)) AS t
-    FROM pair_counts
-),
 pairs AS (
-    SELECT src, dst FROM pair_counts, thr WHERE cnt >= t
+    SELECT src, dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY src ORDER BY cnt DESC, dst
+               ) AS rk
+        FROM pair_counts
+    ) ranked
+    WHERE rk <= {_REACH_TOP_K}
 ),
 seed AS (
-    SELECT src AS s FROM pairs
-    GROUP BY src ORDER BY COUNT(*) DESC, src LIMIT 1
+    SELECT src AS s FROM pair_counts
+    GROUP BY src ORDER BY SUM(cnt) DESC, src LIMIT 1
 ),
 walk(part, hop) AS (
     SELECT s, 0 FROM seed
@@ -197,10 +217,13 @@ ORDER BY min_hops, partkey
     "DataFrame-loop iteration pattern (copurchase_pagerank, "
     "connected_components) with the declarative recursion the SQL "
     "front door must also parse. Scale posture: depth-bounded path "
-    "enumeration on a DENSITY-RELATIVE edge cut (>= 1.5x the mean "
-    "pair co-occurrence — a fixed count threshold densifies with "
-    "order volume and blew Spark's recursion row limit at the 10x "
-    "probe); unbounded reachability at 100 TB belongs to the "
+    "enumeration on a PER-NODE top-k edge cut (kNN-graph "
+    "construction, r10 revision): out-degree <= k at any SF, so the "
+    "walk is bounded by k+k^2+k^3 rows from the seed — a fixed count "
+    "threshold blew Spark's recursion limit at the 10x probe, and "
+    "the mean-relative cut collapsed to 12 rows at sf0.1 as TPC-H "
+    "co-occurrence counts dilute toward 1 (COLLAPSED vacuousness "
+    "flag); unbounded reachability at 100 TB belongs to the "
     "checkpointed-loop operator "
     "(operators/connected_components.py), not recursion-by-paths.",
 )
