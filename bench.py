@@ -24,6 +24,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 10 ----
+    "knn_lof_scores",
+    "cdc_chunk_boundaries",
+    "cdc_dedup_savings",
+    "fellegi_sunter_match_weights",
+    "stream_ann_index_maintenance",
+    "copurchase_reachability",
+    # slowest Spark-side non-headliners promoted per VERDICT r9
+    # directive #2 (regression guardrails — named in the r9 verdict;
+    # the round-10 precheck's spark_secs confirms the final set):
+    "simhash_pairs",
+    "feature_auc_screen",
     # ---- round 9 ----
     "stream_semdedup_maintenance",
     "nelson_aalen_cumhaz",

@@ -170,77 +170,36 @@ def register(
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
-    # ---- round-9 front-50 (VERDICT r8 directive #2: drain the
-    # never-driver-sampled backlog; all entries below are first-time
-    # except none — the two directive fixes are themselves unsampled).
-    # (a) entries CHANGED this round: the r8 ADVICE OCC fixes + the
-    #     delta-log protocol emulation touch sources/managed_table.py,
-    #     which backs these two entries:
+    # ---- round-10 front-50 (VERDICT r9 directive #1: keep draining
+    # the never-driver-sampled backlog; growth throttled to the 5
+    # operators directives #3-#6 mandate).
+    # (a) entries CHANGED this round: the r9 ADVICE checkpoint-layer
+    #     fixes (full protocol checkpoint schema, interval<=0 read
+    #     gating, non-fatal checkpoint writes, keep-last-2 pruning)
+    #     touch sources/managed_table.py, which backs these two
+    #     (legitimate resamples under the rotation discipline):
     "merge_upsert_state",
     "version_change_feed",
-    # materially changed this round (sf0.1-sweep catch: fixed
-    # min-support went vacuous; oracle CTE materialization):
-    "apriori_triple_itemsets",
-    # (b) new round-9 operators:
-    "stream_semdedup_maintenance",
-    "nelson_aalen_cumhaz",
-    "beta_posterior_conversion",
-    "cohens_d_priority_spend",
-    "jackknife_brand_revenue_influence",
-    "doc_length_percentiles_by_source",
-    "join_strategy_advisor",
-    "approx_percentile_error_audit",
-    "rfm_segment_migration",
-    "uplift_qini_deciles",
-    "mase_seasonal_naive_backtest",
-    "stream_survival_spans_maintenance",
-    "runs_test_daily_revenue",
-    # (b2) fourth-wave round-9 operators (added after the first
-    #      definitive FULLCHECK; all first-time):
-    "gopher_quality_rules",
-    "mixture_temperature_allocation",
-    "adf_unit_root_screen",
-    "variance_ratio_random_walk",
-    "copurchase_degree_assortativity",
-    "sql_copurchase_degree_assortativity",
-    "dp_laplace_release_advisor",
-    "embedding_grid_range_join",
-    "brier_murphy_decomposition",
-    "group_sequential_obf_monitor",
-    "markov_entropy_rate",
-    "sql_markov_entropy_rate",
-    "rmst_repeat_purchase",
-    "ucb_arm_allocation",
-    "ipw_ate_promo",
-    "markov_absorption_conversion",
-    "mattr_lexical_diversity",
-    "vocab_jsd_source_drift",
-    "label_silhouette_screen",
-    "textrank_keywords",
-    "pinball_loss_quantile_backtest",
-    "term_burstiness_profile",
-    "evalue_confounding_bound",
-    "eoq_stock_policy",
-    "markov_removal_attribution",
-    "grid_density_outlier_factor",
-    "covariate_balance_smd",
-    "haar_energy_decomposition",
-    "doc_length_quantile_normalization",
-    "theil_inequality_decomposition",
-    "consistent_hash_resharding_audit",
-    "revenue_delta_contribution",
-    "quantile_treatment_effects",
-    "slo_burn_rate_alerts",
+    # changed AND first-time: directive #7's density-adaptive
+    # per-node top-k edge cut (mean-relative cut collapsed at sf0.1):
+    "copurchase_reachability",
+    # (b) new round-10 operators (directives #3-#6):
+    "knn_lof_scores",
+    "cdc_chunk_boundaries",
+    "cdc_dedup_savings",
+    "fellegi_sunter_match_weights",
+    "stream_ann_index_maintenance",
+    # (c) never-driver-sampled backlog, standing risk order
+    #     (float/ROUND/DECIMAL oracle surfaces first; the tail
+    #     beyond the 50-entry sample window is the queue for
+    #     rounds 11+ — 144 entries will remain unsampled after
+    #     this round's drain):
     "littles_law_audit",
     "value_window_battery",
     "calendar_battery",
     "dow_uniformity_gof",
     "sql_ucb_arm_allocation",
     "sql_ipw_ate_promo",
-    # (c) never-driver-sampled backlog, in the standing risk
-    #     order (float/ROUND/DECIMAL oracle surfaces first;
-    #     the tail beyond the 50-entry sample window is the
-    #     queue for rounds 10+, ~3 rounds to drain):
     "dedup_savings_by_source",
     "ann_ivfpq_topk",
     "neardup_cluster_chain_audit",
@@ -360,7 +319,6 @@ NEW_IN_ROUND: list[str] = [
     "asof_forward_tolerance",
     "orders_table_profile",
     "order_value_mad_outliers",
-    "copurchase_reachability",
     "chunk_boundary_cohesion",
     "ipf_raking_weights",
     "near_zero_variance_screen",

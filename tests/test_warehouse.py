@@ -143,23 +143,31 @@ def test_new_in_round_names_exist():
 #: the r8 judge flagged (VERDICT r8 defect #1): the front-50 is first
 #: judged against rounds < CURRENT_ROUND, then the driver writes
 #: CORRECTNESS_r{CURRENT_ROUND}.json covering those same entries.
-CURRENT_ROUND = 9
+CURRENT_ROUND = 10
 
 #: Entries changed by this round's directive/advice fixes. These may
 #: legitimately re-enter the driver front sample even when a prior
 #: round already recorded a green row for them (the ONLY allowed
 #: resamples under the r7 directive-#1 rotation discipline).
-DIRECTIVE_FIXES_R9 = [
-    # r8 ADVICE OCC fixes (merge_gated base_seq ordering, atomic
-    # commit claim, commit-log-derived vacuum keep set) + the r8
-    # VERDICT directive-#6 delta-log emulation all live in
-    # sources/managed_table.py, which backs these two entries:
+DIRECTIVE_FIXES_R10 = [
+    # r9 ADVICE checkpoint-layer fixes (full protocol checkpoint
+    # schema, interval<=0 read gating, non-fatal checkpoint writes,
+    # keep-last-2 pruning) live in sources/managed_table.py, which
+    # backs these two entries:
     "merge_upsert_state",
     "version_change_feed",
-    # materially changed this round: fixed min-support 2 went vacuous
-    # at sf0.1 (round-9 full-sweep catch) -> top-N-by-support cut; the
-    # oracle's pairs CTE also gained MATERIALIZED (DuckDB re-inlining
-    # pathology, 187 s -> 1.6 s):
+    # r9 VERDICT directive #7: density-adaptive per-node top-k edge
+    # cut (the mean-relative cut collapsed to 12 rows at sf0.1).
+    # copurchase_reachability is ALSO first-time, so it costs no
+    # resample slot:
+    "copurchase_reachability",
+]
+
+DIRECTIVE_FIXES_R9 = [
+    # (round-9 list, kept for history) r8 ADVICE OCC fixes + the r8
+    # VERDICT directive-#6 delta-log emulation in managed_table.py:
+    "merge_upsert_state",
+    "version_change_feed",
     "apriori_triple_itemsets",
 ]
 
@@ -189,7 +197,7 @@ def test_previously_flagged_entries_lead_sample():
     from ecom_churn_lakehouse_spark import registry
 
     front = list(registry.queries())[:50]
-    missing = [n for n in DIRECTIVE_FIXES_R9 if n not in front]
+    missing = [n for n in DIRECTIVE_FIXES_R10 if n not in front]
     assert not missing, f"flagged entries not in driver front sample: {missing}"
 
 
@@ -223,7 +231,7 @@ def test_front_sample_is_first_time_or_directive_fix():
     sampled = _prior_round_sampled()
     front = list(registry.queries())[:50]
     offenders = [
-        n for n in front if n in sampled and n not in DIRECTIVE_FIXES_R9
+        n for n in front if n in sampled and n not in DIRECTIVE_FIXES_R10
     ]
     assert not offenders, (
         "front-50 wastes driver budget on already-sampled entries "
