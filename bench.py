@@ -36,6 +36,7 @@ HEADLINE = [
     # the round-10 precheck's spark_secs confirms the final set):
     "simhash_pairs",
     "feature_auc_screen",
+    "dedup_savings_by_source",
     # ---- round 9 ----
     "stream_semdedup_maintenance",
     "nelson_aalen_cumhaz",

@@ -305,6 +305,21 @@ def main() -> int:
                 "oracle_secs": oracle_secs,
             }
     print(f"\n{failures} failures")
+    by_spark = sorted(
+        (
+            (n, r)
+            for n, r in results.items()
+            if r.get("spark_secs") is not None
+        ),
+        key=lambda kv: -kv[1]["spark_secs"],
+    )[:10]
+    if len(results) > 10:
+        print("slowest spark-side entries:")
+        for n, r in by_spark:
+            print(
+                f"  {n:42s} spark={r['spark_secs']:7.2f}s "
+                f"oracle={r.get('oracle_secs', 0.0):7.2f}s"
+            )
     if json_out:
         import json
 
