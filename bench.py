@@ -37,6 +37,7 @@ HEADLINE = [
     "simhash_pairs",
     "feature_auc_screen",
     "dedup_savings_by_source",
+    "copurchase_triangles",
     # ---- round 9 ----
     "stream_semdedup_maintenance",
     "nelson_aalen_cumhaz",
