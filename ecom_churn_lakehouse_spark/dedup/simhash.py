@@ -54,7 +54,17 @@ def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def simhash_candidate_pairs(
     signatures: DataFrame, max_hamming: int = 6, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Pairs (doc_a < doc_b) sharing ≥1 signature byte with Hamming ≤ k."""
+    """Pairs (doc_a < doc_b) sharing ≥1 signature byte with Hamming ≤ k.
+
+    Dedup across blocks is ROW-LOCAL: a pair that collides on several
+    bytes is kept only where the joined byte_idx equals the pair's
+    SMALLEST matching byte index — computable from the two signatures
+    alone, so no ``distinct`` exchange over the candidate fan-out.
+    (The previous spelling deduped 4-way collisions with a distinct
+    over the full candidate set; on this fixture's low-entropy
+    signatures that was a multi-million-row shuffle concentrated on a
+    few hot (byte_idx, byte_val) cells.)
+    """
     bytes_arr = F.array(
         *[
             F.struct(
@@ -75,11 +85,21 @@ def simhash_candidate_pairs(
     b = blocked.select(
         F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"), "byte_idx", "byte_val"
     )
+
+    def _byte(col, j):
+        return F.shiftright(F.col(col), 8 * j).bitwiseAND(F.lit(255))
+
+    first_match = F.lit(NUM_BYTES - 1)
+    for j in range(NUM_BYTES - 2, -1, -1):
+        first_match = F.when(
+            _byte("sim_a", j) == _byte("sim_b", j), F.lit(j)
+        ).otherwise(first_match)
     return (
         a.join(b, on=["byte_idx", "byte_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sim_a", "sim_b")
-        .distinct()
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("byte_idx") == first_match)
+        )
         .withColumn(
             "hamming",
             F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int"),

@@ -180,6 +180,11 @@ NEW_IN_ROUND: list[str] = [
     #     (legitimate resamples under the rotation discipline):
     "merge_upsert_state",
     "version_change_feed",
+    # changed this round (plan-level rewrite, identical semantics,
+    # re-oracled at both SFs): row-local smallest-matching-byte dedup
+    # replaced the multi-million-row distinct exchange in the byte-
+    # blocked candidate join (the slowest registry entry in r9):
+    "simhash_pairs",
     # changed AND first-time: directive #7's density-adaptive
     # per-node top-k edge cut (mean-relative cut collapsed at sf0.1):
     "copurchase_reachability",

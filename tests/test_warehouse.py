@@ -161,6 +161,9 @@ DIRECTIVE_FIXES_R10 = [
     # copurchase_reachability is ALSO first-time, so it costs no
     # resample slot:
     "copurchase_reachability",
+    # plan-level perf rewrite (row-local dedup replaces the distinct
+    # exchange), identical output re-oracled at both SFs:
+    "simhash_pairs",
 ]
 
 DIRECTIVE_FIXES_R9 = [
