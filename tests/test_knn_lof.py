@@ -10,10 +10,16 @@ import numpy as np
 import pytest
 
 from ecom_churn_lakehouse_spark.queries.similarity_queries import (
-    _LOF_EPS,
+    _LOF_EPS0,
     _LOF_K,
     _lof_pipeline,
 )
+
+#: The fixture pins the REFERENCE-density geometry: eps is passed
+#: explicitly (the registered entry derives it from corpus density;
+#: 41 planted points would otherwise get a huge adaptive eps and a
+#: different neighborhood structure than the test reasons about).
+_LOF_EPS = _LOF_EPS0
 
 
 def _numpy_lof(pts, k):
@@ -66,7 +72,7 @@ def planted(spark):
     )
     out = {
         r["vec_id"]: r.asDict()
-        for r in _lof_pipeline(spark, df).collect()
+        for r in _lof_pipeline(spark, df, _LOF_EPS).collect()
     }
     return pts, out
 

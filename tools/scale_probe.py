@@ -93,6 +93,26 @@ def build_kx(spark, k: int) -> str:
             c = src
             for key in keys:
                 c = c.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            if table == "customer" and i > 0:
+                # New customers get NEW NAMES, exactly as real TPC-H
+                # scale-up mints them — identical names across copies
+                # would merge every name-prefix ER block into a
+                # K-wide mega-block (measured: fellegi_sunter probe
+                # ratio 100.7 at K=30 under identical names, the same
+                # false-SUPERLINEAR class as unsalted doc tokens).
+                # Overwriting the two LEADING digits (constant '00'
+                # at fixture key ranges) with the copy id keeps the
+                # within-copy block partition and levenshtein
+                # structure exact while making cross-copy blocks
+                # disjoint.
+                c = c.withColumn(
+                    "c_name",
+                    F.concat(
+                        F.substring("c_name", 1, 9),
+                        F.lpad(F.lit(str(i)), 2, "0"),
+                        F.expr("substr(c_name, 12)"),
+                    ),
+                )
             if table == "documents" and i > 0:
                 # salt EVERY token: rewrites every shingle, so copies
                 # are not near-duplicates of the originals (see module
