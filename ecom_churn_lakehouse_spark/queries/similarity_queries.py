@@ -3023,7 +3023,11 @@ def _ann_index_apply_batch(base, planes, batch_df, batch_id):
     if batch_df.isEmpty():
         return
     dest = f"{base}/index/batch_id={batch_id}"
-    if os.path.exists(dest):
+    # Replay no-op only on a COMPLETED write (r10 ADVICE): a crashed
+    # mid-write leaves a partial dest directory without the _SUCCESS
+    # marker Spark commits last — skipping on bare existence would
+    # silently drop that batch's vectors; overwrite repairs it.
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
         return
     part = hyperplane_lsh_buckets(batch_df, planes).join(
         batch_df.select("vec_id", "embedding"), on="vec_id"

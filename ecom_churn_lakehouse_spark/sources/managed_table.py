@@ -790,6 +790,13 @@ class ManagedTable:
                 fmt = m.get("format") or {}
                 meta = {
                     "id": m["id"],
+                    # name/description round-trip (r10 ADVICE): a
+                    # checkpoint written FROM checkpoint-recovered
+                    # state must not null out fields an external
+                    # writer set — read back everything the write
+                    # side stores.
+                    "name": m.get("name"),
+                    "description": m.get("description"),
                     "format": {
                         "provider": fmt.get("provider") or "parquet",
                         "options": dict(fmt.get("options") or []),

@@ -805,3 +805,46 @@ def test_old_checkpoints_are_pruned_keep_last_two(spark, tmp_path):
     assert meta2 is not None and len(active2) >= 1
     meta2_raw, active2_raw = t.delta_log_state(2, use_checkpoint=False)
     assert active2 == active2_raw
+
+
+def test_checkpoint_roundtrips_external_name_description(spark, tmp_path):
+    """r10 ADVICE: _read_checkpoint must reconstruct metaData name /
+    description, not just id+schema — a checkpoint written FROM
+    checkpoint-recovered state would otherwise null out fields an
+    external writer (real delta-spark sets them via table properties)
+    put in the log."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    # phase 1: checkpoint-free history, then an "external writer" adds
+    # name/description to the commit-0 metaData action on disk
+    t0 = ManagedTable(spark, path, keys=["k"], checkpoint_interval=0)
+    t0.overwrite(spark.createDataFrame([Row(k="a", v=1)]))         # v0
+    t0.merge(spark.createDataFrame([Row(k="b", v=2)]))             # v1
+    ldir = os.path.join(path, "_delta_log")
+    f0 = os.path.join(ldir, f"{0:020d}.json")
+    lines = []
+    with open(f0) as f:
+        for line in f:
+            a = _json.loads(line)
+            if "metaData" in a:
+                a["metaData"]["name"] = "ext_orders"
+                a["metaData"]["description"] = "set by external writer"
+            lines.append(_json.dumps(a, separators=(",", ":")))
+    with open(f0, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    # phase 2: checkpoint v2 is built by full JSON replay -> carries
+    # the external fields
+    t = ManagedTable(spark, path, keys=["k"], checkpoint_interval=1)
+    t.merge(spark.createDataFrame([Row(k="c", v=3)]))              # v2 ckpt
+    meta2, _ = t._read_checkpoint(2)
+    assert meta2["name"] == "ext_orders"
+    assert meta2["description"] == "set by external writer"
+    # phase 3: checkpoint v3 is built FROM checkpoint-v2-recovered
+    # state (delta_log_state reads through the checkpoint) — the
+    # fields must survive the second generation too
+    t.merge(spark.createDataFrame([Row(k="d", v=4)]))              # v3 ckpt
+    meta3, active3 = t._read_checkpoint(3)
+    assert meta3["name"] == "ext_orders"
+    assert meta3["description"] == "set by external writer"
+    assert len(active3) >= 1

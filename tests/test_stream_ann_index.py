@@ -71,3 +71,36 @@ def test_late_arrival_extends_index_incrementally(spark, tmp_path):
     full = {r["vec_id"] for r in spark.read.parquet(f"{base}/index").select("vec_id").collect()}
     assert partial < full and len(full) == emb.count()
     assert os.path.getmtime(f"{base}/index/batch_id=0") == mtime0
+
+
+def test_partial_crashed_write_is_repaired_on_replay(spark, tmp_path):
+    """r10 ADVICE: a batch dir left WITHOUT the _SUCCESS marker (a
+    writer that died mid-parquet-write) must be treated as absent —
+    replay overwrites and repairs it rather than skipping, so no
+    batch's vectors are silently dropped from the index."""
+    import os
+
+    base = str(tmp_path / "annidx3")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    planes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("plane_id"), "embedding"
+    )
+    wave = emb.filter(F.col("vec_id") % 3 == 0)
+    # simulate the crash: partial dir exists, no _SUCCESS marker
+    dest = f"{base}/index/batch_id=0"
+    os.makedirs(dest)
+    with open(os.path.join(dest, "part-orphan.parquet"), "wb") as f:
+        f.write(b"\x00garbage")
+    _ann_index_apply_batch(base, planes, wave, 0)
+    assert os.path.exists(os.path.join(dest, "_SUCCESS"))
+    got = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{base}/index")
+        .select("vec_id")
+        .collect()
+    }
+    assert got == {r["vec_id"] for r in wave.select("vec_id").collect()}
+    # a completed write IS skipped: mtime stable under a second replay
+    mtime = os.path.getmtime(os.path.join(dest, "_SUCCESS"))
+    _ann_index_apply_batch(base, planes, wave, 0)
+    assert os.path.getmtime(os.path.join(dest, "_SUCCESS")) == mtime

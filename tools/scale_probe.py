@@ -105,6 +105,15 @@ def build_kx(spark, k: int) -> str:
                 # within-copy block partition and levenshtein
                 # structure exact while making cross-copy blocks
                 # disjoint.
+                # r10 ADVICE: lpad(...,2) would TRUNCATE copy ids
+                # >= 100 to their first two chars and re-collide
+                # names across copies (recreating the mega-block
+                # artifact this minting exists to prevent) — guard
+                # the span explicitly; probes run at K <= 30.
+                assert i < 100, (
+                    "name minting overwrites a 2-digit span; widen it "
+                    "before probing with K >= 100"
+                )
                 c = c.withColumn(
                     "c_name",
                     F.concat(
