@@ -3946,3 +3946,400 @@ def q_fellegi_sunter_match_weights(spark, sf_dir):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ----------------- entity resolution capstone: clusters + golden records
+
+#: Per-field odds used for ENTITY-GRAPH EDGES are clamped to
+#: [1, 4_000] centi (vs the weight table's display cap of 1e6): five
+#: clamped factors bound the pair product score by 4000^5 ~ 1.02e18,
+#: inside int64 on BOTH engines at any corpus size. The edge score
+#: adds a FIFTH comparison field the weight table doesn't carry: the
+#: synthesized contact identifier (``phone`` — copies inherit it,
+#: 1 in 7 corrupted; u = 0 exactly), because the four band-grain
+#: fields alone measured 38% edge precision at the match band
+#: (u_name is 17%: TPC-H digit-neighbor names are levenshtein-1 of
+#: each other, and the %20 balance perturbation kills both balance
+#: fields at once). The all-neutral product is 100^5 = 1e10; an edge
+#: requires >= 100x neutral evidence.
+_ER_ODDS_CAP = 4_000
+_ER_T_HI = 1_000_000_000_000  # 100x the all-neutral 100^5 product
+
+#: Shared oracle fragments: the ER fixture (aug), blocked candidate
+#: pairs WITH record ids, the per-field m/u sufficient statistics, and
+#: the one-row clamped-odds table. Mirrors _fs_augmented/_fs_pairs +
+#: the fused aggregation of the weights entry, with ids carried
+#: through for graph building.
+_ER_PAIRS_CTES = """
+aug AS (
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           c_custkey AS nid,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS bal_cents,
+           'P-' || CAST(c_custkey AS VARCHAR) AS phone
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000,
+           substr(c_name, 1, length(c_name) - 1) || 'x',
+           CASE WHEN c_custkey % 50 = 0
+                THEN (c_nationkey + 1) % 25 ELSE c_nationkey END,
+           CASE WHEN c_custkey % 30 = 0
+                THEN 'CORRUPTED' ELSE c_mktsegment END,
+           c_custkey AS nid,
+           CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               + CASE WHEN c_custkey % 20 = 0 THEN 100000 ELSE 0 END,
+           CASE WHEN c_custkey % 7 = 0
+                THEN 'P-' || CAST(c_custkey AS VARCHAR) || 'X'
+                ELSE 'P-' || CAST(c_custkey AS VARCHAR) END
+    FROM customer WHERE c_custkey % 10 = 0
+),
+blocked AS (
+    SELECT *, substr(c_name, 1, 16) AS blk FROM aug
+),
+pairs AS (
+    SELECT a.c_custkey AS ca, b.c_custkey AS cb,
+           CASE WHEN a.nid = b.nid THEN 1 ELSE 0 END AS is_match,
+           CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                THEN 1 ELSE 0 END AS g_name,
+           CASE WHEN a.c_nationkey = b.c_nationkey THEN 1 ELSE 0 END
+               AS g_nation,
+           CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+               AS g_segment,
+           CASE WHEN (a.bal_cents + 1000000) // 100000
+                     = (b.bal_cents + 1000000) // 100000
+                THEN 1 ELSE 0 END AS g_balband,
+           CASE WHEN a.phone = b.phone
+                THEN 1 ELSE 0 END AS g_phone
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+),
+tot AS (
+    SELECT CAST(SUM(is_match) AS BIGINT) AS n_match,
+           CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch,
+           CAST(SUM(is_match * g_name) AS BIGINT) AS am_name,
+           CAST(SUM((1 - is_match) * g_name) AS BIGINT) AS au_name,
+           CAST(SUM(is_match * g_nation) AS BIGINT) AS am_nation,
+           CAST(SUM((1 - is_match) * g_nation) AS BIGINT) AS au_nation,
+           CAST(SUM(is_match * g_segment) AS BIGINT) AS am_segment,
+           CAST(SUM((1 - is_match) * g_segment) AS BIGINT) AS au_segment,
+           CAST(SUM(is_match * g_balband) AS BIGINT) AS am_balband,
+           CAST(SUM((1 - is_match) * g_balband) AS BIGINT) AS au_balband,
+           CAST(SUM(is_match * g_phone) AS BIGINT) AS am_phone,
+           CAST(SUM((1 - is_match) * g_phone) AS BIGINT) AS au_phone
+    FROM pairs
+)"""
+
+
+def _er_odds_sql_expr(field: str, agree: bool) -> str:
+    """Clamped agree/disagree odds for one field, computed from the
+    ``tot`` sufficient statistics — identical character-for-character
+    arithmetic on both engines (// spelled DIV on the Spark side)."""
+    m = f"(am_{field} * 1000000 // GREATEST(n_match, 1))"
+    u = f"(au_{field} * 1000000 // GREATEST(n_nonmatch, 1))"
+    if agree:
+        raw = f"{m} * 100 // GREATEST({u}, 1)"
+    else:
+        raw = f"(1000000 - {m}) * 100 // GREATEST(1000000 - {u}, 1)"
+    return f"GREATEST(LEAST({raw}, {_ER_ODDS_CAP}), 1)"
+
+
+_ER_FIELDS = ("name", "nation", "segment", "balband", "phone")
+
+_ER_ODDS_CTE = "odds AS (\n    SELECT " + ",\n           ".join(
+    f"{_er_odds_sql_expr(f, True)} AS ao_{f},\n           "
+    f"{_er_odds_sql_expr(f, False)} AS do_{f}"
+    for f in _ER_FIELDS
+) + "\n    FROM tot\n)"
+
+_ER_SCORE_SQL = " * ".join(
+    f"(CASE WHEN g_{f} = 1 THEN ao_{f} ELSE do_{f} END)"
+    for f in _ER_FIELDS
+)
+
+#: edges + recursive transitive closure + per-record entity labels
+#: (oracle-side closure; the engine-side algorithm is the iterative
+#: min-label operator, operators/connected_components.py).
+_ER_CLUSTER_CTES = f"""{_ER_PAIRS_CTES},
+{_ER_ODDS_CTE},
+edges AS (
+    SELECT ca, cb FROM pairs CROSS JOIN odds
+    WHERE {_ER_SCORE_SQL} >= {_ER_T_HI}
+),
+sym AS (
+    SELECT ca AS u, cb AS v FROM edges
+    UNION
+    SELECT cb, ca FROM edges
+),
+walk(node, reach) AS (
+    SELECT u, u FROM sym
+    UNION
+    SELECT w.node, s.v FROM walk w JOIN sym s ON s.u = w.reach
+),
+comp AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node),
+entities AS (
+    SELECT r.c_custkey AS customer_id,
+           COALESCE(c.cluster_id, r.c_custkey) AS entity_id
+    FROM aug r LEFT JOIN comp c ON c.node = r.c_custkey
+)"""
+
+_ER_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_ER_CLUSTER_CTES},
+sizes AS (
+    SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM entities GROUP BY entity_id
+)
+SELECT e.customer_id, e.entity_id, s.cluster_size,
+       CAST(CASE WHEN e.customer_id = e.entity_id THEN 1 ELSE 0 END
+            AS INTEGER) AS is_canonical
+FROM entities e JOIN sizes s ON s.entity_id = e.entity_id
+"""
+
+
+def _er_augmented(spark, sf_dir):
+    """The weights entry's fixture (_fs_augmented) extended with a
+    synthesized contact identifier — the febrl-style strong field a
+    real ER stack has (TPC-H carries no phone/address column):
+    ``phone`` is deterministic per source record ('P-' || nid), copies
+    inherit it, and 1 in 7 copies (source custkey % 7 == 0) carries a
+    corrupted value — so m_phone ~ 0.857, u_phone = 0 exactly (two
+    distinct nids never share a phone). Built standalone so the
+    long-green fellegi_sunter_match_weights plan stays untouched."""
+    phone = F.concat(F.lit("P-"), F.col("c_custkey").cast("string"))
+    cust = load_table(spark, sf_dir, "customer")
+    cents = F.expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("c_custkey").alias("nid"),
+        cents.alias("bal_cents"),
+        phone.alias("phone"),
+    )
+    copies = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.expr("substr(c_name, 1, length(c_name) - 1) || 'x'").alias(
+            "c_name"
+        ),
+        F.when(
+            F.col("c_custkey") % 50 == 0, (F.col("c_nationkey") + 1) % 25
+        )
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+        F.when(F.col("c_custkey") % 30 == 0, F.lit("CORRUPTED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.col("c_custkey").alias("nid"),
+        (
+            cents
+            + F.when(F.col("c_custkey") % 20 == 0, 100000).otherwise(0)
+        ).alias("bal_cents"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.concat(phone, F.lit("X"))
+        )
+        .otherwise(phone)
+        .alias("phone"),
+    )
+    return base.unionByName(copies)
+
+
+def _er_pairs(spark, sf_dir):
+    """The weights entry's blocked pair frame (_fs_pairs) extended
+    with the strong-identifier indicator ``g_phone`` over the
+    phone-carrying fixture."""
+    aug = _er_augmented(spark, sf_dir).withColumn(
+        "blk", F.substring("c_name", 1, 16)
+    )
+    a = aug.select([F.col(c).alias(f"a_{c}") for c in aug.columns])
+    b = aug.select([F.col(c).alias(f"b_{c}") for c in aug.columns])
+    band = lambda side: F.expr(f"({side}_bal_cents + 1000000) DIV 100000")
+    return (
+        a.join(b, a["a_blk"] == b["b_blk"])
+        .filter(F.col("a_c_custkey") < F.col("b_c_custkey"))
+        .select(
+            F.col("a_c_custkey").alias("customer_a"),
+            F.col("b_c_custkey").alias("customer_b"),
+            (F.col("a_nid") == F.col("b_nid")).cast("int").alias("is_match"),
+            (F.levenshtein("a_c_name", "b_c_name") <= 1)
+            .cast("int")
+            .alias("g_name"),
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            .cast("int")
+            .alias("g_nation"),
+            (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+            .cast("int")
+            .alias("g_segment"),
+            (band("a") == band("b")).cast("int").alias("g_balband"),
+            (F.col("a_phone") == F.col("b_phone"))
+            .cast("int")
+            .alias("g_phone"),
+        )
+    )
+
+
+def _er_edges(spark, sf_dir):
+    """Match-band edges of the ER graph: blocked candidate pairs whose
+    per-field clamped-odds product clears _ER_T_HI. The odds row is a
+    one-row broadcast derived from the same fused aggregation the
+    weights entry runs."""
+    pairs = _er_pairs(spark, sf_dir).localCheckpoint(eager=False)
+    tot = pairs.agg(
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(1 - F.col("is_match")).cast("long").alias("n_nonmatch"),
+        *[
+            x
+            for f in _ER_FIELDS
+            for x in (
+                F.sum(F.col("is_match") * F.col(f"g_{f}"))
+                .cast("long")
+                .alias(f"am_{f}"),
+                F.sum((1 - F.col("is_match")) * F.col(f"g_{f}"))
+                .cast("long")
+                .alias(f"au_{f}"),
+            )
+        ],
+    )
+    odds = tot.select(
+        *[
+            F.expr(
+                _er_odds_sql_expr(f, agree).replace("//", "DIV")
+            ).alias(("ao_" if agree else "do_") + f)
+            for f in _ER_FIELDS
+            for agree in (True, False)
+        ]
+    )
+    return (
+        pairs.crossJoin(F.broadcast(odds))
+        .filter(F.expr(_ER_SCORE_SQL) >= F.lit(_ER_T_HI))
+        .select(
+            F.col("customer_a").alias("ca"), F.col("customer_b").alias("cb")
+        )
+    )
+
+
+def _er_entities(spark, sf_dir):
+    """Every fixture record labeled with its entity id (min member id
+    of the match-band component; singletons label themselves)."""
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    records = _er_augmented(spark, sf_dir).localCheckpoint(eager=False)
+    lab = connected_components(_er_edges(spark, sf_dir), src="ca", dst="cb")
+    return records.join(
+        lab.withColumnRenamed("node", "c_custkey"), on="c_custkey", how="left"
+    ).withColumn(
+        "entity_id", F.coalesce(F.col("label"), F.col("c_custkey"))
+    )
+
+
+@register(
+    "er_entity_clusters",
+    _ER_CLUSTERS_SQL,
+    doc="Entity-resolution capstone, stage 1 (VERDICT r10 directive "
+    "#4): Fellegi-Sunter pair scores thresholded at the match band "
+    "and resolved into ENTITIES by connected components "
+    "(operators/connected_components.py — iterative min-label with "
+    "per-round localCheckpoint; the oracle closes the same edge set "
+    "with a recursive CTE). The per-pair score is the product of "
+    "per-field agree/disagree odds CLAMPED to [1, 4000] centi over "
+    "FIVE fields — the weight table's four plus the synthesized "
+    "contact identifier (u = 0 exactly, 1-in-7 copy corruption), "
+    "without which the match band measured 38% edge precision "
+    "(TPC-H digit-neighbor names make u_name 17%) — so the product "
+    "is bounded by "
+    "4000^5 ~ 1.02e18, int64-safe on both engines at any SF (the "
+    "weight table's own display cap of 1e6 would overflow at 1e30). "
+    "An edge requires >= 100x the all-neutral product (1e12 vs "
+    "100^5). Every fixture "
+    "record gets an entity id (min member id; singletons label "
+    "themselves), plus cluster size and the canonical-record flag. "
+    "Scale: candidate pairs stay inside <=100-row name-prefix "
+    "blocks; component diameter is bounded by block size, so the "
+    "min-label loop converges in 2-3 rounds; the union-find pytest "
+    "(tests/test_er_capstone.py) recomputes the labeling exactly.",
+)
+def q_er_entity_clusters(spark, sf_dir):
+    ents = _er_entities(spark, sf_dir).select(
+        F.col("c_custkey").alias("customer_id"), "entity_id"
+    )
+    sizes = ents.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return ents.join(sizes, on="entity_id").select(
+        "customer_id",
+        "entity_id",
+        "cluster_size",
+        (F.col("customer_id") == F.col("entity_id"))
+        .cast("int")
+        .alias("is_canonical"),
+    )
+
+
+_ER_GOLDEN_SQL = f"""
+WITH RECURSIVE {_ER_CLUSTER_CTES},
+ranked AS (
+    SELECT e.entity_id, r.c_custkey, r.c_name, r.c_nationkey,
+           r.c_mktsegment, r.bal_cents,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.entity_id
+               ORDER BY r.bal_cents DESC, r.c_custkey
+           ) AS rk
+    FROM entities e JOIN aug r ON r.c_custkey = e.customer_id
+),
+stats AS (
+    SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(bal_cents) AS BIGINT) AS max_bal_cents
+    FROM ranked GROUP BY entity_id
+)
+SELECT s.entity_id, s.n_members,
+       r.c_custkey AS canonical_customer_id,
+       r.c_name AS canonical_name,
+       r.c_nationkey AS canonical_nationkey,
+       r.c_mktsegment AS canonical_segment,
+       s.max_bal_cents
+FROM stats s JOIN ranked r ON r.entity_id = s.entity_id AND r.rk = 1
+"""
+
+
+@register(
+    "er_golden_records",
+    _ER_GOLDEN_SQL,
+    doc="Entity-resolution capstone, stage 2 (VERDICT r10 directive "
+    "#4): SURVIVORSHIP — one golden record per entity cluster, "
+    "chosen by the reference's W1 dedup discipline at entity grain "
+    "(deterministic ordered tie-break, cf. "
+    "/root/reference/src/transformations/orders_bronze_to_silver.py:"
+    "79-90): the highest-balance member wins (the 'highest-weight / "
+    "most complete' survivorship rule), record id breaks ties, and "
+    "the entity also carries its member count and max balance so "
+    "downstream joins never re-derive them. Scale: the survivor "
+    "window is partitioned BY ENTITY (never global), and entities "
+    "are block-bounded, so survivorship is one partitioned "
+    "row_number over the labeled records.",
+)
+def q_er_golden_records(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    ents = _er_entities(spark, sf_dir)
+    w = W.partitionBy("entity_id").orderBy(
+        F.col("bal_cents").desc(), F.col("c_custkey")
+    )
+    ranked = ents.withColumn("rk", F.row_number().over(w))
+    stats = ents.groupBy("entity_id").agg(
+        F.count("*").cast("long").alias("n_members"),
+        F.max("bal_cents").cast("long").alias("max_bal_cents"),
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(stats, on="entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            F.col("c_custkey").alias("canonical_customer_id"),
+            F.col("c_name").alias("canonical_name"),
+            F.col("c_nationkey").alias("canonical_nationkey"),
+            F.col("c_mktsegment").alias("canonical_segment"),
+            "max_bal_cents",
+        )
+    )
