@@ -2134,3 +2134,132 @@ def q_ngram_bloom_contamination_probe(spark, sf_dir):
             " DIV GREATEST(COUNT(*) - SUM(exact_hit), 1) AS BIGINT)"
         ).alias("observed_fpp_ppm"),
     )
+
+
+# ---------------- substring-grain exact dedup: repeated-span detection
+
+#: Minimum repeated-substring length in TOKENS (the Lee et al.
+#: "Deduplicating Training Data Makes Language Models Better"
+#: substring tier, shrunk from their 50-BPE-token threshold to the
+#: fixture's short-document regime; same 8-gram grain as the
+#: decontamination pass so the two tiers share semantics).
+_RSS_L = 8
+
+_RSS_SQL = f"""
+WITH {_CORPUS_SQL},
+toks AS (
+    SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM corpus
+),
+idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t) - {_RSS_L - 1}, 0)))
+               AS pos
+    FROM toks
+),
+grams AS (
+    SELECT doc_id, pos,
+           {" || ' ' || ".join(f"t[pos+{j}]" for j in range(_RSS_L))}
+               AS gram
+    FROM idx
+),
+rep AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (
+    SELECT g.doc_id, g.pos FROM grams g JOIN rep r ON r.gram = g.gram
+),
+lagged AS (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM hits
+),
+isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos - prev > {_RSS_L}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM lagged
+)
+SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {_RSS_L - 1} AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams,
+       CAST(MAX(pos) + {_RSS_L - 1} - MIN(pos) + 1 AS BIGINT)
+           AS span_tokens
+FROM isl GROUP BY doc_id, span_id
+"""
+
+
+@register(
+    "repeated_substring_spans",
+    _RSS_SQL,
+    doc="Substring-grain exact dedup (VERDICT r10 directive #7, the "
+    "Lee et al. 2022 tier between exact-doc and chunk dedup): every "
+    f"MAXIMAL span covered by {_RSS_L}-token grams that occur >= 2 "
+    "times anywhere in the corpus (cross-doc or within-doc), as "
+    "(doc_id, span_id, 1-based token start/end, dup-gram count, "
+    "span length). Positional grams anchor on an exact corpus-wide "
+    "occurrence count; overlapping/adjacent hits then merge into "
+    "maximal spans by LAG-island detection — the same "
+    "doc-partitioned window discipline as the CDC chunker, so the "
+    "merge is linear and never leaves the doc's partition. The "
+    "frequency pass groups on xxhash64(gram) (8-byte shuffle keys "
+    "instead of ~60-byte strings, the benchmark_contamination "
+    "discipline; a 64-bit collision (P ~ 1e-10 at fixture scale) "
+    "could mark one extra gram repeated). Scale: one hash-grouped "
+    "reduce over corpus token count + per-doc windows — no "
+    "quadratic anywhere; the planted copies make the expected spans "
+    "full-document, pinned by tests/test_repeated_spans.py.",
+)
+def q_repeated_substring_spans(spark, sf_dir):
+    from pyspark.sql.window import Window as W
+
+    corpus = derived_corpus(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    with_toks = corpus.select("doc_id", toks.alias("__toks")).filter(
+        F.size("__toks") >= _RSS_L
+    )
+    exploded = with_toks.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.sequence(F.lit(1), F.size("__toks") - (_RSS_L - 1))
+        ).alias("pos"),
+    )
+    gram = F.array_join(F.slice("__toks", F.col("pos"), _RSS_L), " ")
+    grams = exploded.select(
+        "doc_id", "pos", F.xxhash64(gram).alias("gh")
+    ).localCheckpoint(eager=False)  # feeds the count AND the probe join
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("gh")
+    )
+    hits = grams.join(rep, on="gh").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    lagged = hits.withColumn("prev", F.lag("pos").over(w))
+    isl = lagged.withColumn(
+        "span_id",
+        F.sum(
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("pos") - F.col("prev") > _RSS_L),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return isl.groupBy("doc_id", "span_id").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (_RSS_L - 1)).cast("long").alias("span_end"),
+        F.count("*").cast("long").alias("n_dup_grams"),
+        (F.max("pos") + (_RSS_L - 1) - F.min("pos") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+    ).select(
+        "doc_id",
+        F.col("span_id").cast("long").alias("span_id"),
+        "span_start",
+        "span_end",
+        "n_dup_grams",
+        "span_tokens",
+    )
