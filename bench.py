@@ -24,6 +24,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # ---- round 11 ----
+    "er_entity_clusters",
+    "er_golden_records",
+    "fellegi_sunter_em_params",
+    "dbscan_cluster_labels",
+    "repeated_substring_spans",
+    # slow non-headliners promoted per VERDICT r10 directive #2 (the
+    # four stream_* entries in that list stay out under the no-stream-
+    # twin policy and carry measured harness-vs-plan rationales in
+    # SCALING.md instead):
+    "cms_heavy_hitters",
+    "merge_upsert_state",
     # ---- round 10 ----
     "knn_lof_scores",
     "cdc_chunk_boundaries",
