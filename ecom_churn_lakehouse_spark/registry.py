@@ -170,76 +170,27 @@ def register(
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
-    # ---- round-10 front-50 (VERDICT r9 directive #1: keep draining
-    # the never-driver-sampled backlog; growth throttled to the 5
-    # operators directives #3-#6 mandate).
-    # (a) entries CHANGED this round: the r9 ADVICE checkpoint-layer
-    #     fixes (full protocol checkpoint schema, interval<=0 read
-    #     gating, non-fatal checkpoint writes, keep-last-2 pruning)
-    #     touch sources/managed_table.py, which backs these two
-    #     (legitimate resamples under the rotation discipline):
+    # ---- round-11 front-50 (VERDICT r10 directive #1: drain the
+    # never-driver-sampled backlog to <= 105 with >= 45 first-time
+    # rows; growth held to the 5 operators directives #4-#7 mandate).
+    # (a) entries CHANGED this round (the ONLY allowed resamples):
+    #     r10 ADVICE checkpoint-reader fix (_read_checkpoint now
+    #     round-trips metaData name/description) touches
+    #     sources/managed_table.py, which backs these two:
     "merge_upsert_state",
     "version_change_feed",
-    # changed this round (plan-level rewrite, identical semantics,
-    # re-oracled at both SFs): row-local smallest-matching-byte dedup
-    # replaced the multi-million-row distinct exchange in the byte-
-    # blocked candidate join (the slowest registry entry in r9):
-    "simhash_pairs",
-    # changed AND first-time: directive #7's density-adaptive
-    # per-node top-k edge cut (mean-relative cut collapsed at sf0.1):
-    "copurchase_reachability",
-    # (b) new round-10 operators (directives #3-#6):
-    "knn_lof_scores",
-    "cdc_chunk_boundaries",
-    "cdc_dedup_savings",
-    "fellegi_sunter_match_weights",
+    #     r10 ADVICE replay-repair fix (_SUCCESS-gated batch skip):
     "stream_ann_index_maintenance",
-    # (c) never-driver-sampled backlog, standing risk order
-    #     (float/ROUND/DECIMAL oracle surfaces first; the tail
-    #     beyond the 50-entry sample window is the queue for
-    #     rounds 11+ — 144 entries will remain unsampled after
-    #     this round's drain):
-    "littles_law_audit",
-    "value_window_battery",
-    "calendar_battery",
-    "dow_uniformity_gof",
-    "sql_ucb_arm_allocation",
-    "sql_ipw_ate_promo",
-    "dedup_savings_by_source",
-    "ann_ivfpq_topk",
-    "neardup_cluster_chain_audit",
-    "benchmark_contamination",
-    "neardup_degree_hist",
-    "incremental_dedup_new_docs",
-    "minhash_estimate_error",
-    "supplier_return_wilson",
-    "order_value_psi_drift",
-    "key_skew_profile",
-    "timed_conversion_funnel",
-    "stream_sliding_6h",
-    "event_type_transitions",
-    "segment_churn_encoding",
-    "promo_revenue_share",
-    "doc_bm25_scores",
-    "token_pmi_bigrams",
-    "idle_rich_customers",
-    "order_value_histogram",
-    "label_centroid_confusion",
-    "ann_recall_eval",
-    "ann_multiprobe_topk",
-    "ann_ivf_nprobe_topk",
-    "hard_negative_pairs",
-    "hard_negative_pairs_ann",
-    "hard_negative_recall_eval",
-    "embedding_int8_quantization",
-    "matryoshka_recall_eval",
-    "small_lot_part_revenue",
-    "token_doc_freq",
-    "doc_token_entropy",
-    "doc_novelty",
-    "corpus_curation_funnel",
-    "vocab_oov_rate",
-    "national_market_share",
+    # (b) new round-11 operators (directives #4-#7):
+    "er_entity_clusters",
+    "er_golden_records",
+    "fellegi_sunter_em_params",
+    "dbscan_cluster_labels",
+    "repeated_substring_spans",
+    # (c) never-driver-sampled backlog, standing queue order
+    #     (stream_dedup_replay_daily is ALSO the directive-#3
+    #     harness-shave change, but it is first-time, so it costs
+    #     no resample slot; 103 entries remain queued for r12+):
     "group_kfold_balance",
     "target_encoding_brand",
     "semantic_dedup_pairs",
@@ -282,6 +233,7 @@ NEW_IN_ROUND: list[str] = [
     "sql_granger_causality_screen",
     "join_cardinality_estimate",
     "promo_chisq_independence",
+    # ---- beyond the 50-entry sample window: the r12+ queue ----
     "acctbal_variance_components",
     "knn_label_consensus",
     "rrf_hybrid_retrieval",
