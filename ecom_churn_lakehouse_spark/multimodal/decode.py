@@ -26,6 +26,8 @@ before the map, never ``collect``.
 from __future__ import annotations
 
 import hashlib
+import os
+import sys
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,6 +50,21 @@ __all__ = [
     "image_features",
     "sample_frames",
 ]
+
+#: Absolute path of the directory CONTAINING the package, captured BY
+#: VALUE into every worker closure below. Spark pickles these nested
+#: functions by value (cloudpickle), so they arrive on the Python
+#: worker self-contained — except for their late package imports,
+#: which need the package importable THERE. A vanilla driver session
+#: (no PYTHONPATH/executorEnv, cwd somewhere else) gives workers no
+#: such path, so each closure inserts this string first. Local mode
+#: and shared-filesystem executors resolve it directly; a distributed
+#: cluster without the checkout mounted ships a wheel/addPyFile
+#: instead (this insert is then a harmless no-op miss).
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
 
 #: Output schema of the decode stage (input columns pass through by id).
 DECODED_IMAGE_SCHEMA = T.StructType(
@@ -94,6 +111,8 @@ def decode_images(
     """
 
     def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         for pdf in batches:
             out = {
                 "doc_id": pdf[id_col].astype("int64"),
@@ -179,6 +198,8 @@ def resize_images(
     """
 
     def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         n_out = target_width * target_height
         for pdf in batches:
             rows = {"doc_id": pdf[id_col].astype("int64"), "payload": [], "resize_ok": []}
@@ -256,6 +277,8 @@ def image_features(
     import numpy as np
 
     def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         for pdf in batches:
             feats = []
             for payload in pdf[payload_col]:
@@ -335,6 +358,8 @@ def decode_audio(
     on the executors."""
 
     def _audio_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         from ecom_churn_lakehouse_spark.multimodal.codecs import (
             audio_features,
             decode_wav,
@@ -401,6 +426,8 @@ def decode_video_frames(
     payloads yield a single decode_ok=false row."""
 
     def _video_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_y4m
 
         for pdf in batches:
@@ -479,6 +506,8 @@ def video_scene_cuts(
     Corrupt payloads yield a single decode_ok=false row."""
 
     def _cut_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_y4m
 
         for pdf in batches:
@@ -558,6 +587,8 @@ def audio_activity_windows(
     a single decode_ok=false row."""
 
     def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_wav
 
         for pdf in batches:
@@ -638,6 +669,8 @@ def image_patch_stats(
     Corrupt payloads yield a single decode_ok=false row."""
 
     def _patch_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_image
 
         for pdf in batches:
@@ -723,6 +756,8 @@ def image_channel_histograms(
     width = 256 // bins
 
     def _hist_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         import numpy as np
 
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_image
@@ -804,6 +839,8 @@ def image_perceptual_hashes(
     payloads yield a decode_ok=false row."""
 
     def _phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if _PKG_ROOT not in sys.path:  # vanilla-session worker (see _PKG_ROOT)
+            sys.path.insert(0, _PKG_ROOT)
         import numpy as np
 
         from ecom_churn_lakehouse_spark.multimodal.codecs import decode_image

@@ -181,6 +181,13 @@ NEW_IN_ROUND: list[str] = [
     "version_change_feed",
     #     r10 ADVICE replay-repair fix (_SUCCESS-gated batch skip):
     "stream_ann_index_maintenance",
+    #     rows-only -> fully-oracled conversion (round 11): the
+    #     pipeline now emits the feature vector's exact integer
+    #     numerators, closing the registry's last rows-only entry.
+    #     It was itself never driver-sampled, so this slot is BOTH
+    #     the changed-code resample AND a first-time row (it swaps
+    #     with promo_chisq_independence, which returns to the queue):
+    "image_resize_feature_pipeline",
     # (b) new round-11 operators (directives #4-#7):
     "er_entity_clusters",
     "er_golden_records",
@@ -232,8 +239,8 @@ NEW_IN_ROUND: list[str] = [
     "sql_two_proportion_ztest_returns",
     "sql_granger_causality_screen",
     "join_cardinality_estimate",
-    "promo_chisq_independence",
     # ---- beyond the 50-entry sample window: the r12+ queue ----
+    "promo_chisq_independence",
     "acctbal_variance_components",
     "knn_label_consensus",
     "rrf_hybrid_retrieval",
@@ -336,7 +343,6 @@ NEW_IN_ROUND: list[str] = [
     "sql_returned_order_priorities",
     "sql_lapsed_customers",
     "sql_part_supplier_count",
-    "image_resize_feature_pipeline",
 ]
 
 

@@ -511,3 +511,53 @@ def test_phash_neardup_catches_planted_pairs(spark):
     assert not missing, f"planted pairs missed: {missing[:5]}"
     # damage is confined to raster tail -> dHash band 3 -> hamming <= 10
     assert all(got[p] <= 10 for p in planted)
+
+
+def test_resize_feature_numerators_match_pixel_features(spark):
+    """The oracled integer-numerator row of
+    image_resize_feature_pipeline determines codecs.pixel_features'
+    float vector exactly: mean = S/(16*255), std = sqrt(16*SS - S^2)
+    /(16*255), histogram fraction = h/16 — asserted per doc on a
+    testdata slice, so a drift between the registered surface and the
+    real feature extractor fails here even though the registry entry
+    itself never emits a float."""
+    import math
+
+    from ecom_churn_lakehouse_spark.multimodal.codecs import (
+        decode_ppm,
+        pixel_features,
+        resize_nearest,
+    )
+    from ecom_churn_lakehouse_spark.queries.multimodal_queries import (
+        _payloads,
+        q_image_resize_feature_pipeline,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r["doc_id"]: r
+        for r in q_image_resize_feature_pipeline(spark, sf)
+        .filter(F.col("doc_id") < 40)
+        .collect()
+    }
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in _payloads(spark, sf).filter(F.col("doc_id") < 40).collect()
+    }
+    assert rows and set(rows) == set(payloads)
+    n_px = 16
+    for doc_id, row in rows.items():
+        arr = resize_nearest(decode_ppm(payloads[doc_id]), 4, 4)
+        feats = pixel_features(arr)
+        assert row["feature_dim"] == len(feats) == 14
+        recon = []
+        for ch in ("r", "g", "b"):
+            s, ss = row[f"{ch}_sum"], row[f"{ch}_sumsq"]
+            recon.append(round(s / n_px / 255.0, 6))
+            recon.append(
+                round(math.sqrt(n_px * ss - s * s) / (n_px * 255.0), 6)
+            )
+        hist = [row[f"lum_h{k}"] for k in range(8)]
+        assert sum(hist) == n_px
+        recon.extend(round(h / n_px, 6) for h in hist)
+        assert recon == feats, f"doc {doc_id}: {recon} != {feats}"
