@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "connected_components_pointer_jump"]
+__all__ = ["connected_components", "connected_components_star"]
 
 
 def connected_components(
@@ -84,29 +84,40 @@ def connected_components(
     return labels
 
 
-def connected_components_pointer_jump(
+def connected_components_star(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 40,
+    max_iter: int = 60,
 ) -> DataFrame:
-    """Min-label propagation accelerated by POINTER JUMPING — for
-    graphs whose components are long chains, not near-cliques.
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — for
+    graphs whose components are long chains or percolation blobs,
+    not near-cliques.
 
-    Plain min-propagation needs O(diameter) rounds: a DBSCAN
-    percolation cluster of k cores has diameter ~ sqrt(k), which blew
-    past the plain operator's round budget at sf0.1 (394 mislabeled
-    points — caught by the oracle, round 11). Each round here adds a
-    second hop l(v) <- l(l(v)) after the neighbor-min step, so label
-    values chase the component minimum along pointer chains and
-    convergence drops to O(log diameter) rounds (the hash-to-min
-    idea of Rastogi et al., "Finding Connected Components in
-    Map-Reduce in Logarithmic Rounds", ICDE'13) — 2^40 effective
-    reach at the default budget. Costs one extra hashed self-join
-    per round; keep the plain operator for dup-cluster graphs where
-    diameter ~ 2-3 makes the jump pure overhead.
+    Why not min-propagation: plain propagation needs O(diameter)
+    rounds — a DBSCAN percolation cluster of k cores has diameter
+    ~ sqrt(k), which blew past the plain operator's round budget at
+    sf0.1 (394 mislabeled points, caught by the oracle in round 11).
+    Why not pointer jumping: the l(v) <- l(l(v)) accelerant is only
+    O(log d) when label-pointer chains align with the direction of
+    the component minimum (sorted-id paths). On REAL percolation
+    blobs with random id placement the chains zig-zag and the jump
+    buys nothing — measured 25 rounds on the sf0.1 DBSCAN core graph
+    with 1, 3, or 5 jumps per round alike (identical labels, rounds
+    unchanged), i.e. O(diameter) in disguise. Star contraction
+    instead rewrites the EDGE SET: large-star hangs every neighbor
+    v > u onto m = min(N(u) ∪ u); small-star (on the u > v canonical
+    orientation) hangs the not-larger neighbors and u itself onto m.
+    Both steps link only toward smaller ids, preserve connectivity,
+    and contract each component toward a star centered at its
+    MINIMUM id — the same graph converged in 6 rounds (vs 25), and
+    the graph SHRINKS as it contracts, so per-round shuffle volume
+    falls instead of staying flat. Convergence is detected exactly:
+    row count equal (free off parquet metadata) AND
+    ``exceptAll(prev)`` empty — never a hash fingerprint.
 
-    Iteration barrier: each round's label frame round-trips through a
+    Iteration barrier: each round's edge frame round-trips through a
     scratch PARQUET file, not localCheckpoint. Measured necessity,
     not style — chained self-joins of checkpoint-derived frames hit
     an exponential analyzer pathology in Spark 4.1 (~2.7x per round
@@ -115,9 +126,9 @@ def connected_components_pointer_jump(
     and union/aggregate chains both flat — the trigger is joining a
     frame to a derivation of itself round after round, which the
     plain operator never does). A fresh parquet relation resets the
-    attribute lineage completely; measured flat at 0.45 s/round
-    through 30 rounds. On a real cluster this is the standard
-    Pregel-style iteration barrier (HDFS/object-store temp table).
+    attribute lineage completely. On a real cluster this is the
+    standard Pregel-style iteration barrier (HDFS/object-store temp
+    table).
 
     Returns ``node``, ``label`` for every node appearing in
     ``edges`` (component minimum as label), like the plain operator.
@@ -125,45 +136,73 @@ def connected_components_pointer_jump(
     from ecom_churn_lakehouse_spark.scratch import scratch_dir
 
     spark = edges.sparkSession
-    base = scratch_dir(prefix="cc_pj_")
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    sym.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).write.mode("overwrite").parquet(f"{base}/r")
-    labels = spark.read.parquet(f"{base}/r")
+    base = scratch_dir(prefix="cc_star_")
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
+        "a != b"
+    )
+    nodes = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    cur = e0.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    ).distinct()
+    cur.write.mode("overwrite").parquet(f"{base}/e")
+    cur = spark.read.parquet(f"{base}/e")
+    n_cur = cur.count()
     for i in range(max_iter):
-        own = labels.select("node", "label", F.lit(True).alias("is_own"))
-        nbr = sym.join(labels, sym["v"] == labels["node"]).select(
-            F.col("u").alias("node"), "label", F.lit(False).alias("is_own")
+        # ---- large-star over the symmetric view: for each u with
+        # m = min(N(u) ∪ u), every neighbor v > u re-hangs onto m.
+        sym = cur.select("u", "v").unionByName(
+            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = (
-            own.unionByName(nbr)
-            .groupBy("node")
-            .agg(
-                F.min("label").alias("label"),
-                F.min(F.when(F.col("is_own"), F.col("label"))).alias(
-                    "__old"
-                ),
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter("a != b")
+            .select(
+                F.greatest("a", "b").alias("u"),
+                F.least("a", "b").alias("v"),
             )
+            .distinct()
         )
-        # pointer jump: follow the label's own (same-round) label —
-        # doubles the resolved prefix of every min-pointer chain
-        lmap = m.select(
-            F.col("node").alias("__ln"), F.col("label").alias("__ll")
+        # ---- small-star on the canonical u > v orientation: u and
+        # its not-larger neighbors all re-hang onto m = min of them.
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            ls.join(sm, "u")
+            .select(F.col("v").alias("w"), "m")
+            .unionByName(sm.select(F.col("u").alias("w"), "m"))
+            .filter(F.col("w") != F.col("m"))
+            .select(
+                F.greatest("w", "m").alias("u"),
+                F.least("w", "m").alias("v"),
+            )
+            .distinct()
         )
-        m.join(lmap, m["label"] == lmap["__ln"], "left").select(
-            "node",
-            F.coalesce(F.col("__ll"), F.col("label")).alias("label"),
-            "__old",
-        ).write.mode("overwrite").parquet(f"{base}/r{i}")
-        new = spark.read.parquet(f"{base}/r{i}")
-        labels = new.select("node", "label")
-        if i > 0 and (
-            new.filter(F.col("label") != F.col("__old")).limit(1).count()
-            == 0
-        ):
+        nxt.write.mode("overwrite").parquet(f"{base}/e{i}")
+        nxt = spark.read.parquet(f"{base}/e{i}")
+        n_nxt = nxt.count()  # parquet footer metadata — no scan
+        done = (
+            n_nxt == n_cur
+            and nxt.exceptAll(cur).limit(1).count() == 0
+        )
+        cur, n_cur = nxt, n_nxt
+        if done:
             break
-    return labels
+    # Fixpoint is a star forest centered at component minima: every
+    # non-root keeps exactly one (node, center) edge; roots (and any
+    # would-be singletons) label themselves.
+    lab = cur.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = nodes.join(lab, "node", "left_anti").withColumn(
+        "label", F.col("node")
+    )
+    return lab.unionByName(roots)

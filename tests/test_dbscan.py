@@ -115,19 +115,62 @@ def test_python_recompute_matches_fixture_exactly(spark):
     assert "core" in roles and "noise" in roles  # non-vacuous fixture
 
 
-def test_pointer_jump_cc_handles_long_chains(spark):
+def test_star_cc_handles_long_chains(spark):
     """Regression for the r11 defect: a path graph whose diameter
     exceeds the plain operator's O(diameter) round budget must still
-    label every node with the component minimum (O(log d) rounds)."""
+    label every node with the component minimum."""
     from ecom_churn_lakehouse_spark.operators.connected_components import (
-        connected_components_pointer_jump,
+        connected_components_star,
     )
 
     edges = [(i, i + 1) for i in range(199)] + [(500, 501), (501, 502)]
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     lab = {
         r["node"]: r["label"]
-        for r in connected_components_pointer_jump(df).collect()
+        for r in connected_components_star(df).collect()
     }
     assert all(lab[i] == 0 for i in range(200))
     assert all(lab[i] == 500 for i in (500, 501, 502))
+
+
+def test_star_cc_shuffled_ids_and_random_graph(spark):
+    """Star contraction is id-placement-independent (the property the
+    pointer-jump accelerant silently lacked: it measured O(diameter)
+    on random-id blobs): a 300-node path with SHUFFLED ids and a
+    random 600-edge graph must both match a pure-Python union-find."""
+    import random
+
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    def py_cc(pairs):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in list(parent)}
+
+    rng = random.Random(7)
+    ids = list(range(300))
+    rng.shuffle(ids)
+    path = [(ids[i], ids[i + 1]) for i in range(299)]
+    rnd = [
+        (rng.randrange(10_000), rng.randrange(10_000)) for _ in range(600)
+    ]
+    rnd = [(a, b) for a, b in rnd if a != b]
+    for pairs in (path, rnd):
+        df = spark.createDataFrame(pairs, "src LONG, dst LONG")
+        got = {
+            r["node"]: r["label"]
+            for r in connected_components_star(df).collect()
+        }
+        assert got == py_cc(pairs)
