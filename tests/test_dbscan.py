@@ -1,6 +1,7 @@
 """DBSCAN hand-checks (VERDICT r10 directive #6): planted clusters,
-a pure-Python recompute of the full labeling, and the pointer-jump
-connected-components regression (long-chain graphs)."""
+a pure-Python recompute of the full labeling, and the star-contraction
+connected-components regressions (long chains, shuffled-id paths,
+random graphs vs union-find)."""
 
 from pyspark.sql import functions as F
 
