@@ -80,8 +80,18 @@ def connected_components(
         if i > 0 and (
             new.filter(F.col("label") != F.col("__old")).limit(1).count() == 0
         ):
-            break
-    return labels
+            return labels
+    # A silent partial labeling is exactly the defect the round-11
+    # oracle caught (394 mislabeled DBSCAN points at a 25-round
+    # budget): fail LOUDLY instead of returning wrong components.
+    # Near-clique dup graphs converge in 2-3 rounds; hitting this
+    # means the caller's graph has long chains and needs
+    # connected_components_star.
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds — "
+        "graph diameter exceeds the min-propagation budget; use "
+        "connected_components_star for long-chain graphs"
+    )
 
 
 def connected_components_star(
@@ -198,6 +208,14 @@ def connected_components_star(
         cur, n_cur = nxt, n_nxt
         if done:
             break
+    else:
+        # Same loud-failure discipline as the plain operator: a
+        # partial contraction is a wrong labeling, never return it.
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint after {max_iter} "
+            "rounds — raise max_iter (Kiveris contraction needs "
+            "O(log^2 n) rounds worst-case, ~2 log n in practice)"
+        )
     # Fixpoint is a star forest centered at component minima: every
     # non-root keeps exactly one (node, center) edge; roots (and any
     # would-be singletons) label themselves.
