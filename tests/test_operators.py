@@ -152,3 +152,28 @@ def test_connected_components_chain_and_islands(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_connected_components_raises_on_budget_not_wrong_labels(spark):
+    """A diameter beyond the min-propagation budget must FAIL LOUDLY,
+    never return a silent partial labeling (the round-11 DBSCAN
+    defect shape: 394 mislabeled points caught only by the oracle).
+    The star operator labels the same graph correctly."""
+    import pytest
+
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    # 40-node path: diameter 39 > max_iter=5 rounds of propagation
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "src LONG, dst LONG"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=5).collect()
+    lab = {
+        r["node"]: r["label"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert lab == {i: 0 for i in range(40)}
