@@ -10,11 +10,21 @@ with itself; each round every node takes the min of its own label and
 its neighbors' labels; fixpoint = components labeled by their minimum
 member. Rounds needed = graph diameter — and dup-cluster graphs are
 near-cliques from a verify join (tiny diameter), so this converges in
-2-3 rounds in practice. For adversarial long-chain graphs the
-alternating large-star/small-star construction (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) drops rounds
-to O(log d); min-propagation is chosen here because the dedup regime
-makes the extra machinery pure overhead.
+2-3 rounds in practice.
+
+REGIME SELECTION (read this before picking an operator): use
+``connected_components`` ONLY for near-clique duplicate graphs
+(LSH/MinHash verify output, where every cluster member saw most
+others). For long-chain or percolation graphs — DBSCAN core graphs,
+kNN graphs, anything where edges come from a *radius* rather than a
+*verified duplicate* relation — use ``connected_components_star``:
+round 11 proved min-propagation O(diameter) there (394 mislabeled
+points at sf0.1 before the loud ``max_iter`` failure existed), and
+pointer jumping does NOT rescue it (measured O(diameter)-in-disguise
+on random-id blobs; see the star operator's docstring, which also
+documents the Spark 4.1 chained-self-join analyzer pathology its
+parquet iteration barrier sidesteps). Both operators now raise at
+``max_iter`` instead of returning a silent partial labeling.
 
 Scale shape per round: one join + one min-aggregate, both hashed on the
 node key, so AQE co-partitions them onto one exchange. Labels are
@@ -147,15 +157,18 @@ def connected_components_star(
 
     spark = edges.sparkSession
     base = scratch_dir(prefix="cc_star_")
-    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).filter(
-        "a != b"
-    )
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Node set from the UNFILTERED edge frame (r11 ADVICE): a node
+    # whose only edges are self-loops must still appear in the output
+    # (self-labeled via the left-anti roots branch), matching both the
+    # docstring contract and the plain operator.
     nodes = (
-        e0.select(F.col("a").alias("node"))
-        .unionByName(e0.select(F.col("b").alias("node")))
+        raw.select(F.col("a").alias("node"))
+        .unionByName(raw.select(F.col("b").alias("node")))
         .distinct()
         .localCheckpoint()
     )
+    e0 = raw.filter("a != b")
     cur = e0.select(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     ).distinct()

@@ -1321,8 +1321,9 @@ def _density_clusters_sql() -> str:
     "banded sign-LSH already produces (embedding_neardup_pairs), core "
     f"points have >= {_DBSCAN_MIN_PTS} neighbors, clusters are "
     "connected components over CORE-CORE edges "
-    "(operators/connected_components.py — the scalable loop; the "
-    "oracle walks a recursive transitive closure), and border points "
+    "(connected_components_star — the percolation-regime operator, "
+    "r11 ADVICE; the oracle walks a recursive transitive closure), "
+    "and border points "
     "attach to the MIN cluster id among their core neighbors "
     "(deterministic). Density clustering beyond kmeans_two_rounds' "
     "centroid model, built entirely from candidates-only machinery: "
@@ -1331,7 +1332,7 @@ def _density_clusters_sql() -> str:
 )
 def q_embedding_density_clusters(spark, sf_dir):
     from ecom_churn_lakehouse_spark.operators.connected_components import (
-        connected_components,
+        connected_components_star,
     )
     from ecom_churn_lakehouse_spark.similarity.ann import (
         banded_sign_buckets,
@@ -1358,7 +1359,12 @@ def q_embedding_density_clusters(spark, sf_dir):
     cc_edges = adj.join(core, on="u").join(
         core.select(F.col("u").alias("v")), on="v"
     )
-    core_lab = connected_components(
+    # r11 ADVICE: this is a min-pts density CORE graph — the same
+    # percolation regime that mislabeled 394 DBSCAN points under plain
+    # min-propagation — so it takes the star-contraction operator, not
+    # the near-clique one (see the regime-selection note in
+    # operators/connected_components.py).
+    core_lab = connected_components_star(
         cc_edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
         src="doc_a",
         dst="doc_b",

@@ -60,11 +60,122 @@ from ecom_churn_lakehouse_spark.registry import register
 from ecom_churn_lakehouse_spark.sources import load_table
 
 # --------------------------------------------------------------------------
-# Shared sign-binarization spelling: 64 sign bits -> two 32-bit words.
+# Shared sign-binarization spelling: 64 sign bits -> two 32-bit words,
+# extended to an ADAPTIVE 128-bit band geometry (round-12 scale fix).
+#
+# Round-11's K=30 probe proved the fixed 8-band x 8-bit layout (a
+# 2048-bucket space that cannot grow with the corpus) makes candidate
+# generation O(N^2/2^8): 899.96x candidate pairs at a 30x corpus
+# (SCALING.md round-11). The fix is the adaptive-eps shape from the
+# LOF/DBSCAN tier applied to band geometry: band width grows with
+# COUNT(embeddings) so average bucket occupancy stays ~_TARGET_OCC,
+# which keeps candidate pairs O(N * occupancy) = O(N).
+#
+# Layout (per band b in 0..7, a 16-bit slot):
+#   bits 0..7  — signs of embedding dims 8b+1 .. 8b+8 (EXACTLY the
+#                legacy band value, so any corpus small enough for
+#                band_bits = 8 produces bit-identical results);
+#   bits 8..15 — signs of 8 deterministic Rademacher hyperplanes
+#                (masks minted driver-side from md5("hyper:{b}:{j}"),
+#                embedded as 64-bit literals in BOTH engines) over the
+#                2^20-quantized embedding: sum_d (+-1) * floor(x_d *
+#                2^20) — exact BIGINT arithmetic, order-independent,
+#                so Spark and DuckDB agree bit-for-bit.
+#   band_val = slot & (2^band_bits - 1), with
+#   band_bits = min bb in [8, 16] with _TARGET_OCC * 2^bb >= N —
+#   a pure integer CASE chain (no float log2) evaluated inside the
+#   plan from COUNT(embeddings) in both engines. 8 bands x 16 bits
+#   caps the signature at 128 bits.
 # --------------------------------------------------------------------------
 
+import hashlib as _hashlib
+
 _N_BANDS = 8
-_BAND_BITS = 8
+_BAND_BITS = 8  # floor band width — the legacy geometry
+_MAX_BAND_BITS = 16  # 8 bands x 16 bits = full 128-bit signature
+_TARGET_OCC = 8  # avg bucket occupancy the adaptive width maintains
+_QUANT = 1 << 20  # exact-integer embedding quantizer for hyperplanes
+
+
+def _adaptive_band_bits(n: int) -> int:
+    """Smallest band width in [8, 16] with ``_TARGET_OCC * 2^bb >= n``
+    — the Python mirror of the in-plan CASE chain (frozen-config
+    streaming + tests)."""
+    bb = _BAND_BITS
+    while bb < _MAX_BAND_BITS and n > _TARGET_OCC * (1 << bb):
+        bb += 1
+    return bb
+
+
+#: Integer CASE chain from __n (corpus count) to band width — spelled
+#: once, valid verbatim in Spark SQL and DuckDB.
+_BB_CASE = (
+    "CASE "
+    + " ".join(
+        f"WHEN __n <= {_TARGET_OCC * (1 << bb)} THEN {bb}"
+        for bb in range(_BAND_BITS, _MAX_BAND_BITS)
+    )
+    + f" ELSE {_MAX_BAND_BITS} END"
+)
+
+
+def _hyper_mask(b: int, j: int) -> int:
+    """64-bit Rademacher mask for extra hyperplane j of band b
+    (bit d set => +1 coefficient on dim d+1, else -1)."""
+    return int(_hashlib.md5(f"hyper:{b}:{j}".encode()).hexdigest()[:16], 16)
+
+
+def _s64(m: int) -> int:
+    """Two's-complement view so the literal fits a signed BIGINT."""
+    return m - (1 << 64) if m >= (1 << 63) else m
+
+
+_HYPER_MASKS = [
+    [_s64(_hyper_mask(b, j)) for j in range(_MAX_BAND_BITS - _BAND_BITS)]
+    for b in range(_N_BANDS)
+]
+
+#: Quantized embedding (array<bigint>): floor(x * 2^20) per dim — a
+#: single IEEE multiply + floor, bit-identical across engines.
+_QV_SPARK = (
+    f"transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {float(_QUANT)}D) AS BIGINT))"
+)
+_QV_SQL = (
+    f"list_transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {float(_QUANT)}) AS BIGINT))"
+)
+
+
+def _ext_expr(b: int) -> str:
+    """Spark expression: hyperplane-extension bits 8..15 of band b's
+    16-bit slot (exact signed-integer sums over __qv)."""
+    terms = []
+    for j, m in enumerate(_HYPER_MASKS[b]):
+        hsum = (
+            f"aggregate(sequence(0, 63), 0L, (a, d) -> a + "
+            f"IF((shiftright({m}L, d) & 1) = 1, element_at(__qv, d + 1), "
+            f"-element_at(__qv, d + 1)))"
+        )
+        terms.append(f"IF({hsum} >= 0, {1 << (_BAND_BITS + j)}L, 0L)")
+    return " + ".join(terms)
+
+
+def _ext_sql(b: int) -> str:
+    """DuckDB twin of :func:`_ext_expr` — same masks, same quantizer,
+    same exact integer arithmetic."""
+    terms = []
+    for j, m in enumerate(_HYPER_MASKS[b]):
+        hsum = (
+            f"list_sum(list_transform(range(0, 64), d -> "
+            f"CASE WHEN ((CAST({m} AS BIGINT) >> d) & 1) = 1 "
+            f"THEN __qv[d + 1] ELSE -__qv[d + 1] END))"
+        )
+        terms.append(
+            f"CASE WHEN {hsum} >= 0 THEN {1 << (_BAND_BITS + j)} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
 
 #: Spark word-packing expression (word j covers dims 32j+1 .. 32j+32).
 def _word_expr(j: int) -> str:
@@ -83,41 +194,101 @@ def _word_sql(j: int) -> str:
     )
 
 
-#: Band b (0..7) lives in word b//4, bits 8*(b%4) .. 8*(b%4)+7.
+#: Low 8 slot bits of band b (0..7): word b//4, bits 8*(b%4) .. +7 —
+#: the legacy band value.
 _BAND_SPARK = "shiftright(IF(b < 4, w0, w1), 8 * (b % 4)) & 255"
 _BAND_SQL = "(CASE WHEN b < 4 THEN w0 ELSE w1 END >> (8 * (b % 4))) & 255"
+
+_H_CASE_SQL = (
+    "CASE b "
+    + " ".join(f"WHEN {b} THEN h{b}" for b in range(_N_BANDS))
+    + " END"
+)
 
 _CODES_SQL = f"""
 codes AS (
     SELECT vec_id, label,
            CAST({_word_sql(0)} AS BIGINT) AS w0,
-           CAST({_word_sql(1)} AS BIGINT) AS w1
-    FROM embeddings
+           CAST({_word_sql(1)} AS BIGINT) AS w1,
+           {", ".join(f"CAST({_ext_sql(b)} AS BIGINT) AS h{b}" for b in range(_N_BANDS))}
+    FROM (SELECT *, {_QV_SQL} AS __qv FROM embeddings)
+),
+geom AS (
+    SELECT CAST({_BB_CASE} AS BIGINT) AS __bb
+    FROM (SELECT COUNT(*) AS __n FROM embeddings)
 ),
 bands AS (
-    SELECT vec_id, w0, w1, b, CAST({_BAND_SQL} AS BIGINT) AS band_val
-    FROM codes, unnest(range(0, {_N_BANDS})) AS t(b)
+    SELECT vec_id, w0, w1, b,
+           CAST((( ({_BAND_SQL}) | ({_H_CASE_SQL}) )
+                 & ((CAST(1 AS BIGINT) << g.__bb) - 1)) AS BIGINT) AS band_val
+    FROM codes, geom g, unnest(range(0, {_N_BANDS})) AS t(b)
 )
 """
 
 
 def _spark_codes(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
+    return _codes_frame(emb, with_label=True)
+
+
+def _codes_frame(emb, with_label: bool = False):
+    """Signature frame: (vec_id[, label], w0, w1, h0..h7) — the two
+    sign words plus the per-band hyperplane-extension bits."""
+    base = emb.withColumn("__qv", F.expr(_QV_SPARK))
+    cols = [F.col("vec_id")] + ([F.col("label")] if with_label else [])
+    cols += [
         F.expr(_word_expr(0)).cast("long").alias("w0"),
         F.expr(_word_expr(1)).cast("long").alias("w1"),
+    ]
+    cols += [
+        F.expr(_ext_expr(b)).cast("long").alias(f"h{b}")
+        for b in range(_N_BANDS)
+    ]
+    return base.select(*cols)
+
+
+_H_ARRAY_SPARK = (
+    "element_at(array(" + ", ".join(f"h{b}" for b in range(_N_BANDS)) + "), b + 1)"
+)
+
+
+def _spark_bands(codes, band_bits: int | None = None):
+    """Explode a codes frame into (vec_id, w0, w1, b, band_val) under
+    the adaptive geometry. ``band_bits=None`` derives the width from
+    COUNT(codes) inside the plan (one broadcast scalar row — the codes
+    frame IS the corpus for every batch entry); pass a frozen int
+    where band values must stay stable across incremental batches
+    (streaming maintenance: freeze from the source-corpus count)."""
+    if band_bits is None:
+        geom = (
+            codes.groupBy()
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .select(F.expr(_BB_CASE).cast("long").alias("__bb"))
+        )
+        withbb = codes.crossJoin(F.broadcast(geom))
+    else:
+        withbb = codes.withColumn(
+            "__bb", F.lit(int(band_bits)).cast("long")
+        )
+    hcols = [f"h{b}" for b in range(_N_BANDS)]
+    return (
+        withbb.select(
+            "vec_id",
+            "w0",
+            "w1",
+            "__bb",
+            *hcols,
+            F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("b"),
+        )
+        .withColumn(
+            "band_val",
+            F.expr(
+                f"CAST(((({_BAND_SPARK}) | ({_H_ARRAY_SPARK})) "
+                f"& (shiftleft(1L, CAST(__bb AS INT)) - 1L)) AS BIGINT)"
+            ),
+        )
+        .select("vec_id", "w0", "w1", "b", "band_val")
     )
-
-
-def _spark_bands(codes):
-    return codes.select(
-        "vec_id",
-        "w0",
-        "w1",
-        F.explode(F.sequence(F.lit(0), F.lit(_N_BANDS - 1))).alias("b"),
-    ).withColumn("band_val", F.expr(_BAND_SPARK).cast("long"))
 
 
 # --------------------------------------------------------------------------
@@ -1405,6 +1576,13 @@ def q_stream_semdedup_maintenance(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = scratch_dir(prefix="stream_semdedup_")
+    # Frozen-config discipline (the stream_ann_index_maintenance
+    # pattern): band width is part of the index config, fixed ONCE
+    # from the source-corpus count before any batch runs — per-batch
+    # adaptivity would shift band values mid-stream and corrupt the
+    # bucket state. Matches the batch oracle's geom CTE because the
+    # stream processes exactly this corpus.
+    band_bits = _adaptive_band_bits(emb.count())
     # three deterministic arrival waves (vec_id mod 3)
     for m in (0, 1, 2):
         emb.filter(F.col("vec_id") % 3 == m).coalesce(1).write.mode(
@@ -1418,7 +1596,9 @@ def q_stream_semdedup_maintenance(spark, sf_dir):
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda bdf, bid: _semdedup_apply_batch(spark, base, bdf, bid)
+            lambda bdf, bid: _semdedup_apply_batch(
+                spark, base, bdf, bid, band_bits
+            )
         )
         .option("checkpointLocation", f"{base}/ckpt")
         .trigger(availableNow=True)
@@ -1428,18 +1608,17 @@ def q_stream_semdedup_maintenance(spark, sf_dir):
     return _semdedup_serve_manifest(spark, base)
 
 
-def _semdedup_bands_of(df):
+def _semdedup_bands_of(df, band_bits: int):
     """Band signatures (vec_id, b, band_val) of an embedding frame —
-    the incrementally-upsertable half of the SemDeDup graph state."""
-    codes = df.select(
-        "vec_id",
-        F.expr(_word_expr(0)).cast("long").alias("w0"),
-        F.expr(_word_expr(1)).cast("long").alias("w1"),
-    )
-    return _spark_bands(codes).select("vec_id", "b", "band_val")
+    the incrementally-upsertable half of the SemDeDup graph state.
+    ``band_bits`` is the FROZEN index geometry (adaptivity is decided
+    once per index from the corpus count, never per batch)."""
+    return _spark_bands(
+        _codes_frame(df), band_bits=band_bits
+    ).select("vec_id", "b", "band_val")
 
 
-def _semdedup_apply_batch(spark, base, batch_df, batch_id):
+def _semdedup_apply_batch(spark, base, batch_df, batch_id, band_bits):
     """One foreachBatch step of the SemDeDup graph-state maintenance:
     upsert the batch's band signatures + vectors into the bucket
     state, then score exact cosines for the pairs this batch makes
@@ -1459,9 +1638,9 @@ def _semdedup_apply_batch(spark, base, batch_df, batch_id):
     bands_dest = f"{base}/bands/batch_id={batch_id}"
     pairs_dest = f"{base}/pairs/batch_id={batch_id}"
     if not os.path.exists(bands_dest):
-        _semdedup_bands_of(batch_df).write.mode("overwrite").parquet(
-            bands_dest
-        )
+        _semdedup_bands_of(batch_df, band_bits).write.mode(
+            "overwrite"
+        ).parquet(bands_dest)
     if not os.path.exists(pairs_dest):
         # vector state partial (for cosine scoring of new pairs)
         vecs_dest = f"{base}/vecs/batch_id={batch_id}"
@@ -1470,7 +1649,7 @@ def _semdedup_apply_batch(spark, base, batch_df, batch_id):
                 "vec_id",
                 to_double_array(F.col("embedding")).alias("ev"),
             ).write.mode("overwrite").parquet(vecs_dest)
-        new_bands = _semdedup_bands_of(batch_df)
+        new_bands = _semdedup_bands_of(batch_df, band_bits)
         all_bands = spark.read.parquet(f"{base}/bands").select(
             F.col("vec_id").alias("other_id"), "b", "band_val"
         )

@@ -266,12 +266,24 @@ GROUP BY doc_id
 def q_image_resize_feature_pipeline(spark, sf_dir):
     from ecom_churn_lakehouse_spark.multimodal.decode import resize_images
 
+    # r11 ADVICE: fail LOUDLY on a failed resize instead of silently
+    # filtering — the oracle emits a row per document, so a dropped
+    # row would only ever surface as an unexplained count/hash
+    # mismatch. The check rides the payload expression itself (can't
+    # be pruned), so a decode regression names its doc_id directly.
     resized = resize_images(
         _payloads(spark, sf_dir),
         target_width=_RW,
         target_height=_RH,
         resizer="nearest",
-    ).filter(F.col("resize_ok"))
+    ).withColumn(
+        "payload",
+        F.expr(
+            "IF(resize_ok, payload, raise_error(concat("
+            "'image_resize_feature_pipeline: resize failed for doc_id=', "
+            "CAST(doc_id AS STRING))))"
+        ),
+    )
     px = resized.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(_N_RPX - 1))).alias("p"),

@@ -177,3 +177,21 @@ def test_connected_components_raises_on_budget_not_wrong_labels(spark):
         for r in connected_components_star(edges).collect()
     }
     assert lab == {i: 0 for i in range(40)}
+
+
+def test_connected_components_star_self_loop_only_nodes(spark):
+    """r11 ADVICE: a node appearing ONLY in self-loop edges must still
+    be labeled (with itself), matching the docstring contract ('every
+    node appearing in edges') and the plain operator's behavior."""
+    from ecom_churn_lakehouse_spark.operators.connected_components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (7, 7), (2, 2)], "src LONG, dst LONG"
+    )
+    lab = {
+        r["node"]: r["label"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert lab == {1: 1, 2: 1, 7: 7}

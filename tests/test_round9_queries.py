@@ -34,6 +34,7 @@ def test_semdedup_apply_batch_is_replay_safe(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        _adaptive_band_bits,
         _semdedup_apply_batch,
         _semdedup_serve_manifest,
     )
@@ -41,10 +42,11 @@ def test_semdedup_apply_batch_is_replay_safe(spark, tmp_path):
 
     base = str(tmp_path / "state")
     emb = load_table(spark, SF, "embeddings")
+    bb = _adaptive_band_bits(emb.count())  # frozen index geometry
     b0 = emb.filter(F.col("vec_id") % 2 == 0)
     b1 = emb.filter(F.col("vec_id") % 2 == 1)
-    _semdedup_apply_batch(spark, base, b0, 0)
-    _semdedup_apply_batch(spark, base, b1, 1)
+    _semdedup_apply_batch(spark, base, b0, 0, bb)
+    _semdedup_apply_batch(spark, base, b1, 1, bb)
     first = [r.asDict() for r in _semdedup_serve_manifest(spark, base).collect()]
 
     def _sig(sub):
@@ -57,7 +59,7 @@ def test_semdedup_apply_batch_is_replay_safe(spark, tmp_path):
 
     before = {s: _sig(s) for s in ("bands", "vecs", "pairs")}
     # replay batch 1 (crash-recovery rerun): partials must be skipped
-    _semdedup_apply_batch(spark, base, b1, 1)
+    _semdedup_apply_batch(spark, base, b1, 1, bb)
     after = {s: _sig(s) for s in ("bands", "vecs", "pairs")}
     assert after == before
     again = [r.asDict() for r in _semdedup_serve_manifest(spark, base).collect()]
@@ -71,15 +73,17 @@ def test_semdedup_pair_discovery_is_exactly_once(spark, tmp_path):
     from pyspark.sql import functions as F
 
     from ecom_churn_lakehouse_spark.queries.hashing_queries import (
+        _adaptive_band_bits,
         _semdedup_apply_batch,
     )
     from ecom_churn_lakehouse_spark.sources import load_table
 
     base = str(tmp_path / "state")
     emb = load_table(spark, SF, "embeddings")
+    bb = _adaptive_band_bits(emb.count())
     for m in (0, 1, 2):
         _semdedup_apply_batch(
-            spark, base, emb.filter(F.col("vec_id") % 3 == m), m
+            spark, base, emb.filter(F.col("vec_id") % 3 == m), m, bb
         )
     pairs = spark.read.parquet(f"{base}/pairs")
     total = pairs.count()

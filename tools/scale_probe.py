@@ -187,9 +187,24 @@ def main() -> None:
         tk = run(fn, kx_dir)
         ratio = tk / t1 if t1 > 0 else float("inf")
         worst = max(worst, ratio)
-        verdict = "linear-ish" if ratio <= k * 1.5 else "SUPERLINEAR"
+        # Reading discipline (r11 lesson — the lenient K*1.5 line
+        # printed "linear-ish" at ratio 38 > K=30 while the truth was
+        # a measured 900x candidate-pair quadratic): on a fully
+        # SATURATED box a perfectly linear plan shows ratio -> K, and
+        # fixed overheads push short runs BELOW K — so ANY ratio above
+        # K means per-unit work GREW, i.e. superlinear in substance.
+        if ratio > k:
+            verdict = "SUPERLINEAR (ratio > K: per-unit work GREW on a saturated box)"
+        elif ratio > 0.6 * k:
+            verdict = "linear"
+        else:
+            verdict = "flat-to-linear"
         print(f"{name:35s} {t1:7.2f} {tk:7.2f} {ratio:6.2f}  {verdict}", flush=True)
-    print(f"# K={k}; ratio ≈ K is ideal; worst={worst:.2f}", flush=True)
+    print(
+        f"# K={k}; linear plans show ratio <= K on a saturated box; "
+        f"ratio > K is flagged SUPERLINEAR; worst={worst:.2f}",
+        flush=True,
+    )
 
     if not os.environ.get("KEEP_SCALE_DATA"):
         shutil.rmtree(OUT, ignore_errors=True)
