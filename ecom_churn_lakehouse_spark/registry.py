@@ -170,79 +170,36 @@ def register(
 #: (deliberate sample rotation — stale entries have multi-round green
 #: history already).
 NEW_IN_ROUND: list[str] = [
-    # ---- round-11 front-50 (VERDICT r10 directive #1: drain the
-    # never-driver-sampled backlog to <= 105 with >= 45 first-time
-    # rows; growth held to the 5 operators directives #4-#7 mandate).
-    # (a) entries CHANGED this round (the ONLY allowed resamples):
-    #     r10 ADVICE checkpoint-reader fix (_read_checkpoint now
-    #     round-trips metaData name/description) touches
-    #     sources/managed_table.py, which backs these two:
-    "merge_upsert_state",
-    "version_change_feed",
-    #     r10 ADVICE replay-repair fix (_SUCCESS-gated batch skip):
-    "stream_ann_index_maintenance",
-    #     rows-only -> fully-oracled conversion (round 11): the
-    #     pipeline now emits the feature vector's exact integer
-    #     numerators, closing the registry's last rows-only entry.
-    #     It was itself never driver-sampled, so this slot is BOTH
-    #     the changed-code resample AND a first-time row (it swaps
-    #     with promo_chisq_independence, which returns to the queue):
-    "image_resize_feature_pipeline",
-    # (b) new round-11 operators (directives #4-#7):
-    "er_entity_clusters",
-    "er_golden_records",
-    "fellegi_sunter_em_params",
-    "dbscan_cluster_labels",
-    "repeated_substring_spans",
-    # (c) never-driver-sampled backlog, standing queue order
-    #     (stream_dedup_replay_daily is ALSO the directive-#3
-    #     harness-shave change, but it is first-time, so it costs
-    #     no resample slot; 103 entries remain queued for r12+):
-    "group_kfold_balance",
-    "target_encoding_brand",
-    "semantic_dedup_pairs",
-    "sql_pricing_summary",
-    "sql_promo_revenue_share",
-    "sql_small_lot_part_revenue",
-    "sql_national_market_share",
-    "stream_dedup_replay_daily",
-    "orders_grouping_sets",
-    "segment_spend_extremes",
-    "episode_cumulative_spend",
-    "sql_orders_summary",
-    "sql_top_parts_per_brand",
-    "stream_enriched_daily",
-    "nation_trade_flows",
-    "brand_band_revenue",
-    "price_outlier_orders",
-    "peak_revenue_months",
-    "forecast_revenue_change",
-    "product_profit_by_nation",
-    "concentrated_suppliers",
-    "sql_revenue_by_nation",
-    "sql_top_revenue_orders",
-    "sql_returned_revenue_by_customer",
-    "sql_large_basket_customers",
-    "sql_nation_trade_flows",
-    "sql_peak_revenue_months",
-    "sql_forecast_revenue_change",
-    "sql_product_profit_by_nation",
-    "sql_concentrated_suppliers",
-    "image_decode_stats",
-    "video_frame_stats",
-    "image_patch_stats",
-    "retention_decay_fit",
-    "quality_rater_agreement_kappa",
-    "ship_delay_process_capability",
-    "sql_cochran_armitage_trend_test",
-    "sql_cramers_v_matrix",
-    "sql_two_proportion_ztest_returns",
-    "sql_granger_causality_screen",
-    "join_cardinality_estimate",
-    # ---- beyond the 50-entry sample window: the r12+ queue ----
+    # ---- round-12 front-50 (VERDICT r11 directive #3: drain the
+    # never-driver-sampled backlog to <= 63/stretch 60 with >= 45
+    # first-time rows; growth held to 1 new operator).
+    # (a) entries CHANGED this round (the ONLY allowed resamples; 5
+    #     slots): the adaptive band-geometry fix (r11 directive #1)
+    #     touches the shared sign-LSH spelling behind these five
+    #     previously-sampled entries — their outputs are bit-identical
+    #     at driver SFs by construction (floor band_bits = 8), but the
+    #     changed code re-verifies through the driver gate:
+    "semdedup_keep_manifest",
+    "semdedup_savings_by_source",
+    "stream_semdedup_maintenance",
+    "mutual_knn_graph",
+    "mrr_retrieval_eval",
+    #     (embedding_density_clusters — star-CC swap — and
+    #     image_resize_feature_pipeline — fail-loud guard — also
+    #     changed, but both changes are output-identical on healthy
+    #     fixtures, locally re-oracled at sf0.01, and covered by
+    #     FULLCHECK_r12 at both SFs; resample slots go to the
+    #     band-geometry family.)
+    # (b) changed AND never-driver-sampled (first-time rows that are
+    #     also the band-fix verification — no resample slot cost):
+    "ann_hamming_mih_topk",
+    "knn_label_consensus",
+    # (c) new round-12 operator (directive #5):
+    "stream_er_maintenance",
+    # (d) never-driver-sampled backlog, standing queue order (59
+    #     entries remain queued for r13+):
     "promo_chisq_independence",
     "acctbal_variance_components",
-    "knn_label_consensus",
     "rrf_hybrid_retrieval",
     "ann_nprobe_recall_curve",
     "stateful_user_profiles",
@@ -283,6 +240,7 @@ NEW_IN_ROUND: list[str] = [
     "asof_forward_tolerance",
     "orders_table_profile",
     "order_value_mad_outliers",
+    # ---- beyond the 50-entry sample window: the r13+ queue ----
     "chunk_boundary_cohesion",
     "ipf_raking_weights",
     "near_zero_variance_screen",
@@ -304,7 +262,6 @@ NEW_IN_ROUND: list[str] = [
     "functional_dependency_audit",
     "ldiversity_audit",
     "order_interval_overlap_pairs",
-    "ann_hamming_mih_topk",
     "token_zipf_constant",
     "cms_heavy_hitters",
     "user_activity_streaks",
