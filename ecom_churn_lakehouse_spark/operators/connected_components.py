@@ -157,7 +157,18 @@ def connected_components_star(
 
     spark = edges.sparkSession
     base = scratch_dir(prefix="cc_star_")
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # ONE execution of the (possibly expensive) upstream edge pipeline:
+    # barrier the raw frame to parquet first, then derive both the node
+    # set and the canonical edge set from that relation. The r12
+    # measurement showed the previous shape (eager node-set checkpoint
+    # + separate canonical-edge write) executing the caller's whole
+    # candidate pipeline twice (guide §1.2: don't recompute what you
+    # already have; the write is the same iteration barrier the loop
+    # already relies on).
+    edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).write.mode(
+        "overwrite"
+    ).parquet(f"{base}/raw")
+    raw = spark.read.parquet(f"{base}/raw")
     # Node set from the UNFILTERED edge frame (r11 ADVICE): a node
     # whose only edges are self-loops must still appear in the output
     # (self-labeled via the left-anti roots branch), matching both the

@@ -135,29 +135,47 @@ _HYPER_MASKS = [
     for b in range(_N_BANDS)
 ]
 
-#: Quantized embedding (array<bigint>): floor(x * 2^20) per dim — a
-#: single IEEE multiply + floor, bit-identical across engines.
-_QV_SPARK = (
-    f"transform(embedding, x -> "
-    f"CAST(floor(CAST(x AS DOUBLE) * {float(_QUANT)}D) AS BIGINT))"
-)
+#: Quantized embedding: floor(x * 2^20) per dim — a single IEEE
+#: multiply + floor, bit-identical across engines. The Spark side
+#: spells this per-DIMENSION (``_qd_expr``) rather than as an array
+#: ``transform``: higher-order functions with lambdas are interpreted
+#: (no whole-stage codegen), and the r12 baseline measured the
+#: interpreted 8x8x64-step ``aggregate`` spelling at 3-6x the wall
+#: time of the whole query family (guide §4.1: prefer built-ins that
+#: codegen; a flat arithmetic expression does).
 _QV_SQL = (
     f"list_transform(embedding, x -> "
     f"CAST(floor(CAST(x AS DOUBLE) * {float(_QUANT)}) AS BIGINT))"
 )
 
 
-def _ext_expr(b: int) -> str:
-    """Spark expression: hyperplane-extension bits 8..15 of band b's
-    16-bit slot (exact signed-integer sums over __qv)."""
+def _qd_expr(d: int) -> str:
+    """Quantized dimension d (0-based) — the per-element arithmetic of
+    the oracle's ``_QV_SQL``, spelled flat so codegen applies."""
+    return (
+        f"CAST(floor(CAST(element_at(embedding, {d + 1}) AS DOUBLE) "
+        f"* {float(_QUANT)}D) AS BIGINT)"
+    )
+
+
+def _ext_flat(b: int) -> str:
+    """Hyperplane-extension bits 8..15 of band b's 16-bit slot, as a
+    flat codegen-able expression over the projected ``__qd{d}``
+    columns and their total ``__qt``.
+
+    Exactness: the old interpreted spelling summed signed terms
+    s_d * qd_d with s_d = ±1 from the mask; with S = Σ_{mask bit set}
+    qd_d and T = Σ_d qd_d that sum is exactly 2·S − T (pure int64,
+    |T| ≤ 64·2^20·max|x| — no overflow), so the sign test and hence
+    every emitted bit is bit-identical to the legacy HOF spelling and
+    to the DuckDB oracle's ``_ext_sql``."""
     terms = []
     for j, m in enumerate(_HYPER_MASKS[b]):
-        hsum = (
-            f"aggregate(sequence(0, 63), 0L, (a, d) -> a + "
-            f"IF((shiftright({m}L, d) & 1) = 1, element_at(__qv, d + 1), "
-            f"-element_at(__qv, d + 1)))"
+        u = m & ((1 << 64) - 1)  # unsigned view for bit tests
+        s = " + ".join(f"__qd{d}" for d in range(64) if (u >> d) & 1)
+        terms.append(
+            f"IF(2 * ({s}) - __qt >= 0, {1 << (_BAND_BITS + j)}L, 0L)"
         )
-        terms.append(f"IF({hsum} >= 0, {1 << (_BAND_BITS + j)}L, 0L)")
     return " + ".join(terms)
 
 
@@ -177,12 +195,14 @@ def _ext_sql(b: int) -> str:
     return " + ".join(terms)
 
 
-#: Spark word-packing expression (word j covers dims 32j+1 .. 32j+32).
+#: Spark word-packing expression (word j covers dims 32j+1 .. 32j+32)
+#: — flat 32-term sum (codegen) in place of the interpreted
+#: aggregate/transform HOF; the terms are distinct powers of two, so
+#: the sum is exactly the same packed word in any order.
 def _word_expr(j: int) -> str:
-    return (
-        f"aggregate(transform(sequence(0, 31), i -> "
-        f"IF(element_at(embedding, {32 * j} + i + 1) >= 0, "
-        f"shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    return " + ".join(
+        f"IF(element_at(embedding, {32 * j + i + 1}) >= 0, {1 << i}L, 0L)"
+        for i in range(32)
     )
 
 
@@ -231,20 +251,69 @@ def _spark_codes(spark, sf_dir):
     return _codes_frame(emb, with_label=True)
 
 
-def _codes_frame(emb, with_label: bool = False):
-    """Signature frame: (vec_id[, label], w0, w1, h0..h7) — the two
-    sign words plus the per-band hyperplane-extension bits."""
-    base = emb.withColumn("__qv", F.expr(_QV_SPARK))
-    cols = [F.col("vec_id")] + ([F.col("label")] if with_label else [])
-    cols += [
+def _codes_frame(emb, with_label: bool = False, band_bits: int | None = None):
+    """Signature frame: (vec_id[, label], w0, w1, h0..h7, __bb) — the
+    two sign words, the per-band hyperplane-extension bits, and the
+    band width the geometry resolved to.
+
+    ``band_bits=None`` resolves the width from a driver-side
+    ``COUNT(emb)`` — the scalar-metadata-collect class the repo
+    already permits (dbscan's adaptive eps, the streaming twin's
+    frozen geometry), producing the SAME value as every oracle's
+    ``geom`` CTE (pinned cross-spelling by
+    tests/test_band_geometry.py). An int freezes it (streaming
+    maintenance: geometry fixed from the source-corpus count before
+    any batch runs).
+
+    The width decision is made BEFORE the plan is built so the floor
+    regime (``band_bits = 8`` — every corpus up to 8·2^8 vectors,
+    including all tested SFs) statically omits the 64
+    Rademacher-hyperplane expressions whose bits ``band_val`` would
+    mask off anyway. The r12 baseline measured those expressions at
+    ~2s of compile/evaluate cost PER EXECUTION even when a runtime
+    ``IF`` gate skipped the row work — the branch still has to be
+    code-generated — and 3-6x whole-query wall time in the original
+    interpreted-HOF spelling (guide §1.2: don't compute things you
+    throw away; §2.3: the in-plan alternative was a broadcast
+    cross-join carrying the count into every row). Above the floor
+    the flat 2·S−T spelling (see ``_ext_flat``) is bit-identical to
+    the oracle's ``_ext_sql``."""
+    if band_bits is None:
+        band_bits = _adaptive_band_bits(emb.count())
+    keep = [F.col("vec_id")] + ([F.col("label")] if with_label else [])
+    words = [
         F.expr(_word_expr(0)).cast("long").alias("w0"),
         F.expr(_word_expr(1)).cast("long").alias("w1"),
     ]
-    cols += [
-        F.expr(_ext_expr(b)).cast("long").alias(f"h{b}")
-        for b in range(_N_BANDS)
-    ]
-    return base.select(*cols)
+    bbcol = F.lit(int(band_bits)).cast("long").alias("__bb")
+    if band_bits <= _BAND_BITS:
+        return emb.select(
+            *keep,
+            *words,
+            *[F.lit(0).cast("long").alias(f"h{b}") for b in range(_N_BANDS)],
+            bbcol,
+        )
+    step1 = emb.select(
+        *keep,
+        *words,
+        # Quantized dims projected once as columns (not inlined per
+        # hyperplane term) so each of the 64 values is computed once
+        # per row, not once per referencing term.
+        *[F.expr(_qd_expr(d)).alias(f"__qd{d}") for d in range(64)],
+    )
+    step2 = step1.withColumn(
+        "__qt", F.expr(" + ".join(f"__qd{d}" for d in range(64)))
+    )
+    return step2.select(
+        *keep,
+        "w0",
+        "w1",
+        *[
+            F.expr(_ext_flat(b)).cast("long").alias(f"h{b}")
+            for b in range(_N_BANDS)
+        ],
+        bbcol,
+    )
 
 
 _H_ARRAY_SPARK = (
@@ -254,22 +323,38 @@ _H_ARRAY_SPARK = (
 
 def _spark_bands(codes, band_bits: int | None = None):
     """Explode a codes frame into (vec_id, w0, w1, b, band_val) under
-    the adaptive geometry. ``band_bits=None`` derives the width from
-    COUNT(codes) inside the plan (one broadcast scalar row — the codes
-    frame IS the corpus for every batch entry); pass a frozen int
-    where band values must stay stable across incremental batches
-    (streaming maintenance: freeze from the source-corpus count)."""
-    if band_bits is None:
+    the adaptive geometry. Width resolution order: an explicit
+    ``band_bits`` wins (frozen-geometry streaming path and the
+    frozen-vs-adaptive parity test); otherwise the ``__bb`` column a
+    ``_codes_frame``-built frame carries (adaptive, resolved from the
+    corpus count); otherwise derive from COUNT(codes) in-plan (legacy
+    direct callers). NOTE: a frozen width wider than the codes
+    frame's own gate width only sees live extension bits when the
+    codes frame was built with the same ``band_bits`` (the streaming
+    path does exactly that).
+
+    The result is ``localCheckpoint(eager=False)``-ed: every consumer
+    self-joins the band frame (q-side ⋈ c-side on (b, band_val)), and
+    without a materialization barrier BOTH join legs recompute the
+    full signature pipeline — the r12 baseline plan showed the codes
+    subtree (and its parquet scan) twice, 0 ReusedExchange. At 100 TB
+    that is two full passes over the embedding corpus where one
+    suffices; the checkpoint materializes the ~40-byte/row proxy once
+    (guide §8: decide on small rows, and don't recompute the heavy
+    transform per consumer)."""
+    if band_bits is not None:
+        withbb = (
+            codes.drop("__bb") if "__bb" in codes.columns else codes
+        ).withColumn("__bb", F.lit(int(band_bits)).cast("long"))
+    elif "__bb" in codes.columns:
+        withbb = codes
+    else:
         geom = (
             codes.groupBy()
             .agg(F.count(F.lit(1)).alias("__n"))
             .select(F.expr(_BB_CASE).cast("long").alias("__bb"))
         )
         withbb = codes.crossJoin(F.broadcast(geom))
-    else:
-        withbb = codes.withColumn(
-            "__bb", F.lit(int(band_bits)).cast("long")
-        )
     hcols = [f"h{b}" for b in range(_N_BANDS)]
     return (
         withbb.select(
@@ -288,6 +373,7 @@ def _spark_bands(codes, band_bits: int | None = None):
             ),
         )
         .select("vec_id", "w0", "w1", "b", "band_val")
+        .localCheckpoint(eager=False)
     )
 
 
@@ -425,10 +511,7 @@ GROUP BY query_id
     "random embeddings the expected value is the 1/n_labels baseline.",
 )
 def q_knn_label_consensus(spark, sf_dir):
-    from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from ecom_churn_lakehouse_spark.functions.vectors import cosine_fixed
 
     bands = _spark_bands(_spark_codes(spark, sf_dir))
     cand = (
@@ -445,12 +528,12 @@ def q_knn_label_consensus(spark, sf_dir):
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("q_label"),
-        to_double_array(F.col("embedding")).alias("__qv"),
+        F.col("embedding").alias("__qv"),
     )
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("c_label"),
-        to_double_array(F.col("embedding")).alias("__cv"),
+        F.col("embedding").alias("__cv"),
     )
     scored = (
         cand.join(qv, "query_id")
@@ -460,7 +543,7 @@ def q_knn_label_consensus(spark, sf_dir):
             "neighbor_id",
             "q_label",
             "c_label",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1013,10 +1096,7 @@ ORDER BY vec_a, vec_b
     "the candidate stream.",
 )
 def q_mutual_knn_graph(spark, sf_dir):
-    from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from ecom_churn_lakehouse_spark.functions.vectors import cosine_fixed
 
     bands = _spark_bands(_spark_codes(spark, sf_dir))
     cand = (
@@ -1032,11 +1112,11 @@ def q_mutual_knn_graph(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
-        to_double_array(F.col("embedding")).alias("__qv"),
+        F.col("embedding").alias("__qv"),
     )
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        to_double_array(F.col("embedding")).alias("__cv"),
+        F.col("embedding").alias("__cv"),
     )
     scored = (
         cand.join(qv, "query_id")
@@ -1044,7 +1124,7 @@ def q_mutual_knn_graph(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1264,10 +1344,7 @@ ORDER BY cluster_id, vec_id
 def _spark_mutual_edges(spark, sf_dir):
     """Mutual-kNN edges (u < v) with exact-micro cosine weights — the
     Spark twin of the ``medges`` CTE."""
-    from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from ecom_churn_lakehouse_spark.functions.vectors import cosine_fixed
 
     bands = _spark_bands(_spark_codes(spark, sf_dir))
     cand = (
@@ -1285,11 +1362,11 @@ def _spark_mutual_edges(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
-        to_double_array(F.col("embedding")).alias("__qv"),
+        F.col("embedding").alias("__qv"),
     )
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
-        to_double_array(F.col("embedding")).alias("__cv"),
+        F.col("embedding").alias("__cv"),
     )
     scored = (
         cand.join(qv, "query_id")
@@ -1297,7 +1374,7 @@ def _spark_mutual_edges(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
         )
     )
     return _mutual_edges_from_scored(scored)
@@ -1612,9 +1689,11 @@ def _semdedup_bands_of(df, band_bits: int):
     """Band signatures (vec_id, b, band_val) of an embedding frame —
     the incrementally-upsertable half of the SemDeDup graph state.
     ``band_bits`` is the FROZEN index geometry (adaptivity is decided
-    once per index from the corpus count, never per batch)."""
+    once per index from the corpus count, never per batch) — it must
+    reach ``_codes_frame`` too, so the extension-bit gate follows the
+    index geometry rather than the (smaller) batch count."""
     return _spark_bands(
-        _codes_frame(df), band_bits=band_bits
+        _codes_frame(df, band_bits=band_bits), band_bits=band_bits
     ).select("vec_id", "b", "band_val")
 
 
@@ -1629,7 +1708,7 @@ def _semdedup_apply_batch(spark, base, batch_df, batch_id, band_bits):
     import os
 
     from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_fixed,
         to_double_array,
     )
 
@@ -1679,7 +1758,7 @@ def _semdedup_apply_batch(spark, base, batch_df, batch_id, band_bits):
             .select(
                 "lo",
                 "hi",
-                cosine_similarity(F.col("__lv"), F.col("__hv")).alias("sim"),
+                cosine_fixed(F.col("__lv"), F.col("__hv"), 64).alias("sim"),
             )
         )
         scored.write.mode("overwrite").parquet(pairs_dest)
@@ -1775,10 +1854,7 @@ ORDER BY query_id
     "candidate-sized.",
 )
 def q_mrr_retrieval_eval(spark, sf_dir):
-    from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
-        to_double_array,
-    )
+    from ecom_churn_lakehouse_spark.functions.vectors import cosine_fixed
 
     bands = _spark_bands(_spark_codes(spark, sf_dir))
     q = bands.filter(F.col("vec_id") % 50 == 0).select(
@@ -1799,12 +1875,12 @@ def q_mrr_retrieval_eval(spark, sf_dir):
     qv = emb.select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
-        to_double_array(F.col("embedding")).alias("__qv"),
+        F.col("embedding").alias("__qv"),
     )
     cv = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("clabel"),
-        to_double_array(F.col("embedding")).alias("__cv"),
+        F.col("embedding").alias("__cv"),
     )
     scored = (
         cand.join(qv, "query_id")
@@ -1814,7 +1890,7 @@ def q_mrr_retrieval_eval(spark, sf_dir):
             "neighbor_id",
             "qlabel",
             "clabel",
-            cosine_similarity(F.col("__qv"), F.col("__cv")).alias("__sim"),
+            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
         )
     )
     topk = scored.withColumn(
