@@ -184,13 +184,15 @@ def connected_components_star(
         F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
     ).distinct()
     cur.write.mode("overwrite").parquet(f"{base}/e")
-    cur = spark.read.parquet(f"{base}/e")
+    edge_schema = "u BIGINT, v BIGINT"
+    cur = spark.read.schema(edge_schema).parquet(f"{base}/e")
     n_cur = cur.count()
-    for i in range(max_iter):
+
+    def _one_round(edges_in):
         # ---- large-star over the symmetric view: for each u with
         # m = min(N(u) ∪ u), every neighbor v > u re-hangs onto m.
-        sym = cur.select("u", "v").unionByName(
-            cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        sym = edges_in.select("u", "v").unionByName(
+            edges_in.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
         mins = (
             sym.groupBy("u")
@@ -211,7 +213,7 @@ def connected_components_star(
         # ---- small-star on the canonical u > v orientation: u and
         # its not-larger neighbors all re-hang onto m = min of them.
         sm = ls.groupBy("u").agg(F.min("v").alias("m"))
-        nxt = (
+        return (
             ls.join(sm, "u")
             .select(F.col("v").alias("w"), "m")
             .unionByName(sm.select(F.col("u").alias("w"), "m"))
@@ -222,8 +224,19 @@ def connected_components_star(
             )
             .distinct()
         )
+
+    # One contraction round per parquet barrier. (Measured, not
+    # assumed: fusing TWO rounds per barrier was tried in r12 after
+    # the event-log breakdown showed ~60% of dbscan's wall in
+    # inter-job driver gaps — it made things WORSE (112 jobs vs 101,
+    # +20% wall): AQE submits every shuffle stage as its own job, so
+    # fusing does not reduce the job count, it only doubles the plan
+    # each barrier re-optimizes. Each barrier read supplies the edge
+    # schema explicitly so no inference job runs.)
+    for i in range(max_iter):
+        nxt = _one_round(cur)
         nxt.write.mode("overwrite").parquet(f"{base}/e{i}")
-        nxt = spark.read.parquet(f"{base}/e{i}")
+        nxt = spark.read.schema(edge_schema).parquet(f"{base}/e{i}")
         n_nxt = nxt.count()  # parquet footer metadata — no scan
         done = (
             n_nxt == n_cur
