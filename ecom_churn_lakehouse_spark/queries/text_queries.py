@@ -1312,9 +1312,13 @@ def q_token_spell_variants(spark, sf_dir):
             "tok_b",
             "tf_a",
             "tf_b",
-            F.levenshtein("tok_a", "tok_b").cast("int").alias("dist"),
+            # bounded levenshtein: -1 above _SPELL_MAX_DIST, exact
+            # distance (identical emitted values) below it
+            F.levenshtein("tok_a", "tok_b", _SPELL_MAX_DIST)
+            .cast("int")
+            .alias("dist"),
         )
-        .filter(F.col("dist") <= _SPELL_MAX_DIST)
+        .filter(F.col("dist") >= 0)
     )
     return pairs.select(
         "tok_a",
@@ -1397,7 +1401,7 @@ def q_spell_blocking_quality_eval(spark, sf_dir):
     truth = (
         a.crossJoin(b)
         .filter(F.col("tok_a") < F.col("tok_b"))
-        .filter(F.levenshtein("tok_a", "tok_b") <= _SPELL_MAX_DIST)
+        .filter(F.levenshtein("tok_a", "tok_b", _SPELL_MAX_DIST) >= 0)
     )
     blocked = (
         v.select(
