@@ -543,7 +543,7 @@ def q_knn_label_consensus(spark, sf_dir):
             "neighbor_id",
             "q_label",
             "c_label",
-            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
+            cosine_fixed("__qv", "__cv", 64).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1124,7 +1124,7 @@ def q_mutual_knn_graph(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
+            cosine_fixed("__qv", "__cv", 64).alias("__sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1374,7 +1374,7 @@ def _spark_mutual_edges(spark, sf_dir):
         .select(
             "query_id",
             "neighbor_id",
-            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
+            cosine_fixed("__qv", "__cv", 64).alias("__sim"),
         )
     )
     return _mutual_edges_from_scored(scored)
@@ -1758,7 +1758,7 @@ def _semdedup_apply_batch(spark, base, batch_df, batch_id, band_bits):
             .select(
                 "lo",
                 "hi",
-                cosine_fixed(F.col("__lv"), F.col("__hv"), 64).alias("sim"),
+                cosine_fixed("__lv", "__hv", 64).alias("sim"),
             )
         )
         scored.write.mode("overwrite").parquet(pairs_dest)
@@ -1890,7 +1890,7 @@ def q_mrr_retrieval_eval(spark, sf_dir):
             "neighbor_id",
             "qlabel",
             "clabel",
-            cosine_fixed(F.col("__qv"), F.col("__cv"), 64).alias("__sim"),
+            cosine_fixed("__qv", "__cv", 64).alias("__sim"),
         )
     )
     topk = scored.withColumn(
