@@ -11,7 +11,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ecom_churn_lakehouse_spark.functions.vectors import dot, to_double_array
+from ecom_churn_lakehouse_spark.functions.vectors import (
+    cosine_fixed,
+    dot,
+    to_double_array,
+)
 from ecom_churn_lakehouse_spark.registry import register
 from ecom_churn_lakehouse_spark.similarity.ann import (
     brute_force_topk,
@@ -88,7 +92,7 @@ WHERE rn <= 5
 )
 def q_cosine_topk_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5)
+    return brute_force_topk(emb.filter(F.col("vec_id") < 10), emb, k=5, dim=64)
 
 
 # ----------------------------------------------- LSH-bucketed ANN top-k
@@ -184,7 +188,7 @@ def q_ann_ivf_topk(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    cells = ivf_assign_cells(emb, centroids)
+    cells = ivf_assign_cells(emb, centroids, dim=64)
     q = cells.filter(F.col("vec_id") % 50 == 0)
     return bucketed_topk(q, cells, emb, k=3)
 
@@ -203,7 +207,7 @@ def q_ann_lsh_topk(spark, sf_dir):
     )
     buckets = hyperplane_lsh_buckets(emb, planes)
     q = buckets.filter(F.col("vec_id") % 50 == 0)
-    return bucketed_topk(q, buckets, emb, k=3)
+    return bucketed_topk(q, buckets, emb, k=3, dim=64)
 
 
 # ------------------------- nearest-centroid assignment (k-means step)
@@ -364,11 +368,14 @@ def q_ann_recall_eval(spark, sf_dir):
     )
     buckets = hyperplane_lsh_buckets(emb, planes)
     q = buckets.filter(F.col("vec_id") % 50 == 0)
-    lsh = bucketed_topk(q, buckets, emb, k=3).select(
+    lsh = bucketed_topk(q, buckets, emb, k=3, dim=64).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     exact = brute_force_topk(
-        emb.join(q.select("vec_id"), on="vec_id", how="left_semi"), emb, k=3
+        emb.join(q.select("vec_id"), on="vec_id", how="left_semi"),
+        emb,
+        k=3,
+        dim=64,
     ).select("query_id", "neighbor_id")
     return (
         exact.join(lsh, on=["query_id", "neighbor_id"], how="left")
@@ -450,7 +457,7 @@ def q_ann_multiprobe_topk(spark, sf_dir):
     q = multiprobe_buckets(
         buckets.filter(F.col("vec_id") % 50 == 0), n_bits=8
     )
-    return bucketed_topk(q, buckets, emb, k=3)
+    return bucketed_topk(q, buckets, emb, k=3, dim=64)
 
 
 # --------------------------------------------- IVF nprobe=2 ANN top-k
@@ -518,7 +525,7 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    corpus_cells = ivf_assign_cells(emb, centroids)
+    corpus_cells = ivf_assign_cells(emb, centroids, dim=64)
     query_cells = ivf_assign_cells(
         emb.join(
             emb.filter(F.col("vec_id") % 50 == 0).select("vec_id"),
@@ -527,8 +534,9 @@ def q_ann_ivf_nprobe_topk(spark, sf_dir):
         ),
         centroids,
         nprobe=2,
+        dim=64,
     )
-    return bucketed_topk(query_cells, corpus_cells, emb, k=3)
+    return bucketed_topk(query_cells, corpus_cells, emb, k=3, dim=64)
 
 
 # ------------------------------- contrastive hard-negative mining
@@ -588,10 +596,7 @@ def q_hard_negative_pairs(spark, sf_dir):
         F.col("label").alias("neg_label"),
         to_double_array(F.col("embedding")).alias("__cv"),
     )
-    sim_expr = dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(dot(F.col("__cv"), F.col("__cv")))
-    )
+    sim_expr = cosine_fixed("__qv", "__cv", 64)
     scored = c.join(
         F.broadcast(q),
         (F.col("neg_id") != F.col("query_id"))
@@ -708,10 +713,7 @@ def q_hard_negative_pairs_ann(spark, sf_dir):
         "bucket",
         F.col("__v").alias("__cv"),
     )
-    sim = dot(F.col("__qv"), F.col("__cv")) / (
-        F.sqrt(dot(F.col("__qv"), F.col("__qv")))
-        * F.sqrt(dot(F.col("__cv"), F.col("__cv")))
-    )
+    sim = cosine_fixed("__qv", "__cv", 64)
     scored = (
         q.join(c, on="bucket")
         .filter(
@@ -886,10 +888,7 @@ def q_embedding_int8_quantization(spark, sf_dir):
     err_sq = F.zip_with(
         F.col("__v"), F.col("__dv"), lambda a, b: (a - b) * (a - b)
     )
-    cos = dot(F.col("__v"), F.col("__dv")) / (
-        F.sqrt(dot(F.col("__v"), F.col("__v")))
-        * F.sqrt(dot(F.col("__dv"), F.col("__dv")))
-    )
+    cos = cosine_fixed("__v", "__dv", 64)
     return withd.select(
         "vec_id",
         F.size("__v").cast("int").alias("dim"),
@@ -1106,8 +1105,10 @@ def q_matryoshka_recall_eval(spark, sf_dir):
         "vec_id", F.slice(F.col("embedding"), 1, _MATRYOSHKA_DIM).alias("embedding")
     )
     tqueries = trunc.filter(F.col("vec_id") % 50 == 0)
-    fullk = brute_force_topk(queries, emb, k=3).select("query_id", "neighbor_id")
-    trunck = brute_force_topk(tqueries, trunc, k=3).select(
+    fullk = brute_force_topk(queries, emb, k=3, dim=64).select("query_id", "neighbor_id")
+    trunck = brute_force_topk(
+        tqueries, trunc, k=3, dim=_MATRYOSHKA_DIM
+    ).select(
         F.col("query_id").alias("__tq"), F.col("neighbor_id").alias("__tn")
     )
     return (
@@ -1388,10 +1389,7 @@ def q_rrf_hybrid_retrieval(spark, sf_dir):
     )
     dense = cand.join(F.broadcast(qv)).select(
         "doc_id",
-        (
-            dot(F.col("e"), F.col("v"))
-            / (l2_norm(F.col("e")) * l2_norm(F.col("v")))
-        ).alias("sim"),
+        cosine_fixed("e", "v", 64).alias("sim"),
     )
     dense_r = dense.select(
         "doc_id",
@@ -1707,7 +1705,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    assigned = ivf_assign_cells(emb, centroids)
+    assigned = ivf_assign_cells(emb, centroids, dim=64)
 
     vecs = emb.select(
         "vec_id", to_double_array(F.col("embedding")).alias("ev")
@@ -1790,10 +1788,7 @@ def q_ann_ivfpq_topk(spark, sf_dir):
             "query_id",
             "neighbor_id",
             "adc_micro",
-            (
-                dot(F.col("q_ev"), F.col("n_ev"))
-                / (l2_norm(F.col("q_ev")) * l2_norm(F.col("n_ev")))
-            ).alias("sim"),
+            cosine_fixed("q_ev", "n_ev", 64).alias("sim"),
         )
     )
     w_final = Window.partitionBy("query_id").orderBy(
@@ -1915,7 +1910,7 @@ def q_ann_nprobe_recall_curve(spark, sf_dir):
     centroids = emb.filter(F.col("vec_id") % 37 == 1).select(
         F.col("vec_id").alias("centroid_id"), "embedding"
     )
-    corpus_cells = ivf_assign_cells(emb, centroids)
+    corpus_cells = ivf_assign_cells(emb, centroids, dim=64)
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
     # Ranked query cells: ivf_assign_cells emits a query's cells in
     # rank order but drops the rank itself, so recompute the ranked
@@ -1934,10 +1929,7 @@ def q_ann_nprobe_recall_curve(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         to_double_array(F.col("embedding")).alias("qev"),
     )
-    sim_qc = (
-        dot(F.col("qev"), F.col("ccv"))
-        / (l2_norm(F.col("qev")) * l2_norm(F.col("ccv")))
-    )
+    sim_qc = cosine_fixed("qev", "ccv", 64)
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("__sim"), "ccid"
     )
@@ -1981,10 +1973,7 @@ def q_ann_nprobe_recall_curve(spark, sf_dir):
             "query_id",
             "neighbor_id",
             "mr",
-            (
-                dot(F.col("q_ev"), F.col("n_ev"))
-                / (l2_norm(F.col("q_ev")) * l2_norm(F.col("n_ev")))
-            ).alias("sim"),
+            cosine_fixed("q_ev", "n_ev", 64).alias("sim"),
         )
     )
     fan = scored.withColumn(
@@ -2001,7 +1990,7 @@ def q_ann_nprobe_recall_curve(spark, sf_dir):
         .filter(F.col("rn") <= 3)
         .select("nprobe", "query_id", "neighbor_id")
     )
-    exact = brute_force_topk(queries_df, emb, k=3).select(
+    exact = brute_force_topk(queries_df, emb, k=3, dim=64).select(
         "query_id", "neighbor_id", F.lit(1).alias("hit")
     )
     nq = exact.agg(
@@ -2083,12 +2072,14 @@ SELECT 'postfilter' AS strategy, query_id, neighbor_id, cosine_sim FROM post
 def q_ann_filtered_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    pre = brute_force_topk(queries_df, emb.filter(F.col("label") == 1), k=5).select(
+    pre = brute_force_topk(
+        queries_df, emb.filter(F.col("label") == 1), k=5, dim=64
+    ).select(
         F.lit("prefilter").alias("strategy"), "query_id", "neighbor_id", "cosine_sim"
     )
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
     post = (
-        brute_force_topk(queries_df, emb, k=5)
+        brute_force_topk(queries_df, emb, k=5, dim=64)
         .join(F.broadcast(labels), "neighbor_id")
         .filter(F.col("label") == 1)
         .select(
@@ -2257,7 +2248,7 @@ def q_ann_topk_diversity_filter(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") % 50 == 0)
-    topk = brute_force_topk(queries_df, emb, k=10).withColumn(
+    topk = brute_force_topk(queries_df, emb, k=10, dim=64).withColumn(
         "rank",
         F.row_number()
         .over(W.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), "neighbor_id"))
@@ -2281,9 +2272,7 @@ def q_ann_topk_diversity_filter(spark, sf_dir):
         F.col("nv").alias("b_v"),
     )
     pair_sim_ppm = F.floor(
-        (dot(F.col("a_v"), F.col("b_v"))
-         / (F.sqrt(dot(F.col("a_v"), F.col("a_v"))) * F.sqrt(dot(F.col("b_v"), F.col("b_v")))))
-        * 1000000
+        cosine_fixed("a_v", "b_v", 64) * 1000000
     ).cast("long")
     flagged = (
         a.join(
@@ -3046,7 +3035,7 @@ def _ann_index_probe(spark, base, k=3):
     buckets = idx.select("vec_id", "bucket")
     vectors = idx.select("vec_id", "embedding")
     q = buckets.filter(F.col("vec_id") % 50 == 0)
-    return bucketed_topk(q, buckets, vectors, k=k)
+    return bucketed_topk(q, buckets, vectors, k=k, dim=64)
 
 
 @register(

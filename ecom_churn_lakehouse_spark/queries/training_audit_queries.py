@@ -388,7 +388,7 @@ ORDER BY vec_a, vec_b
 )
 def q_semantic_dedup_pairs(spark, sf_dir):
     from ecom_churn_lakehouse_spark.functions.vectors import (
-        cosine_similarity,
+        cosine_fixed,
         to_double_array,
     )
     from ecom_churn_lakehouse_spark.similarity.ann import banded_sign_buckets
@@ -404,7 +404,7 @@ def q_semantic_dedup_pairs(spark, sf_dir):
         F.col("vec_id").alias("cid"),
         to_double_array(F.col("embedding")).alias("cv"),
     )
-    cos = cosine_similarity(F.col("embedding"), F.col("cv"))
+    cos = cosine_fixed("embedding", "cv", 64)
     # argmax centroid with min-cid tie-break: lexicographic max over
     # (cos, -cid) — one aggregate, no window sort.
     assigned = (
@@ -435,7 +435,7 @@ def q_semantic_dedup_pairs(spark, sf_dir):
         F.col("vec_id").alias("vec_b"), "band", "bucket",
         F.col("cluster_id").alias("__cb"), F.col("ev").alias("__vb"),
     )
-    pair_cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    pair_cos = cosine_fixed("__va", "__vb", 64)
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(

@@ -25,9 +25,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ecom_churn_lakehouse_spark.functions.vectors import (
+    cosine_fixed,
     cosine_similarity,
     to_double_array,
 )
+
+def _cos(a: str, b: str, dim: int | None):
+    """Exact cosine over the (already double-cast) named columns —
+    the flat cached codegen spelling when the caller knows the static
+    dimension (bit-identical fold order, r12), the generic interpreted
+    HOF otherwise (callers that pass sliced/truncated vectors)."""
+    if dim is not None:
+        return cosine_fixed(a, b, dim)
+    return cosine_similarity(F.col(a), F.col(b))
+
 
 __all__ = [
     "brute_force_topk",
@@ -46,6 +57,7 @@ def brute_force_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query vector.
 
@@ -60,7 +72,7 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         to_double_array(F.col(vec_col)).alias("__cv"),
     )
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    sim = _cos("__qv", "__cv", dim)
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("__sim"))
@@ -198,6 +210,7 @@ def neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup scale path).
 
@@ -230,7 +243,7 @@ def neardup_pairs(
         emb.select(F.col(id_col).alias("doc_b"), F.col("__v").alias("__vb")),
         on="doc_b",
     )
-    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
+    sim = _cos("__va", "__vb", dim)
     return (
         scored.select(
             "doc_a", "doc_b", F.round(sim, 6).alias("cosine_sim")
@@ -246,6 +259,7 @@ def ivf_assign_cells(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     nprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest
     ``nprobe`` centroids by cosine (ties break on centroid id).
@@ -270,7 +284,7 @@ def ivf_assign_cells(
         F.col(centroid_id_col).alias("__cid"),
         to_double_array(F.col(vec_col)).alias("__c"),
     )
-    sim = cosine_similarity(F.col("__v"), F.col("__c"))
+    sim = _cos("__v", "__c", dim)
     scored = v.join(F.broadcast(c)).select(
         F.col(id_col), F.col("__cid"), sim.alias("__sim")
     )
@@ -289,6 +303,7 @@ def bucketed_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k restricted to same-bucket candidates.
 
@@ -305,7 +320,7 @@ def bucketed_topk(
     c = corpus_with_bucket.select(
         F.col(id_col).alias("neighbor_id"), "bucket"
     ).join(emb.select(F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv")), on="neighbor_id")
-    sim = cosine_similarity(F.col("__qv"), F.col("__cv"))
+    sim = _cos("__qv", "__cv", dim)
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
